@@ -1,0 +1,62 @@
+"""h2h_spark — a PySpark-native analytics engine with the capabilities of
+hpcc-systems/h2h (the HPCC<->HDFS connector), rebuilt Spark-first.
+
+The reference (read-only at /root/reference) provides distributed,
+record-boundary-correct scans and writes of three wire formats — fixed-width
+binary (FLAT), delimited CSV with an ECL dialect, and row-tag XML — plus a
+single-file merge, over HDFS/WebHDFS transports (SURVEY.md §0).  h2h_spark
+re-expresses that surface as:
+
+- a declared-layout schema DSL (:mod:`h2h_spark.layout`) mirroring ECL
+  RECORD structures (``ecl/HDFSConnector.ecl:46,140``),
+- DataFrame sources/sinks (:mod:`h2h_spark.sources`) for FLAT/CSV/XML with
+  Spark-native split planning replacing the reference's per-node offset math
+  (``libhdfsconnector.cpp:652-707``),
+- a merge operator preserving partition-index order
+  (``libhdfsconnector.cpp:709-831``),
+- and — beyond the reference — LLM-data-pipeline operators
+  (:mod:`h2h_spark.operators`): dedup, similarity search, text analysis,
+  multimodal binary columns; plus structured-streaming helpers
+  (:mod:`h2h_spark.streaming`).
+
+Everything is driven through the standard DataFrame/Catalyst query surface;
+there is no custom optimizer (the reference has none either — SURVEY.md §4).
+"""
+
+from h2h_spark.layout import (
+    Layout,
+    String,
+    Unsigned,
+    Integer,
+    Real,
+    Boolean,
+    Data,
+)
+from h2h_spark.session import get_spark
+from h2h_spark.sources.csv import read_csv, write_csv
+from h2h_spark.sources.flat import read_flat, write_flat
+from h2h_spark.sources.xml import read_xml, write_xml
+from h2h_spark.sources.merge import merge_parts, write_single_file
+from h2h_spark.sources.meta import file_status
+
+__all__ = [
+    "Layout",
+    "String",
+    "Unsigned",
+    "Integer",
+    "Real",
+    "Boolean",
+    "Data",
+    "get_spark",
+    "read_csv",
+    "write_csv",
+    "read_flat",
+    "write_flat",
+    "read_xml",
+    "write_xml",
+    "merge_parts",
+    "write_single_file",
+    "file_status",
+]
+
+__version__ = "0.1.0"

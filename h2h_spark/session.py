@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is one JVM with N threads; on a real cluster the same confs hold
+(AQE, Arrow, UTC).  ``spark.sql.shuffle.partitions`` should track cluster
+cores — at 100 TB you would set it to a few × total cores and let AQE
+coalesce; locally we match the core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSession:
+    """Return (or create) the tuned SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism.  All confs are
+    cluster-safe: AQE for runtime re-planning (skew joins, partition
+    coalescing), Arrow for the pandas-UDF fast path, UTC session timezone so
+    timestamp semantics match the DuckDB oracle.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("H2H_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _register_datasources(spark)
+    return spark
+
+
+def _register_datasources(spark: SparkSession) -> None:
+    """Register the engine's Python DataSources (idempotent)."""
+    # Imported lazily to avoid circular imports at package import time.
+    from h2h_spark.sources.flat import FlatDataSource
+    from h2h_spark.sources.xml import XmlDataSource
+
+    for ds in (FlatDataSource, XmlDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            # Already registered in this session, or the runtime lacks the
+            # Python DataSource API — the functional read_*/write_* paths
+            # do not depend on registration.
+            pass

@@ -1,0 +1,163 @@
+"""CSV with the ECL dialect (the reference's PipeIn/PipeOut CSV surface).
+
+The reference CSV scan (``streamCSVFileOffset``, ``libhdfsconnector.cpp:
+385-566``) is a distributed byte-range scan with record-boundary
+realignment: a split skips to the first terminator (unless at offset 0) and
+reads past its end to finish the last record, with quote-parity handling of
+terminators inside quotes.  Hadoop's ``LineRecordReader`` — which backs
+``spark.read.csv`` — implements the *same* split-ownership contract
+(SURVEY.md §2.1 O3), so the default read path here is Spark's native CSV
+source with the dialect mapped onto reader options:
+
+- SEPARATOR → ``sep`` (default ``,``; the reference parses it but leaves
+  field splitting to the host engine — ``hdfsconnector.hpp:339-342``),
+- TERMINATOR → ``lineSep`` (default ``\\n``; ``\\r\\n``/``\\r`` are covered
+  by Hadoop's universal newline handling; other multi-char terminators use a
+  Hadoop ``textinputformat.record.delimiter`` scan + ``from_csv``),
+- QUOTE → ``quote`` (default ``'`` — the reference default, not ``"``:
+  ``hdfsconnector.hpp:226-228``).  The reference has *no escape character*,
+  only quote-parity toggling (``libhdfsconnector.cpp:437-441``); we map to
+  doubled-quote escaping (``escape == quote``) which is self-consistent
+  across our write→read round trips and never treats backslash specially.
+
+Escaped option characters (``\\n``, ``\\t``, …) are expanded per
+``expandEscapedChars`` (``hdfsconnector.hpp:74-129``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from h2h_spark.layout import Layout
+from h2h_spark.sources import sink as _sink
+from h2h_spark.sources.util import expand_escapes
+
+_UNIVERSAL_TERMINATORS = ("\n", "\r\n", "\r")
+
+
+def _schema_of(layout_or_schema: Layout | T.StructType) -> T.StructType:
+    if isinstance(layout_or_schema, Layout):
+        return layout_or_schema.to_struct_type()
+    return layout_or_schema
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    layout: Layout | T.StructType,
+    *,
+    sep: str = ",",
+    terminator: str = "\\n",
+    quote: str = "'",
+    header: bool = False,
+    embed_newlines: bool = False,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """PipeIn(CSV) analogue (``ecl/HDFSConnector.ecl:101-135``).
+
+    ``embed_newlines=True`` enables Spark's ``multiLine`` mode for files
+    whose quoted fields contain the terminator.  Note the scale cliff
+    (SURVEY.md §4.2): multiLine disables intra-file splitting, one task per
+    file — the reference's quote-parity splitter has the same hazard solved
+    differently; prefer terminator-free fields at 100 TB.
+    """
+    sep = expand_escapes(sep)
+    terminator = expand_escapes(terminator)
+    quote = expand_escapes(quote)
+    schema = _schema_of(layout_or_schema=layout)
+
+    if terminator in _UNIVERSAL_TERMINATORS or len(terminator) == 1:
+        reader = (
+            spark.read.schema(schema)
+            .option("sep", sep)
+            .option("quote", quote)
+            .option("escape", quote)  # quote-parity: no backslash escapes
+            .option("header", str(header).lower())
+            .option("mode", "PERMISSIVE")
+            .option("emptyValue", "")
+        )
+        if terminator not in _UNIVERSAL_TERMINATORS:
+            reader = reader.option("lineSep", terminator)
+        if embed_newlines:
+            reader = reader.option("multiLine", "true")
+        if timestamp_format:
+            reader = reader.option("timestampFormat", timestamp_format)
+        return reader.csv(path)
+
+    # Multi-char custom terminator (e.g. '~~'): Hadoop TextInputFormat with a
+    # custom record delimiter does the distributed boundary-realigned record
+    # split JVM-side (the analogue of the reference's cross-buffer terminator
+    # scan, libhdfsconnector.cpp:443-474); from_csv decodes fields.
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": terminator},
+    )
+    lines = rdd.map(lambda kv: (kv[1],)).toDF(["value"])
+    if header:
+        raise NotImplementedError("header with multi-char terminator")
+    opts = {"sep": sep, "quote": quote, "escape": quote, "mode": "PERMISSIVE"}
+    if timestamp_format:
+        opts["timestampFormat"] = timestamp_format
+    parsed = lines.filter(F.length("value") > 0).select(
+        F.from_csv(F.col("value"), schema.simpleString(), opts).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str = ",",
+    terminator: str = "\\n",
+    quote: str = "'",
+    header: bool = False,
+    timestamp_format: str | None = None,
+) -> None:
+    """PipeOut(CSV) analogue — one part file per partition.
+
+    Uses Spark's native (JVM, codegen'd) CSV sink when the terminator is a
+    newline; falls back to ``to_csv`` + the engine's partition-file sink for
+    custom terminators (the reference's ``-outputterminator`` surface,
+    ``hdfsconnector.hpp:365-368``).
+    """
+    sep = expand_escapes(sep)
+    terminator = expand_escapes(terminator)
+    quote = expand_escapes(quote)
+
+    if terminator == "\n":
+        writer = (
+            df.write.mode("overwrite")
+            .option("sep", sep)
+            .option("quote", quote)
+            .option("escape", quote)
+            .option("header", str(header).lower())
+            .option("emptyValue", "")
+        )
+        if timestamp_format:
+            writer = writer.option("timestampFormat", timestamp_format)
+        writer.csv(path)
+        return
+
+    opts = {"sep": sep, "quote": quote, "escape": quote}
+    if timestamp_format:
+        opts["timestampFormat"] = timestamp_format
+    line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]), opts)
+    lines = df.select(F.concat(line, F.lit(terminator)).alias("line"))
+
+    def _serialize(batch) -> bytes:
+        return "".join(batch.column(0).to_pylist()).encode("utf-8")
+
+    header_bytes = b""
+    if header:
+        header_bytes = (sep.join(df.columns) + terminator).encode("utf-8")
+    _sink.write_partition_files(
+        lines, path, _serialize, header=header_bytes, suffix=".csv"
+    )

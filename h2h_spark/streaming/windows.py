@@ -1,0 +1,65 @@
+"""Streaming windowed aggregation + batch sessionization helpers."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Run a tumbling-window count as a real Structured Streaming job over a
+    file source and return the final (complete-mode) result as a batch
+    DataFrame.
+
+    Uses the memory sink + ``processAllAvailable`` so a bounded input drives
+    the streaming engine to completion synchronously; on a cluster the same
+    plan runs continuously from kafka/files with a watermark + append mode.
+    """
+    name = f"h2h_stream_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        stream.groupBy(F.window(ts_col, window_duration), key_col)
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col(key_col),
+            F.col("count"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Batch sessionization: gap > threshold starts a new session (the
+    classic lag + cumulative-sum construction; streaming equivalent is
+    ``session_window``)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return (
+        df.withColumn("_new_session", (gap.isNull() | (gap > gap_seconds)).cast("int"))
+        .withColumn("session_id", F.sum("_new_session").over(w))
+        .drop("_new_session")
+    )
