@@ -246,8 +246,12 @@ class Layout:
         for name, ft in self.fields:
             names.append(name)
             offsets.append(self._offsets[name])
-            if ft.kind == "string" or ft.kind == "data":
+            if ft.kind == "string":
                 formats.append(f"S{ft.nbytes}")
+            elif ft.kind == "data":
+                # V (void), not S: numpy S-dtype strips trailing NULs, but
+                # DATA n is exact raw bytes.
+                formats.append(f"V{ft.nbytes}")
             elif ft.kind == "boolean":
                 formats.append("<u1")
             elif ft.kind in ("unsigned", "integer"):
@@ -306,7 +310,7 @@ class Layout:
                 s = pd.Series(col).str.decode(getattr(ft, "encoding", "latin-1"))
                 out[name] = s.str.rstrip(" ")  # ECL STRINGn is space-padded
             elif ft.kind == "data":
-                out[name] = pd.Series(list(col), dtype=object)
+                out[name] = pd.Series([bytes(v) for v in col], dtype=object)
             elif ft.kind == "boolean":
                 out[name] = col != 0
             elif ft.kind == "real":
@@ -359,14 +363,10 @@ class Layout:
                 )
                 buf[name] = raw
             elif ft.kind == "data":
-                raw = np.array(
-                    [
-                        (v or b"")[: ft.nbytes].ljust(ft.nbytes, b"\x00")
-                        for v in col
-                    ],
-                    dtype=f"S{ft.nbytes}",
+                padded = b"".join(
+                    (v or b"")[: ft.nbytes].ljust(ft.nbytes, b"\x00") for v in col
                 )
-                buf[name] = raw
+                buf[name] = np.frombuffer(padded, dtype=f"V{ft.nbytes}")
             elif ft.kind == "boolean":
                 buf[name] = col.astype(bool).to_numpy().astype(np.uint8)
             elif ft.kind == "real":

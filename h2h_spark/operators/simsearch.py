@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (engine extension, SURVEY.md
+§2.3 E2).
+
+Embeddings are ``array<float>`` columns.  Two paths:
+
+- :func:`cosine_topk` — exact brute force: per-row dot product via
+  ``zip_with`` + ``aggregate`` (JVM-side, no UDF), then a global top-k.
+  The right baseline at any scale where a full scan is acceptable (top-k
+  is a TakeOrdered, not a full sort).
+- :func:`ann_topk` — random-hyperplane LSH: deterministic hyperplanes
+  (seeded), documents bucketed by sign-bit signature; a query probes its
+  own bucket plus all 1-bit-flip neighbors.  At 100 TB the bucket column
+  becomes the partition/bucketing key so a probe touches a handful of
+  partitions instead of the fleet.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_with_literal(vec_col: Column, q: Sequence[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_scores(
+    df: DataFrame, id_col: str, vec_col: str, query: Sequence[float]
+) -> DataFrame:
+    """``(id, score)`` — exact cosine similarity to ``query``."""
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    score = _dot_with_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return df.select(F.col(id_col), score.alias("score"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity (ties broken by id — deterministic)."""
+    scores = cosine_scores(df, id_col, vec_col, query)
+    if round_digits is not None:
+        scores = scores.withColumn("score", F.round("score", round_digits))
+    return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def signature_col(vec_col: Column, planes: np.ndarray) -> Column:
+    """Integer LSH signature: bit j = sign(dot(vec, plane_j)) — built from
+    per-plane ``aggregate`` expressions, all JVM-side."""
+    sig = F.lit(0).cast("long")
+    for j in range(planes.shape[0]):
+        d = _dot_with_literal(vec_col, planes[j].tolist())
+        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    nbits: int = 12,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket probe (query bucket + 1-bit flips),
+    exact cosine within candidates.
+
+    With nbits=12 a uniform corpus splits into ~4096 buckets; multiprobe
+    widens recall to the 13 nearest buckets.  Scale path: persist
+    ``df.withColumn("bucket", signature_col(...))`` partitioned by bucket
+    and this probe prunes partitions at the source.
+    """
+    dim = len(query)
+    planes = hyperplanes(dim, nbits, seed)
+    qv = np.asarray(list(map(float, query)))
+    qsig = 0
+    for j in range(nbits):
+        if float(planes[j] @ qv) >= 0:
+            qsig |= 1 << j
+    probes = [qsig] + ([qsig ^ (1 << j) for j in range(nbits)] if multiprobe else [])
+    bucketed = df.withColumn("bucket", signature_col(F.col(vec_col), planes))
+    cands = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cands, id_col, vec_col, query, k)

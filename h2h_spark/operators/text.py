@@ -1,0 +1,94 @@
+"""Text-analysis operators (engine extension, SURVEY.md §2.3 E4): token
+statistics, quality scoring, language ID, document fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` — whole-stage-codegen'd,
+no Python in the hot path.  Each operator has an exact ANSI-SQL twin (the
+DuckDB oracles in ``__spark_entry__``), which is also the portability
+story: these run unchanged on any Spark cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from h2h_spark.operators.dedup import tokens
+
+# Small per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic.  Deliberately tiny and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "en", "por"],
+    "zh": ["de", "shi", "bu", "le", "wo", "zai", "you", "ren"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "this"]
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, mean token
+    length, stopword ratio — the quality-scoring feature set."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS_EN))
+    )
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(total_len / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite 0-1 quality score: length in a sane band, lexical
+    diversity, some stopword presence (word-salad detector)."""
+    s = token_stats(df, id_col, text_col)
+    len_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10000), 1.0).otherwise(0.3)
+    diversity = F.least(
+        F.col("n_uniq_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), F.lit(1.0)
+    )
+    stop_ok = F.when(F.col("stopword_ratio").between(0.01, 0.7), 1.0).otherwise(0.5)
+    return s.select(
+        id_col,
+        F.round((len_ok * 0.3 + diversity * 0.4 + stop_ok * 0.3), 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score = count of marker-token hits per
+    language; argmax with deterministic alphabetical tiebreak, 'und' when
+    nothing matches."""
+    toks = tokens(text_col)
+    scores = [
+        F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("und")
+    # First (alphabetical) language achieving the max wins — build the
+    # CASE from the end so earlier WHENs take precedence.
+    for l in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"s_{l}") == best), F.lit(l)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dup key that survives formatting noise."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -34,6 +34,9 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("H2H_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (e.g. the events table) has no Spark
+        # timestamp type; read as long and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

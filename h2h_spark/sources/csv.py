@@ -56,6 +56,7 @@ def read_csv(
     header: bool = False,
     embed_newlines: bool = False,
     timestamp_format: str | None = None,
+    split_max_bytes: int | None = None,
 ) -> DataFrame:
     """PipeIn(CSV) analogue (``ecl/HDFSConnector.ecl:101-135``).
 
@@ -92,12 +93,18 @@ def read_csv(
     # custom record delimiter does the distributed boundary-realigned record
     # split JVM-side (the analogue of the reference's cross-buffer terminator
     # scan, libhdfsconnector.cpp:443-474); from_csv decodes fields.
+    hconf = {"textinputformat.record.delimiter": terminator}
+    if split_max_bytes is not None:
+        # Per-read split sizing (no session-conf pollution): forces records
+        # to straddle split edges in boundary tests, and tunes task size at
+        # scale the same way maxPartitionBytes does for file sources.
+        hconf["mapreduce.input.fileinputformat.split.maxsize"] = str(split_max_bytes)
     rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
         "org.apache.hadoop.io.LongWritable",
         "org.apache.hadoop.io.Text",
-        conf={"textinputformat.record.delimiter": terminator},
+        conf=hconf,
     )
     lines = rdd.map(lambda kv: (kv[1],)).toDF(["value"])
     if header:

@@ -81,11 +81,15 @@ def _scan_elements(
     open_pat = re.compile(b"<" + re.escape(tag) + b"(?=[\\s/>])")
     close_token = b"</" + tag + b">"
     limit = end - start
+    # Read a tag-width margin past the range end so an open tag whose start
+    # is in-range but whose bytes straddle the edge is fully visible (the
+    # reference's cross-buffer tag handling, libhdfsconnector.cpp:285-303).
+    margin = len(tag) + 2
 
     with open_input(path) as f:
         f.seek(start)
-        data = f.read(limit)
-        eof = len(data) < limit
+        data = f.read(limit + margin)
+        eof = len(data) < limit + margin
 
         def _extend() -> bool:
             nonlocal data, eof
@@ -98,39 +102,26 @@ def _scan_elements(
             data += chunk
             return True
 
-        # Ensure the last in-range open tag's element closes within `data`
-        # (read-past-end, libhdfsconnector.cpp:312-343).  A tag cut by the
-        # range edge is completed by the read-ahead as well (lines 285-303).
-        pos = 0
+        # Ownership rule: this split owns every element whose open tag
+        # STARTS in [start, end).  Keep extending until the last owned
+        # element closes inside `data` (read-past-end,
+        # libhdfsconnector.cpp:312-343).
         while True:
-            matches = [m.start() for m in open_pat.finditer(data) if m.start() < limit]
-            # An open tag might straddle the limit boundary partially; also
-            # handle `<Row` with its '>' beyond current data.
-            if matches:
-                last = matches[-1]
-                end_pos = _element_end(data, last, close_token)
-                if end_pos is not None:
-                    break
-                if not _extend():
-                    raise ValueError(
-                        f"{path}: unclosed <{row_tag}> element at byte "
-                        f"{start + last} (malformed input; the reference "
-                        "would silently truncate here — we refuse)"
-                    )
-            else:
-                # No in-range open tag at all → nothing owned by this split,
-                # unless a tag prefix sits right at the boundary.
-                tail = data[max(0, limit - len(tag) - 2) : limit]
-                if b"<" in tail and not eof and len(data) < limit + len(tag) + 2:
-                    if _extend():
-                        continue
+            cands = [m.start() for m in open_pat.finditer(data) if m.start() < limit]
+            if not cands:
                 break
+            if _element_end(data, cands[-1], close_token) is not None:
+                break
+            if not _extend():
+                raise ValueError(
+                    f"{path}: unclosed <{row_tag}> element at byte "
+                    f"{start + cands[-1]} (malformed input; the reference "
+                    "would silently truncate here — we refuse)"
+                )
 
-        for mstart in (m.start() for m in open_pat.finditer(data)):
-            if mstart >= limit:
-                break
+        for mstart in cands:
             end_pos = _element_end(data, mstart, close_token)
-            if end_pos is None:
+            if end_pos is None:  # pragma: no cover - guarded above
                 raise ValueError(f"{path}: unclosed <{row_tag}> element")
             yield data[mstart:end_pos]
 

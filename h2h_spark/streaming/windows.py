@@ -17,6 +17,7 @@ def run_windowed_counts(
     ts_col: str,
     key_col: str,
     window_duration: str = "1 hour",
+    transform=None,
 ) -> DataFrame:
     """Run a tumbling-window count as a real Structured Streaming job over a
     file source and return the final (complete-mode) result as a batch
@@ -28,6 +29,8 @@ def run_windowed_counts(
     """
     name = f"h2h_stream_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(schema).parquet(path)
+    if transform is not None:
+        stream = transform(stream)
     agg = (
         stream.groupBy(F.window(ts_col, window_duration), key_col)
         .count()

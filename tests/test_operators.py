@@ -1,0 +1,183 @@
+"""Extension operators: dedup, similarity search, text, multimodal."""
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from h2h_spark.operators import dedup as D
+from h2h_spark.operators import multimodal as MM
+from h2h_spark.operators import simsearch as S
+from h2h_spark.operators import text as TX
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different text about spark engines and data pipelines ok"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in
+           D.exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out[1] == 2  # min id represents the dup group
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             D.minhash_near_duplicates(docs, "doc_id", "text",
+                                       jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash signature agreement must track true Jaccard."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = D.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    a = sig.alias("a").filter(F.col("doc_id") < 10)
+    b = sig.alias("b").filter(F.col("doc_id") < 10)
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                    lambda z: z == 1,
+                )
+            ).alias("agree")
+        )
+    )
+    rows = est.collect()
+    assert all(0 <= r.agree <= 64 for r in rows)
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in
+           D.simhash64(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] >= 0  # bit 63 clear → non-negative long
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_cosine_topk_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.toPandas()
+    query = list(map(float, pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]))
+    got = S.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query, k=5
+    ).collect()
+    q = np.array(query)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [
+        int(pdf.vec_id.iloc[i])
+        for i in np.argsort(-cos, kind="stable")
+        if int(pdf.vec_id.iloc[i]) != 0
+    ][:5]
+    assert [r.vec_id for r in got] == order
+    for r in got:
+        i = pdf.index[pdf.vec_id == r.vec_id][0]
+        assert math.isclose(r.score, cos[i], rel_tol=1e-9)
+
+
+def test_ann_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.toPandas()
+    query = list(map(float, pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]))
+    exact = [r.vec_id for r in S.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query, k=10
+    ).collect()]
+    approx = [r.vec_id for r in S.ann_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query,
+        k=10, nbits=8,
+    ).collect()]
+    # approximate: require some overlap with exact top-10 (sane recall)
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox."), (2, "a a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TX.token_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].n_chars == 14
+    assert out[2].n_uniq_tokens == 1
+    assert out[2].stopword_ratio == 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "der Hund ist nicht in das Haus und"),
+            (3, "le chat est dans la maison et les chiens"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in TX.lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fp for r in TX.fingerprint(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_quality_score_band(spark):
+    df = spark.createDataFrame(
+        [(1, "the " + " ".join(f"word{i}" for i in range(50))), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality for r in TX.quality_score(df, "doc_id", "text").collect()}
+    assert out[1] > out[2]
+
+
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "x" * 5000)], "doc_id long, text string"
+    )
+    binary = MM.with_binary_payload(docs, "doc_id", "text")
+    assert dict(binary.dtypes)["payload"] == "binary"
+    feats = {r.doc_id: r for r in MM.decode_features(binary, "doc_id").collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[2].n_bytes == 5000
+    assert feats[1].decoder == "stub"
+    assert len(feats[1].payload_md5) == 32
+    frames = MM.frame_sample(binary, "doc_id", frame_bytes=1024, stride=2).collect()
+    assert {r.doc_id for r in frames} == {1, 2}
+    assert sum(1 for r in frames if r.doc_id == 2) == 2  # ceil(4/2) frames

@@ -1,0 +1,203 @@
+"""Wire-format sources: FLAT/CSV/XML round trips, boundaries, merge."""
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from h2h_spark import (
+    Integer,
+    Layout,
+    Real,
+    String,
+    Unsigned,
+    file_status,
+    merge_parts,
+    read_csv,
+    read_flat,
+    read_xml,
+    write_csv,
+    write_flat,
+    write_xml,
+)
+from h2h_spark.sources.flat import plan_flat_splits
+from h2h_spark.sources.merge import write_single_file
+from h2h_spark.sources.util import expand_escapes
+
+from tests.conftest import SF_DIR
+
+CUST_LAYOUT = Layout(
+    [
+        ("c_custkey", Integer(8)),
+        ("c_name", String(32)),
+        ("c_nationkey", Integer(4)),
+        ("c_acctbal", Real(8)),
+        ("c_mktsegment", String(12)),
+    ]
+)
+
+
+def _cust(spark):
+    return spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+
+def _as_set(df):
+    return set(tuple(r) for r in df.collect())
+
+
+def test_expand_escapes():
+    assert expand_escapes("\\n") == "\n"
+    assert expand_escapes("\\r\\n") == "\r\n"
+    assert expand_escapes("\\t\\0") == "\t\0"
+    assert expand_escapes("a\\qb") == "aqb"  # unknown escape: drop backslash
+
+
+def test_flat_roundtrip_tiny_splits(spark, tmp_work):
+    cust = _cust(spark)
+    write_flat(cust, f"{tmp_work}/flat", CUST_LAYOUT)
+    back = read_flat(spark, f"{tmp_work}/flat", CUST_LAYOUT, max_partition_bytes=640)
+    assert back.rdd.getNumPartitions() > 3  # forced many record-aligned splits
+    assert _as_set(back) == _as_set(cust)
+
+
+def test_flat_part_naming(spark, tmp_work):
+    cust = _cust(spark).repartition(3)
+    infos = write_flat(cust, f"{tmp_work}/flat3", CUST_LAYOUT)
+    names = sorted(os.path.basename(i.path) for i in infos)
+    assert names == ["part_0_3", "part_1_3", "part_2_3"]
+    assert sum(i.n_rows for i in infos) == 150
+
+
+def test_flat_split_plan_balance(tmp_work):
+    reclen = 46
+    path = f"{tmp_work}/b.dat"
+    with open(path, "wb") as f:
+        f.write(b"\x00" * (1001 * reclen))
+    parts = plan_flat_splits([path], reclen, max_partition_bytes=reclen * 100)
+    counts = [p.n_records for p in parts]
+    assert sum(counts) == 1001
+    assert max(counts) - min(counts) <= 1  # balanced ±1, remainder to low ids
+    assert counts[0] >= counts[-1]
+    # offsets contiguous and record-aligned
+    off = 0
+    for p in parts:
+        assert p.offset == off
+        off += p.n_records * reclen
+
+
+def test_csv_crlf_and_quote_parity(spark, tmp_work):
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["plain", "with,comma", "it's odd"]}
+    )
+    df = spark.createDataFrame(pdf)
+    lay = Layout([("k", Integer(8)), ("v", String(20))])
+    write_csv(df, f"{tmp_work}/crlf", sep=",", terminator="\\r\\n", quote="'")
+    back = read_csv(spark, f"{tmp_work}/crlf", lay, sep=",", terminator="\\r\\n", quote="'")
+    assert _as_set(back) == _as_set(df)
+
+
+def test_csv_multichar_terminator_boundary(spark, tmp_work):
+    cust = _cust(spark)
+    write_csv(cust, f"{tmp_work}/mc", sep="|", terminator="@@", quote="'")
+    back = read_csv(
+        spark, f"{tmp_work}/mc", CUST_LAYOUT, sep="|", terminator="@@",
+        quote="'", split_max_bytes=512,
+    )
+    assert _as_set(back) == _as_set(cust)
+
+
+def test_csv_no_trailing_terminator(spark, tmp_work):
+    # last record without terminator must still be emitted (§4.3.4)
+    path = f"{tmp_work}/noeol.csv"
+    with open(path, "w") as f:
+        f.write("1,a\n2,b\n3,c")  # no trailing \n
+    lay = Layout([("k", Integer(8)), ("v", String(5))])
+    back = read_csv(spark, path, lay, sep=",")
+    assert back.count() == 3
+
+
+def test_xml_nested_rowpath_wrappers(spark, tmp_work):
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    lay = Layout(
+        [
+            ("s_suppkey", Integer(8)),
+            ("s_name", String(32)),
+            ("s_nationkey", Integer(4)),
+            ("s_acctbal", Real(8)),
+        ]
+    )
+    infos = write_xml(sup, f"{tmp_work}/x", row_path="Dataset/Area/Row")
+    head = open(infos[0].path, "rb").read(40)
+    assert head.startswith(b"<Dataset><Area>")  # xpath2xml wrapper synthesis
+    back = read_xml(spark, f"{tmp_work}/x", lay, row_tag="Dataset/Area/Row",
+                    max_partition_bytes=1024)
+    assert _as_set(back) == _as_set(sup)
+
+
+def test_xml_escapes_roundtrip(spark, tmp_work):
+    pdf = pd.DataFrame({"k": [1, 2], "v": ["a<b&c>d", "x&amp;y"]})
+    df = spark.createDataFrame(pdf)
+    lay = Layout([("k", Integer(8)), ("v", String(20))])
+    write_xml(df, f"{tmp_work}/esc", row_path="Dataset/Row")
+    back = read_xml(spark, f"{tmp_work}/esc", lay)
+    assert _as_set(back) == _as_set(df)
+
+
+def test_xml_malformed_raises(spark, tmp_work):
+    path = f"{tmp_work}/bad.xml"
+    with open(path, "w") as f:
+        f.write("<Dataset><Row><a>1</a></Row><Row><a>2</a>")
+    with pytest.raises(Exception, match="unclosed"):
+        read_xml(spark, path, Layout([("a", Integer(4))])).count()
+
+
+def test_merge_preserves_part_order(spark, tmp_work):
+    # rows tagged by partition; merged file must be partition order 0..N-1
+    df = spark.range(100).repartition(4).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    write_csv(df.select("id", "pid"), f"{tmp_work}/parts", sep=",")
+    merge_parts(f"{tmp_work}/parts", f"{tmp_work}/merged.csv", clean=True)
+    assert not os.path.exists(f"{tmp_work}/parts")
+    lines = open(f"{tmp_work}/merged.csv").read().strip().split("\n")
+    pids = [int(l.split(",")[1]) for l in lines]
+    assert pids == sorted(pids)  # non-decreasing = part-index order
+    assert len(lines) == 100
+
+
+def test_write_single_file_and_status(spark, tmp_work):
+    cust = _cust(spark)
+    target = f"{tmp_work}/single.flat"
+    write_single_file(
+        cust, target, lambda d, p: write_flat(d, p, CUST_LAYOUT)
+    )
+    st = file_status(spark, target)
+    assert st["type"] == "FILE"
+    assert st["length"] == 150 * CUST_LAYOUT.record_length
+    back = read_flat(spark, target, CUST_LAYOUT)
+    assert back.count() == 150
+
+
+def test_flat_column_pruning(spark, tmp_work):
+    cust = _cust(spark)
+    write_flat(cust, f"{tmp_work}/prune", CUST_LAYOUT)
+    back = read_flat(spark, f"{tmp_work}/prune", CUST_LAYOUT,
+                     columns=["c_name", "c_acctbal"])
+    assert back.columns == ["c_name", "c_acctbal"]
+    assert back.count() == 150
+
+
+def test_flat_unsigned8_spark_decimal(spark, tmp_work):
+    lay = Layout([("id", Unsigned(8)), ("v", Unsigned(1))])
+    pdf = pd.DataFrame({"id": [2**64 - 1, 2**63, 7], "v": [1, 2, 3]})
+    import decimal
+
+    lay_bytes = lay.pack(pdf)
+    path = f"{tmp_work}/u8.dat"
+    with open(path, "wb") as f:
+        f.write(lay_bytes)
+    back = read_flat(spark, path, lay)
+    assert dict(back.dtypes)["id"] == "decimal(20,0)"
+    vals = sorted(r["id"] for r in back.collect())
+    assert vals == [decimal.Decimal(7), decimal.Decimal(2**63),
+                    decimal.Decimal(2**64 - 1)]
