@@ -34,17 +34,22 @@ def token_count(col: Column | str) -> Column:
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, mean token
     length, stopword ratio — the quality-scoring feature set."""
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
-    stop = F.size(
-        F.filter(toks, lambda x: x.isin(*STOPWORDS_EN))
+    # Materialize the token array once — five references to an inline
+    # split/filter expression would each re-run the tokenizer (measured 8×
+    # slowdown in the dedup operators, same trap here).
+    base = df.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("n_chars"),
+        tokens(text_col).alias("__toks"),
     )
+    toks = F.col("__toks")
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
     total_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
-        F.length(text_col).cast("long").alias("n_chars"),
+        F.col("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
         F.round(total_len / n_tokens, 4).alias("avg_token_len"),
@@ -71,12 +76,13 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Marker-word language ID: score = count of marker-token hits per
     language; argmax with deterministic alphabetical tiebreak, 'und' when
     nothing matches."""
-    toks = tokens(text_col)
+    base = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = F.col("__toks")
     scores = [
         F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = base.select(F.col(id_col), *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"s_{l}") for l in langs])
     pred = F.lit("und")
