@@ -26,11 +26,17 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("h2h_spark_bench")
 
-    # Warm the JVM + Python worker pool so q1 doesn't pay startup.
+    # Warm the JVM + Python worker pool so q1 doesn't pay startup; the
+    # mapInArrow no-op also spins up the Arrow-python worker path used by
+    # the FLAT/XML codecs and pandas-UDF operators.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(10).mapInArrow(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        # Each query measured standalone: drop tables persisted by earlier
+        # operators so cache pressure can't bleed across measurements.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

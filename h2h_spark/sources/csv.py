@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from h2h_spark.layout import Layout
-from h2h_spark.sources import sink as _sink
 from h2h_spark.sources.util import expand_escapes
 
 _UNIVERSAL_TERMINATORS = ("\n", "\r\n", "\r")
@@ -89,26 +88,25 @@ def read_csv(
             reader = reader.option("timestampFormat", timestamp_format)
         return reader.csv(path)
 
-    # Multi-char custom terminator (e.g. '~~'): Hadoop TextInputFormat with a
-    # custom record delimiter does the distributed boundary-realigned record
-    # split JVM-side (the analogue of the reference's cross-buffer terminator
-    # scan, libhdfsconnector.cpp:443-474); from_csv decodes fields.
-    hconf = {"textinputformat.record.delimiter": terminator}
-    if split_max_bytes is not None:
-        # Per-read split sizing (no session-conf pollution): forces records
-        # to straddle split edges in boundary tests, and tunes task size at
-        # scale the same way maxPartitionBytes does for file sources.
-        hconf["mapreduce.input.fileinputformat.split.maxsize"] = str(split_max_bytes)
-    rdd = spark.sparkContext.newAPIHadoopFile(
-        path,
-        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-        "org.apache.hadoop.io.LongWritable",
-        "org.apache.hadoop.io.Text",
-        conf=hconf,
-    )
-    lines = rdd.map(lambda kv: (kv[1],)).toDF(["value"])
+    # Multi-char custom terminator (e.g. '~~'): the JVM text source accepts
+    # a multi-char lineSep and does the distributed boundary-realigned
+    # record split (Hadoop LineRecordReader with a custom delimiter — the
+    # analogue of the reference's cross-buffer terminator scan,
+    # libhdfsconnector.cpp:443-474); from_csv decodes fields.  Entirely
+    # JVM-side — no Python in the scan path.
     if header:
         raise NotImplementedError("header with multi-char terminator")
+    reader_session = spark
+    if split_max_bytes is not None:
+        # Forced split sizing through a child session: SQL confs are
+        # per-session, so the parent session's planning is untouched while
+        # this read plans records straddling every split edge.
+        reader_session = spark.newSession()
+        reader_session.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(split_max_bytes)
+        )
+        reader_session.conf.set("spark.sql.files.openCostInBytes", "0")
+    lines = reader_session.read.option("lineSep", terminator).text(path)
     opts = {"sep": sep, "quote": quote, "escape": quote, "mode": "PERMISSIVE"}
     if timestamp_format:
         opts["timestampFormat"] = timestamp_format
@@ -153,18 +151,19 @@ def write_csv(
         writer.csv(path)
         return
 
+    # Custom terminator: serialize rows with to_csv and write through the
+    # JVM text sink, which accepts a multi-char lineSep (every record,
+    # including the last, is terminated — the reference's
+    # ``-outputterminator 1`` behavior).
+    if header:
+        raise NotImplementedError("header with custom terminator")
     opts = {"sep": sep, "quote": quote, "escape": quote}
     if timestamp_format:
         opts["timestampFormat"] = timestamp_format
     line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]), opts)
-    lines = df.select(F.concat(line, F.lit(terminator)).alias("line"))
-
-    def _serialize(batch) -> bytes:
-        return "".join(batch.column(0).to_pylist()).encode("utf-8")
-
-    header_bytes = b""
-    if header:
-        header_bytes = (sep.join(df.columns) + terminator).encode("utf-8")
-    _sink.write_partition_files(
-        lines, path, _serialize, header=header_bytes, suffix=".csv"
+    (
+        df.select(line.alias("value"))
+        .write.mode("overwrite")
+        .option("lineSep", terminator)
+        .text(path)
     )
