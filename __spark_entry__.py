@@ -42,6 +42,7 @@ from h2h_spark import (  # noqa: E402
     write_flat,
     write_xml,
 )
+from h2h_spark.operators import asof as AS  # noqa: E402
 from h2h_spark.operators import dedup as D  # noqa: E402
 from h2h_spark.operators import multimodal as MM  # noqa: E402
 from h2h_spark.operators import simsearch as S  # noqa: E402
@@ -461,6 +462,189 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+_SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_o,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_SQL_RUNNING_SUM = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+_SQL_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) → sessions per user."""
+    from pyspark.sql.window import Window
+
+    ev = _load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sessions = ev.withColumn(
+        "__new", (gap.isNull() | (gap > 1800 * 1_000_000)).cast("int")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.sum("__new").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks — union-sort-window construction):
+    each event gets the user's most recent order date at event time."""
+    ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_custkey", "o_orderdate"
+    )
+    joined = AS.asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("last_order_ts"),
+    )
+
+
+_SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_ts
+FROM events e
+ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-NN of the first 50 vectors against the whole corpus."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    probes = emb.filter(F.col("vec_id") < 50)
+    return S.knn_join(probes, emb, "vec_id", "embedding", k=3, round_digits=3)
+
+
+_SQL_EMBED_KNN = """
+SELECT probe_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) DESC,
+                    b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50) t
+WHERE rank <= 3
+"""
+
+
+def q_csv_embedded_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 quoted-terminator handling: fields containing the record
+    terminator survive a write→read round trip (multiLine mode — note the
+    documented scale cliff: one task per file)."""
+    w = _work("q_csv_embedded_newlines", sf_dir)
+    cust = spark.read.parquet(_t(sf_dir, "customer")).withColumn(
+        "c_name", F.regexp_replace("c_name", "#", "#\n")
+    )
+    write_csv(cust, f"{w}/cust_ml", sep=",", quote="'")
+    return read_csv(
+        spark, f"{w}/cust_ml", CUSTOMER_LAYOUT, sep=",", quote="'",
+        embed_newlines=True,
+    )
+
+
+_SQL_CSV_EMBEDDED_NEWLINES = """
+SELECT c_custkey, replace(c_name, '#', '#' || chr(10)) AS c_name,
+       c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline extensions (SURVEY.md §2.3)
 # --------------------------------------------------------------------------
@@ -662,6 +846,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": q_topk_orders,
         "q_window_topk_per_group": q_window_topk_per_group,
         "q_rollup": q_rollup,
+        "q_pivot": q_pivot,
+        "q_cube": q_cube,
+        "q_running_sum": q_running_sum,
+        "q_quantiles": q_quantiles,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_embed_knn": q_embed_knn,
+        "q_csv_embedded_newlines": q_csv_embedded_newlines,
         "q_anti_join": q_anti_join,
         "q_events_window": q_events_window,
         "q_stream_window": q_stream_window,
@@ -692,6 +884,14 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_orders": _SQL_TOPK_ORDERS,
         "q_window_topk_per_group": _SQL_WINDOW_TOPK,
         "q_rollup": _SQL_ROLLUP,
+        "q_pivot": _SQL_PIVOT,
+        "q_cube": _SQL_CUBE,
+        "q_running_sum": _SQL_RUNNING_SUM,
+        "q_quantiles": _SQL_QUANTILES,
+        "q_sessionize": _SQL_SESSIONIZE,
+        "q_asof_join": _SQL_ASOF_JOIN,
+        "q_embed_knn": _SQL_EMBED_KNN,
+        "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
         "q_anti_join": _SQL_ANTI_JOIN,
         "q_events_window": _SQL_EVENTS_WINDOW,
         "q_stream_window": _SQL_STREAM_WINDOW,

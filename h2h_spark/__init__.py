@@ -32,6 +32,7 @@ from h2h_spark.layout import (
     Boolean,
     Data,
 )
+from h2h_spark.api import pipe_in, pipe_out, pipe_out_and_merge
 from h2h_spark.session import get_spark
 from h2h_spark.sources.csv import read_csv, write_csv
 from h2h_spark.sources.flat import read_flat, write_flat
@@ -57,6 +58,9 @@ __all__ = [
     "merge_parts",
     "write_single_file",
     "file_status",
+    "pipe_in",
+    "pipe_out",
+    "pipe_out_and_merge",
 ]
 
 __version__ = "0.1.0"

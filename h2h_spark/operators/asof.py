@@ -1,0 +1,66 @@
+"""As-of (temporal) join — an operator Spark lacks natively.
+
+For each left row, attach the most recent right row with
+``right_ts <= left_ts`` per key (backward direction — the semantics of
+DuckDB's ``ASOF JOIN``, kdb's ``aj``, pandas ``merge_asof``).
+
+Implementation is the scalable union-sort-window construction, NOT a
+range-expanded join: tag both inputs, union, and take the running
+``last(right value, ignoreNulls)`` over a window partitioned by key and
+ordered by (ts, tag) — right rows sort before left rows at equal
+timestamps, so the match is inclusive.  Cost: one shuffle on the key +
+a per-partition sort — the same shape as a regular sort-merge join, with
+no blow-up on dense right sides (a filter+groupBy-max formulation would
+materialize every qualifying pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of left join.
+
+    Returns every ``left`` row plus, for each name in ``value_cols``, the
+    value from the latest ``right`` row whose ``right_ts <= left_ts`` for
+    the same key (NULL when no such row exists).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    )

@@ -65,6 +65,50 @@ def cosine_topk(
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Exact k-nearest-neighbors of every probe row against the corpus:
+    ``(probe_id, neighbor_id, score, rank)``.
+
+    Brute force: probes × corpus cosine via ``zip_with``/``aggregate``
+    (JVM), then a per-probe window top-k.  Deterministic: scores rounded
+    before ranking, ties broken by neighbor id.  At 100 TB the corpus side
+    is LSH-bucketed first (see :func:`ann_topk`) — this is the exact
+    baseline and the small-probe-set path (broadcast the probes).
+    """
+    from pyspark.sql.window import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("__pv", "__cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = F.broadcast(p).crossJoin(c).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    score = F.round(dot / (_norm(F.col("__pv")) * _norm(F.col("__cv"))), round_digits)
+    scored = joined.select("probe_id", "neighbor_id", score.alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

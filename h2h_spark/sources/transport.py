@@ -1,0 +1,48 @@
+"""Transports — HDFS / WebHDFS URIs and user impersonation.
+
+The reference ships two hand-rolled transports: libhdfs JNI
+(``libhdfsconnector.cpp:904-918``) and WebHDFS REST with retry loops and
+hand-parsed JSON (``webhdfsconnector.cpp:21-238``).  Spark's bundled Hadoop
+client speaks both natively — the engine's transport layer is therefore
+just URI construction plus the impersonation knob:
+
+- ``-hdfsuser`` (``hdfsConnectAsUser``, ``libhdfsconnector.cpp:913``;
+  WebHDFS ``user.name=`` query param, ``webhdfsconnector.cpp:685``) maps to
+  ``HADOOP_USER_NAME`` / ``spark.hadoop`` configuration;
+- the WebHDFS retry budget (``-whdfsretrymax``, default 1, macro default 10
+  — ``ecl/HDFSConnector.ecl:117``) maps to the Hadoop client retry policy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def hdfs_uri(host: str, port: int | None, path: str) -> str:
+    """``hdfs://host:port/path`` — the libhdfs transport's address form."""
+    p = path if path.startswith("/") else "/" + path
+    return f"hdfs://{host}:{port}{p}" if port else f"hdfs://{host}{p}"
+
+
+def webhdfs_uri(host: str, port: int | None, path: str) -> str:
+    """``webhdfs://host:port/path`` — the REST transport's address form.
+    Note the reference's WebHDFS back-end lacks merge and XML (SURVEY.md
+    §0); here all formats work over either transport."""
+    p = path if path.startswith("/") else "/" + path
+    return f"webhdfs://{host}:{port}{p}" if port else f"webhdfs://{host}{p}"
+
+
+def set_hdfs_user(spark: SparkSession, user: str) -> None:
+    """Impersonation: the ``-hdfsuser`` analogue.  Takes effect for
+    subsequent Hadoop FS connections in this JVM."""
+    os.environ["HADOOP_USER_NAME"] = user
+    spark._jsc.hadoopConfiguration().set("hadoop.user.name", user)
+
+
+def set_webhdfs_retries(spark: SparkSession, retries: int) -> None:
+    """``-whdfsretrymax`` analogue via the Hadoop client retry policy."""
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set("dfs.client.retry.policy.enabled", "true")
+    conf.set("dfs.http.client.retry.policy.spec", f"1000,{retries}")

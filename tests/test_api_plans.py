@@ -1,0 +1,82 @@
+"""Reference-parity API surface (PipeIn/PipeOut/PipeOutAndMerge) and
+physical-plan hygiene (pushdown, broadcast) — the 100 TB discipline."""
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from h2h_spark import Integer, Layout, Real, String, pipe_in, pipe_out, pipe_out_and_merge
+from h2h_spark.api import _parse_format
+from h2h_spark.sources.transport import hdfs_uri, webhdfs_uri
+
+from tests.conftest import SF_DIR
+
+LAY = Layout(
+    [
+        ("c_custkey", Integer(8)),
+        ("c_name", String(32)),
+        ("c_nationkey", Integer(4)),
+        ("c_acctbal", Real(8)),
+        ("c_mktsegment", String(12)),
+    ]
+)
+
+
+def test_parse_format_dispatch():
+    assert _parse_format("FLAT") == ("flat", {})
+    assert _parse_format("XML('Dataset/Row')") == ("xml", {"row_tag": "Dataset/Row"})
+    kind, opts = _parse_format("CSV(SEPARATOR('|'), QUOTE('\\''), TERMINATOR('\\n'))")
+    assert kind == "csv"
+    assert opts["sep"] == "|"
+    assert opts["terminator"] == "\\n"
+    with pytest.raises(ValueError):
+        _parse_format("AVRO")
+
+
+def test_pipe_roundtrip_flat(spark, tmp_work):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    pipe_out(cust, f"{tmp_work}/pf", LAY, "FLAT")
+    back = pipe_in(spark, f"{tmp_work}/pf", LAY, "FLAT")
+    assert back.count() == cust.count()
+
+
+def test_pipe_out_and_merge_csv(spark, tmp_work):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    target = f"{tmp_work}/merged.csv"
+    pipe_out_and_merge(cust, target, LAY, "CSV(SEPARATOR('|'))")
+    assert os.path.isfile(target)
+    assert not os.path.exists(target + "-parts")  # cleanmerge semantics
+    back = pipe_in(spark, target, LAY, "CSV(SEPARATOR('|'))")
+    assert back.count() == cust.count()
+
+
+def test_pipe_out_rejects_xml(spark, tmp_work):
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    with pytest.raises(ValueError, match="FLAT and CSV"):
+        pipe_out(cust, f"{tmp_work}/px", LAY, "XML('Row')")
+
+
+def test_transport_uris():
+    assert hdfs_uri("nn", 8020, "/a/b") == "hdfs://nn:8020/a/b"
+    assert hdfs_uri("nn", None, "a/b") == "hdfs://nn/a/b"
+    assert webhdfs_uri("nn", 50070, "/x") == "webhdfs://nn:50070/x"
+
+
+def test_q1_pushes_filter_to_parquet(spark):
+    df = entrymod.q_scan_project_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters" in plan
+    # column pruning: the scan must not read columns Q1 doesn't touch
+    assert "l_suppkey" not in plan
+
+
+def test_join_agg_broadcasts_dim(spark):
+    df = entrymod.q_join_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered_not_full_sort(spark):
+    df = entrymod.q_topk_orders(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -181,3 +181,40 @@ def test_multimodal_decode_and_frames(spark):
     frames = MM.frame_sample(binary, "doc_id", frame_bytes=1024, stride=2).collect()
     assert {r.doc_id for r in frames} == {1, 2}
     assert sum(1 for r in frames if r.doc_id == 2) == 2  # ceil(4/2) frames
+
+
+def test_asof_join_backward(spark):
+    from h2h_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50), (4, 30, 99)],
+        "event_id long, key long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (20, 60, "c")],
+        "key long, t long, val string",
+    )
+    out = {r.event_id: r.val for r in asof_join(
+        left, right, left_on="key", right_on="key",
+        left_ts="t", right_ts="t", value_cols=["val"],
+    ).collect()}
+    assert out[1] == "a"   # inclusive match at equal ts
+    assert out[2] == "b"   # latest <= 205
+    assert out[3] is None  # right ts 60 > 50 → no match
+    assert out[4] is None  # key 30 absent
+
+
+def test_knn_join_matches_bruteforce(spark):
+    from h2h_spark.operators.simsearch import knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = knn_join(probes, emb, "vec_id", "embedding", k=2).collect()
+    assert len(got) == 6
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.neighbor_id, r.score))
+    for pid, rows in by_probe.items():
+        rows.sort()
+        assert rows[0][2] >= rows[1][2]  # rank 1 has >= score
+        assert all(n != pid for _, n, _ in rows)
