@@ -160,6 +160,12 @@ class FlatDataSource(DataSource):
         return "h2h_flat"
 
     def _layout(self) -> Layout:
+        if "layout" not in self.options:
+            # Option validation — the reference's validateParameters
+            # analogue (hdfsconnector.hpp:173-203).
+            raise ValueError(
+                "h2h_flat requires .option('layout', Layout(...).to_json())"
+            )
         lay = Layout.from_json(self.options["layout"])
         cols = self.options.get("columns")
         if cols:

@@ -73,7 +73,7 @@ class XmlInputPartition(InputPartition):
 
 
 def _scan_elements(
-    path: str, start: int, end: int, row_tag: str
+    path: str, start: int, end: int, row_tag: str, read_chunk: int = _READ_CHUNK
 ) -> Iterator[bytes]:
     """Yield whole ``<rowTag>…</rowTag>`` elements whose open tag starts in
     ``[start, end)``, reading past ``end`` to close the last record."""
@@ -95,7 +95,7 @@ def _scan_elements(
             nonlocal data, eof
             if eof:
                 return False
-            chunk = f.read(_READ_CHUNK)
+            chunk = f.read(read_chunk)
             if not chunk:
                 eof = True
                 return False
@@ -188,6 +188,7 @@ class XmlDataSourceReader(DataSourceReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
+        self.read_chunk = int(options.get("readchunk", _READ_CHUNK))
 
     def partitions(self) -> list[InputPartition]:
         parts: list[XmlInputPartition] = []
@@ -209,7 +210,8 @@ class XmlDataSourceReader(DataSourceReader):
             return
         batch: list[bytes] = []
         for elem in _scan_elements(
-            partition.path, partition.start, partition.end, self.row_tag
+            partition.path, partition.start, partition.end, self.row_tag,
+            self.read_chunk,
         ):
             batch.append(elem)
             if len(batch) >= _PARSE_BATCH:
@@ -227,6 +229,10 @@ class XmlDataSource(DataSource):
         return "h2h_xml"
 
     def _layout(self) -> Layout:
+        if "layout" not in self.options:
+            raise ValueError(
+                "h2h_xml requires .option('layout', Layout(...).to_json())"
+            )
         return Layout.from_json(self.options["layout"])
 
     def schema(self) -> T.StructType:
@@ -242,14 +248,18 @@ def read_xml(
     layout: Layout,
     row_tag: str = "Row",
     max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+    read_chunk: int = _READ_CHUNK,
 ) -> DataFrame:
     """PipeIn(XML) analogue (``ecl/HDFSConnector.ecl:59-99``; default row
-    tag ``Row`` per ``hdfsconnector.hpp:224``)."""
+    tag ``Row`` per ``hdfsconnector.hpp:224``).  ``read_chunk`` is the
+    read-ahead buffer (the reference's ``-buffsize``,
+    ``hdfsconnector.hpp:210``)."""
     return (
         spark.read.format("h2h_xml")
         .option("layout", layout.to_json())
         .option("rowtag", row_tag)
         .option("maxpartitionbytes", str(max_partition_bytes))
+        .option("readchunk", str(read_chunk))
         .load(path)
     )
 

@@ -1,0 +1,154 @@
+"""Property-based codec tests (hypothesis) + F4-style boundary stress."""
+import random
+import string as _string
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from h2h_spark import (
+    Boolean,
+    Integer,
+    Layout,
+    Real,
+    String,
+    Unsigned,
+    read_csv,
+    read_flat,
+    read_xml,
+    write_xml,
+)
+
+# ---------------------------------------------------------------- hypothesis
+
+_FIELD_TYPES = [
+    lambda: String(random.randint(1, 20)),
+    lambda: Unsigned(random.randint(1, 8)),
+    lambda: Integer(random.randint(1, 8)),
+    lambda: Real(random.choice([4, 8])),
+    lambda: Boolean(),
+]
+
+
+@st.composite
+def layouts_with_data(draw):
+    random.seed(draw(st.integers(0, 2**32 - 1)))
+    n_fields = random.randint(1, 6)
+    n_rows = draw(st.integers(1, 50))
+    fields, cols = [], {}
+    for i in range(n_fields):
+        ft = random.choice(_FIELD_TYPES)()
+        name = f"f{i}"
+        fields.append((name, ft))
+        if ft.kind == "string":
+            cols[name] = [
+                "".join(
+                    random.choices(_string.ascii_letters + _string.digits,
+                                   k=random.randint(0, ft.nbytes))
+                )
+                for _ in range(n_rows)
+            ]
+        elif ft.kind == "unsigned":
+            hi = (1 << (8 * ft.nbytes)) - 1
+            cols[name] = [random.randint(0, hi) for _ in range(n_rows)]
+        elif ft.kind == "integer":
+            hi = (1 << (8 * ft.nbytes - 1)) - 1
+            cols[name] = [random.randint(-hi - 1, hi) for _ in range(n_rows)]
+        elif ft.kind == "real":
+            cols[name] = [
+                float(f"{random.uniform(-1e6, 1e6):.6g}") for _ in range(n_rows)
+            ]
+        else:
+            cols[name] = [random.random() < 0.5 for _ in range(n_rows)]
+    return Layout(fields), pd.DataFrame(cols)
+
+
+@given(layouts_with_data())
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_pack_unpack_property(lay_pdf):
+    lay, pdf = lay_pdf
+    back = lay.unpack(lay.pack(pdf))
+    for name, ft in lay.fields:
+        if ft.kind == "real" and ft.nbytes == 4:
+            import numpy as np
+
+            assert back[name].tolist() == [
+                float(np.float32(v)) for v in pdf[name]
+            ]
+        elif ft.kind == "unsigned" and ft.nbytes == 8:
+            assert [int(v) for v in back[name]] == [int(v) for v in pdf[name]]
+        else:
+            assert back[name].tolist() == pdf[name].tolist()
+
+
+# ------------------------------------------------------------- F4-ish stress
+
+
+def test_flat_boundary_1001_records(spark, tmp_work):
+    """F4 boundary_flat: 1001 records, forced tiny splits — remainder
+    spread rule must cover every record exactly once."""
+    lay = Layout([("i", Integer(8)), ("s", String(38))])
+    pdf = pd.DataFrame({"i": range(1001), "s": [f"row{i}" for i in range(1001)]})
+    path = f"{tmp_work}/b1001.dat"
+    with open(path, "wb") as f:
+        f.write(lay.pack(pdf))
+    back = read_flat(spark, path, lay, max_partition_bytes=46 * 10)
+    assert back.count() == 1001
+    assert set(r["i"] for r in back.collect()) == set(range(1001))
+
+
+def test_csv_boundary_wild_lengths(spark, tmp_work):
+    """F4 boundary_csv: record lengths 5 B .. 10 KiB across tiny splits."""
+    rng = random.Random(42)
+    rows = [(i, "x" * rng.choice([1, 5, 100, 2000, 10000])) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    from h2h_spark import write_csv
+
+    write_csv(df, f"{tmp_work}/wild", sep=",", terminator="~~", quote="'")
+    lay = Layout([("k", Integer(8)), ("v", String(10000))])
+    back = read_csv(
+        spark, f"{tmp_work}/wild", lay, sep=",", terminator="~~", quote="'",
+        split_max_bytes=4096,
+    )
+    got = {r.k: r.v for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_xml_row_larger_than_read_chunk(spark, tmp_work):
+    """F4 boundary_xml: a row element larger than the scanner's read-ahead
+    chunk exercises the extension loop."""
+    big = "y" * 5000
+    rows = [(1, "small"), (2, big), (3, "tail")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    write_xml(df.coalesce(1), f"{tmp_work}/bigrow", row_path="Dataset/Row")
+    lay = Layout([("k", Integer(8)), ("v", String(6000))])
+    back = read_xml(
+        spark, f"{tmp_work}/bigrow", lay, max_partition_bytes=256, read_chunk=512
+    )
+    got = {r.k: r.v for r in back.collect()}
+    assert got == dict(rows)
+
+
+def test_flat_datasource_requires_layout(spark, tmp_work):
+    path = f"{tmp_work}/x.dat"
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 8)
+    with pytest.raises(Exception, match="layout"):
+        spark.read.format("h2h_flat").load(path).count()
+
+
+def test_write_flat_unsigned8_from_spark_decimal(spark, tmp_work):
+    """UNSIGNED8 survives the full Spark round trip (Decimal(20,0) column
+    → pack → unpack → Decimal)."""
+    from h2h_spark import write_flat
+
+    lay = Layout([("id", Unsigned(8)), ("v", Unsigned(2))])
+    src = spark.sql(
+        f"SELECT CAST({2**64 - 1} AS DECIMAL(20,0)) AS id, 7 AS v "
+        f"UNION ALL SELECT CAST(123 AS DECIMAL(20,0)), 65535"
+    )
+    write_flat(src, f"{tmp_work}/u8w", lay)
+    back = read_flat(spark, f"{tmp_work}/u8w", lay)
+    assert sorted(int(r.id) for r in back.collect()) == [123, 2**64 - 1]

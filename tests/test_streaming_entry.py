@@ -47,3 +47,47 @@ def test_queries_run_at_sf0001(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    import pandas as pd
+    from h2h_spark.streaming.stateful import running_totals_stream
+
+    pdf = pd.DataFrame(
+        {"user_id": [1, 1, 2, 1, 2], "value": [1.0, 2.0, 10.0, 3.0, 20.0]}
+    )
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = running_totals_stream(spark, src, schema, "user_id", "value")
+    rows = {r.user_id: (r.n_events, r.total) for r in out.collect()}
+    assert rows[1] == (3, 6.0)
+    assert rows[2] == (2, 30.0)
+
+
+def test_salted_join_equals_plain(spark):
+    from h2h_spark.plans.skew import salted_join
+
+    left = spark.range(1000).selectExpr("id % 3 AS k", "id AS v")
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+    )
+    plain = left.join(right, "k").groupBy("name").count()
+    salted = salted_join(left, right, "k", salt=8).groupBy("name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_distinct_count(spark):
+    from h2h_spark.plans.skew import two_phase_distinct_count
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).selectExpr("id % 4 AS g", "id % 111 AS x")
+    got = {
+        r.g: r.n_distinct_x
+        for r in two_phase_distinct_count(df, "g", "x").collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
+    }
+    assert got == want
