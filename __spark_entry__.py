@@ -650,6 +650,65 @@ FROM customer
 # --------------------------------------------------------------------------
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column: JSON field extraction + aggregate."""
+    ev = _load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.quality_score(docs, "doc_id", "text")
+
+
+_SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_uniq,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['the','and','of','to','a','in','is','that','it','for','on','with','as','this'], x)))
+           AS DOUBLE) / len(toks) AS stop_ratio
+  FROM t)
+SELECT doc_id,
+       ROUND(
+         (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+         + least(CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1), 1.0) * 0.4
+         + (CASE WHEN stop_ratio BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.5 END) * 0.3,
+         4) AS quality
+FROM s
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'video' path: payload → fixed-size frames, strided
+    sampling (rows-only: frame hashing is engine-side)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    binary = MM.with_binary_payload(docs, "doc_id", "text")
+    return MM.frame_sample(binary, "doc_id", frame_bytes=64, stride=2)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return D.exact_dedup(docs, ["text"], "doc_id").select(
@@ -857,6 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_events_window": q_events_window,
         "q_stream_window": q_stream_window,
+        "q_json_extract": q_json_extract,
+        "q_quality_score": q_quality_score,
+        "q_frame_sample": q_frame_sample,
         "q_dedup_exact": q_dedup_exact,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_near_minhash": q_dedup_near_minhash,
@@ -895,6 +957,8 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": _SQL_ANTI_JOIN,
         "q_events_window": _SQL_EVENTS_WINDOW,
         "q_stream_window": _SQL_STREAM_WINDOW,
+        "q_json_extract": _SQL_JSON_EXTRACT,
+        "q_quality_score": _SQL_QUALITY_SCORE,
         "q_dedup_exact": _SQL_DEDUP_EXACT,
         "q_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "q_simsearch_topk": _SQL_SIMSEARCH_TOPK,

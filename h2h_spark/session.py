@@ -38,6 +38,7 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         # timestamp type; read as long and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", "/tmp/h2h_spark_warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

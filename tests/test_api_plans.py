@@ -80,3 +80,25 @@ def test_topk_is_take_ordered_not_full_sort(spark):
     df = entrymod.q_topk_orders(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from h2h_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed(orders, "t_orders_b", "o_custkey", 8)
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "t_cust_b", "o_custkey", 8
+    )
+    # hint MERGE so AQE doesn't broadcast the (tiny at test SF) dim side —
+    # the property under test is that the sort-merge join needs no Exchange
+    joined = (
+        spark.table("t_orders_b")
+        .hint("merge")
+        .join(spark.table("t_cust_b"), "o_custkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: the shuffle was paid at write
+    assert joined.count() == orders.count()

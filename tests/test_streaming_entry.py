@@ -39,7 +39,12 @@ def test_contract_consistency():
         assert "SELECT" in sql.upper(), name
     # rows-only queries are the documented engine-specific ones
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q_dedup_near_minhash", "q_simhash_pairs", "q_ann_topk"}
+    assert rows_only == {
+        "q_dedup_near_minhash",
+        "q_simhash_pairs",
+        "q_ann_topk",
+        "q_frame_sample",
+    }
 
 
 def test_queries_run_at_sf0001(spark):
