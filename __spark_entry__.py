@@ -399,6 +399,97 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi: customers having at least one high-value order."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+        F.col("o_totalprice") > 200000
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SQL_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+GROUP BY c_mktsegment
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nations having customers but no suppliers."""
+    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = spark.read.parquet(_t(sf_dir, "supplier")).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(sup).distinct().unionByName(
+        cust.intersect(sup).withColumn("nationkey", F.col("nationkey") + 100)
+    ).orderBy("nationkey")
+
+
+_SQL_SET_OPS = """
+(SELECT DISTINCT nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   EXCEPT ALL
+   SELECT s_nationkey FROM supplier) t)
+UNION ALL
+(SELECT nationkey + 100 AS nationkey FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT
+   SELECT s_nationkey FROM supplier) t2)
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface: regexp extraction, substring, case,
+    length, concat — over part names/types."""
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("type_last_word"),
+        F.length("p_brand").cast("int").alias("brand_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(substring(p_name, 1, 8)) AS name_prefix,
+       regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word,
+       CAST(length(p_brand) AS INTEGER) AS brand_len,
+       concat_ws('/', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal extraction + aggregate: orders per (year, quarter)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .groupBy("y", "q")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_SQL_DATE_PARTS = """
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS y,
+       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load_events(spark, sf_dir)
     return (
@@ -914,6 +1005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_knn": q_embed_knn,
         "q_csv_embedded_newlines": q_csv_embedded_newlines,
         "q_anti_join": q_anti_join,
+        "q_semi_join": q_semi_join,
+        "q_set_ops": q_set_ops,
+        "q_string_funcs": q_string_funcs,
+        "q_date_parts": q_date_parts,
         "q_events_window": q_events_window,
         "q_stream_window": q_stream_window,
         "q_json_extract": q_json_extract,
@@ -955,6 +1050,10 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_knn": _SQL_EMBED_KNN,
         "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
         "q_anti_join": _SQL_ANTI_JOIN,
+        "q_semi_join": _SQL_SEMI_JOIN,
+        "q_set_ops": _SQL_SET_OPS,
+        "q_string_funcs": _SQL_STRING_FUNCS,
+        "q_date_parts": _SQL_DATE_PARTS,
         "q_events_window": _SQL_EVENTS_WINDOW,
         "q_stream_window": _SQL_STREAM_WINDOW,
         "q_json_extract": _SQL_JSON_EXTRACT,

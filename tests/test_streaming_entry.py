@@ -96,3 +96,51 @@ def test_two_phase_distinct_count(spark):
         for r in df.groupBy("g").agg(F.countDistinct("x").alias("n")).collect()
     }
     assert got == want
+
+
+def test_watermark_append_drops_late_rows(spark, tmp_path):
+    """Watermarked append-mode window agg: a second batch advances the
+    watermark and finalizes the first batch's windows; rows later than the
+    watermark are dropped."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_src")
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 00:01", "2024-01-01 00:02"]),
+         "v": [1.0, 2.0]}
+    )
+    spark.createDataFrame(b1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    agg = (
+        spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("wm_out").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: an on-time row far ahead — after this batch the
+        # watermark advances to 00:50, past the first window
+        b2 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 01:00"]), "v": [5.0]}
+        )
+        spark.createDataFrame(b2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # batch 3: a row for the already-finalized 00:00-00:05 window —
+        # later than the watermark, must be dropped
+        b3 = pd.DataFrame(
+            {"ts": pd.to_datetime(["2024-01-01 00:03"]), "v": [9.0]}
+        )
+        spark.createDataFrame(b3).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.ws.isoformat(): r.n for r in spark.sql("SELECT * FROM wm_out").collect()}
+    # the 00:00-00:05 window was finalized with ONLY the first two rows —
+    # the late 00:03 row arrived after the watermark and was dropped
+    assert rows.get("2024-01-01T00:00:00") == 2
