@@ -37,6 +37,8 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         # Parquet TIMESTAMP(NANOS) (e.g. the events table) has no Spark
         # timestamp type; read as long and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Let the Python DataSources (h2h_flat) accept pushed filters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/h2h_spark_warehouse")
     )

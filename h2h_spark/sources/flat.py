@@ -29,7 +29,20 @@ from typing import Iterator, Sequence
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
 
 from h2h_spark.layout import Layout
 from h2h_spark.sources import sink as _sink
@@ -126,6 +139,48 @@ def _arrow_schema(layout: Layout) -> pa.Schema:
     return pa.schema(out)
 
 
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNotNull,
+    StringStartsWith,
+)
+
+
+def _apply_filters(pdf, filters: list[Filter]):
+    """Vectorized residual-filter evaluation on the decoded batch.
+
+    Pushing these below the Arrow boundary means filtered records never
+    cross into the JVM — at scale the python→JVM transfer is the FLAT
+    scan's main tax, so selective scans get proportionally cheaper.
+    """
+    import numpy as np
+
+    mask = np.ones(len(pdf), dtype=bool)
+    for f in filters:
+        col = pdf[f.attribute[0]]
+        if isinstance(f, EqualTo):
+            mask &= (col == f.value).to_numpy(dtype=bool)
+        elif isinstance(f, GreaterThan):
+            mask &= (col > f.value).to_numpy(dtype=bool)
+        elif isinstance(f, GreaterThanOrEqual):
+            mask &= (col >= f.value).to_numpy(dtype=bool)
+        elif isinstance(f, LessThan):
+            mask &= (col < f.value).to_numpy(dtype=bool)
+        elif isinstance(f, LessThanOrEqual):
+            mask &= (col <= f.value).to_numpy(dtype=bool)
+        elif isinstance(f, In):
+            mask &= col.isin(list(f.value)).to_numpy(dtype=bool)
+        elif isinstance(f, StringStartsWith):
+            mask &= col.str.startswith(f.value).fillna(False).to_numpy(dtype=bool)
+        # IsNotNull: fixed-width fields are never null — no-op.
+    return pdf[mask] if not mask.all() else pdf
+
+
 class FlatDataSourceReader(DataSourceReader):
     def __init__(self, options: dict, layout: Layout):
         self.options = options
@@ -134,6 +189,22 @@ class FlatDataSourceReader(DataSourceReader):
         self.max_partition_bytes = int(
             options.get("maxpartitionbytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
+        self.filters: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept simple comparison predicates on layout fields; evaluate
+        them numpy-side before the Arrow hand-off.  Everything else is
+        yielded back for Spark to apply."""
+        names = set(self.layout.names())
+        for f in filters:
+            if (
+                isinstance(f, _PUSHABLE)
+                and len(getattr(f, "attribute", ())) == 1
+                and f.attribute[0] in names
+            ):
+                self.filters.append(f)
+            else:
+                yield f
 
     def partitions(self) -> list[InputPartition]:
         parts = plan_flat_splits(
@@ -149,7 +220,26 @@ class FlatDataSourceReader(DataSourceReader):
     def read(self, partition: FlatInputPartition) -> Iterator[pa.RecordBatch]:
         if partition is None or not partition.path or partition.n_records == 0:
             return
-        yield from _read_split(self.layout, partition)
+        if not self.filters:
+            yield from _read_split(self.layout, partition)
+            return
+        arrow_schema = _arrow_schema(self.layout)
+        with open_input(partition.path) as f:
+            f.seek(partition.offset)
+            remaining = partition.n_records
+            while remaining > 0:
+                take = min(remaining, _BATCH_RECORDS)
+                data = f.read(take * self.layout.record_length)
+                if not data:
+                    break
+                pdf = _apply_filters(self.layout.unpack(data), self.filters)
+                if len(pdf):
+                    yield pa.RecordBatch.from_pandas(
+                        pdf.reset_index(drop=True),
+                        schema=arrow_schema,
+                        preserve_index=False,
+                    )
+                remaining -= take
 
 
 class FlatDataSource(DataSource):

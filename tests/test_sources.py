@@ -201,3 +201,18 @@ def test_flat_unsigned8_spark_decimal(spark, tmp_work):
     vals = sorted(r["id"] for r in back.collect())
     assert vals == [decimal.Decimal(7), decimal.Decimal(2**63),
                     decimal.Decimal(2**64 - 1)]
+
+
+def test_flat_filter_pushdown(spark, tmp_work):
+    """Pushed predicates are evaluated numpy-side (before Arrow transfer)
+    and produce exactly the rows Spark's own filter would."""
+    cust = _cust(spark)
+    write_flat(cust, f"{tmp_work}/fpd", CUST_LAYOUT)
+    cond = (F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING")
+    got = read_flat(spark, f"{tmp_work}/fpd", CUST_LAYOUT).filter(cond)
+    expected = cust.filter(cond)
+    assert _as_set(got) == _as_set(expected)
+    # isin + startswith shapes push too
+    cond2 = F.col("c_nationkey").isin(1, 2, 3) & F.col("c_name").startswith("Customer#0000001")
+    got2 = read_flat(spark, f"{tmp_work}/fpd", CUST_LAYOUT).filter(cond2)
+    assert _as_set(got2) == _as_set(cust.filter(cond2))
