@@ -224,6 +224,40 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_flat_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 at volume: lineitem (600k rows at sf0.1) through the fixed-width
+    codec — write, scan with pushdown-eligible filter, aggregate.  The
+    numpy-codec throughput benchmark."""
+    w = _work("q_flat_bulk", sf_dir)
+    lay = Layout(
+        [
+            ("l_orderkey", Integer(8)),
+            ("l_partkey", Integer(8)),
+            ("l_quantity", Real(8)),
+            ("l_extendedprice", Real(8)),
+            ("l_returnflag", String(1)),
+        ]
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(*lay.names())
+    write_flat(li, f"{w}/li_flat", lay)
+    back = read_flat(spark, f"{w}/li_flat", lay)
+    return (
+        back.filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_SQL_FLAT_BULK = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+"""
+
+
 def q_merge_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6+O7: partitioned CSV write → merge (part-index order) → re-read
     the single file → aggregate."""
@@ -989,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flat_roundtrip": q_flat_roundtrip,
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_csv_boundary": q_csv_boundary,
+        "q_flat_bulk": q_flat_bulk,
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
@@ -1034,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
         "q_flat_roundtrip": _SQL_SELECT_CUSTOMER,
         "q_xml_roundtrip": _SQL_SELECT_SUPPLIER,
         "q_csv_boundary": _SQL_CSV_BOUNDARY,
+        "q_flat_bulk": _SQL_FLAT_BULK,
         "q_merge_single": _SQL_MERGE_SINGLE,
         "q_part_layout": _SQL_PART_LAYOUT,
         "q_meta_status": _SQL_META_STATUS,

@@ -216,3 +216,17 @@ def test_flat_filter_pushdown(spark, tmp_work):
     cond2 = F.col("c_nationkey").isin(1, 2, 3) & F.col("c_name").startswith("Customer#0000001")
     got2 = read_flat(spark, f"{tmp_work}/fpd", CUST_LAYOUT).filter(cond2)
     assert _as_set(got2) == _as_set(cust.filter(cond2))
+
+
+def test_xml_attribute_fields(spark, tmp_work):
+    """ECL-style XML with fields as attributes on the row tag — the reader
+    falls back to attributes when no child element matches."""
+    path = f"{tmp_work}/attr.xml"
+    with open(path, "w") as f:
+        f.write("<Dataset>")
+        f.write('<Row k="1"><v>alpha</v></Row>')
+        f.write('<Row k="2"><v>beta</v></Row>')
+        f.write("</Dataset>")
+    lay = Layout([("k", Integer(4)), ("v", String(10))])
+    got = {r.k: r.v for r in read_xml(spark, path, lay).collect()}
+    assert got == {1: "alpha", 2: "beta"}
