@@ -351,17 +351,18 @@ class Layout:
             col = pdf[name]
             if ft.kind == "string":
                 enc = getattr(ft, "encoding", "latin-1")
+                # Pad with spaces BEFORE encoding (ECL space-padding; numpy
+                # S-dtype would NUL-pad).  latin-1/ascii are 1 byte/char so
+                # the padded length survives encoding — all pandas C loops,
+                # no per-value python.
                 vals = (
                     col.fillna("")
                     .astype(str)
                     .str.slice(0, ft.nbytes)
+                    .str.ljust(ft.nbytes, " ")
                     .str.encode(enc)
                 )
-                # numpy S-dtype zero-pads; ECL pads with spaces.
-                raw = np.array(
-                    [v.ljust(ft.nbytes, b" ") for v in vals], dtype=f"S{ft.nbytes}"
-                )
-                buf[name] = raw
+                buf[name] = np.array(vals.tolist(), dtype=f"S{ft.nbytes}")
             elif ft.kind == "data":
                 padded = b"".join(
                     (v or b"")[: ft.nbytes].ljust(ft.nbytes, b"\x00") for v in col
@@ -375,9 +376,26 @@ class Layout:
                 )
             elif ft.kind in ("unsigned", "integer"):
                 signed = ft.kind == "integer"
-                ints = np.array([int(v) for v in col], dtype=object)
                 lo = -(1 << (8 * ft.nbytes - 1)) if signed else 0
                 hi = (1 << (8 * ft.nbytes - 1)) if signed else (1 << (8 * ft.nbytes))
+                if (
+                    ft.nbytes in _STD_WIDTHS
+                    and pd.api.types.is_integer_dtype(col.dtype)
+                ):
+                    # Fully vectorized fast path (the common case: pandas
+                    # integer column from an Arrow batch).
+                    arr = col.to_numpy()
+                    if arr.size and (
+                        int(arr.min()) < lo or int(arr.max()) >= hi
+                    ):
+                        bad = arr[(arr < lo) | (arr >= hi)][:3].tolist()
+                        raise OverflowError(
+                            f"values {bad} out of range for {ft.kind}{ft.nbytes}"
+                        )
+                    sign = "u" if not signed else "i"
+                    buf[name] = arr.astype(f"<{sign}{ft.nbytes}")
+                    continue
+                ints = np.array([int(v) for v in col], dtype=object)
                 bad = [int(v) for v in ints if not (lo <= int(v) < hi)]
                 if bad:
                     raise OverflowError(

@@ -56,6 +56,7 @@ def read_csv(
     embed_newlines: bool = False,
     timestamp_format: str | None = None,
     split_max_bytes: int | None = None,
+    max_len: int | None = None,
 ) -> DataFrame:
     """PipeIn(CSV) analogue (``ecl/HDFSConnector.ecl:101-135``).
 
@@ -86,6 +87,11 @@ def read_csv(
             reader = reader.option("multiLine", "true")
         if timestamp_format:
             reader = reader.option("timestampFormat", timestamp_format)
+        if max_len is not None:
+            # The reference aborts a scan that finds no terminator within
+            # maxLen*10 bytes (libhdfsconnector.cpp:533-537); the univocity
+            # parser's per-column cap is the equivalent runaway-record guard.
+            reader = reader.option("maxCharsPerColumn", str(max_len * 10))
         return reader.csv(path)
 
     # Multi-char custom terminator (e.g. '~~'): the JVM text source accepts
