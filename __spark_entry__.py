@@ -54,6 +54,35 @@ from h2h_spark.streaming import run_windowed_counts  # noqa: E402
 WORK_ROOT = os.environ.get("H2H_SPARK_WORK", "/tmp/h2h_spark_work")
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Make an arbitrary (driver-provided) SparkSession able to run every
+    query: register the engine's Python DataSources and set the session
+    confs the queries depend on.  Idempotent and safe to call per query."""
+    from h2h_spark.session import _register_datasources
+
+    _register_datasources(spark)
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    inner.__name__ = fn.__name__
+    inner.__doc__ = fn.__doc__
+    return inner
+
+
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
@@ -108,6 +137,7 @@ LINEITEM_CSV_LAYOUT = Layout(
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1-shaped scan→filter→project→aggregate on sf0.001."""
+    _prepare(spark)
     return q_scan_project_filter(spark, "/root/testdata/sf0.001")
 
 
@@ -1017,7 +1047,14 @@ SELECT doc_id, {case} AS pred_lang FROM s
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def _init_queries() -> None:
+    _QUERIES.update({
         "q_scan_project_filter": q_scan_project_filter,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_flat_roundtrip": q_flat_roundtrip,
@@ -1059,7 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_meta": q_multimodal_meta,
-    }
+    })
+
+
+_init_queries()
 
 
 def oracle_sql() -> dict[str, str]:
