@@ -965,6 +965,38 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, SQL-expressible baseline;
+    the scale path swaps the cross join for LSH blocking)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return S.cosine_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, probe_max_id=300
+    )
+
+
+_SQL_EMBED_NEAR_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300
+  AND ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) >= 0.4
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means cells, 3-probe; rows-only — centroid
+    assignment is engine-side ML)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        [float(x) for x in query],
+        k=10,
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return TX.token_stats(docs, "doc_id", "text")
@@ -1092,6 +1124,8 @@ def _init_queries() -> None:
         "q_simhash_pairs": q_simhash_pairs,
         "q_simsearch_topk": q_simsearch_topk,
         "q_ann_topk": q_ann_topk,
+        "q_embed_near_pairs": q_embed_near_pairs,
+        "q_ivf_topk": q_ivf_topk,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -1137,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": _SQL_DEDUP_EXACT,
         "q_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "q_simsearch_topk": _SQL_SIMSEARCH_TOPK,
+        "q_embed_near_pairs": _SQL_EMBED_NEAR_PAIRS,
         "q_text_stats": _SQL_TEXT_STATS,
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,

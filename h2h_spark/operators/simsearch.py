@@ -109,6 +109,83 @@ def knn_join(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    probe_max_id: int | None = None,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)`` with
+    ``id_a < id_b`` and rounded cosine >= threshold.
+
+    Exact (the SQL-expressible baseline).  ``probe_max_id`` bounds the left
+    side for bench-scale runs; the 100 TB path replaces the cross join with
+    LSH-bucketed blocking (:func:`signature_col`) — same verify expression,
+    candidates from bucket equality instead of the full product.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    if probe_max_id is not None:
+        a = a.filter(F.col("id_a") < probe_max_id)
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(dot / (_norm(F.col("__va")) * _norm(F.col("__vb"))), round_digits)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    into centroid cells; a query scans only the ``n_probe`` nearest cells.
+
+    Scale path: fit centroids on a sample, persist the corpus partitioned
+    by cell id — each probe then touches n_probe/n_centroids of the data at
+    the source.  Locally the cells are a filter over the assigned corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="__features", predictionCol="__cell"
+    ).fit(feat)
+    assigned = model.transform(feat)
+    centers = model.clusterCenters()
+    qv = np.asarray(list(map(float, query)))
+    order = sorted(
+        range(len(centers)), key=lambda i: float(np.linalg.norm(centers[i] - qv))
+    )
+    probes = order[:n_probe]
+    cands = assigned.filter(F.col("__cell").isin(probes)).drop(
+        "__features", "__cell"
+    )
+    return cosine_topk(cands, id_col, vec_col, query, k)
+
+
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

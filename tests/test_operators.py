@@ -218,3 +218,36 @@ def test_knn_join_matches_bruteforce(spark):
         rows.sort()
         assert rows[0][2] >= rows[1][2]  # rank 1 has >= score
         assert all(n != pid for _, n, _ in rows)
+
+
+def test_ivf_topk_recall(spark):
+    from h2h_spark.operators.simsearch import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pdf = emb.toPandas()
+    query = list(map(float, pdf.loc[pdf.vec_id == 0, "embedding"].iloc[0]))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(corpus, "vec_id", "embedding", query, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(corpus, "vec_id", "embedding", query,
+                                         k=10, n_centroids=8, n_probe=3).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_cosine_near_pairs_symmetric_exact(spark):
+    from h2h_spark.operators.simsearch import cosine_near_pairs
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    got = {(r.id_a, r.id_b): r.score for r in
+           cosine_near_pairs(emb, "vec_id", "embedding", threshold=0.2).collect()}
+    pdf = emb.toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    norms = np.linalg.norm(mat, axis=1)
+    ids = pdf.vec_id.tolist()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                c = round(float(mat[i] @ mat[j] / (norms[i] * norms[j])), 3)
+                if c >= 0.2:
+                    assert got.get((ids[i], ids[j])) == c

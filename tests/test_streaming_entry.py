@@ -43,6 +43,7 @@ def test_contract_consistency():
         "q_dedup_near_minhash",
         "q_simhash_pairs",
         "q_ann_topk",
+        "q_ivf_topk",
         "q_frame_sample",
     }
 
