@@ -84,11 +84,16 @@ def knn_join(
     """
     from pyspark.sql.window import Window
 
+    # Per-row norms below the join (inlining barrier) — see cosine_near_pairs.
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pv"),
+        _norm(F.col(vec_col)).alias("__pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     dot = F.aggregate(
         F.zip_with("__pv", "__cv", lambda a, b: a.cast("double") * b.cast("double")),
@@ -98,7 +103,7 @@ def knn_join(
     joined = F.broadcast(p).crossJoin(c).filter(
         F.col("probe_id") != F.col("neighbor_id")
     )
-    score = F.round(dot / (_norm(F.col("__pv")) * _norm(F.col("__cv"))), round_digits)
+    score = F.round(dot / (F.col("__pn") * F.col("__cn")), round_digits)
     scored = joined.select("probe_id", "neighbor_id", score.alias("score"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -120,27 +125,92 @@ def cosine_near_pairs(
     """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, score)`` with
     ``id_a < id_b`` and rounded cosine >= threshold.
 
-    Exact (the SQL-expressible baseline).  ``probe_max_id`` bounds the left
-    side for bench-scale runs; the 100 TB path replaces the cross join with
-    LSH-bucketed blocking (:func:`signature_col`) — same verify expression,
-    candidates from bucket equality instead of the full product.
+    Exact.  With ``probe_max_id`` set, the bounded probe block is broadcast
+    and scored against the streamed corpus with one Arrow-batched numpy
+    matmul per partition (BLAS, no per-pair expression work) — the shape
+    that scales: probe blocks iterate, the corpus is read once per block.
+    Without a bound, falls back to the JVM cross-join expression.  For
+    all-pairs at 100 TB, block both sides or LSH-bucket first
+    (:func:`signature_col`).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    if probe_max_id is not None:
+        return _near_pairs_blocked(
+            df, id_col, vec_col, threshold, probe_max_id, round_digits
+        )
+    # Norms are per-ROW work: compute them as projected columns below the
+    # join (the join is an inlining barrier), so the per-pair expression is
+    # just dot/(na*nb) — not a per-pair norm recomputation.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
     if probe_max_id is not None:
         a = a.filter(F.col("id_a") < probe_max_id)
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    score = F.round(dot / (_norm(F.col("__va")) * _norm(F.col("__vb"))), round_digits)
+    score = F.round(dot / (F.col("__na") * F.col("__nb")), round_digits)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def _near_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    probe_max_id: int,
+    round_digits: int,
+) -> DataFrame:
+    import pandas as pd
+
+    spark = df.sparkSession
+    probe_rows = (
+        df.filter(F.col(id_col) < probe_max_id).select(id_col, vec_col).collect()
+    )
+    pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    pmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in probe_rows])
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((pids, pmat))
+
+    def score(batches):
+        b_pids, b_pmat = bc.value
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = np.round(cmat @ b_pmat.T, round_digits)  # corpus × probes
+            ci, pi = np.nonzero(scores >= threshold)
+            if len(ci) == 0:
+                continue
+            id_a = np.minimum(b_pids[pi], cids[ci])
+            id_b = np.maximum(b_pids[pi], cids[ci])
+            keep = id_a < id_b  # drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": id_a[keep],
+                    "id_b": id_b[keep],
+                    "score": scores[ci, pi][keep],
+                }
+            )
+
+    pairs = df.select(id_col, vec_col).mapInPandas(
+        score, "id_a long, id_b long, score double"
+    )
+    # A pair of two probe ids is produced twice (once per side) — dedup.
+    return pairs.distinct()
 
 
 def ivf_topk(
