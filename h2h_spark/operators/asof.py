@@ -38,6 +38,12 @@ def asof_join(
     the same key (NULL when no such row exists).
     """
     lcols = left.columns
+    clash = set(lcols) & set(value_cols)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — rename "
+            "one side before the as-of join"
+        )
     l = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_ts).alias("__ts"),

@@ -40,11 +40,15 @@ def two_phase_distinct_count(
     """COUNT(DISTINCT x) per group without a single hot reducer: phase 1
     dedups (group, salt-bucketed x) partially, phase 2 merges counts.
     Equivalent result to ``countDistinct`` with bounded per-task state."""
-    bucketed = df.select(
-        F.col(group_col),
-        F.col(distinct_col),
-        F.pmod(F.xxhash64(distinct_col), F.lit(salt)).alias("__b"),
-    ).distinct()
+    bucketed = (
+        df.filter(F.col(distinct_col).isNotNull())  # COUNT(DISTINCT) ignores nulls
+        .select(
+            F.col(group_col),
+            F.col(distinct_col),
+            F.pmod(F.xxhash64(distinct_col), F.lit(salt)).alias("__b"),
+        )
+        .distinct()
+    )
     partial = bucketed.groupBy(group_col, "__b").agg(
         F.count("*").alias("__c")
     )

@@ -87,6 +87,19 @@ def file_size(path: str) -> int:
     return filesystem.get_file_info(p).size
 
 
+_PART_IDX = re.compile(r"part[-_](\d+)")
+
+
+def _part_sort_key(name: str):
+    """Numeric partition-index order.  The h2h naming ``part_<i>_<N>`` is
+    NOT zero-padded (``hdfsconnector.hpp:65-72``), so a lexicographic sort
+    would put part_10 before part_2 and break the merge-order contract
+    (§4.3.7); extract the index like the reference does when it constructs
+    names in index order (``libhdfsconnector.cpp:731-743``)."""
+    m = _PART_IDX.search(os.path.basename(name))
+    return (int(m.group(1)) if m else 1 << 62, name)
+
+
 def list_part_files(path: str, pattern: str = "part*") -> list[str]:
     """Part files of a directory dataset, sorted by partition index order —
     the merge order contract (``libhdfsconnector.cpp:731-743``)."""
@@ -95,9 +108,12 @@ def list_part_files(path: str, pattern: str = "part*") -> list[str]:
         if os.path.isfile(base):
             return [base]
         parts = sorted(
-            p
-            for p in glob.glob(os.path.join(base, pattern))
-            if not p.endswith((".crc", "_SUCCESS"))
+            (
+                p
+                for p in glob.glob(os.path.join(base, pattern))
+                if not p.endswith((".crc", "_SUCCESS"))
+            ),
+            key=_part_sort_key,
         )
         return parts
     from pyarrow import fs as pafs
@@ -108,10 +124,14 @@ def list_part_files(path: str, pattern: str = "part*") -> list[str]:
         return [path]
     sel = pafs.FileSelector(p, recursive=False)
     names = sorted(
-        f.path
-        for f in filesystem.get_file_info(sel)
-        if f.is_file and not f.base_name.startswith("_") and not f.base_name.endswith(".crc")
-        and f.base_name.startswith("part")
+        (
+            f.path
+            for f in filesystem.get_file_info(sel)
+            if f.is_file and not f.base_name.startswith("_")
+            and not f.base_name.endswith(".crc")
+            and f.base_name.startswith("part")
+        ),
+        key=_part_sort_key,
     )
     scheme = path.split("://", 1)[0]
     return [f"{scheme}://{n}" for n in names]

@@ -230,3 +230,17 @@ def test_xml_attribute_fields(spark, tmp_work):
     lay = Layout([("k", Integer(4)), ("v", String(10))])
     got = {r.k: r.v for r in read_xml(spark, path, lay).collect()}
     assert got == {1: "alpha", 2: "beta"}
+
+
+def test_merge_order_with_more_than_ten_parts(spark, tmp_work):
+    """part_10_12 must merge AFTER part_2_12 — numeric index order, not
+    lexicographic (the h2h naming is not zero-padded)."""
+    df = spark.range(120).repartition(12).withColumn("pid", F.spark_partition_id())
+    lay = Layout([("id", Integer(8)), ("pid", Integer(4))])
+    infos = write_flat(df.select("id", "pid"), f"{tmp_work}/p12", lay)
+    assert len(infos) == 12
+    merge_parts(f"{tmp_work}/p12", f"{tmp_work}/m12.flat")
+    back = lay.unpack(open(f"{tmp_work}/m12.flat", "rb").read())
+    pids = back["pid"].tolist()
+    assert pids == sorted(pids)  # strictly non-decreasing partition ids
+    assert len(pids) == 120
