@@ -26,9 +26,7 @@ Escaped option characters (``\\n``, ``\\t``, …) are expanded per
 
 from __future__ import annotations
 
-from typing import Sequence
-
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 
 from h2h_spark.layout import Layout
 from h2h_spark.sources import sink as _sink
-from h2h_spark.sources.util import file_size, is_local, list_part_files, open_input, strip_scheme
+from h2h_spark.sources.util import file_size, list_part_files, open_input
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _BATCH_RECORDS = 65536

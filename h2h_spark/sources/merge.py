@@ -14,9 +14,7 @@ results, or keep the partitioned directory (Spark's native model).
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame
