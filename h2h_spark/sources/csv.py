@@ -78,6 +78,10 @@ def read_csv(
             .option("header", str(header).lower())
             .option("mode", "PERMISSIVE")
             .option("emptyValue", "")
+            # ECL strings have no null — an empty field is an empty string.
+            # Reserve the explicit \N sentinel for genuine SQL nulls so
+            # empty strings survive a write→read round trip.
+            .option("nullValue", "\\N")
         )
         if terminator not in _UNIVERSAL_TERMINATORS:
             reader = reader.option("lineSep", terminator)
@@ -148,7 +152,12 @@ def write_csv(
             .option("quote", quote)
             .option("escape", quote)
             .option("header", str(header).lower())
-            .option("emptyValue", "")
+            # empty string serializes as a quoted-empty in the dialect's own
+            # quote char (the default emptyValue is literally two
+            # double-quote chars, wrong for quote=') — distinguishable from
+            # an unquoted empty (null) field on read
+            .option("emptyValue", quote * 2)
+            .option("nullValue", "\\N")
         )
         if timestamp_format:
             writer = writer.option("timestampFormat", timestamp_format)

@@ -244,3 +244,29 @@ def test_merge_order_with_more_than_ten_parts(spark, tmp_work):
     pids = back["pid"].tolist()
     assert pids == sorted(pids)  # strictly non-decreasing partition ids
     assert len(pids) == 120
+
+
+def test_csv_null_vs_empty_string(spark, tmp_work):
+    """ECL strings have no null: empty fields round trip as empty strings;
+    genuine SQL nulls survive via the \\N sentinel."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "k long, v string"
+    )
+    lay = Layout([("k", Integer(8)), ("v", String(5))])
+    write_csv(df, f"{tmp_work}/nulls", sep=",", quote="'")
+    back = {r.k: r.v for r in
+            read_csv(spark, f"{tmp_work}/nulls", lay, sep=",", quote="'").collect()}
+    assert back[1] == ""
+    assert back[2] is None
+    assert back[3] == "x"
+
+
+def test_csv_unicode_roundtrip(spark, tmp_work):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, "日本語テキスト"), (3, "emoji 🎉 ok")],
+        "k long, v string",
+    )
+    lay = Layout([("k", Integer(8)), ("v", String(40))])
+    write_csv(df, f"{tmp_work}/uni", sep="|", quote="'")
+    back = read_csv(spark, f"{tmp_work}/uni", lay, sep="|", quote="'")
+    assert _as_set(back) == _as_set(df)
