@@ -463,6 +463,53 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: events written
+    partitioned by day; a day-range filter must prune at the source
+    (PartitionFilters — asserted in tests)."""
+    w = _work("q_partition_pruning", sf_dir)
+    part_dir = f"{w}/events_by_day"
+    if not os.path.exists(f"{part_dir}/_SUCCESS"):
+        ev = _load_events(spark, sf_dir).withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(part_dir)
+    back = spark.read.parquet(part_dir)
+    return (
+        back.filter(F.col("day").between("2024-01-05", "2024-01-07"))
+        .groupBy(
+            # partition-column inference reads 'yyyy-MM-dd' values as DATE;
+            # cast back for the string-typed oracle compare
+            F.col("day").cast("string").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+_SQL_PARTITION_PRUNING = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n_events
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+GROUP BY 1, 2
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+_SQL_DISTINCT_AGG = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS via left-semi: customers having at least one high-value order."""
     cust = spark.read.parquet(_t(sf_dir, "customer"))
@@ -1109,6 +1156,8 @@ def _init_queries() -> None:
         "q_embed_knn": q_embed_knn,
         "q_csv_embedded_newlines": q_csv_embedded_newlines,
         "q_anti_join": q_anti_join,
+        "q_partition_pruning": q_partition_pruning,
+        "q_distinct_agg": q_distinct_agg,
         "q_semi_join": q_semi_join,
         "q_set_ops": q_set_ops,
         "q_string_funcs": q_string_funcs,
@@ -1160,6 +1209,8 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_knn": _SQL_EMBED_KNN,
         "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
         "q_anti_join": _SQL_ANTI_JOIN,
+        "q_partition_pruning": _SQL_PARTITION_PRUNING,
+        "q_distinct_agg": _SQL_DISTINCT_AGG,
         "q_semi_join": _SQL_SEMI_JOIN,
         "q_set_ops": _SQL_SET_OPS,
         "q_string_funcs": _SQL_STRING_FUNCS,

@@ -102,3 +102,26 @@ def test_bucketed_join_no_shuffle(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # co-located: the shuffle was paid at write
     assert joined.count() == orders.count()
+
+
+def test_partition_pruning_in_plan(spark):
+    df = entrymod.q_partition_pruning(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # day bounds must appear as partition filters, not data filters
+    assert "day" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from h2h_spark.sources.compact import compact, directory_bytes
+
+    src = str(tmp_path / "many")
+    spark.range(100000).selectExpr("id", "id * 2 AS v").repartition(40) \
+        .write.parquet(src)
+    import glob
+    n_before = len([p for p in glob.glob(f"{src}/part*") if not p.endswith(".crc")])
+    assert n_before == 40
+    dst = str(tmp_path / "few")
+    n_after = compact(spark, src, dst, target_bytes=directory_bytes(spark, src) // 2)
+    assert n_after <= 3
+    assert spark.read.parquet(dst).count() == 100000
