@@ -50,6 +50,7 @@ from h2h_spark.operators import text as TX  # noqa: E402
 from h2h_spark.plans import part_layout  # noqa: E402
 from h2h_spark.sources.merge import write_single_file  # noqa: E402
 from h2h_spark.streaming import run_windowed_counts  # noqa: E402
+from h2h_spark.streaming.stateful import running_totals_stream  # noqa: E402
 
 WORK_ROOT = os.environ.get("H2H_SPARK_WORK", "/tmp/h2h_spark_work")
 
@@ -847,6 +848,27 @@ FROM customer
 """
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    running totals.  A bounded input drains in one batch, so the final
+    state equals the batch aggregate — oracle-checkable."""
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_stateful", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+    res = running_totals_stream(spark, stream_dir, ev_schema, "user_id", "value")
+    return res.select(
+        "user_id", "n_events", F.round("total", 4).alias("total")
+    )
+
+
+_SQL_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline extensions (SURVEY.md §2.3)
 # --------------------------------------------------------------------------
@@ -1164,6 +1186,7 @@ def _init_queries() -> None:
         "q_date_parts": q_date_parts,
         "q_events_window": q_events_window,
         "q_stream_window": q_stream_window,
+        "q_stream_stateful": q_stream_stateful,
         "q_json_extract": q_json_extract,
         "q_quality_score": q_quality_score,
         "q_frame_sample": q_frame_sample,
@@ -1217,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "q_date_parts": _SQL_DATE_PARTS,
         "q_events_window": _SQL_EVENTS_WINDOW,
         "q_stream_window": _SQL_STREAM_WINDOW,
+        "q_stream_stateful": _SQL_STREAM_STATEFUL,
         "q_json_extract": _SQL_JSON_EXTRACT,
         "q_quality_score": _SQL_QUALITY_SCORE,
         "q_dedup_exact": _SQL_DEDUP_EXACT,
