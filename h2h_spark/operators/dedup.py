@@ -58,6 +58,19 @@ def word_shingles(col: Column | str, k: int = 4) -> Column:
     return shingles_from_tokens(tokens(col), k)
 
 
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams over the whitespace-normalized text —
+    the classic MinHash input for short/noisy documents where word
+    shingles are too sparse."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(c), "\\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, k),
+    )
+    return F.array_distinct(grams)
+
+
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 4, persist: bool = False
 ) -> DataFrame:

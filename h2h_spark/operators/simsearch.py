@@ -272,6 +272,54 @@ def signature_col(vec_col: Column, planes: np.ndarray) -> Column:
     return sig
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    nbits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH blocking — the scale path.
+
+    Sign-LSH buckets the corpus (one projection, no shuffle until the
+    grouping); candidate pairs come from shared buckets in the query bucket
+    plus 1-bit neighbors implicitly via multiband (here: exact-bucket
+    blocking, recall governed by nbits vs threshold — high thresholds need
+    few bits); exact cosine verifies.  Compare :func:`cosine_near_pairs`
+    (exact, quadratic) — this trades recall for a linear candidate count.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.__v", "b.__v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def ann_topk(
     df: DataFrame,
     id_col: str,

@@ -251,3 +251,32 @@ def test_cosine_near_pairs_symmetric_exact(spark):
                 c = round(float(mat[i] @ mat[j] / (norms[i] * norms[j])), 3)
                 if c >= 0.2:
                     assert got.get((ids[i], ids[j])) == c
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
+    out = df.select(D.char_shingles("text", 5).alias("sh")).head()[0]
+    assert "hello" in out
+    assert "o wor" in out  # normalized single space
+    assert all(len(s) <= 5 for s in out)
+
+
+def test_embedding_near_duplicates_lsh_blocking(spark):
+    import numpy as np
+    from h2h_spark.operators.simsearch import embedding_near_duplicates
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    # planted near-dup pair: 100/101 nearly identical
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b): r.score for r in
+             embedding_near_duplicates(df, "vec_id", "embedding",
+                                       threshold=0.95, nbits=6).collect()}
+    assert (100, 101) in pairs
+    assert pairs[(100, 101)] > 0.99
