@@ -31,6 +31,7 @@ from h2h_spark.layout import (
     Real,
     Boolean,
     Data,
+    PackedDecimal,
 )
 from h2h_spark.api import pipe_in, pipe_out, pipe_out_and_merge
 from h2h_spark.session import get_spark
@@ -48,6 +49,7 @@ __all__ = [
     "Real",
     "Boolean",
     "Data",
+    "PackedDecimal",
     "get_spark",
     "read_csv",
     "write_csv",

@@ -140,6 +140,37 @@ class Data(FieldType):
         return T.BinaryType()
 
 
+class PackedDecimal(FieldType):
+    """DECIMALn.m — packed BCD, IBM convention (two digits per byte, final
+    low nibble is the sign: 0xC positive, 0xD negative), most significant
+    digit first.  Width = ceil((digits+1)/2) bytes.
+
+    ECL's general type surface includes DECIMALn.m (SURVEY.md §1.3); the
+    connector itself never decodes fields, so the byte convention is this
+    engine's documented choice.  Maps to ``DecimalType(digits, scale)``.
+    """
+
+    def __init__(self, digits: int, scale: int = 0):
+        if not 1 <= digits <= 38:
+            raise ValueError("PackedDecimal digits must be in 1..38")
+        if not 0 <= scale <= digits:
+            raise ValueError("scale must be in 0..digits")
+        super().__init__(nbytes=(digits + 2) // 2, kind="decimal")
+        object.__setattr__(self, "digits", digits)
+        object.__setattr__(self, "scale", scale)
+
+    def spark_type(self) -> T.DataType:
+        return T.DecimalType(self.digits, self.scale)
+
+    def to_spec(self) -> dict:
+        return {
+            "kind": self.kind,
+            "nbytes": self.nbytes,
+            "digits": self.digits,
+            "scale": self.scale,
+        }
+
+
 _KIND_TO_CLS = {
     "string": String,
     "unsigned": Unsigned,
@@ -152,6 +183,8 @@ _KIND_TO_CLS = {
 
 def _field_from_spec(spec: dict) -> FieldType:
     kind = spec["kind"]
+    if kind == "decimal":
+        return PackedDecimal(spec["digits"], spec["scale"])
     cls = _KIND_TO_CLS[kind]
     if kind == "boolean":
         return cls()
@@ -248,9 +281,9 @@ class Layout:
             offsets.append(self._offsets[name])
             if ft.kind == "string":
                 formats.append(f"S{ft.nbytes}")
-            elif ft.kind == "data":
+            elif ft.kind in ("data", "decimal"):
                 # V (void), not S: numpy S-dtype strips trailing NULs, but
-                # DATA n is exact raw bytes.
+                # DATA/BCD are exact raw bytes.
                 formats.append(f"V{ft.nbytes}")
             elif ft.kind == "boolean":
                 formats.append("<u1")
@@ -311,6 +344,8 @@ class Layout:
                 out[name] = s.str.rstrip(" ")  # ECL STRINGn is space-padded
             elif ft.kind == "data":
                 out[name] = pd.Series([bytes(v) for v in col], dtype=object)
+            elif ft.kind == "decimal":
+                out[name] = self._unpack_bcd(arr[name], ft)
             elif ft.kind == "boolean":
                 out[name] = col != 0
             elif ft.kind == "real":
@@ -331,6 +366,57 @@ class Layout:
             else:  # pragma: no cover
                 raise ValueError(ft.kind)
         return pd.DataFrame(out, columns=self.names())
+
+    @staticmethod
+    def _unpack_bcd(raw: np.ndarray, ft: FieldType) -> pd.Series:
+        """Packed-BCD decode: nibble matrix → unscaled int → Decimal."""
+        n = len(raw)
+        b = raw.view((np.uint8, ft.nbytes)).reshape(n, ft.nbytes)
+        slots = 2 * ft.nbytes - 1
+        dig = np.empty((n, 2 * ft.nbytes), dtype=np.uint8)
+        dig[:, 0::2] = b >> 4
+        dig[:, 1::2] = b & 0x0F
+        sign_nib = dig[:, -1]
+        digits = dig[:, :-1]
+        if (dig[:, :-1] > 9).any():
+            raise ValueError(f"invalid BCD digit in field {ft.kind}")
+        neg = sign_nib == 0x0D
+        if slots <= 18:
+            powers = 10 ** np.arange(slots - 1, -1, -1, dtype=np.int64)
+            unscaled = (digits.astype(np.int64) * powers).sum(axis=1)
+            unscaled = np.where(neg, -unscaled, unscaled)
+            vals = [int(v) for v in unscaled]
+        else:
+            vals = []
+            for i in range(n):
+                u = int("".join(map(str, digits[i])) or "0")
+                vals.append(-u if neg[i] else u)
+        q = decimal.Decimal(1).scaleb(-ft.scale)
+        return pd.Series(
+            [decimal.Decimal(v).scaleb(-ft.scale).quantize(q) for v in vals],
+            dtype=object,
+        )
+
+    @staticmethod
+    def _pack_bcd(col: pd.Series, ft: FieldType) -> np.ndarray:
+        """Decimal → packed BCD bytes (sign nibble 0xC/0xD)."""
+        n = len(col)
+        slots = 2 * ft.nbytes - 1
+        limit = 10 ** ft.digits
+        out = np.zeros((n, ft.nbytes), dtype=np.uint8)
+        q = decimal.Decimal(1).scaleb(-ft.scale)
+        for i, v in enumerate(col):
+            d = decimal.Decimal(str(v)) if not isinstance(v, decimal.Decimal) else v
+            unscaled = int(d.quantize(q, rounding=decimal.ROUND_HALF_UP).scaleb(ft.scale))
+            if abs(unscaled) >= limit:
+                raise OverflowError(
+                    f"{v} exceeds DECIMAL{ft.digits}.{ft.scale}"
+                )
+            s = str(abs(unscaled)).rjust(slots, "0")
+            nibbles = [int(c) for c in s] + [0x0D if unscaled < 0 else 0x0C]
+            for j in range(ft.nbytes):
+                out[i, j] = (nibbles[2 * j] << 4) | nibbles[2 * j + 1]
+        return out
 
     @staticmethod
     def _pandas_int_dtype(ft: FieldType) -> str:
@@ -368,6 +454,9 @@ class Layout:
                     (v or b"")[: ft.nbytes].ljust(ft.nbytes, b"\x00") for v in col
                 )
                 buf[name] = np.frombuffer(padded, dtype=f"V{ft.nbytes}")
+            elif ft.kind == "decimal":
+                bcd = self._pack_bcd(col, ft)
+                buf[name] = np.frombuffer(bcd.tobytes(), dtype=f"V{ft.nbytes}")
             elif ft.kind == "boolean":
                 buf[name] = col.astype(bool).to_numpy().astype(np.uint8)
             elif ft.kind == "real":

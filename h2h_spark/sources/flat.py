@@ -133,6 +133,8 @@ def _arrow_schema(layout: Layout) -> pa.Schema:
                 t = pa.decimal128(20, 0)
         elif ft.kind == "integer":
             t = {1: pa.int8(), 2: pa.int16(), 4: pa.int32()}.get(ft.nbytes, pa.int64())
+        elif ft.kind == "decimal":
+            t = pa.decimal128(ft.digits, ft.scale)
         else:  # pragma: no cover
             raise ValueError(ft.kind)
         out.append(pa.field(name, t))

@@ -153,6 +153,11 @@ def _cast_series(s: pd.Series, ft) -> pd.Series:
         return s.str.lower().isin(["true", "1", "yes"])
     if ft.kind == "unsigned" and ft.nbytes == 8:
         return s.map(lambda v: decimal.Decimal(v) if v is not None else None)
+    if ft.kind == "decimal":
+        q = decimal.Decimal(1).scaleb(-ft.scale)
+        return s.map(
+            lambda v: decimal.Decimal(v).quantize(q) if v is not None else None
+        )
     if ft.kind in ("unsigned", "integer"):
         dtype = Layout._pandas_int_dtype(ft)
         return pd.to_numeric(s, errors="raise").astype(dtype)

@@ -120,3 +120,38 @@ def test_record_count_rule():
 
 def test_part_layout():
     assert part_layout(10, 4) == [(0, 3), (1, 3), (2, 2), (3, 2)]
+
+
+def test_packed_decimal_roundtrip():
+    from h2h_spark.layout import PackedDecimal
+
+    lay = Layout([("amt", PackedDecimal(9, 2)), ("qty", PackedDecimal(5, 0))])
+    assert lay.record_length == (9 + 2) // 2 + (5 + 2) // 2  # 5 + 3 bytes
+    pdf = pd.DataFrame(
+        {
+            "amt": [decimal.Decimal("1234567.89"), decimal.Decimal("-0.01"),
+                    decimal.Decimal("0")],
+            "qty": [99999, -12345, 0],
+        }
+    )
+    back = lay.unpack(lay.pack(pdf))
+    assert back["amt"].tolist() == [
+        decimal.Decimal("1234567.89"), decimal.Decimal("-0.01"),
+        decimal.Decimal("0.00"),
+    ]
+    assert back["qty"].tolist() == [
+        decimal.Decimal("99999"), decimal.Decimal("-12345"), decimal.Decimal("0")
+    ]
+
+
+def test_packed_decimal_overflow_and_wide():
+    from h2h_spark.layout import PackedDecimal
+
+    with pytest.raises(OverflowError):
+        Layout([("x", PackedDecimal(3, 0))]).pack(pd.DataFrame({"x": [1000]}))
+    # > 18 digits takes the object path
+    lay = Layout([("big", PackedDecimal(24, 4))])
+    v = decimal.Decimal("12345678901234567890.1234")
+    back = lay.unpack(lay.pack(pd.DataFrame({"big": [v, -v]})))
+    assert back["big"].tolist() == [v, -v]
+

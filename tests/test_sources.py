@@ -270,3 +270,19 @@ def test_csv_unicode_roundtrip(spark, tmp_work):
     write_csv(df, f"{tmp_work}/uni", sep="|", quote="'")
     back = read_csv(spark, f"{tmp_work}/uni", lay, sep="|", quote="'")
     assert _as_set(back) == _as_set(df)
+
+
+def test_flat_packed_decimal_spark_roundtrip(spark, tmp_work):
+    from h2h_spark import PackedDecimal
+    import decimal
+
+    lay = Layout([("k", Integer(8)), ("amt", PackedDecimal(11, 2))])
+    src = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k, CAST(123456789.01 AS DECIMAL(11,2)) AS amt "
+        "UNION ALL SELECT 2, CAST(-0.99 AS DECIMAL(11,2))"
+    )
+    write_flat(src, f"{tmp_work}/bcd", lay)
+    back = {r.k: r.amt for r in read_flat(spark, f"{tmp_work}/bcd", lay).collect()}
+    assert back[1] == decimal.Decimal("123456789.01")
+    assert back[2] == decimal.Decimal("-0.99")
+    assert dict(read_flat(spark, f"{tmp_work}/bcd", lay).dtypes)["amt"] == "decimal(11,2)"
