@@ -464,6 +464,42 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join: both sides bucketed on the key at write time, the
+    join itself plans with NO Exchange (asserted in tests) — the 100 TB
+    answer to repeated fact-fact joins."""
+    from h2h_spark.plans.bucketing import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_li = f"borders_{tag}", f"bli_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            spark.read.parquet(_t(sf_dir, "orders")), t_orders, "o_orderkey", 8
+        )
+    if not spark.catalog.tableExists(t_li):
+        write_bucketed(
+            spark.read.parquet(_t(sf_dir, "lineitem")).withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            t_li,
+            "o_orderkey",
+            8,
+        )
+    joined = spark.table(t_li).hint("merge").join(spark.table(t_orders), "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned layout + partition pruning: events written
     partitioned by day; a day-range filter must prune at the source
@@ -1178,6 +1214,7 @@ def _init_queries() -> None:
         "q_embed_knn": q_embed_knn,
         "q_csv_embedded_newlines": q_csv_embedded_newlines,
         "q_anti_join": q_anti_join,
+        "q_bucketed_join": q_bucketed_join,
         "q_partition_pruning": q_partition_pruning,
         "q_distinct_agg": q_distinct_agg,
         "q_semi_join": q_semi_join,
@@ -1232,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_knn": _SQL_EMBED_KNN,
         "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
         "q_anti_join": _SQL_ANTI_JOIN,
+        "q_bucketed_join": _SQL_BUCKETED_JOIN,
         "q_partition_pruning": _SQL_PARTITION_PRUNING,
         "q_distinct_agg": _SQL_DISTINCT_AGG,
         "q_semi_join": _SQL_SEMI_JOIN,

@@ -145,3 +145,27 @@ def test_watermark_append_drops_late_rows(spark, tmp_path):
     # the 00:00-00:05 window was finalized with ONLY the first two rows —
     # the late 00:03 row arrived after the watermark and was dropped
     assert rows.get("2024-01-01T00:00:00") == 2
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import pandas as pd
+    from h2h_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "dd_src")
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:05",  # dup of k=1 within wm
+                 "2024-01-01 00:01", "2024-01-01 00:02",  # dup of k=2 within wm
+                 "2024-01-01 00:03"]
+            ),
+            "v": [10.0, 11.0, 20.0, 21.0, 30.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = dedup_stream(spark, src, schema, ["k"], "ts", watermark="30 minutes")
+    rows = sorted((r.k, r.v) for r in out.collect())
+    ks = [k for k, _ in rows]
+    assert ks == [1, 2, 3]  # exactly one survivor per key
