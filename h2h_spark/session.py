@@ -39,6 +39,10 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Let the Python DataSources (h2h_flat) accept pushed filters.
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Runtime row-level join pruning: build a bloom filter from the
+        # filtered dim side and push it into the fact scan — at 100 TB this
+        # skips most of a selectively-joined fact table.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/h2h_spark_warehouse")
     )
