@@ -386,6 +386,76 @@ GROUP BY n_name
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, date filters on both sides, revenue
+    ranking with deterministic top-10."""
+    cust = spark.read.parquet(_t(sf_dir, "customer")).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") > F.lit("1995-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
+    semi-join back to the fact tables."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+_SQL_BIG_ORDERS = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+"""
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(_t(sf_dir, "orders"))
     return (
@@ -1202,6 +1272,8 @@ def _init_queries() -> None:
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
         "q_join_agg": q_join_agg,
+        "q_shipping_priority": q_shipping_priority,
+        "q_big_orders": q_big_orders,
         "q_topk_orders": q_topk_orders,
         "q_window_topk_per_group": q_window_topk_per_group,
         "q_rollup": q_rollup,
@@ -1257,6 +1329,8 @@ def oracle_sql() -> dict[str, str]:
         "q_part_layout": _SQL_PART_LAYOUT,
         "q_meta_status": _SQL_META_STATUS,
         "q_join_agg": _SQL_JOIN_AGG,
+        "q_shipping_priority": _SQL_SHIPPING_PRIORITY,
+        "q_big_orders": _SQL_BIG_ORDERS,
         "q_topk_orders": _SQL_TOPK_ORDERS,
         "q_window_topk_per_group": _SQL_WINDOW_TOPK,
         "q_rollup": _SQL_ROLLUP,
