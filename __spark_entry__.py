@@ -289,6 +289,22 @@ FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
 """
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source matrix: JSON-lines write→schema-bound read (no inference)."""
+    w = _work("q_json_roundtrip", sf_dir)
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust.write.mode("overwrite").json(f"{w}/cust_json")
+    return spark.read.schema(cust.schema).json(f"{w}/cust_json")
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source matrix: ORC columnar write→read."""
+    w = _work("q_orc_roundtrip", sf_dir)
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust.write.mode("overwrite").orc(f"{w}/cust_orc")
+    return spark.read.orc(f"{w}/cust_orc")
+
+
 def q_merge_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6+O7: partitioned CSV write → merge (part-index order) → re-read
     the single file → aggregate."""
@@ -1268,6 +1284,8 @@ def _init_queries() -> None:
         "q_xml_roundtrip": q_xml_roundtrip,
         "q_csv_boundary": q_csv_boundary,
         "q_flat_bulk": q_flat_bulk,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_orc_roundtrip": q_orc_roundtrip,
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
@@ -1325,6 +1343,8 @@ def oracle_sql() -> dict[str, str]:
         "q_xml_roundtrip": _SQL_SELECT_SUPPLIER,
         "q_csv_boundary": _SQL_CSV_BOUNDARY,
         "q_flat_bulk": _SQL_FLAT_BULK,
+        "q_json_roundtrip": _SQL_SELECT_CUSTOMER,
+        "q_orc_roundtrip": _SQL_SELECT_CUSTOMER,
         "q_merge_single": _SQL_MERGE_SINGLE,
         "q_part_layout": _SQL_PART_LAYOUT,
         "q_meta_status": _SQL_META_STATUS,
