@@ -37,6 +37,8 @@ def asof_join(
     value from the latest ``right`` row whose ``right_ts <= left_ts`` for
     the same key (NULL when no such row exists).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
     clash = set(lcols) & set(value_cols)
     if clash:
@@ -44,29 +46,38 @@ def asof_join(
             f"value_cols {sorted(clash)} collide with left columns — rename "
             "one side before the as-of join"
         )
+    # The right row travels as ONE struct, so ``last(..., ignoreNulls)``
+    # skips only rows with no right match at all — a right row whose value
+    # column is genuinely NULL is still the match and its NULL is attached
+    # as-is (DuckDB ASOF JOIN / pandas merge_asof semantics).  The struct is
+    # also the deterministic tiebreak among right rows at an equal
+    # (key, ts): the window orders by it, so ``last`` is the max struct.
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    rstruct_type = T.StructType(
+        [T.StructField(c, rfields[c]) for c in value_cols]
+    )
     l = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(rstruct_type).alias("__rv"),
     )
     r = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     u = l.unionByName(r)
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(f"__r_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
     return u.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__rv.{c}").alias(c) for c in value_cols],
     )

@@ -97,14 +97,18 @@ def frame_sample(
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, md5s = [], [], []
-            for _, row in pdf.iterrows():
-                data = bytes(row["payload"])
+            # zip over numpy/ndarray columns — not iterrows (which builds a
+            # Series per row); md5 itself is per-chunk C code.
+            for doc_id, payload in zip(pdf[id_col].to_numpy(), pdf["payload"]):
+                data = bytes(payload)
                 n = max(1, len(data) // frame_bytes)
-                for i in range(0, n, stride):
-                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
-                    ids.append(row[id_col])
-                    idxs.append(i)
-                    md5s.append(hashlib.md5(chunk).hexdigest())
+                frame_idx = range(0, n, stride)
+                ids.extend([doc_id] * len(frame_idx))
+                idxs.extend(frame_idx)
+                md5s.extend(
+                    hashlib.md5(data[i * frame_bytes : (i + 1) * frame_bytes]).hexdigest()
+                    for i in frame_idx
+                )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": pd.Series(idxs, dtype="int32"), "frame_md5": md5s}
             )

@@ -25,7 +25,16 @@ def salted_join(
     Use when the right side is too big to broadcast and the left key
     distribution is skewed.  Cost: right side inflates ×salt, so pick the
     smaller relation as ``right``.
+
+    Only left-preserving join types are supported: the right side is
+    replicated ``salt`` ways, so 'right'/'full' would emit each unmatched
+    right row once per salt value (with null left columns) — wrong results.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     l = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -115,7 +115,16 @@ def read_csv(
         )
         reader_session.conf.set("spark.sql.files.openCostInBytes", "0")
     lines = reader_session.read.option("lineSep", terminator).text(path)
-    opts = {"sep": sep, "quote": quote, "escape": quote, "mode": "PERMISSIVE"}
+    # Same empty-vs-null contract as the single-char path above: quoted
+    # empty (quote*2) reads as '', the \N sentinel reads as SQL NULL.
+    opts = {
+        "sep": sep,
+        "quote": quote,
+        "escape": quote,
+        "mode": "PERMISSIVE",
+        "emptyValue": "",
+        "nullValue": "\\N",
+    }
     if timestamp_format:
         opts["timestampFormat"] = timestamp_format
     parsed = lines.filter(F.length("value") > 0).select(
@@ -133,17 +142,29 @@ def write_csv(
     quote: str = "'",
     header: bool = False,
     timestamp_format: str | None = None,
+    terminate_records: bool = True,
 ) -> None:
     """PipeOut(CSV) analogue — one part file per partition.
 
     Uses Spark's native (JVM, codegen'd) CSV sink when the terminator is a
     newline; falls back to ``to_csv`` + the engine's partition-file sink for
-    custom terminators (the reference's ``-outputterminator`` surface,
-    ``hdfsconnector.hpp:365-368``).
+    custom terminators.
+
+    ``terminate_records=False`` is the reference's ``-outputterminator 0``
+    (``hdfsconnector.hpp:365-368``): the terminator is not re-emitted after
+    records (``libhdfsconnector.cpp:490-498`` skips the ``fprintf`` of
+    ``eolseq``), so records are concatenated back-to-back.
     """
     sep = expand_escapes(sep)
     terminator = expand_escapes(terminator)
     quote = expand_escapes(quote)
+
+    if not terminate_records:
+        _write_csv_unterminated(
+            df, path, sep=sep, quote=quote, header=header,
+            timestamp_format=timestamp_format,
+        )
+        return
 
     if terminator == "\n":
         writer = (
@@ -170,13 +191,54 @@ def write_csv(
     # ``-outputterminator 1`` behavior).
     if header:
         raise NotImplementedError("header with custom terminator")
-    opts = {"sep": sep, "quote": quote, "escape": quote}
-    if timestamp_format:
-        opts["timestampFormat"] = timestamp_format
-    line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]), opts)
+    line = F.to_csv(
+        F.struct(*[F.col(c) for c in df.columns]), _to_csv_opts(sep, quote, timestamp_format)
+    )
     (
         df.select(line.alias("value"))
         .write.mode("overwrite")
         .option("lineSep", terminator)
         .text(path)
     )
+
+
+def _to_csv_opts(sep: str, quote: str, timestamp_format: str | None) -> dict:
+    # Mirror the single-char writer's empty-vs-null contract (to_csv's
+    # write default would serialize '' as two double-quote chars even when
+    # the dialect quote differs, and would not emit the \N null sentinel).
+    opts = {
+        "sep": sep,
+        "quote": quote,
+        "escape": quote,
+        "emptyValue": quote * 2,
+        "nullValue": "\\N",
+    }
+    if timestamp_format:
+        opts["timestampFormat"] = timestamp_format
+    return opts
+
+
+def _write_csv_unterminated(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str,
+    quote: str,
+    header: bool,
+    timestamp_format: str | None,
+) -> None:
+    """``-outputterminator 0``: serialize records and concatenate them with
+    no terminator at all, through the engine's partition sink (one
+    ``part_<i>_<N>`` file per partition, task-commit protocol)."""
+    if header:
+        raise NotImplementedError("header with -outputterminator 0")
+    from h2h_spark.sources.sink import write_partition_files
+
+    line = F.to_csv(
+        F.struct(*[F.col(c) for c in df.columns]), _to_csv_opts(sep, quote, timestamp_format)
+    )
+
+    def _serialize(batch) -> bytes:
+        return "".join(batch.column(0).to_pylist()).encode("utf-8")
+
+    write_partition_files(df.select(line.alias("value")), path, _serialize)

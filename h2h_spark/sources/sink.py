@@ -65,7 +65,12 @@ def write_partition_files(
     def _task(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        tmp = os.path.join(base, f"_tmp-{run_id}-{pid:05d}{suffix}")
+        # Attempt id in the temp name: two live attempts of the same task
+        # (speculation, stage retry with a zombie) must not interleave
+        # writes into one file.  The driver commits exactly the attempt
+        # whose meta row Spark delivered (the winner) and sweeps the rest.
+        att = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = os.path.join(base, f"_tmp-{run_id}-{pid:05d}-a{att}{suffix}")
         n_rows = 0
         n_bytes = 0
         with open_output(tmp) as f:
@@ -90,14 +95,28 @@ def write_partition_files(
         )
 
     meta_rows = df.mapInArrow(_task, _META_SCHEMA).collect()
-    meta_rows.sort(key=lambda r: r.part_index)
-    n = len(meta_rows)
+    # One winner per partition: Spark delivers results from exactly one
+    # attempt, but be defensive about duplicates in the collected meta.
+    by_pid: dict[int, object] = {}
+    for row in meta_rows:
+        by_pid.setdefault(row.part_index, row)
+    winners = sorted(by_pid.values(), key=lambda r: r.part_index)
+    n = len(winners)
     infos: list[PartInfo] = []
     # Commit: temp → part_<i>_<N> (naming parity: hdfsconnector.hpp:65-72).
-    for i, row in enumerate(meta_rows):
+    for i, row in enumerate(winners):
         final = os.path.join(base, f"part_{i}_{n}{suffix}")
         rename(row.temp_path, final)
         infos.append(PartInfo(i, row.n_rows, row.n_bytes, final))
+    # Sweep loser-attempt temp files (zombie/speculative attempts).
+    if is_local(path):
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(base, f"_tmp-{run_id}-*")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
     with open_output(os.path.join(base, "_SUCCESS")):
         pass
     return infos

@@ -36,13 +36,15 @@ _ESCAPES = {
 def expand_escapes(s: str) -> str:
     """Expand backslash escapes the way ``expandEscapedChars`` does
     (``hdfsconnector.hpp:74-129``): recognized sequences become their byte;
-    unrecognized ``\\x`` passes through verbatim (backslash dropped)."""
+    an unrecognized ``\\x`` is dropped entirely (both the backslash and the
+    character — the reference's default case appends nothing)."""
     out, i = [], 0
     while i < len(s):
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
-            out.append(_ESCAPES.get(nxt, nxt))
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
             i += 2
         else:
             out.append(c)

@@ -204,6 +204,34 @@ def test_asof_join_backward(spark):
     assert out[4] is None  # key 30 absent
 
 
+def test_asof_join_attaches_null_value_row(spark):
+    """A right row whose value column is NULL is still the match — its NULL
+    is attached, not an older row's value (DuckDB ASOF / merge_asof
+    semantics).  Ties at equal (key, ts) resolve deterministically."""
+    from h2h_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 300)], "event_id long, key long, t long")
+    right = spark.createDataFrame(
+        [(10, 100, "old"), (10, 200, None)], "key long, t long, val string"
+    )
+    out = asof_join(
+        left, right, left_on="key", right_on="key",
+        left_ts="t", right_ts="t", value_cols=["val"],
+    ).collect()
+    assert out[0].val is None  # the ts=200 row matches; its NULL sticks
+
+    # deterministic tiebreak: two right rows at the same ts → max struct
+    right2 = spark.createDataFrame(
+        [(10, 200, "x"), (10, 200, "y")], "key long, t long, val string"
+    )
+    for _ in range(3):
+        got = asof_join(
+            left, right2, left_on="key", right_on="key",
+            left_ts="t", right_ts="t", value_cols=["val"],
+        ).collect()[0].val
+        assert got == "y"
+
+
 def test_knn_join_matches_bruteforce(spark):
     from h2h_spark.operators.simsearch import knn_join
 

@@ -49,7 +49,9 @@ def test_expand_escapes():
     assert expand_escapes("\\n") == "\n"
     assert expand_escapes("\\r\\n") == "\r\n"
     assert expand_escapes("\\t\\0") == "\t\0"
-    assert expand_escapes("a\\qb") == "aqb"  # unknown escape: drop backslash
+    # unknown escape: DROPPED entirely (reference expandEscapedChars
+    # default case appends nothing, hdfsconnector.hpp:74-129)
+    assert expand_escapes("a\\qb") == "ab"
 
 
 def test_flat_roundtrip_tiny_splits(spark, tmp_work):
@@ -259,6 +261,37 @@ def test_csv_null_vs_empty_string(spark, tmp_work):
     assert back[1] == ""
     assert back[2] is None
     assert back[3] == "x"
+
+
+def test_csv_null_vs_empty_multichar_terminator(spark, tmp_work):
+    """The custom-terminator (to_csv/from_csv) path honors the same
+    empty-vs-null contract as the newline path (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x")], "k long, v string"
+    )
+    lay = Layout([("k", Integer(8)), ("v", String(5))])
+    write_csv(df, f"{tmp_work}/mcnulls", sep=",", terminator="@@", quote="'")
+    back = {r.k: r.v for r in
+            read_csv(spark, f"{tmp_work}/mcnulls", lay, sep=",",
+                     terminator="@@", quote="'").collect()}
+    assert back[1] == ""
+    assert back[2] is None
+    assert back[3] == "x"
+
+
+def test_csv_output_terminator_zero(spark, tmp_work):
+    """-outputterminator 0 (hdfsconnector.hpp:365-368): records are
+    concatenated with NO terminator re-emission."""
+    import glob
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1)
+    write_csv(df, f"{tmp_work}/noterm", sep=",", terminator="@@",
+              terminate_records=False)
+    parts = sorted(glob.glob(f"{tmp_work}/noterm/part_*"))
+    assert parts, "partition sink wrote no part files"
+    data = b"".join(open(p, "rb").read() for p in parts)
+    assert b"@@" not in data
+    assert data in (b"1,a2,b", b"2,b1,a")
 
 
 def test_csv_unicode_roundtrip(spark, tmp_work):

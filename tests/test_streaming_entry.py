@@ -81,6 +81,12 @@ def test_salted_join_equals_plain(spark):
     plain = left.join(right, "k").groupBy("name").count()
     salted = salted_join(left, right, "k", salt=8).groupBy("name").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # right/full would duplicate unmatched right rows ×salt → rejected
+    import pytest
+
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", salt=8, how=bad)
 
 
 def test_two_phase_distinct_count(spark):
