@@ -102,29 +102,67 @@ _PAIR_EXPAND_MAX = 32  # <= 496 in-array pairs per bucket row
 
 
 def _bucket_candidates(
-    entries: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int
+    entries: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    expand_max: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from bucket membership, in ONE grouping shuffle.
 
-    Small buckets (<= 32 ids) expand pairs in-array (no join at all); the
-    rare larger buckets — bounded by ``max_bucket``, the quadratic-bomb
-    guard — fall back to an explode + self-join on the bucket id.  Measured
-    4× over the naive count+filter+join+self-join chain at bench scale, and
-    strictly fewer shuffles at 100 TB.
+    Small buckets (<= ``expand_max`` ids, default 32) expand pairs in-array
+    (no join at all); the rare larger buckets — bounded by ``max_bucket``,
+    the quadratic-bomb guard — fall back to an explode + self-join on the
+    bucket id.  Measured 4× over the naive count+filter+join+self-join
+    chain at bench scale, and strictly fewer shuffles at 100 TB.  Callers
+    whose buckets are uniformly mid-sized (e.g. few-bit LSH bands) can
+    raise ``expand_max`` to keep everything on the join-free path — the
+    cost is one in-array row of ~n²/2 pair structs per bucket.
     """
+    if expand_max is None:
+        expand_max = _PAIR_EXPAND_MAX
     grouped = (
         entries.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    small = grouped.filter(F.size("ids") <= _PAIR_EXPAND_MAX)
+    if expand_max > _PAIR_EXPAND_MAX:
+        # Mid-sized buckets (LSH bands with few bits): expand each bucket's
+        # n²/2 pairs with one numpy triu per bucket row inside an Arrow
+        # batch — the Catalyst nested-lambda expansion costs ~1µs/pair,
+        # which dominates the whole operator at millions of candidates.
+        # Repartition first: AQE's byte-based coalesce sees only the small
+        # pre-explosion rows and would funnel the expansion into 1-2 tasks.
+        import pandas as pd
+
+        spread = grouped.repartition(
+            grouped.sparkSession.sparkContext.defaultParallelism, *bucket_cols
+        )
+
+        def expand(batches):
+            import numpy as np
+
+            # One frame per bucket bounds task memory at max_bucket²/2
+            # pairs regardless of how many buckets share a batch.
+            for pdf in batches:
+                for ids in pdf["ids"]:
+                    arr = np.asarray(ids, dtype=np.int64)  # sorted by agg
+                    iu, ju = np.triu_indices(len(arr), 1)
+                    yield pd.DataFrame({"id_a": arr[iu], "id_b": arr[ju]})
+
+        return (
+            spread.select("ids")
+            .mapInPandas(expand, "id_a long, id_b long")
+            .distinct()
+        )
+    small = grouped.filter(F.size("ids") <= expand_max)
     pairs_small = (
         small.select(F.explode(_pair_expansion(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
     )
-    if max_bucket <= _PAIR_EXPAND_MAX:
+    if max_bucket <= expand_max:
         return pairs_small.distinct()
-    big = grouped.filter(F.size("ids") > _PAIR_EXPAND_MAX)
+    big = grouped.filter(F.size("ids") > expand_max)
     m = big.select(*bucket_cols, F.explode("ids").alias("id"))
     a = m.alias("a")
     b = m.alias("b")
@@ -136,6 +174,27 @@ def _bucket_candidates(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
     return pairs_small.unionByName(pairs_big).distinct()
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    BIGINT.  Bit-identical in any engine with md5 (DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``) — the base hash for the
+    near-dup variants whose entire pipeline must be reproducible outside
+    Spark (cross-engine dedup decisions, oracle verification).  ~2× slower
+    than xxhash64 per call; both stay JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _base_hash(col: str, base_hash: str) -> Column:
+    if base_hash == "md5":
+        return portable_hash60(col)
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"base_hash must be 'xxhash64' or 'md5', got {base_hash!r}")
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -161,20 +220,24 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 4,
     seed: int = 42,
+    base_hash: str = "xxhash64",
     _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, sig array<bigint>)``.
 
     One explode + one groupBy (single shuffle keyed by id); the k hash
     functions are universal hashes ``(a*h + b) mod 2^31-1`` over a base
-    ``xxhash64`` — all JVM-side, and the modulus keeps products inside
-    signed-64 range so the plan is ANSI-safe.
+    hash — all JVM-side, and the modulus keeps products inside signed-64
+    range so the plan is ANSI-safe.  ``base_hash='md5'`` swaps the base to
+    :func:`portable_hash60` so the signatures are engine-portable
+    (reproducible in DuckDB SQL — the oracle twin in ``__spark_entry__``
+    re-derives them bit-for-bit).
     """
     params = _hash_params(num_hashes, seed)
     sets = _sets if _sets is not None else shingle_sets(df, id_col, text_col, shingle_k)
     sh = sets.select(
         F.col("id").alias(id_col), F.explode("sh").alias("shingle")
-    ).select(id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("__h"))
+    ).select(id_col, F.pmod(_base_hash("shingle", base_hash), F.lit(_MERSENNE)).alias("__h"))
     aggs = [
         F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
             f"h{i}"
@@ -198,19 +261,34 @@ def minhash_near_duplicates(
     jaccard_threshold: float = 0.5,
     max_bucket: int = 200,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, exactly verified.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and true shingle
-    Jaccard >= threshold.
+    Jaccard >= threshold.  With ``base_hash='md5'`` the band bucket is the
+    joined signature slice itself (no re-hash) so the whole candidate
+    pipeline — base hash, permutations, banding, bucket caps, verification
+    — is reproducible in portable SQL.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
     sig = minhash_signatures(
-        df, "id", text_col, num_hashes, shingle_k, seed, _sets=sets
+        df, "id", text_col, num_hashes, shingle_k, seed, base_hash, _sets=sets
     )
+
+    def _band_bucket(j: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", j * rows + 1, rows), lambda x: x.cast("string")
+            ),
+            "_",
+        )
+        # Portable mode keeps the slice string as the bucket key; the
+        # xxhash64 re-hash is only a fixed-width-key optimization.
+        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
 
     band_entries = sig.select(
         "id",
@@ -218,16 +296,7 @@ def minhash_near_duplicates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", j * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                "_",
-                            )
-                        ).alias("bucket"),
+                        F.lit(j).alias("band"), _band_bucket(j).alias("bucket")
                     )
                     for j in range(bands)
                 ]
@@ -278,27 +347,31 @@ def jaccard_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
 ) -> DataFrame:
-    """63-bit SimHash fingerprint per document (bit 63 left clear to stay in
-    signed-long range): ``(id, simhash bigint)``."""
+    """SimHash fingerprint per document: ``(id, simhash bigint)``.
+
+    63 bits over xxhash64 (bit 63 left clear to stay in signed-long range);
+    ``base_hash='md5'`` uses the 60-bit :func:`portable_hash60` so the
+    fingerprint is engine-portable (DuckDB oracle twin re-derives it)."""
+    nbits = 60 if base_hash == "md5" else 63
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
-        id_col, F.xxhash64("tok").alias("__h")
+        id_col, _base_hash("tok", base_hash).alias("__h")
     )
     hs = tok.groupBy(id_col).agg(F.collect_list("__h").alias("hs"))
-    # One array expression instead of 63 aggregate columns: identical bits,
-    # but a fraction of the generated code — measured 2-3× faster cold
-    # (codegen compile) AND warm.  The SQL form is used because the Python
-    # shiftright/shiftleft wrappers reject column shift amounts.
+    # One array expression instead of ~60 aggregate columns: identical
+    # bits, but a fraction of the generated code — measured 2-3× faster
+    # cold (codegen compile) AND warm.  The SQL form is used because the
+    # Python shiftright/shiftleft wrappers reject column shift amounts.
     return hs.selectExpr(
         id_col,
-        """
+        f"""
         aggregate(
           zip_with(
-            transform(sequence(0, 62), j ->
+            transform(sequence(0, {nbits - 1}), j ->
               aggregate(hs, 0L, (acc, h) ->
                 acc + (CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1))),
-            sequence(0, 62),
+            sequence(0, {nbits - 1}),
             (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),
           0L, (acc, x) -> acc + x) AS simhash
         """,
@@ -312,15 +385,22 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     chunks: int = 8,
     max_bucket: int = 500,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole banding: split the 63-bit fingerprint into ``chunks`` bands
-    and bucket on any identical band (distance <= chunks-1 guarantees a
-    shared band) — same one-shuffle candidate shape as MinHash banding.
+    Pigeonhole banding: split the fingerprint into ``chunks`` bands and
+    bucket on any identical band (distance <= chunks-1 guarantees a shared
+    band) — same one-shuffle candidate shape as MinHash banding.  With
+    ``base_hash='md5'`` the fingerprint is the portable 60-bit variant
+    (use a ``chunks`` that divides 60, e.g. 6).
     """
-    fps = simhash64(df, id_col, text_col).withColumnRenamed(id_col, "id").persist()
-    width = 64 // chunks
+    fps = (
+        simhash64(df, id_col, text_col, base_hash)
+        .withColumnRenamed(id_col, "id")
+        .persist()
+    )
+    width = (60 if base_hash == "md5" else 64) // chunks
     entries = fps.select(
         "id",
         "simhash",

@@ -65,6 +65,9 @@ def cosine_topk(
     return scores.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+_MAX_PROBE_COLLECT = 100_000  # driver-side probe-block bound (documented)
+
+
 def knn_join(
     probes: DataFrame,
     corpus: DataFrame,
@@ -76,35 +79,55 @@ def knn_join(
     """Exact k-nearest-neighbors of every probe row against the corpus:
     ``(probe_id, neighbor_id, score, rank)``.
 
-    Brute force: probes × corpus cosine via ``zip_with``/``aggregate``
-    (JVM), then a per-probe window top-k.  Deterministic: scores rounded
-    before ranking, ties broken by neighbor id.  At 100 TB the corpus side
-    is LSH-bucketed first (see :func:`ann_topk`) — this is the exact
-    baseline and the small-probe-set path (broadcast the probes).
+    The probe block (small by contract, bounded driver-side collect like
+    ``_near_pairs_blocked``) is broadcast; each corpus partition scores its
+    batch against every probe with ONE numpy/BLAS matmul and keeps only a
+    per-batch partial top-k per probe — so the global window ranks
+    ``O(n_batches · n_probes · k)`` rows, not ``n_probes × corpus``.
+    Deterministic: scores rounded before ranking, ties broken by neighbor
+    id (the per-batch cut uses the same (score desc, id asc) total order,
+    so it can never drop a global top-k member).  At 100 TB probe blocks
+    iterate and the corpus is read once per block; for huge probe sets
+    LSH/IVF-bucket first (:func:`ann_knn_join`).
     """
+    import pandas as pd
+
     from pyspark.sql.window import Window
 
-    # Per-row norms below the join (inlining barrier) — see cosine_near_pairs.
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("__pv"),
-        _norm(F.col(vec_col)).alias("__pn"),
+    spark = probes.sparkSession
+    rows = probes.select(id_col, vec_col).collect()
+    if len(rows) > _MAX_PROBE_COLLECT:
+        raise ValueError(
+            f"knn_join probe side has {len(rows)} rows (> {_MAX_PROBE_COLLECT}); "
+            "block the probes or use ann_knn_join"
+        )
+    pids = np.array([r[0] for r in rows], dtype=np.int64)
+    pmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((pids, pmat))
+
+    def partial_topk(batches):
+        b_pids, b_pmat = bc.value
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            scores = np.round(cmat @ b_pmat.T, round_digits)  # batch × probes
+            out_p, out_n, out_s = [], [], []
+            for j in range(len(b_pids)):
+                mask = cids != b_pids[j]
+                s, ids_m = scores[mask, j], cids[mask]
+                keep = np.lexsort((ids_m, -s))[:k]
+                out_p.extend([b_pids[j]] * len(keep))
+                out_n.extend(ids_m[keep])
+                out_s.extend(s[keep])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "score": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk, "probe_id long, neighbor_id long, score double"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-    )
-    dot = F.aggregate(
-        F.zip_with("__pv", "__cv", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    joined = F.broadcast(p).crossJoin(c).filter(
-        F.col("probe_id") != F.col("neighbor_id")
-    )
-    score = F.round(dot / (F.col("__pn") * F.col("__cn")), round_digits)
-    scored = joined.select("probe_id", "neighbor_id", score.alias("score"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -213,23 +236,42 @@ def _near_pairs_blocked(
     return pairs.distinct()
 
 
-def ivf_topk(
+class IVFIndex:
+    """Built IVF index: centroid matrix + the corpus with a persisted
+    ``__cell`` assignment column.  Build once, probe many — the build is
+    the expensive part (one KMeans fit on a SAMPLE + one assignment pass);
+    a probe is a cell filter.  At 100 TB, write ``assigned`` out
+    partitioned by ``__cell`` so a probe prunes partitions at the source.
+    """
+
+    def __init__(self, centers: np.ndarray, assigned: DataFrame, id_col: str, vec_col: str):
+        self.centers = centers
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def nearest_cells(self, query: Sequence[float], n_probe: int) -> list[int]:
+        qv = np.asarray(list(map(float, query)))
+        d = np.linalg.norm(self.centers - qv, axis=1)
+        return [int(i) for i in np.argsort(d)[:n_probe]]
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def ivf_build(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    query: Sequence[float],
-    k: int = 10,
     n_centroids: int = 16,
-    n_probe: int = 3,
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
-    into centroid cells; a query scans only the ``n_probe`` nearest cells.
-
-    Scale path: fit centroids on a sample, persist the corpus partitioned
-    by cell id — each probe then touches n_probe/n_centroids of the data at
-    the source.  Locally the cells are a filter over the assigned corpus.
-    """
+    sample_rows: int = 4096,
+) -> IVFIndex:
+    """Fit k-means centroids on a bounded SAMPLE (never the full corpus —
+    an iterative ML fit over all data in a query path is the 100 TB
+    anti-pattern), then assign every corpus row to its cell in one
+    deterministic pass and persist the assignment for reuse across
+    probes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -240,20 +282,131 @@ def ivf_topk(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__features"),
     )
+    n = df.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(n, 1))
+    sample = feat.sample(withReplacement=False, fraction=frac, seed=seed)
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="__features", predictionCol="__cell"
-    ).fit(feat)
-    assigned = model.transform(feat)
-    centers = model.clusterCenters()
-    qv = np.asarray(list(map(float, query)))
-    order = sorted(
-        range(len(centers)), key=lambda i: float(np.linalg.norm(centers[i] - qv))
+    ).fit(sample)
+    assigned = model.transform(feat).drop("__features").persist()
+    return IVFIndex(np.array(model.clusterCenters()), assigned, id_col, vec_col)
+
+
+def ivf_probe(
+    index: IVFIndex,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 3,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Approximate top-k against a built index: scan only the ``n_probe``
+    nearest cells, exact cosine within them."""
+    cells = index.nearest_cells(query, n_probe)
+    cands = index.assigned.filter(F.col("__cell").isin(cells)).drop("__cell")
+    return cosine_topk(cands, index.id_col, index.vec_col, query, k, round_digits)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """One-shot IVF top-k (build + probe).  Prefer :func:`ivf_build` +
+    :func:`ivf_probe` when issuing several queries — the index is the
+    reusable part."""
+    index = ivf_build(df, id_col, vec_col, n_centroids, seed)
+    return ivf_probe(index, query, k, n_probe, round_digits)
+
+
+def ivf_knn_join(
+    probes: DataFrame,
+    index: IVFIndex,
+    k: int = 10,
+    n_probe: int = 3,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Batch IVF: approximate k-NN of every probe row against the indexed
+    corpus — ``(probe_id, neighbor_id, score, rank)``.
+
+    The probe block is collected (bounded, like :func:`knn_join`); each
+    probe maps to its ``n_probe`` nearest cells driver-side; ONE broadcast
+    join of the (probe, cell) table against the assigned corpus generates
+    all candidates, scored JVM-side with a per-probe window top-k.  No
+    per-probe Spark job — the whole batch is a single plan.
+    """
+    return _bucketed_knn(
+        probes,
+        index.assigned,
+        index.id_col,
+        index.vec_col,
+        "__cell",
+        lambda qv: index.nearest_cells(qv, n_probe),
+        k,
+        round_digits,
     )
-    probes = order[:n_probe]
-    cands = assigned.filter(F.col("__cell").isin(probes)).drop(
-        "__features", "__cell"
+
+
+def _bucketed_knn(
+    probes: DataFrame,
+    bucketed_corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    probe_buckets_fn,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Shared candidates-by-bucket k-NN shape for IVF cells and LSH
+    buckets: broadcast the (probe_id, bucket) table + probe vectors, one
+    join on the bucket id, exact cosine on candidates, window top-k."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = probes.sparkSession
+    rows = probes.select(id_col, vec_col).collect()
+    if len(rows) > _MAX_PROBE_COLLECT:
+        raise ValueError(f"probe side has {len(rows)} rows (> {_MAX_PROBE_COLLECT})")
+    pb = []
+    for r in rows:
+        qv = [float(x) for x in r[1]]
+        for b in probe_buckets_fn(qv):
+            pb.append((int(r[0]), int(b)))
+    probe_vecs = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in rows],
+        "probe_id long, __pv array<double>",
+    ).withColumn("__pn", _norm(F.col("__pv")))
+    probe_buckets = spark.createDataFrame(
+        pd.DataFrame(pb, columns=["probe_id", bucket_col])
     )
-    return cosine_topk(cands, id_col, vec_col, query, k)
+    cand = (
+        bucketed_corpus.join(F.broadcast(probe_buckets), bucket_col)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .distinct()  # a candidate may share several buckets with a probe
+        .withColumn("__cn", _norm(F.col("__cv")))
+        .join(F.broadcast(probe_vecs), "probe_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("__pv", "__cv", lambda a, b: a * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.round(dot / (F.col("__pn") * F.col("__cn")), round_digits)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("probe_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
@@ -277,47 +430,163 @@ def embedding_near_duplicates(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    nbits: int = 10,
+    nbits: int = 6,
+    bands: int = 10,
     seed: int = 42,
+    max_bucket: int = 4096,
+    probe_max_id: int | None = None,
+    round_digits: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH blocking — the scale path.
+    """Embedding-cosine near-dup pairs via MULTIBAND sign-LSH blocking —
+    the scale path: ``(id_a, id_b, score)``, ``id_a < id_b``, rounded
+    cosine >= threshold.
 
-    Sign-LSH buckets the corpus (one projection, no shuffle until the
-    grouping); candidate pairs come from shared buckets in the query bucket
-    plus 1-bit neighbors implicitly via multiband (here: exact-bucket
-    blocking, recall governed by nbits vs threshold — high thresholds need
-    few bits); exact cosine verifies.  Compare :func:`cosine_near_pairs`
-    (exact, quadratic) — this trades recall for a linear candidate count.
+    ``bands`` independent hash tables of ``nbits`` hyperplanes each: a pair
+    is a candidate when it shares the full signature in ANY band (miss
+    probability (1-p^nbits)^bands, p = 1-θ/π), then exact cosine verifies —
+    so precision is always exact and only recall is probabilistic.
+    Candidate generation is the dedup module's one-shuffle bucket-grouping
+    with the ``max_bucket`` quadratic-bomb guard (a hub bucket — e.g. the
+    all-zeros region — is dropped, not expanded).  ``probe_max_id``
+    restricts to pairs whose SMALLER id is below the bound (the
+    :func:`cosine_near_pairs` probe-block semantics, giving the exact
+    oracle twin).  Tuning: high thresholds (true duplicates, cos >= 0.9)
+    prune hard with nbits 6-8; mid thresholds on near-random corpora need
+    nbits 3-4 and buy little — measure before deploying.
     """
+    from h2h_spark.operators.dedup import _bucket_candidates
+
     dim = len(df.select(vec_col).head()[0])
-    planes = hyperplanes(dim, nbits, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__n"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
+    planes = hyperplanes(dim, nbits * bands, seed)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).persist()
+    entries = band_signatures(vecs, "id", "__v", planes, nbits, bands)
+    # Few-bit bands mean uniformly mid-sized buckets: raise the in-array
+    # expansion cap so every bucket stays on the join-free path.
+    cand = _bucket_candidates(
+        entries, ["band", "bucket"], "id", max_bucket, expand_max=2048
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    if probe_max_id is not None:
+        cand = cand.filter(F.col("id_a") < probe_max_id)
+        return _verify_pairs_probe_blocked(
+            cand, vecs, probe_max_id, threshold, round_digits
+        )
+    b = vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    na = _norm(F.col("__va"))
+    nb = _norm(F.col("__vb"))
     dot = F.aggregate(
-        F.zip_with("a.__v", "b.__v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    score = F.round(dot / (F.col("a.__n") * F.col("b.__n")), 4)
+    score = F.round(dot / (na * nb), round_digits)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            score.alias("score"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def band_signatures(
+    df: DataFrame, id_col: str, vec_col: str, planes: np.ndarray, nbits: int, bands: int
+) -> DataFrame:
+    """``(id, band, bucket)`` sign-LSH entries for ALL bands in one
+    vectorized Arrow pass: each partition computes a single
+    ``batch × (bands·nbits)`` matmul and packs bits — replacing a
+    ``bands``-way tree of per-plane aggregate expressions (measured ~5×
+    on the bench corpus; the win grows with bands)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def sign(batches):
+        b_planes = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (mat @ b_planes.T) >= 0  # n × (bands·nbits)
+            buckets = bits.reshape(len(ids), bands, nbits).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(sign, f"{id_col} long, band int, bucket long")
+
+
+def _verify_pairs_probe_blocked(
+    cand: DataFrame,
+    vecs: DataFrame,
+    probe_max_id: int,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs whose smaller id is
+    inside the bounded probe block: the probe vectors broadcast as one
+    normalized numpy matrix, the other side joins in once, scores are a
+    vectorized row-wise dot per Arrow batch."""
+    import pandas as pd
+
+    spark = cand.sparkSession
+    probe_rows = vecs.filter(F.col("id") < probe_max_id).collect()
+    pidx = {int(r["id"]): i for i, r in enumerate(probe_rows)}
+    pmat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in probe_rows])
+    pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((pidx, pmat))
+
+    def verify(batches):
+        b_pidx, b_pmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = b_pmat[[b_pidx[i] for i in pdf["id_a"]]]
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vb"]])
+            vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+            scores = np.round(np.einsum("ij,ij->i", va, vb), round_digits)
+            keep = scores >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "score": scores[keep],
+                }
+            )
+
+    joined = cand.join(
+        vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+    ).select("id_a", "id_b", "__vb")
+    return joined.mapInPandas(verify, "id_a long, id_b long, score double")
+
+
+def ann_probe_buckets(
+    query: Sequence[float], planes: np.ndarray, n_buckets: int
+) -> list[int]:
+    """Confidence-ranked multiprobe bucket list for one query (classic
+    multiprobe LSH): enumerate signatures by the summed |projection| of
+    their flipped bits — the cheapest flips are the planes the query sits
+    closest to, i.e. the buckets most likely to hold its neighbors.
+    Driver-side numpy over 2^nbits masks (nbits <= 16 by design)."""
+    nbits = planes.shape[0]
+    if nbits > 16:
+        raise ValueError("ann multiprobe enumerates 2^nbits masks; keep nbits <= 16")
+    qv = np.asarray(list(map(float, query)))
+    proj = planes @ qv
+    sig = int(((proj >= 0).astype(np.int64) << np.arange(nbits)).sum())
+    masks = np.arange(1 << nbits)
+    bit_on = ((masks[:, None] >> np.arange(nbits)) & 1).astype(bool)
+    costs = (bit_on * np.abs(proj)).sum(axis=1)
+    order = np.argsort(costs, kind="stable")[:n_buckets]
+    return [int(sig ^ m) for m in masks[order]]
 
 
 def ann_topk(
@@ -326,26 +595,53 @@ def ann_topk(
     vec_col: str,
     query: Sequence[float],
     k: int = 10,
-    nbits: int = 12,
+    nbits: int = 8,
     seed: int = 42,
-    multiprobe: bool = True,
+    n_buckets: int = 32,
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: LSH bucket probe (query bucket + 1-bit flips),
-    exact cosine within candidates.
+    """Approximate top-k: confidence-ranked multiprobe over sign-LSH
+    buckets, exact cosine within the candidates.
 
-    With nbits=12 a uniform corpus splits into ~4096 buckets; multiprobe
-    widens recall to the 13 nearest buckets.  Scale path: persist
-    ``df.withColumn("bucket", signature_col(...))`` partitioned by bucket
-    and this probe prunes partitions at the source.
+    ``n_buckets`` of the 2^nbits buckets are probed, cheapest bit-flips
+    first — recall rises with n_buckets at linear candidate cost.  Scale
+    path: persist ``df.withColumn("bucket", signature_col(...))``
+    partitioned by bucket and the probe prunes partitions at the source.
     """
     dim = len(query)
     planes = hyperplanes(dim, nbits, seed)
-    qv = np.asarray(list(map(float, query)))
-    qsig = 0
-    for j in range(nbits):
-        if float(planes[j] @ qv) >= 0:
-            qsig |= 1 << j
-    probes = [qsig] + ([qsig ^ (1 << j) for j in range(nbits)] if multiprobe else [])
+    probes = ann_probe_buckets(query, planes, n_buckets)
     bucketed = df.withColumn("bucket", signature_col(F.col(vec_col), planes))
     cands = bucketed.filter(F.col("bucket").isin(probes))
-    return cosine_topk(cands, id_col, vec_col, query, k)
+    return cosine_topk(cands, id_col, vec_col, query, k, round_digits)
+
+
+def ann_knn_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    n_buckets: int = 32,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Batch ANN: approximate k-NN of every probe row via multiprobe LSH —
+    ``(probe_id, neighbor_id, score, rank)``.  One plan for the whole probe
+    block (no per-probe job): the corpus is signed once, the broadcast
+    (probe, bucket) table joins candidates in, exact cosine + window top-k
+    rank them.  The exact twin is :func:`knn_join`."""
+    dim = len(probes.select(vec_col).head()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    bucketed = corpus.withColumn("bucket", signature_col(F.col(vec_col), planes))
+    return _bucketed_knn(
+        probes,
+        bucketed,
+        id_col,
+        vec_col,
+        "bucket",
+        lambda qv: ann_probe_buckets(qv, planes, n_buckets),
+        k,
+        round_digits,
+    )

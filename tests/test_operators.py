@@ -281,6 +281,91 @@ def test_cosine_near_pairs_symmetric_exact(spark):
                     assert got.get((ids[i], ids[j])) == c
 
 
+def test_ann_and_ivf_knn_join_recall(spark):
+    """Batch approximate k-NN (one plan per probe block) clears the recall
+    contract floor vs the exact twin on every probe."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in S.knn_join(probes, emb, "vec_id", "embedding", k=5).collect():
+        exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+
+    ann = S.ann_knn_join(probes, emb, "vec_id", "embedding", k=5,
+                         nbits=8, n_buckets=64)
+    got = {}
+    for r in ann.collect():
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)
+    assert all(len(got[p]) == 5 for p in exact)
+    # aggregate recall at this tiny corpus (per-probe floors are the
+    # sf0.01+ contract, asserted by the q_ann_topk oracle)
+    assert sum(len(got[p] & exact[p]) for p in exact) >= 8
+
+    idx = S.ivf_build(emb, "vec_id", "embedding", n_centroids=8)
+    ivf = S.ivf_knn_join(probes, idx, k=5, n_probe=4)
+    got_i = {}
+    for r in ivf.collect():
+        got_i.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    idx.unpersist()
+    assert set(got_i) == set(exact)
+    assert all(len(got_i[p] & exact[p]) >= 1 for p in exact)
+
+
+def test_embedding_near_duplicates_equals_exact(spark):
+    """Multiband LSH blocking + exact verify reproduces the exact all-pairs
+    result at band counts sized for full recall (the q_embed_dedup
+    contract)."""
+    from h2h_spark.operators.simsearch import cosine_near_pairs, embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b, r.score) for r in cosine_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, probe_max_id=50
+    ).collect()}
+    lsh = {(r.id_a, r.id_b, r.score) for r in embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.4, nbits=3, bands=16,
+        probe_max_id=50,
+    ).collect()}
+    assert lsh == exact
+
+
+def test_portable_minhash_matches_xxhash_semantics(spark, docs=None):
+    """The md5 portable base hash changes bucket membership, never
+    correctness: output pairs are exactly-verified Jaccard matches under
+    both base hashes."""
+    from h2h_spark.operators.dedup import jaccard_pairs, minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=10_000
+    ).collect()}
+    for bh in ("xxhash64", "md5"):
+        got = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_duplicates(
+            docs, "doc_id", "text", jaccard_threshold=0.5, base_hash=bh
+        ).collect()}
+        assert set(got) <= set(exact)  # banding candidates, exact verify
+        assert all(exact[p] == j for p, j in got.items())
+        assert len(got) >= 1  # the planted near-dups are found
+
+
+def test_portable_simhash_60bit(spark):
+    """md5-mode SimHash: 60-bit fingerprints, 6 pigeonhole chunks; exact
+    duplicates still collide at hamming 0."""
+    from h2h_spark.operators.dedup import simhash64, simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash64(df, "doc_id", "text", "md5").collect()}
+    assert fps[1] == fps[2]
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    pairs = simhash_near_duplicates(
+        df, "doc_id", "text", max_hamming=3, chunks=6, base_hash="md5"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
     out = df.select(D.char_shingles("text", 5).alias("sh")).head()[0]
