@@ -118,6 +118,54 @@ def test_csv_no_trailing_terminator(spark, tmp_work):
     assert back.count() == 3
 
 
+def test_xml_unexpected_tag_between_records_raises(spark, tmp_work):
+    """Reference parity (libhdfsconnector.cpp:318-327): a non-wrapper tag
+    between records aborts — we raise instead of silently truncating."""
+    import pytest
+
+    lay = Layout([("k", Integer(8)), ("v", String(8))])
+    path = f"{tmp_work}/corrupt.xml"
+    with open(path, "w") as f:
+        f.write("<Dataset><Row><k>1</k><v>a</v></Row>"
+                "<Oops>stray</Oops>"
+                "<Row><k>2</k><v>b</v></Row></Dataset>")
+    from h2h_spark import read_xml
+
+    with pytest.raises(Exception, match="[Uu]nexpected tag"):
+        read_xml(spark, path, lay).collect()
+    # declared wrappers between records are fine (sectioned files)
+    path2 = f"{tmp_work}/sections.xml"
+    with open(path2, "w") as f:
+        f.write("<Dataset><Area><Row><k>1</k><v>a</v></Row></Area>"
+                "<Area><Row><k>2</k><v>b</v></Row></Area></Dataset>")
+    got = read_xml(spark, path2, lay, row_tag="Dataset/Area/Row").collect()
+    assert {(r.k, r.v) for r in got} == {(1, "a"), (2, "b")}
+    # strict=False restores skip-anything scanning
+    got2 = read_xml(spark, path, lay, strict=False).collect()
+    assert len(got2) == 2
+
+
+def test_xml_fast_path_matches_etree_forms(spark, tmp_work):
+    """The vectorized parse must be bit-identical to etree on entities,
+    self-closing tags, attributes, and missing fields."""
+    lay = Layout([("k", Integer(8)), ("v", String(20))])
+    path = f"{tmp_work}/forms.xml"
+    with open(path, "w") as f:
+        f.write(
+            "<Dataset>"
+            "<Row><k>1</k><v>a&amp;b</v></Row>"
+            "<Row><k>2</k><v/></Row>"
+            "<Row><k>3</k></Row>"
+            '<Row k="4" v="attr"></Row>'
+            "<Row><k>5</k><v>plain</v></Row>"
+            "</Dataset>"
+        )
+    from h2h_spark import read_xml
+
+    got = {r.k: r.v for r in read_xml(spark, path, lay).collect()}
+    assert got == {1: "a&b", 2: "", 3: None, 4: "attr", 5: "plain"}
+
+
 def test_xml_nested_rowpath_wrappers(spark, tmp_work):
     sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     lay = Layout(
