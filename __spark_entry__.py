@@ -1006,6 +1006,39 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark): bounded input
+    drains as ONE batch whose initial watermark is 0, so every duplicate
+    key is inside the horizon and exactly one survivor per key remains —
+    the key projection is deterministic and oracle-checkable (the row
+    count itself proves the dedup: no .distinct() is applied on top)."""
+    from h2h_spark.streaming.dedup import dedup_stream
+
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_dedup", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+
+    def _norm(df: DataFrame) -> DataFrame:
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+
+    res = dedup_stream(
+        spark, stream_dir, ev_schema, ["user_id"], "ts",
+        watermark="1 hour", transform=_norm,
+    )
+    return res.select("user_id")
+
+
+_SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline extensions (SURVEY.md §2.3)
 # --------------------------------------------------------------------------
@@ -1531,6 +1564,7 @@ def _init_queries() -> None:
         "q_events_window": q_events_window,
         "q_stream_window": q_stream_window,
         "q_stream_stateful": q_stream_stateful,
+        "q_stream_dedup": q_stream_dedup,
         "q_json_extract": q_json_extract,
         "q_quality_score": q_quality_score,
         "q_frame_sample": q_frame_sample,
@@ -1591,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_window": _SQL_EVENTS_WINDOW,
         "q_stream_window": _SQL_STREAM_WINDOW,
         "q_stream_stateful": _SQL_STREAM_STATEFUL,
+        "q_stream_dedup": _SQL_STREAM_DEDUP,
         "q_json_extract": _SQL_JSON_EXTRACT,
         "q_quality_score": _SQL_QUALITY_SCORE,
         "q_dedup_exact": _SQL_DEDUP_EXACT,

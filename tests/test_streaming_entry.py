@@ -37,15 +37,10 @@ def test_contract_consistency():
     # every oracle is non-trivial SQL
     for name, sql in oracles.items():
         assert "SELECT" in sql.upper(), name
-    # rows-only queries are the documented engine-specific ones
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "q_dedup_near_minhash",
-        "q_simhash_pairs",
-        "q_ann_topk",
-        "q_ivf_topk",
-        "q_frame_sample",
-    }
+    # round 2: every declared query has an oracle entry — no rows-only
+    # checks remain (the former five got full-algorithm SQL twins or
+    # differential recall contracts).
+    assert set(qs) == set(oracles)
 
 
 def test_queries_run_at_sf0001(spark):
