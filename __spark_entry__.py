@@ -1438,6 +1438,98 @@ FROM embeddings WHERE vec_id < {_N_RECALL_PROBES}
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (dedup GROUPS with a
+    canonical min-id representative).  Spark side: min-label propagation
+    to exact convergence; oracle: recursive-CTE transitive closure over
+    the same (exact-oracle-verified) Jaccard pair list."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=4, threshold=0.5, max_doc_freq=20
+    )
+    return D.connected_components(pairs)
+
+
+_SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS id, MIN(dst) AS rep FROM reach GROUP BY src
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable train/val/test split by hashed key
+    (stable under repartition and appends, unlike randomSplit)."""
+    from h2h_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "split"
+    )
+
+
+_SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+      FROM documents)
+"""
+
+
+def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap sampling (corpus balancing): at most 30 documents per
+    (lang, source), chosen by hashed key — a uniform per-group subsample,
+    not head-of-file bias."""
+    from h2h_spark.operators.sampling import group_cap_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return group_cap_sample(docs, ["lang", "source"], "doc_id", cap=30).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SQL_GROUP_CAP_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000,
+                    doc_id) AS rn
+  FROM documents)
+WHERE rn <= 30
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace/alnum tokens and the BPE-ish
+    pretokenizer regex (a deterministic proxy for BPE token cost,
+    computable at scan speed on both engines)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("bigint").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return TX.token_stats(docs, "doc_id", "text")
@@ -1577,6 +1669,10 @@ def _init_queries() -> None:
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_embed_dedup": q_embed_dedup,
         "q_ivf_topk": q_ivf_topk,
+        "q_dedup_components": q_dedup_components,
+        "q_hash_split": q_hash_split,
+        "q_group_cap_sample": q_group_cap_sample,
+        "q_token_count": q_token_count,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -1640,6 +1736,10 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_dedup": _SQL_EMBED_NEAR_PAIRS,
         "q_ivf_topk": _SQL_IVF_TOPK,
         "q_frame_sample": _SQL_FRAME_SAMPLE,
+        "q_dedup_components": _SQL_DEDUP_COMPONENTS,
+        "q_hash_split": _SQL_HASH_SPLIT,
+        "q_group_cap_sample": _SQL_GROUP_CAP_SAMPLE,
+        "q_token_count": _SQL_TOKEN_COUNT,
         "q_text_stats": _SQL_TEXT_STATS,
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,

@@ -346,6 +346,61 @@ def jaccard_pairs(
     return _verify_jaccard(cand, sets, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(id, rep)`` where ``rep`` is the minimum id reachable through the
+    pair graph — the step that turns pairwise dedup verdicts into dedup
+    GROUPS with one canonical representative each.
+
+    Min-label propagation: every node starts as its own label; each round
+    takes the min over neighbors; converges in O(graph diameter) rounds —
+    dedup clusters are shallow (near-dup graphs are dense cliques, not
+    chains), so this is 2-4 shuffle rounds in practice.  Each round is one
+    join + one groupBy on the edge list; labels persist between rounds and
+    convergence is an exact changed-count check, not a fixed iteration
+    budget.  (For adversarial high-diameter graphs, switch to the
+    large-star/small-star contraction — same per-round shape, O(log n)
+    rounds; not needed for dedup workloads.)  Nodes outside any pair are
+    their own singleton components and are omitted, matching the
+    recursive-CTE oracle twin in ``__spark_entry__``.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    ).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+                (F.col("nmin") < F.col("lab")).alias("__chg"),
+            )
+        ).persist()
+        changed = updated.filter(F.col("__chg")).count()
+        old, labels = labels, updated.drop("__chg")
+        old.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("lab").alias("rep"))
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
 ) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Deterministic sampling / splitting for training-data pipelines (engine
+extension, SURVEY.md §2.3 adjacent: the ops a 100 TB corpus needs between
+dedup and training).
+
+Everything keys off the engine-portable md5 hash
+(:func:`h2h_spark.operators.dedup.portable_hash60`), so split membership
+is reproducible across engines and runs — the property a train/val/test
+split must have (a reshuffle-dependent split silently leaks validation
+data between retrainings).  All expressions are built-in Spark SQL — one
+narrow projection for splits, one window shuffle for group caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from h2h_spark.operators.dedup import portable_hash60
+
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column | str) -> Column:
+    """Stable 0..9999 bucket for a key — the md5-portable split basis."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(portable_hash60(c.cast("string")), F.lit(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Assign every row to a named split by hashed key: ``splits`` maps
+    name → fraction (must sum to ~1).  Deterministic, engine-portable, and
+    stable under repartition/insert — new rows never move old rows between
+    splits (the reason modulo-hash beats ``randomSplit`` for corpus
+    curation)."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = split_bucket(key_col)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def group_cap_sample(
+    df: DataFrame, group_cols: list[str], key_col: str, cap: int
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen deterministically by hashed
+    key (a uniform subsample of each group, not head-of-file bias) — the
+    per-domain / per-language balancing step of corpus curation.  One
+    window shuffle on the group key; skewed groups are bounded by the cap
+    itself."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        split_bucket(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

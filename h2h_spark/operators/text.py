@@ -31,6 +31,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pretokenizer: letter runs, digit runs, punctuation runs (each
+# with an optional leading space), then remaining whitespace — the GPT-2
+# pattern minus its lookahead/contraction clauses, which RE2-style engines
+# (the DuckDB oracle) cannot express.  A deterministic proxy for "how many
+# BPE tokens will this cost", computable engine-side at scan speed.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, mean token
     length, stopword ratio — the quality-scoring feature set."""

@@ -366,6 +366,65 @@ def test_portable_simhash_60bit(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_connected_components(spark):
+    """Min-label propagation: chains and cliques collapse to the min id;
+    separate components stay separate."""
+    from h2h_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, {10,11} as a pair, 20-21-22 clique
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.rep for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from h2h_spark.operators.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    assert abs(counts["test"] - 1000) < 150
+    # stability: membership of a row never depends on the rest of the data
+    sub = hash_split(df.filter(F.col("k") < 100), "k",
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r.k: r.split for r in out.filter(F.col("k") < 100).collect()}
+    assert {r.k: r.split for r in sub.collect()} == full
+
+
+def test_group_cap_sample(spark):
+    from h2h_spark.operators.sampling import group_cap_sample
+
+    df = spark.range(1000).selectExpr("id AS k", "id % 3 AS g")
+    out = group_cap_sample(df, ["g"], "k", cap=10)
+    counts = {r.g: r.cnt for r in out.groupBy("g").agg(
+        F.count("*").alias("cnt")).collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
+    # deterministic pick
+    again = group_cap_sample(df, ["g"], "k", cap=10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bpe_token_count(spark):
+    from h2h_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, ""), (3, "a  b")],
+        "k long, t string",
+    )
+    got = {r.k: r.n for r in df.select(
+        "k", bpe_token_count("t").alias("n")).collect()}
+    # 'Hello' ',' ' world' '!' ' 42' ' times' = 6
+    assert got[1] == 6
+    assert got[2] == 0
+    assert got[3] == 3  # 'a' ' ' (extra space) + ' b'
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
     out = df.select(D.char_shingles("text", 5).alias("sh")).head()[0]
