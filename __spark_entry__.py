@@ -1530,6 +1530,37 @@ FROM documents
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 2048-token bins via the distributed prefix
+    sum (range partition → partition-local cumsum → broadcast offsets) —
+    NOT a single-partition global window; the oracle twin is the naive
+    global cumulative sum, so the compare proves the two-pass plan exactly
+    reconstructs it."""
+    from h2h_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    counted = docs.select(
+        "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(counted, "doc_id", "n_tokens", budget=2048)
+
+
+_SQL_SEQUENCE_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS before
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(before // 2048 AS BIGINT) AS bin,
+       CAST(before - (before // 2048) * 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return TX.token_stats(docs, "doc_id", "text")
@@ -1673,6 +1704,7 @@ def _init_queries() -> None:
         "q_hash_split": q_hash_split,
         "q_group_cap_sample": q_group_cap_sample,
         "q_token_count": q_token_count,
+        "q_sequence_pack": q_sequence_pack,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -1740,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_split": _SQL_HASH_SPLIT,
         "q_group_cap_sample": _SQL_GROUP_CAP_SAMPLE,
         "q_token_count": _SQL_TOKEN_COUNT,
+        "q_sequence_pack": _SQL_SEQUENCE_PACK,
         "q_text_stats": _SQL_TEXT_STATS,
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,

@@ -410,6 +410,22 @@ def test_group_cap_sample(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_pack_sequences_matches_naive(spark):
+    """Distributed two-pass prefix sum == naive single-pass packing,
+    regardless of partitioning."""
+    from h2h_spark.operators.packing import pack_sequences
+
+    rows = [(i, (i * 37) % 900 + 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(13)
+    got = {r.doc_id: (r.bin, r.bin_offset) for r in pack_sequences(
+        df, "doc_id", "n", budget=2048, n_parts=7
+    ).collect()}
+    cum = 0
+    for i, n in rows:
+        assert got[i] == (cum // 2048, cum % 2048), i
+        cum += n
+
+
 def test_bpe_token_count(spark):
     from h2h_spark.operators.text import bpe_token_count
 
