@@ -115,6 +115,25 @@ def read_csv(
         )
         reader_session.conf.set("spark.sql.files.openCostInBytes", "0")
     lines = reader_session.read.option("lineSep", terminator).text(path)
+    if max_len is not None:
+        # True per-RECORD runaway guard on this path (the reference aborts
+        # when no terminator shows up within maxLen*10 bytes,
+        # libhdfsconnector.cpp:533-537): a record longer than the cap
+        # means the terminator option is wrong for this file — fail the
+        # scan instead of parsing garbage.
+        cap = max_len * 10
+        lines = lines.select(
+            F.when(
+                F.octet_length("value") > cap,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"CSV record exceeds maxLen*10={cap} bytes "
+                              "without a terminator: "),
+                        F.substring("value", 1, 80),
+                    )
+                ),
+            ).otherwise(F.col("value")).alias("value")
+        )
     # Same empty-vs-null contract as the single-char path above: quoted
     # empty (quote*2) reads as '', the \N sentinel reads as SQL NULL.
     opts = {

@@ -104,6 +104,39 @@ def test_bucketed_join_no_shuffle(spark):
     assert joined.count() == orders.count()
 
 
+def test_hash_split_plan_is_narrow(spark):
+    """hash_split must stay a per-row projection: no Exchange, no
+    aggregation — split assignment cannot cost a shuffle at 100 TB."""
+    from h2h_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}).select("doc_id", "split")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_sequence_pack_single_range_exchange(spark):
+    """The two-pass prefix sum plans exactly one range repartition plus
+    the broadcast offsets join — never a single-partition global window
+    (`Window [...] ORDER BY` with no partitioning = the serialization
+    cliff this operator exists to avoid)."""
+    from h2h_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "doc_id", "n_chars AS n"
+    )
+    out = pack_sequences(docs, "doc_id", "n", budget=4096, n_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the window must be partitioned (by the physical partition id), not global
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "global (unpartitioned) window in plan"
+
+
 def test_partition_pruning_in_plan(spark):
     df = entrymod.q_partition_pruning(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

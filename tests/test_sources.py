@@ -327,6 +327,23 @@ def test_csv_null_vs_empty_multichar_terminator(spark, tmp_work):
     assert back[3] == "x"
 
 
+def test_csv_max_len_record_guard(spark, tmp_work):
+    """Per-record runaway guard on the custom-terminator path: a record
+    with no terminator within maxLen*10 bytes fails the scan
+    (libhdfsconnector.cpp:533-537 parity)."""
+    import pytest
+
+    lay = Layout([("k", Integer(8)), ("v", String(64))])
+    path = f"{tmp_work}/runaway.csv"
+    with open(path, "w") as f:
+        f.write("1,ok@@2," + "x" * 500 + "@@")  # second record blows the cap
+    with pytest.raises(Exception, match="maxLen"):
+        read_csv(spark, path, lay, sep=",", terminator="@@", max_len=20).collect()
+    # within the cap, the same file parses
+    ok = read_csv(spark, path, lay, sep=",", terminator="@@", max_len=200)
+    assert ok.count() == 2
+
+
 def test_csv_output_terminator_zero(spark, tmp_work):
     """-outputterminator 0 (hdfsconnector.hpp:365-368): records are
     concatenated with NO terminator re-emission."""
