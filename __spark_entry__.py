@@ -867,6 +867,39 @@ FROM orders
 """
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead, ntile, percent_rank, cume_dist,
+    first_value over one ordered per-customer window (deterministic
+    tiebreak by key)."""
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_key"),
+    )
+
+
+_SQL_WINDOW_FUNCS = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS first_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
@@ -1671,6 +1704,7 @@ def _init_queries() -> None:
         "q_pivot": q_pivot,
         "q_cube": q_cube,
         "q_running_sum": q_running_sum,
+        "q_window_funcs": q_window_funcs,
         "q_quantiles": q_quantiles,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
@@ -1737,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pivot": _SQL_PIVOT,
         "q_cube": _SQL_CUBE,
         "q_running_sum": _SQL_RUNNING_SUM,
+        "q_window_funcs": _SQL_WINDOW_FUNCS,
         "q_quantiles": _SQL_QUANTILES,
         "q_sessionize": _SQL_SESSIONIZE,
         "q_asof_join": _SQL_ASOF_JOIN,

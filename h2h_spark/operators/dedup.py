@@ -378,20 +378,25 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "lab", F.col("id")
     ).persist()
-    for _ in range(max_iter):
+
+    def _propagate(lab_df: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "a"), "a")
+            edges.join(lab_df.withColumnRenamed("id", "a"), "a")
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("lab").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
-                (F.col("nmin") < F.col("lab")).alias("__chg"),
-            )
-        ).persist()
+        return lab_df.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nmin", F.col("lab"))).alias("lab"),
+            (F.col("nmin") < F.col("lab")).alias("__chg"),
+        )
+    for _ in range(max_iter):
+        # Two propagation hops per materialization: dedup components are
+        # shallow (cliques converge in one hop), so doubling hops halves
+        # the persist/count job overhead that dominates at small diameters
+        # while leaving deep-graph behavior at O(diameter/2) rounds.
+        hop1 = _propagate(labels).drop("__chg")
+        updated = _propagate(hop1).persist()
         changed = updated.filter(F.col("__chg")).count()
         old, labels = labels, updated.drop("__chg")
         old.unpersist()
