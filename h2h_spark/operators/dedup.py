@@ -396,10 +396,15 @@ def connected_components(
         # the persist/count job overhead that dominates at small diameters
         # while leaving deep-graph behavior at O(diameter/2) rounds.
         hop1 = _propagate(labels).drop("__chg")
-        updated = _propagate(hop1).persist()
+        # localCheckpoint TRUNCATES LINEAGE each round — without it the
+        # label plan grows by two joins per round (hundreds of nodes by
+        # convergence), which is the classic iterative-Spark driver hazard:
+        # planning cost and driver memory scale with rounds, not data.
+        # Tradeoff (documented): local checkpoints don't survive executor
+        # loss; swap for reliable checkpoint(dir) on long production runs.
+        updated = _propagate(hop1).localCheckpoint()
         changed = updated.filter(F.col("__chg")).count()
-        old, labels = labels, updated.drop("__chg")
-        old.unpersist()
+        labels = updated.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()
