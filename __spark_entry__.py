@@ -1072,6 +1072,50 @@ SELECT DISTINCT user_id FROM events
 """
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (attribution shape): each
+    click matched to purchases by the same user within 10 minutes.  State
+    on both sides is bounded by watermark + horizon; bounded input drains
+    as one batch, so the result equals the batch join oracle."""
+    from h2h_spark.streaming.joins import windowed_stream_join
+
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_join", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+
+    def _norm(df: DataFrame) -> DataFrame:
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+
+    return windowed_stream_join(
+        spark, stream_dir, ev_schema,
+        key_col="user_id", ts_col="ts",
+        left_filter=F.col("event_type") == "click",
+        right_filter=F.col("event_type") == "purchase",
+        select_cols=[
+            "l.event_id AS click_id",
+            "r.event_id AS purchase_id",
+            "l.user_id AS user_id",
+        ],
+        within="10 minutes",
+        transform=_norm,
+    )
+
+
+_SQL_STREAM_JOIN = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline extensions (SURVEY.md §2.3)
 # --------------------------------------------------------------------------
@@ -1722,6 +1766,7 @@ def _init_queries() -> None:
         "q_stream_window": q_stream_window,
         "q_stream_stateful": q_stream_stateful,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_join": q_stream_join,
         "q_json_extract": q_json_extract,
         "q_quality_score": q_quality_score,
         "q_frame_sample": q_frame_sample,
@@ -1789,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_window": _SQL_STREAM_WINDOW,
         "q_stream_stateful": _SQL_STREAM_STATEFUL,
         "q_stream_dedup": _SQL_STREAM_DEDUP,
+        "q_stream_join": _SQL_STREAM_JOIN,
         "q_json_extract": _SQL_JSON_EXTRACT,
         "q_quality_score": _SQL_QUALITY_SCORE,
         "q_dedup_exact": _SQL_DEDUP_EXACT,

@@ -1,0 +1,63 @@
+"""Stream-stream joins — watermarked, time-bounded (the attribution-join
+shape: match each left event to right events within a bounded horizon).
+
+Spark's stream-stream inner join requires BOTH a watermark on each side
+and a time-range predicate in the join condition: together they bound the
+join state (each side buffers only rows inside watermark + horizon), which
+is what makes an unbounded-stream join feasible at all — an unconstrained
+stream join is unbounded state by definition.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def windowed_stream_join(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_filter: Column,
+    right_filter: Column,
+    select_cols: list[str],
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+    transform=None,
+) -> DataFrame:
+    """Run a watermarked stream-stream inner join over a bounded file
+    input and return the joined rows: left rows (matching
+    ``left_filter``) joined to right rows (``right_filter``) with the same
+    key and ``l.ts <= r.ts <= l.ts + within``.
+
+    Bounded input drains in one batch, so the result equals the
+    equivalent batch join — oracle-checkable.
+    """
+    name = f"h2h_sj_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(path)
+    if transform is not None:
+        stream = transform(stream)
+    left = stream.filter(left_filter).withWatermark(ts_col, watermark).alias("l")
+    right = stream.filter(right_filter).withWatermark(ts_col, watermark).alias("r")
+    cond = F.expr(
+        f"l.{key_col} = r.{key_col} AND r.{ts_col} >= l.{ts_col} "
+        f"AND r.{ts_col} <= l.{ts_col} + interval {within}"
+    )
+    joined = left.join(right, cond).selectExpr(*select_cols)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -148,6 +148,40 @@ def test_watermark_append_drops_late_rows(spark, tmp_path):
     assert rows.get("2024-01-01T00:00:00") == 2
 
 
+def test_windowed_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time horizon: only
+    right rows within [l.ts, l.ts + within] match."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from h2h_spark.streaming.joins import windowed_stream_join
+
+    src = str(tmp_path / "sj_src")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 8, 8],
+            "event_type": ["click", "purchase", "purchase", "click", "purchase"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00",
+                 "2024-01-01 00:05",   # within 10m of click 1 → match
+                 "2024-01-01 00:20",   # outside horizon → no match
+                 "2024-01-01 01:00",
+                 "2024-01-01 00:59"]), # BEFORE click 4 → no match
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = windowed_stream_join(
+        spark, src, schema,
+        key_col="user_id", ts_col="ts",
+        left_filter=F.col("event_type") == "click",
+        right_filter=F.col("event_type") == "purchase",
+        select_cols=["l.event_id AS click_id", "r.event_id AS purchase_id"],
+        within="10 minutes",
+    )
+    assert {(r.click_id, r.purchase_id) for r in out.collect()} == {(1, 2)}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     import pandas as pd
     from h2h_spark.streaming.dedup import dedup_stream
