@@ -74,6 +74,38 @@ def main() -> None:
         dt = time.time() - t0
         print(f"{label}: {dt:.1f}s = {sz/dt:.0f} MB/s")
 
+    xml_probe(spark, n=min(n, 2_000_000))
+
+
+XML_PATH = "/tmp/h2h_tp/big.xml"
+
+
+def xml_probe(spark, n: int) -> None:
+    """XML scan throughput over the vectorized flat-row fast path."""
+    from h2h_spark import read_xml
+
+    if not (os.path.exists(XML_PATH) and os.path.getsize(XML_PATH) > 0):
+        with open(XML_PATH, "w") as f:
+            f.write("<Dataset>\n")
+            for i in range(n):
+                f.write(
+                    f"<Row><k>{i}</k><a>{(i % 997) / 7:.4f}</a>"
+                    f"<tag>tag{i % 1000:05d}</tag><grp>{i % 100}</grp></Row>\n"
+                )
+            f.write("</Dataset>\n")
+    lay = Layout([("k", Integer(8)), ("a", Real(8)), ("tag", String(16)), ("grp", Integer(4))])
+    sz = os.path.getsize(XML_PATH) / 1e6
+
+    def scan():
+        return read_xml(spark, XML_PATH, lay, max_partition_bytes=8 * 1024 * 1024) \
+            .agg(F.sum("a")).count()
+
+    scan()  # warm
+    t0 = time.time()
+    scan()
+    dt = time.time() - t0
+    print(f"xml_full_scan_agg: {dt:.1f}s = {sz/dt:.0f} MB/s ({sz:.0f} MB)")
+
 
 if __name__ == "__main__":
     main()
