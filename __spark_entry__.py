@@ -1638,6 +1638,63 @@ FROM c
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram ratio — the boilerplate/degenerate-text quality
+    signal (1 - distinct/total word trigrams)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.repetition_score(docs, "doc_id", "text", k=3)
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS grams
+  FROM t)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq_grams,
+       ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS repetition
+FROM g
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with id >= 20 sharing any distinct
+    8-gram with the 'eval set' (docs 0-19).  The eval shingle set
+    broadcasts — the corpus scan shuffles only matches."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    eval_set = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    return TX.decontaminate(train, eval_set, "doc_id", "text", ngram=8)
+
+
+_SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 1) + 1),
+           i -> array_to_string(toks[i:i+7], ' '))) AS shset
+  FROM t),
+ev AS (
+  SELECT DISTINCT unnest(shset) AS shingle FROM sh WHERE doc_id < 20),
+tr AS (
+  SELECT doc_id, unnest(shset) AS shingle FROM sh WHERE doc_id >= 20)
+SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_overlap
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.shingle) >= 1
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return TX.token_stats(docs, "doc_id", "text")
@@ -1784,6 +1841,8 @@ def _init_queries() -> None:
         "q_group_cap_sample": q_group_cap_sample,
         "q_token_count": q_token_count,
         "q_sequence_pack": q_sequence_pack,
+        "q_repetition": q_repetition,
+        "q_decontaminate": q_decontaminate,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -1854,6 +1913,8 @@ def oracle_sql() -> dict[str, str]:
         "q_group_cap_sample": _SQL_GROUP_CAP_SAMPLE,
         "q_token_count": _SQL_TOKEN_COUNT,
         "q_sequence_pack": _SQL_SEQUENCE_PACK,
+        "q_repetition": _SQL_REPETITION,
+        "q_decontaminate": _SQL_DECONTAMINATE,
         "q_text_stats": _SQL_TEXT_STATS,
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,

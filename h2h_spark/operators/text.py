@@ -31,6 +31,67 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def repetition_score(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """``(id, n_grams, n_uniq_grams, repetition)`` — the repeated-n-gram
+    ratio (1 - distinct/total word k-grams), the classic boilerplate /
+    degenerate-text quality signal.  Pure JVM expressions, one projection.
+    Documents with < k tokens score 0 (nothing can repeat)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    out = df.select(F.col(id_col).alias("id"), grams.alias("__g"))
+    n = F.size("__g").cast("bigint")
+    u = F.size(F.array_distinct("__g")).cast("bigint")
+    return out.select(
+        F.col("id").alias(id_col),
+        n.alias("n_grams"),
+        u.alias("n_uniq_grams"),
+        F.round(1.0 - u.cast("double") / n, 4).alias("repetition"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >=
+    ``min_overlap`` distinct word ``ngram``-grams with ANY eval document —
+    ``(id, n_overlap)``.
+
+    The eval side is tiny by nature (benchmarks are thousands of rows, not
+    billions): its distinct shingle set broadcasts, so the scan over 100 TB
+    of training text is one filter-after-projection with NO shuffle of the
+    corpus — the groupBy aggregates only the matching (doc, shingle) pairs.
+    """
+    from h2h_spark.operators.dedup import shingles_from_tokens
+
+    ev = (
+        eval_set.select(shingles_from_tokens(tokens(text_col), ngram).alias("sh"))
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    tr = (
+        train.select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(tokens(text_col), ngram).alias("sh"),
+        )
+        .select("id", F.explode("sh").alias("shingle"))
+    )
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return (
+        hits.groupBy("id")
+        .agg(F.count_distinct("shingle").cast("bigint").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
 # BPE-ish pretokenizer: letter runs, digit runs, punctuation runs (each
 # with an optional leading space), then remaining whitespace — the GPT-2
 # pattern minus its lookahead/contraction clauses, which RE2-style engines

@@ -441,6 +441,41 @@ def test_bpe_token_count(spark):
     assert got[3] == 3  # 'a' ' ' (extra space) + ' b'
 
 
+def test_repetition_score(spark):
+    from h2h_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),    # one distinct trigram
+         (2, "all words here are fully unique")], # no repeats
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_score(df, "doc_id", "text").collect()}
+    assert got[1].repetition > 0.7
+    assert got[2].repetition == 0.0
+    assert got[2].n_grams == got[2].n_uniq_grams
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from h2h_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france and why does it matter today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "trivia night asked what is the capital of france and why "
+             "does it matter today in europe"),
+         (2, "completely unrelated text about spark partitioning strategies "
+             "and shuffle behavior at scale")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap for r in decontaminate(
+        train, bench, "doc_id", "text", ngram=8
+    ).collect()}
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+
+
 def test_char_shingles(spark):
     df = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
     out = df.select(D.char_shingles("text", 5).alias("sh")).head()[0]
