@@ -1748,6 +1748,23 @@ FROM documents
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary→binary stage (resize stub): the payload column
+    round-trips python→Arrow→JVM as binary and the oracle compares the
+    derived BLOB bytes directly (stub = deterministic truncation; the
+    ASCII corpus makes it SQL-expressible)."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    binary = MM.with_binary_payload(docs, "doc_id", "text")
+    return MM.resize_images(binary, "doc_id", width=32, height=32)
+
+
+_SQL_IMAGE_RESIZE = """
+SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       encode(substring(text, 1, 1024)) AS resized
+FROM documents
+"""
+
+
 def _lang_oracle_sql() -> str:
     langs = sorted(TX.LANG_MARKERS)
     score_exprs = []
@@ -1847,6 +1864,7 @@ def _init_queries() -> None:
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_image_resize": q_image_resize,
     })
 
 
@@ -1919,4 +1937,5 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,
         "q_multimodal_meta": _SQL_MULTIMODAL_META,
+        "q_image_resize": _SQL_IMAGE_RESIZE,
     }

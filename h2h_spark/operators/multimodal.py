@@ -87,6 +87,51 @@ def decode_features(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return binary_df.mapInPandas(_decode, DECODE_SCHEMA)
 
 
+def resize_images(
+    binary_df: DataFrame,
+    id_col: str,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """'Image resize' stage: binary in → binary out through an
+    Arrow-batched ``mapInPandas`` — the schema/batch plumbing a real
+    resize needs (PIL absent in this container, so the pixel transform is
+    STUBBED as a deterministic byte truncation to the target budget; swap
+    ``_stub_resize`` for a real decoder+resampler in production).  The
+    payload column round-trips python→Arrow→JVM as ``binary``, which is
+    the property under test: derived blobs stay columnar, never shuffled
+    as strings."""
+    budget = width * height
+
+    def _stub_resize(payload: bytes) -> bytes:
+        try:  # pragma: no cover - PIL absent in this container
+            import io
+
+            from PIL import Image  # type: ignore
+
+            img = Image.open(io.BytesIO(payload)).resize((width, height))
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue()
+        except Exception:
+            return payload[:budget]
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": [_stub_resize(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return binary_df.mapInPandas(
+        _resize, "doc_id long, width int, height int, resized binary"
+    )
+
+
 def frame_sample(
     binary_df: DataFrame, id_col: str, frame_bytes: int = 1024, stride: int = 4
 ) -> DataFrame:

@@ -181,6 +181,10 @@ def test_multimodal_decode_and_frames(spark):
     frames = MM.frame_sample(binary, "doc_id", frame_bytes=1024, stride=2).collect()
     assert {r.doc_id for r in frames} == {1, 2}
     assert sum(1 for r in frames if r.doc_id == 2) == 2  # ceil(4/2) frames
+    resized = {r.doc_id: r for r in MM.resize_images(binary, "doc_id", 8, 8).collect()}
+    assert isinstance(resized[1].resized, (bytes, bytearray))  # binary OUT
+    assert bytes(resized[1].resized) == b"abc"          # shorter than budget
+    assert len(bytes(resized[2].resized)) == 64         # truncated to w*h
 
 
 def test_asof_join_backward(spark):
