@@ -2,6 +2,15 @@
 SURVEY.md §2.3 E1; not present in the reference, which delegates all
 relational work to the host engine).
 
+Algorithms are the published classics: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; applied to web dedup in Manku et al., WWW 2007),
+and min-label-propagation connected components (the "hash-to-min" family;
+see Kiveris et al., "Connected components in MapReduce and beyond",
+SoCC 2014 for the large-star/small-star variant noted below).
+
 All hot paths are built-in Spark SQL functions (JVM, codegen) — no Python
 UDFs.  Scale posture for 100 TB:
 

@@ -7,11 +7,16 @@ Embeddings are ``array<float>`` columns.  Two paths:
   ``zip_with`` + ``aggregate`` (JVM-side, no UDF), then a global top-k.
   The right baseline at any scale where a full scan is acceptable (top-k
   is a TakeOrdered, not a full sort).
-- :func:`ann_topk` — random-hyperplane LSH: deterministic hyperplanes
-  (seeded), documents bucketed by sign-bit signature; a query probes its
-  own bucket plus all 1-bit-flip neighbors.  At 100 TB the bucket column
-  becomes the partition/bucketing key so a probe touches a handful of
-  partitions instead of the fleet.
+- :func:`ann_topk` — random-hyperplane sign-LSH (Charikar, STOC 2002)
+  with confidence-ranked multiprobe (Lv et al., "Multi-probe LSH",
+  VLDB 2007): deterministic seeded hyperplanes, documents bucketed by
+  sign-bit signature, the query probes the cheapest bit-flip buckets
+  first.  At 100 TB the bucket column becomes the partition/bucketing key
+  so a probe touches a handful of partitions instead of the fleet.
+- :func:`ivf_build` / :func:`ivf_probe` — inverted-file index (the IVF of
+  Jégou et al., "Product quantization for nearest neighbor search",
+  TPAMI 2011, without the PQ compression stage): sample-fit k-means
+  cells, probe the nearest cells only.
 """
 
 from __future__ import annotations

@@ -36,12 +36,17 @@ def repetition_score(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> D
     ratio (1 - distinct/total word k-grams), the classic boilerplate /
     degenerate-text quality signal.  Pure JVM expressions, one projection.
     Documents with < k tokens score 0 (nothing can repeat)."""
-    toks = tokens(text_col)
+    # Materialize the token array before the gram expression references it
+    # (the 8× Catalyst inlining trap — see dedup.shingles_from_tokens).
+    toks = F.col("__t")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    out = df.select(F.col(id_col).alias("id"), grams.alias("__g"))
+    out = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        .select("id", grams.alias("__g"))
+    )
     n = F.size("__g").cast("bigint")
     u = F.size(F.array_distinct("__g")).cast("bigint")
     return out.select(
@@ -71,17 +76,20 @@ def decontaminate(
     """
     from h2h_spark.operators.dedup import shingles_from_tokens
 
+    from h2h_spark.operators.dedup import shingle_sets
+
+    # shingle_sets persists the (id, shingles) table: the persist is ALSO
+    # the evaluation barrier that keeps the shingle expression out of the
+    # explode generator — a generator child this complex evaluates
+    # interpreted (outside whole-stage codegen), measured ~4× slower than
+    # the codegen'd projection the barrier preserves.
     ev = (
-        eval_set.select(shingles_from_tokens(tokens(text_col), ngram).alias("sh"))
+        shingle_sets(eval_set, id_col, text_col, ngram, persist=True)
         .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    tr = (
-        train.select(
-            F.col(id_col).alias("id"),
-            shingles_from_tokens(tokens(text_col), ngram).alias("sh"),
-        )
-        .select("id", F.explode("sh").alias("shingle"))
+    tr = shingle_sets(train, id_col, text_col, ngram, persist=True).select(
+        "id", F.explode("sh").alias("shingle")
     )
     hits = tr.join(F.broadcast(ev), "shingle")
     return (
