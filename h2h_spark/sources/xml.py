@@ -377,17 +377,25 @@ def write_xml(
     path: str,
     row_path: str = "Dataset/Row",
     overwrite: bool = True,
+    header_text: str | None = None,
+    footer_text: str | None = None,
 ) -> list[_sink.PartInfo]:
     """Row-tag XML writer (engine extension — see module docstring).
 
     ``row_path`` is the full xpath: wrappers synthesized per ``xpath2xml``;
     default header/footer ``<Dataset>``/``</Dataset>`` matches
-    ``hdfsconnector.hpp:229-230``.  Each part file is a complete XML
+    ``hdfsconnector.hpp:229-230``, overridable via ``header_text`` /
+    ``footer_text`` (the reference's ``-headertext``/``-footertext``,
+    ``hdfsconnector.hpp:353-360``).  Each part file is a complete XML
     document; for a single file, coalesce first or merge with
     :func:`h2h_spark.sources.merge.merge_parts` semantics.
     """
     wrappers, row_tag = split_row_path(row_path)
     header, footer = xpath_to_wrappers(wrappers)
+    if header_text is not None:
+        header = header_text
+    if footer_text is not None:
+        footer = footer_text
     columns = df.columns
 
     def _serialize(batch: pa.RecordBatch) -> bytes:

@@ -118,6 +118,21 @@ def test_csv_no_trailing_terminator(spark, tmp_work):
     assert back.count() == 3
 
 
+def test_xml_header_footer_override(spark, tmp_work):
+    """-headertext/-footertext parity (hdfsconnector.hpp:353-360)."""
+    from h2h_spark import write_xml
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1)
+    write_xml(df, f"{tmp_work}/hf", row_path="Dataset/Row",
+              header_text="<!-- custom --><Dataset>",
+              footer_text="</Dataset><!-- end -->")
+    import glob
+
+    data = open(glob.glob(f"{tmp_work}/hf/part_*")[0]).read()
+    assert data.startswith("<!-- custom --><Dataset>")
+    assert data.rstrip().endswith("</Dataset><!-- end -->")
+
+
 def test_xml_unexpected_tag_between_records_raises(spark, tmp_work):
     """Reference parity (libhdfsconnector.cpp:318-327): a non-wrapper tag
     between records aborts — we raise instead of silently truncating."""
