@@ -1259,10 +1259,13 @@ def _minhash_oracle_sql(
     threshold: float = 0.5,
     max_bucket: int = 200,
     seed: int = 42,
+    delta_min_id: int | None = None,
 ) -> str:
     """DuckDB twin of q_dedup_near_minhash: same permutation constants
     (from the same seeded generator), same md5-derived base hash, same
-    banding and caps."""
+    banding and caps.  ``delta_min_id`` restricts candidate pairs to those
+    touching the delta (ids >= the bound) — the incremental-dedup
+    contract: identical pipeline, corpus×corpus pairs excluded."""
     params = D._hash_params(num_hashes, seed)
     rows = num_hashes // bands
     sig_aggs = ",\n         ".join(
@@ -1298,7 +1301,8 @@ cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bandtab a
   JOIN okbuckets o ON a.band = o.band AND a.bucket = o.bucket
-  JOIN bandtab b ON b.band = a.band AND b.bucket = a.bucket AND a.id < b.id)
+  JOIN bandtab b ON b.band = a.band AND b.bucket = a.bucket AND a.id < b.id
+  {"WHERE b.id >= " + str(delta_min_id) if delta_min_id is not None else ""})
 SELECT id_a, id_b,
        ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
@@ -1306,6 +1310,33 @@ FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
 WHERE ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
             / len(list_distinct(list_concat(sa.shset, sb.shset))), 4) >= {threshold}
 """
+
+
+_MINHASH_INDEX_CACHE: dict = {}
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a delta batch (docs >= 400) deduped against the
+    prebuilt corpus index (docs < 400) WITHOUT regenerating corpus×corpus
+    pairs — the daily-ingest shape at 100 TB.  The index (band entries +
+    shingle sets) builds once per (session, sf) here, standing in for the
+    stored parquet index of a production pipeline.  Oracle: the identical
+    full-pipeline SQL restricted to delta-touching pairs."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    key = (id(spark.sparkContext), sf_dir)
+    idx = _MINHASH_INDEX_CACHE.get(key)
+    if idx is None:
+        corpus = docs.filter(F.col("doc_id") < 400)
+        entries, sets = D.minhash_index(
+            corpus, "doc_id", "text", base_hash="md5"
+        )
+        idx = (entries.persist(), sets)
+        _MINHASH_INDEX_CACHE[key] = idx
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return D.minhash_dedup_against_index(
+        delta, idx[0], idx[1], "doc_id", "text",
+        jaccard_threshold=0.5, base_hash="md5",
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1847,6 +1878,7 @@ def _init_queries() -> None:
         "q_dedup_exact": q_dedup_exact,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_near_minhash": q_dedup_near_minhash,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_simhash_pairs": q_simhash_pairs,
         "q_simsearch_topk": q_simsearch_topk,
         "q_ann_topk": q_ann_topk,
@@ -1917,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": _SQL_DEDUP_EXACT,
         "q_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "q_dedup_near_minhash": _minhash_oracle_sql(),
+        "q_dedup_incremental": _minhash_oracle_sql(delta_min_id=400),
         "q_simhash_pairs": _simhash_oracle_sql(),
         "q_simsearch_topk": _SQL_SIMSEARCH_TOPK,
         "q_ann_topk": _SQL_ANN_TOPK,

@@ -280,39 +280,10 @@ def minhash_near_duplicates(
     pipeline — base hash, permutations, banding, bucket caps, verification
     — is reproducible in portable SQL.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-    sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
-    sig = minhash_signatures(
-        df, "id", text_col, num_hashes, shingle_k, seed, base_hash, _sets=sets
+    band_entries, sets = minhash_index(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, seed=seed, base_hash=base_hash,
     )
-
-    def _band_bucket(j: int) -> Column:
-        joined = F.array_join(
-            F.transform(
-                F.slice("sig", j * rows + 1, rows), lambda x: x.cast("string")
-            ),
-            "_",
-        )
-        # Portable mode keeps the slice string as the bucket key; the
-        # xxhash64 re-hash is only a fixed-width-key optimization.
-        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
-
-    band_entries = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"), _band_bucket(j).alias("bucket")
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-
     cand = _bucket_candidates(band_entries, ["band", "bucket"], "id", max_bucket)
     return _verify_jaccard(cand, sets, jaccard_threshold)
 
@@ -353,6 +324,108 @@ def jaccard_pairs(
     exploded = sets.select("id", F.explode("sh").alias("shingle"))
     cand = _bucket_candidates(exploded, ["shingle"], "id", max_doc_freq)
     return _verify_jaccard(cand, sets, threshold)
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 4,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the reusable dedup index for a corpus: ``(band_entries,
+    shingle_sets)`` — the two tables incremental dedup needs.  In
+    production these are WRITTEN OUT (parquet, partitioned by band/bucket)
+    once per corpus version; a daily delta then dedups against them
+    without re-shingling the 100 TB corpus (:func:`minhash_dedup_against_index`).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
+    sig = minhash_signatures(
+        df, "id", text_col, num_hashes, shingle_k, seed, base_hash, _sets=sets
+    )
+
+    def _band_bucket(j: int) -> Column:
+        joined = F.array_join(
+            F.transform(
+                F.slice("sig", j * rows + 1, rows), lambda x: x.cast("string")
+            ),
+            "_",
+        )
+        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
+
+    entries = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), _band_bucket(j).alias("bucket"))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    return entries, sets
+
+
+def minhash_dedup_against_index(
+    delta: DataFrame,
+    index_entries: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 4,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup detection: pairs ``(id_a, id_b, jaccard)``
+    linking a DELTA batch to the indexed corpus or to itself — the
+    corpus×corpus pairs are never regenerated (the corpus is already
+    deduped; re-pairing it each ingest is the quadratic cost this operator
+    exists to avoid).
+
+    One shuffle joins the delta's band entries against the combined entry
+    table; the hub guard counts buckets over corpus+delta together, so a
+    bucket that became pathological only after the delta landed is still
+    capped.  Verification reads shingle sets from the stored index for
+    corpus docs and computes them only for the delta.
+    """
+    d_entries, d_sets = minhash_index(
+        delta, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k, seed=seed, base_hash=base_hash,
+    )
+    all_entries = index_entries.unionByName(d_entries)
+    counts = all_entries.groupBy("band", "bucket").count()
+    ok = counts.filter(F.col("count") <= max_bucket).drop("count")
+    pruned = all_entries.join(ok, ["band", "bucket"])
+    d = d_entries.join(ok, ["band", "bucket"])
+    cand = (
+        d.alias("d")
+        .join(
+            pruned.alias("o"),
+            (F.col("d.band") == F.col("o.band"))
+            & (F.col("d.bucket") == F.col("o.bucket"))
+            & (F.col("d.id") != F.col("o.id")),
+        )
+        .select(
+            F.least("d.id", "o.id").alias("id_a"),
+            F.greatest("d.id", "o.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sets = index_sets.unionByName(d_sets)
+    return _verify_jaccard(cand, all_sets, jaccard_threshold)
 
 
 def connected_components(

@@ -370,6 +370,30 @@ def test_portable_simhash_60bit(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
+def test_minhash_incremental_excludes_corpus_pairs(spark):
+    """Delta-vs-index dedup finds cross and delta-delta pairs but never
+    regenerates corpus-corpus pairs."""
+    from h2h_spark.operators.dedup import minhash_dedup_against_index, minhash_index
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base),  # corpus-corpus dup: must NOT be re-found
+         (3, "totally different words that share nothing at all here")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, base),  # dups of corpus docs 1 and 2
+         (11, "unrelated fresh delta content nothing shared with anyone"),
+         (12, base)],  # also pairs with 10 (delta-delta)
+        "doc_id long, text string",
+    )
+    entries, sets = minhash_index(corpus, "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in minhash_dedup_against_index(
+        delta, entries, sets, "doc_id", "text", jaccard_threshold=0.9
+    ).collect()}
+    assert got == {(1, 10), (2, 10), (1, 12), (2, 12), (10, 12)}
+
+
 def test_connected_components(spark):
     """Min-label propagation: chains and cliques collapse to the min id;
     separate components stay separate."""
