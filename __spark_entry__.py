@@ -1572,6 +1572,33 @@ SELECT src AS id, MIN(dst) AS rep FROM reach GROUP BY src
 """
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus in, deduplicated corpus out: exact-Jaccard pairs → connected
+    components → drop non-canonical group members.  The capstone query the
+    pair finders feed."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=4, threshold=0.5, max_doc_freq=20
+    )
+    return D.dedup_corpus(docs, "doc_id", pairs).select("doc_id")
+
+
+_SQL_DEDUP_CORPUS = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS id, MIN(dst) AS rep FROM reach GROUP BY src)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable train/val/test split by hashed key
     (stable under repartition and appends, unlike randomSplit)."""
@@ -1886,6 +1913,7 @@ def _init_queries() -> None:
         "q_embed_dedup": q_embed_dedup,
         "q_ivf_topk": q_ivf_topk,
         "q_dedup_components": q_dedup_components,
+        "q_dedup_corpus": q_dedup_corpus,
         "q_hash_split": q_hash_split,
         "q_group_cap_sample": q_group_cap_sample,
         "q_token_count": q_token_count,
@@ -1960,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_topk": _SQL_IVF_TOPK,
         "q_frame_sample": _SQL_FRAME_SAMPLE,
         "q_dedup_components": _SQL_DEDUP_COMPONENTS,
+        "q_dedup_corpus": _SQL_DEDUP_CORPUS,
         "q_hash_split": _SQL_HASH_SPLIT,
         "q_group_cap_sample": _SQL_GROUP_CAP_SAMPLE,
         "q_token_count": _SQL_TOKEN_COUNT,

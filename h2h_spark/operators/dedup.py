@@ -493,6 +493,24 @@ def connected_components(
     return labels.select("id", F.col("lab").alias("rep"))
 
 
+def dedup_corpus(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """End-to-end dedup: given near-dup ``pairs``, drop every document
+    that is a non-canonical member of a duplicate group (the group's
+    minimum id survives).  This is the user-facing operation the pair
+    finders exist for: corpus in, deduplicated corpus out.
+
+    The drop set (component members ≠ representative) is at most the
+    pair-participating docs — tiny relative to the corpus — so the final
+    filter is a broadcast-friendly anti-join against the full table."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    drop = comp.filter(F.col("id") != F.col("rep")).select("id")
+    return df.join(
+        F.broadcast(drop), df[id_col] == drop["id"], "left_anti"
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
 ) -> DataFrame:
