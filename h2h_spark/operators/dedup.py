@@ -406,12 +406,19 @@ def minhash_dedup_against_index(
         shingle_k=shingle_k, seed=seed, base_hash=base_hash,
     )
     all_entries = index_entries.unionByName(d_entries)
-    counts = all_entries.groupBy("band", "bucket").count()
-    ok = counts.filter(F.col("count") <= max_bucket).drop("count")
-    pruned = all_entries.join(ok, ["band", "bucket"])
-    d = d_entries.join(ok, ["band", "bucket"])
+    # Hub guard as a broadcast ANTI-join against the VIOLATING buckets
+    # only: violators are rare by definition (that's what makes them
+    # hubs), so the broadcast stays tiny at any corpus size — unlike a
+    # broadcast of all occupied buckets.
+    violators = (
+        all_entries.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "bucket")
+    )
+    pruned = all_entries.join(F.broadcast(violators), ["band", "bucket"], "left_anti")
     cand = (
-        d.alias("d")
+        d_entries.alias("d")
         .join(
             pruned.alias("o"),
             (F.col("d.band") == F.col("o.band"))
@@ -583,13 +590,17 @@ def simhash_near_duplicates(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.chunk")
-    # Hub guard: drop pathological buckets before the self-join; the counts
-    # table is tiny (one row per occupied bucket) → broadcast.
-    counts = entries.groupBy("band", "chunk").count()
-    pruned = entries.join(
-        F.broadcast(counts.filter(F.col("count") <= max_bucket).drop("count")),
-        ["band", "chunk"],
+    # Hub guard: drop pathological buckets before the self-join — as a
+    # broadcast ANTI-join against the violators only (rare by definition,
+    # so the broadcast stays tiny at any corpus size; broadcasting all
+    # occupied buckets would grow with the corpus).
+    violators = (
+        entries.groupBy("band", "chunk")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "chunk")
     )
+    pruned = entries.join(F.broadcast(violators), ["band", "chunk"], "left_anti")
     a = pruned.alias("a")
     b = pruned.alias("b")
     cand = (
