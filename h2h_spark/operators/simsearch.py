@@ -106,6 +106,10 @@ def knn_join(
             f"knn_join probe side has {len(rows)} rows (> {_MAX_PROBE_COLLECT}); "
             "block the probes or use ann_knn_join"
         )
+    if not rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, score double, rank int"
+        )
     pids = np.array([r[0] for r in rows], dtype=np.int64)
     pmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
@@ -208,6 +212,8 @@ def _near_pairs_blocked(
     probe_rows = (
         df.filter(F.col(id_col) < probe_max_id).select(id_col, vec_col).collect()
     )
+    if not probe_rows:
+        return spark.createDataFrame([], "id_a long, id_b long, score double")
     pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
     pmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in probe_rows])
     pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
@@ -378,6 +384,10 @@ def _bucketed_knn(
     rows = probes.select(id_col, vec_col).collect()
     if len(rows) > _MAX_PROBE_COLLECT:
         raise ValueError(f"probe side has {len(rows)} rows (> {_MAX_PROBE_COLLECT})")
+    if not rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, score double, rank int"
+        )
     pb = []
     for r in rows:
         qv = [float(x) for x in r[1]]
@@ -544,6 +554,8 @@ def _verify_pairs_probe_blocked(
 
     spark = cand.sparkSession
     probe_rows = vecs.filter(F.col("id") < probe_max_id).collect()
+    if not probe_rows:
+        return spark.createDataFrame([], "id_a long, id_b long, score double")
     pidx = {int(r["id"]): i for i, r in enumerate(probe_rows)}
     pmat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in probe_rows])
     pmat = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
@@ -637,7 +649,12 @@ def ann_knn_join(
     block (no per-probe job): the corpus is signed once, the broadcast
     (probe, bucket) table joins candidates in, exact cosine + window top-k
     rank them.  The exact twin is :func:`knn_join`."""
-    dim = len(probes.select(vec_col).head()[0])
+    first = probes.select(vec_col).head()
+    if first is None:
+        return probes.sparkSession.createDataFrame(
+            [], "probe_id long, neighbor_id long, score double, rank int"
+        )
+    dim = len(first[0])
     planes = hyperplanes(dim, nbits, seed)
     bucketed = corpus.withColumn("bucket", signature_col(F.col(vec_col), planes))
     return _bucketed_knn(
