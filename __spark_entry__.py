@@ -1707,6 +1707,89 @@ FROM c
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→customer/supplier→orders
+    →lineitem) with same-nation customer-supplier restriction, decimal-
+    exact revenue per nation.  Catalyst owns the join order; the dims
+    broadcast."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2))
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/IPv4/phones → placeholder tokens) with
+    per-kind counts; the oracle applies the identical RE2-safe patterns in
+    the identical order and compares the scrubbed text md5."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = TX.scrub_pii(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.encode("scrubbed", "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Mirrors scrub_pii exactly: each count is taken on the text AFTER
+    the previous patterns' replacements, then its own replacement
+    applies."""
+    carried: list[str] = []
+    sql = "SELECT doc_id, text AS t FROM documents"
+    for name, pat, repl in TX.PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        carry = (", " + ", ".join(carried)) if carried else ""
+        sql = (
+            f"SELECT doc_id{carry}, "
+            f"CAST(len(regexp_extract_all(t, '{pat_sql}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t, '{pat_sql}', '{repl}', 'g') AS t FROM ({sql})"
+        )
+        carried.append(f"n_{name}")
+    return (
+        "SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS scrubbed_md5 "
+        f"FROM ({sql})"
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-n-gram ratio — the boilerplate/degenerate-text quality
     signal (1 - distinct/total word trigrams)."""
@@ -1931,6 +2014,8 @@ def _init_queries() -> None:
         "q_sequence_pack": q_sequence_pack,
         "q_repetition": q_repetition,
         "q_decontaminate": q_decontaminate,
+        "q_local_supplier_volume": q_local_supplier_volume,
+        "q_pii_scrub": q_pii_scrub,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -2006,6 +2091,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sequence_pack": _SQL_SEQUENCE_PACK,
         "q_repetition": _SQL_REPETITION,
         "q_decontaminate": _SQL_DECONTAMINATE,
+        "q_local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
+        "q_pii_scrub": _pii_oracle_sql(),
         "q_text_stats": _SQL_TEXT_STATS,
         "q_lang_id": _lang_oracle_sql(),
         "q_fingerprint": _SQL_FINGERPRINT,

@@ -31,6 +31,33 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# PII patterns kept RE2-compatible (no lookaround/backrefs) so the DuckDB
+# oracle applies the IDENTICAL regexes; applied in this exact order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d() -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers: ``(id, scrubbed, n_email,
+    n_ipv4, n_phone)`` — the privacy pass of a training-data pipeline.
+    Pure JVM regex expressions (scan-speed); patterns and application
+    order are engine-portable by construction (RE2-safe), so the oracle
+    re-derives the scrubbed text exactly."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col), *counts, scrubbed.alias("scrubbed")
+    )
+
+
 def repetition_score(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """``(id, n_grams, n_uniq_grams, repetition)`` — the repeated-n-gram
     ratio (1 - distinct/total word k-grams), the classic boilerplate /

@@ -469,6 +469,24 @@ def test_bpe_token_count(spark):
     assert got[3] == 3  # 'a' ' ' (extra space) + ' b'
 
 
+def test_scrub_pii(spark):
+    from h2h_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+         (2, "server at 192.168.10.255 responded"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(df, "doc_id", "text").collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert "<EMAIL>" in got[1].scrubbed and "<PHONE>" in got[1].scrubbed
+    assert "example" not in got[1].scrubbed and "555" not in got[1].scrubbed
+    assert got[2].n_ipv4 == 1 and "<IP>" in got[2].scrubbed
+    assert got[3].scrubbed == "nothing sensitive here"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0)
+
+
 def test_repetition_score(spark):
     from h2h_spark.operators.text import repetition_score
 
