@@ -315,6 +315,21 @@ def test_ann_and_ivf_knn_join_recall(spark):
     assert all(len(got_i[p] & exact[p]) >= 1 for p in exact)
 
 
+def test_empty_probe_blocks_return_typed_empty(spark):
+    """All collect-and-broadcast paths must survive an empty probe block
+    (a filter that matched nothing) with a correctly-typed empty result."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = emb.filter(F.col("vec_id") < 0)
+    assert S.knn_join(none, emb, "vec_id", "embedding").count() == 0
+    assert S.ann_knn_join(none, emb, "vec_id", "embedding").count() == 0
+    assert S.cosine_near_pairs(
+        emb, "vec_id", "embedding", 0.4, probe_max_id=-1
+    ).count() == 0
+    assert S.embedding_near_duplicates(
+        emb, "vec_id", "embedding", 0.4, nbits=3, bands=4, probe_max_id=-1
+    ).count() == 0
+
+
 def test_embedding_near_duplicates_equals_exact(spark):
     """Multiband LSH blocking + exact verify reproduces the exact all-pairs
     result at band counts sized for full recall (the q_embed_dedup
