@@ -44,6 +44,7 @@ from h2h_spark import (  # noqa: E402
 )
 from h2h_spark.operators import asof as AS  # noqa: E402
 from h2h_spark.operators import dedup as D  # noqa: E402
+from h2h_spark.operators import lm as LM  # noqa: E402
 from h2h_spark.operators import multimodal as MM  # noqa: E402
 from h2h_spark.operators import simsearch as S  # noqa: E402
 from h2h_spark.operators import text as TX  # noqa: E402
@@ -1940,6 +1941,231 @@ SELECT doc_id, {case} AS pred_lang FROM s
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document (CCNet-style
+    quality signal): two bounded-size count shuffles to train, model-join
+    to score, vocab as a broadcast one-row aggregate — no driver action."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return LM.perplexity(docs, "doc_id", "text")
+
+
+_SQL_LM_PERPLEXITY = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+gw AS (
+  SELECT doc_id, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM tt)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM gw GROUP BY w1, w2),
+uni AS (SELECT w1, count(*) AS c1 FROM gw GROUP BY w1),
+voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tt)),
+sc AS (
+  SELECT gw.doc_id, log2((c12 + 0.5) / (c1 + 0.5 * v)) AS lp
+  FROM gw JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(lp), 4) AS xent,
+       round(pow(2.0, round(-avg(lp), 4)), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.gopher_rules(docs, "doc_id", "text")
+
+
+_SQL_GOPHER_RULES = """
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS mean_word_len,
+    round(CAST(coalesce(list_sum(list_transform(w,
+            x -> CASE WHEN contains(x, '#') OR contains(x, '…') OR contains(x, '...')
+                      THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS symbol_ratio,
+    round(CAST(len(list_filter(ln,
+            l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+          / greatest(len(ln), 1), 4) AS bullet_frac,
+    round(CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+          / greatest(len(ln), 1), 4) AS ellipsis_frac,
+    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS alpha_ratio
+  FROM b)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+       alpha_ratio,
+       (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+        AND mean_word_len <= 10 AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+        AND ellipsis_frac < 0.3 AND alpha_ratio > 0.8) AS keep
+FROM m
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — one explode + one map-side-combined
+    groupBy + TakeOrdered; deterministic gram-asc tiebreak."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.top_ngrams(docs, "text", n=2, k=20)
+
+
+_SQL_TOP_NGRAMS = """
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=64, stride=48) — the
+    context-length prep stage; integer-arithmetic chunk count keeps the
+    oracle exact."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.chunk_documents(docs, "doc_id", "text", window=64, stride=48)
+
+
+_SQL_CHUNK_DOCS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + CAST(floor((greatest(n - 64, 0) + 47) / 48) AS BIGINT))) AS j
+  FROM tt)
+SELECT doc_id, CAST(j AS INTEGER) AS chunk_id,
+       CAST(least(64, n - j*48) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, j*48 + 1, j*48 + 64), ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column with
+    reconstruction-error audit — element-local JVM ops, zero shuffle; the
+    oracle reproduces the md5'd code stream bit-for-bit."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return S.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+_SQL_EMBED_QUANTIZE = """
+WITH b AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM b),
+q AS (
+  SELECT vec_id, v, sc,
+         list_transform(v, x -> CAST(CASE WHEN sc = 0 THEN 0.0
+             ELSE greatest(-127.0, least(127.0, floor(x / sc + 0.5))) END AS BIGINT)) AS qs
+  FROM s)
+SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, round(sc, 6) AS scale,
+       md5(array_to_string(qs, ',')) AS codes_md5,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - qs[i]*sc) * (v[i] - qs[i]*sc))) / len(v), 8) AS recon_mse
+FROM q
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS — the generalized multi-aggregate (rollup
+    and cube are its special cases); one Expand + one exchange in Spark."""
+    spark.read.parquet(_t(sf_dir, "events")).createOrReplaceTempView("ev_gs")
+    return spark.sql("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(user_id AS STRING), 'ALL') AS user_id,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    """)
+
+
+_SQL_GROUPING_SETS = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(user_id AS VARCHAR), 'ALL') AS user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites them
+    to a semi + anti join pair (no per-row subquery execution)."""
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("cust_ex")
+    spark.read.parquet(_t(sf_dir, "orders")).createOrReplaceTempView("ord_ex")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM cust_ex c
+        WHERE EXISTS (SELECT 1 FROM ord_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM ord_ex o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """)
+
+
+_SQL_EXISTS_CORRELATED = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — fact-fact
+    join on orderkey, broadcast dims, decimal-exact revenue, top-20 with
+    custkey tiebreak."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .withColumn("revenue", F.round("revenue", 2))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2021,6 +2247,14 @@ def _init_queries() -> None:
         "q_fingerprint": q_fingerprint,
         "q_multimodal_meta": q_multimodal_meta,
         "q_image_resize": q_image_resize,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_gopher_rules": q_gopher_rules,
+        "q_top_ngrams": q_top_ngrams,
+        "q_chunk_docs": q_chunk_docs,
+        "q_embed_quantize": q_embed_quantize,
+        "q_grouping_sets": q_grouping_sets,
+        "q_exists_correlated": q_exists_correlated,
+        "q_returned_items": q_returned_items,
     })
 
 
@@ -2098,4 +2332,12 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": _SQL_FINGERPRINT,
         "q_multimodal_meta": _SQL_MULTIMODAL_META,
         "q_image_resize": _SQL_IMAGE_RESIZE,
+        "q_lm_perplexity": _SQL_LM_PERPLEXITY,
+        "q_gopher_rules": _SQL_GOPHER_RULES,
+        "q_top_ngrams": _SQL_TOP_NGRAMS,
+        "q_chunk_docs": _SQL_CHUNK_DOCS,
+        "q_embed_quantize": _SQL_EMBED_QUANTIZE,
+        "q_grouping_sets": _SQL_GROUPING_SETS,
+        "q_exists_correlated": _SQL_EXISTS_CORRELATED,
+        "q_returned_items": _SQL_RETURNED_ITEMS,
     }

@@ -667,3 +667,54 @@ def ann_knn_join(
         k,
         round_digits,
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, *, bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization of an embedding column —
+    the storage/compression stage of an embedding pipeline (the SQ of
+    FAISS's ``ScalarQuantizer``; 4x smaller than float32 at bits=8):
+    ``(id, dim, scale, codes_md5, recon_mse)``.
+
+    ``scale = max(|v|)/(2^(bits-1)-1)``; code ``q_i = floor(v_i/scale +
+    0.5)`` (explicit floor(+0.5) — engine-independent rounding, unlike
+    round()'s per-engine tie rules).  ``recon_mse`` is the mean squared
+    reconstruction error of ``q*scale``, the quality metric one monitors
+    before switching an ANN index to quantized storage.
+
+    Every step is an element-local deterministic double op, so the DuckDB
+    oracle reproduces the md5'd code stream and the mse bit-for-bit.
+    Pure JVM higher-order functions — scan-speed, no shuffle at all.
+    Zero vectors quantize to all-zero codes (scale 0 guard).
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    base = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    v = F.col("__v")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(qmax)
+    base = base.select(F.col(id_col), v, scale.alias("__s"))
+    s = F.col("__s")
+    codes = F.transform(
+        v,
+        lambda x: F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-qmax), F.least(F.lit(qmax), F.floor(x / s + 0.5).cast("double"))
+            )
+        ).cast("bigint"),
+    )
+    base = base.select(F.col(id_col), v, s, codes.alias("__q"))
+    q = F.col("__q")
+    err2 = F.zip_with(
+        v, q, lambda x, c: (x - c.cast("double") * s) * (x - c.cast("double") * s)
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size(v)
+    return base.select(
+        F.col(id_col),
+        F.size(v).cast("int").alias("dim"),
+        F.round(s, 6).alias("scale"),
+        F.md5(F.array_join(q, ",")).alias("codes_md5"),
+        F.round(mse, 8).alias("recon_mse"),
+    )

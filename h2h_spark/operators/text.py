@@ -202,6 +202,141 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+GOPHER_BULLETS = ("- ", "* ", "• ")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document-quality rule set (Rae et al. 2021 §A1.1, the
+    standard pretraining filter): per-document word count, mean word
+    length, symbol-to-word ratio, bullet-line / ellipsis-line fractions,
+    alphabetic-word ratio, and the composite ``keep`` verdict.
+
+    Words are whitespace-split (not the alnum tokenizer — Gopher counts
+    punctuation-bearing words as words); lines split on ``\\n``.  Pure JVM
+    expressions, one projection over the scan — filter-at-scan-speed at
+    100 TB.  Ratios round to 4 digits; empty documents fail ``keep``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")).alias("__w"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("__l"),
+    )
+    w, lines = F.col("__w"), F.col("__l")
+    n_words = F.size(w).cast("bigint")
+    total_len = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = F.round(total_len / F.greatest(n_words, F.lit(1)), 4)
+    n_symbol = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda a, x: a
+        + F.when(x.contains("#") | x.contains("…") | x.contains("..."), 1).otherwise(0),
+    )
+    symbol_ratio = F.round(n_symbol / F.greatest(n_words, F.lit(1)), 4)
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith(GOPHER_BULLETS[0])
+            | l.startswith(GOPHER_BULLETS[1])
+            | l.startswith(GOPHER_BULLETS[2]),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…")))
+    bullet_frac = F.round(bullet / F.greatest(n_lines, F.lit(1)), 4)
+    ellipsis_frac = F.round(ellipsis / F.greatest(n_lines, F.lit(1)), 4)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_ratio > 0.8)
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_ratio.alias("alpha_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, *, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word ``n``-grams: ``(gram, cnt)``, count-desc with
+    a deterministic gram-asc tiebreak.  One explode + one groupBy — the
+    groupBy gets map-side partial aggregation for free, so the shuffle
+    carries (distinct gram, partial count), not the corpus.  The final
+    top-k is a single ``orderBy().limit()`` (Spark's TakeOrdered — no full
+    sort materialization)."""
+    base = df.select(tokens(text_col).alias("__t")).filter(F.size("__t") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+        lambda i: F.array_join(F.slice("__t", i, n), " "),
+    )
+    return (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-length chunking stage of a training pipeline: ``(id, chunk_id,
+    n_tokens, chunk_text)``.
+
+    Chunk ``j`` covers tokens ``[j*stride+1, j*stride+window]`` (1-based);
+    the number of chunks is ``1 + ceil(max(n-window,0)/stride)`` so every
+    token lands in >=1 chunk and a short document yields exactly one.
+    Integer-arithmetic ceiling keeps it exactly SQL-portable.  The
+    explode multiplies rows ~``n/stride``-fold but carries only the chunk
+    text — no full-document duplication per chunk."""
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    base = base.filter(F.size("__t") >= 1)
+    n = F.size("__t")
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - window, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+        )
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("cid"),
+            F.least(F.lit(window), n - j * stride).cast("bigint").alias("ntok"),
+            F.array_join(F.slice("__t", j * stride + 1, window), " ").alias("txt"),
+        ),
+    )
+    return base.select("id", F.explode(chunks).alias("c")).select(
+        F.col("id").alias(id_col),
+        F.col("c.cid").alias("chunk_id"),
+        F.col("c.ntok").alias("n_tokens"),
+        F.col("c.txt").alias("chunk_text"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dup key that survives formatting noise."""

@@ -564,3 +564,88 @@ def test_embedding_near_duplicates_lsh_blocking(spark):
                                        threshold=0.95, nbits=6).collect()}
     assert (100, 101) in pairs
     assert pairs[(100, 101)] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# round 3: LM perplexity, gopher rules, chunking, n-grams, quantization
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_perplexity_ranks_degenerate_text_low(spark):
+    # A document made of one repeated bigram is maximally predictable
+    # under the corpus model -> lowest perplexity; a one-off word salad
+    # scores higher.  Singleton-token docs contribute nothing.
+    rows = [
+        (1, "spark data " * 30),
+        (2, "the quick brown fox jumps over seven lazy dogs"),
+        (3, "spark data spark data spark data"),
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from h2h_spark.operators import lm as LM
+
+    out = {r.doc_id: r for r in LM.perplexity(df, "doc_id", "text").collect()}
+    assert 4 not in out  # < 2 tokens: no bigram
+    assert out[1].ppl < out[2].ppl
+    assert out[1].n_bigrams == 59
+    # ppl is 2**xent of the rounded xent
+    assert out[2].ppl == pytest.approx(2 ** out[2].xent, rel=1e-3)
+
+
+def test_gopher_rules_flags(spark):
+    good = " ".join(["sensible"] * 25 + ["words"] * 30)
+    bullets = "- a\n- b\n- c"
+    symbols = " ".join(["ok##"] * 60)
+    rows = [(1, good), (2, bullets), (3, symbols), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1].keep is True
+    assert out[2].bullet_frac == 1.0 and out[2].keep is False
+    assert out[3].symbol_ratio == 1.0 and out[3].keep is False
+    assert out[4].n_words == 0 and out[4].keep is False
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    chunks = TX.chunk_documents(df, "doc_id", "text", window=64, stride=48).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: n=150 -> 1 + ceil(86/48) = 3 chunks; every token covered
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert [r.n_tokens for r in c1] == [64, 64, 54]
+    covered = set()
+    for r in c1:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(150)}
+    # consecutive chunks overlap by window - stride = 16 tokens
+    overlap = set(c1[0].chunk_text.split(" ")) & set(c1[1].chunk_text.split(" "))
+    assert len(overlap) == 16
+    assert [r.n_tokens for r in by_doc[2]] == [2]
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b"), (2, "a a a")], "doc_id long, text string"
+    )
+    out = TX.top_ngrams(df, "text", n=2, k=4).collect()
+    # counts equal -> gram-ascending order
+    assert [(r.gram, r.cnt) for r in out] == [("a a", 2), ("b b", 2)]
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale-0 guard
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in S.quantize_embeddings(df, "vec_id", "embedding").collect()}
+    r1 = out[1]
+    assert r1.dim == 4
+    # scale = 1.0/127; mse bounded by (scale/2)^2
+    assert r1.scale == pytest.approx(1.0 / 127, abs=1e-6)
+    assert r1.recon_mse <= (1.0 / 127 / 2) ** 2 + 1e-12
+    r2 = out[2]
+    assert r2.scale == 0.0 and r2.recon_mse == 0.0
