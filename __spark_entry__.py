@@ -1941,6 +1941,130 @@ SELECT doc_id, {case} AS pred_lang FROM s
 """
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the native merging session_window
+    operator (30-min gap per user): bounded input + complete mode means
+    the final table is every session's final aggregate — equal to batch
+    gap-sessionization, which is exactly what the oracle computes."""
+    from h2h_spark.streaming.windows import run_session_counts
+
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_session", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+
+    def _fix_ts(stream: DataFrame) -> DataFrame:
+        if dict(stream.dtypes)["ts"] == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return stream
+
+    res = run_session_counts(
+        spark, stream_dir, ev_schema, "ts", "user_id",
+        gap="30 minutes", transform=_fix_ts,
+    )
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+_SQL_STREAM_SESSION = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (corpus rebalancing):
+    md5-portable per-stratum keep fractions, one narrow filter at scan —
+    membership stable under corpus growth and engine changes."""
+    from h2h_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rates = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
+    return stratified_sample(docs, "lang", "doc_id", rates).select(
+        "doc_id", "lang"
+    )
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+      FROM documents)
+WHERE b < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500
+                    WHEN 'es' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join (the manual tool for broadcast-ineligible
+    skewed keys): left salted ×16, right replicated ×16, join on
+    (key, salt) — identical results to the plain join, which is exactly
+    what the oracle asserts."""
+    from h2h_spark.plans.skew import salted_join
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        "custkey",
+        salt=16,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) via salted two-phase aggregation — bounded
+    per-reducer state for hot groups; result equals the direct
+    countDistinct the oracle runs."""
+    from h2h_spark.plans.skew import two_phase_distinct_count
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    return two_phase_distinct_count(ev, "event_type", "user_id").select(
+        "event_type", F.col("n_distinct_user_id").cast("bigint").alias("n_users")
+    )
+
+
+_SQL_TWO_PHASE_DISTINCT = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2247,6 +2371,10 @@ def _init_queries() -> None:
         "q_fingerprint": q_fingerprint,
         "q_multimodal_meta": q_multimodal_meta,
         "q_image_resize": q_image_resize,
+        "q_stream_session": q_stream_session,
+        "q_stratified_sample": q_stratified_sample,
+        "q_salted_join": q_salted_join,
+        "q_two_phase_distinct": q_two_phase_distinct,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2332,6 +2460,10 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": _SQL_FINGERPRINT,
         "q_multimodal_meta": _SQL_MULTIMODAL_META,
         "q_image_resize": _SQL_IMAGE_RESIZE,
+        "q_stream_session": _SQL_STREAM_SESSION,
+        "q_stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "q_salted_join": _SQL_SALTED_JOIN,
+        "q_two_phase_distinct": _SQL_TWO_PHASE_DISTINCT,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

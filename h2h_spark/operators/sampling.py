@@ -69,3 +69,31 @@ def group_cap_sample(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a hashed-key fraction
+    ``rates[stratum]`` of each stratum (``default_rate`` for strata not
+    listed) — the language/domain rebalancing step of corpus curation
+    (e.g. downsample the 60% English share, keep all of a rare language).
+
+    Same md5-portable bucket as :func:`hash_split`, so membership is
+    reproducible cross-engine and stable under growth: a document's
+    keep/drop never changes when other rows arrive.  One narrow
+    filter-at-scan projection — no shuffle, no sort, no per-stratum
+    scan."""
+    bucket = split_bucket(key_col)
+    thr = None
+    for name, rate in sorted(rates.items()):
+        t = int(round(rate * _BUCKETS))
+        cond = F.col(strata_col) == name
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    default = int(round(default_rate * _BUCKETS))
+    thr = F.lit(default) if thr is None else thr.otherwise(F.lit(default))
+    return df.filter(bucket < thr)

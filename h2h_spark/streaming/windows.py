@@ -66,3 +66,59 @@ def sessionize(
         .withColumn("session_id", F.sum("_new_session").over(w))
         .drop("_new_session")
     )
+
+
+def run_session_counts(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    transform=None,
+    shuffle_partitions: int | None = 4,
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (the native
+    merging-session-window state operator): per (key, session) row with
+    session start / end (= last event + gap) and event count.
+
+    Complete mode (update is rejected for merging session windows —
+    Spark can't retract an already-emitted partial session) + a bounded
+    input means the final table holds every session's final aggregate —
+    equal to the batch gap-sessionization, hence oracle-checkable.  On a
+    cluster the production shape is append mode: sessions emit once the
+    watermark passes their end, and state for closed sessions is freed.
+
+    ``shuffle_partitions`` sizes the session-state stores through a child
+    session (see ``windowed_stream_join`` — store count scales with
+    shuffle partitions, not data)."""
+    name = f"h2h_sess_{uuid.uuid4().hex[:8]}"
+    if shuffle_partitions is not None:
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    stream = spark.readStream.schema(schema).parquet(path)
+    if transform is not None:
+        stream = transform(stream)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -204,3 +204,62 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = sorted((r.k, r.v) for r in out.collect())
     ks = [k for k, _ in rows]
     assert ks == [1, 2, 3]  # exactly one survivor per key
+
+
+def test_session_window_stream_matches_batch_gaps(spark, tmp_path):
+    """Streaming session_window sessions == gap-rule sessions, including
+    the boundary case: events exactly `gap` apart DO merge (Spark's
+    session interval is closed — a new session needs diff > gap)."""
+    import pandas as pd
+    from h2h_spark.streaming.windows import run_session_counts
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: three events + one exactly 30min after the last (merges),
+        # then one 30min+1s after that (new session)
+        (1, base), (1, base + pd.Timedelta(minutes=10)),
+        (1, base + pd.Timedelta(minutes=25)),
+        (1, base + pd.Timedelta(minutes=55)),  # == last + 30min: merges
+        (1, base + pd.Timedelta(minutes=85, seconds=1)),  # > gap: new session
+        # user 2: single event
+        (2, base),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = run_session_counts(
+        spark, src, schema, "ts", "user_id", gap="30 minutes"
+    ).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2
+    s1 = sorted(per_user[1], key=lambda r: r.session_start)
+    assert s1[0].n_events == 4 and s1[1].n_events == 1
+    # session end = last event + gap
+    assert s1[0].session_end == base + pd.Timedelta(minutes=85)
+    assert len(per_user[2]) == 1 and per_user[2][0].n_events == 1
+
+
+def test_stratified_sample_deterministic_rates(spark):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    out = stratified_sample(df, "s", "k", {"a": 0.5, "b": 0.1})
+    counts = {r["s"]: r["cnt"] for r in
+              out.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    # md5-uniform buckets: expect ~1000 of a (2000*0.5), ~200 of b
+    assert abs(counts["a"] - 1000) < 150
+    assert abs(counts["b"] - 200) < 80
+    # deterministic: identical second pass
+    again = stratified_sample(df, "s", "k", {"a": 0.5, "b": 0.1})
+    assert sorted(r.k for r in out.collect()) == sorted(r.k for r in again.collect())
+    # unlisted stratum drops entirely by default
+    none_kept = stratified_sample(df, "s", "k", {"a": 0.5}).filter(F.col("s") == "b")
+    assert none_kept.count() == 0
