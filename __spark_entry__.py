@@ -2065,6 +2065,47 @@ FROM events GROUP BY event_type
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas merge_asof
+    direction='forward' parity): each event gets the user's NEXT order
+    date within 7 days — same union-sort-window construction as backward,
+    timestamp order reversed, out-of-tolerance matches nulled."""
+    ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_custkey", "o_orderdate"
+    )
+    joined = AS.asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        direction="forward",
+        tolerance=7 * 86400,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("next_order_ts"),
+    )
+
+
+_SQL_ASOF_FORWARD = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey
+   AND o.o_orderdate >= e.ts
+   AND epoch(o.o_orderdate) - epoch(e.ts) <= 7*86400)
+SELECT e.event_id, e.user_id,
+       strftime(j.o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_order_ts
+FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2375,6 +2416,7 @@ def _init_queries() -> None:
         "q_stratified_sample": q_stratified_sample,
         "q_salted_join": q_salted_join,
         "q_two_phase_distinct": q_two_phase_distinct,
+        "q_asof_forward": q_asof_forward,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2464,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "q_salted_join": _SQL_SALTED_JOIN,
         "q_two_phase_distinct": _SQL_TWO_PHASE_DISTINCT,
+        "q_asof_forward": _SQL_ASOF_FORWARD,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

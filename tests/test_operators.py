@@ -649,3 +649,35 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
     assert r1.recon_mse <= (1.0 / 127 / 2) ** 2 + 1e-12
     r2 = out[2]
     assert r2.scale == 0.0 and r2.recon_mse == 0.0
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from h2h_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 100)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 120, 10.0), (1, 300, 20.0), (2, 90, 30.0)], "k long, rts long, val double"
+    )
+    fwd = {r.event_id: r.val for r in asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="forward",
+    ).collect()}
+    # event 1: next right at 120 -> 10.0; event 2: next at 300 -> 20.0;
+    # event 3: right at 90 < 100, nothing forward -> NULL
+    assert fwd == {1: 10.0, 2: 20.0, 3: None}
+    tol = {r.event_id: r.val for r in asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="forward", tolerance=30,
+    ).collect()}
+    # tolerance 30: event 2's nearest (300, diff 50) is out of range
+    assert tol == {1: 10.0, 2: None, 3: None}
+    back_tol = {r.event_id: r.val for r in asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        value_cols=["val"], direction="backward", tolerance=15,
+    ).collect()}
+    # backward, tolerance 15: event 3 (ts 100, right 90, diff 10) is in
+    # range; event 1 has no backward match at all; event 2's nearest
+    # (120, diff 130) is out
+    assert back_tol == {1: None, 2: None, 3: 30.0}
