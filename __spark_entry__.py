@@ -2106,6 +2106,135 @@ FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill (gap filling): each
+    user's event series on an hourly grid, empty buckets carrying the
+    last observation forward — sequence/explode grid + window
+    last(ignoreNulls), one shuffle on the key."""
+    from h2h_spark.operators.timeseries import resample_ffill
+
+    ev = _load_events(spark, sf_dir).select("user_id", "ts", "value")
+    out = resample_ffill(ev, "user_id", "ts", "value", 3600)
+    return out.select(
+        "user_id", "bucket_ts", F.round("value", 2).alias("value")
+    )
+
+
+_SQL_RESAMPLE_FFILL = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         epoch(ts) AS s, value
+  FROM events),
+pb AS (
+  SELECT user_id, bucket, value AS bval
+  FROM (SELECT user_id, bucket, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY s DESC, value DESC) AS rn
+        FROM b)
+  WHERE rn = 1),
+span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+j AS (SELECT g.user_id, g.bucket, pb.bval
+      FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket = g.bucket)
+SELECT user_id, CAST(bucket * 3600 AS BIGINT) AS bucket_ts,
+       round(last_value(bval IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value
+FROM j
+"""
+
+
+def q_rolling_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day rolling revenue per customer — RANGE frame over
+    epoch seconds (time-based, not row-based), decimal-exact so in-frame
+    order can't drift the sum."""
+    from h2h_spark.operators.timeseries import rolling_time_sum
+
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    out = rolling_time_sum(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", 30 * 86400
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("rolling_sum", 2).alias("rolling_30d"),
+    )
+
+
+_SQL_ROLLING_TIME_SUM = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rolling_30d
+FROM orders
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span scoring (boilerplate signal):
+    8-token non-overlapping spans, md5-keyed frequency join, per-doc
+    duplicated fraction."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.span_duplication(docs, "doc_id", "text", span=8, min_docs=2)
+
+
+_SQL_SPAN_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+c AS (
+  SELECT doc_id,
+         unnest(range(0, 1 + CAST(floor((greatest(n - 8, 0) + 7) / 8) AS BIGINT))) AS j,
+         toks, n
+  FROM tt),
+sp AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, j*8 + 1, j*8 + 8), ' ')) AS sh
+  FROM c),
+freq AS (SELECT sh, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY sh)
+SELECT sp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(coalesce(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_spans,
+       round(CAST(coalesce(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / count(*), 4) AS dup_fraction
+FROM sp JOIN freq ON sp.sh = freq.sh
+GROUP BY sp.doc_id
+"""
+
+
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, content-certified: scatter documents into
+    64 tiny part files, compact to ~4 MiB targets (coalesce — no
+    shuffle), and return the row count + content checksum of the
+    compacted copy; the oracle computes the same from the original table,
+    so the compare certifies compaction loses/duplicates nothing."""
+    from h2h_spark.sources.compact import compact
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    work = _work("q_compact", sf_dir)
+    small = os.path.join(work, "small")
+    packed = os.path.join(work, "packed")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    compact(spark, small, packed, target_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(packed)
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dsum(F.col("n_chars"), 0).alias("sum_chars"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_ids"),
+    )
+
+
+_SQL_COMPACT = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sum_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2417,6 +2546,10 @@ def _init_queries() -> None:
         "q_salted_join": q_salted_join,
         "q_two_phase_distinct": q_two_phase_distinct,
         "q_asof_forward": q_asof_forward,
+        "q_resample_ffill": q_resample_ffill,
+        "q_rolling_time_sum": q_rolling_time_sum,
+        "q_span_dedup": q_span_dedup,
+        "q_compact": q_compact,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2507,6 +2640,10 @@ def oracle_sql() -> dict[str, str]:
         "q_salted_join": _SQL_SALTED_JOIN,
         "q_two_phase_distinct": _SQL_TWO_PHASE_DISTINCT,
         "q_asof_forward": _SQL_ASOF_FORWARD,
+        "q_resample_ffill": _SQL_RESAMPLE_FFILL,
+        "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
+        "q_span_dedup": _SQL_SPAN_DEDUP,
+        "q_compact": _SQL_COMPACT,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

@@ -337,6 +337,47 @@ def chunk_documents(
     )
 
 
+def span_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span scoring (boilerplate detection —
+    the inter-document repetition signal behind C4/RefinedWeb line-dedup):
+    split each document into non-overlapping ``span``-token windows,
+    count in how many distinct documents each span occurs, and report
+    per document the fraction of its spans that appear in >= ``min_docs``
+    documents: ``(id, n_spans, n_dup_spans, dup_fraction)``.
+
+    Spans travel as md5 hashes, not text, so the two shuffles (span
+    frequency, per-doc rollup) and the frequency join carry 32-byte keys
+    — at 100 TB the span-frequency table is the only corpus-sized
+    intermediate and it aggregates map-side first."""
+    spans = chunk_documents(
+        df, id_col, text_col, window=span, stride=span
+    ).select(F.col(id_col).alias("id"), F.md5(F.col("chunk_text")).alias("sh"))
+    freq = spans.groupBy("sh").agg(
+        F.count_distinct("id").alias("ndocs")
+    )
+    joined = spans.join(freq, "sh")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum((F.col("ndocs") >= min_docs).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            F.col("n_dup_spans").cast("bigint").alias("n_dup_spans"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias("dup_fraction"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dup key that survives formatting noise."""

@@ -1,0 +1,114 @@
+"""Time-series operators: regular-grid resampling with forward fill, and
+trailing time-range rolling aggregates.
+
+Both are built from Spark primitives (sequence/explode for the grid,
+window ``last(ignoreNulls)`` for the fill, a RANGE frame over epoch
+seconds for the rolling sum) — no UDFs, one shuffle on the series key
+each, which is the minimum: any per-key time operation must co-locate
+the key's rows.
+
+Scale posture: the grid explode amplifies rows by (span / interval) per
+key — bounded and predictable, and the grid rows carry only (key,
+bucket), not payloads.  Skewed keys (one user with a years-long span)
+are bounded by the same factor; the window fill is a linear scan per
+key after the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_seconds(c: Column, dtype: str) -> Column:
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    interval_sec: int,
+    agg: str = "last",
+) -> DataFrame:
+    """Resample each key's series onto a regular ``interval_sec`` grid
+    between its first and last observation, forward-filling empty buckets
+    from the most recent value: ``(key, bucket_ts, value)``.
+
+    Bucket value is the LAST observation in the bucket (deterministic:
+    ties on timestamp break by value); ``agg='mean'`` averages the bucket
+    instead (fill still carries the last bucket's aggregate forward).
+    ``bucket_ts`` is the bucket start as epoch seconds (bigint) — cast
+    engine-side to keep the grid arithmetic integer-exact.
+    """
+    if agg not in ("last", "mean"):
+        raise ValueError(f"agg must be 'last' or 'mean', got {agg!r}")
+    sec = _epoch_seconds(F.col(ts_col), dict(df.dtypes)[ts_col])
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(sec / interval_sec).cast("bigint").alias("bucket"),
+        sec.alias("__s"),
+        F.col(val_col).alias("v"),
+    )
+    if agg == "last":
+        # max of (ts, value): the latest observation in the bucket, ties
+        # on timestamp broken by value — deterministic on both engines
+        per_bucket = b.groupBy("key", "bucket").agg(
+            F.max(F.struct(F.col("__s").alias("t"), F.col("v").alias("v"))).alias("s")
+        ).select("key", "bucket", F.col("s.v").alias("bval"))
+    else:
+        per_bucket = b.groupBy("key", "bucket").agg(
+            F.round(F.avg("v"), 4).alias("bval")
+        )
+    span = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, ["key", "bucket"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        (F.col("bucket") * interval_sec).cast("bigint").alias("bucket_ts"),
+        F.last("bval", ignorenulls=True).over(w).alias("value"),
+    )
+
+
+def rolling_time_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    trailing_sec: int,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Trailing time-range rolling sum: for every row, the sum of
+    ``val_col`` over the same key within the preceding ``trailing_sec``
+    seconds (inclusive of the current row and of equal timestamps —
+    RANGE-frame semantics, identical in ANSI SQL engines).
+
+    Decimal accumulation makes the sum order-independent, so ties inside
+    the frame can't produce float drift; one shuffle on the key.
+    """
+    sec = _epoch_seconds(F.col(ts_col), dict(df.dtypes)[ts_col]).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-trailing_sec, 0)
+    )
+    return df.select(
+        "*",
+        F.sum(F.col(val_col).cast(f"decimal(18,{decimal_scale})"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_sum"),
+    )

@@ -681,3 +681,64 @@ def test_asof_join_forward_and_tolerance(spark):
     # range; event 1 has no backward match at all; event 2's nearest
     # (120, diff 130) is out
     assert back_tol == {1: None, 2: None, 3: 30.0}
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from h2h_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (1, 10, 1.0),    # bucket 0
+        (1, 25, 2.0),    # bucket 0 (later ts wins the bucket)
+        (1, 95, 5.0),    # bucket 3 -> buckets 1,2 forward-fill 2.0
+        (2, 200, 9.0),   # single bucket
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = {(r.k, r.bucket_ts): r.value for r in
+           resample_ffill(df, "k", "ts", "v", 30).collect()}
+    assert out == {
+        (1, 0): 2.0, (1, 30): 2.0, (1, 60): 2.0, (1, 90): 5.0,
+        (2, 180): 9.0,
+    }
+
+
+def test_rolling_time_sum_trailing_window(spark):
+    from h2h_spark.operators.timeseries import rolling_time_sum
+
+    rows = [(1, 0, 10.0), (1, 50, 20.0), (1, 120, 40.0), (2, 0, 7.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = {(r.k, r.ts): r.rolling_sum for r in
+           rolling_time_sum(df, "k", "ts", "v", 100).collect()}
+    # ts 120: frame [20,120] includes 50 and 120 but not 0
+    assert out == {(1, 0): 10.0, (1, 50): 30.0, (1, 120): 60.0, (2, 0): 7.0}
+
+
+def test_span_duplication_detects_shared_boilerplate(spark):
+    shared = "this legal disclaimer appears verbatim in many documents today"
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, shared + " one two three four five six seven eight"),
+        (3, "entirely unique content with no repeated spans at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TX.span_duplication(df, "doc_id", "text", span=9, min_docs=2).collect()}
+    # the 9-token shared prefix is span 0 of docs 1 and 2
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    assert out[3].n_dup_spans == 0 and out[3].dup_fraction == 0.0
+    assert out[1].dup_fraction == 0.5
+
+
+def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
+    from h2h_spark.sources.compact import compact
+    from h2h_spark.sources.util import list_part_files
+
+    src = str(tmp_path / "scatter")
+    dst = str(tmp_path / "packed")
+    spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(40) \
+        .write.parquet(src)
+    n_out = compact(spark, src, dst, target_bytes=1 << 30)
+    assert len(list_part_files(src, pattern="part*")) == 40
+    assert n_out == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 10000 * 9999
