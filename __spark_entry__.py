@@ -2235,6 +2235,63 @@ FROM documents
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smoothed sklearn idf): two
+    count shuffles + a doc-frequency join; N via broadcast aggregate."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.tfidf_keywords(docs, "doc_id", "text", top_k=3)
+
+
+_SQL_TFIDF_KEYWORDS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tc.doc_id, tc.term,
+         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 4) AS tfidf
+  FROM tc JOIN dfq USING (term) CROSS JOIN n),
+r AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM sc)
+SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype / IVF seed shape):
+    elementwise mean over an array column — posexplode to (label, dim)
+    partial averages in ONE map-side-combined shuffle; no UDF, no
+    full-vector collect."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    return per_dim.select(
+        "label", F.col("dim").cast("int").alias("dim"), F.col("m").alias("centroid")
+    )
+
+
+_SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2550,6 +2607,8 @@ def _init_queries() -> None:
         "q_rolling_time_sum": q_rolling_time_sum,
         "q_span_dedup": q_span_dedup,
         "q_compact": q_compact,
+        "q_tfidf_keywords": q_tfidf_keywords,
+        "q_label_centroids": q_label_centroids,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2644,6 +2703,8 @@ def oracle_sql() -> dict[str, str]:
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_compact": _SQL_COMPACT,
+        "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
+        "q_label_centroids": _SQL_LABEL_CENTROIDS,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

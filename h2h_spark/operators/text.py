@@ -378,6 +378,53 @@ def span_duplication(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame, id_col: str, text_col: str, *, top_k: int = 3
+) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF terms: ``(id, term, tfidf,
+    rank)`` — the classic keyword-extraction / topic-feature stage.
+
+    ``tf`` is in-document term count; ``idf = ln((N+1)/(df+1)) + 1``
+    (smoothed, sklearn's formula).  Two shuffles: term-count explode →
+    per-(doc, term) counts, then document-frequency aggregate joined
+    back; the final per-doc top-k is a window over the doc's own terms
+    only.  Document count N reaches the plan as a broadcast one-row
+    aggregate — no driver action.  Ties rank by term ascending."""
+    from pyspark.sql.window import Window
+
+    terms = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+        .select("id", F.explode("__t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    docfreq = terms.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n"))
+    scored = (
+        terms.join(docfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col), "term", "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dup key that survives formatting noise."""

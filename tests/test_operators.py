@@ -742,3 +742,21 @@ def test_compact_reduces_file_count_preserving_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10000
     assert back.selectExpr("sum(v)").collect()[0][0] == 10000 * 9999
+
+
+def test_tfidf_keywords_rank_rare_terms_highest(spark):
+    rows = [
+        (1, "common common zebra"),
+        (2, "common common common"),
+        (3, "common quagga quagga"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in TX.tfidf_keywords(df, "doc_id", "text", top_k=2).collect():
+        out.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 1: common tf=2 * idf 1.0 = 2.0 beats zebra 1 * (ln(2)+1) = 1.69
+    assert sorted(out[1]) == [(1, "common"), (2, "zebra")]
+    # doc 3: quagga tf=2 AND rare (3.39) -> rank 1 over common (1.0)
+    assert sorted(out[3]) == [(1, "quagga"), (2, "common")]
+    # doc 2 has a single distinct term
+    assert sorted(out[2]) == [(1, "common")]
