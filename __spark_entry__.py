@@ -2292,6 +2292,44 @@ GROUP BY label, dim
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via bucketed equi-join — the scalable
+    formulation of 'events inside each order's 7-day window': daily
+    buckets explode each interval ×8, both sides hash-shuffle once on
+    (key, bucket), exact range predicate after the equi-join (a naive
+    range join would plan a BroadcastNestedLoop).  Zero-count orders are
+    restored by an outer join of the aggregated pairs."""
+    from h2h_spark.operators.interval import point_interval_join
+
+    ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    pairs = point_interval_join(
+        ev, orders, key="user_id", point_ts="ts", start_ts="o_orderdate",
+        span_sec=7 * 86400, bucket_sec=86400,
+    )
+    counts = pairs.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    return (
+        orders.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT o.o_orderkey, CAST(count(e.event_id) AS BIGINT) AS n_events
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND epoch(e.ts) >= epoch(o.o_orderdate)
+ AND epoch(e.ts) < epoch(o.o_orderdate) + 7*86400
+GROUP BY o.o_orderkey
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2609,6 +2647,7 @@ def _init_queries() -> None:
         "q_compact": q_compact,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_label_centroids": q_label_centroids,
+        "q_interval_join": q_interval_join,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2705,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "q_compact": _SQL_COMPACT,
         "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
         "q_label_centroids": _SQL_LABEL_CENTROIDS,
+        "q_interval_join": _SQL_INTERVAL_JOIN,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

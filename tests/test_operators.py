@@ -760,3 +760,25 @@ def test_tfidf_keywords_rank_rare_terms_highest(spark):
     assert sorted(out[3]) == [(1, "quagga"), (2, "common")]
     # doc 2 has a single distinct term
     assert sorted(out[2]) == [(1, "common")]
+
+
+def test_point_interval_join_exact_once(spark):
+    from h2h_spark.operators.interval import point_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 86500), (3, 1, 700000), (4, 2, 100)],
+        "event_id long, k long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, 0), (11, 1, 86400), (12, 2, 500)],
+        "iv_id long, k long, start long",
+    )
+    out = [(r.iv_id, r.event_id) for r in point_interval_join(
+        points, intervals, key="k", point_ts="ts", start_ts="start",
+        span_sec=7 * 86400, bucket_sec=86400,
+    ).collect()]
+    # event 1 (ts 100) in [0, 604800) only; event 2 in both windows;
+    # event 3 (700000) only in [86400, 691200); event 4 before interval 12
+    assert sorted(out) == [(10, 1), (10, 2), (11, 2)]
+    # no duplicates despite the x8 bucket explosion
+    assert len(out) == len(set(out))
