@@ -2330,6 +2330,33 @@ GROUP BY o.o_orderkey
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: top-100 induced vocab (broadcast),
+    per-doc OOV rate — corpus side never re-shuffles."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
+
+
+_SQL_VOCAB_COVERAGE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS cnt FROM tok GROUP BY term
+    ORDER BY cnt DESC, term LIMIT 100)),
+j AS (
+  SELECT tok.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN vocab v ON tok.term = v.term)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
@@ -2648,6 +2675,7 @@ def _init_queries() -> None:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_label_centroids": q_label_centroids,
         "q_interval_join": q_interval_join,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
@@ -2745,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
         "q_label_centroids": _SQL_LABEL_CENTROIDS,
         "q_interval_join": _SQL_INTERVAL_JOIN,
+        "q_vocab_coverage": _SQL_VOCAB_COVERAGE,
         "q_lm_perplexity": _SQL_LM_PERPLEXITY,
         "q_gopher_rules": _SQL_GOPHER_RULES,
         "q_top_ngrams": _SQL_TOP_NGRAMS,

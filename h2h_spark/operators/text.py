@@ -425,6 +425,41 @@ def tfidf_keywords(
     )
 
 
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, *, vocab_size: int = 100
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: induce a ``vocab_size``-term
+    vocabulary (most frequent unigrams, deterministic count-desc /
+    term-asc tiebreak) and report each document's out-of-vocabulary rate
+    ``(id, n_tokens, n_oov, oov_rate)`` — the coverage audit run before
+    committing to a tokenizer.
+
+    The vocabulary is a top-k over map-side-combined counts and
+    broadcasts to the scoring join: the corpus-sized side never
+    re-shuffles — per-doc stats aggregate on the already-keyed explode."""
+    vocab = (
+        top_ngrams(df, text_col, n=1, k=vocab_size)
+        .select(F.col("gram").alias("term"), F.lit(1).alias("__in"))
+    )
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t")).select(
+        "id", F.explode("__t").alias("term")
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__in").isNull().cast("long")).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text —
     the exact-dup key that survives formatting noise."""

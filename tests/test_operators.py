@@ -782,3 +782,16 @@ def test_point_interval_join_exact_once(spark):
     assert sorted(out) == [(10, 1), (10, 2), (11, 2)]
     # no duplicates despite the x8 bucket explosion
     assert len(out) == len(set(out))
+
+
+def test_vocab_coverage_oov_rate(spark):
+    rows = [
+        (1, "aa aa aa bb"),   # aa, bb both in top-2 vocab
+        (2, "aa zz qq"),      # zz/qq are OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           TX.vocab_coverage(df, "doc_id", "text", vocab_size=2).collect()}
+    assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
+    assert out[2].n_tokens == 3 and out[2].n_oov == 2
+    assert out[2].oov_rate == pytest.approx(0.6667, abs=1e-4)
