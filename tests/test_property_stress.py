@@ -152,3 +152,82 @@ def test_write_flat_unsigned8_from_spark_decimal(spark, tmp_work):
     write_flat(src, f"{tmp_work}/u8w", lay)
     back = read_flat(spark, f"{tmp_work}/u8w", lay)
     assert sorted(int(r.id) for r in back.collect()) == [123, 2**64 - 1]
+
+
+# ------------------------------------------------- round-3 operator properties
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_tokens=st.integers(1, 300), window=st.integers(2, 50),
+       stride_frac=st.integers(1, 10))
+def test_chunking_covers_every_token_exactly(spark, n_tokens, window, stride_frac):
+    """Every token appears in >=1 chunk; non-overlap suffixes reconstruct
+    the document; chunk ids are dense from 0."""
+    from h2h_spark.operators.text import chunk_documents
+
+    stride = max(1, window * stride_frac // 10)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    seen = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_tokens <= window
+        seen.update(toks)
+    assert seen == {f"t{i}" for i in range(n_tokens)}
+    # stitching: each chunk j's fresh tokens are its suffix past the overlap
+    stitched = rows[0].chunk_text.split(" ")
+    for prev, cur in zip(rows, rows[1:]):
+        toks = cur.chunk_text.split(" ")
+        overlap = len(stitched) - (cur.chunk_id * stride)
+        stitched.extend(toks[overlap:])
+    assert stitched == [f"t{i}" for i in range(n_tokens)]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vec=st.lists(st.floats(-10, 10, allow_nan=False, width=32),
+                    min_size=1, max_size=32))
+def test_quantization_reconstruction_bound(spark, vec):
+    """|v - q*scale| <= scale/2 elementwise (plus float slack) and codes
+    stay in [-127, 127]."""
+    from h2h_spark.operators.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+    scale = max(abs(float(x)) for x in vec) / 127.0
+    assert r.recon_mse <= (scale / 2) ** 2 + 1e-9
+    assert r.dim == len(vec)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_interval_join_equals_naive(spark, seed):
+    """Bucketed interval join == naive range-predicate join on random data
+    (keys, timestamps, spans chosen to straddle bucket boundaries)."""
+    from h2h_spark.operators.interval import point_interval_join
+
+    rnd = random.Random(seed)
+    span = rnd.choice([3600, 86400, 200000])
+    bucket = rnd.choice([3600, 86400])
+    points = [(i, rnd.randint(1, 3), rnd.randint(0, 400000)) for i in range(40)]
+    ivs = [(100 + i, rnd.randint(1, 3), rnd.randint(0, 400000)) for i in range(15)]
+    p = spark.createDataFrame(points, "event_id long, k long, ts long")
+    iv = spark.createDataFrame(ivs, "iv_id long, k long, start long")
+    got = sorted((r.iv_id, r.event_id) for r in point_interval_join(
+        p, iv, key="k", point_ts="ts", start_ts="start",
+        span_sec=span, bucket_sec=bucket,
+    ).collect())
+    naive = sorted(
+        (i_id, e_id)
+        for (e_id, pk, ts) in points
+        for (i_id, ik, start) in ivs
+        if pk == ik and start <= ts < start + span
+    )
+    assert got == naive
