@@ -575,13 +575,25 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     return t_orders, t_li
 
 
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the bucket-partitioned ANN index for the embeddings
+    table — a stored artifact like the bucketed tables."""
+    path = os.path.join(_work("ann_index", sf_dir), "emb_by_bucket")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        S.ann_index_write(emb, path, "vec_id", "embedding", dim=64, nbits=8)
+    return path
+
+
 def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     """Called by bench.py before timing: one-time stored artifacts
-    (bucketed tables, the minhash corpus index) out of the measured
-    regions — they model data that exists before queries run."""
+    (bucketed tables, the minhash corpus index, the partitioned ANN
+    index) out of the measured regions — they model data that exists
+    before queries run."""
     _prepare(spark)
     _ensure_bucketed_tables(spark, sf_dir)
     _minhash_index_tables(spark, sf_dir)
+    _ensure_ann_index(spark, sf_dir)
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,6 +1498,26 @@ _SQL_ANN_TOPK = f"""
 SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < {_N_RECALL_PROBES}
 """
+
+
+def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the bucket-PARTITIONED stored index (the 100 TB layout the
+    in-memory ANN documents): same multiprobe buckets → same candidates
+    and recall as q_ann_topk, but the corpus side is a pruned partition
+    read — unprobed bucket directories are skipped at the source (DPP
+    through the broadcast bucket join; pruning asserted in tests)."""
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    path = _ensure_ann_index(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _N_RECALL_PROBES)
+    approx = S.ann_knn_join_indexed(
+        spark, path, probes, "vec_id", "embedding", dim=64, k=10, nbits=8,
+        n_buckets=64, round_digits=3,
+    )
+    exact = S.knn_join(probes, emb, "vec_id", "embedding", k=10, round_digits=3)
+    return _knn_recall_contract(approx, exact, 10, _ANN_RECALL_FLOOR)
+
+
+_SQL_ANN_INDEXED = _SQL_ANN_TOPK
 
 
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2645,6 +2677,7 @@ def _init_queries() -> None:
         "q_simhash_pairs": q_simhash_pairs,
         "q_simsearch_topk": q_simsearch_topk,
         "q_ann_topk": q_ann_topk,
+        "q_ann_indexed": q_ann_indexed,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_embed_dedup": q_embed_dedup,
         "q_ivf_topk": q_ivf_topk,
@@ -2740,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _simhash_oracle_sql(),
         "q_simsearch_topk": _SQL_SIMSEARCH_TOPK,
         "q_ann_topk": _SQL_ANN_TOPK,
+        "q_ann_indexed": _SQL_ANN_INDEXED,
         "q_embed_near_pairs": _SQL_EMBED_NEAR_PAIRS,
         # the LSH-blocked dedup must reproduce the exact all-pairs result
         # (recall-1.0-by-construction at test scale) — same oracle.

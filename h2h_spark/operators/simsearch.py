@@ -718,3 +718,63 @@ def quantize_embeddings(
         F.md5(F.array_join(q, ",")).alias("codes_md5"),
         F.round(mse, 8).alias("recon_mse"),
     )
+
+
+def ann_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    nbits: int = 8,
+    seed: int = 42,
+) -> str:
+    """Persist the corpus hive-partitioned by its sign-LSH bucket — the
+    100 TB ANN layout: a probe's multiprobe bucket list reaches the scan
+    as partition filters (static ``isin`` or dynamic partition pruning
+    through the broadcast bucket join), so a probe touches
+    ``n_buckets / 2^nbits`` of the stored data instead of scanning the
+    corpus.  One write-time shuffle-free pass computes signatures; the
+    layout is reusable across every subsequent probe batch."""
+    planes = hyperplanes(dim, nbits, seed)
+    (
+        df.withColumn("bucket", signature_col(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    return path
+
+
+def ann_knn_join_indexed(
+    spark,
+    index_path: str,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 42,
+    n_buckets: int = 32,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch ANN k-NN over a bucket-partitioned index written by
+    :func:`ann_index_write`: identical candidates (and therefore recall)
+    to :func:`ann_knn_join`, but the corpus side is the pruned partition
+    read — the join against the broadcast (probe, bucket) table lets
+    dynamic partition pruning skip every unprobed bucket directory."""
+    planes = hyperplanes(dim, nbits, seed)
+    corpus = spark.read.parquet(index_path)
+    return _bucketed_knn(
+        probes,
+        corpus,
+        id_col,
+        vec_col,
+        "bucket",
+        lambda qv: ann_probe_buckets(qv, planes, n_buckets),
+        k,
+        round_digits,
+    )

@@ -795,3 +795,39 @@ def test_vocab_coverage_oov_rate(spark):
     assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
     assert out[2].n_tokens == 3 and out[2].n_oov == 2
     assert out[2].oov_rate == pytest.approx(0.6667, abs=1e-4)
+
+
+def test_ann_indexed_prunes_partitions_and_matches_inmemory(spark, tmp_path):
+    from h2h_spark.operators.simsearch import (
+        ann_index_write,
+        ann_knn_join,
+        ann_knn_join_indexed,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_idx")
+    ann_index_write(emb, path, "vec_id", "embedding", dim=16, nbits=6)
+    # partition pruning is visible in the scan: a bucket filter becomes
+    # PartitionFilters, not a post-scan Filter
+    scan = spark.read.parquet(path).filter(F.col("bucket").isin(1, 2, 3))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    # same candidates/ranking as the in-memory ANN at identical params
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r.probe_id, r.rank, r.neighbor_id)
+        for r in ann_knn_join_indexed(
+            spark, path, probes, "vec_id", "embedding", dim=16, k=5,
+            nbits=6, n_buckets=16, round_digits=3,
+        ).collect()
+    )
+    ref = sorted(
+        (r.probe_id, r.rank, r.neighbor_id)
+        for r in ann_knn_join(
+            probes, emb, "vec_id", "embedding", k=5, nbits=6, n_buckets=16,
+            round_digits=3,
+        ).collect()
+    )
+    assert got == ref and len(got) > 0
