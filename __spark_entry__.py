@@ -2614,6 +2614,201 @@ LIMIT 20
 """
 
 
+def _label_centroid_arrays(emb: DataFrame) -> DataFrame:
+    """Per-label centroid as an assembled array, rounded to 6 digits so
+    both engines argmin over bit-identical centroid inputs."""
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("__sm")
+        )
+        .select(
+            "label",
+            F.transform(F.col("__sm"), lambda s: s.getField("m")).alias("cvec"),
+        )
+    )
+
+
+_SQL_CENTS_CTE = """
+WITH dims AS (
+  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS m
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+  GROUP BY label, dim
+),
+cents AS (
+  SELECT label AS clabel, list(m ORDER BY dim) AS cvec FROM dims GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         c.clabel,
+         list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])) AS d
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, label, clabel AS assigned
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+"""
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means E-step as DataFrame ops (cluster-balance / SemDeDup-style
+    curation): nearest-centroid assignment of every embedding against the
+    per-label centroids.  Centroids (k=10 rows) broadcast; squared-L2 is
+    a JVM zip_with/aggregate fold; the argmin is min(struct(dist,
+    label)) — one partial-aggregated shuffle, deterministic ties."""
+    from h2h_spark.operators.cluster import centroid_assign
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _label_centroid_arrays(emb)
+    assigned = centroid_assign(emb, "vec_id", "embedding", cents, "label", "cvec")
+    return (
+        emb.select("vec_id", "label")
+        .join(assigned.select("vec_id", "assigned"), "vec_id")
+        .select("vec_id", "label", F.col("assigned").cast("int").alias("assigned"))
+    )
+
+
+_SQL_CENTROID_ASSIGN = _SQL_CENTS_CTE + """
+SELECT vec_id, label, CAST(assigned AS INTEGER) AS assigned FROM assign
+"""
+
+
+def q_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means M-step: recompute centroids from the E-step assignment —
+    posexplode → per-(cluster, dim) map-side-combined avg.  Output is the
+    per-cluster member count plus each centroid dimension (rounded), i.e.
+    one full Lloyd iteration when chained after q_centroid_assign."""
+    from h2h_spark.operators.cluster import centroid_assign
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cents = _label_centroid_arrays(emb)
+    assigned = centroid_assign(emb, "vec_id", "embedding", cents, "label", "cvec")
+    joined = emb.join(assigned.select("vec_id", "assigned"), "vec_id")
+    return (
+        joined.select("assigned", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("assigned", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+        )
+        .select(
+            F.col("assigned").cast("int").alias("assigned"),
+            F.col("dim").cast("int").alias("dim"),
+            "n_members",
+            "centroid",
+        )
+    )
+
+
+_SQL_CENTROID_UPDATE = _SQL_CENTS_CTE + """
+SELECT CAST(a.assigned AS INTEGER) AS assigned,
+       CAST(dim - 1 AS INTEGER) AS dim,
+       COUNT(*) AS n_members,
+       round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+FROM (SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings) e
+JOIN assign a ON e.vec_id = a.vec_id
+GROUP BY a.assigned, dim
+"""
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'audio' path: payload bytes as u8 PCM → vectorized
+    numpy waveform stats through mapInPandas.  Fixed-point (integer)
+    duration/mean keep the compare exact; the ASCII corpus lets DuckDB
+    re-derive every stat character-wise."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    binary = MM.with_binary_payload(docs, "doc_id", "text")
+    return MM.audio_stats(binary, "doc_id", sample_rate=8000, clip_margin=6)
+
+
+_SQL_AUDIO_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(length(text) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE list_aggregate(codes, 'max') END AS INTEGER) AS peak,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE list_aggregate(list_transform(codes, c -> abs(c - 128)), 'sum')
+                      * 1000 // length(text) END AS BIGINT) AS mean_amp_milli,
+       CAST(len(list_filter(codes, c -> c >= 250 OR c < 6)) AS BIGINT) AS n_clipped
+FROM (SELECT doc_id, text,
+             list_transform(regexp_extract_all(text, '.'), c -> ascii(c)) AS codes
+      FROM documents)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation: HyperLogLog++ approx_count_distinct next to
+    the exact count, per group.  The sketch is the 100 TB tool (fixed
+    2KB state per group vs a full distinct shuffle); the query grades it
+    with an error-bound contract — `ok` asserts the HLL estimate lands
+    within 5% of exact (rsd=0.01), which the oracle can bound without
+    reproducing Spark's sketch internals."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__approx"),
+        F.countDistinct("l_orderkey").alias("exact_cnt"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_cnt",
+        (
+            F.abs(F.col("__approx") - F.col("exact_cnt"))
+            <= 0.05 * F.col("exact_cnt")
+        ).alias("ok"),
+    )
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_cnt, TRUE AS ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps): per-stage conditional-min aggregations all keyed on
+    user_id so the exchanges reuse one hash partitioning; stage tables
+    shrink monotonically (later joins broadcast under AQE)."""
+    from h2h_spark.operators.timeseries import funnel_stages
+
+    ev = _load_events(spark, sf_dir)
+    f = funnel_stages(ev, "user_id", "ts", "event_type",
+                      ["view", "click", "purchase"])
+    return f.agg(
+        F.count("view_ts").alias("n_view"),
+        F.count("click_ts").alias("n_click"),
+        F.count("purchase_ts").alias("n_purchase"),
+    )
+
+
+_SQL_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2717,6 +2912,11 @@ def _init_queries() -> None:
         "q_grouping_sets": q_grouping_sets,
         "q_exists_correlated": q_exists_correlated,
         "q_returned_items": q_returned_items,
+        "q_centroid_assign": q_centroid_assign,
+        "q_centroid_update": q_centroid_update,
+        "q_audio_stats": q_audio_stats,
+        "q_approx_distinct": q_approx_distinct,
+        "q_funnel": q_funnel,
     })
 
 
@@ -2816,4 +3016,9 @@ def oracle_sql() -> dict[str, str]:
         "q_grouping_sets": _SQL_GROUPING_SETS,
         "q_exists_correlated": _SQL_EXISTS_CORRELATED,
         "q_returned_items": _SQL_RETURNED_ITEMS,
+        "q_centroid_assign": _SQL_CENTROID_ASSIGN,
+        "q_centroid_update": _SQL_CENTROID_UPDATE,
+        "q_audio_stats": _SQL_AUDIO_STATS,
+        "q_approx_distinct": _SQL_APPROX_DISTINCT,
+        "q_funnel": _SQL_FUNNEL,
     }

@@ -112,3 +112,49 @@ def rolling_time_sum(
         .cast("double")
         .alias("rolling_sum"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    stage was reached STRICTLY AFTER the previous stage's first hit
+    (view → click → purchase, etc.).
+
+    Shape: one conditional-min aggregation per stage, each keyed by the
+    user column — stage k joins stage k-1's first-hit table, filters
+    ``ts > prev_ts``, and takes the per-user min.  Every shuffle is on
+    the same key, so after the first exchange AQE/Catalyst reuses the
+    hash partitioning for the subsequent joins and aggregations; the
+    stage tables shrink monotonically (funnel property), so later joins
+    broadcast under AQE at any corpus size.
+
+    Returns one row per user that completed stage 1, with one nullable
+    timestamp column per stage (``<stage>_ts``).  Stage counts are a
+    cheap aggregate over this output.
+    """
+    if not stages:
+        raise ValueError("funnel_stages: need at least one stage")
+    first = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"{stages[0]}_ts"))
+    )
+    out = first
+    prev = f"{stages[0]}_ts"
+    for stage in stages[1:]:
+        cur = f"{stage}_ts"
+        hits = (
+            events.filter(F.col(type_col) == stage)
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(cur))
+        )
+        out = out.join(hits, user_col, "left")
+        prev = cur
+    return out

@@ -831,3 +831,117 @@ def test_ann_indexed_prunes_partitions_and_matches_inmemory(spark, tmp_path):
         ).collect()
     )
     assert got == ref and len(got) > 0
+
+
+# ---------------------------------------------------------------- cluster ops
+
+
+def test_centroid_assign_nearest_and_tiebreak(spark):
+    from h2h_spark.operators.cluster import centroid_assign
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])],
+        "label int, cvec array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["assigned"], r["dist_sq"])
+        for r in centroid_assign(vecs, "vec_id", "embedding", cents, "label", "cvec").collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 1
+    # vec 3 is exactly equidistant: deterministic tie → lowest label
+    assert out[3][0] == 0
+    assert out[1][1] == pytest.approx(2.0)
+
+
+def test_centroid_update_recomputes_means(spark):
+    from h2h_spark.operators.cluster import centroid_assign, centroid_update
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, [2.0, 0.0]), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "label int, cvec array<double>",
+    )
+    assigned = centroid_assign(vecs, "vec_id", "embedding", cents, "label", "cvec")
+    upd = {
+        r["assigned"]: (r["centroid"], r["n_members"])
+        for r in centroid_update(vecs, "embedding", assigned, "vec_id", dim=2).collect()
+    }
+    assert upd[0][1] == 2 and upd[0][0] == [1.0, 1.0]
+    assert upd[1][1] == 1 and upd[1][0] == [10.0, 10.0]
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    from h2h_spark.operators.cluster import centroid_assign
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "label int, cvec array<double>"
+    )
+    plan = (
+        centroid_assign(vecs, "vec_id", "embedding", cents, "label", "cvec")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --------------------------------------------------------------- audio stats
+
+
+def test_audio_stats_exact_fixed_point(spark):
+    payload = bytes([128, 130, 126, 255, 0, 128])  # mean |x-128| = (0+2+2+127+128+0)/6
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    row = MM.audio_stats(df, "doc_id", sample_rate=8000, clip_margin=6).collect()[0]
+    assert row["n_samples"] == 6
+    assert row["duration_ms"] == 6 * 1000 // 8000
+    assert row["peak"] == 255
+    assert row["mean_amp_milli"] == (0 + 2 + 2 + 127 + 128 + 0) * 1000 // 6
+    assert row["n_clipped"] == 2  # 255 and 0
+
+
+def test_audio_stats_empty_payload(spark):
+    df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    row = MM.audio_stats(df, "doc_id").collect()[0]
+    assert (row["n_samples"], row["peak"], row["mean_amp_milli"], row["n_clipped"]) == (0, 0, 0, 0)
+
+
+# -------------------------------------------------------------------- funnel
+
+
+def test_funnel_stage_ordering_strict(spark):
+    from h2h_spark.operators.timeseries import funnel_stages
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        # user 2: click BEFORE first view → click stage not reached
+        (2, "2024-01-01 00:05:00", "click"),
+        (2, "2024-01-01 00:06:00", "view"),
+        # user 3: view only
+        (3, "2024-01-01 00:00:00", "view"),
+        # user 4: purchase with no view → excluded entirely
+        (4, "2024-01-01 00:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel_stages(ev, "user_id", "ts", "event_type",
+                               ["view", "click", "purchase"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["purchase_ts"] is not None
+    assert out[2]["click_ts"] is None
+    assert out[3]["click_ts"] is None and out[3]["purchase_ts"] is None
