@@ -2821,6 +2821,162 @@ SELECT (SELECT count(*) FROM v) AS n_view,
 """
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): lineitem joins supplier AND the
+    order's customer, each mapped to its nation — two independent dim
+    chains off one fact scan, both nation dims broadcast; the nation-pair
+    disjunction is applied AFTER both chains resolve (it spans both
+    sides, so it can't push below either join), revenue per (supp_nation,
+    cust_nation, ship-year) is decimal-exact."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("__sk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("__ck"),
+                                   F.col("n_name").alias("cust_nation")))
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("__sk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("__ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders-per-priority having at least one late line
+    (shipped > 90 days after the order date — the corpus carries no
+    commit/receipt dates, so lateness is derived from shipdate).  The
+    EXISTS is a left-semi join on orderkey; the date window prunes the
+    orders scan before the join."""
+    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_SQL_LATE_ORDERS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue ratio): one month of lineitem joins
+    the part dim (broadcast), conditional decimal sums, single-row ratio.
+    Both sums come out of ONE aggregation pass — no second scan."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+              .cast("decimal(18,6)")).alias("__promo"),
+        F.sum(rev.cast("decimal(18,6)")).alias("__total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total").cast("double"),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+_SQL_PROMO_REVENUE = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+"""
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND blocks spanning both join sides.  The
+    cross-table disjunction itself can only run post-join, so the
+    scale-conscious formulation adds the DERIVED per-side filters
+    (brand IN (...), quantity <= global max) that real engines factor
+    out — they preserve semantics, push into both parquet scans, and
+    shrink the join inputs; the exact disjunction then runs on the
+    survivors."""
+    part = spark.read.parquet(_t(sf_dir, "part")).filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+        F.col("l_quantity") <= 30
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    block = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(5, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(15, 30))
+    )
+    return j.filter(block).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SQL_DISJUNCTIVE_FILTER = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 5 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 15 AND 30)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2929,6 +3085,10 @@ def _init_queries() -> None:
         "q_audio_stats": q_audio_stats,
         "q_approx_distinct": q_approx_distinct,
         "q_funnel": q_funnel,
+        "q_volume_shipping": q_volume_shipping,
+        "q_late_orders": q_late_orders,
+        "q_promo_revenue": q_promo_revenue,
+        "q_disjunctive_filter": q_disjunctive_filter,
     })
 
 
@@ -3033,4 +3193,8 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_stats": _SQL_AUDIO_STATS,
         "q_approx_distinct": _SQL_APPROX_DISTINCT,
         "q_funnel": _SQL_FUNNEL,
+        "q_volume_shipping": _SQL_VOLUME_SHIPPING,
+        "q_late_orders": _SQL_LATE_ORDERS,
+        "q_promo_revenue": _SQL_PROMO_REVENUE,
+        "q_disjunctive_filter": _SQL_DISJUNCTIVE_FILTER,
     }

@@ -158,3 +158,19 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_after = compact(spark, src, dst, target_bytes=directory_bytes(spark, src) // 2)
     assert n_after <= 3
     assert spark.read.parquet(dst).count() == 100000
+
+
+def test_disjunctive_filter_pushes_derived_predicates(spark):
+    """Q19 shape: the cross-table OR can't push, but the derived per-side
+    filters (brand IN, quantity <=) must reach both parquet scans."""
+    df = entrymod.q_disjunctive_filter(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_broadcasts_both_nation_chains(spark):
+    df = entrymod.q_volume_shipping(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + two nation dims
