@@ -2977,6 +2977,24 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance takedown pass: drop docs on a removal list (broadcast
+    anti-join — the corpus never shuffles) or containing a banned phrase
+    (JVM contains filter at the scan).  Output is the surviving corpus
+    footprint."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    removal = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    out = TX.apply_takedown(docs, "doc_id", "text", removal, ["slow merge"])
+    return out.select("doc_id", "n_chars")
+
+
+_SQL_TAKEDOWN = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE doc_id % 97 <> 0 AND NOT contains(text, 'slow merge')
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3089,6 +3107,7 @@ def _init_queries() -> None:
         "q_late_orders": q_late_orders,
         "q_promo_revenue": q_promo_revenue,
         "q_disjunctive_filter": q_disjunctive_filter,
+        "q_takedown": q_takedown,
     })
 
 
@@ -3197,4 +3216,5 @@ def oracle_sql() -> dict[str, str]:
         "q_late_orders": _SQL_LATE_ORDERS,
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_disjunctive_filter": _SQL_DISJUNCTIVE_FILTER,
+        "q_takedown": _SQL_TAKEDOWN,
     }

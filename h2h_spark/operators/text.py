@@ -465,3 +465,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the exact-dup key that survives formatting noise."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def apply_takedown(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    takedown_ids: DataFrame,
+    banned_phrases: list[str],
+) -> DataFrame:
+    """Corpus takedown/compliance pass: drop documents that are on an
+    explicit removal list OR contain any banned phrase.
+
+    The removal list is a broadcast left-anti join (takedown lists are
+    tiny next to the corpus — no shuffle touches the corpus); the phrase
+    screen is a conjunction of JVM ``contains`` filters evaluated at the
+    scan.  Both prune BEFORE any downstream shuffle, which is the point:
+    at 100 TB a takedown re-run is a single filtered scan, not a
+    pipeline rebuild.
+    """
+    out = df.join(F.broadcast(takedown_ids.select(id_col)), id_col, "left_anti")
+    for phrase in banned_phrases:
+        out = out.filter(~F.col(text_col).contains(phrase))
+    return out

@@ -945,3 +945,62 @@ def test_funnel_stage_ordering_strict(spark):
     assert out[1]["purchase_ts"] is not None
     assert out[2]["click_ts"] is None
     assert out[3]["click_ts"] is None and out[3]["purchase_ts"] is None
+
+
+def test_kmeans_fit_separates_blobs(spark):
+    from h2h_spark.operators.cluster import kmeans_fit
+
+    # two well-separated blobs; ids interleaved so seeding picks one of each
+    rows = [(1, [0.0, 0.1]), (2, [10.0, 9.9]), (3, [0.2, 0.0]),
+            (4, [9.8, 10.0]), (5, [0.1, 0.2]), (6, [10.1, 10.2])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents, n_it = kmeans_fit(vecs, "vec_id", "embedding", k=2, max_iter=10)
+    got = {r["vec_id"]: r["assigned"] for r in assigned.collect()}
+    assert got[1] == got[3] == got[5]
+    assert got[2] == got[4] == got[6]
+    assert got[1] != got[2]
+    assert n_it <= 4  # blobs converge immediately
+    lo = cents[got[1]]
+    assert abs(lo[0] - 0.1) < 0.01 and abs(lo[1] - 0.1) < 0.01
+
+
+def test_apply_takedown_removes_listed_and_banned(spark):
+    from h2h_spark.operators.text import apply_takedown
+
+    docs = spark.createDataFrame(
+        [(1, "clean text"), (2, "contains banned phrase here"), (3, "also clean")],
+        "doc_id long, text string",
+    )
+    removal = spark.createDataFrame([(3,)], "doc_id long")
+    out = apply_takedown(docs, "doc_id", "text", removal, ["banned phrase"])
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_centroid_assign_blas_matches_expression_path(spark):
+    from h2h_spark.operators.cluster import centroid_assign, centroid_assign_blas
+
+    # quantized deterministic vectors -> distances well-separated, both
+    # paths must agree exactly on the argmin
+    vecs = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(201)) - 100) / 100.0,
+        ).cast("array<float>").alias("embedding"),
+    )
+    cmat = [
+        [float(x) for x in r["embedding"]]
+        for r in vecs.orderBy("vec_id").limit(8).collect()
+    ]
+    cdf = spark.createDataFrame(
+        list(enumerate(cmat)), "label int, cvec array<double>"
+    )
+    expr = {
+        r["vec_id"]: r["assigned"]
+        for r in centroid_assign(vecs, "vec_id", "embedding", cdf, "label", "cvec").collect()
+    }
+    blas = {
+        r["vec_id"]: r["assigned"]
+        for r in centroid_assign_blas(vecs, "vec_id", "embedding", cmat).collect()
+    }
+    assert expr == blas
