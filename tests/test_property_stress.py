@@ -231,3 +231,43 @@ def test_interval_join_equals_naive(spark, seed):
         if pk == ik and start <= ts < start + span
     )
     assert got == naive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_funnel_equals_naive(spark, seed):
+    """funnel_stages == a brute-force per-user scan on random event logs
+    (stage types shuffled, duplicate timestamps, users missing stages)."""
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.timeseries import funnel_stages
+
+    rnd = random.Random(seed)
+    stages = ["a", "b", "c"]
+    rows = [
+        (rnd.randint(1, 8), rnd.randint(0, 50), rnd.choice(stages + ["x"]))
+        for _ in range(120)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["a_ts"], r["b_ts"], r["c_ts"])
+        for r in funnel_stages(ev, "user_id", "ts", "event_type", stages).collect()
+    }
+
+    naive = {}
+    by_user = {}
+    for u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    for u, evs in by_user.items():
+        a = min((ts for ts, t in evs if t == "a"), default=None)
+        if a is None:
+            continue
+        b = min((ts for ts, t in evs if t == "b" and ts > a), default=None)
+        c = (
+            min((ts for ts, t in evs if t == "c" and ts > b), default=None)
+            if b is not None
+            else None
+        )
+        naive[u] = (a, b, c)
+    assert got == naive
