@@ -2977,6 +2977,30 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles: approx_percentile (Greenwald-Khanna, bounded
+    state) next to the exact percentile, per group — at 100 TB the exact
+    version is a full per-group sort, the sketch is mergeable fixed
+    state.  Graded like the HLL query: `ok` asserts the approximate
+    median lands between the exact p45/p55 (a rank-error bound the
+    oracle can state without reproducing the sketch)."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__ap50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        ((F.col("__ap50") >= F.col("__p45")) & (F.col("__ap50") <= F.col("__p55"))).alias("ok"),
+    )
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT l_returnflag, TRUE AS ok FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compliance takedown pass: drop docs on a removal list (broadcast
     anti-join — the corpus never shuffles) or containing a banned phrase
@@ -3108,6 +3132,7 @@ def _init_queries() -> None:
         "q_promo_revenue": q_promo_revenue,
         "q_disjunctive_filter": q_disjunctive_filter,
         "q_takedown": q_takedown,
+        "q_approx_quantiles": q_approx_quantiles,
     })
 
 
@@ -3217,4 +3242,5 @@ def oracle_sql() -> dict[str, str]:
         "q_promo_revenue": _SQL_PROMO_REVENUE,
         "q_disjunctive_filter": _SQL_DISJUNCTIVE_FILTER,
         "q_takedown": _SQL_TAKEDOWN,
+        "q_approx_quantiles": _SQL_APPROX_QUANTILES,
     }
