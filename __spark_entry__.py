@@ -2987,12 +2987,13 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     agg = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__ap50"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+        # both exact bounds from ONE percentile pass (array form) — the
+        # exact sort is the expensive half, don't run it twice
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("__pb"),
     )
     return agg.select(
         "l_returnflag",
-        ((F.col("__ap50") >= F.col("__p45")) & (F.col("__ap50") <= F.col("__p55"))).alias("ok"),
+        ((F.col("__ap50") >= F.col("__pb")[0]) & (F.col("__ap50") <= F.col("__pb")[1])).alias("ok"),
     )
 
 
