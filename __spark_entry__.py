@@ -1274,13 +1274,15 @@ def _minhash_oracle_sql(
     threshold: float = 0.5,
     max_bucket: int = 200,
     seed: int = 42,
-    delta_min_id: int | None = None,
+    delta_min_sql: str | None = None,
 ) -> str:
     """DuckDB twin of q_dedup_near_minhash: same permutation constants
     (from the same seeded generator), same md5-derived base hash, same
-    banding and caps.  ``delta_min_id`` restricts candidate pairs to those
-    touching the delta (ids >= the bound) — the incremental-dedup
-    contract: identical pipeline, corpus×corpus pairs excluded."""
+    banding and caps.  ``delta_min_sql`` (a scalar SQL expression — KEEP it
+    scale-independent, e.g. derived from COUNT(*), so the twin is correct
+    at every sf) restricts candidate pairs to those touching the delta
+    (ids >= the bound) — the incremental-dedup contract: identical
+    pipeline, corpus×corpus pairs excluded."""
     params = D._hash_params(num_hashes, seed)
     rows = num_hashes // bands
     sig_aggs = ",\n         ".join(
@@ -1317,7 +1319,7 @@ cand AS (
   FROM bandtab a
   JOIN okbuckets o ON a.band = o.band AND a.bucket = o.bucket
   JOIN bandtab b ON b.band = a.band AND b.bucket = a.bucket AND a.id < b.id
-  {"WHERE b.id >= " + str(delta_min_id) if delta_min_id is not None else ""})
+  {"WHERE b.id >= (" + delta_min_sql + ")" if delta_min_sql is not None else ""})
 SELECT id_a, id_b,
        ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
@@ -1332,8 +1334,8 @@ def _minhash_index_tables(spark: SparkSession, sf_dir: str):
     to parquet once (the production artifact incremental dedup reads),
     then scanned per ingest — never re-derived from the corpus text."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    # delta = the last 20% of ids (at the sf0.01 oracle scale: ids >= 400,
-    # matching the hardcoded bound in the oracle SQL)
+    # delta = the last 20% of ids; the oracle twin derives the same
+    # boundary from COUNT(*) so the contract holds at every sf
     boundary = int(docs.count() * 0.8)
     w = _work("minhash_index", sf_dir)
     epath, spath = f"{w}/entries", f"{w}/sets"
@@ -3186,7 +3188,9 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": _SQL_DEDUP_EXACT,
         "q_jaccard_pairs": _SQL_JACCARD_PAIRS,
         "q_dedup_near_minhash": _minhash_oracle_sql(),
-        "q_dedup_incremental": _minhash_oracle_sql(delta_min_id=400),
+        "q_dedup_incremental": _minhash_oracle_sql(
+            delta_min_sql="SELECT CAST(FLOOR(COUNT(*) * 0.8) AS BIGINT) FROM documents"
+        ),
         "q_simhash_pairs": _simhash_oracle_sql(),
         "q_simsearch_topk": _SQL_SIMSEARCH_TOPK,
         "q_ann_topk": _SQL_ANN_TOPK,
