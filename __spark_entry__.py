@@ -3004,6 +3004,51 @@ SELECT l_returnflag, TRUE AS ok FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert (CDC delta apply, the metadata-refresh shape):
+    delta rows replace base rows on the key, unmatched base rows carry
+    over — one full-outer join on the key, delta side wins via coalesce.
+    At 100 TB the base is bucketed/partitioned by the key so the join is
+    co-located and only delta-touched partitions rewrite; here the delta
+    is the last 10% of customers with a marker mutation."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    n = cust.count()
+    delta = (
+        cust.filter(F.col("c_custkey") >= int(n * 0.9))
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 2))
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+    )
+    base = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    dsel = delta.select(
+        F.col("c_custkey").alias("__k"),
+        F.col("c_name").alias("__n"),
+        F.col("c_acctbal").alias("__b"),
+        F.col("c_mktsegment").alias("__m"),
+    )
+    merged = base.join(dsel, base.c_custkey == dsel.__k, "full_outer")
+    return merged.select(
+        F.coalesce(F.col("__k"), F.col("c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("__n"), F.col("c_name")).alias("c_name"),
+        F.round(F.coalesce(F.col("__b"), F.col("c_acctbal")), 2).alias("c_acctbal"),
+        F.coalesce(F.col("__m"), F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+
+
+_SQL_UPSERT = """
+WITH delta AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 2) AS c_acctbal,
+         'UPSERTED' AS c_mktsegment
+  FROM customer
+  WHERE c_custkey >= (SELECT CAST(FLOOR(COUNT(*) * 0.9) AS BIGINT) FROM customer)
+)
+SELECT COALESCE(d.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(d.c_name, b.c_name) AS c_name,
+       round(COALESCE(d.c_acctbal, b.c_acctbal), 2) AS c_acctbal,
+       COALESCE(d.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+FROM customer b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+"""
+
+
 def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compliance takedown pass: drop docs on a removal list (broadcast
     anti-join — the corpus never shuffles) or containing a banned phrase
@@ -3136,6 +3181,7 @@ def _init_queries() -> None:
         "q_disjunctive_filter": q_disjunctive_filter,
         "q_takedown": q_takedown,
         "q_approx_quantiles": q_approx_quantiles,
+        "q_upsert": q_upsert,
     })
 
 
@@ -3248,4 +3294,5 @@ def oracle_sql() -> dict[str, str]:
         "q_disjunctive_filter": _SQL_DISJUNCTIVE_FILTER,
         "q_takedown": _SQL_TAKEDOWN,
         "q_approx_quantiles": _SQL_APPROX_QUANTILES,
+        "q_upsert": _SQL_UPSERT,
     }
