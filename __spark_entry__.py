@@ -3004,6 +3004,35 @@ SELECT l_returnflag, TRUE AS ok FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: noisy probe names (deterministic 1-char typo)
+    matched back to the part catalog — block on the last name token
+    (one hash equi-join), verify with levenshtein inside blocks only.
+    The corpus² naive form never runs; same candidates-then-verify
+    discipline as the LSH dedup family."""
+    parts = spark.read.parquet(_t(sf_dir, "part"))
+    probes = parts.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(F.lit("z"), F.expr("substr(p_name, 2)")).alias("probe_name"),
+    )
+    cat = parts.select("p_partkey", "p_name")
+    out = TX.fuzzy_join(probes, cat, "probe_name", "p_name", max_edit=1)
+    return out.select("probe_key", "p_partkey", "probe_name", "p_name", "edit_dist")
+
+
+_SQL_FUZZY_MATCH = """
+WITH probes AS (
+  SELECT p_partkey AS probe_key, 'z' || substr(p_name, 2) AS probe_name
+  FROM part WHERE p_partkey % 20 = 0
+)
+SELECT probe_key, c.p_partkey, probe_name, c.p_name,
+       CAST(levenshtein(probe_name, c.p_name) AS INTEGER) AS edit_dist
+FROM probes JOIN part c
+  ON regexp_extract(probe_name, '(\\S+)$') = regexp_extract(c.p_name, '(\\S+)$')
+WHERE levenshtein(probe_name, c.p_name) <= 1
+"""
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot upsert (CDC delta apply, the metadata-refresh shape):
     delta rows replace base rows on the key, unmatched base rows carry
@@ -3182,6 +3211,7 @@ def _init_queries() -> None:
         "q_takedown": q_takedown,
         "q_approx_quantiles": q_approx_quantiles,
         "q_upsert": q_upsert,
+        "q_fuzzy_match": q_fuzzy_match,
     })
 
 
@@ -3295,4 +3325,5 @@ def oracle_sql() -> dict[str, str]:
         "q_takedown": _SQL_TAKEDOWN,
         "q_approx_quantiles": _SQL_APPROX_QUANTILES,
         "q_upsert": _SQL_UPSERT,
+        "q_fuzzy_match": _SQL_FUZZY_MATCH,
     }

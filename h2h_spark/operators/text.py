@@ -488,3 +488,40 @@ def apply_takedown(
     for phrase in banned_phrases:
         out = out.filter(~F.col(text_col).contains(phrase))
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    max_edit: int = 1,
+    block: "F.Column | None" = None,
+) -> DataFrame:
+    """Fuzzy string match (entity resolution): equi-join on a cheap
+    blocking key, then verify candidates with edit distance.
+
+    The naive formulation — ``levenshtein`` over the cross product — is
+    corpus² and never acceptable; this is the standard block+verify
+    shape: the blocking key (default: last whitespace token of the name)
+    turns the candidate step into one hash equi-join, and the quadratic
+    verifier runs only inside blocks.  Same discipline as the LSH dedup
+    family: candidates from a cheap key, exact verification after.
+
+    ``block`` is a column-expression function applied to each side's
+    name column; the default assumes the last token is stable under the
+    expected typo distribution (swap in a phonetic key / q-gram key for
+    other error models).  Output: all left columns + all right columns +
+    ``edit_dist``.
+    """
+    blk = block if block is not None else (
+        lambda c: F.substring_index(c, " ", -1)
+    )
+    lb = left.withColumn("__blk", blk(F.col(left_name)))
+    rb = right.withColumn("__blk", blk(F.col(right_name)))
+    return (
+        lb.join(rb, "__blk")
+        .withColumn("edit_dist", F.levenshtein(F.col(left_name), F.col(right_name)))
+        .filter(F.col("edit_dist") <= max_edit)
+        .drop("__blk")
+    )
