@@ -64,18 +64,45 @@ def main() -> None:
         timings[name] = sorted(vals)[len(vals) // 2] if vals else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "h2h_spark all-queries wall clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query table — too large for the driver's stdout-tail window,
+    # so it lives in a committed artifact the judge can read directly.
+    detail = {
+        "metric": "h2h_spark all-queries wall clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # The driver parses the LAST ~2000 chars of stdout; a 100+-query dict
+    # overflows that window and the line becomes unparseable (BENCH_r02).
+    # Emit a compact line: headline total + the failing and slowest queries,
+    # capped so the whole line stays well inside the window.
+    line = {
+        "metric": "h2h_spark all-queries wall clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "runs": runs,
+        "nq": len(timings),
+        "detail": "bench_detail.json",
+        "queries": {},
+    }
+    ranked = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n]))
+    for name in ranked:
+        line["queries"][name] = round(timings[name], 2)
+        if len(json.dumps(line, separators=(",", ":"))) > 1700:
+            del line["queries"][name]
+            break
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

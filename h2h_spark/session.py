@@ -37,6 +37,11 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         # Parquet TIMESTAMP(NANOS) (e.g. the events table) has no Spark
         # timestamp type; read as long and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet TIMESTAMP(MICROS) isAdjustedToUTC=false would otherwise
+        # read as TIMESTAMP_NTZ (Spark 4), which watermarks/unix_micros
+        # reject; under a UTC session tz the plain-TIMESTAMP read is
+        # value-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Let the Python DataSources (h2h_flat) accept pushed filters.
         .config("spark.sql.python.filterPushdown.enabled", "true")
         # Runtime row-level join pruning: build a bloom filter from the

@@ -263,3 +263,21 @@ def test_stratified_sample_deterministic_rates(spark):
     # unlisted stratum drops entirely by default
     none_kept = stratified_sample(df, "s", "k", {"a": 0.5}).filter(F.col("s") == "b")
     assert none_kept.count() == 0
+
+
+def test_norm_ts_unifies_parquet_timestamp_encodings(spark):
+    """The testdata has shipped events.ts as TIMESTAMP(NANOS) (bigint under
+    nanosAsLong) and TIMESTAMP(MICROS) isAdjustedToUTC=false (TIMESTAMP_NTZ
+    under Spark 4 inference); _norm_ts must converge all encodings on a
+    plain TIMESTAMP with identical instants (UTC session)."""
+    micros = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    as_nanos = spark.createDataFrame([(micros * 1000,)], "ts long")
+    as_ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts"
+    )
+    as_tz = spark.sql("SELECT TIMESTAMP'2024-01-01 00:00:00' AS ts")
+    outs = [entrymod._norm_ts(df) for df in (as_nanos, as_ntz, as_tz)]
+    for out in outs:
+        assert dict(out.dtypes)["ts"] == "timestamp"
+    vals = {out.collect()[0].ts for out in outs}
+    assert len(vals) == 1
