@@ -3089,6 +3089,206 @@ WHERE doc_id % 97 <> 0 AND NOT contains(text, 'slow merge')
 """
 
 
+def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: rebalance the corpus to a uniform per-source
+    share of a fixed 50k-char budget (the assemble-the-training-mix step).
+    Two passes — a tiny per-source aggregate, then one pushdown-surviving
+    scan filter with md5-portable membership; the kept footprint per
+    source is what the oracle recomputes."""
+    from h2h_spark.operators.sampling import mix_to_token_budget
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    kept = mix_to_token_budget(
+        docs, "source", "doc_id", "n_chars", budget=50_000
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+# The oracle replays the exact keep-rate arithmetic: per-source totals,
+# uniform weight 1/n, rate = min(1, (budget*w)/total) in double precision,
+# threshold = floor(rate*10000 + 0.5), membership by the portable 60-bit
+# md5 bucket — every op is order-fixed, so the boundary is bit-identical.
+_SQL_MIX_BUDGET = """
+WITH tot AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents GROUP BY source
+),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, (CAST(50000 AS DOUBLE) * (1.0 / (SELECT COUNT(*) FROM tot))) / t)
+                    * 10000 + 0.5) AS BIGINT) AS thr
+  FROM tot
+),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN thr ON d.source = thr.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr.thr
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM kept GROUP BY source
+"""
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events looked up against
+    the static customer dimension.  Stateless in Spark (no watermark, no
+    state store); the dim side broadcasts per micro-batch, so the stream
+    never shuffles — bounded input drains in one batch and equals the
+    batch join the oracle runs."""
+    from h2h_spark.streaming.joins import enrich_stream
+
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_enrich", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    res = enrich_stream(
+        spark, stream_dir, ev_schema, cust,
+        join_expr="s.user_id = d.c_custkey",
+        select_cols=[
+            "s.event_id AS event_id",
+            "s.user_id AS user_id",
+            "d.c_mktsegment AS segment",
+            "s.value AS value",
+        ],
+        transform=_norm_ts,
+    )
+    return res
+
+
+_SQL_STREAM_ENRICH = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity line items of
+    one brand, the correlated scalar-aggregate subquery — Catalyst
+    rewrites it to a per-part aggregate + join (no per-row subquery).
+    The threshold compare is decimal-exact (q*5*cnt < sum), so the
+    boundary can't drift between engines."""
+    spark.read.parquet(_t(sf_dir, "lineitem")).createOrReplaceTempView("li_q17")
+    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part_q17")
+    return spark.sql("""
+        WITH pa AS (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                 COUNT(*) AS c
+          FROM li_q17 GROUP BY l_partkey
+        )
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+        FROM li_q17
+        JOIN part_q17 ON p_partkey = l_partkey
+        JOIN pa ON pa.pk = p_partkey
+        WHERE p_brand = 'Brand#2'
+          AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * c < s
+    """)
+
+
+_SQL_SMALL_QTY_REVENUE = """
+WITH pa AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.pk = p_partkey
+WHERE p_brand = 'Brand#2'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * c < s
+"""
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    order, per nation — an uncorrelated scalar subquery feeding the
+    filter plus a filtered NOT EXISTS anti join.  (Every customer in this
+    testdata has orders, so the anti join is restricted to urgent-priority
+    orders to keep the result non-trivial.)  The above-average compare is
+    decimal-exact (bal*cnt > sum) so the threshold can't drift."""
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("cust_q22")
+    spark.read.parquet(_t(sf_dir, "orders")).createOrReplaceTempView("ord_q22")
+    return spark.sql("""
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM cust_q22 c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT COUNT(*) FROM cust_q22 WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM cust_q22
+                 WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM ord_q22 o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """)
+
+
+_SQL_SALES_OPPORTUNITY = """
+SELECT c_nationkey,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+         WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/data-audit pass): null counts, exact
+    distincts, min/max for a column set in ONE aggregate pass + a narrow
+    stack() melt — no per-column scans, no Python."""
+    from h2h_spark.operators.profile import profile_columns
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return profile_columns(
+        li, ["l_returnflag", "l_linestatus", "l_quantity", "l_partkey"]
+    )
+
+
+_SQL_PROFILE = """
+WITH s AS (SELECT * FROM lineitem)
+SELECT 'l_returnflag' AS "column", (SELECT COUNT(*) FROM s) AS n_rows,
+       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT l_returnflag) AS n_distinct,
+       CAST(MIN(l_returnflag) AS VARCHAR) AS min_value,
+       CAST(MAX(l_returnflag) AS VARCHAR) AS max_value
+FROM s
+UNION ALL
+SELECT 'l_linestatus', (SELECT COUNT(*) FROM s),
+       SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_linestatus),
+       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'l_quantity', (SELECT COUNT(*) FROM s),
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_quantity),
+       CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM s
+UNION ALL
+SELECT 'l_partkey', (SELECT COUNT(*) FROM s),
+       SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_partkey),
+       CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3222,6 +3422,11 @@ def _init_queries() -> None:
         "q_approx_quantiles": q_approx_quantiles,
         "q_upsert": q_upsert,
         "q_fuzzy_match": q_fuzzy_match,
+        "q_mix_budget": q_mix_budget,
+        "q_stream_enrich": q_stream_enrich,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_sales_opportunity": q_sales_opportunity,
+        "q_profile": q_profile,
     })
 
 
@@ -3336,4 +3541,9 @@ def oracle_sql() -> dict[str, str]:
         "q_approx_quantiles": _SQL_APPROX_QUANTILES,
         "q_upsert": _SQL_UPSERT,
         "q_fuzzy_match": _SQL_FUZZY_MATCH,
+        "q_mix_budget": _SQL_MIX_BUDGET,
+        "q_stream_enrich": _SQL_STREAM_ENRICH,
+        "q_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
+        "q_sales_opportunity": _SQL_SALES_OPPORTUNITY,
+        "q_profile": _SQL_PROFILE,
     }

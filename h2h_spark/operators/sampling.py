@@ -97,3 +97,48 @@ def stratified_sample(
     default = int(round(default_rate * _BUCKETS))
     thr = F.lit(default) if thr is None else thr.otherwise(F.lit(default))
     return df.filter(bucket < thr)
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    cost_col: str,
+    budget: int,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture under a total token budget —
+    the "data mixing" step of training-set assembly (e.g. 30% code, 50%
+    web, 20% books at 1T tokens total).
+
+    ``weights`` maps stratum → target share of ``budget`` (default:
+    uniform across observed strata).  Each stratum keeps the hashed-key
+    fraction ``min(1, budget*w / stratum_total_cost)`` of its rows, so the
+    expected kept cost approaches the target share without a sort or a
+    running total.  Two passes: one tiny per-stratum aggregate (stratum
+    cardinality = #sources/#languages — driver-safe at any corpus size),
+    then one narrow filter at scan with literal thresholds (predicate
+    pushdown survives).  Membership is md5-portable and stable under
+    corpus growth, like :func:`stratified_sample`.
+
+    The keep-rate arithmetic is fixed double-precision ops in a fixed
+    order (``(budget * w) / total`` then ``floor(r*10000 + 0.5)``) so an
+    external oracle doing the same math lands on the identical threshold.
+    """
+    import math
+
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(strata_col).agg(F.sum(F.col(cost_col))).collect()
+    }
+    n = len(totals)
+    thr: Column | None = None
+    for name in sorted(totals):
+        w = weights.get(name, 0.0) if weights is not None else 1.0 / n
+        total = totals[name]
+        rate = min(1.0, (float(budget) * w) / total) if total > 0 else 0.0
+        t = int(math.floor(rate * _BUCKETS + 0.5))
+        cond = F.col(strata_col) == name
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return df.filter(split_bucket(key_col) < thr)

@@ -74,3 +74,46 @@ def windowed_stream_join(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def enrich_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    static_df: DataFrame,
+    *,
+    join_expr: str,
+    select_cols: list[str],
+    transform=None,
+) -> DataFrame:
+    """Stream-static equi-join (enrichment): each streaming row joined to
+    a static dimension snapshot — the lookup/enrichment stage of an event
+    pipeline (events + user table, impressions + campaign table).
+
+    Stream-static joins are STATELESS in Spark: no watermark, no state
+    store — each micro-batch plans a fresh batch join against the static
+    side, so a small dimension broadcasts (BroadcastHashJoin) and the
+    stream side never shuffles.  That is the 100 TB posture: the stream
+    scales with arrival rate, the dim side with catalog size, and neither
+    accumulates state.  Bounded input drains in one batch, so the result
+    equals the batch join — oracle-checkable."""
+    name = f"h2h_en_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(path)
+    if transform is not None:
+        stream = transform(stream)
+    joined = (
+        stream.alias("s")
+        .join(static_df.alias("d"), F.expr(join_expr))
+        .selectExpr(*select_cols)
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

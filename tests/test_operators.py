@@ -1004,3 +1004,56 @@ def test_centroid_assign_blas_matches_expression_path(spark):
         for r in centroid_assign_blas(vecs, "vec_id", "embedding", cmat).collect()
     }
     assert expr == blas
+
+
+def test_mix_to_token_budget_hits_target_shares(spark):
+    from h2h_spark.operators.sampling import mix_to_token_budget
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, "code").otherwise("web").alias("src"),
+        F.lit(100).alias("cost"),
+    )
+    # web holds 150k cost, code 50k; a 100k budget at 50/50 target should
+    # keep ~1/3 of web and all of code (rate capped at 1.0).
+    kept = mix_to_token_budget(
+        df, "src", "id", "cost", budget=100_000,
+        weights={"web": 0.5, "code": 0.5},
+    )
+    by = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["code"] == 500  # rate 1.0: every code row survives
+    assert 400 <= by["web"] <= 600  # ~500 of 1500 at rate 1/3 (hash spread)
+    # deterministic: same call, same membership
+    again = mix_to_token_budget(
+        df, "src", "id", "cost", budget=100_000,
+        weights={"web": 0.5, "code": 0.5},
+    )
+    assert sorted(r["id"] for r in kept.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_mix_to_token_budget_unknown_stratum_drops(spark):
+    from h2h_spark.operators.sampling import mix_to_token_budget
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit("other").alias("src"), F.lit(10).alias("cost")
+    )
+    kept = mix_to_token_budget(df, "src", "id", "cost", budget=1000, weights={"web": 1.0})
+    assert kept.count() == 0
+
+
+def test_profile_columns_single_pass(spark):
+    from h2h_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")], "k long, s string"
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert out["k"]["n_rows"] == 4
+    assert out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["s"]["n_nulls"] == 1
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
