@@ -3289,6 +3289,38 @@ FROM s
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view fold): the
+    stored per-customer partial state (decimal sums + counts) built from
+    the first ~90% of orders, folded with the last ~10% as a delta batch
+    — work |state|+|delta|, never the history.  Because the state is
+    mergeable and decimal-exact, the fold equals the one-shot aggregate
+    over everything, which is exactly what the oracle computes."""
+    from h2h_spark.operators.incremental import agg_state, merge_agg_state
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    boundary = int(orders.count() * 0.9)
+    base = orders.filter(F.col("o_orderkey") < boundary)
+    delta = orders.filter(F.col("o_orderkey") >= boundary)
+    state = agg_state(base, ["o_custkey"], {"o_totalprice": "decimal(18,2)"})
+    delta_state = agg_state(delta, ["o_custkey"], {"o_totalprice": "decimal(18,2)"})
+    merged = merge_agg_state(state, delta_state, ["o_custkey"])
+    return merged.select(
+        "o_custkey",
+        F.col("n_rows").cast("bigint").alias("n_orders"),
+        F.col("o_totalprice_sum").cast("double").alias("total_price"),
+    )
+
+
+# The fold must equal the one-shot aggregate over the full history — the
+# oracle IS that one-shot aggregate (any base/delta split must converge).
+_SQL_INCREMENTAL_AGG = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3427,6 +3459,7 @@ def _init_queries() -> None:
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_sales_opportunity": q_sales_opportunity,
         "q_profile": q_profile,
+        "q_incremental_agg": q_incremental_agg,
     })
 
 
@@ -3546,4 +3579,5 @@ def oracle_sql() -> dict[str, str]:
         "q_small_qty_revenue": _SQL_SMALL_QTY_REVENUE,
         "q_sales_opportunity": _SQL_SALES_OPPORTUNITY,
         "q_profile": _SQL_PROFILE,
+        "q_incremental_agg": _SQL_INCREMENTAL_AGG,
     }

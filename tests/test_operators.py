@@ -1057,3 +1057,25 @@ def test_profile_columns_single_pass(spark):
     assert out["s"]["n_nulls"] == 1
     assert out["s"]["n_distinct"] == 2
     assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"
+
+
+def test_incremental_agg_fold_equals_one_shot(spark):
+    from h2h_spark.operators.incremental import agg_state, merge_agg_state
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.01 + 1).alias("v"),
+    )
+    full = {
+        (r["k"]): (r["n_rows"], float(r["v_sum"]))
+        for r in agg_state(df, ["k"], {"v": "decimal(18,2)"}).collect()
+    }
+    # fold three arbitrary delta batches — any split must converge
+    parts = [df.filter(F.col("id") % 3 == i) for i in range(3)]
+    state = agg_state(parts[0], ["k"], {"v": "decimal(18,2)"})
+    for p in parts[1:]:
+        state = merge_agg_state(state, agg_state(p, ["k"], {"v": "decimal(18,2)"}), ["k"])
+    folded = {
+        (r["k"]): (r["n_rows"], float(r["v_sum"])) for r in state.collect()
+    }
+    assert folded == full
