@@ -3321,6 +3321,115 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour+day+month
+    per-event-type aggregates in ONE pass (grouping sets over truncated
+    timestamps — one Expand, one exchange for all three grains)."""
+    from h2h_spark.operators.timeseries import time_rollup
+
+    ev = _load_events(spark, sf_dir)
+    out = time_rollup(
+        ev, "ts", ["event_type"],
+        ["COUNT(*) AS n_events",
+         "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value"],
+        levels=("hour", "day", "month"),
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+_SQL_TIME_ROLLUP = """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS __t_hour, date_trunc('day', ts) AS __t_day,
+         date_trunc('month', ts) AS __t_month, event_type, value
+  FROM events)
+SELECT CASE WHEN GROUPING(__t_hour) = 0 THEN 'hour'
+            WHEN GROUPING(__t_day) = 0 THEN 'day'
+            WHEN GROUPING(__t_month) = 0 THEN 'month' END AS grain,
+       strftime(COALESCE(__t_hour, __t_day, __t_month), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM b
+GROUP BY GROUPING SETS ((__t_hour, event_type), (__t_day, event_type),
+                        (__t_month, event_type))
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: per-user event frequencies
+    estimated from a 4×256 counter grid (fixed KB state, one bounded
+    shuffle) instead of an exact per-key count.  The md5-portable hashes
+    make the whole sketch deterministic, so the oracle re-derives build
+    AND probe bit-for-bit in SQL; top-20 by estimate with a full
+    deterministic tiebreak."""
+    from h2h_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    sketch = cms_build(ev, "user_id", depth=4, width=256)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id", depth=4, width=256)
+    return est.orderBy(F.col("est").desc(), F.col("user_id")).limit(20)
+
+
+_SQL_CMS_HEAVY_HITTERS = """
+WITH cells AS (
+  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS r)
+),
+sketch AS (
+  SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c
+),
+probes AS (
+  SELECT user_id, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS c
+  FROM (SELECT DISTINCT user_id FROM events), (SELECT unnest([0, 1, 2, 3]) AS r)
+)
+SELECT user_id, MIN(cnt) AS est
+FROM probes JOIN sketch USING (r, c)
+GROUP BY user_id
+ORDER BY est DESC, user_id
+LIMIT 20
+"""
+
+
+def q_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch continuous aggregate: events split into 4 files,
+    drained one file per micro-batch, each batch folded into the stored
+    per-user state (|state|+|batch| work per batch).  Decimal folding is
+    order-independent, so the final state equals the one-shot aggregate
+    the oracle computes — regardless of micro-batch boundaries."""
+    from h2h_spark.streaming.sinks import stream_fold_agg
+
+    work = _work("q_stream_fold", sf_dir)
+    src = os.path.join(work, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = stream_fold_agg(
+        spark, src, schema,
+        keys=["user_id"], measures={"value": "decimal(18,4)"},
+        state_root=os.path.join(work, "state"),
+        transform=_norm_ts,
+    )
+    return state.select(
+        "user_id",
+        F.col("n_rows").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("double").alias("total_value"),
+    )
+
+
+_SQL_STREAM_FOLD = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3460,6 +3569,9 @@ def _init_queries() -> None:
         "q_sales_opportunity": q_sales_opportunity,
         "q_profile": q_profile,
         "q_incremental_agg": q_incremental_agg,
+        "q_time_rollup": q_time_rollup,
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q_stream_fold": q_stream_fold,
     })
 
 
@@ -3580,4 +3692,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sales_opportunity": _SQL_SALES_OPPORTUNITY,
         "q_profile": _SQL_PROFILE,
         "q_incremental_agg": _SQL_INCREMENTAL_AGG,
+        "q_time_rollup": _SQL_TIME_ROLLUP,
+        "q_cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
+        "q_stream_fold": _SQL_STREAM_FOLD,
     }

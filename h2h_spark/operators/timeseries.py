@@ -158,3 +158,43 @@ def funnel_stages(
         out = out.join(hits, user_col, "left")
         prev = cur
     return out
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    agg_sql_exprs: list[str],
+    levels: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass computes the
+    aggregate at every time granularity (hour/day/month/...) via GROUPING
+    SETS over pre-truncated timestamp columns — one Expand + ONE exchange
+    for all levels, vs one scan+shuffle per level if issued separately.
+
+    Output carries a ``grain`` label (from GROUPING(), so it is exact
+    even for NULL buckets) and a single ``bucket_ts`` — downstream
+    consumers (a dashboard hierarchy, a continuous-aggregate refresh)
+    read one table.  At 100 TB the coarse levels are nearly free: they
+    ride the same shuffle, and map-side partial aggregation has already
+    collapsed each partition to its distinct (level, bucket, group)
+    rows.  ``agg_sql_exprs`` are SQL aggregate expressions with aliases
+    (e.g. ``"COUNT(*) AS n"``)."""
+    trunc = [F.date_trunc(lv, F.col(ts_col)).alias(f"__t_{lv}") for lv in levels]
+    base = df.select(*trunc, "*")
+    view = "__rollup_in"
+    base.createOrReplaceTempView(view)
+    sets = ", ".join(
+        "(" + ", ".join([f"__t_{lv}"] + group_cols) + ")" for lv in levels
+    )
+    grain = "CASE " + " ".join(
+        f"WHEN GROUPING(__t_{lv}) = 0 THEN '{lv}'" for lv in levels
+    ) + " END"
+    bucket = "COALESCE(" + ", ".join(f"__t_{lv}" for lv in levels) + ")"
+    group_sel = (", ".join(group_cols) + ",") if group_cols else ""
+    return base.sparkSession.sql(f"""
+        SELECT {grain} AS grain, {bucket} AS bucket_ts, {group_sel}
+               {", ".join(agg_sql_exprs)}
+        FROM {view}
+        GROUP BY GROUPING SETS ({sets})
+    """)

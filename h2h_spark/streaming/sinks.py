@@ -1,0 +1,69 @@
+"""foreachBatch sinks — the production pattern for streaming writes Spark
+has no native sink for (upserts, aggregate folds, multi-table writes).
+
+`stream_fold_agg` maintains a continuous aggregate: each micro-batch is
+partially aggregated (|batch| work), then folded into the stored per-key
+state via the mergeable-state contract of
+:mod:`h2h_spark.operators.incremental` — per-batch cost |state|+|batch|,
+never the history.  State versions are whole-directory swaps
+(write-new-then-repoint), the idempotent pattern for object stores: a
+failed batch leaves the previous version intact and micro-batch replay
+just rewrites the same version.
+
+Decimal accumulation makes the fold order-independent, so the final state
+equals the one-shot batch aggregate no matter how the input was split
+into micro-batches — the property the oracle asserts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_fold_agg(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    keys: list[str],
+    measures: dict[str, str],
+    state_root: str,
+    transform=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain the bounded file stream at ``src_dir`` through foreachBatch,
+    folding each micro-batch into the versioned aggregate state under
+    ``state_root``; returns the final state."""
+    from h2h_spark.operators.incremental import agg_state, merge_agg_state
+
+    cur = {"path": None, "v": 0}
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        part = agg_state(batch, keys, measures)
+        if cur["path"] is not None:
+            prev = spark.read.parquet(cur["path"])
+            part = merge_agg_state(prev, part, keys)
+        cur["v"] += 1
+        path = os.path.join(state_root, f"v{cur['v']}")
+        part.write.mode("overwrite").parquet(path)
+        cur["path"] = path
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if cur["path"] is None:  # empty input: state is the empty aggregate
+        return agg_state(
+            spark.createDataFrame([], schema), keys, measures
+        )
+    return spark.read.parquet(cur["path"])

@@ -1079,3 +1079,24 @@ def test_incremental_agg_fold_equals_one_shot(spark):
         (r["k"]): (r["n_rows"], float(r["v_sum"])) for r in state.collect()
     }
     assert folded == full
+
+
+def test_cms_overestimates_and_merges(spark):
+    from h2h_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.range(3000).select((F.col("id") % 50).alias("k"))
+    sketch = cms_build(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in cms_estimate(sketch, keys, "k", depth=4, width=64).collect()}
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    # CMS never under-counts
+    assert all(est[k] >= exact[k] for k in exact)
+    # fixed state: at most depth*width cells
+    assert sketch.count() <= 4 * 64
+    # mergeable: build(half1) + build(half2) == build(all), cell-wise
+    h1 = cms_build(df.filter(F.col("id") % 2 == 0), "k", depth=4, width=64)
+    h2 = cms_build(df.filter(F.col("id") % 2 == 1), "k", depth=4, width=64)
+    merged = h1.unionByName(h2).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    full = {(r["r"], r["c"]): r["cnt"] for r in sketch.collect()}
+    folded = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    assert folded == full

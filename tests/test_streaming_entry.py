@@ -281,3 +281,21 @@ def test_norm_ts_unifies_parquet_timestamp_encodings(spark):
         assert dict(out.dtypes)["ts"] == "timestamp"
     vals = {out.collect()[0].ts for out in outs}
     assert len(vals) == 1
+
+
+def test_stream_fold_agg_matches_batch(spark, tmp_path):
+    """foreachBatch fold over 3 micro-batches equals the one-shot agg."""
+    import pandas as pd
+
+    from h2h_spark.streaming.sinks import stream_fold_agg
+
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame({"k": [1, 2, 1, 3, 2, 1], "v": [1.5, 2.0, 0.5, 9.0, 1.0, 2.0]})
+    df = spark.createDataFrame(pdf)
+    df.repartition(3).write.parquet(src)
+    state = stream_fold_agg(
+        spark, src, df.schema, keys=["k"], measures={"v": "decimal(18,2)"},
+        state_root=str(tmp_path / "state"),
+    )
+    got = {r["k"]: (r["n_rows"], float(r["v_sum"])) for r in state.collect()}
+    assert got == {1: (3, 4.0), 2: (2, 3.0), 3: (1, 9.0)}
