@@ -3430,6 +3430,70 @@ FROM events GROUP BY user_id
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
+    (date range, discount band, quantity cap) pushes into the parquet
+    scan, one decimal-exact global aggregate, zero joins."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue")
+        )
+        .withColumn("revenue", F.round("revenue", 2))
+    )
+
+
+_SQL_FORECAST_REVENUE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-ship-window order-priority class counts — a
+    fact→dim equi-join where the fact side prunes hard at the scan and
+    the conditional counts are scan-side CASE aggregates."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "N")
+    )
+    joined = filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_SHIPMODE_PRIORITY = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'N'
+GROUP BY l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3572,6 +3636,8 @@ def _init_queries() -> None:
         "q_time_rollup": q_time_rollup,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_stream_fold": q_stream_fold,
+        "q_forecast_revenue": q_forecast_revenue,
+        "q_shipmode_priority": q_shipmode_priority,
     })
 
 
@@ -3695,4 +3761,6 @@ def oracle_sql() -> dict[str, str]:
         "q_time_rollup": _SQL_TIME_ROLLUP,
         "q_cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
         "q_stream_fold": _SQL_STREAM_FOLD,
+        "q_forecast_revenue": _SQL_FORECAST_REVENUE,
+        "q_shipmode_priority": _SQL_SHIPMODE_PRIORITY,
     }
