@@ -3533,15 +3533,18 @@ def _init_queries() -> None:
         "q_topk_orders": q_topk_orders,
         "q_window_topk_per_group": q_window_topk_per_group,
         "q_rollup": q_rollup,
-        "q_pivot": q_pivot,
-        "q_cube": q_cube,
         "q_grouping_sets": q_grouping_sets,
-        "q_running_sum": q_running_sum,
-        "q_window_funcs": q_window_funcs,
         "q_quantiles": q_quantiles,
         "q_anti_join": q_anti_join,
-        "q_set_ops": q_set_ops,
-        "q_exists_correlated": q_exists_correlated,
+        # (pivot/cube/running_sum/window_funcs/set_ops/exists_correlated
+        # hold green CORRECTNESS_r02 rows; their slots go to families the
+        # driver has never graded)
+        "q_mix_budget": q_mix_budget,
+        "q_incremental_agg": q_incremental_agg,
+        "q_sequence_pack": q_sequence_pack,
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_centroid_assign": q_centroid_assign,
+        "q_decontaminate": q_decontaminate,
         # -- join strategies / physical plans --
         "q_bucketed_join": q_bucketed_join,
         "q_partition_pruning": q_partition_pruning,
@@ -3575,6 +3578,12 @@ def _init_queries() -> None:
         # -- sketches --
         "q_approx_distinct": q_approx_distinct,
         # ---- end of the 50-entry graded window ----
+        "q_pivot": q_pivot,
+        "q_cube": q_cube,
+        "q_running_sum": q_running_sum,
+        "q_window_funcs": q_window_funcs,
+        "q_set_ops": q_set_ops,
+        "q_exists_correlated": q_exists_correlated,
         "q_big_orders": q_big_orders,
         "q_semi_join": q_semi_join,
         "q_string_funcs": q_string_funcs,
@@ -3594,9 +3603,7 @@ def _init_queries() -> None:
         "q_hash_split": q_hash_split,
         "q_group_cap_sample": q_group_cap_sample,
         "q_token_count": q_token_count,
-        "q_sequence_pack": q_sequence_pack,
         "q_repetition": q_repetition,
-        "q_decontaminate": q_decontaminate,
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_pii_scrub": q_pii_scrub,
         "q_fingerprint": q_fingerprint,
@@ -3609,13 +3616,11 @@ def _init_queries() -> None:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_label_centroids": q_label_centroids,
         "q_vocab_coverage": q_vocab_coverage,
-        "q_lm_perplexity": q_lm_perplexity,
         "q_gopher_rules": q_gopher_rules,
         "q_top_ngrams": q_top_ngrams,
         "q_chunk_docs": q_chunk_docs,
         "q_embed_quantize": q_embed_quantize,
         "q_returned_items": q_returned_items,
-        "q_centroid_assign": q_centroid_assign,
         "q_centroid_update": q_centroid_update,
         "q_audio_stats": q_audio_stats,
         "q_funnel": q_funnel,
@@ -3627,12 +3632,10 @@ def _init_queries() -> None:
         "q_approx_quantiles": q_approx_quantiles,
         "q_upsert": q_upsert,
         "q_fuzzy_match": q_fuzzy_match,
-        "q_mix_budget": q_mix_budget,
         "q_stream_enrich": q_stream_enrich,
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_sales_opportunity": q_sales_opportunity,
         "q_profile": q_profile,
-        "q_incremental_agg": q_incremental_agg,
         "q_time_rollup": q_time_rollup,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_stream_fold": q_stream_fold,
