@@ -1100,3 +1100,31 @@ def test_cms_overestimates_and_merges(spark):
     full = {(r["r"], r["c"]): r["cnt"] for r in sketch.collect()}
     folded = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
     assert folded == full
+
+
+def test_time_rollup_grains_consistent(spark):
+    from h2h_spark.operators.timeseries import time_rollup
+
+    rows = [
+        ("2024-01-01 00:10:00", "a", 1.0),
+        ("2024-01-01 00:50:00", "a", 2.0),
+        ("2024-01-01 01:10:00", "a", 4.0),
+        ("2024-02-01 00:00:00", "b", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, g string, v double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "g", "v"
+    )
+    out = time_rollup(
+        df, "ts", ["g"], ["SUM(v) AS sv", "COUNT(*) AS n"],
+        levels=("hour", "day", "month"),
+    ).collect()
+    by = {(r["grain"], str(r["bucket_ts"]), r["g"]): (r["sv"], r["n"]) for r in out}
+    # hour grain splits Jan-1 'a' into two buckets; day and month re-sum it
+    assert by[("hour", "2024-01-01 00:00:00", "a")] == (3.0, 2)
+    assert by[("hour", "2024-01-01 01:00:00", "a")] == (4.0, 1)
+    assert by[("day", "2024-01-01 00:00:00", "a")] == (7.0, 3)
+    assert by[("month", "2024-01-01 00:00:00", "a")] == (7.0, 3)
+    assert by[("month", "2024-02-01 00:00:00", "b")] == (8.0, 1)
+    # every grain covers the same total row mass
+    for lv in ("hour", "day", "month"):
+        assert sum(n for (g, _, _), (_, n) in by.items() if g == lv) == 4
