@@ -3494,6 +3494,37 @@ GROUP BY l_linestatus
 """
 
 
+def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Tukey-fence outlier cleaning of event values: exact
+    per-group quartiles (one |groups|-row aggregate, broadcast back),
+    scan-side filter, fact side never sorts or shuffles.  Output is the
+    surviving per-type footprint."""
+    from h2h_spark.operators.profile import iqr_filter
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    kept = iqr_filter(ev, ["event_type"], "value", k=1.5)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_kept"
+        ),
+    )
+
+
+_SQL_OUTLIER_FILTER = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_kept,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_kept
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE value BETWEEN q1 - 1.5 * (q3 - q1) AND q3 + 1.5 * (q3 - q1)
+GROUP BY e.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3641,6 +3672,7 @@ def _init_queries() -> None:
         "q_stream_fold": q_stream_fold,
         "q_forecast_revenue": q_forecast_revenue,
         "q_shipmode_priority": q_shipmode_priority,
+        "q_outlier_filter": q_outlier_filter,
     })
 
 
@@ -3766,4 +3798,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_fold": _SQL_STREAM_FOLD,
         "q_forecast_revenue": _SQL_FORECAST_REVENUE,
         "q_shipmode_priority": _SQL_SHIPMODE_PRIORITY,
+        "q_outlier_filter": _SQL_OUTLIER_FILTER,
     }

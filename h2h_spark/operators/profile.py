@@ -51,3 +51,35 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_nulls, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def iqr_filter(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group IQR outlier filter (the Tukey-fence cleaning pass):
+    keep rows with ``q1 - k*iqr <= value <= q3 + k*iqr`` computed WITHIN
+    the row's group.
+
+    One exact-percentile aggregate per group (two quantiles from a single
+    ``percentile(col, array(...))`` pass — one shuffle whose output is
+    |groups| rows), broadcast back onto the fact side, then a scan-side
+    filter.  The fact table never sorts and never shuffles: at 100 TB the
+    cost is one aggregate over the value column plus one filtered scan.
+    Exact interpolated percentiles keep the fences engine-portable (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition), so
+    the kept set is bit-reproducible."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, array(0.25, 0.75))").alias("__q")
+    ).select(
+        *group_cols,
+        (F.col("__q")[0] - k * (F.col("__q")[1] - F.col("__q")[0])).alias("__lo"),
+        (F.col("__q")[1] + k * (F.col("__q")[1] - F.col("__q")[0])).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .filter(F.col(value_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

@@ -1128,3 +1128,15 @@ def test_time_rollup_grains_consistent(spark):
     # every grain covers the same total row mass
     for lv in ("hour", "day", "month"):
         assert sum(n for (g, _, _), (_, n) in by.items() if g == lv) == 4
+
+
+def test_iqr_filter_drops_only_fence_violations(spark):
+    from h2h_spark.operators.profile import iqr_filter
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = iqr_filter(df, ["g"], "v", k=1.5)
+    got = sorted((r["g"], r["v"]) for r in kept.collect())
+    # group a: q1=2.25 q3=4.75 iqr=2.5 -> fences [-1.5, 8.5]: 100 dropped
+    # group b: single value is its own quartiles -> always kept
+    assert got == [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 7.0)]
