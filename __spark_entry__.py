@@ -561,7 +561,11 @@ def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     semantics."""
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # Integer division, not `/ 1000`: epoch-nanos (~1.7e18) exceed
+        # double's 2^53 exact range (ULP ≈ 256 ns), so float division can
+        # land one microsecond low after truncation.  `div` stays in
+        # bigint arithmetic and is exact.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     elif dt == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
@@ -1937,17 +1941,23 @@ FROM documents
 
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary→binary stage (resize stub): the payload column
-    round-trips python→Arrow→JVM as binary and the oracle compares the
-    derived BLOB bytes directly (stub = deterministic truncation; the
-    ASCII corpus makes it SQL-expressible)."""
+    round-trips python→Arrow→JVM as binary; the compare grades an md5 hex
+    DIGEST of the derived blob, never the raw bytes — the driver's pandas
+    canonicalizer cannot sort `bytearray` columns (CORRECTNESS_r03), so
+    blobs must always be digested before grading (q_multimodal_meta
+    pattern).  Stub = deterministic truncation; the ASCII corpus makes it
+    SQL-expressible."""
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     binary = MM.with_binary_payload(docs, "doc_id", "text")
-    return MM.resize_images(binary, "doc_id", width=32, height=32)
+    resized = MM.resize_images(binary, "doc_id", width=32, height=32)
+    return resized.select(
+        "doc_id", "width", "height", F.md5(F.col("resized")).alias("resized_md5")
+    )
 
 
 _SQL_IMAGE_RESIZE = """
 SELECT doc_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
-       encode(substring(text, 1, 1024)) AS resized
+       md5(substring(text, 1, 1024)) AS resized_md5
 FROM documents
 """
 
@@ -3116,10 +3126,12 @@ WITH tot AS (
   SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents GROUP BY source
 ),
 thr AS (
+  -- WHERE t > 0 mirrors the engine's degenerate-stratum guard: a NULL or
+  -- zero total gets rate 0 (stratum dropped), never inf -> 1.0.
   SELECT source,
          CAST(FLOOR(LEAST(1.0, (CAST(50000 AS DOUBLE) * (1.0 / (SELECT COUNT(*) FROM tot))) / t)
                     * 10000 + 0.5) AS BIGINT) AS thr
-  FROM tot
+  FROM tot WHERE t > 0
 ),
 kept AS (
   SELECT d.source, d.n_chars

@@ -127,8 +127,11 @@ def mix_to_token_budget(
     """
     import math
 
+    # A stratum whose costs are all NULL sums to NULL — treat it (and a
+    # zero total) as rate 0; the SQL oracle mirrors this with `WHERE t > 0`
+    # so both sides drop degenerate strata identically.
     totals = {
-        r[0]: float(r[1])
+        r[0]: (float(r[1]) if r[1] is not None else 0.0)
         for r in df.groupBy(strata_col).agg(F.sum(F.col(cost_col))).collect()
     }
     n = len(totals)

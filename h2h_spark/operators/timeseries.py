@@ -16,6 +16,8 @@ key after the sort.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -182,7 +184,9 @@ def time_rollup(
     (e.g. ``"COUNT(*) AS n"``)."""
     trunc = [F.date_trunc(lv, F.col(ts_col)).alias(f"__t_{lv}") for lv in levels]
     base = df.select(*trunc, "*")
-    view = "__rollup_in"
+    # Per-call unique view name: a fixed name would let concurrent or
+    # nested rollups on one session clobber each other's input view.
+    view = f"__rollup_in_{uuid.uuid4().hex[:12]}"
     base.createOrReplaceTempView(view)
     sets = ", ".join(
         "(" + ", ".join([f"__t_{lv}"] + group_cols) + ")" for lv in levels
@@ -192,9 +196,13 @@ def time_rollup(
     ) + " END"
     bucket = "COALESCE(" + ", ".join(f"__t_{lv}" for lv in levels) + ")"
     group_sel = (", ".join(group_cols) + ",") if group_cols else ""
-    return base.sparkSession.sql(f"""
+    out = base.sparkSession.sql(f"""
         SELECT {grain} AS grain, {bucket} AS bucket_ts, {group_sel}
                {", ".join(agg_sql_exprs)}
         FROM {view}
         GROUP BY GROUPING SETS ({sets})
     """)
+    # The analyzed plan has captured the view's subtree; dropping the
+    # catalog entry now keeps the session namespace clean.
+    base.sparkSession.catalog.dropTempView(view)
+    return out
