@@ -1051,6 +1051,30 @@ FROM customer
 """
 
 
+def q_csv_quoted_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 quoted-terminator handling at MANY SPLITS — the capability the
+    reference's quote-parity realignment has (``libhdfsconnector.cpp:
+    437-441,476-558``) and plain ``multiLine`` mode lacks: terminators
+    inside quoted fields parsed correctly while the file still splits into
+    byte-range tasks.  Forced 4 KiB ranges make records (with embedded
+    newlines) straddle hundreds of split edges; the two-pass parity scan
+    (``sources/csv_split.py``) must realign every one exactly."""
+    from h2h_spark.sources.csv_split import read_csv_quoted_splits
+
+    w = _work("q_csv_quoted_splits", sf_dir)
+    cust = spark.read.parquet(_t(sf_dir, "customer")).withColumn(
+        "c_name", F.regexp_replace("c_name", "#", "#\n")
+    )
+    write_csv(cust, f"{w}/cust_q", sep=",", quote="'")
+    return read_csv_quoted_splits(
+        spark, f"{w}/cust_q", CUSTOMER_LAYOUT.to_struct_type(),
+        sep=",", quote="'", max_partition_bytes=4096,
+    )
+
+
+_SQL_CSV_QUOTED_SPLITS = _SQL_CSV_EMBEDDED_NEWLINES
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running totals.  A bounded input drains in one batch, so the final
@@ -3685,6 +3709,7 @@ def _init_queries() -> None:
         "q_forecast_revenue": q_forecast_revenue,
         "q_shipmode_priority": q_shipmode_priority,
         "q_outlier_filter": q_outlier_filter,
+        "q_csv_quoted_splits": q_csv_quoted_splits,
     })
 
 
@@ -3719,6 +3744,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_join": _SQL_ASOF_JOIN,
         "q_embed_knn": _SQL_EMBED_KNN,
         "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
+        "q_csv_quoted_splits": _SQL_CSV_QUOTED_SPLITS,
         "q_anti_join": _SQL_ANTI_JOIN,
         "q_bucketed_join": _SQL_BUCKETED_JOIN,
         "q_partition_pruning": _SQL_PARTITION_PRUNING,

@@ -399,3 +399,105 @@ def test_flat_packed_decimal_spark_roundtrip(spark, tmp_work):
     assert back[1] == decimal.Decimal("123456789.01")
     assert back[2] == decimal.Decimal("-0.99")
     assert dict(read_flat(spark, f"{tmp_work}/bcd", lay).dtypes)["amt"] == "decimal(11,2)"
+
+
+# ---------------- quote-parity CSV split scanner -----------------------
+
+
+def _quoted_csv(rows, quote="'", term="\n"):
+    def q(s):
+        return quote + s.replace(quote, quote * 2) + quote
+    return "".join(f"{i},{q(b)}{term}" for i, b in rows)
+
+
+def _csvq_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("body", T.StringType())]
+    )
+
+
+def _csvq_read(spark, path, mpb, term="\n"):
+    from h2h_spark.sources.csv_split import read_csv_quoted_splits
+
+    df = read_csv_quoted_splits(
+        spark, path, _csvq_schema(), sep=",", terminator=term, quote="'",
+        max_partition_bytes=mpb,
+    )
+    return sorted((r.id, r.body) for r in df.collect())
+
+
+def test_csvq_embedded_terminators_many_splits(spark, tmp_work):
+    """Records with quoted newlines parse exactly at 64-byte splits —
+    the capability multiLine mode trades away (one task per file)."""
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, "".join(random.choice("ab\nc''x,") for _ in range(random.randint(0, 10))))
+        for i in range(300)
+    ]
+    p = f"{tmp_work}/q.csv"
+    open(p, "w").write(_quoted_csv(rows))
+    for mpb in (64, 1024):
+        assert _csvq_read(spark, p, mpb) == sorted(rows)
+
+
+def test_csvq_boundary_exactly_on_record_edge(spark, tmp_work):
+    """Split edges landing exactly on record boundaries must neither drop
+    nor duplicate the boundary record (Hadoop ownership convention)."""
+    rows = [(i, f"v{i}\nx") for i in range(50)]
+    text = _quoted_csv(rows)
+    p = f"{tmp_work}/edge.csv"
+    open(p, "w").write(text)
+    # every record is the same width -> force splits on exact boundaries
+    rec_len = len(text) // 50
+    for mpb in (rec_len, rec_len * 2, rec_len * 3 + 1):
+        assert _csvq_read(spark, p, mpb) == sorted(rows)
+
+
+def test_csvq_trailing_record_no_terminator(spark, tmp_work):
+    rows = [(1, "a\nb"), (2, "c")]
+    text = _quoted_csv(rows).rstrip("\n")  # last record unterminated
+    p = f"{tmp_work}/trail.csv"
+    open(p, "w").write(text)
+    assert _csvq_read(spark, p, 8) == sorted(rows)
+
+
+def test_csvq_split_starts_inside_quoted_field(spark, tmp_work):
+    """A long quoted field spanning MANY whole splits: the parity pass
+    gives those splits starting parity 1, so the embedded terminators in
+    them cannot be mistaken for record boundaries.  (The reference's
+    parity-from-split-start heuristic would misalign here.)"""
+    big = ("line\n" * 200).rstrip("\n")  # ~1000 bytes of quoted newlines
+    rows = [(1, "small"), (2, big), (3, "tail")]
+    p = f"{tmp_work}/inq.csv"
+    open(p, "w").write(_quoted_csv(rows))
+    assert _csvq_read(spark, p, 64) == sorted(rows)
+
+
+def test_csvq_multichar_terminator(spark, tmp_work):
+    rows = [(1, "a~~b"), (2, "c'd"), (3, "")]
+    p = f"{tmp_work}/mt.csv"
+    open(p, "w").write(_quoted_csv(rows, term="~~"))
+    assert _csvq_read(spark, p, 16, term="~~") == sorted(rows)
+
+
+def test_csvq_quote_free_file_plain_semantics(spark, tmp_work):
+    """No quotes at all: parity stays 0 everywhere and the scan reduces to
+    LineRecordReader split ownership."""
+    rows = [(i, f"plain{i}") for i in range(100)]
+    p = f"{tmp_work}/plain.csv"
+    open(p, "w").write("".join(f"{i},{b}\n" for i, b in rows))
+    assert _csvq_read(spark, p, 32) == sorted(rows)
+
+
+def test_csvq_parity_pass_values(spark, tmp_work):
+    from h2h_spark.sources.csv_split import byte_ranges, quote_parities
+
+    p = f"{tmp_work}/par.csv"
+    open(p, "w").write("a,'x\n'\n" * 8)  # 2 quotes per 7-byte record
+    pars = quote_parities(spark, [p], 4, "'")[p]
+    assert len(pars) == len(byte_ranges(56, 4))
+    assert pars[0] == 0 and set(pars) <= {0, 1} and 1 in pars
