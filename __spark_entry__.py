@@ -1986,6 +1986,36 @@ FROM documents
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode, end-to-end: per row, synthesize valid media
+    bytes (CRC-correct PNG / RIFF WAV with PCM data / GIF89a — seed
+    arithmetic on doc_id), then parse the CONTAINER HEADERS back with the
+    engine's pure-Python decoder (`operators/multimodal.py:
+    parse_media_header`).  The oracle recomputes the seed arithmetic, so a
+    green row proves signature checks, chunk/marker walks, and endianness
+    handling — not a stubbed passthrough.  Blobs live and die inside one
+    Arrow task; only typed metadata leaves."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return MM.media_meta(docs.select("doc_id"), "doc_id")
+
+
+_SQL_MEDIA_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 512 + 1 AS INTEGER)
+                       WHEN 2 THEN CAST(doc_id % 256 + 1 AS INTEGER) END AS width,
+       CASE doc_id % 3 WHEN 0 THEN CAST((doc_id * 7) % 512 + 1 AS INTEGER)
+                       WHEN 2 THEN CAST((doc_id * 3) % 256 + 1 AS INTEGER) END AS height,
+       CASE doc_id % 3 WHEN 1 THEN CAST(1 AS INTEGER) END AS n_channels,
+       CASE doc_id % 3 WHEN 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) END AS sample_rate,
+       CASE doc_id % 3 WHEN 1 THEN CAST(doc_id % 100 + 1 AS BIGINT) END AS n_samples,
+       CASE doc_id % 3 WHEN 1 THEN
+         CAST((doc_id % 100 + 1) * 1000 // (8000 + (doc_id % 8) * 1000) AS BIGINT)
+       END AS duration_ms
+FROM documents
+"""
+
+
 def _lang_oracle_sql() -> str:
     langs = sorted(TX.LANG_MARKERS)
     score_exprs = []
@@ -3710,6 +3740,7 @@ def _init_queries() -> None:
         "q_shipmode_priority": q_shipmode_priority,
         "q_outlier_filter": q_outlier_filter,
         "q_csv_quoted_splits": q_csv_quoted_splits,
+        "q_media_meta": q_media_meta,
     })
 
 
@@ -3745,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_knn": _SQL_EMBED_KNN,
         "q_csv_embedded_newlines": _SQL_CSV_EMBEDDED_NEWLINES,
         "q_csv_quoted_splits": _SQL_CSV_QUOTED_SPLITS,
+        "q_media_meta": _SQL_MEDIA_META,
         "q_anti_join": _SQL_ANTI_JOIN,
         "q_bucketed_join": _SQL_BUCKETED_JOIN,
         "q_partition_pruning": _SQL_PARTITION_PRUNING,

@@ -1140,3 +1140,67 @@ def test_iqr_filter_drops_only_fence_violations(spark):
     # group a: q1=2.25 q3=4.75 iqr=2.5 -> fences [-1.5, 8.5]: 100 dropped
     # group b: single value is its own quartiles -> always kept
     assert got == [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0), ("b", 7.0)]
+
+
+# ---------------- real media container-header parsing ------------------
+
+
+def test_parse_media_header_synthesized_roundtrip():
+    """Every synthesized container parses back to its seed arithmetic."""
+    for seed in [0, 1, 2, 3, 100, 511, 512, 1023, 99999]:
+        m = MM.parse_media_header(MM.synthesize_media(seed))
+        assert m is not None
+        k = seed % 3
+        if k == 0:
+            assert m["kind"] == "png"
+            assert m["width"] == seed % 512 + 1
+            assert m["height"] == (seed * 7) % 512 + 1
+        elif k == 1:
+            assert m["kind"] == "wav"
+            assert m["sample_rate"] == 8000 + (seed % 8) * 1000
+            assert m["n_samples"] == seed % 100 + 1
+            assert m["duration_ms"] == m["n_samples"] * 1000 // m["sample_rate"]
+            assert m["n_channels"] == 1
+        else:
+            assert m["kind"] == "gif"
+            assert m["width"] == seed % 256 + 1
+            assert m["height"] == (seed * 3) % 256 + 1
+
+
+def test_parse_media_header_jpeg_and_bmp():
+    import struct
+
+    # minimal JPEG: SOI, APP0 (skipped by the marker walk), SOF0 with
+    # height=480 width=640, 3 components
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x01\x11\x00" * 3
+    m = MM.parse_media_header(b"\xff\xd8" + app0 + sof)
+    assert m and m["kind"] == "jpeg" and (m["width"], m["height"]) == (640, 480)
+    # progressive JPEG uses SOF2 (0xC2) — same walk
+    sof2 = b"\xff\xc2" + sof[2:]
+    m = MM.parse_media_header(b"\xff\xd8" + sof2)
+    assert m and m["kind"] == "jpeg" and (m["width"], m["height"]) == (640, 480)
+    # BMP with bottom-up negative height
+    hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -200)
+    m = MM.parse_media_header(hdr)
+    assert m and m["kind"] == "bmp" and (m["width"], m["height"]) == (320, 200)
+
+
+def test_parse_media_header_rejects_garbage():
+    assert MM.parse_media_header(b"") is None
+    assert MM.parse_media_header(b"not media at all, just text") is None
+    assert MM.parse_media_header(b"\x89PNGbad") is None
+    # RIFF/WAVE with no fmt chunk -> None
+    import struct
+    bad_wav = b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    assert MM.parse_media_header(bad_wav) is None
+
+
+def test_media_meta_dataframe_stage(spark):
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in MM.media_meta(df, "doc_id").collect()}
+    assert len(out) == 30
+    assert out[3].kind == "png" and out[3].width == 4 and out[3].height == 22
+    assert out[4].kind == "wav" and out[4].sample_rate == 12000 and out[4].n_samples == 5
+    assert out[5].kind == "gif" and out[5].width == 6 and out[5].height == 16
+    assert out[4].width is None and out[5].sample_rate is None
