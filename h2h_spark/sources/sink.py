@@ -129,6 +129,14 @@ def _remove(path: str) -> None:
             shutil.rmtree(p)
         elif os.path.exists(p):
             os.remove(p)
+    elif path.startswith("webhdfs://"):
+        from h2h_spark.sources.webhdfs import WebHdfsError, client_for
+
+        client, p = client_for(path)
+        try:
+            client.delete(p, recursive=True)
+        except WebHdfsError:
+            pass  # absent target — nothing to overwrite
     else:  # pragma: no cover - remote fs
         from pyarrow import fs as pafs
 

@@ -10,7 +10,15 @@ just URI construction plus the impersonation knob:
   WebHDFS ``user.name=`` query param, ``webhdfsconnector.cpp:685``) maps to
   ``HADOOP_USER_NAME`` / ``spark.hadoop`` configuration;
 - the WebHDFS retry budget (``-whdfsretrymax``, default 1, macro default 10
-  — ``ecl/HDFSConnector.ecl:117``) maps to the Hadoop client retry policy.
+  — ``ecl/HDFSConnector.ecl:117``) maps to the Hadoop client retry policy
+  for JVM-side reads, and to ``H2H_WEBHDFS_RETRY_MAX`` for the engine's own
+  REST client.
+
+For the engine's Python-side scanners/sinks, ``webhdfs://`` URIs are served
+by :mod:`h2h_spark.sources.webhdfs` — a pure-Python REST client speaking
+the reference's exact protocol (ranged ``OPEN`` reads, two-step 307
+redirect ``CREATE`` writes, ``user.name`` impersonation, bounded retries),
+contract-tested against an in-process HTTP stub (``tests/test_webhdfs.py``).
 """
 
 from __future__ import annotations

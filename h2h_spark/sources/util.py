@@ -64,16 +64,26 @@ def is_local(path: str) -> bool:
     return "://" not in path or path.startswith("file:")
 
 
+def is_webhdfs(path: str) -> bool:
+    return path.startswith("webhdfs://")
+
+
 def open_input(path: str) -> BinaryIO:
     """Open a (possibly remote) file for random-access binary read.
 
-    Local paths use plain ``open``; other schemes resolve through
-    ``pyarrow.fs.FileSystem.from_uri`` (HadoopFileSystem for hdfs:// —
-    the same client stack Spark itself uses, replacing the reference's
-    bespoke JNI/WebHDFS transports).
+    Local paths use plain ``open``; ``webhdfs://`` speaks the engine's
+    REST client (ranged OPEN reads — :mod:`h2h_spark.sources.webhdfs`);
+    other schemes resolve through ``pyarrow.fs.FileSystem.from_uri``
+    (HadoopFileSystem for hdfs:// — the same client stack Spark itself
+    uses, replacing the reference's bespoke JNI/WebHDFS transports).
     """
     if is_local(path):
         return open(strip_scheme(path), "rb")
+    if is_webhdfs(path):
+        from h2h_spark.sources.webhdfs import WebHdfsInputFile, client_for
+
+        client, p = client_for(path)
+        return WebHdfsInputFile(client, p)
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
@@ -83,6 +93,11 @@ def open_input(path: str) -> BinaryIO:
 def file_size(path: str) -> int:
     if is_local(path):
         return os.path.getsize(strip_scheme(path))
+    if is_webhdfs(path):
+        from h2h_spark.sources.webhdfs import client_for
+
+        client, p = client_for(path)
+        return int(client.status(p)["length"])
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
@@ -118,6 +133,28 @@ def list_part_files(path: str, pattern: str = "part*") -> list[str]:
             key=_part_sort_key,
         )
         return parts
+    if is_webhdfs(path):
+        import fnmatch
+
+        from h2h_spark.sources.webhdfs import client_for, parse_uri
+
+        client, p = client_for(path)
+        host, port, _ = parse_uri(path)
+        st = client.status(p)
+        if st["type"] == "FILE":
+            return [path]
+        names = sorted(
+            (
+                e["pathSuffix"]
+                for e in client.list_status(p)
+                if e["type"] == "FILE"
+                and fnmatch.fnmatch(e["pathSuffix"], pattern)
+                and not e["pathSuffix"].endswith(".crc")
+                and e["pathSuffix"] != "_SUCCESS"
+            ),
+            key=_part_sort_key,
+        )
+        return [f"webhdfs://{host}:{port}{p.rstrip('/')}/{n}" for n in names]
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
@@ -143,6 +180,11 @@ def open_output(path: str) -> BinaryIO:
     """Open a (possibly remote) file for binary write (create/overwrite)."""
     if is_local(path):
         return open(strip_scheme(path), "wb")
+    if is_webhdfs(path):
+        from h2h_spark.sources.webhdfs import WebHdfsOutputFile, client_for
+
+        client, p = client_for(path)
+        return WebHdfsOutputFile(client, p)
     from pyarrow import fs as pafs
 
     filesystem, p = pafs.FileSystem.from_uri(path)
@@ -152,6 +194,12 @@ def open_output(path: str) -> BinaryIO:
 def rename(src: str, dst: str) -> None:
     if is_local(src):
         os.replace(strip_scheme(src), strip_scheme(dst))
+    elif is_webhdfs(src):
+        from h2h_spark.sources.webhdfs import client_for, parse_uri
+
+        client, p_src = client_for(src)
+        _, _, p_dst = parse_uri(dst)
+        client.rename(p_src, p_dst)
     else:  # pragma: no cover - remote fs
         from pyarrow import fs as pafs
 
@@ -163,6 +211,11 @@ def rename(src: str, dst: str) -> None:
 def ensure_dir(path: str) -> None:
     if is_local(path):
         os.makedirs(strip_scheme(path), exist_ok=True)
+    elif is_webhdfs(path):
+        from h2h_spark.sources.webhdfs import client_for
+
+        client, p = client_for(path)
+        client.mkdirs(p)
     else:
         from pyarrow import fs as pafs
 
