@@ -2,12 +2,17 @@
 sf0.01 and diff against oracle_sql()[name] via DuckDB — row count, schema
 (column names), and an order-insensitive multiset of normalized values.
 
-Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+Usage: python scripts/oracle_check.py [--json=PATH] [sf_dir] [query ...]
+
+``--json=PATH`` writes a machine-readable per-query result file (the
+committed full-registry sweep artifacts, ORACLE_SWEEP_r*.json) so
+out-of-window queries carry evidence, not attestation.
 """
 
 from __future__ import annotations
 
 import decimal
+import json
 import math
 import sys
 import time
@@ -47,8 +52,15 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
@@ -71,10 +83,12 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"spark: {type(e).__name__}: {str(e)[:300]}"}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = {"ok": True, "rows": len(srows), "check": "rows-only"}
             continue
         try:
             cur = con.execute(oracles[name])
@@ -83,6 +97,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"duckdb: {type(e).__name__}: {str(e)[:300]}"}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -98,9 +113,22 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures.append(name)
+            results[name] = {"ok": False, "rows": len(srows), "err": "; ".join(problems)}
         else:
             print(f"OK    {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "ok": True, "rows": len(srows), "check": "value-exact",
+                "secs": round(time.time() - t0, 1),
+            }
 
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "n_failures": len(failures), "results": results},
+                fh, indent=1,
+            )
+        print(f"wrote {json_path}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
