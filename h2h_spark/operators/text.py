@@ -399,7 +399,10 @@ def tfidf_keywords(
         .agg(F.count("*").alias("tf"))
         .persist()
     )
-    docfreq = terms.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    # terms is already one row per (id, term) after the aggregate, so
+    # document frequency is a plain count — count_distinct would add a
+    # needless dedup Expand over the same rows.
+    docfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = df.agg(F.count("*").alias("n"))
     scored = (
         terms.join(docfreq, "term")
