@@ -53,6 +53,23 @@ _READ_CHUNK = 4 * 1024 * 1024
 _BATCH_RECORDS = 8192
 
 
+def check_terminator(terminator: str) -> None:
+    """Reject SELF-OVERLAPPING multi-char terminators (a proper prefix
+    equal to a suffix, e.g. ``~~``): under split-local alignment a
+    rewound match can land mid-terminator, which no local scheme can
+    disambiguate (the classic custom-delimiter split hazard; Hadoop's
+    LineRecordReader had the same boundary bug, MAPREDUCE-6481).
+    ``\\n`` and ``\\r\\n`` — the dialect's real terminators — are fine."""
+    t = terminator
+    for k in range(1, len(t)):
+        if t[:k] == t[len(t) - k:]:
+            raise ValueError(
+                f"terminator {terminator!r} overlaps itself (prefix == "
+                "suffix): split-local record alignment is ambiguous — use "
+                "a non-self-overlapping terminator or the multiLine path"
+            )
+
+
 def byte_ranges(size: int, max_partition_bytes: int) -> list[tuple[int, int]]:
     """Deterministic even byte ranges for a file — shared by the parity
     pass and the reader's ``partitions()`` so both see identical splits."""
@@ -133,10 +150,18 @@ def _scan_records(
     whose first byte is at offset ≤ ``end`` (Hadoop convention — see
     module docstring); the first boundary found from ``start`` (when
     ``start > 0``) closes a record owned to the left."""
+    tlen = len(terminator)
+    # A multi-char terminator may STRADDLE the split edge (its bytes on
+    # both sides of `start`); rewind the scan window by tlen-1 bytes so
+    # the straddling match is visible, and adjust the parity to the
+    # rewound position.  Exact only for self-overlap-free terminators
+    # (e.g. '\r\n'); self-overlapping ones are rejected at the API edge.
+    rewind = min(tlen - 1, start)
     with open_input(path) as f:
-        f.seek(start)
-        data = f.read((end - start) + read_chunk)
-        eof = len(data) < (end - start) + read_chunk
+        f.seek(start - rewind)
+        data = f.read(rewind + (end - start) + read_chunk)
+        eof = len(data) < rewind + (end - start) + read_chunk
+        parity ^= data[:rewind].count(quote) & 1
 
         def _extend() -> bool:
             nonlocal data, eof
@@ -149,48 +174,55 @@ def _scan_records(
             data += chunk
             return True
 
-        def _next_boundary(pos: int, par: int) -> tuple[int, int]:
-            """(terminator offset, parity there) of the first record
-            boundary at/after ``pos``; (-1, par_at_scan_end) if none in
-            the current buffer.  ``par`` is the parity at ``pos``."""
+        def _find_boundary(pos: int, par: int) -> int:
+            """Offset of the first parity-0 terminator at/after ``pos``
+            (``par`` = quote parity at ``pos``), extending the buffer as
+            needed; -1 at true EOF.  On a buffer miss the scan resumes
+            ``tlen-1`` bytes before the old end so a terminator straddling
+            the buffer edge is still seen, with the parity advanced to
+            exactly that resume point — never past it."""
             while True:
                 i = data.find(terminator, pos)
-                if i < 0:
-                    return -1, (par + data.count(quote, pos)) & 1
-                par = (par + data.count(quote, pos, i)) & 1
-                if par == 0:
-                    return i, 0
-                pos = i + 1
-        # Note: with len(terminator) > 1 the `pos = i + 1` resume can in
-        # principle re-match inside the skipped terminator; terminators
-        # never contain the quote char, so parity stays exact either way.
+                if i >= 0:
+                    p = (par + data.count(quote, pos, i)) & 1
+                    if p == 0:
+                        return i
+                    # terminator inside quotes: step past it and go on
+                    # (parity now known at i; the step crosses no quotes)
+                    par, pos = p, i + 1
+                    continue
+                resume = max(pos, len(data) - tlen + 1)
+                par = (par + data.count(quote, pos, resume)) & 1
+                pos = resume
+                if not _extend():
+                    return -1
 
-        limit = end - start  # relative offset of the range end
-        pos, par = 0, parity
+        limit = rewind + (end - start)  # relative offset of the range end
+        pos = 0
         if start > 0:
             # Discard the partial (or boundary-straddling) first record:
-            # scan from `start` for the first parity-0 terminator.
-            while True:
-                i, par = _next_boundary(pos, par)
-                if i >= 0:
-                    pos = i + len(terminator)
-                    par = 0
-                    break
-                if not _extend():
-                    return  # no record boundary at/after start: nothing owned
-                pos = len(data) - (len(data) - pos)  # unchanged; buffer grew
+            # this split's first owned record starts after the first
+            # parity-0 terminator whose END lies strictly past `start`
+            # (a terminator ending AT `start` closes a record the left
+            # split already read as its one-past-the-edge extra).
+            b = _find_boundary(0, parity)
+            while b >= 0 and b + tlen <= rewind:
+                b = _find_boundary(b + tlen, 0)
+            if b < 0:
+                return  # no record boundary at/after start: nothing owned
+            pos = b + tlen
 
+        # Records start at quote parity 0 by construction, so every
+        # subsequent boundary scan starts from parity 0.
         while pos <= limit:
-            i, par2 = _next_boundary(pos, par)
-            if i < 0:
-                if _extend():
-                    continue
+            b = _find_boundary(pos, 0)
+            if b < 0:
                 # EOF with an unterminated trailing record.
                 if len(data) > pos:
                     yield data[pos:]
                 return
-            yield data[pos:i]
-            pos, par = i + len(terminator), 0
+            yield data[pos:b]
+            pos = b + tlen
 
 
 class CsvQDataSourceReader(DataSourceReader):
@@ -269,6 +301,7 @@ def read_csv_quoted_splits(
     scan; ``from_csv`` (JVM) decodes fields with the engine's standard
     empty-vs-null contract (quote-parity escaping, ``\\N`` null
     sentinel)."""
+    check_terminator(terminator)
     files = list_part_files(path, pattern="*")
     parities = quote_parities(spark, files, max_partition_bytes, quote)
     # Skip the scan-side parity work entirely for quote-free files?  No —

@@ -477,11 +477,29 @@ def test_csvq_split_starts_inside_quoted_field(spark, tmp_work):
     assert _csvq_read(spark, p, 64) == sorted(rows)
 
 
-def test_csvq_multichar_terminator(spark, tmp_work):
-    rows = [(1, "a~~b"), (2, "c'd"), (3, "")]
+def test_csvq_multichar_terminator_crlf(spark, tmp_work):
+    """\\r\\n terminator (no self-overlap) with quoted embedded \\r\\n and
+    lone \\n in fields, at splits small enough that terminators straddle
+    split edges."""
+    rows = [(1, "a\r\nb"), (2, "c'd\n"), (3, ""), (4, "x" * 40), (5, "\r")]
     p = f"{tmp_work}/mt.csv"
-    open(p, "w").write(_quoted_csv(rows, term="~~"))
-    assert _csvq_read(spark, p, 16, term="~~") == sorted(rows)
+    open(p, "w", newline="").write(_quoted_csv(rows, term="\r\n"))
+    for mpb in (8, 16, 64):
+        assert _csvq_read(spark, p, mpb, term="\r\n") == sorted(rows)
+
+
+def test_csvq_self_overlapping_terminator_rejected(spark, tmp_work):
+    """'~~' overlaps itself -> split-local alignment is ambiguous; the
+    API refuses instead of silently misparsing."""
+    from h2h_spark.sources.csv_split import check_terminator, read_csv_quoted_splits
+
+    with pytest.raises(ValueError, match="overlaps itself"):
+        check_terminator("~~")
+    check_terminator("\r\n")  # prefix != suffix: fine
+    p = f"{tmp_work}/ov.csv"
+    open(p, "w").write("1,'a'~~")
+    with pytest.raises(ValueError, match="overlaps itself"):
+        read_csv_quoted_splits(spark, p, _csvq_schema(), terminator="~~")
 
 
 def test_csvq_quote_free_file_plain_semantics(spark, tmp_work):
@@ -501,3 +519,42 @@ def test_csvq_parity_pass_values(spark, tmp_work):
     pars = quote_parities(spark, [p], 4, "'")[p]
     assert len(pars) == len(byte_ranges(56, 4))
     assert pars[0] == 0 and set(pars) <= {0, 1} and 1 in pars
+
+
+def test_csvq_buffer_extension_during_skip_and_scan():
+    """Force read_chunk smaller than records so every boundary search
+    crosses buffer extensions: parity accounting must not double-count
+    quotes on rescan (the skip-first loop), and a multi-char terminator
+    straddling a buffer edge must still match."""
+    from h2h_spark.sources.csv_split import _scan_records, byte_ranges, quote_parities
+
+    rows = [(i, "q'" * (i % 5) + "body\n" * (i % 3)) for i in range(40)]
+
+    def q(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    for term in ("\n", "\r\n"):
+        text = "".join(f"{i},{q(b)}{term}" for i, b in rows).encode()
+        # compute parities per range exactly as the pass-1 job would
+        for mpb in (16, 37, 64):
+            ranges = byte_ranges(len(text), mpb)
+            pars, p = [], 0
+            for (s, e) in ranges:
+                pars.append(p)
+                p ^= text[s:e].count(b"'") & 1
+            import tempfile, os as _os
+            fd, path = tempfile.mkstemp()
+            _os.write(fd, text)
+            _os.close(fd)
+            got = []
+            try:
+                for (s, e), par in zip(ranges, pars):
+                    got.extend(
+                        _scan_records(
+                            path, s, e, par, term.encode(), b"'", read_chunk=7
+                        )
+                    )
+            finally:
+                _os.unlink(path)
+            expect = [f"{i},{q(b)}".encode() for i, b in rows]
+            assert got == expect, (term, mpb)
