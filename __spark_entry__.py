@@ -620,6 +620,7 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     _ensure_bucketed_tables(spark, sf_dir)
     _minhash_index_tables(spark, sf_dir)
     _ensure_ann_index(spark, sf_dir)
+    _jaccard_pairs_table(spark, sf_dir)
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
