@@ -3621,6 +3621,500 @@ GROUP BY e.event_type
 
 
 # --------------------------------------------------------------------------
+# round 4b: the remaining TPC-H shapes (Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q20/Q21),
+# adapted to the testdata schema (no partsupp table — lineitem's distinct
+# (partkey, suppkey) pairs serve as the part-supplier relation; no
+# commit/receipt dates — lateness is shipdate vs orderdate + 60 days).
+# Each reformulates the reference SQL's correlated subqueries into
+# shuffle-once Spark shapes: window extrema instead of correlated
+# MIN/MAX, broadcast one-row aggregates instead of scalar subqueries,
+# semi/anti joins instead of [NOT] IN.
+# --------------------------------------------------------------------------
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each LARGE part of size
+    >= 40, among EUROPE suppliers that have shipped it, keep the
+    best-account supplier(s).  The reference's correlated MIN subquery
+    becomes a window MAX over the part partition — the candidate set is
+    scanned once, no per-part rescan."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        pairs.join(
+            F.broadcast(
+                part.filter((F.col("p_type") == "LARGE") & (F.col("p_size") >= 40))
+            ),
+            pairs.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("best", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("best"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+    )
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+         MAX(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS best
+  FROM ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE' AND p.p_size >= 40)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+FROM cand WHERE s_acctbal = best
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3 suppliers' share
+    of ECONOMY-part order volume delivered into AMERICA, per order year.
+    Two nation-join roles (customer side restricts the region, supplier
+    side labels the volume) — both dims broadcast, the share is a
+    conditional-sum ratio computed in one aggregate pass."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    region = spark.read.parquet(_t(sf_dir, "region"))
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(
+                spark.read.parquet(_t(sf_dir, "part")).filter(
+                    F.col("p_type") == "ECONOMY"
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0), 6).alias("num"),
+            _dsum(vol, 6).alias("den"),
+        )
+        .select("o_year", F.round(F.col("num") / F.col("den"), 4).alias("mkt_share"))
+    )
+
+
+_SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on gear-family parts
+    per supplier nation per order year.  With no partsupp.ps_supplycost
+    in the testdata, cost is proxied as 10% of retail price x quantity —
+    the shape (LIKE-filtered dim, 5-way join, two-level group) is what
+    matters.  Decimal-exact accumulate, one cast out."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%gear%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(_dsum(amount, 6), 2).alias("sum_profit"))
+    )
+
+
+_SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           - 0.1 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part shipped value from
+    NATION_7's suppliers, keeping parts above twice the per-part average
+    (TPC-H scales its HAVING fraction by 1/SF; an average multiple is
+    the scale-invariant equivalent).  The reference's scalar HAVING
+    subquery becomes a one-row aggregate broadcast-crossed back onto
+    the grouped rows — the fact table is scanned once."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    nat_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_d")
+        )
+    )
+    # value > 2*avg, cross-multiplied so the comparison stays in exact
+    # decimal arithmetic (a double AVG would be summation-order-dependent
+    # and could flip boundary rows vs the oracle).
+    stats = per_part.agg(
+        F.sum("value_d").alias("total_d"), F.count("*").alias("n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .filter(F.col("value_d") * F.col("n") > F.col("total_d") * 2)
+        .select(
+            "partkey", F.round(F.col("value_d").cast("double"), 2).alias("value")
+        )
+    )
+
+
+_SQL_IMPORTANT_STOCK = """
+WITH pp AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_d
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey),
+s AS (SELECT SUM(value_d) AS total_d, COUNT(*) AS n FROM pp)
+SELECT partkey, ROUND(CAST(value_d AS DOUBLE), 2) AS value
+FROM pp, s
+WHERE value_d * n > total_d * 2
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    with a non-key predicate inside the join condition (orders below
+    URGENT priority), per-customer counts, then a histogram over the
+    counts.  Two shuffles, both on small grouped sets."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_SQL_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    returning the maximum-revenue supplier(s).  The reference's
+    revenue-view + scalar MAX subquery becomes one grouped aggregate
+    whose one-row MAX is broadcast-crossed back — decimal-exact, so the
+    equality join on the extremum is safe.  The grouped table is
+    supplier-cardinality, so it is persisted before branching: without
+    the cache Spark rebuilds both branches from the fact scan (no
+    ReusedExchange across join sides), doubling the lineitem read."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev_d")
+        )
+        .persist()
+    )
+    best = rev.agg(F.max("rev_d").alias("best_d"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_d") == F.col("best_d"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_d").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(CAST(rev_d AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON suppkey = s_suppkey
+WHERE rev_d = (SELECT MAX(rev_d) FROM rev)
+"""
+
+
+def q_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, excluding flagged suppliers.
+    The reference's NOT IN subquery is a broadcast anti join; the
+    distinct pair set collapses lineitem before any dim join."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22, 25]
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")
+                    & (F.col("p_size").isin(sizes))
+                )
+            ),
+            F.col("l_partkey") == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_PART_SUPPLIER_RELATION = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than 30% of a small-family part's 1997 volume.  The reference's
+    nested IN/scalar-half-quantity subqueries become one grouped
+    aggregate with a window total over the part partition — the share
+    predicate never rescans lineitem."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    per_sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_sp.withColumn("part_total_d", F.sum("qty_d").over(w))
+        .filter(
+            F.col("qty_d").cast("double")
+            > F.col("part_total_d").cast("double") * 0.3
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+_SQL_POTENTIAL_PROMOTION = """
+WITH per_sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_d
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey),
+dom AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, qty_d,
+           SUM(qty_d) OVER (PARTITION BY l_partkey) AS part_total_d
+    FROM per_sp)
+  WHERE CAST(qty_d AS DOUBLE) > CAST(part_total_d AS DOUBLE) * 0.3)
+SELECT s_name, n_name
+FROM dom
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on finalized
+    multi-supplier orders, count per supplier the orders where that
+    supplier was the ONLY one to ship late (> 60 days after the order
+    date).  The reference's EXISTS / NOT EXISTS pair over lineitem
+    becomes one per-(order, supplier) aggregate plus order-partition
+    window counts — lineitem is read once, no self-joins."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    per_os = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .withColumn(
+            "late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int"),
+        )
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("supp_late"))
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = (
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("supp_late").over(w))
+        .filter(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        flagged.join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_SQL_WAITING_SUPPLIERS = """
+WITH per_os AS (
+  SELECT o_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY o_orderkey, l_suppkey),
+flagged AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, supp_late,
+           COUNT(*) OVER (PARTITION BY o_orderkey) AS n_supp,
+           SUM(supp_late) OVER (PARTITION BY o_orderkey) AS n_late
+    FROM per_os)
+  WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3773,6 +4267,17 @@ def _init_queries() -> None:
         "q_compact": q_compact,
         "q_disjunctive_filter": q_disjunctive_filter,
         "q_takedown": q_takedown,
+        # Round-4b additions (the remaining TPC-H shapes) — also deferred
+        # to the round-5 window, attested by the refreshed sweep artifact:
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_important_stock": q_important_stock,
+        "q_order_count_distribution": q_order_count_distribution,
+        "q_top_supplier": q_top_supplier,
+        "q_part_supplier_relation": q_part_supplier_relation,
+        "q_potential_promotion": q_potential_promotion,
+        "q_waiting_suppliers": q_waiting_suppliers,
     })
 
 
@@ -3901,4 +4406,13 @@ def oracle_sql() -> dict[str, str]:
         "q_forecast_revenue": _SQL_FORECAST_REVENUE,
         "q_shipmode_priority": _SQL_SHIPMODE_PRIORITY,
         "q_outlier_filter": _SQL_OUTLIER_FILTER,
+        "q_min_cost_supplier": _SQL_MIN_COST_SUPPLIER,
+        "q_market_share": _SQL_MARKET_SHARE,
+        "q_product_profit": _SQL_PRODUCT_PROFIT,
+        "q_important_stock": _SQL_IMPORTANT_STOCK,
+        "q_order_count_distribution": _SQL_ORDER_COUNT_DISTRIBUTION,
+        "q_top_supplier": _SQL_TOP_SUPPLIER,
+        "q_part_supplier_relation": _SQL_PART_SUPPLIER_RELATION,
+        "q_potential_promotion": _SQL_POTENTIAL_PROMOTION,
+        "q_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
     }
