@@ -4114,6 +4114,25 @@ GROUP BY s_name
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle of the corpus: every document gets its
+    0-based position in the seed-7 keyed-hash permutation.  Distributed
+    prefix rank (range partition + per-partition windows + broadcast
+    offsets) — never a single-partition global ROW_NUMBER.  The md5 key
+    makes the permutation bit-reproducible in the SQL oracle."""
+    from h2h_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return deterministic_shuffle(docs, "doc_id", seed=7)
+
+
+_SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4278,6 +4297,7 @@ def _init_queries() -> None:
         "q_part_supplier_relation": q_part_supplier_relation,
         "q_potential_promotion": q_potential_promotion,
         "q_waiting_suppliers": q_waiting_suppliers,
+        "q_epoch_shuffle": q_epoch_shuffle,
     })
 
 
@@ -4415,4 +4435,5 @@ def oracle_sql() -> dict[str, str]:
         "q_part_supplier_relation": _SQL_PART_SUPPLIER_RELATION,
         "q_potential_promotion": _SQL_POTENTIAL_PROMOTION,
         "q_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+        "q_epoch_shuffle": _SQL_EPOCH_SHUFFLE,
     }

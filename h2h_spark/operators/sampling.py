@@ -145,3 +145,62 @@ def mix_to_token_budget(
         thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
     thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
     return df.filter(split_bucket(key_col) < thr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``(id, pos)``: a reproducible global permutation of the corpus —
+    the epoch-shuffle step of a training-data loader.  ``pos`` is the
+    row's 0-based position in the order of ``md5(seed || '|' || id)``,
+    so the permutation is stable across runs, cluster sizes, and input
+    partitionings, and changing ``seed`` draws an independent shuffle.
+
+    The naive plan (ROW_NUMBER over a global window) serializes the
+    corpus through one task, and a range-partitioned prefix rank (as in
+    :mod:`h2h_spark.operators.packing`) pays a boundary-sampling pass.
+    Neither is needed here: the shuffle key is a uniform md5 hex string,
+    so its leading ``bucket_hex`` characters ARE a deterministic,
+    skew-free range partitioning.  Plan: (1) one tiny grouped count per
+    bucket (≤ 16^bucket_hex rows), prefix-summed on the driver in bucket
+    order and broadcast back; (2) rank within each bucket with a
+    bucket-partitioned window; ``pos = bucket_offset + local_rank - 1``.
+    Two column-pruned scans of the id column, one shuffle, no sampling,
+    no persist.  md5 keys are unique per id at any realistic corpus
+    size; ``id`` breaks hypothetical ties deterministically.
+
+    The key is md5-over-text so an external SQL oracle reproduces the
+    permutation bit-exactly: ``ROW_NUMBER() OVER (ORDER BY
+    md5(seed || '|' || CAST(id AS VARCHAR)), id) - 1``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    bucket_hex = 2 if n_parts is None or n_parts <= 256 else 4
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.md5(
+            F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+        ).alias("__k"),
+    ).withColumn("__b", F.substring("__k", 1, bucket_hex))
+    counts = {
+        r["__b"]: r["c"]
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = spark.createDataFrame(offsets, "__b string, __off long")
+    w = Window.partitionBy("__b").orderBy("__k", "id")
+    return (
+        keyed.join(F.broadcast(off_df), "__b")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("__off") + F.col("__rn") - 1).cast("bigint").alias("pos"),
+        )
+    )

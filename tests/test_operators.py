@@ -1204,3 +1204,24 @@ def test_media_meta_dataframe_stage(spark):
     assert out[4].kind == "wav" and out[4].sample_rate == 12000 and out[4].n_samples == 5
     assert out[5].kind == "gif" and out[5].width == 6 and out[5].height == 16
     assert out[4].width is None and out[5].sample_rate is None
+
+
+def test_deterministic_shuffle_partition_invariant_permutation(spark):
+    """The epoch shuffle must be a true permutation (0..n-1, each once)
+    and bit-identical regardless of how many range partitions computed
+    it — global rank is a property of the key order, not the plan."""
+    from h2h_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    # n_parts <= 256 buckets on 2 hex chars; > 256 on 4 — the permutation
+    # must be identical under both bucketings
+    a = deterministic_shuffle(docs, "doc_id", seed=7, n_parts=8)
+    b = deterministic_shuffle(docs, "doc_id", seed=7, n_parts=1000)
+    rows_a = sorted((r.doc_id, r.pos) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.pos) for r in b.collect())
+    assert rows_a == rows_b
+    assert sorted(p for _, p in rows_a) == list(range(n))
+    # a different seed draws a different permutation
+    c = deterministic_shuffle(docs, "doc_id", seed=8, n_parts=8)
+    assert sorted((r.doc_id, r.pos) for r in c.collect()) != rows_a
