@@ -4114,6 +4114,94 @@ GROUP BY s_name
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the full training-data assembly line
+    in one plan: Gopher quality rules → exact dedup (min-id keeper per
+    text hash) → seed-7 deterministic epoch shuffle → 1024-token
+    contiguous sequence packing → per-bin footprint.  Every stage is the
+    registry operator itself (text.gopher_rules, dedup.exact_dedup's
+    grouping shape, sampling.deterministic_shuffle, packing
+    .pack_sequences), so the oracle certifies the COMPOSITION, not just
+    the stages.  Duplicates share identical text, so n_words is constant
+    within a hash group and rides the dedup aggregate — no corpus-sized
+    rejoin anywhere."""
+    from h2h_spark.operators.packing import pack_sequences
+    from h2h_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = TX.gopher_rules(docs, "doc_id", "text")
+    kept = (
+        scored.filter(F.col("keep"))
+        .select("doc_id", "n_words")
+        .join(
+            docs.select(
+                "doc_id", F.md5(F.encode("text", "UTF-8")).alias("__h")
+            ),
+            "doc_id",
+        )
+    )
+    surv = kept.groupBy("__h").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_words").alias("n_words")
+    )
+    shuffled = deterministic_shuffle(
+        surv, "doc_id", seed=7, carry_cols=("n_words",)
+    )
+    packed = pack_sequences(
+        shuffled.select("pos", "n_words"), "pos", "n_words", budget=1024
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+_SQL_CORPUS_PIPELINE = """
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS mean_word_len,
+    round(CAST(coalesce(list_sum(list_transform(w,
+            x -> CASE WHEN contains(x, '#') OR contains(x, '…') OR contains(x, '...')
+                      THEN 1 ELSE 0 END)), 0) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS symbol_ratio,
+    round(CAST(len(list_filter(ln,
+            l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+          / greatest(len(ln), 1), 4) AS bullet_frac,
+    round(CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+          / greatest(len(ln), 1), 4) AS ellipsis_frac,
+    round(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len(w), 1), 4) AS alpha_ratio
+  FROM b),
+keep AS (
+  SELECT doc_id, n_words FROM m
+  WHERE n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+    AND mean_word_len <= 10 AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+    AND ellipsis_frac < 0.3 AND alpha_ratio > 0.8),
+h AS (
+  SELECT k.doc_id, k.n_words, md5(d.text) AS hsh
+  FROM keep k JOIN documents d ON k.doc_id = d.doc_id),
+s AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(n_words) AS n_words FROM h GROUP BY hsh),
+sh AS (
+  SELECT n_words,
+         ROW_NUMBER() OVER (ORDER BY md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+  FROM s),
+c AS (
+  SELECT pos, n_words, SUM(n_words) OVER (ORDER BY pos) - n_words AS before
+  FROM sh)
+SELECT CAST(before // 1024 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM c GROUP BY CAST(before // 1024 AS BIGINT)
+"""
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible epoch shuffle of the corpus: every document gets its
     0-based position in the seed-7 keyed-hash permutation.  Distributed
@@ -4298,6 +4386,7 @@ def _init_queries() -> None:
         "q_potential_promotion": q_potential_promotion,
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_epoch_shuffle": q_epoch_shuffle,
+        "q_corpus_pipeline": q_corpus_pipeline,
     })
 
 
@@ -4436,4 +4525,5 @@ def oracle_sql() -> dict[str, str]:
         "q_potential_promotion": _SQL_POTENTIAL_PROMOTION,
         "q_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "q_epoch_shuffle": _SQL_EPOCH_SHUFFLE,
+        "q_corpus_pipeline": _SQL_CORPUS_PIPELINE,
     }

@@ -152,6 +152,7 @@ def deterministic_shuffle(
     id_col: str,
     seed: int = 0,
     n_parts: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(id, pos)``: a reproducible global permutation of the corpus —
     the epoch-shuffle step of a training-data loader.  ``pos`` is the
@@ -175,6 +176,10 @@ def deterministic_shuffle(
     The key is md5-over-text so an external SQL oracle reproduces the
     permutation bit-exactly: ``ROW_NUMBER() OVER (ORDER BY
     md5(seed || '|' || CAST(id AS VARCHAR)), id) - 1``.
+
+    ``carry_cols`` rides payload columns through the permutation so a
+    downstream consumer (e.g. sequence packing) doesn't pay a
+    corpus-sized rejoin on id.
     """
     from pyspark.sql.window import Window
 
@@ -185,6 +190,7 @@ def deterministic_shuffle(
         F.md5(
             F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
         ).alias("__k"),
+        *[F.col(c) for c in carry_cols],
     ).withColumn("__b", F.substring("__k", 1, bucket_hex))
     counts = {
         r["__b"]: r["c"]
@@ -202,5 +208,6 @@ def deterministic_shuffle(
         .select(
             F.col("id").alias(id_col),
             (F.col("__off") + F.col("__rn") - 1).cast("bigint").alias("pos"),
+            *[F.col(c) for c in carry_cols],
         )
     )
