@@ -4221,6 +4221,244 @@ FROM documents
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Spärck Jones; Lucene idf): top-10 docs
+    for a 3-term query.  The postings explode is filtered to the query's
+    terms BEFORE its aggregate, corpus stats (N, avgdl) broadcast as a
+    one-row aggregate, per-term contributions sum in decimal so the
+    score is partial-aggregation-order independent, and the top-k is
+    TakeOrdered — no full sort."""
+    from h2h_spark.operators.ranking import bm25_topk
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bm25_topk(docs, "doc_id", "text", ["customer", "join", "vector"], k=10)
+
+
+_SQL_BM25_TOPK = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN ('customer', 'join', 'vector')
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.doc_id,
+         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                    6) AS DECIMAL(18,6)) AS contrib
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS score
+FROM c GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-term posting summary (df, total tf,
+    posting-list head).  One explode feeding one map-side-combined
+    aggregate; output is vocabulary-sized."""
+    from h2h_spark.operators.ranking import inverted_index
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return inverted_index(docs, "doc_id", "text")
+
+
+_SQL_INVERTED_INDEX = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+tc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       min(doc_id) AS first_doc
+FROM tc GROUP BY term
+"""
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): assign every
+    embedding to its nearest of 8 deterministic centroids, then drop any
+    vector with a smaller-id same-cluster neighbor at rounded cosine
+    >= 0.4.  Pair work is confined to intra-cluster blocks — the
+    Σ size² shape that replaces corpus² at scale."""
+    from h2h_spark.operators.simsearch import semantic_dedup
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return semantic_dedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.4)
+
+
+_SQL_SEMDEDUP = """
+WITH c AS (
+  SELECT embedding AS cvec,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cidx
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+sims AS (
+  SELECT e.vec_id, c.cidx,
+         ROUND(CAST(list_cosine_similarity(e.embedding, c.cvec) AS DOUBLE), 3) AS sim
+  FROM embeddings e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cidx AS cluster
+  FROM (SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cidx) AS rn
+        FROM sims)
+  WHERE rn = 1),
+pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 3) >= 0.4)
+SELECT s.vec_id, s.cluster, (d.id_b IS NULL) AS keep
+FROM assign s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON s.vec_id = d.id_b
+"""
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge over the customer dim:
+    closed history passes through join-free, the current slice left-joins
+    one update batch on the key, and changed rows close + reopen at the
+    effective date.  Exercises all four branches (pass-through history,
+    unchanged current, close+reopen, brand-new key insert)."""
+    from h2h_spark.operators.incremental import scd2_merge
+
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    d0 = F.lit("2020-01-01").cast("date")
+    dim = cust.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        d0.alias("valid_from"), F.lit(None).cast("date").alias("valid_to"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") - 50.0, 2).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("2019-01-01").cast("date").alias("valid_from"),
+            d0.alias("valid_to"),
+        )
+    )
+    eff = F.lit("2024-06-01").cast("date")
+    changed = cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 21 != 0)).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment", eff.alias("eff_date"),
+    )
+    same = cust.filter(F.col("c_custkey") % 21 == 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", eff.alias("eff_date")
+    )
+    fresh = cust.filter(F.col("c_custkey") % 1000 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_acctbal", "c_mktsegment", eff.alias("eff_date"),
+    )
+    updates = changed.unionByName(same).unionByName(fresh)
+    return scd2_merge(dim, updates, "c_custkey", ["c_acctbal", "c_mktsegment"])
+
+
+_SQL_SCD2_MERGE = """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, round(c_acctbal - 50.0, 2), c_mktsegment,
+         DATE '2019-01-01', DATE '2020-01-01'
+  FROM customer WHERE c_custkey % 13 = 0),
+upd AS (
+  SELECT c_custkey, round(c_acctbal + 100.0, 2) AS u_acctbal,
+         c_mktsegment AS u_seg, DATE '2024-06-01' AS eff
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 21 <> 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 21 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, DATE '2024-06-01'
+  FROM customer WHERE c_custkey % 1000 = 0),
+cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+j AS (
+  SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+         upd.u_acctbal, upd.u_seg, upd.eff,
+         (upd.eff IS NOT NULL AND
+          (cur.c_acctbal IS DISTINCT FROM upd.u_acctbal
+           OR cur.c_mktsegment IS DISTINCT FROM upd.u_seg)) AS chg
+  FROM cur LEFT JOIN upd USING (c_custkey))
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to FROM hist
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+       CASE WHEN chg THEN eff ELSE NULL END AS valid_to
+FROM j
+UNION ALL
+SELECT c_custkey, u_acctbal, u_seg, eff, CAST(NULL AS DATE) FROM j WHERE chg
+UNION ALL
+SELECT u.c_custkey, u.u_acctbal, u.u_seg, u.eff, CAST(NULL AS DATE)
+FROM upd u LEFT JOIN cur ON u.c_custkey = cur.c_custkey
+WHERE cur.c_custkey IS NULL
+"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream: first-seen
+    week per user, then distinct (user, week) activity counted by
+    (cohort, week offset).  Two map-side-combined aggregates sharing one
+    user-keyed partitioning; output is |weeks|²-bounded."""
+    from h2h_spark.operators.timeseries import retention_cohort
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = retention_cohort(ev, "user_id", "ts", grain="week")
+    return out.withColumnRenamed("offset", "week_offset")
+
+
+_SQL_RETENTION_COHORT = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events),
+c AS (SELECT u, min(p) AS cohort FROM a GROUP BY u)
+SELECT cohort, CAST((p - cohort) / 7 AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (u)
+GROUP BY cohort, week_offset
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity stratification: bigram-LM ppl per doc, cut
+    into head/middle/tail thirds at exact 1/3 and 2/3 percentile VALUE
+    cutoffs (broadcast one-row aggregate — never a global NTILE window),
+    decimal-summed bucket stats."""
+    from h2h_spark.operators.lm import perplexity_buckets
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return perplexity_buckets(docs, "doc_id", "text")
+
+
+_SQL_PERPLEXITY_BUCKETS = f"""
+WITH p AS (
+  SELECT doc_id, ppl FROM ({_SQL_LM_PERPLEXITY})
+),
+cuts AS (
+  SELECT round(quantile_cont(ppl, 1.0/3), 4) AS c1,
+         round(quantile_cont(ppl, 2.0/3), 4) AS c2
+  FROM p),
+b AS (
+  SELECT CASE WHEN ppl <= c1 THEN 'head'
+              WHEN ppl <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket, ppl
+  FROM p CROSS JOIN cuts)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(ppl AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_ppl,
+       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+FROM b GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4387,6 +4625,15 @@ def _init_queries() -> None:
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_corpus_pipeline": q_corpus_pipeline,
+        # Round-4c additions (retrieval ranking, semantic dedup, SCD2,
+        # cohort retention, perplexity stratification) — deferred to the
+        # round-5 window, attested by the refreshed sweep artifacts:
+        "q_bm25_topk": q_bm25_topk,
+        "q_inverted_index": q_inverted_index,
+        "q_semdedup": q_semdedup,
+        "q_scd2_merge": q_scd2_merge,
+        "q_retention_cohort": q_retention_cohort,
+        "q_perplexity_buckets": q_perplexity_buckets,
     })
 
 
@@ -4526,4 +4773,10 @@ def oracle_sql() -> dict[str, str]:
         "q_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "q_epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "q_corpus_pipeline": _SQL_CORPUS_PIPELINE,
+        "q_bm25_topk": _SQL_BM25_TOPK,
+        "q_inverted_index": _SQL_INVERTED_INDEX,
+        "q_semdedup": _SQL_SEMDEDUP,
+        "q_scd2_merge": _SQL_SCD2_MERGE,
+        "q_retention_cohort": _SQL_RETENTION_COHORT,
+        "q_perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
     }

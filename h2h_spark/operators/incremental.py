@@ -44,3 +44,83 @@ def merge_agg_state(state: DataFrame, delta_state: DataFrame, keys: list[str]) -
         if c not in keys
     ]
     return merged.groupBy(*keys).agg(*sums)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    eff_col: str = "eff_date",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (Kimball): fold a batch of
+    attribute updates into a versioned dimension, preserving history.
+
+    ``dim`` carries ``key, *attrs, valid_from, valid_to`` (NULL valid_to
+    = current row); ``updates`` carries ``key, *attrs, eff_date``.  For a
+    key whose current attributes differ from the update: the current row
+    is CLOSED (``valid_to = eff_date``) and a new current row opens at
+    ``eff_date``.  Same-value updates are no-ops; keys absent from the
+    dimension insert as new current rows; closed history rows pass
+    through untouched.
+
+    Plan shape: one left join of current rows against the update batch on
+    the key (broadcast when the batch is small — left to AQE), then a
+    union of three branch projections over that single joined relation.
+    History rows never join — they are sliced off by a NULL-check filter
+    and concatenated back, so cost is |current| + |batch|, never
+    |history|.  This is the MERGE-free expression of the same plan Delta
+    Lake executes for SCD2 — portable to any sink that supports
+    overwrite.
+    """
+    changed = None
+    for a in attrs:
+        ne = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        changed = ne if changed is None else (changed | ne)
+    upd = updates.select(
+        F.col(key),
+        F.col(eff_col).alias("__eff"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+    )
+    closed_history = dim.filter(F.col(to_col).isNotNull())
+    current = dim.filter(F.col(to_col).isNull())
+    j = current.join(upd, key, "left")
+    matched = F.col("__eff").isNotNull()
+    # current rows: untouched (no update or same values) pass through;
+    # changed ones close at eff_date.
+    kept_or_closed = j.select(
+        key,
+        *attrs,
+        F.col(from_col),
+        F.when(matched & changed, F.col("__eff")).otherwise(F.col(to_col)).alias(to_col),
+    )
+    # changed rows additionally open a new current version.
+    opened = (
+        j.filter(matched & changed)
+        .select(
+            key,
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            F.col("__eff").alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        )
+    )
+    # brand-new keys insert as open rows.
+    inserted = (
+        upd.join(current.select(key), key, "left_anti")
+        .select(
+            key,
+            *[F.col(f"__u_{a}").alias(a) for a in attrs],
+            F.col("__eff").alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        )
+    )
+    cols = [key, *attrs, from_col, to_col]
+    return (
+        closed_history.select(*cols)
+        .unionByName(kept_or_closed.select(*cols))
+        .unionByName(opened.select(*cols))
+        .unionByName(inserted.select(*cols))
+    )

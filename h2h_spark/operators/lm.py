@@ -112,3 +112,53 @@ def perplexity(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "xent", "ppl")
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity tertiles (Wenzek et al. 2020, CCNet):
+    score every document with the corpus bigram LM, cut the corpus into
+    ``head`` / ``middle`` / ``tail`` thirds at the exact 1/3 and 2/3
+    perplexity percentiles, and report ``(bucket, n_docs, avg_ppl,
+    min_ppl, max_ppl)`` — the quality-stratification report run before
+    choosing a training-data perplexity cutoff.
+
+    The cutoffs are VALUE thresholds, not a global NTILE: a global
+    row-number window would serialize the corpus through one task, while
+    the two percentile cutoffs are one (partial-merged) aggregate
+    broadcast back to a shuffle-free scoring scan.  At 100 TB swap the
+    exact percentile for ``approx_percentile`` — the report's semantics
+    survive, the memory bound tightens.  Cutoffs and per-doc ppl are both
+    rounded to 4 digits, and the bucket averages accumulate in decimal,
+    so the report is bit-identical to the serial SQL oracle.
+    """
+    ppl = perplexity(df, id_col, text_col, k=k).select(id_col, "ppl")
+    cuts = ppl.agg(
+        F.round(F.expr("percentile(ppl, 1.0/3)"), 4).alias("c1"),
+        F.round(F.expr("percentile(ppl, 2.0/3)"), 4).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ppl.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "ppl")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ppl").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_ppl"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+    )

@@ -27,6 +27,7 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def _dot_with_literal(vec_col: Column, q: Sequence[float]) -> Column:
@@ -777,4 +778,97 @@ def ann_knn_join_indexed(
         lambda qv: ann_probe_buckets(qv, planes, n_buckets),
         k,
         round_digits,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    round_digits: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any vector
+    that has a same-cluster neighbor with smaller id and rounded cosine
+    >= ``threshold``.  Returns ``(id, cluster, keep)`` for every vector.
+
+    Clustering is what makes this the 100 TB shape: near-dup candidate
+    pairs are confined to intra-cluster blocks, so pair work scales with
+    Σ cluster_size² instead of corpus².  Centroids here are the
+    ``n_clusters`` smallest-id vectors (deterministic, reproducible in
+    the SQL oracle); swap in :func:`h2h_spark.operators.cluster.kmeans_fit`
+    centroids for production quality — the dedup stage is unchanged.
+
+    Plan shape: centroids are a broadcast ``LIMIT n_clusters`` — the
+    assignment pass is a shuffle-free scan × tiny-literal cross join with
+    an argmax aggregate keyed on id (map-side combined).  The pair stage
+    self-joins on the cluster key only (one hash shuffle, AQE handles
+    skewed clusters); dropped-set membership is a left anti-style join.
+    Ties (equal rounded similarity to two centroids) resolve to the
+    lowest cluster index — deterministic on both engines.
+    """
+    cents = F.broadcast(
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__cvec"))
+        .orderBy("cid")
+        .limit(n_clusters)
+        .select(
+            "__cvec",
+            (F.row_number().over(W.orderBy("cid")) - 1).cast("int").alias("cidx"),
+        )
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__cvec", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("__n") * _norm(F.col("__cvec"))), round_digits)
+    assign = (
+        vecs.crossJoin(cents)
+        .select(
+            "id", "__v", "__n",
+            F.struct((-sim).alias("ns"), F.col("cidx")).alias("__s"),
+        )
+        .groupBy("id")
+        .agg(
+            F.min("__s").getField("cidx").alias("cluster"),
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    a = assign.select(
+        F.col("id").alias("id_a"), F.col("cluster").alias("__ca"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = assign.select(
+        F.col("id").alias("id_b"), F.col("cluster").alias("__cb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    pdot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pscore = F.round(pdot / (F.col("__na") * F.col("__nb")), round_digits)
+    dropped = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(pscore >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
     )

@@ -206,3 +206,48 @@ def time_rollup(
     # catalog entry now keeps the session namespace clean.
     base.sparkSession.catalog.dropTempView(view)
     return out
+
+
+def retention_cohort(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: ``(cohort, offset, n_users)`` — how many
+    of the users first seen in period ``cohort`` were active again
+    ``offset`` periods later (offset 0 = the cohort's own size).
+
+    Two keyed aggregates, both map-side combined: per-user first-seen
+    (one shuffle on user), then distinct (user, period) activity re-uses
+    the same user-keyed exchange for its join back to the cohort — one
+    partitioning carries all three stages.  Output is at most
+    |periods|²/2 rows — trivially collectable at any corpus size, which
+    is what makes this the standard 100 TB engagement report.
+
+    ``grain`` is any ``date_trunc`` unit; weeks truncate to ISO Monday on
+    both Spark and the SQL oracle.
+    """
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(grain, F.col(ts_col)).cast("date").alias("p"),
+        )
+        .distinct()
+    )
+    cohort = active.groupBy("u").agg(F.min("p").alias("cohort"))
+    step_days = {"week": 7, "day": 1}.get(grain)
+    if step_days is None:
+        raise ValueError(f"unsupported cohort grain: {grain!r}")
+    return (
+        active.join(cohort, "u")
+        .select(
+            "cohort",
+            (F.datediff(F.col("p"), F.col("cohort")) / step_days)
+            .cast("int")
+            .alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

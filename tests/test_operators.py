@@ -1225,3 +1225,131 @@ def test_deterministic_shuffle_partition_invariant_permutation(spark):
     # a different seed draws a different permutation
     c = deterministic_shuffle(docs, "doc_id", seed=8, n_parts=8)
     assert sorted((r.doc_id, r.pos) for r in c.collect()) != rows_a
+
+
+def test_bm25_matches_reference_formula(spark):
+    """BM25 on a 3-doc toy corpus vs hand-computed Lucene-idf scores."""
+    import math
+
+    from h2h_spark.operators.ranking import bm25_scores
+
+    rows = [
+        (1, "spark shuffle join join"),
+        (2, "join once"),
+        (3, "no relevant terms here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, "doc_id", "text", ["join"]).collect()}
+    # N=3, df(join)=2, idf = ln(1 + (3-2+0.5)/(2+0.5)); avgdl = (4+2+4)/3
+    idf = math.log(1 + 1.5 / 2.5)
+    avgdl = 10 / 3
+
+    def s(tf, dl):
+        return round(round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6), 4)
+
+    assert got == {1: s(2, 4), 2: s(1, 2)}  # doc 3 absent
+
+
+def test_inverted_index_counts(spark):
+    from h2h_spark.operators.ranking import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c c c")], "doc_id long, text string"
+    )
+    got = {r.term: (r.df, r.total_tf, r.first_doc) for r in
+           inverted_index(df, "doc_id", "text").collect()}
+    assert got == {"a": (1, 2, 1), "b": (2, 2, 1), "c": (2, 4, 2)}
+    assert {r.term for r in inverted_index(df, "doc_id", "text", min_df=2).collect()} == {"b", "c"}
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    """Two identical vectors in the same cluster → larger id dropped;
+    orthogonal vectors keep; cluster ids deterministic (smallest-id
+    centroids in id order)."""
+    from h2h_spark.operators.simsearch import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0]),   # centroid 1
+        (2, [1.0, 0.01]),  # cluster 0, near-dup of 0
+        (3, [0.01, 1.0]),  # cluster 1, near-dup of 1
+        (4, [-1.0, 0.6]),  # cluster 1 (cos to c1 = .51 vs c0 -.86), no dup >= .95
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cluster, r.keep) for r in
+           semantic_dedup(df, "vec_id", "embedding", n_clusters=2, threshold=0.95).collect()}
+    assert out == {0: (0, True), 1: (1, True), 2: (0, False), 3: (1, False), 4: (1, True)}
+
+
+def test_scd2_merge_branches(spark):
+    """All four SCD2 branches: history pass-through, unchanged current,
+    close+reopen, new-key insert."""
+    import datetime
+
+    from h2h_spark.operators.incremental import scd2_merge
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, d(2019, 1, 1), d(2020, 1, 1)),  # closed history
+            (1, 11.0, d(2020, 1, 1), None),           # will change
+            (2, 20.0, d(2020, 1, 1), None),           # unchanged (same-value update)
+            (3, 30.0, d(2020, 1, 1), None),           # no update at all
+        ],
+        "k long, v double, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, 12.0, d(2024, 6, 1)), (2, 20.0, d(2024, 6, 1)), (9, 90.0, d(2024, 6, 1))],
+        "k long, v double, eff_date date",
+    )
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to)
+        for r in scd2_merge(dim, upd, "k", ["v"]).collect()
+    )
+    assert got == [
+        (1, 10.0, d(2019, 1, 1), d(2020, 1, 1)),
+        (1, 11.0, d(2020, 1, 1), d(2024, 6, 1)),
+        (1, 12.0, d(2024, 6, 1), None),
+        (2, 20.0, d(2020, 1, 1), None),
+        (3, 30.0, d(2020, 1, 1), None),
+        (9, 90.0, d(2024, 6, 1), None),
+    ]
+
+
+def test_retention_cohort_triangle(spark):
+    import datetime
+
+    from h2h_spark.operators.timeseries import retention_cohort
+
+    dt = datetime.datetime
+    rows = [
+        (1, dt(2024, 1, 1, 9)),   # Mon w0 cohort
+        (1, dt(2024, 1, 2, 9)),   # same week — deduped
+        (1, dt(2024, 1, 8, 9)),   # w+1
+        (2, dt(2024, 1, 3, 9)),   # w0 cohort
+        (3, dt(2024, 1, 10, 9)),  # w1 cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort), r.offset): r.n_users for r in
+           retention_cohort(df, "user_id", "ts").collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_perplexity_buckets_partition_thirds(spark):
+    """Buckets cover the corpus, thirds are balanced (±1 at exact
+    percentile cutoffs), and head avg < tail avg."""
+    from h2h_spark.operators.lm import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    out = {r.bucket: r for r in perplexity_buckets(docs, "doc_id", "text").collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in out.values()) == n
+    assert max(r.n_docs for r in out.values()) - min(r.n_docs for r in out.values()) <= max(2, n // 10)
+    assert out["head"].avg_ppl < out["tail"].avg_ppl
+    assert out["head"].max_ppl <= out["middle"].min_ppl
+    assert out["middle"].max_ppl <= out["tail"].min_ppl
