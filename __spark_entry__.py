@@ -4459,6 +4459,99 @@ FROM b GROUP BY bucket
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event transition matrix: one user-keyed
+    shuffle feeds the lead window; pair counts and row-normalizing
+    totals are |types|²-bounded aggregates."""
+    from h2h_spark.operators.paths import event_transitions
+
+    ev = _load_events(spark, sf_dir)
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type AS cur_event,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+  FROM events),
+c AS (
+  SELECT cur_event, next_event, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_event IS NOT NULL
+  GROUP BY cur_event, next_event)
+SELECT cur_event, next_event, n,
+       round(n / SUM(n) OVER (PARTITION BY cur_event), 4) AS p
+FROM c
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening paths (first 3 event types per 30-min-gap
+    session): session break, running session id, and in-session rank all
+    share ONE user-keyed sort; top-k is TakeOrdered."""
+    from h2h_spark.operators.paths import top_paths
+
+    ev = _load_events(spark, sf_dir)
+    return top_paths(ev, "user_id", "ts", "event_type", "event_id",
+                     gap_minutes=30, depth=3, k=10)
+
+
+_SQL_SESSION_PATHS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e),
+r AS (
+  SELECT user_id, sess, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot of the four lineitem measures (native
+    DataFrame.unpivot — an Expand node, no shuffle until the tiny
+    4-group aggregate), summarized with decimal-exact sums."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    )
+
+
+_SQL_UNPIVOT = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM long GROUP BY measure
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4634,6 +4727,9 @@ def _init_queries() -> None:
         "q_scd2_merge": q_scd2_merge,
         "q_retention_cohort": q_retention_cohort,
         "q_perplexity_buckets": q_perplexity_buckets,
+        "q_event_transitions": q_event_transitions,
+        "q_session_paths": q_session_paths,
+        "q_unpivot": q_unpivot,
     })
 
 
@@ -4779,4 +4875,7 @@ def oracle_sql() -> dict[str, str]:
         "q_scd2_merge": _SQL_SCD2_MERGE,
         "q_retention_cohort": _SQL_RETENTION_COHORT,
         "q_perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
+        "q_event_transitions": _SQL_EVENT_TRANSITIONS,
+        "q_session_paths": _SQL_SESSION_PATHS,
+        "q_unpivot": _SQL_UNPIVOT,
     }

@@ -842,6 +842,10 @@ def semantic_dedup(
             F.first("__v").alias("__v"),
             F.first("__n").alias("__n"),
         )
+        # three consumers below (both self-join sides + the final keep
+        # join): persist so the scan × centroids argmax runs once, not
+        # three times.
+        .persist()
     )
     a = assign.select(
         F.col("id").alias("id_a"), F.col("cluster").alias("__ca"),

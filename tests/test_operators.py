@@ -1353,3 +1353,50 @@ def test_perplexity_buckets_partition_thirds(spark):
     assert out["head"].avg_ppl < out["tail"].avg_ppl
     assert out["head"].max_ppl <= out["middle"].min_ppl
     assert out["middle"].max_ppl <= out["tail"].min_ppl
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime
+
+    from h2h_spark.operators.paths import event_transitions
+
+    dt = datetime.datetime
+    rows = [
+        (1, 1, dt(2024, 1, 1, 9, 0), "a"),
+        (2, 1, dt(2024, 1, 1, 9, 1), "b"),
+        (3, 1, dt(2024, 1, 1, 9, 2), "a"),
+        (4, 1, dt(2024, 1, 1, 9, 3), "c"),
+        (5, 2, dt(2024, 1, 1, 9, 0), "a"),
+        (6, 2, dt(2024, 1, 1, 9, 1), "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {(r.cur_event, r.next_event): (r.n, r.p) for r in
+           event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()}
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert got == {("a", "b"): (2, 0.6667), ("a", "c"): (1, 0.3333), ("b", "a"): (1, 1.0)}
+
+
+def test_top_paths_sessions_and_depth(spark):
+    import datetime
+
+    from h2h_spark.operators.paths import top_paths
+
+    dt = datetime.datetime
+    rows = [
+        # user 1, session 1: a>b>c>d (depth cap 3 → a>b>c)
+        (1, 1, dt(2024, 1, 1, 9, 0), "a"),
+        (2, 1, dt(2024, 1, 1, 9, 1), "b"),
+        (3, 1, dt(2024, 1, 1, 9, 2), "c"),
+        (4, 1, dt(2024, 1, 1, 9, 3), "d"),
+        # user 1, session 2 (90-min gap): a>b
+        (5, 1, dt(2024, 1, 1, 11, 0), "a"),
+        (6, 1, dt(2024, 1, 1, 11, 1), "b"),
+        # user 2: a>b>c
+        (7, 2, dt(2024, 1, 1, 9, 0), "a"),
+        (8, 2, dt(2024, 1, 1, 9, 1), "b"),
+        (9, 2, dt(2024, 1, 1, 9, 2), "c"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = [(r.path, r.n) for r in
+           top_paths(df, "user_id", "ts", "event_type", "event_id", depth=3, k=5).collect()]
+    assert got == [("a>b>c", 2), ("a>b", 1)]

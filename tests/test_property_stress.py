@@ -271,3 +271,118 @@ def test_funnel_equals_naive(spark, seed):
         )
         naive[u] = (a, b, c)
     assert got == naive
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_bm25_equals_naive(spark, seed):
+    """bm25_scores == a serial python implementation of the Lucene-idf
+    BM25 formula (same rounding contract) on random small corpora."""
+    import math
+    import re
+
+    from h2h_spark.operators.ranking import bm25_scores
+
+    rnd = random.Random(seed)
+    vocab = ["ant", "bee", "cat", "dog", "elk"]
+    docs = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(1, 12))))
+        for i in range(rnd.randint(2, 15))
+    ]
+    q = rnd.sample(vocab, rnd.randint(1, 3))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, "doc_id", "text", q).collect()}
+
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    naive = {}
+    for i, v in toks.items():
+        s = 0
+        for t in q:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)), 6)
+        if s:
+            naive[i] = round(s, 4)
+    assert got == naive
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_event_transitions_equals_naive(spark, seed):
+    from h2h_spark.operators.paths import event_transitions
+
+    rnd = random.Random(seed)
+    rows = [
+        (i, rnd.randint(1, 5), rnd.randint(0, 30), rnd.choice("abc"))
+        for i in range(rnd.randint(2, 80))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    got = {(r.cur_event, r.next_event): (r.n, r.p) for r in
+           event_transitions(df, "user_id", "ts", "event_type", "event_id").collect()}
+
+    by_user = {}
+    for eid, u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    counts = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    row_tot = {}
+    for (a, _), nc in counts.items():
+        row_tot[a] = row_tot.get(a, 0) + nc
+    naive = {k: (nc, round(nc / row_tot[k[0]], 4)) for k, nc in counts.items()}
+    assert got == naive
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_scd2_merge_equals_naive(spark, seed):
+    """scd2_merge == a serial merge on random dims/batches: every key in
+    the result has exactly one open row, history is never lost, and row
+    contents match the four-branch rules."""
+    import datetime
+
+    from h2h_spark.operators.incremental import scd2_merge
+
+    rnd = random.Random(seed)
+    d = datetime.date
+    keys = list(range(1, rnd.randint(3, 10)))
+    dim_rows, naive = [], []
+    for k in keys:
+        if rnd.random() < 0.4:  # closed history row
+            h = (k, float(rnd.randint(0, 5)), d(2019, 1, 1), d(2020, 1, 1))
+            dim_rows.append(h)
+            naive.append(h)
+        dim_rows.append((k, float(rnd.randint(0, 5)), d(2020, 1, 1), None))
+    upd_rows = [
+        (k, float(rnd.randint(0, 5)), d(2024, 6, 1))
+        for k in rnd.sample(keys + [99, 98], rnd.randint(0, len(keys)))
+    ]
+    cur = {r[0]: r for r in dim_rows if r[3] is None}
+    upd = {r[0]: r for r in upd_rows}
+    for k, r in cur.items():
+        u = upd.get(k)
+        if u is not None and u[1] != r[1]:
+            naive.append((k, r[1], r[2], u[2]))
+            naive.append((k, u[1], u[2], None))
+        else:
+            naive.append(r)
+    for k, u in upd.items():
+        if k not in cur:
+            naive.append((k, u[1], u[2], None))
+
+    dim = spark.createDataFrame(dim_rows, "k long, v double, valid_from date, valid_to date")
+    up = spark.createDataFrame(upd_rows, "k long, v double, eff_date date") if upd_rows \
+        else spark.createDataFrame([], "k long, v double, eff_date date")
+    got = sorted((r.k, r.v, r.valid_from, r.valid_to)
+                 for r in scd2_merge(dim, up, "k", ["v"]).collect())
+    assert got == sorted(naive)
