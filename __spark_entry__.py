@@ -4552,6 +4552,43 @@ FROM long GROUP BY measure
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (fastText-style hashing
+    trick over a deterministic pseudo-model): one explode → one id-keyed
+    aggregate; weights computed inline from the portable md5 hash so the
+    whole pipeline — feature ids, weights, logit, sigmoid — is
+    bit-reproducible in the SQL oracle."""
+    from h2h_spark.operators.text import classifier_score
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return classifier_score(docs, "doc_id", "text", dim=1024, seed=7)
+
+
+_SQL_QUALITY_CLASSIFIER = """
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % 1024 AS feat
+  FROM t),
+w AS (
+  SELECT doc_id,
+         CAST(round((('0x' || substr(md5('7|' || CAST(feat AS VARCHAR)), 1, 15))::BIGINT
+                     % 2001 - 1000) / 1000.0, 6) AS DECIMAL(18,6)) AS w
+  FROM f),
+z AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS z
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-z)), 4) AS score,
+       (round(1.0 / (1.0 + exp(-z)), 4) >= 0.5) AS label
+FROM z
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4718,9 +4755,14 @@ def _init_queries() -> None:
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_corpus_pipeline": q_corpus_pipeline,
-        # Round-4c additions (retrieval ranking, semantic dedup, SCD2,
-        # cohort retention, perplexity stratification) — deferred to the
-        # round-5 window, attested by the refreshed sweep artifacts:
+        # Round-4c/d/e additions (retrieval ranking, semantic dedup, SCD2,
+        # cohort retention, perplexity stratification, event-sequence
+        # analytics, unpivot, classifier scoring) — deferred to the
+        # round-5 window along with the 7 entries and 11 round-4b shapes
+        # above, attested by the refreshed sweep artifacts.  Round-5
+        # rotation plan: keep the 8 §2.2 contract queries in slots 1-8,
+        # fill slots 9-50 with the 28 never-driver-graded entries below
+        # plus re-verification picks from the r01-r03 ever-green set.
         "q_bm25_topk": q_bm25_topk,
         "q_inverted_index": q_inverted_index,
         "q_semdedup": q_semdedup,
@@ -4730,6 +4772,7 @@ def _init_queries() -> None:
         "q_event_transitions": q_event_transitions,
         "q_session_paths": q_session_paths,
         "q_unpivot": q_unpivot,
+        "q_quality_classifier": q_quality_classifier,
     })
 
 
@@ -4878,4 +4921,5 @@ def oracle_sql() -> dict[str, str]:
         "q_event_transitions": _SQL_EVENT_TRANSITIONS,
         "q_session_paths": _SQL_SESSION_PATHS,
         "q_unpivot": _SQL_UNPIVOT,
+        "q_quality_classifier": _SQL_QUALITY_CLASSIFIER,
     }

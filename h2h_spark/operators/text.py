@@ -522,9 +522,77 @@ def fuzzy_join(
     )
     lb = left.withColumn("__blk", blk(F.col(left_name)))
     rb = right.withColumn("__blk", blk(F.col(right_name)))
+    # Candidates whose lengths differ by more than max_edit can't match:
+    # the length test is a few-cycle predicate that runs as an extra join
+    # condition (inside the hash-join probe), so the O(len²) levenshtein
+    # only ever evaluates on survivors.
     return (
-        lb.join(rb, "__blk")
+        lb.join(
+            rb,
+            (lb["__blk"] == rb["__blk"])
+            & (
+                F.abs(F.length(lb[left_name]) - F.length(rb[right_name]))
+                <= max_edit
+            ),
+        )
+        .drop(rb["__blk"])
         .withColumn("edit_dist", F.levenshtein(F.col(left_name), F.col(right_name)))
         .filter(F.col("edit_dist") <= max_edit)
         .drop("__blk")
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 1024,
+    seed: int = 7,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Hashed-feature linear classifier scoring — the learned
+    quality-filter stage (fastText-style hashing trick; the GPT-3 /
+    FineWeb corpus filter shape): every token hashes into one of ``dim``
+    feature buckets, the document logit is the mean bucket weight, and
+    the score is the sigmoid.  Returns ``(id, n_tokens, score, label)``.
+
+    Weights here are a deterministic pseudo-model derived from the
+    engine-portable md5 hash (weight(f) = (h(seed|f) mod 2001 − 1000)
+    / 1000 ∈ [−1, 1]) so the full pipeline is bit-reproducible in the
+    SQL oracle; swap the inline expression for a broadcast-joined real
+    weight table (same plan shape: |dim| rows) to serve a trained model.
+
+    Scale shape: one explode feeds one id-keyed aggregate — the only
+    corpus-sized shuffle.  Weights are computed inline per token (no
+    join at all for the pseudo-model; a real model is a broadcast join
+    against a |dim|-row table).  The logit accumulates rounded decimal
+    contributions, so partial-aggregation order cannot move the score;
+    the sigmoid is computed from the rounded logit.
+    """
+    from h2h_spark.operators.dedup import portable_hash60, tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    feat = F.pmod(portable_hash60(F.col("term")), F.lit(dim))
+    w = (
+        F.pmod(
+            portable_hash60(F.concat_ws("|", F.lit(str(seed)), feat.cast("string"))),
+            F.lit(2001),
+        )
+        - 1000
+    ) / 1000.0
+    scored = toks.select("id", F.round(w, 6).cast("decimal(18,6)").alias("__w"))
+    z = F.round(F.sum("__w").cast("double") / F.count("*"), 6)
+    out = scored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        z.alias("__z"),
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))), 4)
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        score.alias("score"),
+        (score >= threshold).alias("label"),
     )

@@ -1400,3 +1400,31 @@ def test_top_paths_sessions_and_depth(spark):
     got = [(r.path, r.n) for r in
            top_paths(df, "user_id", "ts", "event_type", "event_id", depth=3, k=5).collect()]
     assert got == [("a>b>c", 2), ("a>b", 1)]
+
+
+def test_classifier_score_matches_python_model(spark):
+    """classifier_score == serial md5-hash pseudo-model evaluation."""
+    import hashlib
+    import math
+    import re
+
+    from h2h_spark.operators.text import classifier_score
+
+    docs = [(1, "Alpha beta gamma!"), (2, "beta beta"), (3, "???")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.score, r.label) for r in
+           classifier_score(df, "doc_id", "text", dim=64, seed=7).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    naive = {}
+    for i, t in docs:
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        if not toks:
+            continue  # no tokens -> absent (no explode rows)
+        ws = [round((h60(f"7|{h60(w) % 64}") % 2001 - 1000) / 1000.0, 6) for w in toks]
+        z = round(sum(ws) / len(toks), 6)
+        s = round(1.0 / (1.0 + math.exp(-z)), 4)
+        naive[i] = (len(toks), s, s >= 0.5)
+    assert got == naive

@@ -294,21 +294,29 @@ def test_bm25_equals_naive(spark, seed):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.score for r in bm25_scores(df, "doc_id", "text", q).collect()}
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in docs}
     n = len(docs)
     avgdl = sum(len(v) for v in toks.values()) / n
     dfreq = {t: sum(1 for v in toks.values() if t in v) for t in q}
     naive = {}
     for i, v in toks.items():
-        s = 0
+        # exact decimal accumulation of 6-digit contributions, then the
+        # engine's rounding rule: HALF_UP over the double's full binary
+        # expansion (python's round() is HALF_EVEN — wrong tie direction)
+        s = Decimal(0)
         for t in q:
             tf = v.count(t)
             if tf == 0:
                 continue
             idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
-            s += round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)), 6)
+            c = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)), 6)
+            s += Decimal(str(c))
         if s:
-            naive[i] = round(s, 4)
+            naive[i] = float(
+                Decimal(float(s)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+            )
     assert got == naive
 
 
