@@ -4323,16 +4323,19 @@ FROM assign s LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON s.vec_id = d.id_b
 """
 
 
-def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type-2 merge over the customer dim:
-    closed history passes through join-free, the current slice left-joins
-    one update batch on the key, and changed rows close + reopen at the
-    effective date.  Exercises all four branches (pass-through history,
-    unchanged current, close+reopen, brand-new key insert)."""
+def _build_scd2(
+    spark: SparkSession,
+    sf_dir: str,
+    hist_from: str = "2019-01-01",
+    base_from: str = "2020-01-01",
+    eff_date: str = "2024-06-01",
+) -> DataFrame:
+    """Versioned customer dimension via scd2_merge (dates parameterized so
+    q_scd2_asof can place the version windows inside the order-date era)."""
     from h2h_spark.operators.incremental import scd2_merge
 
     cust = spark.read.parquet(_t(sf_dir, "customer"))
-    d0 = F.lit("2020-01-01").cast("date")
+    d0 = F.lit(base_from).cast("date")
     dim = cust.select(
         "c_custkey", "c_acctbal", "c_mktsegment",
         d0.alias("valid_from"), F.lit(None).cast("date").alias("valid_to"),
@@ -4341,11 +4344,11 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.round(F.col("c_acctbal") - 50.0, 2).alias("c_acctbal"),
             "c_mktsegment",
-            F.lit("2019-01-01").cast("date").alias("valid_from"),
+            F.lit(hist_from).cast("date").alias("valid_from"),
             d0.alias("valid_to"),
         )
     )
-    eff = F.lit("2024-06-01").cast("date")
+    eff = F.lit(eff_date).cast("date")
     changed = cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 21 != 0)).select(
         "c_custkey",
         F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
@@ -4362,24 +4365,38 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(dim, updates, "c_custkey", ["c_acctbal", "c_mktsegment"])
 
 
-_SQL_SCD2_MERGE = """
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge over the customer dim:
+    closed history passes through join-free, the current slice left-joins
+    one update batch on the key, and changed rows close + reopen at the
+    effective date.  Exercises all four branches (pass-through history,
+    unchanged current, close+reopen, brand-new key insert)."""
+    return _build_scd2(spark, sf_dir)
+
+
+def _scd2_sql(
+    hist_from: str = "2019-01-01",
+    base_from: str = "2020-01-01",
+    eff_date: str = "2024-06-01",
+) -> str:
+    return f"""
 WITH dim AS (
   SELECT c_custkey, c_acctbal, c_mktsegment,
-         DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+         DATE '{base_from}' AS valid_from, CAST(NULL AS DATE) AS valid_to
   FROM customer
   UNION ALL
   SELECT c_custkey, round(c_acctbal - 50.0, 2), c_mktsegment,
-         DATE '2019-01-01', DATE '2020-01-01'
+         DATE '{hist_from}', DATE '{base_from}'
   FROM customer WHERE c_custkey % 13 = 0),
 upd AS (
   SELECT c_custkey, round(c_acctbal + 100.0, 2) AS u_acctbal,
-         c_mktsegment AS u_seg, DATE '2024-06-01' AS eff
+         c_mktsegment AS u_seg, DATE '{eff_date}' AS eff
   FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 21 <> 0
   UNION ALL
-  SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01'
+  SELECT c_custkey, c_acctbal, c_mktsegment, DATE '{eff_date}'
   FROM customer WHERE c_custkey % 21 = 0
   UNION ALL
-  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, DATE '2024-06-01'
+  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment, DATE '{eff_date}'
   FROM customer WHERE c_custkey % 1000 = 0),
 cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
 hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
@@ -4402,6 +4419,9 @@ SELECT u.c_custkey, u.u_acctbal, u.u_seg, u.eff, CAST(NULL AS DATE)
 FROM upd u LEFT JOIN cur ON u.c_custkey = cur.c_custkey
 WHERE cur.c_custkey IS NULL
 """
+
+
+_SQL_SCD2_MERGE = _scd2_sql()
 
 
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4589,6 +4609,104 @@ FROM z
 """
 
 
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment: orders join the VERSIONED
+    customer dimension (the q_scd2_merge shape, version windows placed
+    inside the 1992-1998 order era) picking the version whose validity
+    window covers the order date.  Because versions per key are bounded
+    (≤3 here, small always), the right plan is the key equi-join +
+    validity filter — never a range join: the equi-join shuffles once on
+    the key and the window predicate prunes in the probe.  Aggregated to
+    per-(segment, version-era) decimal revenue."""
+    dim = _build_scd2(spark, sf_dir, hist_from="1990-01-01",
+                      base_from="1992-01-01", eff_date="1995-06-01")
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    j = orders.join(
+        dim, orders.o_custkey == dim.c_custkey, "inner"
+    ).filter(
+        (F.col("o_orderdate") >= F.col("valid_from").cast("timestamp"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to").cast("timestamp"))
+        )
+    )
+    return j.groupBy("c_mktsegment", "valid_from").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_SQL_SCD2_ASOF = f"""
+WITH dim AS ({_scd2_sql("1990-01-01", "1992-01-01", "1995-06-01")})
+SELECT c_mktsegment, valid_from,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+WHERE o.o_orderdate >= CAST(d.valid_from AS TIMESTAMP)
+  AND (d.valid_to IS NULL OR o.o_orderdate < CAST(d.valid_to AS TIMESTAMP))
+GROUP BY c_mktsegment, valid_from
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: full-outer key join of two table versions
+    (baseline customer vs a deterministically mutated next snapshot),
+    classified added / removed / changed / unchanged and aggregated.
+    One key-partitioned shuffle; null-safe attribute comparison."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    old = cust.filter(F.col("c_custkey") % 50 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.filter(F.col("c_custkey") % 37 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0,
+               F.round(F.col("c_acctbal") + 10.0, 2))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    o = old.select(F.col("c_custkey").alias("k"),
+                   F.col("c_acctbal").alias("ob"), F.col("c_mktsegment").alias("os"))
+    n = new.select(F.col("c_custkey").alias("k"),
+                   F.col("c_acctbal").alias("nb"), F.col("c_mktsegment").alias("ns"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("ob").isNull(), F.lit("added"))
+        .when(F.col("nb").isNull(), F.lit("removed"))
+        .when(
+            F.col("ob").eqNullSafe(F.col("nb"))
+            & F.col("os").eqNullSafe(F.col("ns")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey AS k, c_acctbal AS ob, c_mktsegment AS os
+  FROM customer WHERE c_custkey % 50 <> 0),
+new AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 10.0, 2)
+              ELSE c_acctbal END AS nb,
+         c_mktsegment AS ns
+  FROM customer WHERE c_custkey % 37 <> 0),
+j AS (SELECT * FROM old FULL OUTER JOIN new USING (k))
+SELECT CASE WHEN ob IS NULL THEN 'added'
+            WHEN nb IS NULL THEN 'removed'
+            WHEN ob IS NOT DISTINCT FROM nb AND os IS NOT DISTINCT FROM ns
+                 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4773,6 +4891,8 @@ def _init_queries() -> None:
         "q_session_paths": q_session_paths,
         "q_unpivot": q_unpivot,
         "q_quality_classifier": q_quality_classifier,
+        "q_scd2_asof": q_scd2_asof,
+        "q_snapshot_diff": q_snapshot_diff,
     })
 
 
@@ -4922,4 +5042,6 @@ def oracle_sql() -> dict[str, str]:
         "q_session_paths": _SQL_SESSION_PATHS,
         "q_unpivot": _SQL_UNPIVOT,
         "q_quality_classifier": _SQL_QUALITY_CLASSIFIER,
+        "q_scd2_asof": _SQL_SCD2_ASOF,
+        "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
     }
