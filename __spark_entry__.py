@@ -4707,6 +4707,57 @@ FROM j GROUP BY 1
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: purchases credited to the most
+    recent preceding non-purchase event type via an ignore-nulls last()
+    on the single user-keyed sort — no self-join."""
+    from h2h_spark.operators.paths import last_touch_attribution
+
+    ev = _load_events(spark, sf_dir)
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_type", "event_id", conversion="purchase"
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH a AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+  FROM events)
+SELECT COALESCE(ch, '(none)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions
+FROM a WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: bin arithmetic inline in the
+    grouping key (whole-stage codegen), one map-side-combined aggregate;
+    output is |bins|-sized."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    b = F.floor(F.col("o_totalprice") / 25000.0).cast("int")
+    return (
+        orders.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+_SQL_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4893,6 +4944,8 @@ def _init_queries() -> None:
         "q_quality_classifier": q_quality_classifier,
         "q_scd2_asof": q_scd2_asof,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_attribution": q_attribution,
+        "q_histogram": q_histogram,
     })
 
 
@@ -5044,4 +5097,6 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_classifier": _SQL_QUALITY_CLASSIFIER,
         "q_scd2_asof": _SQL_SCD2_ASOF,
         "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "q_attribution": _SQL_ATTRIBUTION,
+        "q_histogram": _SQL_HISTOGRAM,
     }

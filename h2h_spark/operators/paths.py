@@ -112,3 +112,39 @@ def top_paths(
         .orderBy(F.col("n").desc(), "path")
         .limit(k)
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    *,
+    conversion: str,
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion`` event is
+    credited to the user's most recent PRECEDING non-conversion event
+    type (``'(none)'`` when the conversion is the user's first activity).
+    Returns ``(channel, n_conversions)``.
+
+    One user-keyed shuffle; the credited channel is an ignore-nulls
+    ``last`` over the unbounded-preceding-to-1-preceding frame riding
+    that sort — no self-join, no per-conversion rescan.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        df.withColumn("__ch", prev)
+        .filter(F.col(type_col) == conversion)
+        .select(F.coalesce(F.col("__ch"), F.lit("(none)")).alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+    )

@@ -1428,3 +1428,24 @@ def test_classifier_score_matches_python_model(spark):
         s = round(1.0 / (1.0 + math.exp(-z)), 4)
         naive[i] = (len(toks), s, s >= 0.5)
     assert got == naive
+
+
+def test_last_touch_attribution(spark):
+    import datetime
+
+    from h2h_spark.operators.paths import last_touch_attribution
+
+    dt = datetime.datetime
+    rows = [
+        (1, 1, dt(2024, 1, 1, 9, 0), "ad"),
+        (2, 1, dt(2024, 1, 1, 9, 1), "email"),
+        (3, 1, dt(2024, 1, 1, 9, 2), "purchase"),   # -> email
+        (4, 1, dt(2024, 1, 1, 9, 3), "purchase"),   # still -> email (prior purchase skipped)
+        (5, 2, dt(2024, 1, 1, 9, 0), "purchase"),   # -> (none)
+        (6, 3, dt(2024, 1, 1, 9, 0), "ad"),
+        (7, 3, dt(2024, 1, 1, 9, 1), "purchase"),   # -> ad
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.channel: r.n_conversions for r in last_touch_attribution(
+        df, "user_id", "ts", "event_type", "event_id", conversion="purchase").collect()}
+    assert got == {"email": 2, "ad": 1, "(none)": 1}
