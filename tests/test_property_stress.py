@@ -394,3 +394,89 @@ def test_scd2_merge_equals_naive(spark, seed):
     got = sorted((r.k, r.v, r.valid_from, r.valid_to)
                  for r in scd2_merge(dim, up, "k", ["v"]).collect())
     assert got == sorted(naive)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_semantic_dedup_equals_naive(spark, seed):
+    """semantic_dedup == serial python (rounded-cosine assignment with
+    lowest-index tie-break, intra-cluster smaller-id near-dup rule)."""
+    import math
+
+    from h2h_spark.operators.simsearch import semantic_dedup
+
+    rnd = random.Random(seed)
+    n, dim, k, thr = rnd.randint(6, 30), 4, rnd.randint(2, 4), 0.6
+    vecs = {i: [rnd.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: (r.cluster, r.keep) for r in
+           semantic_dedup(df, "vec_id", "embedding", n_clusters=k, threshold=thr).collect()}
+
+    # float32 storage: python must see the same values Spark reads back
+    import numpy as np
+
+    v32 = {i: np.array(v, dtype=np.float32).astype(float) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b)) / (math.sqrt(float(np.dot(a, a))) * math.sqrt(float(np.dot(b, b)))),
+            3,
+        )
+
+    cents = [v32[i] for i in range(k)]
+    assign = {}
+    for i, v in v32.items():
+        sims = [(-cos(v, c), ci) for ci, c in enumerate(cents)]
+        assign[i] = min(sims)[1]
+    dropped = set()
+    for b in v32:
+        for a in v32:
+            if a < b and assign[a] == assign[b] and cos(v32[a], v32[b]) >= thr:
+                dropped.add(b)
+    naive = {i: (assign[i], i not in dropped) for i in v32}
+    assert got == naive
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_top_paths_equals_naive(spark, seed):
+    import datetime
+
+    from h2h_spark.operators.paths import top_paths
+
+    rnd = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, rnd.randint(1, 4),
+         base + datetime.timedelta(minutes=rnd.randint(0, 300)),
+         rnd.choice("ab"))
+        for i in range(rnd.randint(2, 60))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = [(r.path, r.n) for r in
+           top_paths(df, "user_id", "ts", "event_type", "event_id",
+                     gap_minutes=30, depth=3, k=50).collect()]
+
+    by_user = {}
+    for eid, u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    counts = {}
+    for evs in by_user.values():
+        evs.sort()
+        sess = []
+        prev = None
+        for ts, eid, t in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                sess.append([])
+            sess[-1].append(t)
+            prev = ts
+        for s in sess:
+            p = ">".join(s[:3])
+            counts[p] = counts.get(p, 0) + 1
+    naive = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == naive
