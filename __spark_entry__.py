@@ -4758,6 +4758,56 @@ FROM orders GROUP BY 1
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k over a live Structured Streaming aggregation: the
+    tumbling-window counts come from the streaming engine (file source →
+    complete-mode memory sink, the q_stream_window machinery); the
+    per-window rank is a batch window over the already-|windows×types|-
+    sized sink output — the standard shape, since rank can't ride a
+    streaming agg directly."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.streaming.windows import run_windowed_counts
+
+    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream_dir = _work("q_stream_topk", sf_dir)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(_t(sf_dir, "events"), link)
+    counts = run_windowed_counts(
+        spark, stream_dir, ev_schema, "ts", "event_type", "6 hours",
+        transform=_norm_ts,
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("count").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 2)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("win_ts"),
+            "event_type",
+            F.col("count").alias("n_events"),
+            "rank",
+        )
+    )
+
+
+_SQL_STREAM_TOPK = """
+WITH c AS (
+  SELECT to_timestamp(floor(epoch(ts) / 21600) * 21600) AS w,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT w, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY n_events DESC, event_type)
+              AS INTEGER) AS rank
+  FROM c)
+SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_ts, event_type, n_events, rank
+FROM r WHERE rank <= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4946,6 +4996,7 @@ def _init_queries() -> None:
         "q_snapshot_diff": q_snapshot_diff,
         "q_attribution": q_attribution,
         "q_histogram": q_histogram,
+        "q_stream_topk": q_stream_topk,
     })
 
 
@@ -5099,4 +5150,5 @@ def oracle_sql() -> dict[str, str]:
         "q_snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "q_attribution": _SQL_ATTRIBUTION,
         "q_histogram": _SQL_HISTOGRAM,
+        "q_stream_topk": _SQL_STREAM_TOPK,
     }
