@@ -4808,6 +4808,46 @@ FROM r WHERE rank <= 2
 """
 
 
+_ZORDER_BUILT: dict = {}
+
+
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout + 2-D selective filter: events rewritten
+    once per (session, sf_dir) as 32 files range-partitioned on the
+    Morton key of (user_id, value), then a conjunctive filter over BOTH
+    dimensions aggregates the survivors.  Correctness is the filter
+    result (layout-independent, oracle on the raw table); the layout's
+    point is file/row-group min-max skipping on either dimension — the
+    pruning factor is asserted in tests/test_api_plans.py."""
+    from h2h_spark.plans.zorder import zorder_write
+
+    work = _work("q_zorder", sf_dir)
+    out = os.path.join(work, "events_z")
+    key = (id(spark.sparkContext), sf_dir)
+    if not _ZORDER_BUILT.get(key) or not os.path.isdir(out):
+        ev = _load_events(spark, sf_dir)
+        zorder_write(ev, out, ["user_id", "value"], bits=16, n_files=32)
+        _ZORDER_BUILT[key] = True
+    z = spark.read.parquet(out)
+    f = z.filter(
+        F.col("user_id").between(100, 300) & F.col("value").between(10.0, 40.0)
+    )
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        _dsum(F.col("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_SQL_ZORDER_PRUNING = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 40.0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4997,6 +5037,7 @@ def _init_queries() -> None:
         "q_attribution": q_attribution,
         "q_histogram": q_histogram,
         "q_stream_topk": q_stream_topk,
+        "q_zorder_pruning": q_zorder_pruning,
     })
 
 
@@ -5151,4 +5192,5 @@ def oracle_sql() -> dict[str, str]:
         "q_attribution": _SQL_ATTRIBUTION,
         "q_histogram": _SQL_HISTOGRAM,
         "q_stream_topk": _SQL_STREAM_TOPK,
+        "q_zorder_pruning": _SQL_ZORDER_PRUNING,
     }

@@ -174,3 +174,39 @@ def test_volume_shipping_broadcasts_both_nation_chains(spark):
     df = entrymod.q_volume_shipping(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3  # supplier + two nation dims
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_work):
+    """A 2-D selective filter over a z-ordered layout touches a small
+    fraction of files — and strictly fewer than a 1-D sorted layout does
+    for its non-sort dimension."""
+    from pyspark.sql import functions as F
+
+    from h2h_spark.plans.zorder import zorder_write
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.floor(F.col("id") / 200) % 200).cast("double").alias("y"),
+    )
+    zpath = f"{tmp_work}/z"
+    lpath = f"{tmp_work}/lin"
+    zorder_write(df, zpath, ["x", "y"], bits=8, n_files=16)
+    # 1-D baseline: sorted by x only
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_touched(path, cond):
+        d = spark.read.parquet(path).filter(cond)
+        return d.select(F.input_file_name()).distinct().count()
+
+    sel_y = F.col("y").between(10.0, 20.0)  # selective on the NON-sort dim
+    z_files = files_touched(zpath, sel_y)
+    lin_files = files_touched(lpath, sel_y)
+    assert z_files <= 8  # z-order localizes y despite x participating
+    assert lin_files >= 15  # x-sorted layout spreads y everywhere
+    # and the z layout also stays selective on x
+    assert files_touched(zpath, F.col("x").between(10, 20)) <= 8
+    # correctness: same rows back from both layouts
+    a = spark.read.parquet(zpath).filter(sel_y).agg(F.count("*"), F.sum("x")).collect()
+    b = spark.read.parquet(lpath).filter(sel_y).agg(F.count("*"), F.sum("x")).collect()
+    assert a == b
