@@ -4848,6 +4848,36 @@ WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 10.0 AND 40.0
 """
 
 
+def q_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, no media libraries: each doc id synthesizes a
+    true 24-bit BMP, whose actual bytes are decoded to pixels, nearest-
+    neighbor resized to 16×16, and summed.  The source gradient is
+    closed-form, so the SQL oracle recomputes the post-resize pixel sum
+    from scratch — a wrong byte in the codec or resampler mismatches.
+    Arrow-batched mapInPandas; a per-row encode→decode round-trip
+    assertion makes codec regressions loud."""
+    from h2h_spark.operators.multimodal import bmp_resize_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bmp_resize_stats(docs, "doc_id", out_w=16, out_h=16)
+
+
+_SQL_BMP_PIXELS = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         SUM(3 * ((3 * ((r2.x * g.h) // 16) + 5 * ((c2.x * g.w) // 16)
+                   + g.doc_id) % 256)) AS pix_sum
+  FROM g, generate_series(0, 15) AS r2(x), generate_series(0, 15) AS c2(x)
+  GROUP BY g.doc_id, g.w, g.h)
+SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(pix_sum AS BIGINT) AS pix_sum
+FROM px
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5038,6 +5068,7 @@ def _init_queries() -> None:
         "q_histogram": q_histogram,
         "q_stream_topk": q_stream_topk,
         "q_zorder_pruning": q_zorder_pruning,
+        "q_bmp_pixels": q_bmp_pixels,
     })
 
 
@@ -5193,4 +5224,5 @@ def oracle_sql() -> dict[str, str]:
         "q_histogram": _SQL_HISTOGRAM,
         "q_stream_topk": _SQL_STREAM_TOPK,
         "q_zorder_pruning": _SQL_ZORDER_PRUNING,
+        "q_bmp_pixels": _SQL_BMP_PIXELS,
     }

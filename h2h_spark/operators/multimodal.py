@@ -380,3 +380,119 @@ def frame_sample(
             )
 
     return binary_df.mapInPandas(_frames, "doc_id long, frame_idx int, frame_md5 string")
+
+
+# ---------------------------------------------------------------------------
+# Real PIXEL decode — pure numpy, no media libraries: uncompressed 24-bit
+# BMP (BI_RGB, bottom-up, 4-byte row padding) is fully specified by its
+# header, so encode/decode/resample are exact without PIL.  This closes
+# the pixel-transform gap for the one mainstream container that needs no
+# codec: bytes → ndarray → resize → bytes, all verifiable.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an ``(H, W, 3)`` uint8 RGB array as a 24-bit BI_RGB BMP."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # bottom-up rows, RGB→BGR, zero padding
+    body = bytearray()
+    bgr = a[:, :, ::-1]
+    for r in range(h - 1, -1, -1):
+        body += bgr[r].tobytes() + b"\x00" * pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit BI_RGB BMP into an ``(H, W, 3)`` uint8 RGB array.
+    Raises ValueError on any other BMP flavor — loud, never truncating."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0 or planes != 1 or h <= 0:
+        raise ValueError(f"unsupported BMP flavor (bpp={bpp} comp={comp} h={h})")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR → RGB
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resample: src index = floor(dst·src_dim/out_dim) —
+    the same closed form an external oracle can recompute."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    h, w = a.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return a[np.ix_(ri, ci)]
+
+
+def synthesize_bmp(seed: int) -> bytes:
+    """Deterministic real BMP: H = seed%13+4, W = (seed*5)%13+4, every
+    channel of pixel (r, c) = (3r + 5c + seed) mod 256.  The gradient is
+    closed-form, so any pixel statistic after any floor-arithmetic
+    resample is recomputable by an external SQL oracle."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    chan = ((3 * r + 5 * c + seed) % 256).astype(np.uint8)
+    return encode_bmp(np.repeat(chan[:, :, None], 3, axis=2))
+
+
+def bmp_resize_stats(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_w: int = 16,
+    out_h: int = 16,
+) -> DataFrame:
+    """REAL pixel pipeline per row: synthesize a BMP from the id, decode
+    its actual bytes to pixels, nearest-neighbor resize, re-encode, and
+    report ``(id, src_w, src_h, pix_sum)`` where ``pix_sum`` sums every
+    channel of the resized image.  Arrow-batched ``mapInPandas``; blobs
+    never shuffle.  An encode→decode byte-exactness assertion runs on
+    every row — a silent codec regression fails the stage loudly."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, sums = [], [], []
+            for seed in pdf[id_col]:
+                payload = synthesize_bmp(int(seed))
+                img = decode_bmp(payload)
+                if not np.array_equal(decode_bmp(encode_bmp(img)), img):
+                    raise ValueError("BMP codec round-trip mismatch")
+                out = resize_nearest(img, out_w, out_h)
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, pix_sum long"
+    )

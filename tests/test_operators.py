@@ -1449,3 +1449,43 @@ def test_last_touch_attribution(spark):
     got = {r.channel: r.n_conversions for r in last_touch_attribution(
         df, "user_id", "ts", "event_type", "event_id", conversion="purchase").collect()}
     assert got == {"email": 2, "ad": 1, "(none)": 1}
+
+
+def test_bmp_codec_roundtrip_and_errors():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        decode_bmp, encode_bmp, parse_media_header, resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 3), (7, 4), (16, 16)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(img)
+        assert np.array_equal(decode_bmp(payload), img)
+        # the container header parser agrees with the codec
+        meta = parse_media_header(payload)
+        assert meta["kind"] == "bmp" and meta["width"] == w and meta["height"] == h
+    # identity resize
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(resize_nearest(img, 9, 6), img)
+    # loud failure on unsupported flavors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bitmap")
+
+
+def test_bmp_resize_stats_matches_closed_form(spark):
+    from h2h_spark.operators.multimodal import bmp_resize_stats
+
+    df = spark.range(1, 40).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: (r.src_w, r.src_h, r.pix_sum) for r in
+           bmp_resize_stats(df, "doc_id").collect()}
+    for seed in range(1, 40):
+        h, w = seed % 13 + 4, (seed * 5) % 13 + 4
+        s = sum(
+            3 * ((3 * (r2 * h // 16) + 5 * (c2 * w // 16) + seed) % 256)
+            for r2 in range(16) for c2 in range(16)
+        )
+        assert got[seed] == (w, h, s)
