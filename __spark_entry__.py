@@ -4878,6 +4878,19 @@ FROM px
 """
 
 
+def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format pixel decode, no media libraries: each doc
+    id synthesizes a true 8-bit RGB PNG with per-row cycling scanline
+    filters (None/Sub/Up/Average/Paeth); the engine inflates and
+    unfilters the actual bytes, resizes, and sums pixels.  Filters are
+    lossless, so the oracle is the same closed form as q_bmp_pixels —
+    any unfilter bug mismatches."""
+    from h2h_spark.operators.multimodal import png_resize_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return png_resize_stats(docs, "doc_id", out_w=16, out_h=16)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5069,6 +5082,7 @@ def _init_queries() -> None:
         "q_stream_topk": q_stream_topk,
         "q_zorder_pruning": q_zorder_pruning,
         "q_bmp_pixels": q_bmp_pixels,
+        "q_png_pixels": q_png_pixels,
     })
 
 
@@ -5225,4 +5239,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_topk": _SQL_STREAM_TOPK,
         "q_zorder_pruning": _SQL_ZORDER_PRUNING,
         "q_bmp_pixels": _SQL_BMP_PIXELS,
+        "q_png_pixels": _SQL_BMP_PIXELS,  # filters are lossless: same closed form
     }

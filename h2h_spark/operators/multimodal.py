@@ -496,3 +496,186 @@ def bmp_resize_stats(
     return df.select(id_col).mapInPandas(
         _run, "doc_id long, src_w int, src_h int, pix_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel codec — pure Python + zlib (stdlib): 8-bit truecolor
+# (color type 2), all five scanline filters.  Compressed formats usually
+# hide behind PIL; PNG's stack (zlib + per-row filters + CRC chunks) is
+# small enough to implement exactly, which makes pixel transforms REAL
+# for the most common lossless container too.
+# ---------------------------------------------------------------------------
+
+
+def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
+    """Encode an ``(H, W, 3)`` uint8 RGB array as an 8-bit truecolor PNG.
+    ``filter_mode='mixed'`` cycles the filter type per row (row % 5) so a
+    decoder must implement every filter correctly; ``'none'`` writes
+    filter 0 rows."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    raw = a.astype(np.int16)
+    out = bytearray()
+    prior = np.zeros((w, 3), dtype=np.int16)
+    for r in range(h):
+        ft = (r % 5) if filter_mode == "mixed" else 0
+        row = raw[r]
+        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+        ul = np.vstack([np.zeros((1, 3), np.int16), prior[:-1]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = abs(p - left), abs(p - prior), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = row - pred
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor (color type 2) PNG into an ``(H, W, 3)``
+    uint8 RGB array — chunk walk, zlib inflate, and exact unfiltering of
+    all five scanline filters.  Raises ValueError on any other PNG flavor
+    (palette, alpha, interlace, 16-bit) — loud, never lossy."""
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG flavor (depth={depth} color={ctype} "
+                    f"interlace={ilace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * 3
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline payload length mismatch")
+    img = np.zeros((h, w, 3), dtype=np.int16)
+    prior = np.zeros((w, 3), dtype=np.int16)
+    for r in range(h):
+        ft = raw[r * stride]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=w * 3, offset=r * stride + 1
+        ).reshape(w, 3).astype(np.int16)
+        if ft == 0:
+            recon = row
+        elif ft == 2:
+            recon = (row + prior) % 256
+        elif ft == 1:
+            recon = row.copy()
+            for x in range(1, w):
+                recon[x] = (recon[x] + recon[x - 1]) % 256
+        elif ft == 3:
+            recon = row.copy()
+            recon[0] = (recon[0] + prior[0] // 2) % 256
+            for x in range(1, w):
+                recon[x] = (recon[x] + (recon[x - 1] + prior[x]) // 2) % 256
+        elif ft == 4:
+            recon = row.copy()
+            for x in range(w):
+                left = recon[x - 1] if x else np.zeros(3, np.int16)
+                ul = prior[x - 1] if x else np.zeros(3, np.int16)
+                p = left + prior[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - prior[x]), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior[x], ul)
+                )
+                recon[x] = (recon[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        img[r] = recon
+        prior = recon
+    return img.astype(np.uint8)
+
+
+def synthesize_png(seed: int) -> bytes:
+    """Deterministic real PNG with the same closed-form gradient as
+    :func:`synthesize_bmp` (every channel of pixel (r, c) = (3r + 5c +
+    seed) mod 256) and per-row cycling filters, so decoding exercises
+    Sub/Up/Average/Paeth while pixel statistics stay oracle-computable."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    chan = ((3 * r + 5 * c + seed) % 256).astype(np.uint8)
+    return encode_png(np.repeat(chan[:, :, None], 3, axis=2), filter_mode="mixed")
+
+
+def png_resize_stats(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_w: int = 16,
+    out_h: int = 16,
+) -> DataFrame:
+    """PNG twin of :func:`bmp_resize_stats`: synthesize → full real decode
+    (inflate + unfilter) → nearest resize → channel sum, with a per-row
+    encode→decode round-trip assertion."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, sums = [], [], []
+            for seed in pdf[id_col]:
+                img = decode_png(synthesize_png(int(seed)))
+                if not np.array_equal(decode_png(encode_png(img)), img):
+                    raise ValueError("PNG codec round-trip mismatch")
+                out = resize_nearest(img, out_w, out_h)
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, pix_sum long"
+    )

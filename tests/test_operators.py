@@ -1489,3 +1489,35 @@ def test_bmp_resize_stats_matches_closed_form(spark):
             for r2 in range(16) for c2 in range(16)
         )
         assert got[seed] == (w, h, s)
+
+
+def test_png_codec_all_filters_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+
+    from h2h_spark.operators.multimodal import (
+        decode_png, encode_png, parse_media_header,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (5, 5), (6, 11), (16, 4)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for mode in ("mixed", "none"):
+            payload = encode_png(img, filter_mode=mode)
+            assert np.array_equal(decode_png(payload), img), (h, w, mode)
+        meta = parse_media_header(encode_png(img))
+        assert meta["kind"] == "png" and meta["width"] == w and meta["height"] == h
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really")
+
+
+def test_png_resize_stats_matches_bmp_path(spark):
+    """PNG and BMP pipelines decode the SAME gradient — identical stats."""
+    from h2h_spark.operators.multimodal import bmp_resize_stats, png_resize_stats
+
+    df = spark.range(1, 25).withColumnRenamed("id", "doc_id")
+    a = sorted((r.doc_id, r.src_w, r.src_h, r.pix_sum)
+               for r in bmp_resize_stats(df, "doc_id").collect())
+    b = sorted((r.doc_id, r.src_w, r.src_h, r.pix_sum)
+               for r in png_resize_stats(df, "doc_id").collect())
+    assert a == b
