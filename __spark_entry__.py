@@ -4891,6 +4891,17 @@ def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
+def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW pixel decode: each doc id synthesizes a true GIF89a
+    (grayscale ramp palette), the engine runs full variable-width LZW on
+    the actual sub-block stream, resizes, and sums the 3 identical
+    channels — same closed-form oracle as the BMP/PNG pixel paths."""
+    from h2h_spark.operators.multimodal import gif_resize_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return gif_resize_stats(docs, "doc_id", out_w=16, out_h=16)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5083,6 +5094,7 @@ def _init_queries() -> None:
         "q_zorder_pruning": q_zorder_pruning,
         "q_bmp_pixels": q_bmp_pixels,
         "q_png_pixels": q_png_pixels,
+        "q_gif_pixels": q_gif_pixels,
     })
 
 
@@ -5240,4 +5252,5 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_pruning": _SQL_ZORDER_PRUNING,
         "q_bmp_pixels": _SQL_BMP_PIXELS,
         "q_png_pixels": _SQL_BMP_PIXELS,  # filters are lossless: same closed form
+        "q_gif_pixels": _SQL_BMP_PIXELS,  # LZW is lossless: same closed form
     }

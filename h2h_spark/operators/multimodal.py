@@ -679,3 +679,197 @@ def png_resize_stats(
     return df.select(id_col).mapInPandas(
         _run, "doc_id long, src_w int, src_h int, pix_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real GIF pixel codec — pure Python: GIF89a with a 256-entry grayscale
+# global color table.  The decoder implements standard variable-width
+# LZW (clear/EOI handling, dictionary growth, LSB-first bit packing);
+# the encoder uses the classic uncompressed-GIF technique (a clear code
+# every 254 symbols keeps the code width pinned at 9 bits), which any
+# conforming decoder — including this one — must handle.
+# ---------------------------------------------------------------------------
+
+
+def encode_gif_gray(arr) -> bytes:
+    """Encode an ``(H, W)`` uint8 grayscale array as a GIF89a with a
+    256-gray global palette (palette[i] = (i, i, i))."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])  # 256-entry GCT
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    # 9-bit codes, LSB-first; clear every 254 symbols pins the width.
+    CLEAR, EOI = 256, 257
+    codes = [CLEAR]
+    for i, px in enumerate(a.flatten()):
+        if i and i % 254 == 0:
+            codes.append(CLEAR)
+        codes.append(int(px))
+    codes.append(EOI)
+    acc = n_bits = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << n_bits
+        n_bits += 9
+        while n_bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes):
+    """Decode a non-interlaced 8-bit GIF (first image block) through full
+    variable-width LZW into an ``(H, W)`` uint8 index array, asserting
+    the global palette is the identity grayscale ramp.  Raises ValueError
+    on interlace/local-palette/other flavors — loud, never lossy."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a") or len(payload) < 13:
+        raise ValueError("not a (complete) GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * gct_n]
+        pos += 3 * gct_n
+        if gct_n == 256 and any(
+            gct[3 * i] != i or gct[3 * i + 1] != i or gct[3 * i + 2] != i
+            for i in range(256)
+        ):
+            raise ValueError("GIF palette is not the grayscale ramp")
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:
+                raise ValueError("local color table unsupported")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += payload[pos : pos + ln]
+                pos += ln
+            return np.array(
+                _lzw_decode(bytes(data), min_code, w * h), dtype=np.uint8
+            ).reshape(h, w)
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
+    """Standard GIF LZW: LSB-first bit reader, dictionary growth with
+    width bumps at 2^width, clear resets, KwKwK case."""
+    CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out: list[int] = []
+    acc = n_bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == CLEAR:
+                table = table[: (1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == EOI:
+                return out[:n_expected]
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out[:n_expected]
+
+
+def synthesize_gif(seed: int) -> bytes:
+    """Deterministic real GIF with the shared closed-form gradient
+    (index of pixel (r, c) = (3r + 5c + seed) mod 256, grayscale ramp
+    palette)."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return encode_gif_gray(((3 * r + 5 * c + seed) % 256).astype(np.uint8))
+
+
+def gif_resize_stats(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_w: int = 16,
+    out_h: int = 16,
+) -> DataFrame:
+    """GIF twin of :func:`bmp_resize_stats`: synthesize → full LZW decode
+    → nearest resize → sum over the 3 (identical grayscale) channels, so
+    all three pixel pipelines share one closed-form oracle."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, sums = [], [], []
+            for seed in pdf[id_col]:
+                img = decode_gif_gray(synthesize_gif(int(seed)))
+                if not np.array_equal(decode_gif_gray(encode_gif_gray(img)), img):
+                    raise ValueError("GIF codec round-trip mismatch")
+                out = resize_nearest(img, out_w, out_h)
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                sums.append(3 * int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, pix_sum long"
+    )

@@ -1521,3 +1521,83 @@ def test_png_resize_stats_matches_bmp_path(spark):
     b = sorted((r.doc_id, r.src_w, r.src_h, r.pix_sum)
                for r in png_resize_stats(df, "doc_id").collect())
     assert a == b
+
+
+def test_gif_codec_roundtrip_and_header():
+    import numpy as np
+    import pytest as _pytest
+
+    from h2h_spark.operators.multimodal import (
+        decode_gif_gray, encode_gif_gray, parse_media_header,
+    )
+
+    rng = np.random.default_rng(4)
+    for h, w in [(1, 1), (7, 5), (16, 16), (3, 300)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        payload = encode_gif_gray(img)
+        assert np.array_equal(decode_gif_gray(payload), img)
+        meta = parse_media_header(payload)
+        assert meta["kind"] == "gif" and meta["width"] == w and meta["height"] == h
+    with _pytest.raises(ValueError):
+        decode_gif_gray(b"GIF89a\x00")
+
+
+def test_gif_lzw_decoder_handles_real_compression():
+    """The decoder must invert a REAL greedy-LZW compressor (dictionary
+    growth, width bumps, KwKwK case) — not only the uncompressed-GIF
+    clear-code stream our encoder emits."""
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import _lzw_decode
+
+    def lzw_compress(indices, min_code=8):
+        CLEAR, EOI = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code = EOI + 1
+        width = min_code + 1
+        codes = [CLEAR]
+        cur = b""
+        for px in indices:
+            nxt = cur + bytes([px])
+            if nxt in table:
+                cur = nxt
+            else:
+                codes.append(table[cur])
+                # encoder must bump width when the DECODER's table hits
+                # 2^width after this assignment
+                table[nxt] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width_bump_at = len(codes)  # noqa: F841 (documentation)
+                cur = bytes([px])
+        codes.append(table[cur])
+        codes.append(EOI)
+        # re-emit with correct width schedule (decoder-synchronized)
+        acc = n_bits = 0
+        out = bytearray()
+        width = min_code + 1
+        table_size = EOI + 1
+        for i, code in enumerate(codes):
+            acc |= code << n_bits
+            n_bits += width
+            while n_bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n_bits -= 8
+            if i == 0:
+                continue  # clear code: decoder table still at base size
+            if i < len(codes) - 1 and i >= 2:
+                table_size += 1
+                if table_size == (1 << width) and width < 12:
+                    width += 1
+            elif i == 1:
+                pass  # first data code adds nothing
+        if n_bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # KwKwK stress: long runs force cur+px repeats; random tail grows dict
+    rng = np.random.default_rng(11)
+    data = ([7] * 50 + [7, 8] * 30 + list(rng.integers(0, 256, 3000)))
+    got = _lzw_decode(lzw_compress(data), 8, len(data))
+    assert got == [int(x) for x in data]
