@@ -603,9 +603,9 @@ def decode_png(payload: bytes):
         elif ft == 2:
             recon = (row + prior) % 256
         elif ft == 1:
-            recon = row.copy()
-            for x in range(1, w):
-                recon[x] = (recon[x] + recon[x - 1]) % 256
+            # Sub is a per-channel prefix sum mod 256 — vectorized
+            recon = np.cumsum(row.astype(np.int64), axis=0) % 256
+            recon = recon.astype(np.int16)
         elif ft == 3:
             recon = row.copy()
             recon[0] = (recon[0] + prior[0] // 2) % 256
