@@ -4902,6 +4902,143 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
+def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order ranking WITHOUT the single-partition window
+    cliff: `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY is the
+    classic scale trap (one task scans everything).  The engine's
+    `global_rank` plans it as range Exchange → parallel local windows →
+    |partitions|-row driver prefix sum; ranks are invariant to where the
+    sampled range boundaries land.  The sampled output (every 997th rank
+    + the head) proves the whole order, not just the top."""
+    from h2h_spark.operators.rank import global_rank
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    ranked = global_rank(
+        orders, [("o_totalprice", False), ("o_orderkey", True)]
+    )
+    return ranked.filter(
+        (F.col("rank") % 997 == 1) | (F.col("rank") <= 10)
+    ).select("rank", "o_orderkey", "o_totalprice")
+
+
+_SQL_GLOBAL_RANK = """
+WITH r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+         o_orderkey, o_totalprice
+  FROM orders)
+SELECT CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+FROM r WHERE rank % 997 = 1 OR rank <= 10
+"""
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→supplier purchase edges; nodes encoded 2k / 2k+1 so both
+    families live in one BIGINT id space (same arithmetic in the oracle)."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: 3 rounds of PageRank over the
+    customer→supplier purchase graph in integer fixed-point (BIGINT
+    units of 1e-9; every step floor arithmetic), so the distributed
+    result is bit-identical to the oracle's 3 unrolled SQL rounds —
+    float PageRank is summation-order-dependent and could never be
+    hash-compared.  Per round: one src-keyed join + one dst-keyed
+    aggregate, the canonical two shuffles; dangling mass dropped on
+    both sides."""
+    from h2h_spark.operators.graph import pagerank
+
+    ranks = pagerank(_pagerank_edges(spark, sf_dir), iterations=3)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+        .select("node", "rank")
+    )
+
+
+def _sql_pagerank() -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""
+    rounds = []
+    for i in range(1, 4):
+        rounds.append(f""",
+s{i} AS (
+  SELECT e.dst AS node, SUM(r.rank // d.d) AS m
+  FROM edges e JOIN r{i-1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)""")
+    return (
+        head
+        + "".join(rounds)
+        + "\nSELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+_SQL_PAGERANK = _sql_pagerank()
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree-ordered orientation (each triangle
+    found once, at its lowest-degree corner — the Suri-Vassilvitskii
+    'last reducer' fix that bounds the wedge join by Σ min-degree
+    instead of Σ degree²).  Graph: parts co-purchased in the same order
+    among high-quantity lineitems."""
+    from h2h_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    base = li.filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    other = base.withColumnRenamed("p", "q")
+    edges = base.join(other, "o").filter(F.col("p") < F.col("q")).select(
+        F.col("p").alias("a"), F.col("q").alias("b")
+    )
+    return triangle_count(edges)
+
+
+_SQL_TRIANGLES = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 45),
+und AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM base x JOIN base y ON x.o = y.o AND x.p < y.p),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+  GROUP BY n),
+orient AS (
+  SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.u ELSE und.v END AS s,
+         CASE WHEN (du.d, und.u) < (dv.d, und.v) THEN und.v ELSE und.u END AS t
+  FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM orient e1 JOIN orient e2 ON e2.s = e1.t
+  JOIN orient e3 ON e3.s = e1.s AND e3.t = e2.t)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5095,6 +5232,9 @@ def _init_queries() -> None:
         "q_bmp_pixels": q_bmp_pixels,
         "q_png_pixels": q_png_pixels,
         "q_gif_pixels": q_gif_pixels,
+        "q_global_rank": q_global_rank,
+        "q_pagerank": q_pagerank,
+        "q_triangle_count": q_triangle_count,
     })
 
 
@@ -5253,4 +5393,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bmp_pixels": _SQL_BMP_PIXELS,
         "q_png_pixels": _SQL_BMP_PIXELS,  # filters are lossless: same closed form
         "q_gif_pixels": _SQL_BMP_PIXELS,  # LZW is lossless: same closed form
+        "q_global_rank": _SQL_GLOBAL_RANK,
+        "q_pagerank": _SQL_PAGERANK,
+        "q_triangle_count": _SQL_TRIANGLES,
     }

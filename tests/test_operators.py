@@ -1601,3 +1601,83 @@ def test_gif_lzw_decoder_handles_real_compression():
     data = ([7] * 50 + [7, 8] * 30 + list(rng.integers(0, 256, 3000)))
     got = _lzw_decode(lzw_compress(data), 8, len(data))
     assert got == [int(x) for x in data]
+
+
+# ---------------------------------------------------------------------------
+# global rank / graph analytics
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_row_number(spark):
+    from h2h_spark.operators.rank import global_rank
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("key")
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(
+            df, [("key", True), ("id", False)], n_parts=7
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (r["key"], -r["id"]))
+    want = {r["id"]: i + 1 for i, r in enumerate(rows)}
+    assert got == want
+
+
+def test_global_rank_never_single_partition_window(spark):
+    from h2h_spark.operators.rank import global_rank
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    plan = global_rank(df, [("k", True), ("id", True)], n_parts=4)._jdf.queryExecution().executedPlan().toString()
+    # the local window partitions by __p — no global (empty-partition) Window
+    assert "SinglePartition" not in plan
+
+
+def test_pagerank_fixed_point_tiny_graph(spark):
+    from h2h_spark.operators.graph import SCALE, pagerank
+
+    # 1→2, 1→3, 2→3, 3→1: hand-check one round of the integer recurrence
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=1).collect()}
+    base = 15 * SCALE // 100
+    r0 = SCALE
+    assert got[1] == base + 85 * (r0 // 1) // 100          # from 3
+    assert got[2] == base + 85 * (r0 // 2) // 100          # from 1 (deg 2)
+    assert got[3] == base + 85 * (r0 // 2 + r0 // 1) // 100  # from 1 and 2
+
+
+def test_pagerank_mass_conservation_no_dangling(spark):
+    from h2h_spark.operators.graph import SCALE, pagerank
+
+    # ring graph: every node out-degree 1, no dangling → total mass is
+    # (nearly) preserved each round up to per-node floor losses < 100 units
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=4).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - n * SCALE) < n * 100
+    # symmetric ring → identical rank everywhere
+    assert len({r["rank"] for r in ranks}) == 1
+
+
+def test_triangle_count_known_graphs(spark):
+    from h2h_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicate/reversed/self edges must not count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 += [(0, 0), (1, 1)]
+    df = spark.createDataFrame(k4, "a long, b long")
+    row = triangle_count(df).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+    # two triangles sharing one edge: 0-1-2 and 1-2-3
+    df2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    row2 = triangle_count(df2).collect()[0]
+    assert (row2["n_edges"], row2["n_triangles"]) == (5, 2)
