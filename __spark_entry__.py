@@ -5039,6 +5039,52 @@ FROM tri
 """
 
 
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin): candidates come only from collisions on each document's
+    rarest ``|x| - ceil(t|x|) + 1`` shingles, yet the output equals the
+    brute-force threshold join — complete at the threshold, unlike the
+    doc-freq-capped q_jaccard_pairs.  The oracle re-derives the same
+    rarity order, prefixes, and verification in SQL."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return D.prefix_filter_pairs(
+        docs, "doc_id", "text", shingle_k=4, threshold=0.5
+    )
+
+
+_SQL_PREFIX_JOIN = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 1) + 1),
+           i -> array_to_string(toks[i:i+3], ' '))) AS shset
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents)
+), ex AS (
+  SELECT id, unnest(shset) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+), ord AS (
+  SELECT ex.id, ex.shingle,
+         ROW_NUMBER() OVER (PARTITION BY ex.id ORDER BY d.df, ex.shingle) AS pos,
+         COUNT(*) OVER (PARTITION BY ex.id) AS n
+  FROM ex JOIN dfreq d USING (shingle)
+), pre AS (
+  SELECT id, shingle FROM ord WHERE pos <= n - CEIL(0.5 * n) + 1
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pre a JOIN pre b ON b.shingle = a.shingle AND a.id < b.id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
+FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
+WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5235,6 +5281,7 @@ def _init_queries() -> None:
         "q_global_rank": q_global_rank,
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
+        "q_prefix_join": q_prefix_join,
     })
 
 
@@ -5396,4 +5443,5 @@ def oracle_sql() -> dict[str, str]:
         "q_global_rank": _SQL_GLOBAL_RANK,
         "q_pagerank": _SQL_PAGERANK,
         "q_triangle_count": _SQL_TRIANGLES,
+        "q_prefix_join": _SQL_PREFIX_JOIN,
     }

@@ -326,6 +326,60 @@ def jaccard_pairs(
     return _verify_jaccard(cand, sets, threshold)
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family: Bayardo et al., WWW'07; Xiao et al., WWW'08 — public).
+
+    Unlike :func:`jaccard_pairs` (whose ``max_doc_freq`` cap can drop a
+    pair all of whose shared shingles are frequent), prefix filtering is
+    complete at the threshold: order every document's shingles by global
+    rarity ``(doc_freq, shingle)``, keep only the first
+    ``|x| - ceil(t·|x|) + 1`` as its *prefix*, and generate candidates
+    from prefix-token collisions — any pair with Jaccard ≥ t must share
+    a token in both prefixes (overlap ≥ ceil(t·max(|x|,|y|)), and a
+    doc's suffix holds only ceil(t·|x|)-1 tokens).  Exact verification
+    then scores candidates, so the output equals the brute-force
+    threshold join while candidate generation touches only the rare
+    tokens — at 100 TB the inverted index this builds is a fraction of
+    the full one, and no quadratic frequent-token bucket exists because
+    frequent tokens sort out of almost every prefix.
+
+    Plan: shingle pass → one doc-freq aggregate → one id-keyed grouping
+    to sort each doc's tokens (rarest first) → prefix explode → the
+    shared one-shuffle bucket candidate generator → exact verify.
+    ``threshold`` must be exactly representable in binary (0.5, 0.25,
+    0.75…) so ``ceil(t·n)`` is bit-identical in any engine.
+    """
+    sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
+    ex = sets.select("id", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("arr"))
+        .select(
+            "id",
+            F.size("arr").alias("n"),
+            F.transform("arr", lambda s: s["shingle"]).alias("toks"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    prefix_entries = ordered.select(
+        "id", F.explode(F.slice("toks", F.lit(1), plen)).alias("shingle")
+    )
+    cand = _bucket_candidates(
+        prefix_entries, ["shingle"], "id", max_bucket=1 << 31
+    )
+    return _verify_jaccard(cand, sets, threshold)
+
+
 def minhash_index(
     df: DataFrame,
     id_col: str,

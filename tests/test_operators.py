@@ -1681,3 +1681,44 @@ def test_triangle_count_known_graphs(spark):
     )
     row2 = triangle_count(df2).collect()[0]
     assert (row2["n_edges"], row2["n_triangles"]) == (5, 2)
+
+
+def test_prefix_filter_join_is_complete_vs_brute_force(spark):
+    """Pairs whose every shared shingle is corpus-frequent are exactly the
+    ones a doc-freq cap drops; prefix filtering must keep them."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    # 30 near-identical docs sharing all their shingles (high doc freq)
+    for i in range(30):
+        rows.append((i, base + (" iota" if i % 2 else "")))
+    # plus some unrelated docs
+    for i in range(30, 40):
+        rows.append((i, f"unique{i} words{i} only{i} here{i} now{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.prefix_filter_pairs(
+            df, "doc_id", "text", shingle_k=4, threshold=0.5
+        ).collect()
+    )
+
+    # brute force over all pairs
+    import itertools
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        if len(toks) < 4:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = round(inter / union, 4)
+        if j >= 0.5:
+            want.append((a, b, j))
+    assert got == sorted(want)
+    assert len(want) >= 30 * 29 // 4  # the frequent-token family did pair up
