@@ -4902,6 +4902,37 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gif_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
+def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format pixel decode, no media libraries: each doc id
+    synthesizes a true baseline JPEG (canonical Huffman tables in DHT,
+    0xFF stuffing, flat quant), the engine Huffman-decodes + IDCTs the
+    actual bytes, resizes, and sums pixels.  The source is block-constant
+    (one integral DC coefficient per block), so the decode is bit-exact
+    despite JPEG being lossy in general — the oracle recomputes the
+    post-resize sums closed-form; a wrong bit anywhere in the entropy
+    coder or the DCT mismatches."""
+    from h2h_spark.operators.multimodal import jpeg_resize_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return jpeg_resize_stats(docs, "doc_id", out_w=16, out_h=16)
+
+
+_SQL_JPEG_PIXELS = """
+WITH g AS (
+  SELECT doc_id, 8 * (doc_id % 3 + 2) AS h, 8 * ((doc_id * 5) % 4 + 2) AS w
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         SUM((3 * (((r2.x * g.h) // 16) // 8) + 5 * (((c2.x * g.w) // 16) // 8)
+              + g.doc_id) % 256) AS pix_sum
+  FROM g, generate_series(0, 15) AS r2(x), generate_series(0, 15) AS c2(x)
+  GROUP BY g.doc_id, g.w, g.h)
+SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(pix_sum AS BIGINT) AS pix_sum
+FROM px
+"""
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total-order ranking WITHOUT the single-partition window
     cliff: `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY is the
@@ -5282,6 +5313,7 @@ def _init_queries() -> None:
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
         "q_prefix_join": q_prefix_join,
+        "q_jpeg_pixels": q_jpeg_pixels,
     })
 
 
@@ -5444,4 +5476,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank": _SQL_PAGERANK,
         "q_triangle_count": _SQL_TRIANGLES,
         "q_prefix_join": _SQL_PREFIX_JOIN,
+        "q_jpeg_pixels": _SQL_JPEG_PIXELS,
     }

@@ -873,3 +873,349 @@ def gif_resize_stats(
     return df.select(id_col).mapInPandas(
         _run, "doc_id long, src_w int, src_h int, pix_sum long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real baseline JPEG codec — pure numpy (ITU-T T.81 baseline sequential
+# DCT, grayscale, no subsampling).  The full stack is real: forward/
+# inverse 8×8 DCT, zigzag, DC-difference + run-length AC coding, canonical
+# Huffman tables carried in DHT, 0xFF byte stuffing.  The encoder emits
+# its own canonical tables (DC symbols at 4 bits, AC at 8 — legal JPEG,
+# simpler than Annex K's); the DECODER is general: it builds code tables
+# from whatever DHT it finds, so it reads Annex-K streams too.
+#
+# Exactness contract: JPEG is lossy in general, but a block-constant
+# image has a single DC coefficient 8·(c−128) per block — integral, so
+# with a flat quantization table the decode is BIT-EXACT.  That is what
+# lets q_jpeg_pixels grade the entire Huffman+DCT pipeline against a
+# closed-form SQL oracle, the same trick as the BMP/PNG/GIF paths.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+# our canonical tables: 12 DC categories at 4 bits, 162 AC symbols at 8
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    r * 16 + s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 7 + [len(_AC_VALS)] + [0] * 8
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill final byte
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_gray(arr, *, quant: int = 1) -> bytes:
+    """Encode an ``(H, W)`` uint8 grayscale array (dims multiples of 8)
+    as a real baseline JPEG with a flat quantization table ``quant``."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray requires multiple-of-8 dims")
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    shifted = a.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = m @ blk @ m.T
+            q = np.floor(coef / quant + 0.5).astype(np.int64)
+            zz = [int(q.flat[i]) for i in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            bw.put(*dc_codes[s])
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    bw.put(*ac_codes[0xF0])
+                    run -= 16
+                s = _category(v)
+                bw.put(*ac_codes[run * 16 + s])
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt = bytes([min(quant, 255)] * 64)
+    dqt = seg(0xFFDB, b"\x00" + qt)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS[:16]) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first reader over an entropy-coded segment with 0xFF00
+    unstuffing; a non-stuffed marker ends the stream."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise EOFError("marker inside scan")
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Decode a baseline grayscale JPEG (1 component, no subsampling,
+    restart-marker-free) into an ``(H, W)`` uint8 array.  General DHT
+    handling — reads any canonical tables, including Annex K's."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    dc_id = ac_id = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                width = 2 if pq else 1
+                vals = []
+                o += 1
+                for _ in range(64):
+                    vals.append(
+                        struct.unpack_from(">H", body, o)[0] if pq else body[o]
+                    )
+                    o += width
+                qtab[tq] = vals
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            if body[7] != 0x11:  # component sampling byte: 6-byte frame header + id
+                raise ValueError("subsampling unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nval = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nval])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc_th >> 4, tc_th & 0xF)] = {
+                    (c, l): sym for sym, (c, l) in codes.items()
+                }
+                o += 17 + nval
+        elif marker == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            pos += ln
+            break
+        pos += ln
+    if not h or not w:
+        raise ValueError("missing SOF0")
+    q = np.array(qtab[0], dtype=np.float64)
+    m = _dct_matrix()
+    dct_t = huff[(0, dc_id)]
+    act_t = huff[(1, ac_id)]
+    br = _BitReader(payload, pos)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = [0] * 64
+            s = _huff_decode(br, dct_t)
+            diff = _extend(br.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, act_t)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for i, zi in enumerate(_ZIGZAG):
+                coef[zi] = zz[i] * q[i]
+            blk = m.T @ coef.reshape(8, 8) @ m
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.floor(blk + 128.5), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def synthesize_jpeg(seed: int) -> bytes:
+    """Deterministic real JPEG: block-constant gradient (block (bi, bj)
+    value = (3·bi + 5·bj + seed) mod 256) so the decode is bit-exact and
+    every pixel statistic is closed-form for an external oracle."""
+    import numpy as np
+
+    bh = seed % 3 + 2
+    bw_ = (seed * 5) % 4 + 2
+    bi = np.arange(bh, dtype=np.int64)[:, None]
+    bj = np.arange(bw_, dtype=np.int64)[None, :]
+    blocks = ((3 * bi + 5 * bj + seed) % 256).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    return encode_jpeg_gray(img)
+
+
+def jpeg_resize_stats(
+    df: DataFrame,
+    id_col: str,
+    *,
+    out_w: int = 16,
+    out_h: int = 16,
+) -> DataFrame:
+    """REAL JPEG pixel pipeline per row: synthesize a baseline JPEG from
+    the id, Huffman-decode + IDCT its actual bytes, nearest-neighbor
+    resize, and report ``(doc_id, src_w, src_h, pix_sum)``.  Arrow-batched
+    ``mapInPandas``; an encode→decode round-trip assertion per row makes
+    codec regressions loud."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, sums = [], [], []
+            for seed in pdf[id_col]:
+                payload = synthesize_jpeg(int(seed))
+                img = decode_jpeg_gray(payload)
+                if not np.array_equal(
+                    decode_jpeg_gray(encode_jpeg_gray(img)), img
+                ):
+                    raise ValueError("JPEG codec round-trip mismatch")
+                out = resize_nearest(img, out_w, out_h)
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                sums.append(int(out.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, pix_sum long"
+    )

@@ -1722,3 +1722,64 @@ def test_prefix_filter_join_is_complete_vs_brute_force(spark):
             want.append((a, b, j))
     assert got == sorted(want)
     assert len(want) >= 30 * 29 // 4  # the frequent-token family did pair up
+
+
+def test_jpeg_codec_block_constant_bit_exact():
+    from h2h_spark.operators.multimodal import (
+        decode_jpeg_gray, encode_jpeg_gray, synthesize_jpeg)
+
+    for seed in (0, 5, 123, 999, 4999):
+        bh, bw = seed % 3 + 2, (seed * 5) % 4 + 2
+        bi = np.arange(bh)[:, None]
+        bj = np.arange(bw)[None, :]
+        img = np.kron(
+            ((3 * bi + 5 * bj + seed) % 256).astype(np.uint8),
+            np.ones((8, 8), dtype=np.uint8),
+        )
+        assert np.array_equal(decode_jpeg_gray(synthesize_jpeg(seed)), img)
+    # dims must be multiples of 8 — loud, never padding silently
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.zeros((10, 16), dtype=np.uint8))
+
+
+def test_jpeg_codec_random_image_and_byte_stuffing():
+    from h2h_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    payload = encode_jpeg_gray(img)
+    # entropy-coded segment of a random image certainly stuffs 0xFF bytes
+    scan = payload[payload.index(b"\xff\xda") + 14 : -2]
+    assert b"\xff\x00" in scan
+    dec = decode_jpeg_gray(payload)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4  # quant=1
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    from h2h_spark.operators.multimodal import decode_jpeg_gray, encode_jpeg_gray
+
+    payload = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01\x02")
+
+
+def test_jpeg_resize_stats_matches_closed_form(spark):
+    from h2h_spark.operators.multimodal import jpeg_resize_stats
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    rows = jpeg_resize_stats(docs, "doc_id", out_w=16, out_h=16).collect()
+    assert len(rows) == 40
+    for r in rows:
+        seed = r["doc_id"]
+        h, w = 8 * (seed % 3 + 2), 8 * ((seed * 5) % 4 + 2)
+        want = sum(
+            (3 * (((rr * h) // 16) // 8) + 5 * (((cc * w) // 16) // 8) + seed)
+            % 256
+            for rr in range(16)
+            for cc in range(16)
+        )
+        assert (r["src_w"], r["src_h"], r["pix_sum"]) == (w, h, want)
