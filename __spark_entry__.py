@@ -5116,6 +5116,58 @@ WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
 """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016): 6
+    merge rounds, each ONE corpus-bounded aggregate (adjacent-pair
+    counts over the top-2000 word table) + a 1-row argmax + a vectorized
+    greedy-leftmost fold merge — the k-means-style driver loop.  The
+    oracle unrolls all 6 rounds in SQL (list_reduce is the same fold),
+    so the entire training loop is graded bit-for-bit."""
+    from h2h_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bpe_train(docs, "text", merges=6, max_words=2000)
+
+
+def _sql_bpe(merges: int = 6, max_words: int = 2000) -> str:
+    head = f"""
+WITH w0 AS (
+  SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+  FROM (SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY freq DESC, w LIMIT {max_words}))"""
+    parts = [head]
+    for i in range(1, merges + 1):
+        parts.append(f"""
+, p{i} AS (
+  SELECT toks[x] AS a, toks[x + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS x
+        FROM (SELECT freq, string_split(sym, ' ') AS toks FROM w{i-1}))
+  GROUP BY a, b),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+w{i} AS (
+  SELECT w, freq,
+         list_reduce(string_split(sym, ' '),
+           (acc, x) -> CASE
+             WHEN (acc = b{i}.a OR ends_with(acc, ' ' || b{i}.a)) AND x = b{i}.b
+             THEN substr(acc, 1, length(acc) - length(b{i}.a)) || b{i}.a || b{i}.b
+             ELSE acc || ' ' || x END) AS sym
+  FROM w{i-1}, b{i})""")
+    tail = (
+        "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS step, a AS sym_a, b AS sym_b, cnt AS pair_count FROM b{i}"
+            for i in range(1, merges + 1)
+        )
+        + ")"
+    )
+    return "".join(parts) + tail
+
+
+_SQL_BPE_TRAIN = _sql_bpe()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5314,6 +5366,7 @@ def _init_queries() -> None:
         "q_triangle_count": q_triangle_count,
         "q_prefix_join": q_prefix_join,
         "q_jpeg_pixels": q_jpeg_pixels,
+        "q_bpe_train": q_bpe_train,
     })
 
 
@@ -5477,4 +5530,5 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_count": _SQL_TRIANGLES,
         "q_prefix_join": _SQL_PREFIX_JOIN,
         "q_jpeg_pixels": _SQL_JPEG_PIXELS,
+        "q_bpe_train": _SQL_BPE_TRAIN,
     }

@@ -1,0 +1,147 @@
+"""Distributed BPE vocabulary training (engine extension — the tokenizer
+side of an LLM data pipeline).
+
+Byte-pair encoding (Sennrich, Haddow & Birch, ACL 2016 — public) learns a
+subword vocabulary by repeatedly merging the most frequent adjacent
+symbol pair.  The classic implementation is a single-machine dict loop;
+the corpus-scale shape implemented here is the same driver-loop-over-
+bounded-aggregates pattern as :mod:`operators.cluster`'s k-means:
+
+* trainer state is the **word-frequency table** (top ``max_words`` by
+  frequency — BPE statistics saturate quickly, and the cap bounds every
+  round at |vocab| rows regardless of corpus size; one corpus pass total);
+* each merge round is ONE distributed aggregate (adjacent-pair counts
+  weighted by word frequency) + a 1-row argmax collect (count desc, pair
+  asc — deterministic ties) + a vectorized merge application;
+* merge application is a **left fold** over each word's symbol array
+  (``aggregate(slice(toks, 2, …), toks[1], …)``): when the accumulator
+  ends with symbol ``a`` and the next token is ``b`` they fuse — exactly
+  greedy leftmost BPE, and exactly reproducible as DuckDB's
+  ``list_reduce`` in the oracle twin.  A regexp/replace formulation is
+  NOT used: string replace consumes the shared separator and silently
+  skips alternate occurrences of overlapping pairs (``a a a a`` must
+  give ``aa aa``, not ``aa a a``) — the fold has no such failure mode.
+
+Symbols are characters of lowercased alphanumeric tokens (no end-of-word
+marker — documented deviation from Sennrich's ``</w>``, irrelevant to
+the merge mechanics).  All symbol text stays ``[a-z0-9]+`` so literal
+interpolation into fold expressions is injection-safe by construction.
+
+At 100 TB: the corpus is touched once (word counts); every round after
+that works on the |vocab|-bounded table — the same reason production BPE
+trainers (GPT-2's, SentencePiece) count words first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def _merge_fold_expr(a: str, b: str) -> str:
+    """Greedy-leftmost application of merge (a, b) as a SQL left fold
+    over the word's space-separated symbol string."""
+    return f"""aggregate(
+        slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)),
+        element_at(split(sym, ' '), 1),
+        (acc, x) -> CASE
+            WHEN (acc = '{a}' OR endswith(acc, ' {a}')) AND x = '{b}'
+            THEN concat(substring(acc, 1, length(acc) - {len(a)}), '{a}{b}')
+            ELSE concat(acc, ' ', x) END)"""
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    merges: int = 6,
+    max_words: int = 2000,
+) -> DataFrame:
+    """Learn ``merges`` BPE merge rules from the corpus; returns the
+    rule table ``(step, sym_a, sym_b, pair_count)`` — the artifact a
+    tokenizer ships.  Deterministic: ties broken by (count desc, a, b);
+    the word table is the top ``max_words`` by (freq desc, word)."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(max_words)
+    )
+    wt = words.select(
+        "w",
+        "freq",
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
+    ).persist()
+    rules: list[tuple[int, str, str, int]] = []
+    for step in range(1, merges + 1):
+        toks = F.split("sym", " ")
+        pairs = (
+            wt.select("freq", toks.alias("t"))
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        # sequence(1, 0) counts DOWN in Spark — guard 1-char words
+                        F.when(
+                            F.size("t") > 1,
+                            F.sequence(F.lit(1), F.size("t") - 1),
+                        ).otherwise(F.expr("array()")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("t"), i).alias("a"),
+                            F.element_at(F.col("t"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        rules.append((step, a, b, cnt))
+        nxt = wt.select(
+            "w", "freq", F.expr(_merge_fold_expr(a, b)).alias("sym")
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        wt.unpersist()
+        wt = nxt
+    wt.unpersist()
+    return spark.createDataFrame(
+        rules, "step int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def bpe_apply(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize: apply a learned merge list (in order) to every word of
+    ``text_col``; adds ``n_subwords`` — the post-merge token count (the
+    number an LLM pipeline budgets by).  Vectorized: one fold expression
+    per rule, chained; no Python in the hot path."""
+    out = df.withColumn(
+        "__words", tokens(text_col)
+    ).withColumn(
+        "__syms",
+        F.transform(
+            F.col("__words"),
+            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 ")),
+        ),
+    )
+    for a, b in rules:
+        fold = _merge_fold_expr(a, b).replace("split(sym, ' ')", "split(x, ' ')")
+        out = out.withColumn(
+            "__syms", F.expr(f"transform(__syms, x -> {fold})")
+        )
+    return out.withColumn(
+        "n_subwords",
+        F.aggregate(
+            F.transform(F.col("__syms"), lambda s: F.size(F.split(s, " "))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("bigint"),
+    ).drop("__words", "__syms")

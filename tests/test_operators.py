@@ -1783,3 +1783,89 @@ def test_jpeg_resize_stats_matches_closed_form(spark):
             for cc in range(16)
         )
         assert (r["src_w"], r["src_h"], r["pix_sum"]) == (w, h, want)
+
+
+def _ref_bpe(texts, k):
+    """Plain-Python reference BPE trainer (greedy leftmost application)."""
+    import collections
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    syms = {w: list(w) for w in words}
+    rules = []
+    for step in range(1, k + 1):
+        pc = collections.Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        mc = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == mc)[0]
+        rules.append((step, a, b, pc[(a, b)]))
+        for w in syms:
+            s = syms[w]
+            out = [s[0]]
+            for x in s[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return rules, syms
+
+
+def test_bpe_train_matches_reference(spark):
+    from h2h_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog the the",
+        "hello world hello spark hello the quick end",
+        "a b c aa bb the fox fox fox",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, "text", merges=6, max_words=500).collect()]
+    want, _ = _ref_bpe(texts, 6)
+    assert got == want
+
+
+def test_bpe_fold_handles_overlapping_pairs(spark):
+    """'a a a a a a' must merge to 'aa aa aa' — a replace()-based merge
+    silently skips alternate occurrences; the fold must not."""
+    from h2h_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "aaaaaa zz")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(df, "text", merges=2, max_words=10).collect()]
+    # round 1: pair (a,a) count 5 → merge; word becomes aa aa aa
+    # round 2: pair (aa,aa) count 2
+    assert got[0] == (1, "a", "a", 5)
+    assert got[1] == (2, "aa", "aa", 2)
+
+
+def test_bpe_apply_counts_subwords(spark):
+    from h2h_spark.operators.bpe import bpe_apply, bpe_train
+
+    texts = ["the then there the", "other the there"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rules_df = bpe_train(df, "text", merges=4, max_words=100)
+    rules = [(r["sym_a"], r["sym_b"]) for r in rules_df.collect()]
+    got = {
+        r["doc_id"]: r["n_subwords"]
+        for r in bpe_apply(df, "text", rules).select("doc_id", "n_subwords").collect()
+    }
+    _, syms_ref = _ref_bpe(texts, 4)
+    import re
+
+    want = {}
+    for i, t in enumerate(texts):
+        n = 0
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if w:
+                n += len(syms_ref[w])
+        want[i] = n
+    assert got == want
