@@ -5168,6 +5168,108 @@ w{i} AS (
 _SQL_BPE_TRAIN = _sql_bpe()
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old batch (3 columns)
+    and a new batch (adds o_orderpriority) land in one dataset directory;
+    `mergeSchema` unions the schemas at read time, old rows surfacing
+    NULL for the added column — the append-only evolution contract a
+    long-lived 100 TB table needs (per-file schemas reconciled at plan
+    time; scans still prune columns per file).  Oracle: the same union
+    expressed over the source table."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    w = _work("q_schema_evolution", sf_dir)
+    old_dir = os.path.join(w, "batch=old")
+    new_dir = os.path.join(w, "batch=new")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(old_dir)
+    new.write.mode("overwrite").parquet(new_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(old_dir, new_dir)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("LEGACY")).alias("priority")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT COALESCE(o_orderpriority, 'LEGACY') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY 1
+"""
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate: every row-level constraint is one
+    SUM(CASE) term of a SINGLE wide aggregate (one corpus pass for the
+    whole suite), uniqueness folds into the same aggregate, and the
+    referential check is a broadcast-friendly anti-join count.  Output
+    is the O(|constraints|) report, never the violating rows."""
+    from h2h_spark.operators import quality as Q
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    rep = Q.check_constraints(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 1000.0, 600000.0),
+            Q.matches("o_orderpriority", "^[1-5]-"),
+            Q.unique("o_orderkey"),
+            Q.satisfies(
+                "status_valid", F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+        ],
+    )
+    li_rep = Q.check_constraints(
+        li,
+        [],
+        referential=[("li_orders", "l_orderkey", orders, "o_orderkey")],
+    )
+    return rep.unionByName(li_rep)
+
+
+_SQL_DQ_CHECKS = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1000.0
+                       OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                       OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v3,
+    CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM orders),
+rows_ AS (
+  SELECT 'not_null(o_custkey)' AS check_name, v0 AS violations FROM agg
+  UNION ALL SELECT 'in_range(o_totalprice,1000.0,600000.0)', v1 FROM agg
+  UNION ALL SELECT 'matches(o_orderpriority)', v2 FROM agg
+  UNION ALL SELECT 'unique(o_orderkey)', v3 FROM agg
+  UNION ALL SELECT 'satisfies(status_valid)', v4 FROM agg
+  UNION ALL
+  SELECT 'referential(li_orders)',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+SELECT check_name, violations, violations = 0 AS passed FROM rows_
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5367,6 +5469,8 @@ def _init_queries() -> None:
         "q_prefix_join": q_prefix_join,
         "q_jpeg_pixels": q_jpeg_pixels,
         "q_bpe_train": q_bpe_train,
+        "q_schema_evolution": q_schema_evolution,
+        "q_dq_checks": q_dq_checks,
     })
 
 
@@ -5531,4 +5635,6 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_join": _SQL_PREFIX_JOIN,
         "q_jpeg_pixels": _SQL_JPEG_PIXELS,
         "q_bpe_train": _SQL_BPE_TRAIN,
+        "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
+        "q_dq_checks": _SQL_DQ_CHECKS,
     }

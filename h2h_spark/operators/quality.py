@@ -1,0 +1,130 @@
+"""Data-quality constraint checking (engine extension — the validation
+gate a production ingest pipeline runs before publishing a batch;
+cf. Schelter et al., "Automating Large-Scale Data Quality Verification",
+VLDB 2018 (Deequ) — public).
+
+Design: every row-level constraint (not-null, range, regex, custom
+predicate) compiles to one ``SUM(CASE WHEN violated)`` term of a SINGLE
+wide aggregate — the whole suite costs one corpus pass regardless of how
+many constraints it holds, and the scan's column pruning reads only the
+checked columns.  Table-level constraints:
+
+* ``unique`` — ``COUNT(*) - COUNT(DISTINCT cols)`` folded into the same
+  wide aggregate (one extra shuffle-free partial-agg term);
+* ``referential`` — a broadcast-friendly left-anti count against the
+  referenced key set (its own join, unavoidable; AQE broadcasts small
+  dimension key sets).
+
+Output is the tiny report table ``(constraint, violations, passed)`` —
+never the violating rows themselves (those are a filter the caller can
+run per failed constraint; the gate must stay O(|constraints|) output).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    kind: str  # not_null | in_range | matches | predicate | unique
+    cols: tuple[str, ...] = ()
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+    predicate: Column | None = None
+
+
+def not_null(col: str) -> Constraint:
+    return Constraint(f"not_null({col})", "not_null", (col,))
+
+
+def in_range(col: str, lo: float, hi: float) -> Constraint:
+    return Constraint(f"in_range({col},{lo},{hi})", "in_range", (col,), lo, hi)
+
+
+def matches(col: str, pattern: str) -> Constraint:
+    return Constraint(f"matches({col})", "matches", (col,), pattern=pattern)
+
+
+def satisfies(name: str, predicate: Column) -> Constraint:
+    return Constraint(f"satisfies({name})", "predicate", predicate=predicate)
+
+
+def unique(*cols: str) -> Constraint:
+    return Constraint(f"unique({','.join(cols)})", "unique", tuple(cols))
+
+
+def _violation_term(c: Constraint) -> Column:
+    if c.kind == "not_null":
+        bad = F.col(c.cols[0]).isNull()
+    elif c.kind == "in_range":
+        col = F.col(c.cols[0])
+        bad = col.isNull() | (col < F.lit(c.lo)) | (col > F.lit(c.hi))
+    elif c.kind == "matches":
+        col = F.col(c.cols[0])
+        bad = col.isNull() | ~col.rlike(c.pattern)
+    elif c.kind == "predicate":
+        bad = ~F.coalesce(c.predicate, F.lit(False))
+    else:  # pragma: no cover - guarded by check_constraints
+        raise ValueError(c.kind)
+    return F.sum(F.when(bad, 1).otherwise(0)).cast("bigint")
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: list[Constraint],
+    *,
+    referential: list[tuple[str, str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Run the suite; returns ``(constraint, violations, passed)``.
+
+    ``referential`` entries are ``(name, fk_col, ref_df, ref_col)`` —
+    each counts fk values (nulls exempt, per SQL FK semantics) with no
+    match in the referenced key set.
+    """
+    spark = df.sparkSession
+    aggs = []
+    names = []
+    for c in constraints:
+        if c.kind == "unique":
+            aggs.append(
+                (F.count(F.lit(1)) - F.count_distinct(*[F.col(x) for x in c.cols]))
+                .cast("bigint")
+                .alias(f"v{len(names)}")
+            )
+        else:
+            aggs.append(_violation_term(c).alias(f"v{len(names)}"))
+        names.append(c.name)
+    if aggs:
+        stacked = df.agg(*aggs).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("check_name"),
+                            F.col(f"v{i}").alias("violations"),
+                        )
+                        for i, n in enumerate(names)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.check_name", "r.violations")
+    else:  # referential-only suite
+        stacked = spark.createDataFrame([], "check_name string, violations bigint")
+    for name, fk, ref_df, ref_col in referential or []:
+        keys = ref_df.select(F.col(ref_col).alias("__k")).distinct()
+        cnt = (
+            df.filter(F.col(fk).isNotNull())
+            .join(keys, F.col(fk) == F.col("__k"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+            .select(
+                F.lit(f"referential({name})").alias("check_name"), "violations"
+            )
+        )
+        stacked = stacked.unionByName(cnt)
+    return stacked.withColumn("passed", F.col("violations") == 0)

@@ -1869,3 +1869,52 @@ def test_bpe_apply_counts_subwords(spark):
                 n += len(syms_ref[w])
         want[i] = n
     assert got == want
+
+
+def test_dq_constraint_suite_counts(spark):
+    from h2h_spark.operators import quality as Q
+
+    rows = [
+        (1, 10.0, "1-HIGH", "O"),
+        (2, -5.0, "9-BAD", "X"),
+        (3, None, "2-MED", "F"),
+        (3, 50.0, None, None),
+        (None, 200.0, "3-LOW", "P"),
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, prio string, st string")
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    rep = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in Q.check_constraints(
+            df,
+            [
+                Q.not_null("k"),
+                Q.in_range("price", 0.0, 100.0),
+                Q.matches("prio", "^[1-5]-"),
+                Q.unique("k"),
+                Q.satisfies("st_valid", F.col("st").isin("O", "F", "P")),
+            ],
+            referential=[("k_ref", "k", ref, "rk")],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, False)
+    # price: -5 out of range, None counts, 200 out of range
+    assert rep["in_range(price,0.0,100.0)"] == (3, False)
+    # prio: 9-BAD no match, None counts
+    assert rep["matches(prio)"] == (2, False)
+    # k values 1,2,3,3,None → 5 rows, 4 distinct (count_distinct drops null → 3) → 2
+    assert rep["unique(k)"][0] == 2
+    assert rep["satisfies(st_valid)"] == (2, False)
+    # fk nulls exempt: values 1,2,3,3 → the two 3s dangle
+    assert rep["referential(k_ref)"] == (2, False)
+
+
+def test_dq_referential_only_suite(spark):
+    from h2h_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1,), (9,)], "k long")
+    ref = spark.createDataFrame([(1,)], "rk long")
+    rows = Q.check_constraints(
+        df, [], referential=[("only", "k", ref, "rk")]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["violations"] == 1
