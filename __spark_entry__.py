@@ -5270,6 +5270,110 @@ SELECT check_name, violations, violations = 0 AS passed FROM rows_
 """
 
 
+_PQ_M, _PQ_K, _PQ_DIM = 4, 16, 64
+
+_SQL_PQ_CTE = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+books AS (
+  SELECT j.x AS j, c,
+         CAST(embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS cvec
+  FROM seeds, generate_series(0, 3) AS j(x)),
+subs AS (
+  SELECT vec_id, j.x AS j,
+         CAST(embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS sv
+  FROM embeddings, generate_series(0, 3) AS j(x)),
+scored AS (
+  SELECT s.vec_id, s.j, b.c,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (s.sv[i] - b.cvec[i])^2)) AS d
+  FROM subs s JOIN books b USING (j)),
+assign AS (
+  SELECT vec_id, j, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM scored)
+  WHERE rn = 1)
+"""
+
+
+def _pq_seed_books(spark: SparkSession, sf_dir: str):
+    from h2h_spark.operators.pq import seed_codebooks
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return emb, seed_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_PQ_DIM
+    )
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (Jégou et al. 2011): every embedding
+    compressed to m=4 codes against per-subspace codebooks (here the
+    deterministic k-lowest-id seed codebooks, so the oracle re-derives
+    them; the Lloyd trainer that refines them is unit-tested vs a numpy
+    reference and shares this exact assignment path).  One broadcast
+    E-step; output is the narrow (id, j, code) table a 100 TB ANN index
+    persists — ~1% of the raw embedding bytes."""
+    from h2h_spark.operators.pq import pq_encode
+
+    emb, books = _pq_seed_books(spark, sf_dir)
+    return pq_encode(
+        emb, "vec_id", "embedding", books, m=_PQ_M, dim=_PQ_DIM
+    ).select(
+        F.col("id"), F.col("j").cast("int").alias("j"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+_SQL_PQ_ENCODE = _SQL_PQ_CTE + """
+SELECT vec_id AS id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
+FROM assign
+"""
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over PQ codes: the query (lowest-id
+    embedding) builds an m×k LUT of exact subspace distances; each
+    encoded vector is scored by m array lookups summed in FIXED subspace
+    order (bit-reproducible outside the engine), then TakeOrdered.  The
+    oracle recomputes codebooks, codes, LUT, and the ordered sum."""
+    from h2h_spark.operators.pq import adc_topk, pq_encode
+
+    emb, books = _pq_seed_books(spark, sf_dir)
+    codes = pq_encode(emb, "vec_id", "embedding", books, m=_PQ_M, dim=_PQ_DIM)
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return adc_topk(
+        codes, books, query, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, top=10
+    )
+
+
+_SQL_PQ_ADC = _SQL_PQ_CTE + """
+, q AS (
+  SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+qsub AS (
+  SELECT j.x AS j, CAST(embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS qv
+  FROM q, generate_series(0, 3) AS j(x)),
+lut AS (
+  SELECT b.j, b.c,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> (qs.qv[i] - b.cvec[i])^2)), 6) AS part
+  FROM books b JOIN qsub qs USING (j)),
+parts AS (
+  SELECT a.vec_id AS id,
+         MAX(CASE WHEN a.j = 0 THEN l.part END) AS p0,
+         MAX(CASE WHEN a.j = 1 THEN l.part END) AS p1,
+         MAX(CASE WHEN a.j = 2 THEN l.part END) AS p2,
+         MAX(CASE WHEN a.j = 3 THEN l.part END) AS p3
+  FROM assign a JOIN lut l ON l.j = a.j AND l.c = a.code
+  GROUP BY a.vec_id)
+SELECT id, round(p0 + p1 + p2 + p3, 6) AS adc
+FROM parts ORDER BY adc, id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5471,6 +5575,8 @@ def _init_queries() -> None:
         "q_bpe_train": q_bpe_train,
         "q_schema_evolution": q_schema_evolution,
         "q_dq_checks": q_dq_checks,
+        "q_pq_encode": q_pq_encode,
+        "q_pq_adc": q_pq_adc,
     })
 
 
@@ -5637,4 +5743,6 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,
+        "q_pq_encode": _SQL_PQ_ENCODE,
+        "q_pq_adc": _SQL_PQ_ADC,
     }

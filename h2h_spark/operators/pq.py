@@ -1,0 +1,197 @@
+"""Product quantization for embedding compression + ANN search (engine
+extension; Jégou, Douze & Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public).
+
+PQ splits a ``dim``-d vector into ``m`` subvectors and vector-quantizes
+each against its own ``k``-centroid codebook, compressing a float32[64]
+to ``m`` small codes (here 4 bytes — 64×) while distances stay
+approximately computable from codes alone.  The three stages, each in
+the scale-safe shape:
+
+* :func:`pq_train` — ALL ``m`` codebooks train simultaneously: vectors
+  explode once into (subspace, subvector) rows and every Lloyd round is
+  one broadcast-join E-step + one (subspace, centroid, dim) M-step over
+  that single table — one corpus scan per round, never a scan per
+  subspace.  Driver state is the m·k·(dim/m) = k·dim codebook only.
+  Deterministic seeding: subvectors of the k lowest-id vectors.
+* :func:`pq_encode` — one broadcast E-step; output one (id, j, code)
+  row per subspace (codes stay narrow; at 100 TB this table is ~1% of
+  the raw embeddings and is what ANN serving actually stores).
+* :func:`adc_topk` — asymmetric distance computation: the query builds
+  an m×k lookup table of exact subspace distances (driver-side, tiny),
+  scores every encoded vector by summing m LUT entries (JVM expression
+  over the codes — no Python, no vector math per row), and TakeOrdered
+  returns top-k.  Scan cost per vector is m lookups instead of dim
+  multiplies.
+
+All distance folds are strict left-to-right double accumulation —
+bit-identical to the DuckDB oracle's ``list_sum(list_transform(...))``
+(and therefore hash-comparable after a 6-digit round).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import _l2_sq
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, dim: int) -> DataFrame:
+    """(id, j, sv): the m per-subspace slices of each vector."""
+    sd = dim // m
+    if sd * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subs = F.array(*[F.slice(F.col(vec_col), j * sd + 1, sd) for j in range(m)])
+    return df.select(F.col(id_col).alias("id"), F.posexplode(subs).alias("j", "sv"))
+
+
+def _codebook_df(spark, books: dict[tuple[int, int], list[float]]) -> DataFrame:
+    rows = [(j, c, v) for (j, c), v in sorted(books.items())]
+    return spark.createDataFrame(rows, "j int, c int, cvec array<double>")
+
+
+def seed_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, *, m: int, k: int, dim: int
+) -> dict[tuple[int, int], list[float]]:
+    """Deterministic initial codebooks: subvectors of the k lowest-id
+    vectors (the same no-RNG convention as ``kmeans_fit``)."""
+    sd = dim // m
+    seeds = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(k).collect()
+    )
+    books: dict[tuple[int, int], list[float]] = {}
+    for c, row in enumerate(seeds):
+        vec = [float(x) for x in row[vec_col]]
+        for j in range(m):
+            books[(j, c)] = vec[j * sd : (j + 1) * sd]
+    return books
+
+
+def _assign(sub: DataFrame, books_df: DataFrame) -> DataFrame:
+    """Nearest centroid per (id, j): broadcast codebooks, min-struct
+    argmin (deterministic lowest-code ties)."""
+    scored = sub.join(F.broadcast(books_df), "j")
+    d = _l2_sq(F.col("sv"), F.col("cvec"))
+    return (
+        scored.select(
+            "id", "j", F.struct(d.alias("d"), F.col("c").alias("c")).alias("s")
+        )
+        .groupBy("id", "j")
+        .agg(F.min("s").alias("b"))
+        .select("id", "j", F.col("b.c").alias("code"), F.col("b.d").alias("dist_sq"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 16,
+    dim: int,
+    iters: int = 3,
+) -> dict[tuple[int, int], list[float]]:
+    """Lloyd-train all m codebooks in one pass per round; returns the
+    codebook dict {(subspace, code): centroid}.  Empty cells keep their
+    previous centroid (same convention as ``kmeans_fit``)."""
+    sd = dim // m
+    sub = _subvectors(df, id_col, vec_col, m, dim).persist()
+    books = seed_codebooks(df, id_col, vec_col, m=m, k=k, dim=dim)
+    spark = df.sparkSession
+    for _ in range(iters):
+        assigned = _assign(sub, _codebook_df(spark, books))
+        means = (
+            sub.join(assigned.select("id", "j", "code"), ["id", "j"])
+            .select("j", "code", F.posexplode("sv").alias("i", "x"))
+            .groupBy("j", "code", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            upd.setdefault((r["j"], r["code"]), [0.0] * sd)[r["i"]] = r["mu"]
+        books = {key: upd.get(key, books[key]) for key in books}
+    sub.unpersist()
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: dict[tuple[int, int], list[float]] | DataFrame,
+    *,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """(id, j, code): the PQ code table — narrow, shuffle-once, what a
+    100 TB ANN index actually persists."""
+    books_df = (
+        books
+        if isinstance(books, DataFrame)
+        else _codebook_df(df.sparkSession, books)
+    )
+    sub = _subvectors(df, id_col, vec_col, m, dim)
+    return _assign(sub, books_df).select("id", "j", "code")
+
+
+def adc_topk(
+    codes: DataFrame,
+    books: dict[tuple[int, int], list[float]],
+    query: Sequence[float],
+    *,
+    m: int,
+    k: int,
+    dim: int,
+    top: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the code table.
+
+    The LUT entry (j, c) is the exact squared L2 between the query's
+    j-th subvector and codebook centroid (j, c), accumulated strictly
+    left-to-right (bit-reproducible externally); per-row scoring is
+    ``m`` array lookups summed by a JVM fold."""
+    sd = dim // m
+    q = [float(x) for x in query]
+    lut: list[list[float]] = []
+    for j in range(m):
+        qs = q[j * sd : (j + 1) * sd]
+        row = []
+        for c in range(k):
+            cv = books[(j, c)]
+            acc = 0.0
+            for a, b in zip(qs, cv):
+                acc += (a - b) ** 2
+            row.append(round(acc, round_digits))
+        lut.append(row)
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    parts = (
+        codes.withColumn("__lt", lut_col)
+        .select(
+            "id",
+            "j",
+            F.element_at(F.element_at("__lt", F.col("j") + 1), F.col("code") + 1).alias(
+                "part"
+            ),
+        )
+        # per-subspace columns, then a FIXED-order sum j=0..m-1: an
+        # unordered SUM over doubles is summation-order-dependent and
+        # would not be bit-reproducible outside the engine.
+        .groupBy("id")
+        .agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("part"))).alias(f"p{j}")
+                for j in range(m)
+            ]
+        )
+    )
+    total = F.col("p0")
+    for j in range(1, m):
+        total = total + F.col(f"p{j}")
+    scored = parts.select("id", F.round(total, round_digits).alias("adc"))
+    return scored.orderBy(F.col("adc").asc(), F.col("id")).limit(top)

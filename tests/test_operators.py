@@ -1918,3 +1918,84 @@ def test_dq_referential_only_suite(spark):
         df, [], referential=[("only", "k", ref, "rk")]
     ).collect()
     assert len(rows) == 1 and rows[0]["violations"] == 1
+
+
+def test_pq_train_matches_numpy_reference(spark):
+    from h2h_spark.operators.pq import pq_train, seed_codebooks
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, dim, iters = 2, 4, 8, 3
+    got = pq_train(df, "vec_id", "embedding", m=m, k=k, dim=dim, iters=iters)
+
+    # plain numpy Lloyd with the identical seeding/tie/empty-cell rules
+    sd = dim // m
+    books = {
+        (j, c): vecs[c, j * sd : (j + 1) * sd].copy()
+        for j in range(m)
+        for c in range(k)
+    }
+    for _ in range(iters):
+        assign = {}
+        for i, v in enumerate(vecs):
+            for j in range(m):
+                sv = v[j * sd : (j + 1) * sd]
+                best = min(
+                    range(k),
+                    key=lambda c: (float(((sv - books[(j, c)]) ** 2).sum()), c),
+                )
+                assign[(i, j)] = best
+        for j in range(m):
+            for c in range(k):
+                members = [
+                    vecs[i, j * sd : (j + 1) * sd]
+                    for i in range(len(vecs))
+                    if assign[(i, j)] == c
+                ]
+                if members:
+                    books[(j, c)] = np.mean(members, axis=0)
+    for key in books:
+        assert np.allclose(got[key], books[key], atol=1e-9), key
+
+
+def test_pq_adc_matches_brute_force(spark):
+    from h2h_spark.operators.pq import adc_topk, pq_encode, seed_codebooks
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    m, k, dim = 2, 4, 8
+    books = seed_codebooks(df, "vec_id", "embedding", m=m, k=k, dim=dim)
+    codes = pq_encode(df, "vec_id", "embedding", books, m=m, dim=dim)
+    q = vecs[0]
+    got = [
+        (r["id"], r["adc"])
+        for r in adc_topk(codes, books, q, m=m, k=k, dim=dim, top=5).collect()
+    ]
+
+    # brute force: encode + LUT in python
+    sd = dim // m
+    scores = []
+    for i, v in enumerate(vecs):
+        s = 0.0
+        for j in range(m):
+            sv = v[j * sd : (j + 1) * sd]
+            c = min(
+                range(k),
+                key=lambda c_: (float(((sv - np.array(books[(j, c_)])) ** 2).sum()), c_),
+            )
+            qs = q[j * sd : (j + 1) * sd]
+            acc = 0.0
+            for a, b in zip(qs, books[(j, c)]):
+                acc += (a - b) ** 2
+            s += round(acc, 6)
+        scores.append((round(s, 6), i))
+    want = [(i, s) for s, i in sorted(scores)[:5]]
+    assert got == want
