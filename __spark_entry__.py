@@ -5374,6 +5374,56 @@ FROM parts ORDER BY adc, id LIMIT 10
 """
 
 
+def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE, distributed: Spark has no recursive CTE, so the
+    engine resolves every node of a forest to (root, depth) by pointer
+    doubling — each round ONE self-join on the pointer table and every
+    pointer's reach doubles, so a depth-d tree needs ceil(log2 d) rounds
+    (the oracle walks the same edges with a real recursive CTE).  The
+    forest: users ranked by id (via the engine's own distributed
+    global_rank — no single-partition window), parent = node at rank
+    r div 8 (fan-out-8 forest)."""
+    from h2h_spark.operators.hierarchy import resolve_tree
+    from h2h_spark.operators.rank import global_rank
+
+    ev = _load_events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    ranked = global_rank(users, [("user_id", True)], rank_col="r")
+    child = ranked.filter(F.col("r") >= 8).select(
+        F.col("user_id").alias("child"), F.expr("r div 8").alias("pr")
+    )
+    edges = child.join(
+        ranked.select(F.col("user_id").alias("parent"), F.col("r").alias("pr")),
+        "pr",
+    ).select("child", "parent")
+    out = resolve_tree(edges, "child", "parent")
+    return out.select(
+        F.col("id").alias("user_id"),
+        F.col("root"),
+        F.col("depth"),
+    )
+
+
+_SQL_HIERARCHY = """
+WITH RECURSIVE u AS (SELECT DISTINCT user_id FROM events),
+rk AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY user_id) AS r FROM u),
+e AS (
+  SELECT c.user_id AS child, p.user_id AS parent
+  FROM rk c JOIN rk p ON p.r = c.r // 8
+  WHERE c.r >= 8),
+walk(id, anc, d) AS (
+  SELECT child, parent, CAST(1 AS BIGINT) FROM e
+  UNION ALL
+  SELECT w.id, e2.parent, w.d + 1 FROM walk w JOIN e e2 ON e2.child = w.anc),
+roots AS (SELECT DISTINCT parent FROM e
+          WHERE parent NOT IN (SELECT child FROM e))
+SELECT w.id AS user_id, w.anc AS root, w.d AS depth
+FROM walk w WHERE w.anc IN (SELECT parent FROM roots)
+UNION ALL
+SELECT parent, parent, CAST(0 AS BIGINT) FROM roots
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5577,6 +5627,7 @@ def _init_queries() -> None:
         "q_dq_checks": q_dq_checks,
         "q_pq_encode": q_pq_encode,
         "q_pq_adc": q_pq_adc,
+        "q_hierarchy_resolve": q_hierarchy_resolve,
     })
 
 
@@ -5745,4 +5796,5 @@ def oracle_sql() -> dict[str, str]:
         "q_dq_checks": _SQL_DQ_CHECKS,
         "q_pq_encode": _SQL_PQ_ENCODE,
         "q_pq_adc": _SQL_PQ_ADC,
+        "q_hierarchy_resolve": _SQL_HIERARCHY,
     }

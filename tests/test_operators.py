@@ -1999,3 +1999,27 @@ def test_pq_adc_matches_brute_force(spark):
         scores.append((round(s, 6), i))
     want = [(i, s) for s, i in sorted(scores)[:5]]
     assert got == want
+
+
+def test_resolve_tree_deep_chain_and_forest(spark):
+    from h2h_spark.operators.hierarchy import resolve_tree
+
+    # chain 0←1←2←…←20 plus a separate star rooted at 100
+    edges = [(i, i - 1) for i in range(1, 21)] + [(101, 100), (102, 100)]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {r["id"]: (r["root"], r["depth"]) for r in resolve_tree(df).collect()}
+    for i in range(1, 21):
+        assert got[i] == (0, i), i
+    assert got[0] == (0, 0)
+    assert got[100] == (100, 0)
+    assert got[101] == (100, 1) and got[102] == (100, 1)
+
+
+def test_resolve_tree_cycle_raises(spark):
+    from h2h_spark.operators.hierarchy import resolve_tree
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        resolve_tree(df, max_rounds=6)
