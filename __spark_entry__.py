@@ -5424,6 +5424,36 @@ SELECT parent, parent, CAST(0 AS BIGINT) FROM roots
 """
 
 
+def q_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted state accounting: each event opens a state interval
+    closed by the user's next event; intervals split on day boundaries
+    (generated sequence explode, no calendar join) and exact overlap
+    microseconds aggregate per (state, day) — integer end-to-end, so the
+    distributed sum is order-independent and engine-portable."""
+    from h2h_spark.operators.timeseries import time_in_state
+
+    ev = _load_events(spark, sf_dir)
+    return time_in_state(ev, "user_id", "event_type", "ts", "event_id")
+
+
+_SQL_TIME_IN_STATE = """
+WITH iv AS (
+  SELECT event_type AS state, ts AS s,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e
+  FROM events),
+d AS (
+  SELECT state, s, e,
+         unnest(generate_series(date_trunc('day', s),
+                                date_trunc('day', e - INTERVAL 1 microsecond),
+                                INTERVAL 1 day)) AS day
+  FROM iv WHERE e IS NOT NULL AND e > s)
+SELECT state, day,
+       CAST(SUM(epoch_us(LEAST(e, day + INTERVAL 1 day))
+                - epoch_us(GREATEST(s, day))) AS BIGINT) AS micros
+FROM d GROUP BY state, day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5628,6 +5658,7 @@ def _init_queries() -> None:
         "q_pq_encode": q_pq_encode,
         "q_pq_adc": q_pq_adc,
         "q_hierarchy_resolve": q_hierarchy_resolve,
+        "q_time_in_state": q_time_in_state,
     })
 
 
@@ -5797,4 +5828,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_encode": _SQL_PQ_ENCODE,
         "q_pq_adc": _SQL_PQ_ADC,
         "q_hierarchy_resolve": _SQL_HIERARCHY,
+        "q_time_in_state": _SQL_TIME_IN_STATE,
     }

@@ -251,3 +251,49 @@ def retention_cohort(
         .groupBy("cohort", "offset")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+def time_in_state(
+    events: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Time-weighted state accounting: each event opens a state interval
+    that the key's next event closes; intervals are split on day
+    boundaries and the exact overlap microseconds aggregate per
+    ``(state, day)`` — "how long was each state held, per day".
+
+    Shapes: the interval build is one key-partitioned window (lead);
+    the day split is a generated sequence explode — fan-out bounded by
+    interval length in days, never a join against a calendar table; the
+    final rollup is one grouping shuffle.  Durations are integer
+    microseconds end-to-end (bigint sums — order-independent, exactly
+    reproducible in any engine).  Zero-length intervals (simultaneous
+    events) are dropped on both sides of the oracle contract.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    iv = events.select(
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("s"),
+        F.lead(ts_col).over(w).alias("e"),
+    ).filter(F.col("e").isNotNull() & (F.col("e") > F.col("s")))
+    days = iv.select(
+        "state",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("s")),
+                F.date_trunc("day", F.col("e") - F.expr("interval 1 microsecond")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    overlap = F.unix_micros(
+        F.least(F.col("e"), F.col("day") + F.expr("interval 1 day"))
+    ) - F.unix_micros(F.greatest(F.col("s"), F.col("day")))
+    return days.groupBy("state", "day").agg(
+        F.sum(overlap).cast("bigint").alias("micros")
+    )

@@ -2023,3 +2023,33 @@ def test_resolve_tree_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         resolve_tree(df, max_rounds=6)
+
+
+def test_time_in_state_splits_on_midnight(spark):
+    from h2h_spark.operators.timeseries import time_in_state
+
+    rows = [
+        # user 1: state A 23:00 → 01:30 next day (straddles midnight),
+        # then B 01:30 → 01:30:05
+        (1, 1, "A", "2024-01-01 23:00:00"),
+        (2, 1, "B", "2024-01-02 01:30:00"),
+        (3, 1, "C", "2024-01-02 01:30:05"),
+        # user 2: simultaneous events → zero-length interval dropped
+        (4, 2, "A", "2024-01-01 10:00:00"),
+        (5, 2, "B", "2024-01-01 10:00:00"),
+        (6, 2, "C", "2024-01-01 11:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["state"], str(r["day"])[:10]): r["micros"]
+        for r in time_in_state(df, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    h = 3600 * 1_000_000
+    assert got[("A", "2024-01-01")] == 1 * h
+    assert got[("A", "2024-01-02")] == int(1.5 * h)
+    assert got[("B", "2024-01-02")] == 5 * 1_000_000
+    # user 2: A→B zero length dropped; B holds 10:00→11:00
+    assert got[("B", "2024-01-01")] == 1 * h
+    assert ("A", "2024-01-01") in got and got[("A", "2024-01-01")] == 1 * h
