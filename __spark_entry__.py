@@ -5454,6 +5454,32 @@ FROM d GROUP BY state, day
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before publishing: k-anonymity (k=5) over the
+    quasi-identifier tuple (status, priority, order month).  One QI
+    grouping shuffle, O(1) report output — at-risk rows stay distributed
+    and re-derivable."""
+    from h2h_spark.operators.quality import k_anonymity
+
+    orders = spark.read.parquet(_t(sf_dir, "orders")).withColumn(
+        "omonth", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    return k_anonymity(orders, ["o_orderstatus", "o_orderpriority", "omonth"], 5)
+
+
+_SQL_K_ANONYMITY = """
+WITH classes AS (
+  SELECT o_orderstatus, o_orderpriority, date_trunc('month', o_orderdate) AS m,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) = 0 AS k_anonymous
+FROM classes
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5659,6 +5685,7 @@ def _init_queries() -> None:
         "q_pq_adc": q_pq_adc,
         "q_hierarchy_resolve": q_hierarchy_resolve,
         "q_time_in_state": q_time_in_state,
+        "q_k_anonymity": q_k_anonymity,
     })
 
 
@@ -5829,4 +5856,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_adc": _SQL_PQ_ADC,
         "q_hierarchy_resolve": _SQL_HIERARCHY,
         "q_time_in_state": _SQL_TIME_IN_STATE,
+        "q_k_anonymity": _SQL_K_ANONYMITY,
     }

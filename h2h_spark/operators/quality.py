@@ -128,3 +128,22 @@ def check_constraints(
         )
         stacked = stacked.unionByName(cnt)
     return stacked.withColumn("passed", F.col("violations") == 0)
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str], k: int) -> DataFrame:
+    """Privacy audit: k-anonymity over the quasi-identifier columns
+    (Sweeney, 2002 — public).  A row is at risk when its QI equivalence
+    class holds fewer than ``k`` rows.  One grouping shuffle on the QI
+    key, then a single-row report ``(n_groups, n_violating_groups,
+    n_rows_at_risk, k_anonymous)`` — O(1) output, the per-class detail
+    stays distributed (re-derivable by filtering the same groupBy)."""
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).count()
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("count") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("count") < k, F.col("count")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    ).withColumn("k_anonymous", F.col("n_violating_groups") == 0)

@@ -2053,3 +2053,16 @@ def test_time_in_state_splits_on_midnight(spark):
     # user 2: A→B zero length dropped; B holds 10:00→11:00
     assert got[("B", "2024-01-01")] == 1 * h
     assert ("A", "2024-01-01") in got and got[("A", "2024-01-01")] == 1 * h
+
+
+def test_k_anonymity_report(spark):
+    from h2h_spark.operators.quality import k_anonymity
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "qi string, v int")
+    r = k_anonymity(df, ["qi"], 3).collect()[0]
+    assert (
+        r["n_groups"], r["n_violating_groups"], r["n_rows_at_risk"], r["k_anonymous"]
+    ) == (3, 2, 3, False)
+    r2 = k_anonymity(df, ["qi"], 1).collect()[0]
+    assert r2["k_anonymous"] is True
