@@ -198,6 +198,22 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, f"{w}/customer_csv", CUSTOMER_LAYOUT, sep="|", quote="'")
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF roundtrip through the engine's pure-Python codec (no
+    spark-avro jar in this distribution): customer → deflate-compressed
+    container files → partitioned scan with 8 KiB splits, every task
+    REALIGNING to the 16-byte sync marker and reading past its range end
+    to finish the straddling block — the same split contract as the
+    CSV/XML scanners, on the format that was designed for it."""
+    from h2h_spark.sources.avro import read_avro, write_avro
+
+    w = _work("q_avro_roundtrip", sf_dir)
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    write_avro(cust, f"{w}/customer_avro", codec="deflate", rows_per_block=64)
+    back = read_avro(spark, f"{w}/customer_avro", max_partition_bytes=8 * 1024)
+    return back.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+
+
 def q_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2+O5: customer → fixed-width FLAT (64 B records) → engine read
     with forced small splits (boundary-aligned split planning)."""
@@ -5686,6 +5702,7 @@ def _init_queries() -> None:
         "q_hierarchy_resolve": q_hierarchy_resolve,
         "q_time_in_state": q_time_in_state,
         "q_k_anonymity": q_k_anonymity,
+        "q_avro_roundtrip": q_avro_roundtrip,
     })
 
 
@@ -5857,4 +5874,5 @@ def oracle_sql() -> dict[str, str]:
         "q_hierarchy_resolve": _SQL_HIERARCHY,
         "q_time_in_state": _SQL_TIME_IN_STATE,
         "q_k_anonymity": _SQL_K_ANONYMITY,
+        "q_avro_roundtrip": _SQL_SELECT_CUSTOMER,
     }

@@ -60,11 +60,12 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
 def _register_datasources(spark: SparkSession) -> None:
     """Register the engine's Python DataSources (idempotent)."""
     # Imported lazily to avoid circular imports at package import time.
+    from h2h_spark.sources.avro import AvroDataSource
     from h2h_spark.sources.csv_split import CsvQDataSource
     from h2h_spark.sources.flat import FlatDataSource
     from h2h_spark.sources.xml import XmlDataSource
 
-    for ds in (FlatDataSource, XmlDataSource, CsvQDataSource):
+    for ds in (FlatDataSource, XmlDataSource, CsvQDataSource, AvroDataSource):
         try:
             spark.dataSource.register(ds)
         except Exception:

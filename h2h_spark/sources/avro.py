@@ -1,0 +1,445 @@
+"""Avro Object Container Files — pure-Python codec + split-realigning
+scanner (engine extension; Apache Avro 1.x spec — public).
+
+The container ships no spark-avro module jar, so the engine implements
+OCF the same way it implements the reference's wire formats: a Python
+DataSource whose planner slices files into byte ranges and whose tasks
+REALIGN to record boundaries — here the 16-byte **sync marker** that
+Avro puts after every block precisely so that splittable readers can do
+this.  The task contract is the same as the CSV scanner's
+(``libhdfsconnector.cpp:476-558`` semantics): skip forward from the
+range start to the first sync marker (unless at the data start), then
+read whole blocks, continuing PAST the range end to finish the block
+that straddles it.
+
+Codec support: ``null`` and ``deflate`` (stdlib zlib, raw).  Schema
+subset: a record of ``long`` / ``double`` / ``string`` / ``boolean``
+fields, each optionally nullable as ``["null", T]`` unions — the shapes
+the TPC-H-ish tables need; anything else raises loudly (never silent
+truncation).  Binary encoding per spec: zigzag varints for long,
+little-endian IEEE for double, length-prefixed UTF-8 for string.
+
+Scale posture: the sync-marker scan reads only the range head; blocks
+decode streaming into Arrow batches; ``maxpartitionbytes`` plans ~128 MiB
+tasks like every other source here.  Writes produce one OCF per
+partition (``part_<i>_<N>``) via the shared commit-by-rename sink.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from hashlib import md5
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from h2h_spark.sources import sink as _sink
+from h2h_spark.sources.util import file_size, list_part_files, open_input
+
+_MAGIC = b"Obj\x01"
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# primitive binary codec (Avro spec §"Binary Encoding")
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    u = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _enc_bytes(b: bytes) -> bytes:
+    return _zigzag_encode(len(b)) + b
+
+
+def _enc_str(s: str) -> bytes:
+    return _enc_bytes(s.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# schema mapping
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    T.LongType: "long",
+    T.IntegerType: "long",
+    T.DoubleType: "double",
+    T.FloatType: "double",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+}
+
+
+def avro_schema_for(schema: T.StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        base = _SPARK_TO_AVRO.get(type(f.dataType))
+        if base is None:
+            raise ValueError(
+                f"avro source supports long/double/string/boolean fields; "
+                f"got {f.dataType} for {f.name!r}"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", base] if f.nullable else base}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _field_plan(avro: dict) -> list[tuple[str, str, bool]]:
+    """[(name, base_type, nullable)] from an avro record schema; loud on
+    anything outside the supported subset."""
+    if avro.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    plan = []
+    for f in avro["fields"]:
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):
+            if len(t) != 2 or "null" not in t:
+                raise ValueError(f"unsupported union {t} for {f['name']!r}")
+            nullable = True
+            t = [x for x in t if x != "null"][0]
+        if t not in ("long", "int", "double", "float", "string", "boolean"):
+            raise ValueError(f"unsupported avro type {t!r} for {f['name']!r}")
+        base = {"int": "long", "float": "double"}.get(t, t)
+        plan.append((f["name"], base, nullable))
+    return plan
+
+
+def _spark_schema(plan: list[tuple[str, str, bool]]) -> T.StructType:
+    m = {"long": T.LongType(), "double": T.DoubleType(), "string": T.StringType(),
+         "boolean": T.BooleanType()}
+    return T.StructType(
+        [T.StructField(n, m[b], nullable) for n, b, nullable in plan]
+    )
+
+
+# ---------------------------------------------------------------------------
+# row codec
+# ---------------------------------------------------------------------------
+
+
+def _encode_rows(plan, cols, n_rows: int) -> bytes:
+    out = bytearray()
+    for i in range(n_rows):
+        for (name, base, nullable), col in zip(plan, cols):
+            v = col[i]
+            if nullable:
+                if v is None:
+                    out += _zigzag_encode(0)  # union branch 0 = null
+                    continue
+                out += _zigzag_encode(1)
+            if base == "long":
+                out += _zigzag_encode(int(v))
+            elif base == "double":
+                out += struct.pack("<d", float(v))
+            elif base == "string":
+                out += _enc_str(str(v))
+            else:  # boolean
+                out.append(1 if v else 0)
+    return bytes(out)
+
+
+def _decode_rows(plan, buf: bytes, n_rows: int, pos: int = 0):
+    cols: list[list] = [[] for _ in plan]
+    for _ in range(n_rows):
+        for k, (name, base, nullable) in enumerate(plan):
+            if nullable:
+                branch, pos = _zigzag_decode(buf, pos)
+                if branch == 0:
+                    cols[k].append(None)
+                    continue
+            if base == "long":
+                v, pos = _zigzag_decode(buf, pos)
+                cols[k].append(v)
+            elif base == "double":
+                cols[k].append(struct.unpack_from("<d", buf, pos)[0])
+                pos += 8
+            elif base == "string":
+                ln, pos = _zigzag_decode(buf, pos)
+                cols[k].append(buf[pos : pos + ln].decode("utf-8"))
+                pos += ln
+            else:
+                cols[k].append(buf[pos] != 0)
+                pos += 1
+    return cols, pos
+
+
+# ---------------------------------------------------------------------------
+# container header
+# ---------------------------------------------------------------------------
+
+
+def _header_bytes(avro: dict, codec: str, sync: bytes) -> bytes:
+    meta = {
+        "avro.schema": json.dumps(avro).encode(),
+        "avro.codec": codec.encode(),
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        out += _enc_str(k)
+        out += _enc_bytes(v)
+    out += _zigzag_encode(0)
+    out += sync
+    return bytes(out)
+
+
+def _parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, header_len) — raises on non-OCF input."""
+    if buf[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_decode(buf, pos)
+        if count == 0:
+            break
+        if count < 0:  # block-size form: skip the byte size
+            _, pos = _zigzag_decode(buf, pos)
+            count = -count
+        for _ in range(count):
+            kl, pos = _zigzag_decode(buf, pos)
+            key = buf[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _zigzag_decode(buf, pos)
+            meta[key] = buf[pos : pos + vl]
+            pos += vl
+    sync = buf[pos : pos + 16]
+    pos += 16
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    return json.loads(meta["avro.schema"]), codec, sync, pos
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+class AvroInputPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int, header_len: int):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.header_len = header_len
+
+
+class AvroDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict, plan, codec_by_path, sync_by_path, hdr_by_path):
+        self.options = options
+        self.plan = plan
+        self.codec_by_path = codec_by_path
+        self.sync_by_path = sync_by_path
+        self.hdr_by_path = hdr_by_path
+        self.path = options["path"]
+        self.max_partition_bytes = int(
+            options.get("maxpartitionbytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+
+    def partitions(self) -> list[InputPartition]:
+        parts: list[AvroInputPartition] = []
+        for path in list_part_files(self.path):
+            size = file_size(path)
+            hdr = self.hdr_by_path[path]
+            if size <= hdr:
+                continue
+            span = size - hdr
+            n = max(1, -(-span // self.max_partition_bytes))
+            base, rem = divmod(span, n)
+            off = hdr
+            for i in range(n):
+                ln = base + (1 if i < rem else 0)
+                parts.append(AvroInputPartition(path, off, off + ln, hdr))
+                off += ln
+        return parts or [AvroInputPartition("", 0, 0, 0)]
+
+    def read(self, partition: AvroInputPartition) -> Iterator[pa.RecordBatch]:
+        if partition is None or not partition.path:
+            return
+        sync = self.sync_by_path[partition.path]
+        codec = self.codec_by_path[partition.path]
+        arrow = _arrow_schema(self.plan)
+        # Ranged read with extension: buffer [start-16, end) plus a
+        # readahead, extending as the straddling block requires — the
+        # task never touches bytes before its range (minus the marker
+        # seek-back) and reads past the end only to FINISH the block that
+        # straddles it (the CSV scanner's stop-at-next-EOL contract).
+        readahead = 1 << 20
+        base = max(partition.start - 16, partition.header_len)
+        with open_input(partition.path) as f:
+            f.seek(base)
+            buf = bytearray(f.read((partition.end - base) + readahead))
+
+            def ensure(upto: int) -> bool:
+                """Grow the buffer to hold `upto` bytes; False at EOF."""
+                while len(buf) < upto:
+                    more = f.read(max(upto - len(buf), readahead))
+                    if not more:
+                        return False
+                    buf.extend(more)
+                return True
+
+            pos = partition.start - base
+            if partition.start > partition.header_len:
+                idx = bytes(buf).find(sync, 0)
+                if idx < 0:
+                    return  # no block starts in this range
+                pos = idx + 16
+            end_rel = partition.end - base
+            while pos < end_rel and pos < len(buf):
+                ensure(pos + 20)  # two varints need at most 20 bytes
+                head = bytes(buf[pos : pos + 20])
+                try:
+                    n_rows, p2 = _zigzag_decode(head, 0)
+                    n_bytes, p3 = _zigzag_decode(head, p2)
+                except IndexError:
+                    raise ValueError(
+                        f"{partition.path}: truncated block header at {base + pos}"
+                    ) from None
+                pos += p3
+                if not ensure(pos + n_bytes + 16):
+                    raise ValueError(
+                        f"{partition.path}: truncated block at {base + pos}"
+                    )
+                blob = bytes(buf[pos : pos + n_bytes])
+                pos += n_bytes
+                if bytes(buf[pos : pos + 16]) != sync:
+                    raise ValueError(
+                        f"{partition.path}: block at {base + pos} missing sync marker"
+                    )
+                pos += 16
+                if codec == "deflate":
+                    blob = zlib.decompress(blob, wbits=-15)
+                cols, _ = _decode_rows(self.plan, blob, n_rows)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=fld.type) for c, fld in zip(cols, arrow)],
+                    schema=arrow,
+                )
+
+
+def _arrow_schema(plan) -> pa.Schema:
+    m = {"long": pa.int64(), "double": pa.float64(), "string": pa.string(),
+         "boolean": pa.bool_()}
+    return pa.schema([pa.field(n, m[b], nullable) for n, b, nullable in plan])
+
+
+class AvroDataSource(DataSource):
+    """``spark.read.format("h2h_avro").load(path)`` — schema comes from
+    the file headers (all parts must agree)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_avro"
+
+    def _scan_headers(self):
+        paths = list_part_files(self.options["path"])
+        if not paths:
+            raise ValueError(f"h2h_avro: no input files at {self.options['path']}")
+        schema = None
+        codec_by, sync_by, hdr_by = {}, {}, {}
+        for p in paths:
+            with open_input(p) as f:
+                head = f.read(4096)
+            s, codec, sync, hlen = _parse_header(head)
+            if schema is None:
+                schema = s
+            elif s != schema:
+                raise ValueError(f"h2h_avro: schema mismatch in {p}")
+            codec_by[p], sync_by[p], hdr_by[p] = codec, sync, hlen
+        return _field_plan(schema), codec_by, sync_by, hdr_by
+
+    def schema(self) -> T.StructType:
+        plan, *_ = self._scan_headers()
+        return _spark_schema(plan)
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        plan, codec_by, sync_by, hdr_by = self._scan_headers()
+        return AvroDataSourceReader(
+            dict(self.options), plan, codec_by, sync_by, hdr_by
+        )
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    *,
+    codec: str = "null",
+    rows_per_block: int = 4096,
+    overwrite: bool = True,
+) -> list[_sink.PartInfo]:
+    """One OCF per partition (``part_<i>_<N>``), commit-by-rename.  The
+    sync marker is the md5 of the schema JSON — deterministic output."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    avro = avro_schema_for(df.schema)
+    plan = _field_plan(avro)
+    sync = md5(json.dumps(avro).encode()).digest()
+    header = _header_bytes(avro, codec, sync)
+
+    def _serialize(batch: pa.RecordBatch) -> bytes:
+        cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+        out = bytearray()
+        for lo in range(0, batch.num_rows, rows_per_block):
+            hi = min(lo + rows_per_block, batch.num_rows)
+            body = _encode_rows(
+                plan, [c[lo:hi] for c in cols], hi - lo
+            )
+            if codec == "deflate":
+                comp = zlib.compressobj(wbits=-15)
+                body = comp.compress(body) + comp.flush()
+            out += _zigzag_encode(hi - lo)
+            out += _zigzag_encode(len(body))
+            out += body
+            out += sync
+        return bytes(out)
+
+    return _sink.write_partition_files(
+        df, path, _serialize, header=header, overwrite=overwrite
+    )
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+) -> DataFrame:
+    return (
+        spark.read.format("h2h_avro")
+        .option("maxpartitionbytes", str(max_partition_bytes))
+        .load(path)
+    )

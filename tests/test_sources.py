@@ -558,3 +558,61 @@ def test_csvq_buffer_extension_during_skip_and_scan():
                 _os.unlink(path)
             expect = [f"{i},{q(b)}".encode() for i, b in rows]
             assert got == expect, (term, mpb)
+
+
+# ---------------------------------------------------------------------------
+# Avro OCF source
+# ---------------------------------------------------------------------------
+
+
+def test_avro_roundtrip_nulls_and_tiny_splits(spark, tmp_work):
+    from h2h_spark.sources.avro import read_avro, write_avro
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.concat(F.lit("name_"), F.col("id"))
+        ).alias("name"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(
+            (F.col("id") * 1.5)
+        ).alias("score"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    path = f"{tmp_work}/avro_nulls"
+    write_avro(df, path, codec="deflate", rows_per_block=37)
+    back = read_avro(spark, path, max_partition_bytes=2048)
+    a = sorted(tuple(r) for r in back.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+
+
+def test_avro_single_vs_many_splits_identical(spark, tmp_work):
+    from h2h_spark.sources.avro import read_avro, write_avro
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 300).select(
+        F.col("id"), F.concat(F.lit("x" * 50), F.col("id")).alias("pad")
+    ).coalesce(1)
+    path = f"{tmp_work}/avro_splits"
+    write_avro(df, path, codec="null", rows_per_block=13)
+    whole = sorted(tuple(r) for r in read_avro(spark, path).collect())
+    tiny = sorted(
+        tuple(r) for r in read_avro(spark, path, max_partition_bytes=512).collect()
+    )
+    assert whole == tiny and len(whole) == 300
+
+
+def test_avro_error_paths(spark, tmp_work):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.avro import avro_schema_for, write_avro, _parse_header
+
+    with pytest.raises(ValueError, match="not an Avro"):
+        _parse_header(b"PAR1xxxxxxxxxxxxxxxxx")
+    df = spark.range(3).select(F.col("id"), F.array(F.lit(1)).alias("arr"))
+    with pytest.raises(ValueError, match="supports long/double"):
+        avro_schema_for(df.schema)
+    with pytest.raises(ValueError, match="codec"):
+        write_avro(spark.range(3), f"{tmp_work}/x", codec="snappy")
