@@ -5496,6 +5496,115 @@ FROM classes
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN serving architecture in one query (FAISS-style
+    IVF-PQ, Jégou et al. 2011): coarse quantizer = per-label centroids
+    (exact-oracle k-means E-step), the query probes its 2 nearest cells,
+    and ONLY vectors in probed cells are ADC-scored from their PQ codes
+    (m LUT lookups per candidate).  Scan cost at 100 TB: probed cells'
+    code rows only — partition pruning on the cell column of a stored
+    index.  Every stage here is bit-reproducible, so the oracle re-derives
+    cells, probes, codes, LUT, and the fixed-order ADC sum exactly."""
+    from h2h_spark.operators.cluster import centroid_assign
+    from h2h_spark.operators.pq import adc_topk, pq_encode
+
+    emb, books = _pq_seed_books(spark, sf_dir)
+    cents = _label_centroid_arrays(emb)
+    q = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    # probe: 2 nearest coarse cells, same left-to-right fold as the oracle
+    probe = []
+    for r in cents.collect():
+        acc = 0.0
+        for a, b in zip(q, r["cvec"]):
+            acc += (a - b) ** 2
+        probe.append((acc, r["label"]))
+    cells = sorted(probe)[:2]
+    probe_labels = [int(l) for _, l in cells]
+    assigned = centroid_assign(emb, "vec_id", "embedding", cents, "label", "cvec")
+    members = assigned.filter(F.col("assigned").isin(probe_labels)).select(
+        F.col("vec_id").alias("id"), F.col("assigned").alias("cell")
+    )
+    codes = pq_encode(emb, "vec_id", "embedding", books, m=_PQ_M, dim=_PQ_DIM)
+    member_codes = codes.join(members.select("id"), "id")
+    top = adc_topk(
+        member_codes, books, q, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, top=10
+    )
+    return top.join(members, "id").select("id", "cell", "adc")
+
+
+_SQL_IVFPQ = """
+WITH dims AS (
+  SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS m
+  FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)
+  GROUP BY label, dim),
+cents AS (
+  SELECT label AS clabel, list(m ORDER BY dim) AS cvec FROM dims GROUP BY label),
+q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+probe AS (
+  SELECT clabel
+  FROM cents, q
+  ORDER BY list_sum(list_transform(generate_series(1, 64),
+        i -> (CAST(q.embedding[i] AS DOUBLE) - cents.cvec[i])^2)), clabel
+  LIMIT 2),
+cell_scored AS (
+  SELECT e.vec_id, c.clabel,
+         list_sum(list_transform(generate_series(1, 64),
+              i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])^2)) AS d
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, clabel AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM cell_scored)
+  WHERE rn = 1),
+members AS (
+  SELECT vec_id, cell FROM cells WHERE cell IN (SELECT clabel FROM probe)),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+books AS (
+  SELECT j.x AS j, c,
+         CAST(embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS cvec
+  FROM seeds, generate_series(0, 3) AS j(x)),
+subs AS (
+  SELECT m.vec_id, m.cell, j.x AS j,
+         CAST(e.embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS sv
+  FROM members m JOIN embeddings e USING (vec_id), generate_series(0, 3) AS j(x)),
+pq_scored AS (
+  SELECT s.vec_id, s.cell, s.j, b.c,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (s.sv[i] - b.cvec[i])^2)) AS d
+  FROM subs s JOIN books b USING (j)),
+pq_assign AS (
+  SELECT vec_id, cell, j, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM pq_scored)
+  WHERE rn = 1),
+qsub AS (
+  SELECT j.x AS j, CAST(embedding[j.x*16+1 : j.x*16+16] AS DOUBLE[]) AS qv
+  FROM q, generate_series(0, 3) AS j(x)),
+lut AS (
+  SELECT b.j, b.c,
+         round(list_sum(list_transform(generate_series(1, 16),
+               i -> (qs.qv[i] - b.cvec[i])^2)), 6) AS part
+  FROM books b JOIN qsub qs USING (j)),
+parts AS (
+  SELECT a.vec_id AS id, ANY_VALUE(a.cell) AS cell,
+         MAX(CASE WHEN a.j = 0 THEN l.part END) AS p0,
+         MAX(CASE WHEN a.j = 1 THEN l.part END) AS p1,
+         MAX(CASE WHEN a.j = 2 THEN l.part END) AS p2,
+         MAX(CASE WHEN a.j = 3 THEN l.part END) AS p3
+  FROM pq_assign a JOIN lut l ON l.j = a.j AND l.c = a.code
+  GROUP BY a.vec_id)
+SELECT id, CAST(cell AS INTEGER) AS cell, round(p0 + p1 + p2 + p3, 6) AS adc
+FROM parts ORDER BY adc, id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5703,6 +5812,7 @@ def _init_queries() -> None:
         "q_time_in_state": q_time_in_state,
         "q_k_anonymity": q_k_anonymity,
         "q_avro_roundtrip": q_avro_roundtrip,
+        "q_ivfpq_topk": q_ivfpq_topk,
     })
 
 
@@ -5875,4 +5985,5 @@ def oracle_sql() -> dict[str, str]:
         "q_time_in_state": _SQL_TIME_IN_STATE,
         "q_k_anonymity": _SQL_K_ANONYMITY,
         "q_avro_roundtrip": _SQL_SELECT_CUSTOMER,
+        "q_ivfpq_topk": _SQL_IVFPQ,
     }
