@@ -5605,6 +5605,29 @@ FROM parts ORDER BY adc, id LIMIT 10
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing of event values (α=1/2): the
+    sequential recurrence runs as ONE vectorized fold per key inside a
+    single grouping shuffle — no per-row window, no Python — and α is
+    binary-exact so the oracle's list_reduce lands on identical bits."""
+    from h2h_spark.operators.timeseries import ewma_last
+
+    ev = _load_events(spark, sf_dir)
+    out = ewma_last(ev, "user_id", "ts", "event_id", "value", alpha=0.5)
+    return out.select(F.col("key").alias("user_id"), "n_obs", "ewma")
+
+
+_SQL_EWMA = """
+WITH s AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_obs,
+       round(list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5813,6 +5836,7 @@ def _init_queries() -> None:
         "q_k_anonymity": q_k_anonymity,
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_ivfpq_topk": q_ivfpq_topk,
+        "q_ewma": q_ewma,
     })
 
 
@@ -5986,4 +6010,5 @@ def oracle_sql() -> dict[str, str]:
         "q_k_anonymity": _SQL_K_ANONYMITY,
         "q_avro_roundtrip": _SQL_SELECT_CUSTOMER,
         "q_ivfpq_topk": _SQL_IVFPQ,
+        "q_ewma": _SQL_EWMA,
     }

