@@ -46,6 +46,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping_pct: int = 85,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -69,7 +70,7 @@ def pagerank(
     ew = e.join(deg, "src").persist()
     base = (100 - damping_pct) * SCALE // 100
     ranks = nodes.withColumn("rank", F.lit(SCALE).cast("bigint"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -86,6 +87,11 @@ def pagerank(
                 + F.expr(f"{damping_pct} * coalesce(m, 0) div 100")
             ).cast("bigint").alias("rank"),
         )
+        # deep iteration: truncate lineage so the plan stays one round
+        # deep — bit-identical results (integer arithmetic), bounded
+        # analyzer cost at any depth.
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -46,6 +46,10 @@ def resolve_tree(
             F.col("anc").alias("__hanc"),
             F.col("d").alias("__hd"),
         )
+        # localCheckpoint (not just persist): truncates lineage so the
+        # final plan holds ONE round, not every round nested — a deep
+        # hierarchy would otherwise overwhelm the analyzer long before
+        # the data costs anything.
         nxt = (
             ptr.join(hop, ptr.anc == hop.__hid, "left")
             .select(
@@ -56,12 +60,12 @@ def resolve_tree(
                 .alias("d"),
                 F.col("__hanc").isNotNull().alias("__moved"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         moved = nxt.agg(F.max("__moved")).collect()[0][0]
         cached.unpersist()
         cached = nxt
-        ptr = nxt.drop("__moved")  # backed by nxt's cache
+        ptr = nxt.drop("__moved")
         if not moved:
             break
     else:

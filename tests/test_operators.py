@@ -2087,3 +2087,14 @@ def test_ewma_matches_sequential_reference(spark):
     # user 10: s1=4 → s2=.5*8+.5*4=6 → s3=.5*2+.5*6=4
     assert got[10] == (3, 4.0)
     assert got[20] == (1, 5.0)
+
+
+def test_pagerank_deep_iteration_checkpointed(spark):
+    from h2h_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    # 10 rounds crosses the checkpoint boundary; ring stays uniform
+    ranks = pagerank(edges, iterations=10, checkpoint_every=4).collect()
+    assert len({r["rank"] for r in ranks}) == 1
