@@ -5628,6 +5628,60 @@ FROM s
 """
 
 
+def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality gate: events drain one file per
+    micro-batch and every batch runs the constraint suite (one wide
+    aggregate per batch); violation counts fold additively, so the final
+    report equals the batch suite over all data regardless of
+    micro-batch boundaries — which is exactly what the oracle asserts."""
+    from h2h_spark.operators import quality as Q
+    from h2h_spark.streaming.sinks import stream_dq_gate
+
+    work = _work("q_stream_dq", sf_dir)
+    src = os.path.join(work, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    return stream_dq_gate(
+        spark,
+        src,
+        schema,
+        [
+            Q.not_null("user_id"),
+            Q.in_range("value", 0.0, 100.0),
+            Q.matches("event_type", "^[a-z_]+$"),
+        ],
+        referential=[("users", "user_id", cust, "c_custkey")],
+        transform=_norm_ts,
+    )
+
+
+_SQL_STREAM_DQ = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(SUM(CASE WHEN value IS NULL OR value < 0.0 OR value > 100.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN event_type IS NULL
+                       OR NOT regexp_matches(event_type, '^[a-z_]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM events),
+rows_ AS (
+  SELECT 'not_null(user_id)' AS check_name, v0 AS violations FROM agg
+  UNION ALL SELECT 'in_range(value,0.0,100.0)', v1 FROM agg
+  UNION ALL SELECT 'matches(event_type)', v2 FROM agg
+  UNION ALL
+  SELECT 'referential(users)', CAST(COUNT(*) AS BIGINT)
+  FROM events e
+  WHERE e.user_id IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+SELECT check_name, violations, violations = 0 AS passed FROM rows_
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5837,6 +5891,7 @@ def _init_queries() -> None:
         "q_avro_roundtrip": q_avro_roundtrip,
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_ewma": q_ewma,
+        "q_stream_dq": q_stream_dq,
     })
 
 
@@ -6011,4 +6066,5 @@ def oracle_sql() -> dict[str, str]:
         "q_avro_roundtrip": _SQL_SELECT_CUSTOMER,
         "q_ivfpq_topk": _SQL_IVFPQ,
         "q_ewma": _SQL_EWMA,
+        "q_stream_dq": _SQL_STREAM_DQ,
     }

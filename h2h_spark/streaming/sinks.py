@@ -67,3 +67,48 @@ def stream_fold_agg(
             spark.createDataFrame([], schema), keys, measures
         )
     return spark.read.parquet(cur["path"])
+
+
+def stream_dq_gate(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    constraints,
+    referential=None,
+    transform=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous data-quality gate: every micro-batch runs the
+    :mod:`h2h_spark.operators.quality` constraint suite (one wide
+    aggregate per batch) and the O(|constraints|) violation counts fold
+    additively into driver-side totals — so the final report equals the
+    batch suite over all data regardless of micro-batch boundaries (the
+    property the oracle asserts).  Per-batch cost is |batch| scan work;
+    gate state never grows with history."""
+    from h2h_spark.operators.quality import check_constraints
+
+    totals: dict[str, int] = {}
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        rep = check_constraints(batch, constraints, referential=referential)
+        for r in rep.collect():
+            totals[r["check_name"]] = (
+                totals.get(r["check_name"], 0) + int(r["violations"])
+            )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(k, v, v == 0) for k, v in sorted(totals.items())]
+    return spark.createDataFrame(
+        rows, "check_name string, violations bigint, passed boolean"
+    )
