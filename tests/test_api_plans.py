@@ -210,3 +210,65 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_work):
     a = spark.read.parquet(zpath).filter(sel_y).agg(F.count("*"), F.sum("x")).collect()
     b = spark.read.parquet(lpath).filter(sel_y).agg(F.count("*"), F.sum("x")).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# CLI (__main__): the reference's hdfspipe flag surface
+# ---------------------------------------------------------------------------
+
+
+def test_cli_so_mf_si_roundtrip(spark, tmp_work):
+    import pytest
+
+    from h2h_spark.__main__ import main
+    from h2h_spark.layout import Layout, String, Unsigned
+
+    lay = Layout([("name", String(12)), ("qty", Unsigned(4))])
+    lay_path = f"{tmp_work}/lay.json"
+    open(lay_path, "w").write(lay.to_json())
+    src = f"{tmp_work}/in_pq"
+    spark.createDataFrame(
+        [("ab", 5), ("cdef", 9)], "name string, qty long"
+    ).write.mode("overwrite").parquet(src)
+    target = f"{tmp_work}/wire_file"
+    assert main(["-so", "-in", src, "-filename", target,
+                 "-format", "FLAT", "-layout", lay_path]) == 0
+    assert main(["-mf", "-filename", target, "-cleanmerge", "1"]) == 0
+    import os
+    assert os.path.isfile(target) and not os.path.exists(target + "-parts")
+    out = f"{tmp_work}/back_pq"
+    assert main(["-si", "-filename", target, "-format", "FLAT",
+                 "-layout", lay_path, "-out", out]) == 0
+    back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert back == [("ab", 5), ("cdef", 9)]
+
+    # validateParameters parity: bad topology flags abort
+    with pytest.raises(SystemExit):
+        main(["-si", "-filename", target, "-layout", lay_path,
+              "-out", out, "-clustercount", "0"])
+    with pytest.raises(SystemExit):
+        main(["-si", "-filename", target, "-layout", lay_path,
+              "-out", out, "-clustercount", "2", "-nodeid", "5"])
+
+
+def test_cli_csv_flag_composition(spark, tmp_work):
+    from h2h_spark.__main__ import main
+    from h2h_spark.layout import Layout, String, Unsigned
+
+    lay = Layout([("name", String(8)), ("qty", Unsigned(4))])
+    lay_path = f"{tmp_work}/lay.json"
+    open(lay_path, "w").write(lay.to_json())
+    src = f"{tmp_work}/in_pq"
+    spark.createDataFrame(
+        [("x", 1), ("y", 2)], "name string, qty long"
+    ).write.mode("overwrite").parquet(src)
+    target = f"{tmp_work}/csv_file"
+    assert main(["-sop", "-in", src, "-filename", target, "-format", "CSV",
+                 "-separator", "|", "-layout", lay_path]) == 0
+    text = open(target).read()
+    assert "|" in text
+    out = f"{tmp_work}/back_pq"
+    assert main(["-si", "-filename", target, "-format", "CSV",
+                 "-separator", "|", "-layout", lay_path, "-out", out]) == 0
+    back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert back == [("x", 1), ("y", 2)]
