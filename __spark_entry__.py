@@ -5848,14 +5848,18 @@ def _init_queries() -> None:
         "q_waiting_suppliers": q_waiting_suppliers,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_corpus_pipeline": q_corpus_pipeline,
-        # Round-4c/d/e additions (retrieval ranking, semantic dedup, SCD2,
+        # Round-4c..4o additions (retrieval ranking, semantic dedup, SCD2,
         # cohort retention, perplexity stratification, event-sequence
-        # analytics, unpivot, classifier scoring) — deferred to the
-        # round-5 window along with the 7 entries and 11 round-4b shapes
-        # above, attested by the refreshed sweep artifacts.  Round-5
-        # rotation plan: keep the 8 §2.2 contract queries in slots 1-8,
-        # fill slots 9-50 with the 28 never-driver-graded entries below
-        # plus re-verification picks from the r01-r03 ever-green set.
+        # analytics, unpivot, classifier scoring, pixel codecs, graph/
+        # rank/hierarchy, prefix join, BPE, PQ/IVF-PQ, avro, quality/
+        # k-anonymity/stream-DQ, ewma, time-in-state, schema evolution)
+        # are registered past slot 50 and attested by the committed
+        # full-registry sweep artifacts (ORACLE_SWEEP_r04_sf001/sf01:
+        # 0 failures).  Round-5 rotation plan: keep the 8 §2.2 contract
+        # queries in slots 1-8, fill slots 9-50 with never-driver-graded
+        # entries prioritized by family novelty (graph, BPE, PQ, avro,
+        # hierarchy, quality first), and continue rotating each round
+        # until every entry has a driver-green row.
         "q_bm25_topk": q_bm25_topk,
         "q_inverted_index": q_inverted_index,
         "q_semdedup": q_semdedup,
