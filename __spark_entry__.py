@@ -5682,6 +5682,43 @@ SELECT check_name, violations, violations = 0 AS passed FROM rows_
 """
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (Blakeley et al. 1986):
+    after append-only deltas to both orders and lineitem, the refreshed
+    view is V ∪ (ΔA⋈(B∪ΔB)) ∪ (A⋈ΔB) — only delta-sized joins run, yet
+    the result equals re-joining the complete tables, which is exactly
+    what the oracle computes.  Work |Δ|·selectivity, never the history."""
+    from h2h_spark.operators.incremental import incremental_join_refresh
+
+    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_extendedprice"
+    )
+    a_state = orders.filter(F.col("o_orderkey") % 4 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b_state = li.filter(F.col("l_linenumber") != 1)
+    b_delta = li.filter(F.col("l_linenumber") == 1)
+    view = a_state.join(b_state, ["o_orderkey"])
+    refreshed = incremental_join_refresh(
+        view, a_state, b_state, a_delta, b_delta, ["o_orderkey"]
+    )
+    return refreshed.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        _dsum(F.col("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+_SQL_INCREMENTAL_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5896,6 +5933,7 @@ def _init_queries() -> None:
         "q_ivfpq_topk": q_ivfpq_topk,
         "q_ewma": q_ewma,
         "q_stream_dq": q_stream_dq,
+        "q_incremental_join": q_incremental_join,
     })
 
 
@@ -6071,4 +6109,5 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_topk": _SQL_IVFPQ,
         "q_ewma": _SQL_EWMA,
         "q_stream_dq": _SQL_STREAM_DQ,
+        "q_incremental_join": _SQL_INCREMENTAL_JOIN,
     }

@@ -124,3 +124,51 @@ def scd2_merge(
         .unionByName(opened.select(*cols))
         .unionByName(inserted.select(*cols))
     )
+
+
+def incremental_join_delta(
+    a_state: DataFrame,
+    b_state: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta of an inner-join view under append-only inserts to both
+    sides — classic incremental view maintenance algebra (Blakeley,
+    Larson & Tompa, SIGMOD 1986 — public):
+
+        Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+                 = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+
+    The maintained view needs only the DELTAS joined against states —
+    work proportional to |Δ|·selectivity, never a re-join of the full
+    tables.  At 100 TB this is the difference between touching a day's
+    rows and re-shuffling the year.  AQE broadcasts whichever delta is
+    small; appending the result to the stored view completes the
+    refresh:  V' = V ∪ Δ(A ⋈ B).
+
+    Columns: both inputs keep their own columns minus the join keys
+    (which appear once).  The caller guarantees append-only semantics;
+    deletes/updates need the counting algebra (agg_state's signed-count
+    variant) — documented, not built.
+    """
+    b_plus = b_state.unionByName(b_delta)
+    part1 = a_delta.join(b_plus, on)
+    part2 = a_state.join(b_delta, on)
+    return part1.unionByName(part2)
+
+
+def incremental_join_refresh(
+    view: DataFrame,
+    a_state: DataFrame,
+    b_state: DataFrame,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """``V' = V ∪ Δ(A ⋈ B)`` — the full refreshed view, equal to
+    ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` (the property the oracle asserts) while
+    computing only delta-sized joins."""
+    return view.unionByName(
+        incremental_join_delta(a_state, b_state, a_delta, b_delta, on)
+    )

@@ -2098,3 +2098,26 @@ def test_pagerank_deep_iteration_checkpointed(spark):
     # 10 rounds crosses the checkpoint boundary; ring stays uniform
     ranks = pagerank(edges, iterations=10, checkpoint_every=4).collect()
     assert len({r["rank"] for r in ranks}) == 1
+
+
+def test_incremental_join_equals_full_rejoin(spark):
+    from h2h_spark.operators.incremental import incremental_join_refresh
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(20)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 10, i, float(k)) for i, k in enumerate(range(30))],
+        "k long, i long, bv double",
+    )
+    a_state, a_delta = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+    b_state, b_delta = b.filter("i % 2 = 0"), b.filter("i % 2 = 1")
+    view = a_state.join(b_state, ["k"])
+    got = sorted(
+        tuple(r)
+        for r in incremental_join_refresh(
+            view, a_state, b_state, a_delta, b_delta, ["k"]
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in a.join(b, ["k"]).collect())
+    assert got == want and len(want) > 0
