@@ -5719,6 +5719,37 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (shortest hop counts) over the undirected
+    customer↔supplier purchase graph from 3 seed customers: each round
+    joins ONLY the new frontier against the edge list and anti-joins the
+    settled set — Σ frontier work is O(|E|) total.  The oracle is a true
+    recursive CTE taking MIN(dist) per node (UNION-distinct bounds the
+    recursion); integer hop counts make the comparison exact."""
+    from h2h_spark.operators.graph import bfs_distances
+
+    directed = _pagerank_edges(spark, sf_dir)
+    und = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = spark.createDataFrame([(2,), (4,), (6,)], "node long")
+    return bfs_distances(und, sources, max_depth=8)
+
+
+_SQL_BFS = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+walk(id, dist) AS (
+  SELECT * FROM (VALUES (2, 0), (4, 0), (6, 0)) v(id, dist)
+  UNION
+  SELECT e.t, w.dist + 1 FROM walk w JOIN e ON e.s = w.id WHERE w.dist < 8)
+SELECT CAST(id AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5934,6 +5965,7 @@ def _init_queries() -> None:
         "q_ewma": q_ewma,
         "q_stream_dq": q_stream_dq,
         "q_incremental_join": q_incremental_join,
+        "q_bfs_distances": q_bfs_distances,
     })
 
 
@@ -6110,4 +6142,5 @@ def oracle_sql() -> dict[str, str]:
         "q_ewma": _SQL_EWMA,
         "q_stream_dq": _SQL_STREAM_DQ,
         "q_incremental_join": _SQL_INCREMENTAL_JOIN,
+        "q_bfs_distances": _SQL_BFS,
     }

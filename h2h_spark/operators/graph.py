@@ -147,3 +147,44 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
         deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Multi-source BFS over a directed edge list: ``(node, dist)`` for
+    every node reachable from ``sources`` within ``max_depth`` hops,
+    ``dist`` = fewest hops (BIGINT — exact, engine-portable).
+
+    Frontier expansion: each round joins ONLY the newly-settled frontier
+    against the edge list (never the whole visited set), anti-joins out
+    already-settled nodes, and stops when the frontier empties — total
+    work Σ |frontier ⋈ edges| = O(|E|) across all rounds, the textbook
+    distributed BFS.  Each round localCheckpoints, so the plan stays one
+    round deep at any depth.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    settled = sources.select(F.col(node).alias("id")).distinct().withColumn(
+        "dist", F.lit(0).cast("bigint")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.s)
+            .select(F.col("t").alias("id"))
+            .distinct()
+            .join(settled.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("bigint"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled.select(F.col("id").alias(node), "dist")

@@ -2121,3 +2121,25 @@ def test_incremental_join_equals_full_rejoin(spark):
     )
     want = sorted(tuple(r) for r in a.join(b, ["k"]).collect())
     assert got == want and len(want) > 0
+
+
+def test_bfs_distances_chain_and_unreachable(spark):
+    from h2h_spark.operators.graph import bfs_distances
+
+    # chain 0→1→2→3→4 plus an isolated edge 100→101
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)] + [(100, 101)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # depth cap stops early
+    capped = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, srcs, max_depth=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2}
+    # multi-source takes the minimum
+    srcs2 = spark.createDataFrame([(0,), (3,)], "node long")
+    multi = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs2).collect()}
+    assert multi[4] == 1 and multi[1] == 1 and multi[2] == 2
