@@ -5750,6 +5750,16 @@ FROM walk GROUP BY id
 """
 
 
+def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by large-star/small-star contraction
+    (Kiveris et al. 2014) — the O(log n)-round alternative to min-label
+    propagation for high-diameter graphs; same output contract and the
+    same recursive-CTE oracle as q_dedup_components, so the two
+    implementations are graded against each other through the oracle."""
+    pairs = _jaccard_pairs_table(spark, sf_dir)
+    return D.connected_components_star(pairs)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5966,6 +5976,7 @@ def _init_queries() -> None:
         "q_stream_dq": q_stream_dq,
         "q_incremental_join": q_incremental_join,
         "q_bfs_distances": q_bfs_distances,
+        "q_components_star": q_components_star,
     })
 
 
@@ -6143,4 +6154,5 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_dq": _SQL_STREAM_DQ,
         "q_incremental_join": _SQL_INCREMENTAL_JOIN,
         "q_bfs_distances": _SQL_BFS,
+        "q_components_star": _SQL_DEDUP_COMPONENTS,  # same contract, same oracle
     }

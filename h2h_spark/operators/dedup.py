@@ -678,3 +678,89 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public): the O(log n)-round alternative to min-label
+    propagation for HIGH-DIAMETER graphs, where propagation needs
+    O(diameter) rounds.
+
+    Per round, every node connects its neighborhood to the neighborhood
+    minimum: large-star rewires only strictly-larger neighbors (safe in
+    parallel), small-star the rest; alternating the two contracts every
+    component to a star around its minimum id.  Each half-round is one
+    grouping aggregate + one equi-join on the edge list; convergence is
+    an exact fixed-point check on the edge set.  Output contract matches
+    :func:`connected_components`: ``(id, rep)`` with ``rep`` the
+    component minimum, singleton-free.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # undirected working set, deduped, localCheckpointed per round
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _mins(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _sym(d: DataFrame) -> DataFrame:
+        return (
+            d.filter(F.col("u") != F.col("v"))
+            .unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for it in range(max_iter):
+        # large-star: every strictly-larger neighbor of u rewires to
+        # m(u) = min(Γ(u) ∪ {u}); the (u,v) v<u orientation of each
+        # undirected edge contributes nothing (handled from v's center).
+        mins = _mins(e)
+        ls = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = _sym(ls).localCheckpoint(eager=True)
+        # small-star: every smaller-or-equal neighbor AND u itself
+        # rewires to m(u).
+        mins1 = _mins(e1)
+        ss = (
+            e1.filter(F.col("v") < F.col("u"))
+            .join(mins1, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins1.select(F.col("u"), F.col("m").alias("v"))
+        e2 = _sym(ss.unionByName(centers)).localCheckpoint(eager=True)
+        if (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        ):
+            e = e2
+            break
+        e = e2
+    else:
+        raise ValueError(
+            f"connected_components_star: no fixed point in {max_iter} rounds"
+        )
+    # fixed point is a star forest: every edge (v, m) with m the minimum
+    stars = e.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("id"), F.col("v").alias("rep")
+    )
+    reps = stars.select(F.col("rep").alias("id")).distinct().select(
+        "id", F.col("id").alias("rep")
+    )
+    return stars.unionByName(reps)

@@ -2143,3 +2143,24 @@ def test_bfs_distances_chain_and_unreachable(spark):
     srcs2 = spark.createDataFrame([(0,), (3,)], "node long")
     multi = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs2).collect()}
     assert multi[4] == 1 and multi[1] == 1 and multi[2] == 2
+
+
+def test_components_star_matches_min_label(spark):
+    import random
+
+    random.seed(9)
+    # high-diameter chain + random clutter + duplicate/reversed edges
+    edges = [(i, i + 1) for i in range(200, 230)]
+    edges += [(random.randrange(40), random.randrange(40)) for _ in range(50)]
+    edges += [(b, a) for a, b in edges[:10]]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = sorted(tuple(r) for r in D.connected_components(df).collect())
+    b = sorted(tuple(r) for r in D.connected_components_star(df).collect())
+    assert a == b
+    # every rep is the component minimum
+    reps = {}
+    for nid, rep in b:
+        reps.setdefault(rep, []).append(nid)
+    for rep, members in reps.items():
+        assert rep == min(members)
