@@ -169,7 +169,13 @@ def bfs_distances(
     distributed BFS.  Each round localCheckpoints, so the plan stays one
     round deep at any depth.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    # the edge list is re-joined every round — materialize it once, or
+    # each round re-runs the upstream build (scan + distinct).
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     settled = sources.select(F.col(node).alias("id")).distinct().withColumn(
         "dist", F.lit(0).cast("bigint")
     ).localCheckpoint(eager=True)

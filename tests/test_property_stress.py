@@ -314,8 +314,16 @@ def test_bm25_equals_naive(spark, seed):
             c = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl)), 6)
             s += Decimal(str(c))
         if s:
+            # The engine rounds the double sum via Spark's round(), which
+            # is Java BigDecimal.valueOf(double) — the SHORTEST decimal
+            # repr (= python repr), not the full binary expansion: a sum
+            # of 6-digit decimals landing on x.xxxx5 (e.g. 0.46825, found
+            # by hypothesis seed 53414) must round HALF_UP to 0.4683 even
+            # though its binary double is 0.468249999…
             naive[i] = float(
-                Decimal(float(s)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                Decimal(repr(float(s))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
             )
     assert got == naive
 
