@@ -5760,6 +5760,75 @@ def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs)
 
 
+def q_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: a JSONL feed where every 7th line is
+    truncated mid-record is read in PERMISSIVE mode — bad lines land in
+    the corrupt-record column instead of killing the job (the ingestion
+    contract a 100 TB feed needs: quarantine, don't crash), good rows
+    decode normally.  Output: corrupt/good counts + an aggregate over
+    the good rows; the oracle re-derives both from the same every-7th
+    rule."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    w = _work("q_json_corrupt", sf_dir)
+    path = os.path.join(w, "feed.jsonl")
+    marker = os.path.join(w, "_DONE")
+    if not os.path.exists(marker):
+        lines = (
+            cust.orderBy("c_custkey")
+            .select(F.to_json(F.struct("c_custkey", "c_acctbal", "c_mktsegment")))
+            .collect()
+        )
+        with open(path, "w") as f:
+            for i, (j,) in enumerate(lines):
+                f.write((j[: max(len(j) // 2, 1)] if i % 7 == 0 else j) + "\n")
+        open(marker, "w").close()
+    schema = (
+        "c_custkey long, c_acctbal double, c_mktsegment string, _corrupt string"
+    )
+    feed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        # Spark disallows querying only the corrupt column straight off a
+        # raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materialize the
+        # parse once — which a quarantine pipeline does anyway.
+        .persist()
+    )
+    good = feed.filter(F.col("_corrupt").isNull())
+    return (
+        feed.agg(
+            F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+        )
+        .crossJoin(
+            good.agg(
+                _dsum(F.col("c_acctbal"), 2).alias("good_acctbal"),
+                F.count_distinct("c_mktsegment").cast("bigint").alias("n_segments"),
+            )
+        )
+    )
+
+
+_SQL_JSON_CORRUPT = """
+WITH ranked AS (
+  SELECT c_acctbal, c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn
+  FROM customer)
+SELECT CAST(SUM(CASE WHEN rn % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN rn % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN rn % 7 <> 0
+                THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS good_acctbal,
+       CAST(COUNT(DISTINCT CASE WHEN rn % 7 <> 0 THEN c_mktsegment END) AS BIGINT)
+         AS n_segments
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5977,6 +6046,7 @@ def _init_queries() -> None:
         "q_incremental_join": q_incremental_join,
         "q_bfs_distances": q_bfs_distances,
         "q_components_star": q_components_star,
+        "q_json_corrupt": q_json_corrupt,
     })
 
 
@@ -6155,4 +6225,5 @@ def oracle_sql() -> dict[str, str]:
         "q_incremental_join": _SQL_INCREMENTAL_JOIN,
         "q_bfs_distances": _SQL_BFS,
         "q_components_star": _SQL_DEDUP_COMPONENTS,  # same contract, same oracle
+        "q_json_corrupt": _SQL_JSON_CORRUPT,
     }
