@@ -5829,6 +5829,53 @@ FROM ranked
 """
 
 
+def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS in one pass: extendedprice ~ quantity + discount
+    fit via exact-decimal Gram sums (order-independent under any
+    partitioning) + a fixed-order Cramer solve over the one-row
+    aggregate — the identical formula in the oracle lands on the same
+    bits.  No iteration, no driver math, no randomness."""
+    from h2h_spark.operators.regress import ols_fit
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return ols_fit(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+_SQL_OLS = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)) * CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sx11,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)) * CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,8)) * CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sx22,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)) * CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) AS sx12,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,8)) * CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sx2y
+  FROM lineitem)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sy * ((sx11 * sx22) - (sx12 * sx12))
+              - sx1 * ((sx1y * sx22) - (sx12 * sx2y))
+              + sx2 * ((sx1y * sx12) - (sx11 * sx2y)))
+             / (n * ((sx11 * sx22) - (sx12 * sx12))
+                - sx1 * ((sx1 * sx22) - (sx12 * sx2))
+                + sx2 * ((sx1 * sx12) - (sx11 * sx2))), 6) AS b0,
+       round((n * ((sx1y * sx22) - (sx12 * sx2y))
+              - sy * ((sx1 * sx22) - (sx12 * sx2))
+              + sx2 * ((sx1 * sx2y) - (sx1y * sx2)))
+             / (n * ((sx11 * sx22) - (sx12 * sx12))
+                - sx1 * ((sx1 * sx22) - (sx12 * sx2))
+                + sx2 * ((sx1 * sx12) - (sx11 * sx2))), 6) AS b1,
+       round((n * ((sx11 * sx2y) - (sx1y * sx12))
+              - sx1 * ((sx1 * sx2y) - (sx1y * sx2))
+              + sy * ((sx1 * sx12) - (sx11 * sx2)))
+             / (n * ((sx11 * sx22) - (sx12 * sx12))
+                - sx1 * ((sx1 * sx22) - (sx12 * sx2))
+                + sx2 * ((sx1 * sx12) - (sx11 * sx2))), 6) AS b2
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6047,6 +6094,7 @@ def _init_queries() -> None:
         "q_bfs_distances": q_bfs_distances,
         "q_components_star": q_components_star,
         "q_json_corrupt": q_json_corrupt,
+        "q_ols_fit": q_ols_fit,
     })
 
 
@@ -6226,4 +6274,5 @@ def oracle_sql() -> dict[str, str]:
         "q_bfs_distances": _SQL_BFS,
         "q_components_star": _SQL_DEDUP_COMPONENTS,  # same contract, same oracle
         "q_json_corrupt": _SQL_JSON_CORRUPT,
+        "q_ols_fit": _SQL_OLS,
     }

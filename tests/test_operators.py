@@ -2164,3 +2164,27 @@ def test_components_star_matches_min_label(spark):
         reps.setdefault(rep, []).append(nid)
     for rep, members in reps.items():
         assert rep == min(members)
+
+
+def test_ols_fit_matches_numpy(spark):
+    from h2h_spark.operators.regress import ols_fit
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 10, 200)
+    x2 = rng.uniform(0, 1, 200)
+    y = 3.5 + 2.0 * x1 - 4.0 * x2 + rng.normal(0, 0.1, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    r = ols_fit(df, "y", "x1", "x2").collect()[0]
+    A = np.column_stack([np.ones_like(x1), x1, x2])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert r["n"] == 200
+    assert abs(r["b0"] - beta[0]) < 1e-4
+    assert abs(r["b1"] - beta[1]) < 1e-4
+    assert abs(r["b2"] - beta[2]) < 1e-4
+    # simple-regression path
+    r1 = ols_fit(df, "y", "x1").collect()[0]
+    b = np.linalg.lstsq(np.column_stack([np.ones_like(x1), x1]), y, rcond=None)[0]
+    assert abs(r1["b0"] - b[0]) < 1e-4 and abs(r1["b1"] - b[1]) < 1e-4
