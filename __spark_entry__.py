@@ -5876,6 +5876,39 @@ FROM g
 """
 
 
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink under replay: the stream drains TWICE
+    into the same idempotent batch-id sink (the second pass re-delivers
+    every micro-batch, as failure recovery would) and the committed data
+    still equals the source exactly — the oracle aggregates the events
+    table directly, so any double-append mismatches."""
+    from h2h_spark.streaming.sinks import idempotent_append
+
+    work = _work("q_stream_exactly_once", sf_dir)
+    src = os.path.join(work, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    out_root = os.path.join(work, "sink")
+    for _ in range(2):  # second run replays every batch id
+        committed = idempotent_append(
+            spark, src, schema, out_root, transform=_norm_ts
+        )
+    return committed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        _dsum(F.col("value"), 4).alias("total_value"),
+    )
+
+
+_SQL_STREAM_EXACTLY_ONCE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6095,6 +6128,7 @@ def _init_queries() -> None:
         "q_components_star": q_components_star,
         "q_json_corrupt": q_json_corrupt,
         "q_ols_fit": q_ols_fit,
+        "q_stream_exactly_once": q_stream_exactly_once,
     })
 
 
@@ -6275,4 +6309,5 @@ def oracle_sql() -> dict[str, str]:
         "q_components_star": _SQL_DEDUP_COMPONENTS,  # same contract, same oracle
         "q_json_corrupt": _SQL_JSON_CORRUPT,
         "q_ols_fit": _SQL_OLS,
+        "q_stream_exactly_once": _SQL_STREAM_EXACTLY_ONCE,
     }

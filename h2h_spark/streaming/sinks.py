@@ -112,3 +112,45 @@ def stream_dq_gate(
     return spark.createDataFrame(
         rows, "check_name string, violations bigint, passed boolean"
     )
+
+
+def idempotent_append(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    out_root: str,
+    transform=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Exactly-once file sink: each micro-batch commits to its own
+    ``batch=<id>`` directory with a marker written LAST — a replayed
+    batch id (failure recovery re-delivers micro-batches with the same
+    id) sees the marker and skips, so reprocessing appends nothing
+    twice.  This is the idempotent-by-batch-id contract Structured
+    Streaming's foreachBatch documentation prescribes, as an operator.
+    Returns the deduplicated union of all committed batches."""
+    import shutil
+
+    def commit(batch: DataFrame, bid: int) -> None:
+        dst = os.path.join(out_root, f"batch={bid}")
+        marker = os.path.join(dst, "_COMMITTED")
+        if os.path.exists(marker):
+            return  # exactly-once: this batch id already landed
+        if os.path.exists(dst):  # partial write from a dead attempt
+            shutil.rmtree(dst)
+        batch.write.mode("overwrite").parquet(dst)
+        open(marker, "w").close()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = stream.writeStream.foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_root).drop("batch")

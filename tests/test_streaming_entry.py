@@ -299,3 +299,34 @@ def test_stream_fold_agg_matches_batch(spark, tmp_path):
     )
     got = {r["k"]: (r["n_rows"], float(r["v_sum"])) for r in state.collect()}
     assert got == {1: (3, 4.0), 2: (2, 3.0), 3: (1, 9.0)}
+
+
+def test_idempotent_append_survives_replay_and_partial_writes(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.streaming.sinks import idempotent_append
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    got1 = idempotent_append(spark, src, schema, out)
+    n1 = got1.count()
+    # full replay: every batch id re-delivered — nothing appends twice
+    got2 = idempotent_append(spark, src, schema, out)
+    assert got2.count() == n1 == 100
+
+    # a dead attempt's partial dir (no marker) must be overwritten, and
+    # data re-lands exactly once
+    import shutil
+
+    victim = os.path.join(out, "batch=0")
+    os.remove(os.path.join(victim, "_COMMITTED"))
+    got3 = idempotent_append(spark, src, schema, out)
+    assert got3.count() == 100
+    assert sorted(r["id"] for r in got3.collect()) == list(range(100))
