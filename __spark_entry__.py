@@ -5909,6 +5909,36 @@ FROM events GROUP BY event_type
 """
 
 
+def q_retract_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style delete propagation into a maintained aggregate: the
+    per-user state built over ALL events is retracted by the deletion
+    batch (every 10th user) via the counting algebra — negate the
+    deleted rows' partial state, merge, drop zero-count keys — at
+    |state| + |deleted| cost.  The oracle recomputes from scratch over
+    the surviving rows; decimal sums make add-then-subtract exact."""
+    from h2h_spark.operators.incremental import agg_state, retract_agg_state
+
+    ev = _load_events(spark, sf_dir)
+    state = agg_state(ev, ["user_id"], {"value": "decimal(18,4)"})
+    deleted = ev.filter(F.col("user_id") % 10 == 0)
+    out = retract_agg_state(
+        state, deleted, ["user_id"], {"value": "decimal(18,4)"}
+    )
+    return out.select(
+        "user_id",
+        F.col("n_rows").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("double").alias("total_value"),
+    )
+
+
+_SQL_RETRACT_STATE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events WHERE user_id % 10 <> 0
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6129,6 +6159,7 @@ def _init_queries() -> None:
         "q_json_corrupt": q_json_corrupt,
         "q_ols_fit": q_ols_fit,
         "q_stream_exactly_once": q_stream_exactly_once,
+        "q_retract_state": q_retract_state,
     })
 
 
@@ -6310,4 +6341,5 @@ def oracle_sql() -> dict[str, str]:
         "q_json_corrupt": _SQL_JSON_CORRUPT,
         "q_ols_fit": _SQL_OLS,
         "q_stream_exactly_once": _SQL_STREAM_EXACTLY_ONCE,
+        "q_retract_state": _SQL_RETRACT_STATE,
     }

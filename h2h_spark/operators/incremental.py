@@ -172,3 +172,26 @@ def incremental_join_refresh(
     return view.unionByName(
         incremental_join_delta(a_state, b_state, a_delta, b_delta, on)
     )
+
+
+def retract_agg_state(
+    state: DataFrame,
+    deleted: DataFrame,
+    keys: list[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Delete propagation into a maintained aggregate — the counting
+    algebra: the deleted rows' partial state is NEGATED and folded in
+    (``state' = merge(state, −partial(deleted))``), so a deletion batch
+    costs |state| + |deleted| instead of recomputing history — the
+    GDPR-erasure path for materialized aggregates.  Keys whose count
+    reaches zero drop out entirely (they must: a lingering zero row
+    differs from the from-scratch recompute the contract equals).
+    Decimal sums make retraction exact: add then subtract is the
+    identity, in any order, under any partitioning."""
+    neg = agg_state(deleted, keys, measures)
+    cols = [F.col(c) for c in keys] + [
+        (-F.col("n_rows")).alias("n_rows")
+    ] + [(-F.col(f"{m}_sum")).alias(f"{m}_sum") for m in measures]
+    merged = merge_agg_state(state, neg.select(*cols), keys)
+    return merged.filter(F.col("n_rows") != 0)

@@ -2188,3 +2188,24 @@ def test_ols_fit_matches_numpy(spark):
     r1 = ols_fit(df, "y", "x1").collect()[0]
     b = np.linalg.lstsq(np.column_stack([np.ones_like(x1), x1]), y, rcond=None)[0]
     assert abs(r1["b0"] - b[0]) < 1e-4 and abs(r1["b1"] - b[1]) < 1e-4
+
+
+def test_retract_state_equals_scratch_recompute(spark):
+    from h2h_spark.operators.incremental import agg_state, retract_agg_state
+
+    rows = [(i, i % 5, float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    state = agg_state(df, ["k"], {"v": "decimal(18,4)"})
+    # delete ALL rows of key 0 and half the rows of key 1
+    deleted = df.filter((F.col("k") == 0) | ((F.col("k") == 1) & (F.col("id") < 30)))
+    out = retract_agg_state(state, deleted, ["k"], {"v": "decimal(18,4)"})
+    got = {r["k"]: (r["n_rows"], float(r["v_sum"])) for r in out.collect()}
+    kept = df.exceptAll(deleted)
+    want = {
+        r["k"]: (r["n"], float(r["s"]))
+        for r in kept.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v").cast("decimal(18,4)")).alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert 0 not in got  # fully-deleted key must vanish, not linger at 0
