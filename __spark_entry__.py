@@ -5939,6 +5939,42 @@ GROUP BY user_id
 """
 
 
+def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al. 2012): 32
+    replica means of event value, each row's per-replica weight drawn by
+    inverting the Poisson(1) CDF on a portable-hash uniform — no RNG, so
+    any engine/partitioning/retry materializes the identical replicas
+    and the oracle re-derives them bit-for-bit.  The spread of these
+    means IS the bootstrap SE; one explode + one grouping shuffle."""
+    from h2h_spark.operators.stats import poisson_bootstrap_means
+
+    ev = _load_events(spark, sf_dir)
+    return poisson_bootstrap_means(ev, "event_id", "value", replicas=32)
+
+
+_SQL_BOOTSTRAP = """
+WITH expl AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS v, b.x AS b,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                                  CAST(b.x AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events, generate_series(0, 31) AS b(x)),
+wt AS (
+  SELECT b, v,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.919698602928606 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM (SELECT b, v, CAST(h % 1000000000000 AS DOUBLE) / 1e12 AS u FROM expl))
+SELECT CAST(b AS INTEGER) AS b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       round(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS replica_mean
+FROM wt WHERE w > 0 GROUP BY b
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6160,6 +6196,7 @@ def _init_queries() -> None:
         "q_ols_fit": q_ols_fit,
         "q_stream_exactly_once": q_stream_exactly_once,
         "q_retract_state": q_retract_state,
+        "q_bootstrap_means": q_bootstrap_means,
     })
 
 
@@ -6342,4 +6379,5 @@ def oracle_sql() -> dict[str, str]:
         "q_ols_fit": _SQL_OLS,
         "q_stream_exactly_once": _SQL_STREAM_EXACTLY_ONCE,
         "q_retract_state": _SQL_RETRACT_STATE,
+        "q_bootstrap_means": _SQL_BOOTSTRAP,
     }

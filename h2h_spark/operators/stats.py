@@ -1,0 +1,91 @@
+"""Resampling statistics at scale (engine extension).
+
+The bootstrap's naive form (sample n rows WITH replacement, B times)
+cannot run distributed — sampling with replacement needs global
+coordination.  The production substitute is the **Poisson bootstrap**
+(each row enters each replica with an independent Poisson(1) weight;
+cf. Chamandy, Muralidharan, Najmi & Naidu, "Estimating uncertainty for
+massive data streams", Google research report 2012 — public): one scan,
+B weight columns, no coordination, and replica statistics converge to
+the classic bootstrap's.
+
+This implementation is **deterministic and engine-portable**: the
+Poisson weight of (row, replica) comes from inverting the Poisson(1)
+CDF on a uniform derived from the portable md5 hash of (id, replica) —
+no RNG, so the same replicas materialize on any engine, any
+partitioning, any retry (and the oracle can re-derive them bit-for-bit;
+the CDF thresholds are fixed double literals shared with the SQL twin).
+Weighted sums accumulate in exact decimal; each replica mean is one
+double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash60
+
+#: cumulative Poisson(1) CDF thresholds for k = 0..5 (weights clamp at 6;
+#: P(K > 6) ≈ 8e-5 — the same literals appear in the SQL oracle).
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def _poisson_weight(u: F.Column) -> F.Column:
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    *,
+    replicas: int = 32,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``(b, n_eff, replica_mean)`` for ``b`` in [0, replicas): the
+    Poisson-bootstrap replica means of ``val_col``.  One explode (B rows
+    per input row, weight-0 rows dropped immediately) + one grouping
+    shuffle on the replica id; the spread of the replica means IS the
+    bootstrap standard error of the mean."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("b")
+    ub = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("b"))
+            ),
+            F.lit(1_000_000_000_000),
+        ).cast("double")
+        / 1.0e12
+    )
+    rows = (
+        df.select(F.col(id_col), F.col(val_col).cast("decimal(18,6)").alias("v"))
+        .select("*", b)
+        .withColumn("w", _poisson_weight(ub))
+        .filter(F.col("w") > 0)
+    )
+    return (
+        rows.groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("w") * F.col("v")).alias("ws"),
+        )
+        .select(
+            F.col("b").cast("int").alias("b"),
+            "n_eff",
+            F.round(
+                F.col("ws").cast("double") / F.col("n_eff").cast("double"),
+                round_digits,
+            ).alias("replica_mean"),
+        )
+    )

@@ -2209,3 +2209,28 @@ def test_retract_state_equals_scratch_recompute(spark):
     }
     assert got == want
     assert 0 not in got  # fully-deleted key must vanish, not linger at 0
+
+
+def test_poisson_bootstrap_statistics(spark):
+    from h2h_spark.operators.stats import POISSON1_CDF, poisson_bootstrap_means
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(n)], "id long, v double"
+    )
+    reps = poisson_bootstrap_means(df, "id", "v", replicas=24).collect()
+    assert len(reps) == 24
+    means = [r["replica_mean"] for r in reps]
+    true_mean = sum(i % 100 for i in range(n)) / n
+    # replica means center on the sample mean...
+    assert abs(sum(means) / len(means) - true_mean) < 2.0
+    # ...and actually vary (weights aren't degenerate)
+    assert max(means) - min(means) > 0.01
+    # effective sizes hover near n (Poisson(1) weights sum ≈ n)
+    for r in reps:
+        assert 0.85 * n < r["n_eff"] < 1.15 * n
+    # determinism: a second run is bit-identical
+    again = poisson_bootstrap_means(df, "id", "v", replicas=24).collect()
+    assert sorted(map(tuple, reps)) == sorted(map(tuple, again))
+    # CDF thresholds are a proper increasing chain in (0, 1)
+    assert all(0 < a < b < 1 for a, b in zip(POISSON1_CDF, POISSON1_CDF[1:]))
