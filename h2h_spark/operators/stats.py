@@ -68,9 +68,13 @@ def poisson_bootstrap_means(
         ).cast("double")
         / 1.0e12
     )
+    spread = df.select(
+        F.col(id_col), F.col(val_col).cast("decimal(18,6)").alias("v")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # spread first: the input often arrives in 1-4 scan partitions and
+    # the B-way explode + per-(row, replica) hash would run near-serial.
     rows = (
-        df.select(F.col(id_col), F.col(val_col).cast("decimal(18,6)").alias("v"))
-        .select("*", b)
+        spread.select("*", b)
         .withColumn("w", _poisson_weight(ub))
         .filter(F.col("w") > 0)
     )
