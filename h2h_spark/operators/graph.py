@@ -1,8 +1,11 @@
 """Iterative graph analytics as DataFrame ops (engine extension).
 
-Two operators the curation stack needs when documents/users/entities form
-a graph (link graphs for quality signals, co-occurrence graphs for
-clustering):
+Operators the curation stack needs when documents/users/entities form a
+graph (link graphs for quality signals, co-occurrence graphs for
+clustering): fixed-point PageRank, degree-oriented triangle counting,
+and multi-source BFS (below); connected components live in
+:mod:`operators.dedup` (min-label + large-star/small-star) and rooted
+forests in :mod:`operators.hierarchy` (pointer doubling).
 
 * :func:`pagerank` — power iteration in **integer fixed-point**.  Rank
   mass is carried as ``BIGINT`` units of ``1/SCALE`` and every step is

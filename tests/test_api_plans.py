@@ -272,3 +272,21 @@ def test_cli_csv_flag_composition(spark, tmp_work):
                  "-separator", "|", "-layout", lay_path, "-out", out]) == 0
     back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert back == [("x", 1), ("y", 2)]
+
+
+def test_cli_xml_pipein(spark, tmp_work):
+    from h2h_spark.__main__ import main
+    from h2h_spark.layout import Layout, String, Unsigned
+    from h2h_spark.sources.xml import write_xml
+
+    lay = Layout([("name", String(8)), ("qty", Unsigned(4))])
+    lay_path = f"{tmp_work}/lay.json"
+    open(lay_path, "w").write(lay.to_json())
+    df = spark.createDataFrame([("x", 1), ("y", 2)], "name string, qty long")
+    target = f"{tmp_work}/rows_xml"
+    write_xml(df, target, "Dataset/Row")
+    out = f"{tmp_work}/back_pq"
+    assert main(["-si", "-filename", target, "-format", "XML",
+                 "-rowtag", "Row", "-layout", lay_path, "-out", out]) == 0
+    back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert back == [("x", 1), ("y", 2)]
