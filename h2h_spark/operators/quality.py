@@ -72,7 +72,9 @@ def _violation_term(c: Constraint) -> Column:
         bad = ~F.coalesce(c.predicate, F.lit(False))
     else:  # pragma: no cover - guarded by check_constraints
         raise ValueError(c.kind)
-    return F.sum(F.when(bad, 1).otherwise(0)).cast("bigint")
+    # COALESCE: SUM over zero rows is NULL, and an empty batch must read
+    # "0 violations, passed", not "NULL, unknown".
+    return F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)).cast("bigint")
 
 
 def check_constraints(

@@ -2271,3 +2271,15 @@ def test_ab_test_welch_z_matches_scipyfree_reference(spark):
     # both arms populated and the statistic is finite and sane
     assert n0 + n1 == 400 and min(n0, n1) > 100
     assert math.isfinite(z)
+
+
+def test_dq_empty_batch_passes(spark):
+    """An empty batch must report 0 violations / passed — SUM over zero
+    rows is NULL without the coalesce guard."""
+    from h2h_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "k long, v double")
+    rows = Q.check_constraints(
+        empty, [Q.not_null("k"), Q.in_range("v", 0.0, 1.0), Q.unique("k")]
+    ).collect()
+    assert [(r["violations"], r["passed"]) for r in rows] == [(0, True)] * 3

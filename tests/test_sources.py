@@ -616,3 +616,14 @@ def test_avro_error_paths(spark, tmp_work):
         avro_schema_for(df.schema)
     with pytest.raises(ValueError, match="codec"):
         write_avro(spark.range(3), f"{tmp_work}/x", codec="snappy")
+
+
+def test_avro_empty_dataframe_roundtrip(spark, tmp_work):
+    from h2h_spark.sources.avro import read_avro, write_avro
+
+    empty = spark.createDataFrame([], "k long, v double")
+    path = f"{tmp_work}/avro_empty"
+    write_avro(empty, path)
+    back = read_avro(spark, path)
+    assert back.count() == 0
+    assert back.schema.simpleString() == "struct<k:bigint,v:double>"
