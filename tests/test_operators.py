@@ -2283,3 +2283,26 @@ def test_dq_empty_batch_passes(spark):
         empty, [Q.not_null("k"), Q.in_range("v", 0.0, 1.0), Q.unique("k")]
     ).collect()
     assert [(r["violations"], r["passed"]) for r in rows] == [(0, True)] * 3
+
+
+def test_edge_cases_empty_and_invalid_inputs(spark):
+    from h2h_spark.operators.bpe import bpe_train
+    from h2h_spark.operators.hierarchy import resolve_tree
+    from h2h_spark.operators.pq import _subvectors
+
+    # BPE on an empty corpus returns an empty, correctly-typed rule table
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    rules = bpe_train(empty_docs, "text", merges=3, max_words=10)
+    assert rules.count() == 0
+    assert [f.name for f in rules.schema.fields] == [
+        "step", "sym_a", "sym_b", "pair_count"
+    ]
+
+    # hierarchy resolution of an empty forest is empty, not an error
+    empty_edges = spark.createDataFrame([], "child long, parent long")
+    assert resolve_tree(empty_edges).count() == 0
+
+    # PQ rejects a dim not divisible by m — loud, never silent truncation
+    vecs = spark.createDataFrame([(1, [1.0] * 10)], "id long, v array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        _subvectors(vecs, "id", "v", m=4, dim=10)
