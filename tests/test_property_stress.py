@@ -488,3 +488,41 @@ def test_top_paths_equals_naive(spark, seed):
             counts[p] = counts.get(p, 0) + 1
     naive = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == naive
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_avro_zigzag_roundtrip(n):
+    from h2h_spark.sources.avro import _zigzag_decode, _zigzag_encode
+
+    buf = _zigzag_encode(n)
+    got, pos = _zigzag_decode(buf, 0)
+    assert got == n and pos == len(buf)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-2047, max_value=2047))
+def test_jpeg_category_extend_roundtrip(v):
+    from h2h_spark.operators.multimodal import _category, _extend
+
+    s = _category(v)
+    if v == 0:
+        assert s == 0
+        return
+    bits = v if v > 0 else v + (1 << s) - 1
+    assert 0 <= bits < (1 << s)
+    assert _extend(bits, s) == v
+
+
+def test_huffman_tables_are_prefix_free():
+    from h2h_spark.operators.multimodal import (
+        _AC_BITS, _AC_VALS, _DC_BITS, _DC_VALS, _canonical_codes)
+
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        codes = _canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        as_strings = sorted(
+            format(c, f"0{l}b") for c, l in codes.values()
+        )
+        for a, b in zip(as_strings, as_strings[1:]):
+            assert not b.startswith(a), (a, b)
