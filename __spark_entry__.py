@@ -3374,26 +3374,26 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PROFILE = """
 WITH s AS (SELECT * FROM lineitem)
 SELECT 'l_returnflag' AS "column", (SELECT COUNT(*) FROM s) AS n_rows,
-       SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT l_returnflag) AS n_distinct,
        CAST(MIN(l_returnflag) AS VARCHAR) AS min_value,
        CAST(MAX(l_returnflag) AS VARCHAR) AS max_value
 FROM s
 UNION ALL
 SELECT 'l_linestatus', (SELECT COUNT(*) FROM s),
-       SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_linestatus),
        CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
 FROM s
 UNION ALL
 SELECT 'l_quantity', (SELECT COUNT(*) FROM s),
-       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_quantity),
        CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
 FROM s
 UNION ALL
 SELECT 'l_partkey', (SELECT COUNT(*) FROM s),
-       SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_partkey),
        CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
 FROM s
@@ -3595,8 +3595,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SHIPMODE_PRIORITY = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -6122,14 +6122,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def _init_queries() -> None:
     # Registration order matters: the driver's correctness gate grades the
-    # FIRST 50 entries (r01-r03 each recorded exactly 50 rows, in this
-    # order).  Round-4 rotation: the window keeps the 8 SURVEY §2.2
-    # contract queries, adds the 3 queries new/fixed this round, and fills
-    # the other 39 slots with queries the driver has NEVER graded (no
-    # CORRECTNESS_r01-r03 row).  Everything past slot 50 either holds a
-    # committed driver-green row from r01-r03 or (7 deferred never-graded
-    # entries, marked below) is covered by the committed full-registry
-    # sweep artifact ORACLE_SWEEP_r04.json — rotate those 7 in next round.
+    # FIRST 50 entries.  Round-5 rotation (per VERDICT r04 item 2): slots
+    # 1-8 keep the SURVEY §2.2 contract queries, slots 9-10 hold the two
+    # r04 reds (oracle HUGEINT typing, now CAST to BIGINT — re-grade them),
+    # and slots 11-50 are 40 never-driver-graded entries prioritized by
+    # family novelty (graph, BPE, PQ/IVF-PQ, avro, pixel codecs, quality,
+    # retrieval, the remaining TPC-H shapes, then streaming/misc closers).
+    # Everything past slot 50 either holds a committed driver-green row
+    # from r01-r04 or (24 deferred never-graded entries + the round-5
+    # additions, marked below) is attested by the committed full-registry
+    # sweep artifacts; rotate those into the round-6 window.
     _QUERIES.update({
         # ---- graded window, slots 1-8: SURVEY §2.2 contract queries ----
         "q_scan_project_filter": q_scan_project_filter,
@@ -6140,12 +6142,55 @@ def _init_queries() -> None:
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
-        # ---- slots 9-11: fixed/new this round ----
-        "q_image_resize": q_image_resize,        # r03 red (driver canon), now digest-graded
-        "q_csv_quoted_splits": q_csv_quoted_splits,  # new: quote-parity split scanner
-        "q_media_meta": q_media_meta,            # new: real container-header decode
-        # ---- slots 12-50: never driver-graded before this round ----
-        # relational / TPC-H shapes
+        # ---- slots 9-10: r04 reds, oracles fixed this round ----
+        "q_shipmode_priority": q_shipmode_priority,
+        "q_profile": q_profile,
+        # ---- slots 11-50: never driver-graded before this round ----
+        "q_pagerank": q_pagerank,
+        "q_triangle_count": q_triangle_count,
+        "q_bfs_distances": q_bfs_distances,
+        "q_components_star": q_components_star,
+        "q_hierarchy_resolve": q_hierarchy_resolve,
+        "q_bpe_train": q_bpe_train,
+        "q_pq_encode": q_pq_encode,
+        "q_pq_adc": q_pq_adc,
+        "q_ivfpq_topk": q_ivfpq_topk,
+        "q_avro_roundtrip": q_avro_roundtrip,
+        "q_bmp_pixels": q_bmp_pixels,
+        "q_png_pixels": q_png_pixels,
+        "q_gif_pixels": q_gif_pixels,
+        "q_jpeg_pixels": q_jpeg_pixels,
+        "q_dq_checks": q_dq_checks,
+        "q_k_anonymity": q_k_anonymity,
+        "q_stream_dq": q_stream_dq,
+        "q_bm25_topk": q_bm25_topk,
+        "q_inverted_index": q_inverted_index,
+        "q_semdedup": q_semdedup,
+        "q_min_cost_supplier": q_min_cost_supplier,
+        "q_market_share": q_market_share,
+        "q_product_profit": q_product_profit,
+        "q_important_stock": q_important_stock,
+        "q_order_count_distribution": q_order_count_distribution,
+        "q_top_supplier": q_top_supplier,
+        "q_part_supplier_relation": q_part_supplier_relation,
+        "q_potential_promotion": q_potential_promotion,
+        "q_waiting_suppliers": q_waiting_suppliers,
+        "q_global_rank": q_global_rank,
+        "q_prefix_join": q_prefix_join,
+        "q_stream_exactly_once": q_stream_exactly_once,
+        "q_retract_state": q_retract_state,
+        "q_incremental_join": q_incremental_join,
+        "q_schema_evolution": q_schema_evolution,
+        "q_json_corrupt": q_json_corrupt,
+        "q_ols_fit": q_ols_fit,
+        "q_time_in_state": q_time_in_state,
+        "q_ewma": q_ewma,
+        "q_stream_topk": q_stream_topk,
+        # ---- end of the 50-entry graded window ----
+        # Ever-green in r01-r04 (committed CORRECTNESS rows):
+        "q_image_resize": q_image_resize,
+        "q_csv_quoted_splits": q_csv_quoted_splits,
+        "q_media_meta": q_media_meta,
         "q_exists_correlated": q_exists_correlated,
         "q_local_supplier_volume": q_local_supplier_volume,
         "q_returned_items": q_returned_items,
@@ -6155,18 +6200,14 @@ def _init_queries() -> None:
         "q_small_qty_revenue": q_small_qty_revenue,
         "q_sales_opportunity": q_sales_opportunity,
         "q_forecast_revenue": q_forecast_revenue,
-        "q_shipmode_priority": q_shipmode_priority,
-        # dedup family
         "q_dedup_components": q_dedup_components,
         "q_dedup_corpus": q_dedup_corpus,
         "q_embed_dedup": q_embed_dedup,
         "q_span_dedup": q_span_dedup,
-        # similarity search
         "q_ivf_topk": q_ivf_topk,
         "q_embed_quantize": q_embed_quantize,
         "q_label_centroids": q_label_centroids,
         "q_centroid_update": q_centroid_update,
-        # text analysis
         "q_token_count": q_token_count,
         "q_repetition": q_repetition,
         "q_pii_scrub": q_pii_scrub,
@@ -6176,23 +6217,17 @@ def _init_queries() -> None:
         "q_top_ngrams": q_top_ngrams,
         "q_chunk_docs": q_chunk_docs,
         "q_fuzzy_match": q_fuzzy_match,
-        # multimodal
         "q_audio_stats": q_audio_stats,
-        # time series / event time
         "q_asof_forward": q_asof_forward,
         "q_rolling_time_sum": q_rolling_time_sum,
         "q_time_rollup": q_time_rollup,
         "q_funnel": q_funnel,
         "q_outlier_filter": q_outlier_filter,
-        # sketches / incremental / streaming
         "q_approx_quantiles": q_approx_quantiles,
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_upsert": q_upsert,
-        "q_profile": q_profile,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_fold": q_stream_fold,
-        # ---- end of the 50-entry graded window ----
-        # Ever-green in r01-r03 (committed CORRECTNESS rows):
         "q_flat_bulk": q_flat_bulk,
         "q_json_roundtrip": q_json_roundtrip,
         "q_orc_roundtrip": q_orc_roundtrip,
@@ -6252,8 +6287,8 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
-        # Never driver-graded, deferred to the round-5 window (attested by
-        # ORACLE_SWEEP_r04.json until then):
+        # Never driver-graded, deferred to the round-6 window (attested
+        # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
         "q_group_cap_sample": q_group_cap_sample,
         "q_stratified_sample": q_stratified_sample,
@@ -6261,34 +6296,8 @@ def _init_queries() -> None:
         "q_compact": q_compact,
         "q_disjunctive_filter": q_disjunctive_filter,
         "q_takedown": q_takedown,
-        # Round-4b additions (the remaining TPC-H shapes) — also deferred
-        # to the round-5 window, attested by the refreshed sweep artifact:
-        "q_min_cost_supplier": q_min_cost_supplier,
-        "q_market_share": q_market_share,
-        "q_product_profit": q_product_profit,
-        "q_important_stock": q_important_stock,
-        "q_order_count_distribution": q_order_count_distribution,
-        "q_top_supplier": q_top_supplier,
-        "q_part_supplier_relation": q_part_supplier_relation,
-        "q_potential_promotion": q_potential_promotion,
-        "q_waiting_suppliers": q_waiting_suppliers,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_corpus_pipeline": q_corpus_pipeline,
-        # Round-4c..4o additions (retrieval ranking, semantic dedup, SCD2,
-        # cohort retention, perplexity stratification, event-sequence
-        # analytics, unpivot, classifier scoring, pixel codecs, graph/
-        # rank/hierarchy, prefix join, BPE, PQ/IVF-PQ, avro, quality/
-        # k-anonymity/stream-DQ, ewma, time-in-state, schema evolution)
-        # are registered past slot 50 and attested by the committed
-        # full-registry sweep artifacts (ORACLE_SWEEP_r04_sf001/sf01:
-        # 0 failures).  Round-5 rotation plan: keep the 8 §2.2 contract
-        # queries in slots 1-8, fill slots 9-50 with never-driver-graded
-        # entries prioritized by family novelty (graph, BPE, PQ, avro,
-        # hierarchy, quality first), and continue rotating each round
-        # until every entry has a driver-green row.
-        "q_bm25_topk": q_bm25_topk,
-        "q_inverted_index": q_inverted_index,
-        "q_semdedup": q_semdedup,
         "q_scd2_merge": q_scd2_merge,
         "q_retention_cohort": q_retention_cohort,
         "q_perplexity_buckets": q_perplexity_buckets,
@@ -6300,35 +6309,7 @@ def _init_queries() -> None:
         "q_snapshot_diff": q_snapshot_diff,
         "q_attribution": q_attribution,
         "q_histogram": q_histogram,
-        "q_stream_topk": q_stream_topk,
         "q_zorder_pruning": q_zorder_pruning,
-        "q_bmp_pixels": q_bmp_pixels,
-        "q_png_pixels": q_png_pixels,
-        "q_gif_pixels": q_gif_pixels,
-        "q_global_rank": q_global_rank,
-        "q_pagerank": q_pagerank,
-        "q_triangle_count": q_triangle_count,
-        "q_prefix_join": q_prefix_join,
-        "q_jpeg_pixels": q_jpeg_pixels,
-        "q_bpe_train": q_bpe_train,
-        "q_schema_evolution": q_schema_evolution,
-        "q_dq_checks": q_dq_checks,
-        "q_pq_encode": q_pq_encode,
-        "q_pq_adc": q_pq_adc,
-        "q_hierarchy_resolve": q_hierarchy_resolve,
-        "q_time_in_state": q_time_in_state,
-        "q_k_anonymity": q_k_anonymity,
-        "q_avro_roundtrip": q_avro_roundtrip,
-        "q_ivfpq_topk": q_ivfpq_topk,
-        "q_ewma": q_ewma,
-        "q_stream_dq": q_stream_dq,
-        "q_incremental_join": q_incremental_join,
-        "q_bfs_distances": q_bfs_distances,
-        "q_components_star": q_components_star,
-        "q_json_corrupt": q_json_corrupt,
-        "q_ols_fit": q_ols_fit,
-        "q_stream_exactly_once": q_stream_exactly_once,
-        "q_retract_state": q_retract_state,
         "q_bootstrap_means": q_bootstrap_means,
         "q_assoc_rules": q_assoc_rules,
         "q_ab_test": q_ab_test,

@@ -95,6 +95,11 @@ def pagerank(
         # analyzer cost at any depth.
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize before unpersisting the edge/degree cache so repeated
+    # invocations in a long-lived session don't leak cached blocks (the
+    # checkpoint also detaches the result from the cache lineage).
+    ranks = ranks.localCheckpoint(eager=True)
+    ew.unpersist()
     return ranks
 
 
@@ -149,7 +154,11 @@ def triangle_count(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
     counts = und.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
         deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     )
-    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    out = counts.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles"
+    ).localCheckpoint(eager=True)  # 1 row; detach from the orient cache
+    orient.unpersist()
+    return out
 
 
 def bfs_distances(

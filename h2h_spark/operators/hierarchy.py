@@ -36,9 +36,22 @@ def resolve_tree(
     which, at 40, means the input had a cycle, and silent wrong answers
     are worse than a loud one.
     """
-    ptr = edges.select(
+    # distinct(): duplicate (child,parent) rows would fan out in every
+    # self-join round; and a child with two DIFFERENT parents breaks the
+    # forest contract — assert it loudly rather than emit conflicting
+    # (id, root, depth) rows.
+    pointers = edges.select(
         F.col(child).alias("id"), F.col(parent).alias("anc")
-    ).withColumn("d", F.lit(1).cast("long")).persist()
+    ).distinct()
+    multi = (
+        pointers.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if multi:
+        raise ValueError(
+            f"resolve_tree: node {multi[0]['id']!r} has multiple distinct "
+            "parents — input is not a forest"
+        )
+    ptr = pointers.withColumn("d", F.lit(1).cast("long")).persist()
     cached = ptr
     for _ in range(max_rounds):
         hop = ptr.select(

@@ -228,11 +228,17 @@ def _parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
             count = -count
         for _ in range(count):
             kl, pos = _zigzag_decode(buf, pos)
+            if pos + kl > len(buf):  # slices truncate silently; be loud
+                raise IndexError("avro header key extends past buffer")
             key = buf[pos : pos + kl].decode()
             pos += kl
             vl, pos = _zigzag_decode(buf, pos)
+            if pos + vl > len(buf):
+                raise IndexError("avro header value extends past buffer")
             meta[key] = buf[pos : pos + vl]
             pos += vl
+    if pos + 16 > len(buf):
+        raise IndexError("avro sync marker extends past buffer")
     sync = buf[pos : pos + 16]
     pos += 16
     codec = meta.get("avro.codec", b"null").decode()
@@ -368,9 +374,26 @@ class AvroDataSource(DataSource):
         schema = None
         codec_by, sync_by, hdr_by = {}, {}, {}
         for p in paths:
+            # The metadata/schema block of a wide record (or a writer that
+            # stuffs extra metadata keys) can exceed any fixed probe size —
+            # grow the buffer geometrically until the header parses whole
+            # instead of failing on a truncated varint/value slice.
+            probe = 4096
             with open_input(p) as f:
-                head = f.read(4096)
-            s, codec, sync, hlen = _parse_header(head)
+                head = f.read(probe)
+                while True:
+                    try:
+                        s, codec, sync, hlen = _parse_header(head)
+                        break
+                    except (IndexError, KeyError):
+                        more = f.read(probe)
+                        if not more:
+                            raise ValueError(
+                                f"h2h_avro: {p} ends inside the OCF header "
+                                f"({len(head)} bytes read) — truncated file?"
+                            ) from None
+                        head += more
+                        probe *= 2
             if schema is None:
                 schema = s
             elif s != schema:

@@ -87,6 +87,20 @@ def stream_dq_gate(
     gate state never grows with history."""
     from h2h_spark.operators.quality import check_constraints
 
+    # Only row-additive constraints fold correctly across micro-batches:
+    # a `unique` check counts duplicates within each batch only, so a
+    # duplicate pair split across two batches would be silently missed
+    # and the gate would report passed=true on non-unique data.  Reject
+    # it loudly; uniqueness over a stream needs accumulated state (use
+    # the batch suite on the landed data, or stream_dedup upstream).
+    non_additive = [c.name for c in constraints if c.kind == "unique"]
+    if non_additive:
+        raise ValueError(
+            "stream_dq_gate supports only row-additive constraint kinds "
+            "(not_null/in_range/matches/predicate); `unique` cannot be "
+            f"folded across micro-batches: {non_additive}"
+        )
+
     totals: dict[str, int] = {}
 
     def fold(batch: DataFrame, _bid: int) -> None:
@@ -153,4 +167,12 @@ def idempotent_append(
         q.processAllAvailable()
     finally:
         q.stop()
+    # Zero micro-batches (empty src dir) means no batch=* directory was
+    # committed; reading the empty root would raise AnalysisException.
+    committed = [
+        d for d in (os.listdir(out_root) if os.path.isdir(out_root) else [])
+        if d.startswith("batch=")
+    ]
+    if not committed:
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out_root).drop("batch")

@@ -91,6 +91,22 @@ def main() -> int:
             results[name] = {"ok": True, "rows": len(srows), "check": "rows-only"}
             continue
         try:
+            # HUGEINT lint: the driver canonicalizes DuckDB output through
+            # pandas, which coerces HUGEINT (int128 — what DuckDB types a
+            # bare SUM(int) as) to float64, so the value hash compares
+            # `5.0` vs Spark's long `5` and fails even when the engine
+            # answer is exact.  Fail loudly here so an oracle can never
+            # re-trip the r04 q_shipmode_priority/q_profile signature:
+            # wrap integer SUMs in CAST(... AS BIGINT).
+            rel = con.sql(oracles[name])
+            bad = [c for c, t in zip(rel.columns, rel.types)
+                   if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            if bad:
+                raise TypeError(
+                    f"oracle emits HUGEINT column(s) {bad} — pandas "
+                    f"canonicalization turns these into float64 and breaks "
+                    f"the driver hash; CAST(... AS BIGINT) in the oracle SQL"
+                )
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()

@@ -2306,3 +2306,22 @@ def test_edge_cases_empty_and_invalid_inputs(spark):
     vecs = spark.createDataFrame([(1, [1.0] * 10)], "id long, v array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         _subvectors(vecs, "id", "v", m=4, dim=10)
+
+
+def test_resolve_tree_dedups_edges_and_rejects_multiparent(spark):
+    from h2h_spark.operators.hierarchy import resolve_tree
+
+    # duplicated (child,parent) rows must not fan out the self-joins
+    dup = spark.createDataFrame(
+        [(1, 0), (1, 0), (2, 1), (2, 1), (2, 1)], "child long, parent long"
+    )
+    got = {r["id"]: (r["root"], r["depth"]) for r in resolve_tree(dup).collect()}
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 2)}
+    assert len(resolve_tree(dup).collect()) == 3  # no duplicate output rows
+
+    # two DIFFERENT parents for one child violates the forest contract
+    multi = spark.createDataFrame(
+        [(1, 0), (1, 2)], "child long, parent long"
+    )
+    with pytest.raises(ValueError, match="multiple distinct parents"):
+        resolve_tree(multi)

@@ -627,3 +627,24 @@ def test_avro_empty_dataframe_roundtrip(spark, tmp_work):
     back = read_avro(spark, path)
     assert back.count() == 0
     assert back.schema.simpleString() == "struct<k:bigint,v:double>"
+
+
+def test_avro_header_larger_than_probe(spark, tmp_work):
+    """A wide record's schema JSON exceeds the 4 KiB header probe; the
+    scanner must grow its buffer and parse, not die on IndexError."""
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.avro import read_avro, write_avro
+
+    cols = [
+        (F.col("id") + i).alias(f"extremely_verbose_column_name_{i:04d}")
+        for i in range(160)
+    ]
+    df = spark.range(7).select(*cols)
+    path = f"{tmp_work}/avro_wide"
+    write_avro(df, path, codec="null", rows_per_block=3)
+    back = read_avro(spark, path)
+    assert back.count() == 7
+    assert len(back.columns) == 160
+    got = sorted(r["extremely_verbose_column_name_0003"] for r in back.collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9]

@@ -330,3 +330,29 @@ def test_idempotent_append_survives_replay_and_partial_writes(spark, tmp_path):
     got3 = idempotent_append(spark, src, schema, out)
     assert got3.count() == 100
     assert sorted(r["id"] for r in got3.collect()) == list(range(100))
+
+
+def test_idempotent_append_empty_source_returns_empty(spark, tmp_path):
+    import os
+
+    from h2h_spark.streaming.sinks import idempotent_append
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    schema = spark.createDataFrame([], "id long, k long").schema
+    got = idempotent_append(spark, src, schema, str(tmp_path / "empty_sink"))
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "k"]
+
+
+def test_stream_dq_gate_rejects_unique_constraint(spark, tmp_path):
+    import pytest
+
+    from h2h_spark.operators.quality import not_null, unique
+    from h2h_spark.streaming.sinks import stream_dq_gate
+
+    src = str(tmp_path / "dq_src")
+    spark.range(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    with pytest.raises(ValueError, match="unique"):
+        stream_dq_gate(spark, src, schema, [not_null("id"), unique("id")])
