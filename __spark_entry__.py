@@ -4949,6 +4949,98 @@ FROM px
 """
 
 
+def q_png_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL indexed-color (PLTE) and RGBA PNG decode, no media
+    libraries: each doc id synthesizes both flavors with per-row cycling
+    scanline filters, the engine inflates + unfilters the actual bytes
+    (1-channel strides for type 3 with palette resolution, 4-channel for
+    type 6), and reports channel sums the oracle recomputes closed-form."""
+    from h2h_spark.operators.multimodal import png_flavor_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return png_flavor_stats(docs, "doc_id")
+
+
+_SQL_PNG_FLAVORS = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h,
+         (3 * r.x + 5 * c.x + doc_id) % 64 AS i,
+         (3 * r.x + 5 * c.x + doc_id) % 256 AS rv,
+         (3 * r.x + 5 * c.x + doc_id + 85) % 256 AS gv,
+         (3 * r.x + 5 * c.x + doc_id + 170) % 256 AS bv,
+         (7 * r.x + 11 * c.x + doc_id) % 256 AS av
+  FROM g, generate_series(0, 16) AS r(x), generate_series(0, 16) AS c(x)
+  WHERE r.x < g.h AND c.x < g.w),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((7 * i + doc_id) % 256) AS pal_r_sum,
+         SUM((11 * i + 2 * doc_id) % 256) AS pal_g_sum,
+         SUM((13 * i + 3 * doc_id) % 256) AS pal_b_sum,
+         SUM(rv) AS rgba_r_sum, SUM(gv) AS rgba_g_sum,
+         SUM(bv) AS rgba_b_sum, SUM(av) AS a_sum
+  FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(pal_r_sum AS BIGINT) AS pal_r_sum,
+       CAST(pal_g_sum AS BIGINT) AS pal_g_sum,
+       CAST(pal_b_sum AS BIGINT) AS pal_b_sum,
+       CAST(rgba_r_sum AS BIGINT) AS rgba_r_sum,
+       CAST(rgba_g_sum AS BIGINT) AS rgba_g_sum,
+       CAST(rgba_b_sum AS BIGINT) AS rgba_b_sum,
+       CAST(a_sum AS BIGINT) AS a_sum
+FROM s
+"""
+
+
+def q_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL chroma-subsampled COLOR JPEG decode, no media libraries:
+    each doc id synthesizes a true baseline 4:2:0 YCbCr JPEG (two quant
+    tables, four Huffman tables, MCU-interleaved scan per T.81 A.2.3),
+    the engine entropy-decodes the actual bytes with per-component DC
+    predictors, IDCTs, upsamples chroma, converts YCbCr->RGB, and sums
+    each channel.  Luma is block-constant and chroma MCU-constant, so
+    the lossy pipeline is bit-exact at flat quant and the oracle
+    recomputes the channel sums closed-form — a wrong bit anywhere in
+    the interleave order, predictors, upsample, or color math
+    mismatches."""
+    from h2h_spark.operators.multimodal import jpeg_color_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return jpeg_color_stats(docs, "doc_id")
+
+
+# Channel math mirrors _ycbcr_to_rgb term-for-term: same literals, same
+# left-associative order — IEEE double on both sides, so FLOOR lands on
+# identical integers.
+_SQL_JPEG_COLOR = """
+WITH g AS (
+  SELECT doc_id, doc_id % 2 + 1 AS mh, (doc_id * 3) % 3 + 1 AS mw
+  FROM documents),
+blk AS (
+  SELECT g.doc_id, g.mh, g.mw,
+         (3 * bi.x + 5 * bj.x + doc_id) % 256 AS yv,
+         (7 * (bi.x // 2) + 11 * (bj.x // 2) + doc_id) % 256 AS cb,
+         (13 * (bi.x // 2) + 17 * (bj.x // 2) + 2 * doc_id) % 256 AS cr
+  FROM g, generate_series(0, 3) AS bi(x), generate_series(0, 5) AS bj(x)
+  WHERE bi.x < 2 * g.mh AND bj.x < 2 * g.mw),
+px AS (
+  SELECT doc_id, mh, mw,
+    SUM(64 * LEAST(255.0, GREATEST(0.0,
+        FLOOR(yv + 1.402 * (cr - 128.0) + 0.5)))) AS r_sum,
+    SUM(64 * LEAST(255.0, GREATEST(0.0,
+        FLOOR(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)))) AS g_sum,
+    SUM(64 * LEAST(255.0, GREATEST(0.0,
+        FLOOR(yv + 1.772 * (cb - 128.0) + 0.5)))) AS b_sum
+  FROM blk GROUP BY doc_id, mh, mw)
+SELECT doc_id, CAST(16 * mw AS INTEGER) AS src_w, CAST(16 * mh AS INTEGER) AS src_h,
+       CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+       CAST(b_sum AS BIGINT) AS b_sum
+FROM px
+"""
+
+
 def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global total-order ranking WITHOUT the single-partition window
     cliff: `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY is the
@@ -6287,6 +6379,10 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
+        # Round-5 additions — registered past slot 50, attested by the
+        # committed sweep artifacts, rotated into the round-6 window:
+        "q_jpeg_color": q_jpeg_color,
+        "q_png_flavors": q_png_flavors,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6476,6 +6572,8 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_count": _SQL_TRIANGLES,
         "q_prefix_join": _SQL_PREFIX_JOIN,
         "q_jpeg_pixels": _SQL_JPEG_PIXELS,
+        "q_jpeg_color": _SQL_JPEG_COLOR,
+        "q_png_flavors": _SQL_PNG_FLAVORS,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

@@ -513,23 +513,19 @@ def bmp_resize_stats(
 # ---------------------------------------------------------------------------
 
 
-def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
-    """Encode an ``(H, W, 3)`` uint8 RGB array as an 8-bit truecolor PNG.
-    ``filter_mode='mixed'`` cycles the filter type per row (row % 5) so a
-    decoder must implement every filter correctly; ``'none'`` writes
-    filter 0 rows."""
+def _png_filter_rows(raw, filter_mode: str) -> bytearray:
+    """Apply per-row PNG filters to an ``(H, W, C)`` int16 sample array;
+    returns the filtered scanline stream (filter byte + row bytes)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    h, w, _ = a.shape
-    raw = a.astype(np.int16)
+    h, w, c = raw.shape
     out = bytearray()
-    prior = np.zeros((w, 3), dtype=np.int16)
+    prior = np.zeros((w, c), dtype=np.int16)
     for r in range(h):
         ft = (r % 5) if filter_mode == "mixed" else 0
         row = raw[r]
-        left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
-        ul = np.vstack([np.zeros((1, 3), np.int16), prior[:-1]])
+        left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+        ul = np.vstack([np.zeros((1, c), np.int16), prior[:-1]])
         if ft == 0:
             filt = row
         elif ft == 1:
@@ -548,44 +544,90 @@ def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
         out.append(ft)
         out += (filt % 256).astype(np.uint8).tobytes()
         prior = row
+    return out
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        c = tag + body
-        return struct.pack(">I", len(body)) + c + struct.pack(
-            ">I", zlib.crc32(c) & 0xFFFFFFFF
-        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    c = tag + body
+    return struct.pack(">I", len(body)) + c + struct.pack(
+        ">I", zlib.crc32(c) & 0xFFFFFFFF
+    )
+
+
+def encode_png(arr, *, filter_mode: str = "mixed") -> bytes:
+    """Encode an ``(H, W, 3)`` uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2), or an ``(H, W, 4)`` array as RGBA (color type 6).
+    ``filter_mode='mixed'`` cycles the filter type per row (row % 5) so a
+    decoder must implement every filter correctly; ``'none'`` writes
+    filter 0 rows."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png takes (H, W, 3) RGB or (H, W, 4) RGBA")
+    out = _png_filter_rows(a.astype(np.int16), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(indices, palette, *, filter_mode: str = "mixed") -> bytes:
+    """Encode an ``(H, W)`` uint8 index array + ``(N, 3)`` uint8 palette
+    as an 8-bit indexed-color PNG (color type 3, PLTE chunk)."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index exceeds palette size")
+    h, w = idx.shape
+    out = _png_filter_rows(idx[:, :, None].astype(np.int16), filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes):
-    """Decode an 8-bit truecolor (color type 2) PNG into an ``(H, W, 3)``
-    uint8 RGB array — chunk walk, zlib inflate, and exact unfiltering of
-    all five scanline filters.  Raises ValueError on any other PNG flavor
-    (palette, alpha, interlace, 16-bit) — loud, never lossy."""
+    """Decode an 8-bit PNG: truecolor (color type 2) to ``(H, W, 3)``,
+    RGBA (type 6) to ``(H, W, 4)``, and indexed-color (type 3, PLTE) to
+    palette-resolved ``(H, W, 3)`` — chunk walk, zlib inflate, and exact
+    unfiltering of all five scanline filters.  Raises ValueError on the
+    remaining flavors (gray/gray-alpha, 16-bit, interlaced) — loud,
+    never lossy."""
     import numpy as np
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, w = len(_PNG_SIG), None
+    pos, w, ctype = len(_PNG_SIG), None, None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", body)
-            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+            if (depth, comp, filt, ilace) != (8, 0, 0, 0) or ctype not in (2, 3, 6):
                 raise ValueError(
                     f"unsupported PNG flavor (depth={depth} color={ctype} "
                     f"interlace={ilace})"
                 )
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -593,17 +635,18 @@ def decode_png(payload: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
+    nch = {2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
-    stride = 1 + w * 3
+    stride = 1 + w * nch
     if len(raw) != stride * h:
         raise ValueError("PNG scanline payload length mismatch")
-    img = np.zeros((h, w, 3), dtype=np.int16)
-    prior = np.zeros((w, 3), dtype=np.int16)
+    img = np.zeros((h, w, nch), dtype=np.int16)
+    prior = np.zeros((w, nch), dtype=np.int16)
     for r in range(h):
         ft = raw[r * stride]
         row = np.frombuffer(
-            raw, dtype=np.uint8, count=w * 3, offset=r * stride + 1
-        ).reshape(w, 3).astype(np.int16)
+            raw, dtype=np.uint8, count=w * nch, offset=r * stride + 1
+        ).reshape(w, nch).astype(np.int16)
         if ft == 0:
             recon = row
         elif ft == 2:
@@ -620,8 +663,8 @@ def decode_png(payload: bytes):
         elif ft == 4:
             recon = row.copy()
             for x in range(w):
-                left = recon[x - 1] if x else np.zeros(3, np.int16)
-                ul = prior[x - 1] if x else np.zeros(3, np.int16)
+                left = recon[x - 1] if x else np.zeros(nch, np.int16)
+                ul = prior[x - 1] if x else np.zeros(nch, np.int16)
                 p = left + prior[x] - ul
                 pa, pb, pc = abs(p - left), abs(p - prior[x]), abs(p - ul)
                 pred = np.where(
@@ -632,7 +675,15 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter {ft}")
         img[r] = recon
         prior = recon
-    return img.astype(np.uint8)
+    out = img.astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("indexed PNG missing PLTE")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    return out
 
 
 def synthesize_png(seed: int) -> bytes:
@@ -648,6 +699,103 @@ def synthesize_png(seed: int) -> bytes:
     c = np.arange(w, dtype=np.int64)[None, :]
     chan = ((3 * r + 5 * c + seed) % 256).astype(np.uint8)
     return encode_png(np.repeat(chan[:, :, None], 3, axis=2), filter_mode="mixed")
+
+
+def synthesize_png_palette(seed: int) -> bytes:
+    """Deterministic indexed-color PNG: index (r, c) = (3r + 5c + seed)
+    mod 64 into a 64-entry palette whose entry i is ((7i + seed) mod 256,
+    (11i + 2·seed) mod 256, (13i + 3·seed) mod 256) — palette-resolved
+    pixel sums stay closed-form for an external oracle."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((3 * r + 5 * c + seed) % 64).astype(np.uint8)
+    i = np.arange(64, dtype=np.int64)
+    pal = np.stack(
+        [(7 * i + seed) % 256, (11 * i + 2 * seed) % 256, (13 * i + 3 * seed) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return encode_png_palette(idx, pal, filter_mode="mixed")
+
+
+def synthesize_png_rgba(seed: int) -> bytes:
+    """Deterministic RGBA PNG: R/G/B of pixel (r, c) = (3r + 5c + seed +
+    85k) mod 256 for k = 0/1/2 and alpha = (7r + 11c + seed) mod 256."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    base = 3 * r + 5 * c + seed
+    img = np.stack(
+        [
+            base % 256,
+            (base + 85) % 256,
+            (base + 170) % 256,
+            (7 * r + 11 * c + seed) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_png(img, filter_mode="mixed")
+
+
+def png_flavor_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL indexed-color + RGBA PNG pipeline per row: synthesize both
+    flavors from the id, decode the actual bytes (PLTE resolution for
+    type 3, 4-channel unfiltering for type 6), and report channel sums.
+    Arrow-batched ``mapInPandas`` with ids spread across the pool."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list[int]] = {
+                k: [] for k in (
+                    "src_w", "src_h", "pal_r_sum", "pal_g_sum", "pal_b_sum",
+                    "rgba_r_sum", "rgba_g_sum", "rgba_b_sum", "a_sum",
+                )
+            }
+            for seed in pdf[id_col]:
+                pal_rgb = decode_png(synthesize_png_palette(int(seed)))
+                rgba = decode_png(synthesize_png_rgba(int(seed)))
+                cols["src_h"].append(pal_rgb.shape[0])
+                cols["src_w"].append(pal_rgb.shape[1])
+                ps = pal_rgb.astype(np.int64).sum(axis=(0, 1))
+                qs = rgba.astype(np.int64).sum(axis=(0, 1))
+                cols["pal_r_sum"].append(int(ps[0]))
+                cols["pal_g_sum"].append(int(ps[1]))
+                cols["pal_b_sum"].append(int(ps[2]))
+                cols["rgba_r_sum"].append(int(qs[0]))
+                cols["rgba_g_sum"].append(int(qs[1]))
+                cols["rgba_b_sum"].append(int(qs[2]))
+                cols["a_sum"].append(int(qs[3]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(cols["src_w"], dtype="int32"),
+                    "src_h": pd.Series(cols["src_h"], dtype="int32"),
+                    **{
+                        k: pd.Series(cols[k], dtype="int64")
+                        for k in (
+                            "pal_r_sum", "pal_g_sum", "pal_b_sum",
+                            "rgba_r_sum", "rgba_g_sum", "rgba_b_sum", "a_sum",
+                        )
+                    },
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run,
+        "doc_id long, src_w int, src_h int, pal_r_sum long, pal_g_sum long, "
+        "pal_b_sum long, rgba_r_sum long, rgba_g_sum long, rgba_b_sum long, "
+        "a_sum long",
+    )
 
 
 def png_resize_stats(
@@ -974,6 +1122,39 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _encode_block(bw: _BitWriter, blk_shifted, quant: int, prev_dc: int,
+                  m, dc_codes, ac_codes) -> int:
+    """FDCT + flat-quant + entropy-code ONE level-shifted 8x8 block;
+    returns the new DC predictor."""
+    import numpy as np
+
+    coef = m @ blk_shifted @ m.T
+    q = np.floor(coef / quant + 0.5).astype(np.int64)
+    zz = [int(q.flat[i]) for i in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    bw.put(*dc_codes[s])
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            bw.put(*ac_codes[0xF0])
+            run -= 16
+        s = _category(v)
+        bw.put(*ac_codes[run * 16 + s])
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def encode_jpeg_gray(arr, *, quant: int = 1) -> bytes:
     """Encode an ``(H, W)`` uint8 grayscale array (dims multiples of 8)
     as a real baseline JPEG with a flat quantization table ``quant``."""
@@ -992,31 +1173,7 @@ def encode_jpeg_gray(arr, *, quant: int = 1) -> bytes:
     for by in range(h // 8):
         for bx in range(w // 8):
             blk = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = m @ blk @ m.T
-            q = np.floor(coef / quant + 0.5).astype(np.int64)
-            zz = [int(q.flat[i]) for i in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            bw.put(*dc_codes[s])
-            if s:
-                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = zz[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    bw.put(*ac_codes[0xF0])
-                    run -= 16
-                s = _category(v)
-                bw.put(*ac_codes[run * 16 + s])
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                bw.put(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(bw, blk, quant, prev_dc, m, dc_codes, ac_codes)
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1080,6 +1237,42 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block(br: _BitReader, dct_t, act_t, prev_dc: int):
+    """Entropy-decode ONE block's zigzag coefficients; returns
+    ``(zz, new_dc_predictor)``."""
+    zz = [0] * 64
+    s = _huff_decode(br, dct_t)
+    diff = _extend(br.bits(s), s) if s else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, act_t)
+        if sym == 0x00:
+            break
+        if sym == 0xF0:
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    return zz, dc
+
+
+def _idct_block(zz, q, m):
+    """Dequantize + IDCT one zigzag coefficient block to uint8 samples."""
+    import numpy as np
+
+    coef = np.zeros(64, dtype=np.float64)
+    for i, zi in enumerate(_ZIGZAG):
+        coef[zi] = zz[i] * q[i]
+    blk = m.T @ coef.reshape(8, 8) @ m
+    return np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg_gray(payload: bytes):
@@ -1153,33 +1346,274 @@ def decode_jpeg_gray(payload: bytes):
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = [0] * 64
-            s = _huff_decode(br, dct_t)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, act_t)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for i, zi in enumerate(_ZIGZAG):
-                coef[zi] = zz[i] * q[i]
-            blk = m.T @ coef.reshape(8, 8) @ m
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.floor(blk + 128.5), 0, 255
-            ).astype(np.uint8)
+            zz, prev_dc = _decode_block(br, dct_t, act_t, prev_dc)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(zz, q, m)
     return out
+
+
+def encode_jpeg_ycbcr420(y, cb, cr, *, quant_y: int = 1, quant_c: int = 1) -> bytes:
+    """Encode Y/Cb/Cr planes as a real baseline color JPEG with 4:2:0
+    chroma subsampling (SOF0 sampling 0x22/0x11/0x11, MCU-interleaved
+    scan per T.81 A.2.3: four Y blocks then one Cb then one Cr per MCU,
+    per-component DC predictors, luma/chroma quant + Huffman tables).
+
+    ``y`` is ``(H, W)`` uint8 with H, W multiples of 16; ``cb``/``cr``
+    are the already-subsampled ``(H/2, W/2)`` planes (a camera pipeline
+    subsamples before the codec; keeping the subsample outside makes the
+    codec itself losslessly testable on block-constant sources).
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("encode_jpeg_ycbcr420 requires multiple-of-16 dims")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be (H/2, W/2)")
+    m = _dct_matrix()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    ys = y.astype(np.float64) - 128.0
+    cbs = cb.astype(np.float64) - 128.0
+    crs = cr.astype(np.float64) - 128.0
+    dc_y = dc_cb = dc_cr = 0
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for vy in range(2):  # 4 luma blocks, raster order within MCU
+                for vx in range(2):
+                    r0 = my * 16 + vy * 8
+                    c0 = mx * 16 + vx * 8
+                    dc_y = _encode_block(
+                        bw, ys[r0 : r0 + 8, c0 : c0 + 8], quant_y, dc_y,
+                        m, dc_codes, ac_codes,
+                    )
+            r0, c0 = my * 8, mx * 8
+            dc_cb = _encode_block(
+                bw, cbs[r0 : r0 + 8, c0 : c0 + 8], quant_c, dc_cb,
+                m, dc_codes, ac_codes,
+            )
+            dc_cr = _encode_block(
+                bw, crs[r0 : r0 + 8, c0 : c0 + 8], quant_c, dc_cr,
+                m, dc_codes, ac_codes,
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt0 = bytes([min(quant_y, 255)] * 64)
+    qt1 = bytes([min(quant_c, 255)] * 64)
+    dqt = seg(0xFFDB, b"\x00" + qt0 + b"\x01" + qt1)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+        + bytes([2, 0x11, 1])  # Cb: 1x1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    ht = bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
+    at = bytes(_AC_BITS[:16]) + bytes(_AC_VALS)
+    dht = seg(0xFFC4, b"\x00" + ht + b"\x10" + at + b"\x01" + ht + b"\x11" + at)
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF YCbCr -> RGB in float64 with floor(x + 0.5) rounding — the
+    exact expression an external SQL oracle can replicate term-for-term
+    (same literals, same left-associative order, IEEE double both sides).
+    """
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64)
+    crf = cr.astype(np.float64)
+    r = np.clip(np.floor(yf + 1.402 * (crf - 128.0) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0) + 0.5),
+        0, 255,
+    )
+    b = np.clip(np.floor(yf + 1.772 * (cbf - 128.0) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def decode_jpeg_color(payload: bytes):
+    """Decode a baseline 3-component YCbCr JPEG — 4:2:0 (sampling
+    0x22/0x11/0x11) or 4:4:4 (all 0x11) — into an ``(H, W, 3)`` uint8 RGB
+    array: marker walk, per-component quant/Huffman table binding from
+    SOF/SOS, MCU-interleaved entropy decode with per-component DC
+    predictors, IDCT, nearest-neighbor chroma upsample, JFIF YCbCr->RGB.
+    Restart markers and non-multiple-of-MCU dims are rejected loudly."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtab: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_sel: dict[int, tuple[int, int]] = {}
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                width = 2 if pq else 1
+                vals = []
+                o += 1
+                for _ in range(64):
+                    vals.append(
+                        struct.unpack_from(">H", body, o)[0] if pq else body[o]
+                    )
+                    o += width
+                qtab[tq] = vals
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise ValueError("decode_jpeg_color handles 8-bit 3-component")
+            for i in range(3):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nval = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nval])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc_th >> 4, tc_th & 0xF)] = {
+                    (c, l): sym for sym, (c, l) in codes.items()
+                }
+                o += 17 + nval
+        elif marker == 0xDD:
+            raise ValueError("restart markers unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                scan_sel[cid] = (tsel >> 4, tsel & 0xF)
+            pos += ln
+            break
+        pos += ln
+    if not comps:
+        raise ValueError("missing SOF0")
+    samplings = [(hs, vs) for _, hs, vs, _ in comps]
+    if samplings not in (
+        [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+        [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+    ):
+        raise ValueError(f"unsupported sampling {samplings}")
+    hmax = max(hs for hs, _ in samplings)
+    vmax = max(vs for _, vs in samplings)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    if h % mcu_h or w % mcu_w:
+        raise ValueError("dims must be MCU multiples")
+    m = _dct_matrix()
+    br = _BitReader(payload, pos)
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(
+            np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.uint8)
+        )
+    prev = [0, 0, 0]
+    for my in range(h // mcu_h):
+        for mx in range(w // mcu_w):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                q = np.array(qtab[tq], dtype=np.float64)
+                dct_t = huff[(0, scan_sel[cid][0])]
+                act_t = huff[(1, scan_sel[cid][1])]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        zz, prev[ci] = _decode_block(br, dct_t, act_t, prev[ci])
+                        r0 = (my * vs + vy) * 8
+                        c0 = (mx * hs + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = _idct_block(
+                            zz, q, m
+                        )
+    y = planes[0]
+    cb, cr = planes[1], planes[2]
+    if samplings[0] == (2, 2):  # nearest upsample chroma 2x both axes
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    return _ycbcr_to_rgb(y, cb, cr)
+
+
+def synthesize_jpeg_color(seed: int) -> bytes:
+    """Deterministic real 4:2:0 color JPEG: luma is block-constant per
+    8x8 (Y block (bi, bj) = (3·bi + 5·bj + seed) mod 256) and chroma is
+    constant per 16x16 MCU (Cb = (7·mi + 11·mj + seed) mod 256, Cr =
+    (13·mi + 17·mj + 2·seed) mod 256), so every DCT has one integral DC
+    coefficient, the lossy pipeline is bit-exact at flat quant 1, and
+    post-decode RGB sums are closed-form for an external oracle."""
+    import numpy as np
+
+    mh = seed % 2 + 1
+    mw = (seed * 3) % 3 + 1
+    bi = np.arange(2 * mh, dtype=np.int64)[:, None]
+    bj = np.arange(2 * mw, dtype=np.int64)[None, :]
+    yb = ((3 * bi + 5 * bj + seed) % 256).astype(np.uint8)
+    y = np.kron(yb, np.ones((8, 8), dtype=np.uint8))
+    mi = np.arange(mh, dtype=np.int64)[:, None]
+    mj = np.arange(mw, dtype=np.int64)[None, :]
+    cbb = ((7 * mi + 11 * mj + seed) % 256).astype(np.uint8)
+    crb = ((13 * mi + 17 * mj + 2 * seed) % 256).astype(np.uint8)
+    cb = np.kron(cbb, np.ones((8, 8), dtype=np.uint8))
+    cr = np.kron(crb, np.ones((8, 8), dtype=np.uint8))
+    return encode_jpeg_ycbcr420(y, cb, cr)
+
+
+def jpeg_color_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL color-JPEG pixel pipeline per row: synthesize a 4:2:0 YCbCr
+    baseline JPEG from the id, MCU-interleave-decode its actual bytes
+    (per-component Huffman/quant, IDCT, chroma upsample, YCbCr->RGB),
+    and report per-channel pixel sums.  Arrow-batched ``mapInPandas``
+    with ids spread across the pool (codec work, not bytes, is the
+    cost)."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, rs, gs, bs = [], [], [], [], []
+            for seed in pdf[id_col]:
+                rgb = decode_jpeg_color(synthesize_jpeg_color(int(seed)))
+                src_h.append(rgb.shape[0])
+                src_w.append(rgb.shape[1])
+                s = rgb.astype(np.int64).sum(axis=(0, 1))
+                rs.append(int(s[0]))
+                gs.append(int(s[1]))
+                bs.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "b_sum": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, r_sum long, g_sum long, b_sum long"
+    )
 
 
 def synthesize_jpeg(seed: int) -> bytes:

@@ -2325,3 +2325,87 @@ def test_resolve_tree_dedups_edges_and_rejects_multiparent(spark):
     )
     with pytest.raises(ValueError, match="multiple distinct parents"):
         resolve_tree(multi)
+
+
+def test_jpeg_color_codec_bit_exact_and_errors():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        _ycbcr_to_rgb,
+        decode_jpeg_color,
+        encode_jpeg_ycbcr420,
+        synthesize_jpeg_color,
+    )
+
+    # block-constant luma + MCU-constant chroma survive the lossy
+    # pipeline bit-exactly at flat quant — check against the closed form
+    for seed in (0, 1, 5, 17, 300):
+        mh, mw = seed % 2 + 1, (seed * 3) % 3 + 1
+        rgb = decode_jpeg_color(synthesize_jpeg_color(seed))
+        assert rgb.shape == (16 * mh, 16 * mw, 3)
+        bi = np.arange(2 * mh)[:, None]
+        bj = np.arange(2 * mw)[None, :]
+        y = np.kron((3 * bi + 5 * bj + seed) % 256, np.ones((8, 8), np.int64))
+        mi = np.arange(mh)[:, None]
+        mj = np.arange(mw)[None, :]
+        cb = np.kron((7 * mi + 11 * mj + seed) % 256, np.ones((16, 16), np.int64))
+        cr = np.kron((13 * mi + 17 * mj + 2 * seed) % 256, np.ones((16, 16), np.int64))
+        assert np.array_equal(rgb, _ycbcr_to_rgb(y, cb, cr)), seed
+
+    # arbitrary (lossy) content still decodes without errors and stays
+    # within clip range; exercises byte stuffing across 4 Y + 2 C blocks
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 256, (32, 48), dtype=np.uint8)
+    cb = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    cr = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    rgb = decode_jpeg_color(encode_jpeg_ycbcr420(y, cb, cr))
+    assert rgb.shape == (32, 48, 3) and rgb.dtype == np.uint8
+
+    with pytest.raises(ValueError, match="multiple-of-16"):
+        encode_jpeg_ycbcr420(y[:24], cb, cr)
+    with pytest.raises(ValueError, match="chroma"):
+        encode_jpeg_ycbcr420(y, cb[:8], cr)
+    # a grayscale payload must be rejected by the color decoder
+    from h2h_spark.operators.multimodal import synthesize_jpeg
+
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_color(synthesize_jpeg(3))
+
+
+def test_png_palette_and_rgba_codec():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+        synthesize_png_palette,
+        synthesize_png_rgba,
+    )
+
+    rng = np.random.RandomState(11)
+    # RGBA round-trip through all five filters
+    img = rng.randint(0, 256, (9, 7, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    # palette round-trip resolves through PLTE
+    idx = rng.randint(0, 16, (6, 10), dtype=np.uint8)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png_palette(idx, pal)), pal[idx])
+    # synthetics: closed-form check for one seed
+    seed = 23
+    h, w = seed % 13 + 4, (seed * 5) % 13 + 4
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    i = (3 * r + 5 * c + seed) % 64
+    exp = np.stack(
+        [(7 * i + seed) % 256, (11 * i + 2 * seed) % 256, (13 * i + 3 * seed) % 256],
+        axis=2,
+    )
+    assert np.array_equal(decode_png(synthesize_png_palette(seed)), exp)
+    rgba = decode_png(synthesize_png_rgba(seed))
+    assert np.array_equal(rgba[:, :, 3], (7 * r + 11 * c + seed) % 256)
+    # error paths
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(np.full((2, 2), 5, np.uint8), pal[:4])
+    with pytest.raises(ValueError):
+        encode_png(rng.randint(0, 256, (4, 4, 2), dtype=np.uint8))
