@@ -2409,3 +2409,31 @@ def test_png_palette_and_rgba_codec():
         encode_png_palette(np.full((2, 2), 5, np.uint8), pal[:4])
     with pytest.raises(ValueError):
         encode_png(rng.randint(0, 256, (4, 4, 2), dtype=np.uint8))
+
+
+def test_unigram_viterbi_objective_and_train(spark):
+    from h2h_spark.operators.unigram import _viterbi_segment, unigram_train
+
+    vocab = {"a": 5, "b": 3, "ab": 10, "ba": 9, "aba": 1, "c": 1}
+    # fewest pieces wins over count sum: 'aba' (1 piece) beats 'ab a'
+    assert _viterbi_segment("aba", vocab, 4) == "aba"
+    # count-sum tie-break: 'abab' -> 'ab ab' (20) not 'a ba b' (3 pieces)
+    assert _viterbi_segment("abab", vocab, 4) == "ab ab"
+    # lexicographic tie-break at equal pieces and equal count sum
+    tie = {"x": 2, "y": 2, "xy": 4, "yx": 4, "xyx": 0, "yxy": 0}
+    # 'xyxy' as 'xy xy' (8) vs 'x yx y' — 2 pieces beats 3
+    assert _viterbi_segment("xyxy", tie, 4) == "xy xy"
+    with pytest.raises(ValueError, match="not segmentable"):
+        _viterbi_segment("qq", {"a": 1}, 4)
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat the cat",), ("a cat and a mat and a hat",)],
+        "text string",
+    )
+    out = unigram_train(df, "text", rounds=2, vocab_size=8, max_words=20)
+    rows = {r["piece"]: r["cnt"] for r in out.collect()}
+    # alphabet retention: every letter of every kept word survives
+    for ch in "catmhndoes":
+        assert ch in rows, ch
+    # frequent whole words become single pieces with real counts
+    assert rows.get("cat", 0) >= 3
