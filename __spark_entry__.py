@@ -5561,6 +5561,47 @@ FROM parts ORDER BY adc, id LIMIT 10
 """
 
 
+def q_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized Product Quantization (Ge et al. 2013, OPQ-NP): learn an
+    orthogonal rotation by alternating Lloyd codebook updates with a
+    Procrustes rotation step (scatter matrix accumulated distributively,
+    dim×dim SVD driver-side), then measure reconstruction error.  The
+    contract the oracle grades: the seed-PQ error is recomputed
+    bit-exactly in SQL (distances rounded then summed as DECIMAL — an
+    order-independent total), and the OPQ error must improve on it —
+    guaranteed by monotone alternation from R = I + seed codebooks, so
+    a regression anywhere in the rotate/assign/update/SVD chain flips
+    the boolean.  The float SVD itself is unit-tested, not SQL-graded."""
+    import numpy as np
+
+    from h2h_spark.operators.opq import opq_reconstruction_error, opq_train
+
+    emb, books = _pq_seed_books(spark, sf_dir)
+    err_pq = opq_reconstruction_error(
+        emb, "vec_id", "embedding", np.eye(_PQ_DIM), books, m=_PQ_M, dim=_PQ_DIM
+    )
+    R, trained = opq_train(
+        emb, "vec_id", "embedding",
+        m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, rounds=1, books=books,
+    )
+    err_opq = opq_reconstruction_error(
+        emb, "vec_id", "embedding", R, trained, m=_PQ_M, dim=_PQ_DIM
+    )
+    n = emb.count()
+    return spark.createDataFrame(
+        [(int(n), float(err_pq), bool(err_opq <= err_pq))],
+        "n_vectors bigint, err_pq_seed double, opq_improved boolean",
+    )
+
+
+_SQL_OPQ_ENCODE = _SQL_PQ_CTE + """
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(round(s.d, 6) AS DECIMAL(30,6))) AS DOUBLE) AS err_pq_seed,
+       TRUE AS opq_improved
+FROM scored s JOIN assign a ON s.vec_id = a.vec_id AND s.j = a.j AND s.c = a.code
+"""
+
+
 def q_hierarchy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE, distributed: Spark has no recursive CTE, so the
     engine resolves every node of a forest to (root, depth) by pointer
@@ -6463,6 +6504,7 @@ def _init_queries() -> None:
         "q_jpeg_color": q_jpeg_color,
         "q_png_flavors": q_png_flavors,
         "q_unigram_train": q_unigram_train,
+        "q_opq_encode": q_opq_encode,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6655,6 +6697,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jpeg_color": _SQL_JPEG_COLOR,
         "q_png_flavors": _SQL_PNG_FLAVORS,
         "q_unigram_train": _SQL_UNIGRAM_TRAIN,
+        "q_opq_encode": _SQL_OPQ_ENCODE,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

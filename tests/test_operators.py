@@ -2437,3 +2437,44 @@ def test_unigram_viterbi_objective_and_train(spark):
         assert ch in rows, ch
     # frequent whole words become single pieces with real counts
     assert rows.get("cat", 0) >= 3
+
+
+def test_opq_rotation_improves_and_is_orthogonal(spark):
+    import numpy as np
+
+    from h2h_spark.operators.opq import (
+        opq_reconstruction_error,
+        opq_train,
+        rotate_vectors,
+    )
+    from h2h_spark.operators.pq import seed_codebooks
+
+    dim, m, k = 8, 2, 4
+    # two correlated clusters deliberately NOT axis-aligned, so a learned
+    # rotation can beat identity-PQ
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, dim)
+    mix = np.linalg.qr(rng.randn(dim, dim))[0]
+    X = (base @ mix).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    seed = seed_codebooks(df, "vec_id", "embedding", m=m, k=k, dim=dim)
+    e0 = opq_reconstruction_error(
+        df, "vec_id", "embedding", np.eye(dim), seed, m=m, dim=dim
+    )
+    R, books = opq_train(
+        df, "vec_id", "embedding", m=m, k=k, dim=dim, rounds=2, books=seed
+    )
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)
+    e1 = opq_reconstruction_error(df, "vec_id", "embedding", R, books, m=m, dim=dim)
+    assert e1 <= e0, (e1, e0)
+
+    # rotate_vectors really is R @ x per row
+    got = {
+        r["id"]: np.array(r["rvec"])
+        for r in rotate_vectors(df, "vec_id", "embedding", R).collect()
+    }
+    for i in (0, 7, 39):
+        assert np.allclose(got[i], R @ X[i], atol=1e-12)
