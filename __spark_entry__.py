@@ -5276,6 +5276,93 @@ w{i} AS (
 _SQL_BPE_TRAIN = _sql_bpe()
 
 
+def q_bpe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training — the scale fix for the one-job-per-merge
+    loop (a production 50k vocab would mean 50k driver round-trips):
+    each distributed round selects the top-3 SYMBOL-DISJOINT pairs
+    (greedy by count over a bounded candidate list; a pair sharing a
+    symbol or its merge product with a higher-ranked accepted pair
+    waits a round) and applies them in ONE fold pass.  Disjointness
+    makes simultaneous application order-independent, so the oracle can
+    re-run the identical selection (recursive-CTE greedy walk) and fold."""
+    from h2h_spark.operators.bpe import bpe_train_batched
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bpe_train_batched(docs, "text", rounds=2, batch=3)
+
+
+def _sql_bpe_batched(
+    rounds: int = 2,
+    batch: int = 3,
+    max_words: int = 2000,
+    candidates: int = 50,
+) -> str:
+    head = f"""
+WITH RECURSIVE w0 AS (
+  SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+  FROM (SELECT w, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY freq DESC, w LIMIT {max_words}))"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT toks[x] AS a, toks[x + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, toks, unnest(generate_series(1, len(toks) - 1)) AS x
+        FROM (SELECT freq, string_split(sym, ' ') AS toks FROM w{i-1}))
+  GROUP BY a, b),
+r{i} AS (
+  SELECT a, b, cnt, rn FROM (
+    SELECT a, b, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rn FROM p{i})
+  WHERE rn <= {candidates}),
+sel{i} AS (
+  SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+         CAST([] AS STRUCT(a VARCHAR, b VARCHAR, cnt BIGINT, rk INTEGER)[]) AS merges
+  UNION ALL
+  SELECT r.rn,
+    CASE WHEN len(s.merges) < {batch}
+              AND NOT list_contains(s.used, r.a)
+              AND NOT list_contains(s.used, r.b)
+              AND NOT list_contains(s.used, r.a || r.b)
+         THEN list_concat(s.used, [r.a, r.b, r.a || r.b]) ELSE s.used END,
+    CASE WHEN len(s.merges) < {batch}
+              AND NOT list_contains(s.used, r.a)
+              AND NOT list_contains(s.used, r.b)
+              AND NOT list_contains(s.used, r.a || r.b)
+         THEN list_append(s.merges,
+              {{'a': r.a, 'b': r.b, 'cnt': r.cnt,
+                'rk': CAST(len(s.merges) + 1 AS INTEGER)}})
+         ELSE s.merges END
+  FROM sel{i} s JOIN r{i} r ON r.rn = s.rn + 1),
+g{i} AS (SELECT merges FROM sel{i} ORDER BY rn DESC LIMIT 1),
+w{i} AS (
+  SELECT w, freq,
+    list_reduce(string_split(sym, ' '), (acc, x) ->
+      CASE WHEN len(list_filter(g{i}.merges,
+                p -> p.b = x AND (acc = p.a OR ends_with(acc, ' ' || p.a)))) > 0
+      THEN substr(acc, 1, length(acc) - length(list_filter(g{i}.merges,
+                p -> p.b = x AND (acc = p.a OR ends_with(acc, ' ' || p.a)))[1].a))
+           || list_filter(g{i}.merges,
+                p -> p.b = x AND (acc = p.a OR ends_with(acc, ' ' || p.a)))[1].a || x
+      ELSE acc || ' ' || x END) AS sym
+  FROM w{i-1}, g{i})""")
+    tail = (
+        "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"""SELECT {i} AS round, m.rk AS rank, m.a AS sym_a, m.b AS sym_b,
+                       CAST(m.cnt AS BIGINT) AS pair_count
+                FROM (SELECT unnest(merges) AS m FROM g{i})"""
+            for i in range(1, rounds + 1)
+        )
+        + ")"
+    )
+    return "".join(parts) + tail
+
+
+_SQL_BPE_BATCH = _sql_bpe_batched()
+
+
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training: seed vocab
     of frequent substrings, then Viterbi-EM rounds (segment under the
@@ -6505,6 +6592,7 @@ def _init_queries() -> None:
         "q_png_flavors": q_png_flavors,
         "q_unigram_train": q_unigram_train,
         "q_opq_encode": q_opq_encode,
+        "q_bpe_batch": q_bpe_batch,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6698,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "q_png_flavors": _SQL_PNG_FLAVORS,
         "q_unigram_train": _SQL_UNIGRAM_TRAIN,
         "q_opq_encode": _SQL_OPQ_ENCODE,
+        "q_bpe_batch": _SQL_BPE_BATCH,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

@@ -118,6 +118,131 @@ def bpe_train(
     )
 
 
+def _select_disjoint(ranked: list[tuple[str, str, int]], batch: int):
+    """Greedy conflict-free prefix of a (cnt desc, a, b)-ranked pair
+    list: accept a pair iff none of {a, b, a||b} was used by a
+    higher-ranked accepted pair.  Symbol-disjointness (including the
+    merge PRODUCT, which could collide with another pair's member) is
+    what makes simultaneous application order-independent."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for a, b, cnt in ranked:
+        if len(out) >= batch:
+            break
+        if {a, b, a + b} & used:
+            continue
+        used |= {a, b, a + b}
+        out.append((a, b, cnt))
+    return out
+
+
+def _multi_merge_fold_expr(accepted: list[tuple[str, str]]) -> str:
+    """One-pass greedy-leftmost fold applying ALL accepted (symbol-
+    disjoint) merges simultaneously; since the pairs share no symbols
+    (nor products), this equals any sequential application order."""
+    lits = ", ".join(
+        f"named_struct('a', '{a}', 'b', '{b}')" for a, b in accepted
+    )
+    # at most one pair can match a given x (b-symbols are pairwise
+    # distinct by disjointness), so element_at(filter(...), 1) is total
+    match = (
+        f"filter(array({lits}), p -> p.b = x AND "
+        f"(acc = p.a OR endswith(acc, concat(' ', p.a))))"
+    )
+    return f"""aggregate(
+        slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)),
+        element_at(split(sym, ' '), 1),
+        (acc, x) -> CASE
+            WHEN size({match}) > 0
+            THEN concat(
+                substring(acc, 1, length(acc) - length(element_at({match}, 1).a)),
+                element_at({match}, 1).a, x)
+            ELSE concat(acc, ' ', x) END)"""
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str,
+    *,
+    rounds: int = 2,
+    batch: int = 3,
+    max_words: int = 2000,
+    candidates: int = 50,
+) -> DataFrame:
+    """BPE training with ``batch`` merges per distributed round instead
+    of one — the fix for :func:`bpe_train`'s one-job-per-merge loop (at
+    a production 50k vocab that is 50k driver round-trips; this cuts
+    rounds ~batch×).  Per round: ONE pair-count aggregate, a bounded
+    ``candidates``-row collect, driver-side greedy selection of the
+    top-``batch`` SYMBOL-DISJOINT pairs (standard trick: a pair sharing
+    a symbol — or its merge product — with a higher-count accepted pair
+    waits for the next round, keeping simultaneous application
+    order-independent), then one fold pass applies them all.  Returns
+    ``(round, rank, sym_a, sym_b, pair_count)``."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(max_words)
+    )
+    wt = words.select(
+        "w",
+        "freq",
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
+    ).persist()
+    rules: list[tuple[int, int, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        toks = F.split("sym", " ")
+        pairs = (
+            wt.select("freq", toks.alias("t"))
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.when(
+                            F.size("t") > 1,
+                            F.sequence(F.lit(1), F.size("t") - 1),
+                        ).otherwise(F.expr("array()")),
+                        lambda i: F.struct(
+                            F.element_at(F.col("t"), i).alias("a"),
+                            F.element_at(F.col("t"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        ranked = [
+            (r["a"], r["b"], int(r["cnt"]))
+            for r in pairs.orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(candidates)
+            .collect()
+        ]
+        accepted = _select_disjoint(ranked, batch)
+        if not accepted:
+            break
+        for i, (a, b, cnt) in enumerate(accepted, start=1):
+            rules.append((rnd, i, a, b, cnt))
+        nxt = wt.select(
+            "w", "freq",
+            F.expr(
+                _multi_merge_fold_expr([(a, b) for a, b, _ in accepted])
+            ).alias("sym"),
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        wt.unpersist()
+        wt = nxt
+    wt.unpersist()
+    return spark.createDataFrame(
+        rules,
+        "round int, rank int, sym_a string, sym_b string, pair_count bigint",
+    )
+
+
 def bpe_apply(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> DataFrame:
     """Tokenize: apply a learned merge list (in order) to every word of
     ``text_col``; adds ``n_subwords`` — the post-merge token count (the

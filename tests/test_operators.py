@@ -2478,3 +2478,30 @@ def test_opq_rotation_improves_and_is_orthogonal(spark):
     }
     for i in (0, 7, 39):
         assert np.allclose(got[i], R @ X[i], atol=1e-12)
+
+
+def test_bpe_batched_disjoint_selection_and_train(spark):
+    from h2h_spark.operators.bpe import _select_disjoint, bpe_train_batched
+
+    ranked = [
+        ("a", "b", 100),   # accepted
+        ("b", "c", 90),    # rejected: shares 'b'
+        ("c", "d", 80),    # accepted
+        ("ab", "x", 70),   # rejected: 'ab' is the product of rule 1
+        ("e", "f", 60),    # accepted (batch full after this)
+        ("g", "h", 50),
+    ]
+    got = _select_disjoint(ranked, 3)
+    assert got == [("a", "b", 100), ("c", "d", 80), ("e", "f", 60)]
+
+    # simultaneous application: 'abab' must fold to 'ab ab' under the
+    # (a,b) merge even with other disjoint merges in the same batch
+    df = spark.createDataFrame(
+        [("abab cd cd abab",), ("ab cd ab cd",)], "text string"
+    )
+    out = bpe_train_batched(df, "text", rounds=1, batch=2)
+    rows = {(r["round"], r["rank"]): (r["sym_a"], r["sym_b"]) for r in out.collect()}
+    assert rows[(1, 1)] == ("a", "b")
+    # second pick must not reuse 'a'/'b' or the 'ab' product
+    a2, b2 = rows[(1, 2)]
+    assert not ({a2, b2, a2 + b2} & {"a", "b", "ab"})
