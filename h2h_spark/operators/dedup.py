@@ -550,6 +550,17 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        # silent wrong answers are worse than a loud one: labels that
+        # are still moving after max_iter rounds mean the graph diameter
+        # exceeds 2*max_iter — use connected_components_star (O(log n)
+        # rounds) for high-diameter graphs.
+        edges.unpersist()
+        raise ValueError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds (graph diameter > {2 * max_iter}); "
+            "use connected_components_star for high-diameter graphs"
+        )
     edges.unpersist()
     return labels.select("id", F.col("lab").alias("rep"))
 

@@ -2505,3 +2505,23 @@ def test_bpe_batched_disjoint_selection_and_train(spark):
     # second pick must not reuse 'a'/'b' or the 'ab' product
     a2, b2 = rows[(1, 2)]
     assert not ({a2, b2, a2 + b2} & {"a", "b", "ab"})
+
+
+def test_connected_components_raises_on_high_diameter(spark):
+    from h2h_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # a 40-hop chain has diameter 40 > 2*max_iter at max_iter=3 — the
+    # min-label walker must fail loudly, and the star contraction must
+    # still solve it in O(log n) rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="diameter"):
+        connected_components(chain, max_iter=3)
+    star = connected_components_star(chain)
+    reps = {r["rep"] for r in star.collect()}
+    assert reps == {0}
+    assert star.count() == 41
