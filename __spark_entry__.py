@@ -2151,6 +2151,34 @@ WHERE b < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws an exponential key -ln(u)/w with an md5-portable
+    uniform and weight = text length; the 50 smallest keys win — exact
+    probability-proportional-to-size sampling as one narrow projection
+    + TakeOrdered, no RNG state, reproducible on any engine.  Keys are
+    rounded to 9 digits with an id tie-break so a 1-ulp libm ln()
+    divergence cannot flip the cut."""
+    from h2h_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return weighted_sample(
+        docs, "doc_id", F.length("text") + F.lit(1), 50
+    ).select(F.col("id").alias("doc_id"), "weight", "es_key")
+
+
+_SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, weight, es_key
+FROM (
+  SELECT doc_id, CAST(length(text) + 1 AS DOUBLE) AS weight,
+         round(-ln((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0)
+               / CAST(length(text) + 1 AS DOUBLE), 9) AS es_key
+  FROM documents)
+ORDER BY es_key, doc_id LIMIT 50
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-dim join (the manual tool for broadcast-ineligible
     skewed keys): left salted ×16, right replicated ×16, join on
@@ -4994,6 +5022,36 @@ FROM s
 """
 
 
+def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit truecolor PNG decode: the scanline filters run over
+    byte LANES (left reference bpp = 6 bytes back, per the PNG spec),
+    then big-endian lane pairs recombine into uint16 samples.  Channel
+    sums graded closed-form."""
+    from h2h_spark.operators.multimodal import png_16bit_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return png_16bit_stats(docs, "doc_id")
+
+
+_SQL_PNG_16BIT = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents),
+s AS (
+  SELECT g.doc_id, g.w, g.h,
+         SUM((301 * r.x + 507 * c.x + 11 * doc_id) % 65536) AS r_sum,
+         SUM((301 * r.x + 507 * c.x + 11 * doc_id + 21845) % 65536) AS g_sum,
+         SUM((301 * r.x + 507 * c.x + 11 * doc_id + 43690) % 65536) AS b_sum
+  FROM g, generate_series(0, 16) AS r(x), generate_series(0, 16) AS c(x)
+  WHERE r.x < g.h AND c.x < g.w
+  GROUP BY g.doc_id, g.w, g.h)
+SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+       CAST(b_sum AS BIGINT) AS b_sum
+FROM s
+"""
+
+
 def q_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL chroma-subsampled COLOR JPEG decode, no media libraries:
     each doc id synthesizes a true baseline 4:2:0 YCbCr JPEG (two quant
@@ -6593,6 +6651,8 @@ def _init_queries() -> None:
         "q_unigram_train": q_unigram_train,
         "q_opq_encode": q_opq_encode,
         "q_bpe_batch": q_bpe_batch,
+        "q_weighted_sample": q_weighted_sample,
+        "q_png_16bit": q_png_16bit,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6787,6 +6847,8 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_train": _SQL_UNIGRAM_TRAIN,
         "q_opq_encode": _SQL_OPQ_ENCODE,
         "q_bpe_batch": _SQL_BPE_BATCH,
+        "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "q_png_16bit": _SQL_PNG_16BIT,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

@@ -619,7 +619,10 @@ def decode_png(payload: bytes):
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(">IIBBBBB", body)
-            if (depth, comp, filt, ilace) != (8, 0, 0, 0) or ctype not in (2, 3, 6):
+            if (
+                (comp, filt, ilace) != (0, 0, 0)
+                or (depth, ctype) not in ((8, 2), (8, 3), (8, 6), (16, 2))
+            ):
                 raise ValueError(
                     f"unsupported PNG flavor (depth={depth} color={ctype} "
                     f"interlace={ilace})"
@@ -635,7 +638,10 @@ def decode_png(payload: bytes):
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    nch = {2: 3, 3: 1, 6: 4}[ctype]
+    # PNG filters operate BYTEWISE with 'left' = the byte bpp positions
+    # earlier, so the unfilter runs over byte LANES: at depth 8 a lane is
+    # a sample; at depth 16 each sample is two big-endian lanes.
+    nch = {2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     stride = 1 + w * nch
     if len(raw) != stride * h:
@@ -683,6 +689,10 @@ def decode_png(payload: bytes):
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
         return plte[idx]
+    if depth == 16:  # recombine big-endian lane pairs into uint16 samples
+        hi = out[:, :, 0::2].astype(np.uint16)
+        lo = out[:, :, 1::2].astype(np.uint16)
+        return (hi << 8) | lo
     return out
 
 
@@ -699,6 +709,81 @@ def synthesize_png(seed: int) -> bytes:
     c = np.arange(w, dtype=np.int64)[None, :]
     chan = ((3 * r + 5 * c + seed) % 256).astype(np.uint8)
     return encode_png(np.repeat(chan[:, :, None], 3, axis=2), filter_mode="mixed")
+
+
+def encode_png_16bit(arr, *, filter_mode: str = "mixed") -> bytes:
+    """Encode an ``(H, W, 3)`` uint16 RGB array as a 16-bit truecolor
+    PNG: samples split into big-endian byte lanes, the same bytewise
+    filters applied at bpp = 6."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint16)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("encode_png_16bit takes (H, W, 3) uint16")
+    lanes = np.zeros((h, w, 6), dtype=np.int16)
+    lanes[:, :, 0::2] = (a >> 8).astype(np.int16)
+    lanes[:, :, 1::2] = (a & 0xFF).astype(np.int16)
+    out = _png_filter_rows(lanes, filter_mode)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_16bit(seed: int) -> bytes:
+    """Deterministic 16-bit PNG: channel k of pixel (r, c) =
+    (301·r + 507·c + 11·seed + 21845·k) mod 65536 — closed-form sums."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(3, dtype=np.int64)[None, None, :]
+    img = ((301 * r + 507 * c + 11 * seed + 21845 * k) % 65536).astype(np.uint16)
+    return encode_png_16bit(img, filter_mode="mixed")
+
+
+def png_16bit_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL 16-bit PNG pipeline per row: synthesize, inflate + unfilter
+    the actual bytes over byte lanes, recombine big-endian samples, and
+    report channel sums.  Arrow-batched ``mapInPandas``."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, rs, gs, bs = [], [], [], [], []
+            for seed in pdf[id_col]:
+                img = decode_png(synthesize_png_16bit(int(seed)))
+                if img.dtype != np.uint16:
+                    raise ValueError("16-bit decode returned wrong dtype")
+                src_h.append(img.shape[0])
+                src_w.append(img.shape[1])
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rs.append(int(s[0]))
+                gs.append(int(s[1]))
+                bs.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "b_sum": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, r_sum long, g_sum long, b_sum long"
+    )
 
 
 def synthesize_png_palette(seed: int) -> bytes:

@@ -211,3 +211,44 @@ def deterministic_shuffle(
             *[F.col(c) for c in carry_cols],
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column | str,
+    k: int,
+    *,
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by exponential keys
+    (Efraimidis & Spirakis, "Weighted random sampling with a reservoir",
+    IPL 2006 — public; the A-ES scheme): each row draws
+    ``e_i = -ln(u_i) / w_i`` and the k SMALLEST keys win — exactly
+    probability-proportional-to-weight without-replacement sampling.
+
+    ``u_i`` is an engine-portable md5-derived uniform (identical bits in
+    any engine with md5), keys are rounded to 9 digits with an id
+    tie-break before the cut so a 1-ulp ``ln`` divergence between libm
+    implementations cannot flip the selection, and the k-smallest cut is
+    a TakeOrdered (no global sort materialization).  Non-positive
+    weights are excluded (a zero weight means "never sample").
+    Returns ``(id, weight, es_key)``.
+    """
+    c_id = F.col(id_col)
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    h = portable_hash60(F.concat(F.lit(seed + "|"), c_id.cast("string")))
+    # (0, 1]: +1 lifts off zero; /2^60 (a power of two) is exact, and the
+    # int->double rounding of h is IEEE-identical in any engine
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .select(
+            c_id.alias("id"),
+            w.alias("weight"),
+            F.round(key, 9).alias("es_key"),
+        )
+        .orderBy("es_key", "id")
+        .limit(k)
+    )

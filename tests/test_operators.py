@@ -2525,3 +2525,27 @@ def test_connected_components_raises_on_high_diameter(spark):
     reps = {r["rep"] for r in star.collect()}
     assert reps == {0}
     assert star.count() == 41
+
+
+def test_png_16bit_codec():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        decode_png,
+        encode_png_16bit,
+        synthesize_png_16bit,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 65536, (7, 9, 3), dtype=np.uint16)
+    back = decode_png(encode_png_16bit(img))
+    assert back.dtype == np.uint16
+    assert np.array_equal(back, img)
+    # closed form for one seed
+    seed = 9
+    h, w = seed % 13 + 4, (seed * 5) % 13 + 4
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    k = np.arange(3)[None, None, :]
+    exp = (301 * r + 507 * c + 11 * seed + 21845 * k) % 65536
+    assert np.array_equal(decode_png(synthesize_png_16bit(seed)), exp)
