@@ -5022,6 +5022,19 @@ FROM s
 """
 
 
+def q_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color JPEG with RESTART MARKERS (DRI + RSTn every 2 MCUs): the
+    resync mechanism real-world encoders emit — byte-aligned markers
+    that must NOT be byte-unstuffed, DC predictors reset per interval.
+    Same block-constant source and closed-form oracle as q_jpeg_color,
+    so any off-by-one in marker placement, predictor reset, or bit
+    realignment mismatches."""
+    from h2h_spark.operators.multimodal import jpeg_color_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return jpeg_color_stats(docs, "doc_id", restart_interval=2)
+
+
 def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 16-bit truecolor PNG decode: the scanline filters run over
     byte LANES (left reference bpp = 6 bytes back, per the PNG spec),
@@ -6653,6 +6666,7 @@ def _init_queries() -> None:
         "q_bpe_batch": q_bpe_batch,
         "q_weighted_sample": q_weighted_sample,
         "q_png_16bit": q_png_16bit,
+        "q_jpeg_restart": q_jpeg_restart,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6849,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_batch": _SQL_BPE_BATCH,
         "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "q_png_16bit": _SQL_PNG_16BIT,
+        "q_jpeg_restart": _SQL_JPEG_COLOR,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

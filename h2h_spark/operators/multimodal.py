@@ -1196,10 +1196,20 @@ class _BitWriter:
                 self.out.append(0x00)  # byte stuffing
             self.n -= 8
 
-    def flush(self) -> bytes:
+    def pad(self) -> None:
+        """1-fill to a byte boundary (T.81 requires it before RSTn)."""
         if self.n:
-            pad = 8 - self.n
-            self.put((1 << pad) - 1, pad)  # 1-fill final byte
+            fill = 8 - self.n
+            self.put((1 << fill) - 1, fill)
+
+    def put_marker(self, marker: int) -> None:
+        """Emit a raw marker into the scan — NOT byte-stuffed (markers
+        are exactly the FF-sequences stuffing exists to protect)."""
+        self.pad()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.pad()
         return bytes(self.out)
 
 
@@ -1307,6 +1317,18 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, idx: int) -> None:
+        """Consume the RST(idx mod 8) marker: drop the padded tail of
+        the current byte, verify the marker bytes, realign."""
+        self.n = 0
+        b0 = self.data[self.pos]
+        b1 = self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + (idx & 7):
+            raise ValueError(
+                f"expected RST{idx & 7} marker, found {b0:02x}{b1:02x}"
+            )
+        self.pos += 2
 
 
 def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -1436,11 +1458,16 @@ def decode_jpeg_gray(payload: bytes):
     return out
 
 
-def encode_jpeg_ycbcr420(y, cb, cr, *, quant_y: int = 1, quant_c: int = 1) -> bytes:
+def encode_jpeg_ycbcr420(
+    y, cb, cr, *, quant_y: int = 1, quant_c: int = 1, restart_interval: int = 0
+) -> bytes:
     """Encode Y/Cb/Cr planes as a real baseline color JPEG with 4:2:0
     chroma subsampling (SOF0 sampling 0x22/0x11/0x11, MCU-interleaved
     scan per T.81 A.2.3: four Y blocks then one Cb then one Cr per MCU,
     per-component DC predictors, luma/chroma quant + Huffman tables).
+    ``restart_interval`` > 0 writes a DRI segment and an RSTn marker
+    (cycling 0-7, byte-aligned, DC predictors reset) every that many
+    MCUs — the resync mechanism real-world encoders emit.
 
     ``y`` is ``(H, W)`` uint8 with H, W multiples of 16; ``cb``/``cr``
     are the already-subsampled ``(H/2, W/2)`` planes (a camera pipeline
@@ -1465,8 +1492,13 @@ def encode_jpeg_ycbcr420(y, cb, cr, *, quant_y: int = 1, quant_c: int = 1) -> by
     cbs = cb.astype(np.float64) - 128.0
     crs = cr.astype(np.float64) - 128.0
     dc_y = dc_cb = dc_cr = 0
+    mcu_idx = 0
     for my in range(h // 16):
         for mx in range(w // 16):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.put_marker(0xD0 + (mcu_idx // restart_interval - 1) % 8)
+                dc_y = dc_cb = dc_cr = 0
+            mcu_idx += 1
             for vy in range(2):  # 4 luma blocks, raster order within MCU
                 for vx in range(2):
                     r0 = my * 16 + vy * 8
@@ -1502,8 +1534,13 @@ def encode_jpeg_ycbcr420(y, cb, cr, *, quant_y: int = 1, quant_c: int = 1) -> by
     ht = bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
     at = bytes(_AC_BITS[:16]) + bytes(_AC_VALS)
     dht = seg(0xFFC4, b"\x00" + ht + b"\x10" + at + b"\x01" + ht + b"\x11" + at)
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def _ycbcr_to_rgb(y, cb, cr):
@@ -1540,6 +1577,7 @@ def decode_jpeg_color(payload: bytes):
     qtab: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     scan_sel: dict[int, tuple[int, int]] = {}
     while pos < len(payload):
@@ -1586,7 +1624,7 @@ def decode_jpeg_color(payload: bytes):
                 }
                 o += 17 + nval
         elif marker == 0xDD:
-            raise ValueError("restart markers unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             ns = body[0]
             for i in range(ns):
@@ -1616,8 +1654,13 @@ def decode_jpeg_color(payload: bytes):
             np.zeros((h * vs // vmax, w * hs // hmax), dtype=np.uint8)
         )
     prev = [0, 0, 0]
+    mcu_idx = 0
     for my in range(h // mcu_h):
         for mx in range(w // mcu_w):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.restart(mcu_idx // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu_idx += 1
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 q = np.array(qtab[tq], dtype=np.float64)
                 dct_t = huff[(0, scan_sel[cid][0])]
@@ -1638,7 +1681,7 @@ def decode_jpeg_color(payload: bytes):
     return _ycbcr_to_rgb(y, cb, cr)
 
 
-def synthesize_jpeg_color(seed: int) -> bytes:
+def synthesize_jpeg_color(seed: int, *, restart_interval: int = 0) -> bytes:
     """Deterministic real 4:2:0 color JPEG: luma is block-constant per
     8x8 (Y block (bi, bj) = (3·bi + 5·bj + seed) mod 256) and chroma is
     constant per 16x16 MCU (Cb = (7·mi + 11·mj + seed) mod 256, Cr =
@@ -1659,10 +1702,12 @@ def synthesize_jpeg_color(seed: int) -> bytes:
     crb = ((13 * mi + 17 * mj + 2 * seed) % 256).astype(np.uint8)
     cb = np.kron(cbb, np.ones((8, 8), dtype=np.uint8))
     cr = np.kron(crb, np.ones((8, 8), dtype=np.uint8))
-    return encode_jpeg_ycbcr420(y, cb, cr)
+    return encode_jpeg_ycbcr420(y, cb, cr, restart_interval=restart_interval)
 
 
-def jpeg_color_stats(df: DataFrame, id_col: str) -> DataFrame:
+def jpeg_color_stats(
+    df: DataFrame, id_col: str, *, restart_interval: int = 0
+) -> DataFrame:
     """REAL color-JPEG pixel pipeline per row: synthesize a 4:2:0 YCbCr
     baseline JPEG from the id, MCU-interleave-decode its actual bytes
     (per-component Huffman/quant, IDCT, chroma upsample, YCbCr->RGB),
@@ -1675,7 +1720,11 @@ def jpeg_color_stats(df: DataFrame, id_col: str) -> DataFrame:
         for pdf in batches:
             src_w, src_h, rs, gs, bs = [], [], [], [], []
             for seed in pdf[id_col]:
-                rgb = decode_jpeg_color(synthesize_jpeg_color(int(seed)))
+                rgb = decode_jpeg_color(
+                    synthesize_jpeg_color(
+                        int(seed), restart_interval=restart_interval
+                    )
+                )
                 src_h.append(rgb.shape[0])
                 src_w.append(rgb.shape[1])
                 s = rgb.astype(np.int64).sum(axis=(0, 1))

@@ -2549,3 +2549,28 @@ def test_png_16bit_codec():
     k = np.arange(3)[None, None, :]
     exp = (301 * r + 507 * c + 11 * seed + 21845 * k) % 65536
     assert np.array_equal(decode_png(synthesize_png_16bit(seed)), exp)
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr420,
+        synthesize_jpeg_color,
+    )
+
+    rng = np.random.RandomState(4)
+    y = rng.randint(0, 256, (48, 64), dtype=np.uint8)
+    cb = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    cr = rng.randint(0, 256, (24, 32), dtype=np.uint8)
+    plain = decode_jpeg_color(encode_jpeg_ycbcr420(y, cb, cr))
+    for ri in (1, 2, 5):
+        with_rst = encode_jpeg_ycbcr420(y, cb, cr, restart_interval=ri)
+        assert b"\xff\xdd" in with_rst  # DRI segment present
+        assert np.array_equal(decode_jpeg_color(with_rst), plain), ri
+    # synthetic path with restarts must equal the restart-free decode
+    for seed in (3, 10):
+        a = decode_jpeg_color(synthesize_jpeg_color(seed))
+        b = decode_jpeg_color(synthesize_jpeg_color(seed, restart_interval=2))
+        assert np.array_equal(a, b), seed
