@@ -5730,17 +5730,15 @@ def q_opq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed by monotone alternation from R = I + seed codebooks, so
     a regression anywhere in the rotate/assign/update/SVD chain flips
     the boolean.  The float SVD itself is unit-tested, not SQL-graded."""
-    import numpy as np
-
     from h2h_spark.operators.opq import opq_reconstruction_error, opq_train
 
     emb, books = _pq_seed_books(spark, sf_dir)
-    err_pq = opq_reconstruction_error(
-        emb, "vec_id", "embedding", np.eye(_PQ_DIM), books, m=_PQ_M, dim=_PQ_DIM
-    )
-    R, trained = opq_train(
+    # the seed-PQ error falls out of the trainer's first assignment —
+    # no separate error pass (R starts at I with the seed books)
+    R, trained, err_pq = opq_train(
         emb, "vec_id", "embedding",
         m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, rounds=1, books=books,
+        return_initial_error=True,
     )
     err_opq = opq_reconstruction_error(
         emb, "vec_id", "embedding", R, trained, m=_PQ_M, dim=_PQ_DIM

@@ -106,12 +106,19 @@ def opq_train(
     dim: int,
     rounds: int = 2,
     books: dict[tuple[int, int], list[float]] | None = None,
+    return_initial_error: bool = False,
 ):
     """OPQ-NP alternation; returns ``(R, books)`` — the rotation matrix
     and the codebook dict trained in the rotated space.  Starts from
     ``R = I`` and the deterministic seed codebooks (or the passed-in
     ``books``), so the objective is monotonically non-increasing from
-    the plain seed-PQ error."""
+    the plain seed-PQ error.
+
+    With ``return_initial_error=True``, returns ``(R, books, err0)``
+    where ``err0`` is the seed-PQ objective measured from the FIRST
+    round's assignment (same decimal-sum rule as
+    :func:`opq_reconstruction_error`) — one scan cheaper than a
+    separate error pass."""
     import numpy as np
 
     sd = dim // m
@@ -122,12 +129,20 @@ def opq_train(
     if books is None:
         books = seed_codebooks(df, id_col, vec_col, m=m, k=k, dim=dim)
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("x"))
-    for _ in range(rounds):
+    err0 = None
+    for rnd in range(rounds):
         rot = rotate_vectors(src, "id", "x", R).persist()
         sub = _subvectors(rot, "id", "rvec", m, dim)
-        assigned = _assign(sub, _codebook_df(spark, books)).select(
-            "id", "j", F.col("code").alias("c")
-        )
+        assigned_full = _assign(sub, _codebook_df(spark, books))
+        if rnd == 0 and return_initial_error:
+            err0 = float(
+                assigned_full.agg(
+                    F.sum(
+                        F.round(F.col("dist_sq"), 6).cast("decimal(30,6)")
+                    ).alias("e")
+                ).collect()[0]["e"]
+            )
+        assigned = assigned_full.select("id", "j", F.col("code").alias("c"))
         # Lloyd M-step: per-(subspace, code) means over the rotated data
         means = (
             sub.join(assigned, ["id", "j"])
@@ -151,6 +166,8 @@ def opq_train(
         rot.unpersist()
         U, _s, Vt = np.linalg.svd(M)
         R = U @ Vt
+    if return_initial_error:
+        return R, books, err0
     return R, books
 
 
