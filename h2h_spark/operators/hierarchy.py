@@ -36,23 +36,26 @@ def resolve_tree(
     which, at 40, means the input had a cycle, and silent wrong answers
     are worse than a loud one.
     """
+    # the edge list is referenced three times (pointer table + both
+    # sides of the root computation) — materialize it ONCE, or every
+    # reference re-runs the caller's upstream plan (same fix as
+    # bfs_distances' edge materialization).
     # distinct(): duplicate (child,parent) rows would fan out in every
     # self-join round; and a child with two DIFFERENT parents breaks the
     # forest contract — assert it loudly rather than emit conflicting
     # (id, root, depth) rows.
-    pointers = edges.select(
-        F.col(child).alias("id"), F.col(parent).alias("anc")
-    ).distinct()
-    multi = (
-        pointers.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
+    e = (
+        edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    if multi:
-        raise ValueError(
-            f"resolve_tree: node {multi[0]['id']!r} has multiple distinct "
-            "parents — input is not a forest"
-        )
-    ptr = pointers.withColumn("d", F.lit(1).cast("long")).persist()
+    ptr = (
+        e.select(F.col("c").alias("id"), F.col("p").alias("anc"))
+        .withColumn("d", F.lit(1).cast("long"))
+        .persist()
+    )
     cached = ptr
+    checked = False
     for _ in range(max_rounds):
         hop = ptr.select(
             F.col("id").alias("__hid"),
@@ -75,7 +78,27 @@ def resolve_tree(
             )
             .localCheckpoint(eager=True)
         )
-        moved = nxt.agg(F.max("__moved")).collect()[0][0]
+        if not checked:
+            # forest assertion rides round 1's convergence aggregate
+            # (same scan, zero extra jobs): after one hop a forest yields
+            # exactly one row per id, while a duplicated id — a child
+            # with two distinct parents, or a multi-parent ancestor —
+            # fans the join out to >1 row.
+            agg = nxt.agg(
+                F.max("__moved").alias("m"),
+                F.count("*").alias("n"),
+                F.countDistinct("id").alias("nd"),
+            ).collect()[0]
+            if agg["n"] != agg["nd"]:
+                cached.unpersist()
+                raise ValueError(
+                    "resolve_tree: some node has multiple distinct parents "
+                    "— input is not a forest"
+                )
+            moved = agg["m"]
+            checked = True
+        else:
+            moved = nxt.agg(F.max("__moved")).collect()[0][0]
         cached.unpersist()
         cached = nxt
         ptr = nxt.drop("__moved")
@@ -87,9 +110,9 @@ def resolve_tree(
             "rounds — cycle in the parent edges?"
         )
     roots = (
-        edges.select(F.col(parent).alias("id"))
+        e.select(F.col("p").alias("id"))
         .distinct()
-        .join(edges.select(F.col(child).alias("id")).distinct(), "id", "left_anti")
+        .join(e.select(F.col("c").alias("id")).distinct(), "id", "left_anti")
         .select("id", F.col("id").alias("root"), F.lit(0).cast("long").alias("depth"))
     )
     resolved = ptr.select("id", F.col("anc").alias("root"), F.col("d").alias("depth"))
