@@ -5022,6 +5022,37 @@ FROM s
 """
 
 
+def q_gif_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color GIF decode: full variable-width LZW over the actual
+    bytes, then global-color-table resolution to RGB — channel sums
+    graded closed-form (index gradient into a generated palette)."""
+    from h2h_spark.operators.multimodal import gif_color_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return gif_color_stats(docs, "doc_id")
+
+
+_SQL_GIF_COLOR = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents),
+px AS (
+  SELECT g.doc_id, g.w, g.h, (3 * r.x + 5 * c.x + doc_id) % 64 AS i
+  FROM g, generate_series(0, 16) AS r(x), generate_series(0, 16) AS c(x)
+  WHERE r.x < g.h AND c.x < g.w),
+s AS (
+  SELECT doc_id, w, h,
+         SUM((5 * i + doc_id) % 256) AS r_sum,
+         SUM((9 * i + 2 * doc_id) % 256) AS g_sum,
+         SUM((11 * i + 3 * doc_id) % 256) AS b_sum
+  FROM px GROUP BY doc_id, w, h)
+SELECT doc_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+       CAST(b_sum AS BIGINT) AS b_sum
+FROM s
+"""
+
+
 def q_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Color JPEG with RESTART MARKERS (DRI + RSTn every 2 MCUs): the
     resync mechanism real-world encoders emit — byte-aligned markers
@@ -6665,6 +6696,7 @@ def _init_queries() -> None:
         "q_weighted_sample": q_weighted_sample,
         "q_png_16bit": q_png_16bit,
         "q_jpeg_restart": q_jpeg_restart,
+        "q_gif_color": q_gif_color,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6862,6 +6894,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "q_png_16bit": _SQL_PNG_16BIT,
         "q_jpeg_restart": _SQL_JPEG_COLOR,
+        "q_gif_color": _SQL_GIF_COLOR,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

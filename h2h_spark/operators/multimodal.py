@@ -936,17 +936,25 @@ def png_resize_stats(
 # ---------------------------------------------------------------------------
 
 
-def encode_gif_gray(arr) -> bytes:
-    """Encode an ``(H, W)`` uint8 grayscale array as a GIF89a with a
-    256-gray global palette (palette[i] = (i, i, i))."""
+def encode_gif(indices, palette) -> bytes:
+    """Encode an ``(H, W)`` uint8 index array + ``(N <= 256, 3)`` palette
+    as a GIF89a with a 256-entry global color table (palette zero-padded
+    — GCT sizes are powers of two and the 9-bit pinned-width LZW wants
+    the full 256-entry table)."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must be (N<=256, 3) uint8")
+    if int(a.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index exceeds palette size")
     h, w = a.shape
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])  # 256-entry GCT
-    for i in range(256):
-        out += bytes([i, i, i])
+    full = np.zeros((256, 3), dtype=np.uint8)
+    full[: pal.shape[0]] = pal
+    out += full.tobytes()
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     out.append(8)  # LZW minimum code size
     # 9-bit codes, LSB-first; clear every 254 symbols pins the width.
@@ -976,11 +984,18 @@ def encode_gif_gray(arr) -> bytes:
     return bytes(out)
 
 
-def decode_gif_gray(payload: bytes):
-    """Decode a non-interlaced 8-bit GIF (first image block) through full
-    variable-width LZW into an ``(H, W)`` uint8 index array, asserting
-    the global palette is the identity grayscale ramp.  Raises ValueError
-    on interlace/local-palette/other flavors — loud, never lossy."""
+def encode_gif_gray(arr) -> bytes:
+    """Encode an ``(H, W)`` uint8 grayscale array as a GIF89a with the
+    identity grayscale ramp palette (palette[i] = (i, i, i))."""
+    import numpy as np
+
+    i = np.arange(256, dtype=np.uint8)
+    return encode_gif(arr, np.stack([i, i, i], axis=1))
+
+
+def _decode_gif_indices(payload: bytes):
+    """(index array, global color table bytes) of the first image block
+    — the shared parse behind the gray and palette-resolving decoders."""
     import numpy as np
 
     if payload[:6] not in (b"GIF89a", b"GIF87a") or len(payload) < 13:
@@ -988,15 +1003,11 @@ def decode_gif_gray(payload: bytes):
     sw, sh = struct.unpack_from("<HH", payload, 6)
     flags = payload[10]
     pos = 13
+    gct = b""
     if flags & 0x80:
         gct_n = 2 << (flags & 0x07)
         gct = payload[pos : pos + 3 * gct_n]
         pos += 3 * gct_n
-        if gct_n == 256 and any(
-            gct[3 * i] != i or gct[3 * i + 1] != i or gct[3 * i + 2] != i
-            for i in range(256)
-        ):
-            raise ValueError("GIF palette is not the grayscale ramp")
     while pos < len(payload):
         b = payload[pos]
         if b == 0x2C:  # image descriptor
@@ -1017,9 +1028,10 @@ def decode_gif_gray(payload: bytes):
                     break
                 data += payload[pos : pos + ln]
                 pos += ln
-            return np.array(
+            idx = np.array(
                 _lzw_decode(bytes(data), min_code, w * h), dtype=np.uint8
             ).reshape(h, w)
+            return idx, gct
         if b == 0x21:  # extension: skip sub-blocks
             pos += 2
             while payload[pos]:
@@ -1030,6 +1042,34 @@ def decode_gif_gray(payload: bytes):
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def decode_gif_gray(payload: bytes):
+    """Decode a non-interlaced 8-bit GIF (first image block) through full
+    variable-width LZW into an ``(H, W)`` uint8 index array, asserting
+    the global palette is the identity grayscale ramp.  Raises ValueError
+    on interlace/local-palette/other flavors — loud, never lossy."""
+    idx, gct = _decode_gif_indices(payload)
+    if len(gct) == 768 and any(
+        gct[3 * i] != i or gct[3 * i + 1] != i or gct[3 * i + 2] != i
+        for i in range(256)
+    ):
+        raise ValueError("GIF palette is not the grayscale ramp")
+    return idx
+
+
+def decode_gif(payload: bytes):
+    """Decode a non-interlaced 8-bit GIF and resolve the global color
+    table: ``(H, W, 3)`` uint8 RGB."""
+    import numpy as np
+
+    idx, gct = _decode_gif_indices(payload)
+    if not gct:
+        raise ValueError("GIF has no global color table")
+    pal = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("GIF index out of palette range")
+    return pal[idx]
 
 
 def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
@@ -1068,6 +1108,62 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list[int]:
                     width += 1
             prev = entry
     return out[:n_expected]
+
+
+def synthesize_gif_color(seed: int) -> bytes:
+    """Deterministic color GIF: index (r, c) = (3r + 5c + seed) mod 64
+    into a 64-entry palette with entry i = ((5i + seed) mod 256,
+    (9i + 2·seed) mod 256, (11i + 3·seed) mod 256) — channel sums stay
+    closed-form."""
+    import numpy as np
+
+    h = seed % 13 + 4
+    w = (seed * 5) % 13 + 4
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    idx = ((3 * r + 5 * c + seed) % 64).astype(np.uint8)
+    i = np.arange(64, dtype=np.int64)
+    pal = np.stack(
+        [(5 * i + seed) % 256, (9 * i + 2 * seed) % 256, (11 * i + 3 * seed) % 256],
+        axis=1,
+    ).astype(np.uint8)
+    return encode_gif(idx, pal)
+
+
+def gif_color_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL color-GIF pipeline per row: synthesize, full variable-width
+    LZW decode of the actual bytes, global-color-table resolution, and
+    per-channel sums.  Arrow-batched ``mapInPandas``."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            src_w, src_h, rs, gs, bs = [], [], [], [], []
+            for seed in pdf[id_col]:
+                rgb = decode_gif(synthesize_gif_color(int(seed)))
+                src_h.append(rgb.shape[0])
+                src_w.append(rgb.shape[1])
+                s = rgb.astype(np.int64).sum(axis=(0, 1))
+                rs.append(int(s[0]))
+                gs.append(int(s[1]))
+                bs.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "src_w": pd.Series(src_w, dtype="int32"),
+                    "src_h": pd.Series(src_h, dtype="int32"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "b_sum": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run, "doc_id long, src_w int, src_h int, r_sum long, g_sum long, b_sum long"
+    )
 
 
 def synthesize_gif(seed: int) -> bytes:

@@ -2574,3 +2574,35 @@ def test_jpeg_restart_markers():
         a = decode_jpeg_color(synthesize_jpeg_color(seed))
         b = decode_jpeg_color(synthesize_jpeg_color(seed, restart_interval=2))
         assert np.array_equal(a, b), seed
+
+
+def test_gif_color_codec():
+    import numpy as np
+
+    from h2h_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_gray,
+        encode_gif,
+        synthesize_gif_color,
+    )
+
+    rng = np.random.RandomState(6)
+    idx = rng.randint(0, 32, (11, 7), dtype=np.uint8)
+    pal = rng.randint(0, 256, (32, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+    # closed form for one seed
+    seed = 14
+    h, w = seed % 13 + 4, (seed * 5) % 13 + 4
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    i = (3 * r + 5 * c + seed) % 64
+    exp = np.stack(
+        [(5 * i + seed) % 256, (9 * i + 2 * seed) % 256, (11 * i + 3 * seed) % 256],
+        axis=2,
+    )
+    assert np.array_equal(decode_gif(synthesize_gif_color(seed)), exp)
+    # the gray decoder must reject a non-ramp palette
+    with pytest.raises(ValueError, match="grayscale ramp"):
+        decode_gif_gray(encode_gif(idx, pal))
+    with pytest.raises(ValueError, match="index exceeds"):
+        encode_gif(np.full((2, 2), 40, np.uint8), pal)
