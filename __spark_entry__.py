@@ -2151,6 +2151,71 @@ WHERE b < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500
 """
 
 
+def q_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sampling without replacement (A-ES keys,
+    one window shuffle on the group key): the 10 smallest exponential
+    keys per lang win — the corpus-rebalancing primitive that samples
+    proportional-to-length WITHIN each language bucket."""
+    from h2h_spark.operators.sampling import weighted_sample_per_group
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return weighted_sample_per_group(
+        docs, "lang", "doc_id", F.length("text") + F.lit(1), 10
+    ).select(F.col("grp").alias("lang"), F.col("id").alias("doc_id"),
+             "weight", "es_key")
+
+
+_SQL_GROUP_WEIGHTED_SAMPLE = """
+SELECT lang, doc_id, weight, es_key
+FROM (
+  SELECT lang, doc_id, weight, es_key,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+  FROM (
+    SELECT lang, doc_id, CAST(length(text) + 1 AS DOUBLE) AS weight,
+           round(-ln((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 1.0)
+                     / 1152921504606846976.0)
+                 / CAST(length(text) + 1 AS DOUBLE), 9) AS es_key
+    FROM documents))
+WHERE rn <= 10
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (per-row dependent subquery, the SQL:2016
+    construct Spark 4 executes as a rewritten window/join): for each
+    nation, the top-2 customers by (acctbal desc, custkey).  Catalyst
+    de-correlates it — no per-nation re-scan; the oracle runs the
+    identical SQL text in DuckDB."""
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust.createOrReplaceTempView("lat_customer")
+    nation.createOrReplaceTempView("lat_nation")
+    return spark.sql("""
+        SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+    """)
+
+
+_SQL_LATERAL_TOPK = """
+SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     each doc draws an exponential key -ln(u)/w with an md5-portable
@@ -6697,6 +6762,8 @@ def _init_queries() -> None:
         "q_png_16bit": q_png_16bit,
         "q_jpeg_restart": q_jpeg_restart,
         "q_gif_color": q_gif_color,
+        "q_lateral_topk": q_lateral_topk,
+        "q_group_weighted_sample": q_group_weighted_sample,
         # Never driver-graded, deferred to the round-6 window (attested
         # by the committed full-registry sweep artifacts until then):
         "q_hash_split": q_hash_split,
@@ -6895,6 +6962,8 @@ def oracle_sql() -> dict[str, str]:
         "q_png_16bit": _SQL_PNG_16BIT,
         "q_jpeg_restart": _SQL_JPEG_COLOR,
         "q_gif_color": _SQL_GIF_COLOR,
+        "q_lateral_topk": _SQL_LATERAL_TOPK,
+        "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,
         "q_bpe_train": _SQL_BPE_TRAIN,
         "q_schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "q_dq_checks": _SQL_DQ_CHECKS,

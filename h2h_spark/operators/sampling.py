@@ -252,3 +252,40 @@ def weighted_sample(
         .orderBy("es_key", "id")
         .limit(k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: Column | str,
+    k: int,
+    *,
+    seed: str = "ws",
+) -> DataFrame:
+    """Per-group A-ES weighted sampling without replacement: the k
+    smallest exponential keys WITHIN each group win — one window
+    shuffle on the group key, no per-group driver loops.  Same portable
+    key construction (and the same 9-digit rounding + id tie-break) as
+    :func:`weighted_sample`.  Returns ``(group, id, weight, es_key)``."""
+    from pyspark.sql import Window
+
+    c_id = F.col(id_col)
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    h = portable_hash60(F.concat(F.lit(seed + "|"), c_id.cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            c_id.alias("id"),
+            w.alias("weight"),
+            key.alias("es_key"),
+        )
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy("grp").orderBy("es_key", "id")
+        ))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

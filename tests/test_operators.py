@@ -2606,3 +2606,28 @@ def test_gif_color_codec():
         decode_gif_gray(encode_gif(idx, pal))
     with pytest.raises(ValueError, match="index exceeds"):
         encode_gif(np.full((2, 2), 40, np.uint8), pal)
+
+
+def test_weighted_sample_and_per_group(spark):
+    from h2h_spark.operators.sampling import weighted_sample, weighted_sample_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(1 + i % 5)) for i in range(100)],
+        "id long, grp string, w double",
+    )
+    top = weighted_sample(df, "id", "w", 10)
+    rows = top.collect()
+    assert len(rows) == 10
+    # keys ascend and are reproducible run to run
+    keys = [r["es_key"] for r in rows]
+    assert keys == sorted(keys)
+    again = weighted_sample(df, "id", "w", 10).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # zero/negative weights are excluded
+    z = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
+    assert weighted_sample(z, "id", "w", 5).count() == 1
+
+    per = weighted_sample_per_group(df, "grp", "id", "w", 7)
+    counts = {r["grp"]: r["n"] for r in per.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 7, "b": 7}
