@@ -2631,3 +2631,37 @@ def test_weighted_sample_and_per_group(spark):
     per = weighted_sample_per_group(df, "grp", "id", "w", 7)
     counts = {r["grp"]: r["n"] for r in per.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 7, "b": 7}
+
+
+def test_tdigest_quantiles_accuracy_and_state(spark):
+    from h2h_spark.operators.sketch import tdigest_partial, tdigest_quantiles
+
+    # deterministic non-uniform distribution: id^1.5 over two groups
+    df = spark.range(20000).select(
+        (F.col("id") % 2).alias("g"),
+        F.pow(F.col("id").cast("double"), F.lit(1.5)).alias("v"),
+    )
+    est = {
+        (r["g"], r["level"]): r["est"]
+        for r in tdigest_quantiles(df, "v", ["g"], [0.1, 0.5, 0.9]).collect()
+    }
+    exact = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.1, 0.5, 0.9))").alias("p"))
+        .collect()
+    }
+    n_per_group = 10000
+    for (g, lev), e in est.items():
+        ex = exact[g][{0.1: 0, 0.5: 1, 0.9: 2}[lev]]
+        # rank error: count of values the estimate misplaces
+        rank_est = df.filter((F.col("g") == g) & (F.col("v") <= e)).count()
+        assert abs(rank_est / n_per_group - lev) < 0.01, (g, lev, e, ex)
+    # bounded state: partial centroids per group stay O(compression),
+    # not O(rows) — the no-raw-shuffle contract
+    parts = tdigest_partial(df, "v", ["g"], compression=100.0)
+    per_group = {r["g"]: r["n"] for r in parts.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n < 3000 for n in per_group.values()), per_group
+    # weight conservation: centroid weights sum to the row count
+    tot = parts.agg(F.sum("c_weight").alias("s")).collect()[0]["s"]
+    assert tot == 20000.0
