@@ -1911,3 +1911,185 @@ def jpeg_resize_stats(
     return spread.mapInPandas(
         _run, "doc_id long, src_w int, src_h int, pix_sum long"
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation
+# per T.81 Annex G.  The scans split the coefficient stream two ways: by
+# zigzag band (DC / AC 1-8 / AC 9-63) and by bit plane (first pass sends
+# the point-transformed high bits, a refinement pass sends the low bit).
+# DC uses the arithmetic-shift point transform, AC the sign-magnitude one
+# (T.81 G.1.2.1 / G.1.2.2); AC-first scans run-length EOB runs across
+# blocks (EOBn symbols), AC-refinement scans interleave correction bits
+# for already-nonzero coefficients with newly-nonzero insertions — the
+# part every progressive decoder has to get exactly right.
+# --------------------------------------------------------------------------
+
+# progressive AC table = the baseline one + EOBn symbols (r<<4, r=1..14)
+_ACP_VALS = [0x00, 0xF0] + [r << 4 for r in range(1, 15)] + [
+    r * 16 + s for r in range(16) for s in range(1, 11)
+]
+_ACP_BITS = [0] * 7 + [len(_ACP_VALS)] + [0] * 8
+
+
+def _signmag_shift(v: int, al: int) -> int:
+    """The T.81 AC point transform: sign(v) * (|v| >> al)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _put_extend(bw: "_BitWriter", v: int, s: int) -> None:
+    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+
+
+class _EobRun:
+    """Cross-block EOB run accumulator for AC scans; refinement scans
+    additionally buffer the correction bits the run passes over."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.n = 0
+        self.corr: list[int] = []
+
+    def flush(self) -> None:
+        if self.n == 0:
+            return
+        r = self.n.bit_length() - 1
+        self.bw.put(*self.ac[r << 4])
+        if r:
+            self.bw.put(self.n - (1 << r), r)
+        for b in self.corr:
+            self.bw.put(b, 1)
+        self.n = 0
+        self.corr = []
+
+    def add(self, corr_bits: list[int]) -> None:
+        self.n += 1
+        self.corr.extend(corr_bits)
+        if self.n == 32767:
+            self.flush()
+
+
+def _encode_ac_first(bw, blocks, ss, se, al, ac_codes) -> None:
+    eob = _EobRun(bw, ac_codes)
+    for zz in blocks:
+        t = [_signmag_shift(zz[k], al) for k in range(ss, se + 1)]
+        last = max((i for i, v in enumerate(t) if v), default=-1)
+        if last < 0:
+            eob.add([])
+            continue
+        eob.flush()
+        run = 0
+        for v in t[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                bw.put(*ac_codes[0xF0])
+                run -= 16
+            s = _category(v)
+            bw.put(*ac_codes[run * 16 + s])
+            _put_extend(bw, v, s)
+            run = 0
+        if last < se - ss:
+            eob.add([])
+    eob.flush()
+
+
+def _encode_ac_refine(bw, blocks, ss, se, ah, al, ac_codes) -> None:
+    eob = _EobRun(bw, ac_codes)
+    for zz in blocks:
+        hist = [_signmag_shift(zz[k], ah) for k in range(ss, se + 1)]
+        full = [_signmag_shift(zz[k], al) for k in range(ss, se + 1)]
+        newly = [i for i in range(len(hist)) if hist[i] == 0 and full[i] != 0]
+        if not newly:
+            # correction bit = the next-lower magnitude bit, i.e. bit 0
+            # of the already-point-transformed value
+            eob.add([abs(v) & 1 for h, v in zip(hist, full) if h])
+            continue
+        eob.flush()
+        last = newly[-1]
+        run = 0
+        corr: list[int] = []
+        for i in range(last + 1):
+            if hist[i] != 0:
+                corr.append(abs(full[i]) & 1)
+                continue
+            if full[i] == 0:
+                run += 1
+                if run == 16:
+                    bw.put(*ac_codes[0xF0])
+                    for b in corr:
+                        bw.put(b, 1)
+                    corr = []
+                    run = 0
+                continue
+            if abs(full[i]) != 1:
+                raise ValueError("refinement scan: coefficient grew >1 bit")
+            bw.put(*ac_codes[run * 16 + 1])
+            bw.put(1 if full[i] > 0 else 0, 1)
+            for b in corr:
+                bw.put(b, 1)
+            corr = []
+            run = 0
+        eob.add(
+            [abs(full[i]) & 1 for i in range(last + 1, len(hist)) if hist[i]]
+        )
+    eob.flush()
+
+
+def encode_jpeg_progressive_coeffs(
+    blocks, bh: int, bw_: int, *, quant: int = 1
+) -> bytes:
+    """Encode quantized zigzag coefficient blocks (raster order, one
+    64-int list per 8x8 block) as a real progressive grayscale JPEG
+    (SOF2) with a six-scan script: DC first (Al=1), AC 1-8 first, AC
+    9-63 first, DC refinement, AC 1-8 refinement, AC 9-63 refinement."""
+    h, w = bh * 8, bw_ * 8
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([min(quant, 255)] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS[:16]) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_ACP_BITS[:16]) + bytes(_ACP_VALS),
+    )
+
+    def sos(ss: int, se: int, ah: int, al: int, body_bits: bytes) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, ah * 16 + al])) + body_bits
+
+    # scan 1: DC first, Al=1 (arithmetic-shift point transform)
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = zz[0] >> 1
+        diff = v - prev
+        prev = v
+        s = _category(diff)
+        bw.put(*dc_codes[s])
+        if s:
+            _put_extend(bw, diff, s)
+    out += sos(0, 0, 0, 1, bw.flush())
+    # scans 2-3: AC first, Al=1
+    for ss, se in ((1, 8), (9, 63)):
+        bw = _BitWriter()
+        _encode_ac_first(bw, blocks, ss, se, 1, ac_codes)
+        out += sos(ss, se, 0, 1, bw.flush())
+    # scan 4: DC refinement — one raw bit per block (low-order DC bit)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.put(zz[0] & 1, 1)
+    out += sos(0, 0, 1, 0, bw.flush())
+    # scans 5-6: AC refinement, Ah=1 -> Al=0
+    for ss, se in ((1, 8), (9, 63)):
+        bw = _BitWriter()
+        _encode_ac_refine(bw, blocks, ss, se, 1, 0, ac_codes)
+        out += sos(ss, se, 1, 0, bw.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
