@@ -71,11 +71,16 @@ def bpe_train(
         .orderBy(F.col("freq").desc(), "w")
         .limit(max_words)
     )
+    # localCheckpoint (not persist): each round's fold expression would
+    # otherwise STACK in the logical plan — by ~50 rounds the chained
+    # expression tree OOMs the JVM during analysis even though the data
+    # is |vocab| rows.  Checkpointing truncates lineage so every round's
+    # plan is one fold over a materialized table.
     wt = words.select(
         "w",
         "freq",
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     rules: list[tuple[int, str, str, int]] = []
     for step in range(1, merges + 1):
         toks = F.split("sym", " ")
@@ -106,29 +111,35 @@ def bpe_train(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
         rules.append((step, a, b, cnt))
-        nxt = wt.select(
+        wt = wt.select(
             "w", "freq", F.expr(_merge_fold_expr(a, b)).alias("sym")
-        ).persist()
-        nxt.count()  # materialize before dropping the parent
-        wt.unpersist()
-        wt = nxt
-    wt.unpersist()
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         rules, "step int, sym_a string, sym_b string, pair_count bigint"
     )
 
 
-def _select_disjoint(ranked: list[tuple[str, str, int]], batch: int):
+def _select_disjoint(
+    ranked: list[tuple[str, str, int]],
+    batch: int | None,
+    count_floor: int = 1,
+):
     """Greedy conflict-free prefix of a (cnt desc, a, b)-ranked pair
     list: accept a pair iff none of {a, b, a||b} was used by a
     higher-ranked accepted pair.  Symbol-disjointness (including the
     merge PRODUCT, which could collide with another pair's member) is
-    what makes simultaneous application order-independent."""
+    what makes simultaneous application order-independent.
+    ``batch=None`` = adaptive: accept EVERY disjoint candidate with
+    count >= ``count_floor`` (the ranked list's length is the only cap),
+    so merges-per-round tracks how many independent high-frequency pairs
+    the corpus actually has instead of a fixed constant."""
     used: set[str] = set()
     out: list[tuple[str, str, int]] = []
     for a, b, cnt in ranked:
-        if len(out) >= batch:
+        if batch is not None and len(out) >= batch:
             break
+        if cnt < count_floor:
+            break  # ranked desc: everything below is under the floor too
         if {a, b, a + b} & used:
             continue
         used |= {a, b, a + b}
@@ -165,9 +176,10 @@ def bpe_train_batched(
     text_col: str,
     *,
     rounds: int = 2,
-    batch: int = 3,
+    batch: int | None = 64,
     max_words: int = 2000,
-    candidates: int = 50,
+    candidates: int | None = None,
+    count_floor: int = 1,
 ) -> DataFrame:
     """BPE training with ``batch`` merges per distributed round instead
     of one — the fix for :func:`bpe_train`'s one-job-per-merge loop (at
@@ -178,8 +190,18 @@ def bpe_train_batched(
     a symbol — or its merge product — with a higher-count accepted pair
     waits for the next round, keeping simultaneous application
     order-independent), then one fold pass applies them all.  Returns
-    ``(round, rank, sym_a, sym_b, pair_count)``."""
+    ``(round, rank, sym_a, sym_b, pair_count)``.
+
+    Production sizing (measured curve in SCALE.md): ``batch=None`` is
+    the adaptive mode — accept every disjoint candidate with count >=
+    ``count_floor`` per round, so a 50k vocab lands in hundreds of
+    rounds, not 50k.  ``candidates`` defaults to ``4*batch`` (512 when
+    adaptive): disjointness consumes ~2-3 candidates per accepted merge
+    on natural text, so 4x keeps the accept rate near the cap without
+    collecting an unbounded list."""
     spark = df.sparkSession
+    if candidates is None:
+        candidates = 512 if batch is None else max(4 * batch, 64)
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
@@ -187,11 +209,13 @@ def bpe_train_batched(
         .orderBy(F.col("freq").desc(), "w")
         .limit(max_words)
     )
+    # localCheckpoint per round for the same lineage-truncation reason
+    # as bpe_train — see the comment there.
     wt = words.select(
         "w",
         "freq",
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     rules: list[tuple[int, int, str, str, int]] = []
     for rnd in range(1, rounds + 1):
         toks = F.split("sym", " ")
@@ -222,21 +246,17 @@ def bpe_train_batched(
             .limit(candidates)
             .collect()
         ]
-        accepted = _select_disjoint(ranked, batch)
+        accepted = _select_disjoint(ranked, batch, count_floor)
         if not accepted:
             break
         for i, (a, b, cnt) in enumerate(accepted, start=1):
             rules.append((rnd, i, a, b, cnt))
-        nxt = wt.select(
+        wt = wt.select(
             "w", "freq",
             F.expr(
                 _multi_merge_fold_expr([(a, b) for a, b, _ in accepted])
             ).alias("sym"),
-        ).persist()
-        nxt.count()  # materialize before dropping the parent
-        wt.unpersist()
-        wt = nxt
-    wt.unpersist()
+        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         rules,
         "round int, rank int, sym_a string, sym_b string, pair_count bigint",

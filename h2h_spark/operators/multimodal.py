@@ -1787,7 +1787,8 @@ def synthesize_jpeg_color(seed: int, *, restart_interval: int = 0) -> bytes:
     import numpy as np
 
     mh = seed % 2 + 1
-    mw = (seed * 3) % 3 + 1
+    mw = seed % 3 + 1  # 1-3 MCU columns: exercises horizontal MCU
+    # interleave order and restart-marker cycling across columns
     bi = np.arange(2 * mh, dtype=np.int64)[:, None]
     bj = np.arange(2 * mw, dtype=np.int64)[None, :]
     yb = ((3 * bi + 5 * bj + seed) % 256).astype(np.uint8)

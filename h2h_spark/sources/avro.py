@@ -385,7 +385,15 @@ class AvroDataSource(DataSource):
                     try:
                         s, codec, sync, hlen = _parse_header(head)
                         break
-                    except (IndexError, KeyError):
+                    except KeyError:
+                        # The meta map parsed whole but lacks the mandatory
+                        # schema key — a structural file error, not
+                        # truncation; growing the buffer can't fix it.
+                        raise ValueError(
+                            f"h2h_avro: {p} OCF header has no 'avro.schema' "
+                            "metadata key"
+                        ) from None
+                    except IndexError:  # ran off the buffer: true truncation
                         more = f.read(probe)
                         if not more:
                             raise ValueError(

@@ -174,5 +174,11 @@ def idempotent_append(
         if d.startswith("batch=")
     ]
     if not committed:
-        return spark.createDataFrame([], schema)
+        # Match the non-empty path's schema: the transform may project or
+        # add columns, so derive it from an empty transformed frame rather
+        # than the raw source schema.
+        empty = spark.createDataFrame([], schema)
+        if transform is not None:
+            empty = transform(empty)
+        return empty
     return spark.read.parquet(out_root).drop("batch")

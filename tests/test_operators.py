@@ -2340,7 +2340,7 @@ def test_jpeg_color_codec_bit_exact_and_errors():
     # block-constant luma + MCU-constant chroma survive the lossy
     # pipeline bit-exactly at flat quant — check against the closed form
     for seed in (0, 1, 5, 17, 300):
-        mh, mw = seed % 2 + 1, (seed * 3) % 3 + 1
+        mh, mw = seed % 2 + 1, seed % 3 + 1
         rgb = decode_jpeg_color(synthesize_jpeg_color(seed))
         assert rgb.shape == (16 * mh, 16 * mw, 3)
         bi = np.arange(2 * mh)[:, None]
