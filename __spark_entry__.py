@@ -5192,6 +5192,44 @@ def q_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_color_stats(docs, "doc_id", restart_interval=2)
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG (SOF2, T.81 Annex G): deterministic
+    quantized coefficient blocks are encoded through a six-scan script
+    (DC first Al=1, two AC spectral bands first, DC refinement, two AC
+    refinements) and entropy-decoded back — spectral selection,
+    successive-approximation point transforms, cross-block EOBn runs,
+    and refinement-bit interleave all exercised.  Graded on exact
+    integer summaries of the RECOVERED coefficients (count, sum,
+    abs-sum, position-weighted sum) that the oracle re-derives from the
+    generator formula closed-form; any wrong scan bit shifts a sum.
+    Reference scope: the reference engine has no media codecs — this is
+    engine-extension surface (SURVEY §2.3 E3)."""
+    from h2h_spark.operators.multimodal import jpeg_progressive_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return jpeg_progressive_stats(docs, "doc_id")
+
+
+_SQL_JPEG_PROGRESSIVE = """
+WITH g AS (
+  SELECT doc_id, (doc_id % 2 + 1) * (doc_id % 3 + 1) AS nb
+  FROM documents),
+c AS (
+  SELECT g.doc_id, t.x AS t, k.x AS k,
+    CASE WHEN k.x = 0 THEN (11 * t.x + doc_id) % 17 - 8
+         WHEN (t.x + k.x) % 3 = 0 THEN 0
+         ELSE ((7 * t.x + 5 * k.x + doc_id) % 9) - 4 END AS v
+  FROM g, generate_series(0, 5) AS t(x), generate_series(0, 63) AS k(x)
+  WHERE t.x < g.nb)
+SELECT doc_id,
+       CAST(COUNT(*) / 64 AS INTEGER) AS n_blocks,
+       CAST(SUM(v) AS BIGINT) AS coef_sum,
+       CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+       CAST(SUM(v * (t * 64 + k + 1)) AS BIGINT) AS weighted_sum
+FROM c GROUP BY doc_id
+"""
+
+
 def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 16-bit truecolor PNG decode: the scanline filters run over
     byte LANES (left reference bpp = 6 bytes back, per the PNG spec),
@@ -6706,7 +6744,7 @@ def _init_queries() -> None:
         "q_ab_test": q_ab_test,
         # ---- slots 45-50: new round-6 queries (inserted as they land);
         # placeholders below are r05-driver-green and swap out first ----
-        "q_pagerank": q_pagerank,
+        "q_jpeg_progressive": q_jpeg_progressive,
         "q_triangle_count": q_triangle_count,
         "q_bfs_distances": q_bfs_distances,
         "q_components_star": q_components_star,
@@ -6714,6 +6752,7 @@ def _init_queries() -> None:
         "q_bpe_train": q_bpe_train,
         # ---- end of the 50-entry graded window ----
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
+        "q_pagerank": q_pagerank,
         "q_shipmode_priority": q_shipmode_priority,
         "q_profile": q_profile,
         "q_pq_encode": q_pq_encode,
@@ -7020,6 +7059,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "q_png_16bit": _SQL_PNG_16BIT,
         "q_jpeg_restart": _SQL_JPEG_COLOR,
+        "q_jpeg_progressive": _SQL_JPEG_PROGRESSIVE,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

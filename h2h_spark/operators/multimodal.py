@@ -2033,9 +2033,13 @@ def _encode_ac_refine(bw, blocks, ss, se, ah, al, ac_codes) -> None:
                 bw.put(b, 1)
             corr = []
             run = 0
-        eob.add(
-            [abs(full[i]) & 1 for i in range(last + 1, len(hist)) if hist[i]]
-        )
+        if last < len(hist) - 1:
+            # only a block whose band was NOT fully coded joins the EOB
+            # run (same guard as _encode_ac_first — a decoder never
+            # consumes an EOB for a block that already reached se)
+            eob.add(
+                [abs(full[i]) & 1 for i in range(last + 1, len(hist)) if hist[i]]
+            )
     eob.flush()
 
 
@@ -2094,3 +2098,251 @@ def encode_jpeg_progressive_coeffs(
         out += sos(ss, se, 1, 0, bw.flush())
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _refine_ac_bit(blk: list[int], k: int, p1: int, br: "_BitReader") -> None:
+    """Apply one AC correction bit to an already-nonzero coefficient:
+    a 1-bit adds ``p1`` toward the sign if bit ``al`` isn't set yet
+    (T.81 G.2 / the libjpeg-documented rule)."""
+    if br.bit() and (blk[k] & p1) == 0:
+        blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def decode_jpeg_progressive_coeffs(payload: bytes):
+    """Decode a progressive grayscale JPEG (SOF2) back to its quantized
+    zigzag coefficient blocks — the scan-reassembly half of Annex G that
+    :func:`encode_jpeg_progressive_coeffs` writes: DC first scans carry
+    the arithmetic-shifted high bits, AC first scans carry
+    sign-magnitude-shifted bands with cross-block EOBn runs, and
+    refinement scans interleave correction bits for known coefficients
+    with newly-nonzero ±1 insertions.  Returns ``(blocks, bh, bw)`` with
+    blocks in raster order.  General over scan scripts (any band split,
+    any number of one-bit refinements), one component only."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    blocks: list[list[int]] | None = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1 or body[7] != 0x11:
+                raise ValueError(
+                    "only 8-bit single-component 1x1 progressive"
+                )
+            blocks = [[0] * 64 for _ in range(((h + 7) // 8) * ((w + 7) // 8))]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("not a progressive (SOF2) stream")
+        elif marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = list(body[o + 1 : o + 17])
+                nval = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nval])
+                huff[(tc_th >> 4, tc_th & 0xF)] = {
+                    (c, l): sym
+                    for sym, (c, l) in _canonical_codes(bits, vals).items()
+                }
+                o += 17 + nval
+        elif marker == 0xDA:
+            if blocks is None:
+                raise ValueError("SOS before SOF2")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ss, se, ah, al = body[3], body[4], body[5] >> 4, body[5] & 0xF
+            br = _BitReader(payload, pos + ln)
+            if ss == 0:  # DC scan (se == 0 per T.81)
+                if se != 0:
+                    raise ValueError("DC scan with se != 0")
+                if ah == 0:  # first: Huffman diffs of the high bits
+                    dct = huff[(0, dc_id)]
+                    prev = 0
+                    for blk in blocks:
+                        s = _huff_decode(br, dct)
+                        prev += _extend(br.bits(s), s) if s else 0
+                        blk[0] = prev << al
+                else:  # refinement: one raw low bit per block
+                    for blk in blocks:
+                        if br.bit():
+                            blk[0] |= 1 << al
+            elif ah == 0:  # AC first scan for band ss..se
+                act = huff[(1, ac_id)]
+                eobrun = 0
+                for blk in blocks:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(br, act)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r < 15:  # EOBn: run of (1<<r)+ext blocks
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run overflows band")
+                        blk[k] = _extend(br.bits(s), s) << al
+                        k += 1
+            else:  # AC refinement scan (ah -> al, one bit)
+                act = huff[(1, ac_id)]
+                p1 = 1 << al
+                eobrun = 0
+                for blk in blocks:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _huff_decode(br, act)
+                            r, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                newval = 0  # ZRL: pass 16 zero-history slots
+                            elif s == 1:
+                                newval = p1 if br.bit() else -p1
+                            else:
+                                raise ValueError(
+                                    "refinement scan size > 1 bit"
+                                )
+                            # advance over r zero-history coefficients,
+                            # refining every known-nonzero one passed
+                            while k <= se:
+                                if blk[k] != 0:
+                                    _refine_ac_bit(blk, k, p1, br)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun:
+                        # inside an EOB run: only correction bits for the
+                        # remaining known coefficients of this block
+                        for kk in range(k, se + 1):
+                            if blk[kk] != 0:
+                                _refine_ac_bit(blk, kk, p1, br)
+                        eobrun -= 1
+            # realign to the next marker (skip pad bits / stuffing)
+            pos = br.pos
+            while payload[pos] != 0xFF or payload[pos + 1] == 0x00:
+                pos += 1
+            continue
+        pos += ln
+    if blocks is None:
+        raise ValueError("missing SOF2")
+    return blocks, (h + 7) // 8, (w + 7) // 8
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """Full progressive decode to ``(H, W)`` uint8 pixels: scan
+    reassembly via :func:`decode_jpeg_progressive_coeffs`, then the same
+    dequantize+IDCT as the baseline path (flat quant read from DQT)."""
+    import numpy as np
+
+    blocks, bh, bw_ = decode_jpeg_progressive_coeffs(payload)
+    # DQT: first marker walk only needs the one table
+    pos, q = 2, None
+    while pos < len(payload):
+        marker = payload[pos + 1]
+        if marker == 0xDA:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        if marker == 0xDB:
+            q = [payload[pos + 5 + i] for i in range(64)]
+        pos += 2 + ln
+    if q is None:
+        raise ValueError("missing DQT")
+    m = _dct_matrix()
+    qa = np.array(q, dtype=np.float64)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    for t, zz in enumerate(blocks):
+        r, c = divmod(t, bw_)
+        out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = _idct_block(zz, qa, m)
+    return out
+
+
+def synthesize_progressive_coeffs(seed: int):
+    """Deterministic quantized coefficient blocks for the progressive
+    round-trip contract: ``bh = seed%2+1`` × ``bw = seed%3+1`` blocks;
+    DC = (11t+seed)%17-8 and AC(k) = 0 when (t+k)%3=0 else
+    ((7t+5k+seed)%9)-4 — a mix of zeros (EOB/ZRL runs), ±1 values
+    (newly-nonzero only at the refinement scan) and |v|>=2 values
+    (present in the first scan, low bit refined), so every Annex-G code
+    path is exercised and an external SQL oracle can re-derive the
+    coefficients closed-form."""
+    bh, bw_ = seed % 2 + 1, seed % 3 + 1
+    blocks = []
+    for t in range(bh * bw_):
+        zz = [(11 * t + seed) % 17 - 8]
+        for k in range(1, 64):
+            zz.append(
+                0 if (t + k) % 3 == 0 else ((7 * t + 5 * k + seed) % 9) - 4
+            )
+        blocks.append(zz)
+    return blocks, bh, bw_
+
+
+def jpeg_progressive_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL progressive-JPEG round trip per row: synthesize deterministic
+    coefficient blocks from the id, encode them as a six-scan SOF2 stream
+    (spectral selection + successive approximation), entropy-decode the
+    actual bytes back to coefficients, and report exact integer summaries
+    (count, sum, abs-sum, position-weighted sum) of the RECOVERED
+    coefficients.  A wrong bit anywhere in the scan script — EOB-run
+    lengths, refinement interleave, point transforms — shifts a sum.
+    Arrow-batched ``mapInPandas``; ids spread across the pool."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb, csum, asum, wsum = [], [], [], []
+            for seed in pdf[id_col]:
+                blocks, bh, bw_ = synthesize_progressive_coeffs(int(seed))
+                payload = encode_jpeg_progressive_coeffs(blocks, bh, bw_)
+                got, gh, gw = decode_jpeg_progressive_coeffs(payload)
+                if (gh, gw) != (bh, bw_):
+                    raise ValueError("progressive round trip: shape")
+                nb.append(len(got))
+                csum.append(sum(v for blk in got for v in blk))
+                asum.append(sum(abs(v) for blk in got for v in blk))
+                wsum.append(
+                    sum(
+                        v * (t * 64 + k + 1)
+                        for t, blk in enumerate(got)
+                        for k, v in enumerate(blk)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_blocks": pd.Series(nb, dtype="int32"),
+                    "coef_sum": pd.Series(csum, dtype="int64"),
+                    "abs_sum": pd.Series(asum, dtype="int64"),
+                    "weighted_sum": pd.Series(wsum, dtype="int64"),
+                }
+            )
+
+    ids = df.select(id_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
+        _run,
+        f"{id_col} long, n_blocks int, coef_sum long, abs_sum long, "
+        "weighted_sum long",
+    )

@@ -2576,6 +2576,75 @@ def test_jpeg_restart_markers():
         assert np.array_equal(a, b), seed
 
 
+def test_jpeg_progressive_roundtrip():
+    import random
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from h2h_spark.operators.multimodal import (
+        decode_jpeg_progressive,
+        decode_jpeg_progressive_coeffs,
+        encode_jpeg_progressive_coeffs,
+        synthesize_progressive_coeffs,
+    )
+
+    # deterministic generator corpus: every Annex-G path (EOBn runs,
+    # ZRL, newly-nonzero refinement insertions, correction bits) —
+    # coefficients recover bit-exactly
+    for seed in range(40):
+        blocks, bh, bw = synthesize_progressive_coeffs(seed)
+        payload = encode_jpeg_progressive_coeffs(blocks, bh, bw)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert payload.count(b"\xff\xda") >= 6  # six-scan script
+        got, gh, gw = decode_jpeg_progressive_coeffs(payload)
+        assert (gh, gw) == (bh, bw) and got == blocks, seed
+
+    # random stress: wider magnitudes, all-zero-AC blocks (pure EOB
+    # runs), long zero runs forcing ZRL in both scan kinds
+    rng = random.Random(11)
+    for trial in range(60):
+        nb = rng.randint(1, 8)
+        blocks = []
+        for _ in range(nb):
+            zz = [rng.randint(-100, 100)]
+            for _k in range(63):
+                r = rng.random()
+                zz.append(
+                    0 if r < 0.8
+                    else rng.choice([-1, 1]) if r < 0.9
+                    else rng.randint(2, 30) * rng.choice([-1, 1])
+                )
+            if rng.random() < 0.25:
+                zz = [zz[0]] + [0] * 63
+            blocks.append(zz)
+        payload = encode_jpeg_progressive_coeffs(blocks, 1, nb)
+        got, _, _ = decode_jpeg_progressive_coeffs(payload)
+        assert got == blocks, trial
+
+    # pixel path: DC-only blocks are lossless at flat quant (pixel =
+    # DC/8 + 128), so the progressive pixel decode equals the
+    # closed-form block constant
+    blocks = [[8 * v] + [0] * 63 for v in (-16, 0, 9, 40)]
+    px = decode_jpeg_progressive(encode_jpeg_progressive_coeffs(blocks, 2, 2))
+    for t, v in enumerate((-16, 0, 9, 40)):
+        r, c = divmod(t, 2)
+        tile = px[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+        assert (tile == np.clip(v + 128, 0, 255)).all(), t
+
+    # error paths: a baseline stream must be rejected, truncated scans
+    # must not decode silently
+    from h2h_spark.operators.multimodal import encode_jpeg_gray
+
+    base = encode_jpeg_gray(np.full((8, 8), 77, dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_progressive_coeffs(base)
+    good = encode_jpeg_progressive_coeffs(*synthesize_progressive_coeffs(3))
+    with pytest.raises((ValueError, EOFError, IndexError, struct.error)):
+        decode_jpeg_progressive_coeffs(good[: len(good) // 2])
+
+
 def test_gif_color_codec():
     import numpy as np
 
