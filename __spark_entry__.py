@@ -1115,6 +1115,73 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state machine via applyInPandasWithState — the
+    capability beyond running totals: a two-state hysteresis alarm
+    (enter >80, exit <20, hold in between) whose mode depends on the
+    ENTIRE per-key history.  The fixture time-slices events into 4 files
+    replayed one micro-batch each (mtime-ordered), so the machine's
+    state must survive micro-batch boundaries in the state store; the
+    oracle re-derives every transition with a last-non-null window fold
+    over the same global sequence."""
+    from pyspark.sql.window import Window as W
+
+    from h2h_spark.streaming.stateful import hysteresis_alarm_stream
+
+    work = _work("q_stream_custom_state", sf_dir)
+    src = os.path.join(work, f"src_{_src_sig(sf_dir, 'events')}")
+    marker = os.path.join(src, "_READY")
+    if not os.path.exists(marker):
+        import glob as _g
+        import shutil
+
+        ev = _norm_ts(spark.read.parquet(_t(sf_dir, "events")))
+        seqd = ev.select(
+            "user_id",
+            "value",
+            F.row_number().over(W.orderBy("ts", "event_id")).alias("seq"),
+        )
+        n = seqd.count()
+        os.makedirs(src, exist_ok=True)
+        for k in range(4):
+            lo_s, hi_s = k * n // 4 + 1, (k + 1) * n // 4
+            tmp = os.path.join(work, f"tmp_{k}")
+            seqd.filter(
+                (F.col("seq") >= lo_s) & (F.col("seq") <= hi_s)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(src, f"b{k}.parquet")
+            shutil.move(_g.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            # strictly increasing mtimes: the file source orders batches
+            # by modification time, and batch order IS event order here
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+            shutil.rmtree(tmp)
+        open(marker, "w").close()
+    schema = spark.read.parquet(src).schema
+    res = hysteresis_alarm_stream(
+        spark, src, schema, "user_id", "seq", "value", lo=20.0, hi=80.0
+    )
+    return res.select("user_id", F.col("seq").cast("long").alias("seq"), "mode")
+
+
+_SQL_STREAM_CUSTOM_STATE = """
+WITH e AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
+         CASE WHEN value > 80.0 THEN 1 WHEN value < 20.0 THEN 0 END AS sig
+  FROM events),
+m AS (
+  SELECT user_id, seq,
+         CAST(COALESCE(LAST_VALUE(sig IGNORE NULLS) OVER w, 0) AS INTEGER) AS mode,
+         CAST(COALESCE(LAST_VALUE(sig IGNORE NULLS) OVER wp, 0) AS INTEGER) AS prev_mode
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY seq ROWS UNBOUNDED PRECEDING),
+         wp AS (PARTITION BY user_id ORDER BY seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, CAST(seq AS BIGINT) AS seq, mode
+FROM m WHERE mode <> prev_mode
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): bounded input
     drains as ONE batch whose initial watermark is 0, so every duplicate
@@ -6745,7 +6812,7 @@ def _init_queries() -> None:
         # ---- slots 45-50: new round-6 queries (inserted as they land);
         # placeholders below are r05-driver-green and swap out first ----
         "q_jpeg_progressive": q_jpeg_progressive,
-        "q_triangle_count": q_triangle_count,
+        "q_stream_custom_state": q_stream_custom_state,
         "q_bfs_distances": q_bfs_distances,
         "q_components_star": q_components_star,
         "q_hierarchy_resolve": q_hierarchy_resolve,
@@ -6753,6 +6820,7 @@ def _init_queries() -> None:
         # ---- end of the 50-entry graded window ----
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
+        "q_triangle_count": q_triangle_count,
         "q_shipmode_priority": q_shipmode_priority,
         "q_profile": q_profile,
         "q_pq_encode": q_pq_encode,
@@ -7060,6 +7128,7 @@ def oracle_sql() -> dict[str, str]:
         "q_png_16bit": _SQL_PNG_16BIT,
         "q_jpeg_restart": _SQL_JPEG_COLOR,
         "q_jpeg_progressive": _SQL_JPEG_PROGRESSIVE,
+        "q_stream_custom_state": _SQL_STREAM_CUSTOM_STATE,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -66,6 +66,56 @@ def test_stateful_running_totals(spark, tmp_path):
     assert rows[2] == (2, 30.0)
 
 
+def test_hysteresis_alarm_state_machine(spark, tmp_path):
+    """State-machine continuity across micro-batches: a value that holds
+    in the dead band at a file boundary must keep the PRIOR batch's
+    mode, and a split crossing must emit exactly one transition."""
+    import os
+
+    import pandas as pd
+
+    from h2h_spark.streaming.stateful import hysteresis_alarm_stream
+
+    # key 1: enters alarm in batch 0, HOLDS (50) across the boundary,
+    #   exits in batch 1 → transitions at seq 2 (mode 1) and seq 5 (0)
+    # key 2: never crosses → no rows
+    # key 3: already-normal values stay mode 0 → no transition rows
+    b0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "seq": [1, 2, 3, 4],
+            "value": [10.0, 90.0, 50.0, 15.0],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3],
+            "seq": [5, 6, 7, 8],
+            "value": [50.0, 5.0, 50.0, 19.0],
+        }
+    )
+    src = str(tmp_path / "alarm_src")
+    os.makedirs(src)
+    for k, pdf in enumerate((b0, b1)):
+        p = os.path.join(src, f"b{k}.parquet")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp{k}")
+        )
+        import glob
+        import shutil
+
+        shutil.move(glob.glob(str(tmp_path / f"tmp{k}" / "part-*.parquet"))[0], p)
+        os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
+    schema = spark.read.parquet(src).schema
+    out = hysteresis_alarm_stream(
+        spark, src, schema, "user_id", "seq", "value", lo=20.0, hi=80.0
+    )
+    rows = sorted((r.user_id, r.seq, r.mode) for r in out.collect())
+    # seq 5 holds (50.0): if state were lost between batches the seeded
+    # mode-0 fold would NOT emit seq 6 correctly relative to mode 1
+    assert rows == [(1, 2, 1), (1, 6, 0)]
+
+
 def test_salted_join_equals_plain(spark):
     from h2h_spark.plans.skew import salted_join
 
