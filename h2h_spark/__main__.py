@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-host", default=None)
     p.add_argument("-port", type=int, default=None)
     p.add_argument("-hdfsuser", default="")
+    p.add_argument(
+        "-transport", choices=("hdfs", "webhdfs"), default="hdfs",
+        help="connector (the reference's build-time HDFS_CONNECTOR_TYPE "
+             "as a runtime choice): hdfs:// via the Hadoop client, or "
+             "webhdfs:// via the engine's REST client",
+    )
     p.add_argument("-separator", default=None)
     p.add_argument("-terminator", default=None)
     p.add_argument("-quote", default=None)
@@ -105,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             p.error("-si requires -out")
         df = pipe_in(
             spark, args.filename, load_layout(), fmt,
-            args.host, args.port, args.hdfsuser,
+            args.host, args.port, args.hdfsuser, transport=args.transport,
         )
         df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
@@ -118,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
             pipe_out_and_merge(
                 df, args.filename, load_layout(), fmt,
                 args.host, args.port, args.hdfsuser,
+                transport=args.transport,
             )
         else:
             # PipeOut writes `<name>-parts/part_<i>_<N>` (ecl:175-209) so
@@ -125,12 +132,18 @@ def main(argv: list[str] | None = None) -> int:
             pipe_out(
                 df, args.filename + "-parts", load_layout(), fmt,
                 args.host, args.port, args.hdfsuser,
+                transport=args.transport,
             )
         print(json.dumps({"action": "sop" if args.sop else "so",
                           "filename": args.filename}))
     else:  # -mf
+        from h2h_spark.api import _resolve
+
+        target = _resolve(
+            args.filename, args.host, args.port, args.transport, args.hdfsuser
+        )
         n_bytes = merge_parts(
-            args.filename + "-parts", args.filename, clean=bool(args.cleanmerge)
+            target + "-parts", target, clean=bool(args.cleanmerge)
         )
         print(json.dumps({"action": "mf", "bytes": n_bytes}))
     return 0

@@ -27,7 +27,7 @@ from h2h_spark.layout import Layout
 from h2h_spark.sources.csv import read_csv, write_csv
 from h2h_spark.sources.flat import read_flat, write_flat
 from h2h_spark.sources.merge import merge_parts
-from h2h_spark.sources.transport import hdfs_uri, set_hdfs_user
+from h2h_spark.sources.transport import hdfs_uri, set_hdfs_user, webhdfs_uri
 from h2h_spark.sources.xml import read_xml
 
 
@@ -56,8 +56,23 @@ def _parse_format(fmt: str) -> tuple[str, dict]:
     raise ValueError(f"unsupported HadoopFileFormat: {fmt!r}")
 
 
-def _resolve(path: str, host: str | None, port: int | None) -> str:
+def _resolve(
+    path: str,
+    host: str | None,
+    port: int | None,
+    transport: str = "hdfs",
+    user: str = "",
+) -> str:
+    # The reference picks its connector at BUILD time (CMakeLists.txt
+    # HDFS_CONNECTOR_TYPE: libhdfsconnector | webhdfsconnector); here the
+    # same choice is a runtime argument.  For webhdfs the -hdfsuser
+    # impersonation rides in the URI userinfo so it reaches executor
+    # tasks (driver environ does not).
     if host:
+        if transport == "webhdfs":
+            return webhdfs_uri(host, port, path, user or None)
+        if transport != "hdfs":
+            raise ValueError(f"unknown transport {transport!r}")
         return hdfs_uri(host, port, path)
     return path
 
@@ -70,11 +85,12 @@ def pipe_in(
     hdfs_host: str | None = None,
     hdfs_port: int | None = None,
     hdfs_user: str = "",
+    transport: str = "hdfs",
 ) -> DataFrame:
     """``PipeIn`` — materialize an HDFS file as a partitioned DataFrame."""
     if hdfs_user:
         set_hdfs_user(spark, hdfs_user)
-    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port)
+    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port, transport, hdfs_user)
     kind, opts = _parse_format(hadoop_file_format)
     if kind == "flat":
         return read_flat(spark, path, layout)
@@ -91,6 +107,7 @@ def pipe_out(
     hdfs_host: str | None = None,
     hdfs_port: int | None = None,
     hdfs_user: str = "",
+    transport: str = "hdfs",
 ) -> None:
     """``PipeOut`` — partitioned write, one part file per partition.
 
@@ -98,7 +115,7 @@ def pipe_out(
     ``ecl/HDFSConnector.ecl:182-208``), XML is not a PipeOut format."""
     if hdfs_user:
         set_hdfs_user(df.sparkSession, hdfs_user)
-    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port)
+    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port, transport, hdfs_user)
     kind, opts = _parse_format(hadoop_file_format)
     if kind == "flat":
         write_flat(df, path, layout)
@@ -116,11 +133,12 @@ def pipe_out_and_merge(
     hdfs_host: str | None = None,
     hdfs_port: int | None = None,
     hdfs_user: str = "",
+    transport: str = "hdfs",
 ) -> None:
     """``PipeOutAndMerge`` — write parts, then concatenate to one file in
     part-index order with ``-cleanmerge 1`` semantics
     (``ecl/HDFSConnector.ecl:231-292``)."""
-    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port)
+    path = _resolve(hadoop_file_name, hdfs_host, hdfs_port, transport, hdfs_user)
     parts_dir = path + "-parts"
     pipe_out(df, parts_dir, layout, hadoop_file_format, None, None, hdfs_user)
     merge_parts(parts_dir, path, clean=True)

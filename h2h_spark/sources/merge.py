@@ -85,6 +85,11 @@ def write_single_file(
 def _remove_dir(path: str) -> None:
     if is_local(path):
         shutil.rmtree(strip_scheme(path), ignore_errors=True)
+    elif path.startswith("webhdfs://"):
+        from h2h_spark.sources.webhdfs import client_for
+
+        client, p = client_for(path)
+        client.delete(p, recursive=True)
     else:  # pragma: no cover - remote fs
         from pyarrow import fs as pafs
 

@@ -34,12 +34,17 @@ def hdfs_uri(host: str, port: int | None, path: str) -> str:
     return f"hdfs://{host}:{port}{p}" if port else f"hdfs://{host}{p}"
 
 
-def webhdfs_uri(host: str, port: int | None, path: str) -> str:
-    """``webhdfs://host:port/path`` — the REST transport's address form.
-    Note the reference's WebHDFS back-end lacks merge and XML (SURVEY.md
-    §0); here all formats work over either transport."""
+def webhdfs_uri(
+    host: str, port: int | None, path: str, user: str | None = None
+) -> str:
+    """``webhdfs://[user@]host:port/path`` — the REST transport's address
+    form.  The optional userinfo carries ``-hdfsuser`` impersonation INTO
+    executor tasks (the URI is plan state; driver environ is not).  Note
+    the reference's WebHDFS back-end lacks merge and XML (SURVEY.md §0);
+    here all formats work over either transport."""
     p = path if path.startswith("/") else "/" + path
-    return f"webhdfs://{host}:{port}{p}" if port else f"webhdfs://{host}{p}"
+    auth = f"{user}@{host}" if user else host
+    return f"webhdfs://{auth}:{port}{p}" if port else f"webhdfs://{auth}{p}"
 
 
 def set_hdfs_user(spark: SparkSession, user: str) -> None:

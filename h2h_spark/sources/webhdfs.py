@@ -46,11 +46,20 @@ class WebHdfsError(IOError):
 
 
 def parse_uri(uri: str) -> tuple[str, int, str]:
-    """``webhdfs://host:port/path`` → (host, port, absolute path)."""
+    """``webhdfs://[user@]host:port/path`` → (host, port, absolute path).
+    Userinfo (impersonation) is read by :func:`client_for`."""
     u = urllib.parse.urlparse(uri)
     if u.scheme != "webhdfs":
         raise ValueError(f"not a webhdfs URI: {uri}")
     return u.hostname or "localhost", u.port or 9870, u.path or "/"
+
+
+def uri_user(uri: str) -> str | None:
+    """Impersonation user from URI userinfo (``webhdfs://user@host/…``).
+    Carrying the user in the URI — not ambient process env — is what
+    makes impersonation survive into executor Python workers: the URI
+    travels with the serialized task, the driver's environ does not."""
+    return urllib.parse.urlparse(uri).username
 
 
 class WebHdfsClient:
@@ -211,7 +220,7 @@ def _no_retry(e: Exception) -> Exception:
 
 def client_for(uri: str) -> tuple[WebHdfsClient, str]:
     host, port, path = parse_uri(uri)
-    return WebHdfsClient(host, port), path
+    return WebHdfsClient(host, port, user=uri_user(uri)), path
 
 
 class WebHdfsInputFile(io.RawIOBase):

@@ -155,6 +155,9 @@ def _make_handler(store: _Store, port_holder: list):
             with store.lock:
                 store.log.append(("DELETE", path, q))
                 store.files.pop(path, None)
+                if q.get("recursive") == "true":  # directory delete
+                    for k in [f for f in store.files if f.startswith(path + "/")]:
+                        del store.files[k]
             self._json({"boolean": True})
 
     return Handler
@@ -247,3 +250,46 @@ def test_pipe_roundtrip_over_webhdfs(spark, whdfs):
              if q.get("op") == "OPEN" and "redirected" in q]
     assert len(opens) >= 3
     assert any(int(q.get("offset", 0)) > 0 for q in opens)
+
+
+def test_cli_so_mf_si_over_webhdfs(spark, whdfs, tmp_path):
+    """The full `python -m h2h_spark` surface against the REST stub:
+    -so writes part files over webhdfs:// (redirect PUTs), -mf merges
+    them namenode-side in part order, -si scans the merged single file
+    back (ranged OPENs) — the reference's so→mf→si operator workflow
+    end-to-end over its WebHDFS wire protocol, driven through the CLI
+    with -host/-port/-transport flags rather than pre-built URIs."""
+    import h2h_spark.__main__ as cli
+
+    store, port = whdfs
+    cust = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .repartition(3)
+    )
+    src = str(tmp_path / "cust_src")
+    cust.write.parquet(src)
+    lay = str(tmp_path / "cust_layout.json")
+    with open(lay, "w") as f:
+        f.write(CUST_LAYOUT.to_json())
+
+    base = [
+        "-host", "127.0.0.1", "-port", str(port),
+        "-transport", "webhdfs", "-hdfsuser", "svc_etl",
+        "-layout", lay, "-filename", "/cli/cust.flat", "-format", "FLAT",
+    ]
+    assert cli.main(["-so", "-in", src] + base) == 0
+    parts = sorted(p for p in store.files if "/cli/cust.flat-parts/" in p)
+    assert [p for p in parts if "part_" in p], parts
+
+    assert cli.main(["-mf", "-cleanmerge", "1"] + base) == 0
+    assert "/cli/cust.flat" in store.files
+    assert not [p for p in store.files if "-parts/part_" in p]  # cleaned
+
+    out = str(tmp_path / "cust_back")
+    assert cli.main(["-si", "-out", out] + base) == 0
+    back = spark.read.parquet(out)
+    assert set(map(tuple, back.collect())) == set(map(tuple, cust.collect()))
+    # impersonation flows from -hdfsuser to user.name on the wire
+    users = {q.get("user.name") for (_m, p, q) in store.log if "/cli/" in p}
+    assert users == {"svc_etl"}
