@@ -1182,6 +1182,41 @@ FROM m WHERE mode <> prev_mode
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor: PSI between two deterministic event
+    snapshots (even vs odd event ids) over fixed-width value bins —
+    two map-side-combined bin-count aggregates + a constant-size spine
+    join and totals broadcast; cost is two scans at any corpus size.
+    Laplace smoothing keeps empty bins defined; contributions rounded
+    to 6 digits under the ppl-query float contract."""
+    from h2h_spark.operators.quality import psi_drift
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "value", n_bins=10, width=50.0)
+
+
+_SQL_PSI_DRIFT = """
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS bin,
+         event_id % 2 AS side
+  FROM events),
+c AS (
+  SELECT s.x AS bin,
+         COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS ref_n,
+         COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS cur_n
+  FROM generate_series(0, 9) AS s(x) LEFT JOIN b ON b.bin = s.x
+  GROUP BY s.x),
+t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM c)
+SELECT bin, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+       ROUND(((cur_n + 1.0) / (ct + 10.0) - (ref_n + 1.0) / (rt + 10.0))
+             * LN(((cur_n + 1.0) / (ct + 10.0))
+                  / ((ref_n + 1.0) / (rt + 10.0))), 6) AS psi_bin
+FROM c, t
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): bounded input
     drains as ONE batch whose initial watermark is 0, so every duplicate
@@ -5297,6 +5332,41 @@ FROM c GROUP BY doc_id
 """
 
 
+def q_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (stereo PCM16 WAVE): RIFF chunk walk — with a
+    LIST metadata chunk before data that must be skipped by size — then
+    int16 frame de-interleave; per-channel exact integer sums graded
+    against the closed-form generator.  Completes the multimodal tier's
+    audio path the way BMP/PNG/GIF/JPEG completed pixels: actual
+    container bytes decoded, not header fields echoed."""
+    from h2h_spark.operators.multimodal import wav_pcm_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return wav_pcm_stats(docs, "doc_id")
+
+
+_SQL_WAV_PCM = """
+WITH g AS (
+  SELECT doc_id, doc_id % 400 + 50 AS ns,
+         8000 + (doc_id % 8) * 1000 AS rate
+  FROM documents),
+s AS (
+  SELECT g.doc_id, g.ns, g.rate,
+         SUM(((13 * i.x + 7 * doc_id) % 65536) - 32768) AS l_sum,
+         SUM(((17 * i.x + 11 * doc_id) % 65536) - 32768) AS r_sum,
+         SUM(ABS(((13 * i.x + 7 * doc_id) % 65536) - 32768)) AS l_abs,
+         SUM(ABS(((17 * i.x + 11 * doc_id) % 65536) - 32768)) AS r_abs
+  FROM g, generate_series(0, 449) AS i(x)
+  WHERE i.x < g.ns
+  GROUP BY g.doc_id, g.ns, g.rate)
+SELECT doc_id, CAST(ns AS INTEGER) AS n_samples,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(l_sum AS BIGINT) AS l_sum, CAST(r_sum AS BIGINT) AS r_sum,
+       CAST(l_abs AS BIGINT) AS l_abs, CAST(r_abs AS BIGINT) AS r_abs
+FROM s
+"""
+
+
 def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 16-bit truecolor PNG decode: the scanline filters run over
     byte LANES (left reference bpp = 6 bytes back, per the PNG spec),
@@ -5416,6 +5486,42 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 3 synchronous label-propagation rounds over
+    the symmetrized purchase graph, deterministic tie-break (count desc,
+    label asc) — exact-count argmax, so the full iteration is
+    bit-identical to the oracle's 3 unrolled SQL rounds.  Per round: one
+    dst-keyed join + one (node,label) count + one per-node argmax."""
+    from h2h_spark.operators.graph import label_propagation
+
+    labels = label_propagation(_pagerank_edges(spark, sf_dir), iterations=3)
+    return labels.select("node", "label")
+
+
+def _sql_label_prop() -> str:
+    head = """
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    rounds = []
+    for i in range(1, 4):
+        rounds.append(f""",
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, lb.label AS label,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, lb.label) AS rn
+    FROM sym e JOIN l{i - 1} lb ON lb.node = e.dst
+    GROUP BY e.src, lb.label) t
+  WHERE rn = 1)""")
+    return head + "".join(rounds) + "\nSELECT node, label FROM l3"
+
+
+_SQL_LABEL_PROP = _sql_label_prop()
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5607,6 +5713,60 @@ w{i} AS (
 
 
 _SQL_BPE_TRAIN = _sql_bpe()
+
+
+def _sql_bpe_apply(merges: int = 6, max_words: int = 2000) -> str:
+    """Train rounds (same CTE chain as _SQL_BPE_TRAIN, so the learned
+    b1..b6 are identical) + tokenizer APPLY over every document: the
+    per-word greedy-leftmost fold per rule in learned order, then the
+    post-merge subword count per doc."""
+    train = _sql_bpe(merges, max_words)
+    chain = train[: train.rindex("\nSELECT * FROM (")]
+    parts = [chain, """
+, a0 AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))) AS syms
+  FROM documents)"""]
+    for i in range(1, merges + 1):
+        parts.append(f"""
+, a{i} AS (
+  SELECT doc_id,
+         list_transform(syms, s ->
+           list_reduce(string_split(s, ' '),
+             (acc, x) -> CASE
+               WHEN (acc = b{i}.a OR ends_with(acc, ' ' || b{i}.a)) AND x = b{i}.b
+               THEN substr(acc, 1, length(acc) - length(b{i}.a)) || b{i}.a || b{i}.b
+               ELSE acc || ' ' || x END)) AS syms
+  FROM a{i - 1}, b{i})""")
+    parts.append(
+        f"\nSELECT doc_id, CAST(COALESCE(list_sum(list_transform(syms,"
+        f" s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_subwords"
+        f" FROM a{merges}"
+    )
+    return "".join(parts)
+
+
+_SQL_BPE_APPLY = _sql_bpe_apply()
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the deployment half of BPE: train 6 merges
+    (bounded rule table collected once, the artifact a tokenizer ships),
+    then apply them in learned order to every document as chained
+    vectorized folds, reporting the post-merge subword count per doc —
+    the number an LLM pipeline budgets by.  The oracle re-learns the
+    identical rules AND re-applies them per word, so train and apply are
+    both graded in one contract."""
+    from h2h_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rules = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_train(docs, "text", merges=6).orderBy("step").collect()
+    ]
+    return bpe_apply(docs, "text", rules).select("doc_id", "n_subwords")
 
 
 def q_bpe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6813,14 +6973,18 @@ def _init_queries() -> None:
         # placeholders below are r05-driver-green and swap out first ----
         "q_jpeg_progressive": q_jpeg_progressive,
         "q_stream_custom_state": q_stream_custom_state,
-        "q_bfs_distances": q_bfs_distances,
-        "q_components_star": q_components_star,
-        "q_hierarchy_resolve": q_hierarchy_resolve,
-        "q_bpe_train": q_bpe_train,
+        "q_wav_pcm": q_wav_pcm,
+        "q_psi_drift": q_psi_drift,
+        "q_label_prop": q_label_prop,
+        "q_bpe_apply": q_bpe_apply,
         # ---- end of the 50-entry graded window ----
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
+        "q_bfs_distances": q_bfs_distances,
+        "q_components_star": q_components_star,
+        "q_hierarchy_resolve": q_hierarchy_resolve,
+        "q_bpe_train": q_bpe_train,
         "q_shipmode_priority": q_shipmode_priority,
         "q_profile": q_profile,
         "q_pq_encode": q_pq_encode,
@@ -7129,6 +7293,10 @@ def oracle_sql() -> dict[str, str]:
         "q_jpeg_restart": _SQL_JPEG_COLOR,
         "q_jpeg_progressive": _SQL_JPEG_PROGRESSIVE,
         "q_stream_custom_state": _SQL_STREAM_CUSTOM_STATE,
+        "q_wav_pcm": _SQL_WAV_PCM,
+        "q_psi_drift": _SQL_PSI_DRIFT,
+        "q_label_prop": _SQL_LABEL_PROP,
+        "q_bpe_apply": _SQL_BPE_APPLY,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

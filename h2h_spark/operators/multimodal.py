@@ -2346,3 +2346,138 @@ def jpeg_progressive_stats(df: DataFrame, id_col: str) -> DataFrame:
         f"{id_col} long, n_blocks int, coef_sum long, abs_sum long, "
         "weighted_sum long",
     )
+
+
+# --------------------------------------------------------------------------
+# WAVE 16-bit PCM — the audio analogue of the pixel codecs: real RIFF
+# container bytes in, exact samples out, no media libraries.  The decoder
+# is a proper chunk WALK (fmt / data discovered by tag, unknown chunks
+# like LIST skipped by their declared size, word-aligned), not an offset
+# assumption — real-world WAVs carry metadata chunks before data.
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(channels, rate: int, *, extra_chunk: bytes | None = None) -> bytes:
+    """Encode N equal-length int16 channels as a standard RIFF/WAVE PCM
+    file (interleaved little-endian frames).  ``extra_chunk`` (tag+body,
+    e.g. a LIST INFO block) is inserted BEFORE data to exercise decoder
+    chunk-skipping."""
+    import numpy as np
+
+    chans = [np.asarray(c, dtype=np.int16) for c in channels]
+    n = chans[0].shape[0]
+    if any(c.shape[0] != n for c in chans):
+        raise ValueError("wav: channels must be equal length")
+    nch = len(chans)
+    frames = np.empty(n * nch, dtype="<i2")
+    for j, c in enumerate(chans):
+        frames[j::nch] = c
+    data = frames.tobytes()
+    block = 2 * nch
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        tag, payload = extra_chunk[:4], extra_chunk[4:]
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"  # RIFF word alignment
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Decode a RIFF/WAVE PCM16 file to a ``(n_samples, n_channels)``
+    int16 array + sample rate: chunk walk for 'fmt ' and 'data' (unknown
+    chunks skipped by size, odd sizes padded), strict PCM16 validation,
+    vectorized de-interleave."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt = data = None
+    while pos + 8 <= min(end, len(payload)):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"wav: chunk {tag!r} truncated")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    codec, nch, rate, _br, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if codec != 1 or bits != 16:
+        raise ValueError(f"wav: only PCM16 supported (codec={codec}, bits={bits})")
+    if block != 2 * nch or nch < 1:
+        raise ValueError("wav: inconsistent block align")
+    if len(data) % block:
+        raise ValueError("wav: data not frame-aligned")
+    frames = np.frombuffer(data, dtype="<i2")
+    return frames.reshape(-1, nch), rate
+
+
+def synthesize_wav_stereo(seed: int) -> bytes:
+    """Deterministic stereo PCM16 WAV: ``ns = seed%400+50`` frames with
+    L(i) = ((13i+7·seed) mod 65536) - 32768 and R(i) = ((17i+11·seed)
+    mod 65536) - 32768 — full-range int16 ramps an external oracle can
+    re-derive closed-form.  A LIST INFO chunk precedes data so decode
+    must genuinely walk chunks."""
+    import numpy as np
+
+    ns = seed % 400 + 50
+    i = np.arange(ns, dtype=np.int64)
+    left = ((13 * i + 7 * seed) % 65536) - 32768
+    right = ((17 * i + 11 * seed) % 65536) - 32768
+    return encode_wav_pcm16(
+        [left.astype(np.int16), right.astype(np.int16)],
+        8000 + seed % 8 * 1000,
+        extra_chunk=b"LIST" + b"INFOIART" + struct.pack("<I", 3) + b"h2h",
+    )
+
+
+def wav_pcm_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """REAL audio decode pipeline per row: synthesize a stereo PCM16 WAV
+    from the id, chunk-walk + de-interleave its actual bytes, and report
+    exact integer per-channel sums and absolute sums.  Arrow-batched
+    ``mapInPandas`` with ids spread across the pool; blobs never leave
+    the task."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns_c, rate_c, ls, rs, la, ra = [], [], [], [], [], []
+            for seed in pdf[id_col]:
+                frames, rate = decode_wav_pcm16(synthesize_wav_stereo(int(seed)))
+                s = frames.astype(np.int64)
+                ns_c.append(frames.shape[0])
+                rate_c.append(rate)
+                ls.append(int(s[:, 0].sum()))
+                rs.append(int(s[:, 1].sum()))
+                la.append(int(np.abs(s[:, 0]).sum()))
+                ra.append(int(np.abs(s[:, 1]).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": pd.Series(ns_c, dtype="int32"),
+                    "sample_rate": pd.Series(rate_c, dtype="int32"),
+                    "l_sum": pd.Series(ls, dtype="int64"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "l_abs": pd.Series(la, dtype="int64"),
+                    "r_abs": pd.Series(ra, dtype="int64"),
+                }
+            )
+
+    ids = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return ids.mapInPandas(
+        _run,
+        f"{id_col} long, n_samples int, sample_rate int, l_sum long, "
+        "r_sum long, l_abs long, r_abs long",
+    )

@@ -149,3 +149,57 @@ def k_anonymity(df: DataFrame, qi_cols: list[str], k: int) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_at_risk"),
     ).withColumn("k_anonymous", F.col("n_violating_groups") == 0)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    *,
+    n_bins: int = 10,
+    width: float = 50.0,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index drift between a reference snapshot and
+    a current snapshot of one numeric feature — the standard production
+    drift monitor (PSI > 0.2 ≈ significant shift).  Fixed-width bins
+    (last bin open-ended), Laplace-smoothed shares so empty bins never
+    divide by zero, per-bin contribution ``(p_cur - p_ref) ·
+    ln(p_cur/p_ref)`` rounded to 6 digits (the ppl-query float contract).
+
+    Scale shape: each side is ONE map-side-combined count aggregate over
+    an ``n_bins``-bounded key — two scans, two tiny shuffles; the bin
+    spine join and the totals broadcast are constant-size.  Nothing here
+    grows with rows, so the monitor costs two scans at any corpus size."""
+    spark = ref.sparkSession
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.least(
+                    F.floor(F.col(col) / width).cast("int"), F.lit(n_bins - 1)
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        spine.join(binned(ref, "ref_n"), "bin", "left")
+        .join(binned(cur, "cur_n"), "bin", "left")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = j.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
+    )
+    j = j.crossJoin(F.broadcast(totals))
+    denom = float(smooth) * n_bins
+    pr = (F.col("ref_n") + F.lit(float(smooth))) / (F.col("__rt") + F.lit(denom))
+    pc = (F.col("cur_n") + F.lit(float(smooth))) / (F.col("__ct") + F.lit(denom))
+    return j.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_bin"),
+    ).orderBy("bin")
