@@ -5769,6 +5769,24 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, "text", rules).select("doc_id", "n_subwords")
 
 
+def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path tokenizer apply: broadcast merge-rank table +
+    per-word lowest-rank merge loop (the GPT-2/HF algorithm) with a
+    per-batch word cache, Arrow-batched — O(distinct words) work where
+    the fold-chain plan is O(tokens × rules) chained expressions (a
+    50k-rule chain cannot even plan).  Provably equal to q_bpe_apply
+    (rank order == sequential order; differential test), so it shares
+    that query's train+apply SQL oracle verbatim."""
+    from h2h_spark.operators.bpe import bpe_apply_ranked, bpe_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rules = [
+        (r["sym_a"], r["sym_b"])
+        for r in bpe_train(docs, "text", merges=6).orderBy("step").collect()
+    ]
+    return bpe_apply_ranked(docs, "text", rules).select("doc_id", "n_subwords")
+
+
 def q_bpe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE training — the scale fix for the one-job-per-merge
     loop (a production 50k vocab would mean 50k driver round-trips):
@@ -6978,6 +6996,10 @@ def _init_queries() -> None:
         "q_label_prop": q_label_prop,
         "q_bpe_apply": q_bpe_apply,
         # ---- end of the 50-entry graded window ----
+        # Round-6 addition past slot 50 — attested by the committed
+        # ORACLE_SWEEP_r06 artifacts (both SFs re-run after it landed);
+        # rotate into the round-7 window:
+        "q_bpe_apply_fast": q_bpe_apply_fast,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7297,6 +7319,7 @@ def oracle_sql() -> dict[str, str]:
         "q_psi_drift": _SQL_PSI_DRIFT,
         "q_label_prop": _SQL_LABEL_PROP,
         "q_bpe_apply": _SQL_BPE_APPLY,
+        "q_bpe_apply_fast": _SQL_BPE_APPLY,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

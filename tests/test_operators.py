@@ -2815,3 +2815,37 @@ def test_label_propagation_two_cliques(spark):
     out2 = {r.node: r.label for r in label_propagation(edges2, iterations=3).collect()}
     assert {out2[1], out2[2]} <= {1, 2}
     assert {out2[5], out2[6]} <= {5, 6}
+
+
+def test_bpe_apply_ranked_equals_fold(spark):
+    """Rank-loop apply (GPT-2 algorithm, broadcast ranks + word cache)
+    must equal the fold-chain apply on overlapping-pair inputs — the
+    differential contract that lets q_bpe_apply_fast share the fold
+    oracle."""
+    from h2h_spark.operators.bpe import bpe_apply, bpe_apply_ranked
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa aaa banana bananas"),
+            (2, "abab ababab ba"),
+            (3, ""),
+            (4, "zzz zz z"),
+        ],
+        "doc_id long, text string",
+    )
+    # hand-picked rules with overlap traps: (a,a) then (aa,a) then (b,a)
+    rules = [("a", "a"), ("aa", "a"), ("b", "a"), ("ba", "n")]
+    fold = {
+        r.doc_id: r.n_subwords
+        for r in bpe_apply(df, "text", rules).select("doc_id", "n_subwords").collect()
+    }
+    rank = {
+        r.doc_id: r.n_subwords
+        for r in bpe_apply_ranked(df, "text", rules)
+        .select("doc_id", "n_subwords")
+        .collect()
+    }
+    assert fold == rank
+    # greedy-leftmost sanity: "aaaa" -> aa aa (2), "aaa" -> aa a -> aaa? no:
+    # rule1 gives "aa a", rule2 (aa,a) fuses -> "aaa" (1 subword)
+    assert rank[3] == 0  # empty doc
