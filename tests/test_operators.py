@@ -2849,3 +2849,33 @@ def test_bpe_apply_ranked_equals_fold(spark):
     # greedy-leftmost sanity: "aaaa" -> aa aa (2), "aaa" -> aa a -> aaa? no:
     # rule1 gives "aa a", rule2 (aa,a) fuses -> "aaa" (1 subword)
     assert rank[3] == 0  # empty doc
+
+
+def test_kmv_distinct_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.sketch import kmv_distinct, kmv_partials
+
+    # below k: exact count
+    small = spark.createDataFrame(
+        [("a", str(i % 7)) for i in range(100)] + [("b", str(i % 3)) for i in range(30)],
+        "g string, v string",
+    )
+    out = {r.g: r.est_distinct for r in kmv_distinct(small, "v", ["g"], k=16).collect()}
+    assert out == {"a": 7, "b": 3}
+
+    # above k: estimate lands near truth (KMV stderr ~ 1/sqrt(k-2) ≈ 9%
+    # at k=128; assert a generous 3-sigma band), and partials stay
+    # k-bounded per partition per group
+    big = spark.range(5000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    ).repartition(8)
+    est = kmv_distinct(big, "v", ["g"], k=128).collect()[0].est_distinct
+    assert abs(est - 5000) < 5000 * 0.27, est
+    parts = kmv_partials(big, "v", ["g"], k=128)
+    per_part = parts.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= 128 for r in per_part)
+
+    # determinism: same input, same estimate (md5 hashes, no RNG)
+    est2 = kmv_distinct(big, "v", ["g"], k=128).collect()[0].est_distinct
+    assert est == est2
