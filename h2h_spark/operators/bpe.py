@@ -352,10 +352,12 @@ def bpe_apply_ranked(
             pdf = pdf.copy()
             pdf["n_subwords"] = pd.Series(
                 [
-                    sum(_count_word(w, rk, cache) for w in words)
+                    # null text -> null count, matching bpe_apply's fold
+                    None if words is None
+                    else sum(_count_word(w, rk, cache) for w in words)
                     for words in pdf["__words"]
                 ],
-                dtype="int64",
+                dtype="Int64",
                 index=pdf.index,
             )
             yield pdf.drop(columns=["__words"])
