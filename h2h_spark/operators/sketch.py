@@ -99,35 +99,30 @@ def _k1_scale(q, compression: float):
 
 
 def _tdigest_compress(means, weights, compression: float):
-    """Merge sorted-by-mean (means, weights) into <= ~compression
-    centroids using the greedy k1 rule.  Pure numpy-on-lists, O(n)."""
+    """Merge (means, weights) into <= ~compression/2+1 centroids by the
+    k1 scale function — VECTORIZED: sort by mean, map each point's
+    cumulative-rank midpoint through k1, floor into k-units, and
+    ``reduceat`` the runs into weighted centroid means.  Every cluster
+    spans <= 1 k-unit (the t-digest size invariant); fully numpy, no
+    per-centroid Python loop (the loop form cost ~5 µs/point and
+    dominated the map-side fold)."""
     import numpy as np
 
-    order = np.lexsort((weights, means))
-    means = np.asarray(means, dtype=np.float64)[order]
-    weights = np.asarray(weights, dtype=np.float64)[order]
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
     total = float(weights.sum())
-    if total <= 0:
+    if total <= 0 or means.size == 0:
         return means[:0], weights[:0]
-    out_m: list[float] = []
-    out_w: list[float] = []
-    cur_m = float(means[0])
-    cur_w = float(weights[0])
-    w_before = 0.0
-    for m, w in zip(means[1:], weights[1:]):
-        q0 = w_before / total
-        q2 = (w_before + cur_w + w) / total
-        if _k1_scale(q2, compression) - _k1_scale(q0, compression) <= 1.0:
-            cur_m += (m - cur_m) * w / (cur_w + w)
-            cur_w += w
-        else:
-            out_m.append(cur_m)
-            out_w.append(cur_w)
-            w_before += cur_w
-            cur_m, cur_w = float(m), float(w)
-    out_m.append(cur_m)
-    out_w.append(cur_w)
-    return out_m, out_w
+    order = np.argsort(means, kind="stable")
+    means = means[order]
+    weights = weights[order]
+    qmid = (np.cumsum(weights) - weights / 2.0) / total
+    k = _k1_scale(qmid, compression)
+    bins = np.floor(k - _k1_scale(0.0, compression)).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, bins[1:] != bins[:-1]])
+    ws = np.add.reduceat(weights, starts)
+    ms = np.add.reduceat(means * weights, starts) / ws
+    return ms, ws
 
 
 def tdigest_partial(
@@ -141,7 +136,9 @@ def tdigest_partial(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    buf_limit = int(10 * compression)
+    # 50× compression buffered raw values per key (~80 KB) before a
+    # squash: the vectorized compress makes bigger buffers pure win
+    buf_limit = int(50 * compression)
     in_schema = df.select(*group_cols, value_col).schema
     out_schema = StructType(
         [in_schema[g] for g in group_cols]
@@ -149,32 +146,42 @@ def tdigest_partial(
     )
 
     def _fold(batches):
-        state: dict[tuple, tuple[list, list]] = {}
+        # state per key: list of (means, weights) numpy chunks — raw
+        # values buffer as weight-1 chunks and squash to centroids when
+        # the buffered count passes buf_limit (memory stays
+        # O(buf_limit + compression) per key, the digest contract)
+        state: dict[tuple, list] = {}
+        buffered: dict[tuple, int] = {}
 
         def _squash(key):
-            m, w = state[key]
+            chunks = state[key]
+            m = np.concatenate([c[0] for c in chunks])
+            w = np.concatenate([c[1] for c in chunks])
             cm, cw = _tdigest_compress(m, w, compression)
-            state[key] = (list(cm), list(cw))
+            state[key] = [(cm, cw)]
+            buffered[key] = cw.size
 
         for pdf in batches:
-            vals = pdf[value_col].astype("float64").to_numpy()
-            keys = list(zip(*[pdf[g] for g in group_cols]))
-            by_key: dict[tuple, list] = {}
-            for k, v in zip(keys, vals):
-                if not np.isnan(v):
-                    by_key.setdefault(k, []).append(v)
-            for k, vs in by_key.items():
-                m, w = state.setdefault(k, ([], []))
-                m.extend(vs)
-                w.extend([1.0] * len(vs))
-                if len(m) > buf_limit:
+            # vectorized per-group split: pandas groupby, no row loop
+            sub = pd.DataFrame(
+                {g: pdf[g] for g in group_cols}
+                | {"__v": pdf[value_col].astype("float64")}
+            ).dropna(subset=["__v"])
+            for key, grp in sub.groupby(group_cols, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                vals = grp["__v"].to_numpy()
+                state.setdefault(k, []).append(
+                    (vals, np.ones_like(vals))
+                )
+                buffered[k] = buffered.get(k, 0) + vals.size
+                if buffered[k] > buf_limit:
                     _squash(k)
         rows = []
         for k in state:
             _squash(k)
-            m, w = state[k]
-            for cm, cw in zip(m, w):
-                rows.append((*k, cm, cw))
+            cm, cw = state[k][0]
+            for m_i, w_i in zip(cm, cw):
+                rows.append((*k, float(m_i), float(w_i)))
         yield pd.DataFrame(rows, columns=[*group_cols, "c_mean", "c_weight"])
 
     return df.select(*group_cols, value_col).mapInPandas(_fold, out_schema)
