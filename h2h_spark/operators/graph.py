@@ -234,6 +234,10 @@ def label_propagation(
     bounded-round output is still deterministic, which is what the
     oracle contract grades.  Deep runs would localCheckpoint every ~10
     rounds like pagerank."""
+    # materialize the symmetrized edge list ONCE: every round (and the
+    # node-set init) re-reads it, and without this the upstream edge
+    # derivation (often a join) replays per round through lineage —
+    # the same fix hierarchy.resolve_tree needed
     sym = (
         edges.select(src, dst)
         .union(
@@ -242,6 +246,7 @@ def label_propagation(
             )
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col(src).alias("node"))
