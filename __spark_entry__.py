@@ -3400,6 +3400,70 @@ FROM a
 """
 
 
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates over two lineitem segments (returned
+    vs non-returned partkeys): |A|, |B|, |A∪B| AND |A∩B| from bottom-k
+    sketches — the set algebra HLL cannot do (inclusion-exclusion error
+    explodes).  All four estimates reproduce bit-for-bit in SQL (md5
+    hashes + IEEE arithmetic), so they are graded exactly."""
+    from h2h_spark.operators.sketch import kmv_set_estimates
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
+    )
+    a = li.filter(F.col("l_returnflag") == "N").select("pk")
+    b = li.filter(F.col("l_returnflag") == "R").select("pk")
+    return kmv_set_estimates(a, b, "pk", k=256)
+
+
+_SQL_KMV_SETOPS = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag = 'N'),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag = 'R'),
+ka AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) t
+       WHERE rn <= 256),
+kb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) t
+       WHERE rn <= 256),
+mrg AS (
+  SELECT COALESCE(ka.h, kb.h) AS h,
+         CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS a,
+         CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS b
+  FROM ka FULL OUTER JOIN kb ON ka.h = kb.h),
+ku AS (SELECT h, a, b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM mrg),
+uagg AS (
+  SELECT COUNT(*) AS n_kept,
+         MAX(CASE WHEN rn = 256 THEN h END) AS hk,
+         SUM(a * b) AS n_both
+  FROM ku WHERE rn <= 256),
+eu AS (
+  SELECT CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+              ELSE FLOOR(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE))
+         END AS e, n_both, n_kept
+  FROM uagg),
+sa AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE FLOOR(255.0 * 1152921504606846976.0
+                         / CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE))
+         END AS e
+  FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha) t WHERE rn <= 256),
+sb AS (
+  SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE FLOOR(255.0 * 1152921504606846976.0
+                         / CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE))
+         END AS e
+  FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb) t WHERE rn <= 256)
+SELECT CAST(sa.e AS BIGINT) AS est_a, CAST(sb.e AS BIGINT) AS est_b,
+       CAST(eu.e AS BIGINT) AS est_union,
+       CAST(FLOOR(CAST(eu.n_both AS DOUBLE) * eu.e
+                  / CAST(eu.n_kept AS DOUBLE)) AS BIGINT)
+         AS est_intersection
+FROM sa, sb, eu
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7054,6 +7118,7 @@ def _init_queries() -> None:
         # rotate into the round-7 window:
         "q_bpe_apply_fast": q_bpe_apply_fast,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_kmv_setops": q_kmv_setops,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7375,6 +7440,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_apply": _SQL_BPE_APPLY,
         "q_bpe_apply_fast": _SQL_BPE_APPLY,
         "q_kmv_distinct": _SQL_KMV_DISTINCT,
+        "q_kmv_setops": _SQL_KMV_SETOPS,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -308,3 +308,92 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def kmv_set_estimates(
+    df_a: DataFrame, df_b: DataFrame, key_col: str, k: int = 256
+) -> DataFrame:
+    """KMV set-operation estimates (Beyer et al. 2007 — public): distinct
+    |A|, |B|, |A∪B| and |A∩B| from two bottom-k sketches — the operation
+    HLL fundamentally cannot do (its union is lossless but intersection
+    via inclusion-exclusion explodes in error).  The union sketch is the
+    k smallest of the merged retained sets; the intersection estimate is
+    ``round(n_both / k * est_union)`` where ``n_both`` counts union-
+    retained hashes present in BOTH sides.  Everything downstream of the
+    k-bounded per-partition partials is tiny (≤ 2k rows), and the md5
+    hash + IEEE arithmetic reproduce externally, so all four ESTIMATES
+    are oracle-graded bit-for-bit.  Returns one row:
+    ``(est_a, est_b, est_union, est_intersection)``."""
+    from pyspark.sql.window import Window
+
+    spark = df_a.sparkSession
+    m = float(1 << 60)
+
+    def bottomk(df: DataFrame) -> DataFrame:
+        parts = kmv_partials(
+            df.select(F.lit("s").alias("__g"), F.col(key_col)), key_col, ["__g"], k
+        )
+        w = Window.orderBy("__h")
+        return (
+            parts.select("__h").dropDuplicates(["__h"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("__h")
+        )
+
+    ka = bottomk(df_a).withColumn("__in_a", F.lit(1))
+    kb = bottomk(df_b).withColumn("__in_b", F.lit(1))
+    merged = (
+        ka.join(kb, "__h", "full_outer")
+        .select(
+            "__h",
+            F.coalesce("__in_a", F.lit(0)).alias("a"),
+            F.coalesce("__in_b", F.lit(0)).alias("b"),
+        )
+    )
+    w = Window.orderBy("__h")
+    union_k = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+
+    def est(n_kept: F.Column, hk: F.Column) -> F.Column:
+        return F.when(n_kept < k, n_kept.cast("double")).otherwise(
+            F.floor(F.lit(float(k - 1)) * F.lit(m) / hk.cast("double")).cast(
+                "double"
+            )
+        )
+
+    def side_est(kdf: DataFrame, name: str) -> DataFrame:
+        w2 = Window.orderBy("__h")
+        r = kdf.withColumn("__rn", F.row_number().over(w2))
+        return r.agg(
+            est(
+                F.count("*"),
+                F.max(F.when(F.col("__rn") == k, F.col("__h"))),
+            ).cast("bigint").alias(name)
+        )
+
+    agg = union_k.agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("hk"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+    ).select(
+        est(F.col("n_kept"), F.col("hk")).alias("eu"),
+        "n_both",
+        "n_kept",
+    ).select(
+        F.col("eu").cast("bigint").alias("est_union"),
+        # ratio over |K| = the union's RETAINED size (= k when full,
+        # the exact union count below k — giving the exact intersection)
+        F.floor(
+            F.col("n_both").cast("double") * F.col("eu")
+            / F.col("n_kept").cast("double")
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+    )
+    ea = side_est(ka.select("__h"), "est_a")
+    eb = side_est(kb.select("__h"), "est_b")
+    return ea.crossJoin(eb).crossJoin(agg).select(
+        "est_a", "est_b", "est_union", "est_intersection"
+    )

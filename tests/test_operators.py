@@ -2879,3 +2879,24 @@ def test_kmv_distinct_sketch(spark):
     # determinism: same input, same estimate (md5 hashes, no RNG)
     est2 = kmv_distinct(big, "v", ["g"], k=128).collect()[0].est_distinct
     assert est == est2
+
+
+def test_kmv_set_estimates(spark):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.sketch import kmv_set_estimates
+
+    # |A|=3000, |B|=3000, |A∩B|=1000 (ids 2000..2999), |A∪B|=5000
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 5000).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_estimates(a, b, "v", k=256).collect()[0]
+    assert abs(r.est_a - 3000) < 3000 * 0.25
+    assert abs(r.est_b - 3000) < 3000 * 0.25
+    assert abs(r.est_union - 5000) < 5000 * 0.25
+    assert abs(r.est_intersection - 1000) < 1000 * 0.55  # ratio estimator
+    # exact path below k on both sides
+    sa = spark.range(0, 60).select(F.col("id").cast("string").alias("v"))
+    sb = spark.range(40, 100).select(F.col("id").cast("string").alias("v"))
+    r2 = kmv_set_estimates(sa, sb, "v", k=256).collect()[0]
+    assert (r2.est_a, r2.est_b, r2.est_union) == (60, 60, 100)
+    assert r2.est_intersection == 20  # n_both/|K| * |K| exact below k
