@@ -2452,6 +2452,58 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation — the
+    continuous-measurement companion to q_resample_ffill: empty hourly
+    buckets get prev + (next-prev)·(b-pb)/(nb-pb) from nearest observed
+    neighbors.  Fixed-point 1e-8 integer units end-to-end with FLOOR for
+    the one fractional step — midpoint interpolation of decimal values
+    constantly lands on half-way rounding cases where engines disagree,
+    so no decimal ROUND appears anywhere and the oracle reproduces every
+    interpolated value bit-for-bit."""
+    from h2h_spark.operators.timeseries import resample_interpolate
+
+    ev = _load_events(spark, sf_dir).select("user_id", "ts", "value")
+    return resample_interpolate(ev, "user_id", "ts", "value", 3600)
+
+
+_SQL_RESAMPLE_INTERP = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS u
+  FROM events),
+pb AS (
+  SELECT user_id, bucket, (SUM(u) * 10000) // COUNT(*) AS bval
+  FROM b GROUP BY user_id, bucket),
+sp AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM pb GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM sp),
+j AS (
+  SELECT grid.user_id, grid.bucket, pb.bval
+  FROM grid LEFT JOIN pb ON pb.user_id = grid.user_id AND pb.bucket = grid.bucket),
+f AS (
+  SELECT user_id, bucket, bval,
+    LAST_VALUE(CASE WHEN bval IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pbk,
+    LAST_VALUE(bval IGNORE NULLS) OVER wp AS pv,
+    FIRST_VALUE(CASE WHEN bval IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nbk,
+    FIRST_VALUE(bval IGNORE NULLS) OVER wn AS nv
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(bucket * 3600 AS BIGINT) AS bucket_ts,
+       CAST(CASE WHEN bval IS NOT NULL THEN bval
+            ELSE FLOOR(CAST(pv AS DOUBLE)
+                       + CAST(nv - pv AS DOUBLE)
+                         * (CAST(bucket - pbk AS DOUBLE)
+                            / CAST(nbk - pbk AS DOUBLE)))
+       END AS BIGINT) AS value_e8
+FROM f
+"""
+
+
 _SQL_RESAMPLE_FFILL = """
 WITH b AS (
   SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
@@ -7119,6 +7171,7 @@ def _init_queries() -> None:
         "q_bpe_apply_fast": q_bpe_apply_fast,
         "q_kmv_distinct": q_kmv_distinct,
         "q_kmv_setops": q_kmv_setops,
+        "q_resample_interp": q_resample_interp,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7349,6 +7402,7 @@ def oracle_sql() -> dict[str, str]:
         "q_two_phase_distinct": _SQL_TWO_PHASE_DISTINCT,
         "q_asof_forward": _SQL_ASOF_FORWARD,
         "q_resample_ffill": _SQL_RESAMPLE_FFILL,
+        "q_resample_interp": _SQL_RESAMPLE_INTERP,
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_compact": _SQL_COMPACT,

@@ -85,6 +85,78 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    interval_sec: int,
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR interpolation across gaps —
+    the sensor-series companion to :func:`resample_ffill` (step fill is
+    wrong for continuously-varying measurements).  Bucket value is the
+    bucket mean; every empty grid bucket gets
+    ``prev + (next - prev) · (b - pb)/(nb - pb)`` from its nearest
+    observed neighbors (always defined: the grid spans first..last
+    observation per key).
+
+    Values are carried as FIXED-POINT ``value_e8`` (1e-8 units,
+    BIGINT): the input quantizes to exact 1e-4 integer units, bucket
+    means are integer floor-division, and the one fractional step
+    (interpolation) runs in IEEE doubles over EXACT integer inputs and
+    floors — no decimal ROUND anywhere, because midpoint interpolation
+    of decimal values constantly lands on exact half-way cases where
+    engines' rounding modes (BigDecimal HALF_UP vs C round) disagree.
+    Floor has no half-way semantics, so the result is bit-reproducible
+    in external SQL.  Assumes non-negative values (integer division
+    truncation == floor).  Same shape as ffill: one bucket aggregate,
+    one bounded grid explode, one keyed window pass."""
+    sec = _epoch_seconds(F.col(ts_col), dict(df.dtypes)[ts_col])
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.floor(sec / interval_sec).cast("bigint").alias("bucket"),
+        # exact 1e-4 integer units (+0.5 floor absorbs the double ulp)
+        F.floor(F.col(val_col) * 10000.0 + 0.5).cast("bigint").alias("u"),
+    )
+    per_bucket = b.groupBy("key", "bucket").agg(
+        F.expr("CAST((SUM(u) * 10000) DIV COUNT(*) AS BIGINT)").alias("bval")
+    )
+    span = per_bucket.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "key", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, ["key", "bucket"], "left")
+    wp = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs = F.when(F.col("bval").isNotNull(), F.struct("bucket", "bval"))
+    prev = F.last(obs, ignorenulls=True).over(wp)
+    nxt = F.first(obs, ignorenulls=True).over(wn)
+    interp = prev["bval"].cast("double") + (
+        (nxt["bval"] - prev["bval"]).cast("double")
+        * (
+            (F.col("bucket") - prev["bucket"]).cast("double")
+            / (nxt["bucket"] - prev["bucket"]).cast("double")
+        )
+    )
+    return joined.select(
+        F.col("key").alias(key_col),
+        (F.col("bucket") * interval_sec).cast("bigint").alias("bucket_ts"),
+        F.when(F.col("bval").isNotNull(), F.col("bval"))
+        .otherwise(F.floor(interp).cast("bigint"))
+        .alias("value_e8"),
+    )
+
+
 def rolling_time_sum(
     df: DataFrame,
     key_col: str,

@@ -123,8 +123,11 @@ def main() -> int:
         if not problems:
             ns, no = norm_rows(scols, srows), norm_rows(ocols, orows)
             if ns != no:
-                diff_s = [r for r in ns if r not in set(no)][:3]
-                diff_o = [r for r in no if r not in set(ns)][:3]
+                # hoist the sets — a comprehension that rebuilds set(no)
+                # per element is quadratic and looks like a hang at 100k rows
+                set_no, set_ns = set(no), set(ns)
+                diff_s = [r for r in ns if r not in set_no][:3]
+                diff_o = [r for r in no if r not in set_ns][:3]
                 problems.append(f"values spark-only={diff_s} oracle-only={diff_o}")
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))

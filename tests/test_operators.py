@@ -2900,3 +2900,34 @@ def test_kmv_set_estimates(spark):
     r2 = kmv_set_estimates(sa, sb, "v", k=256).collect()[0]
     assert (r2.est_a, r2.est_b, r2.est_union) == (60, 60, 100)
     assert r2.est_intersection == 20  # n_both/|K| * |K| exact below k
+
+
+def test_resample_interpolate_linear(spark):
+    from h2h_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, 0, 10.0),     # bucket 0: 10.0
+        (1, 3600 * 4, 30.0),  # bucket 4: 30.0 -> gap buckets 1-3 interpolate
+        (2, 0, 5.5),
+        (2, 3600, 5.5),   # no gap
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, v double").selectExpr(
+        "k", "CAST(s AS TIMESTAMP) AS ts", "v"
+    )
+    out = {
+        (r.k, r.bucket_ts): r.value_e8
+        for r in resample_interpolate(df, "k", "ts", "v", 3600).collect()
+    }
+    # observed buckets carry the exact fixed-point mean (1e-8 units)
+    assert out[(1, 0)] == 10_0000_0000 and out[(1, 4 * 3600)] == 30_0000_0000
+    # linear gap fill: 15, 20, 25
+    assert out[(1, 3600)] == 15_0000_0000
+    assert out[(1, 2 * 3600)] == 20_0000_0000
+    assert out[(1, 3 * 3600)] == 25_0000_0000
+    assert out[(2, 0)] == 5_5000_0000 and out[(2, 3600)] == 5_5000_0000
+    # two observations in one bucket: integer-floor mean
+    df2 = spark.createDataFrame(
+        [(9, 0, 1.0), (9, 10, 2.01)], "k long, s long, v double"
+    ).selectExpr("k", "CAST(s AS TIMESTAMP) AS ts", "v")
+    out2 = resample_interpolate(df2, "k", "ts", "v", 3600).collect()
+    assert len(out2) == 1 and out2[0].value_e8 == 150500000  # floor(30100*1e4/2)
