@@ -1217,6 +1217,52 @@ FROM c, t
 """
 
 
+def q_psi_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-feature-table drift in exactly two scans: multi-feature PSI
+    melts (custkey, totalprice) into (feature, bin) pairs scan-side and
+    aggregates once per snapshot; per-feature totals broadcast.  Same
+    smoothed 6-digit contract as q_psi_drift, one row per feature-bin."""
+    from h2h_spark.operators.quality import psi_drift_multi
+
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    ref = o.filter(F.col("o_orderkey") % 2 == 0)
+    cur = o.filter(F.col("o_orderkey") % 2 == 1)
+    return psi_drift_multi(
+        ref, cur,
+        {"custkey": ("o_custkey", 200.0), "totalprice": ("o_totalprice", 60000.0)},
+        n_bins=10,
+    )
+
+
+_SQL_PSI_MULTI = """
+WITH m AS (
+  SELECT 'custkey' AS feature,
+         LEAST(CAST(FLOOR(o_custkey / 200.0) AS INTEGER), 9) AS bin,
+         o_orderkey % 2 AS side
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice',
+         LEAST(CAST(FLOOR(o_totalprice / 60000.0) AS INTEGER), 9),
+         o_orderkey % 2
+  FROM orders),
+c AS (
+  SELECT f.feature, s.x AS bin,
+         COALESCE(SUM(CASE WHEN side = 0 THEN 1 END), 0) AS ref_n,
+         COALESCE(SUM(CASE WHEN side = 1 THEN 1 END), 0) AS cur_n
+  FROM (VALUES ('custkey'), ('totalprice')) AS f(feature)
+  CROSS JOIN generate_series(0, 9) AS s(x)
+  LEFT JOIN m ON m.feature = f.feature AND m.bin = s.x
+  GROUP BY f.feature, s.x),
+t AS (SELECT feature, SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM c GROUP BY feature)
+SELECT c.feature, c.bin, CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(cur_n AS BIGINT) AS cur_n,
+       ROUND(((cur_n + 1.0) / (ct + 10.0) - (ref_n + 1.0) / (rt + 10.0))
+             * LN(((cur_n + 1.0) / (ct + 10.0))
+                  / ((ref_n + 1.0) / (rt + 10.0))), 6) AS psi_bin
+FROM c JOIN t ON t.feature = c.feature
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup (dropDuplicatesWithinWatermark): bounded input
     drains as ONE batch whose initial watermark is 0, so every duplicate
@@ -7172,6 +7218,7 @@ def _init_queries() -> None:
         "q_kmv_distinct": q_kmv_distinct,
         "q_kmv_setops": q_kmv_setops,
         "q_resample_interp": q_resample_interp,
+        "q_psi_multi": q_psi_multi,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7490,6 +7537,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_custom_state": _SQL_STREAM_CUSTOM_STATE,
         "q_wav_pcm": _SQL_WAV_PCM,
         "q_psi_drift": _SQL_PSI_DRIFT,
+        "q_psi_multi": _SQL_PSI_MULTI,
         "q_label_prop": _SQL_LABEL_PROP,
         "q_bpe_apply": _SQL_BPE_APPLY,
         "q_bpe_apply_fast": _SQL_BPE_APPLY,

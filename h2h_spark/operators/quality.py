@@ -203,3 +203,66 @@ def psi_drift(
         "cur_n",
         F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_bin"),
     ).orderBy("bin")
+
+
+def psi_drift_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: dict[str, tuple[str, float]],
+    *,
+    n_bins: int = 10,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """PSI drift for MANY features in one scan per side: ``features``
+    maps feature name -> (column, bin width).  Each side melts its
+    feature columns into (feature, bin) pairs scan-side (Expand — no
+    extra pass per feature) and aggregates once; per-feature totals are
+    a |features|-row broadcast.  Output one row per (feature, bin) with
+    the same smoothed, 6-digit-rounded contribution as
+    :func:`psi_drift` — the shape that lets a daily drift monitor cover
+    a whole feature table in exactly two scans at any corpus size."""
+    spark = ref.sparkSession
+    items = sorted(features.items())
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        pairs = F.array(*[
+            F.struct(
+                F.lit(fname).alias("feature"),
+                F.least(
+                    F.floor(F.col(col) / F.lit(width)).cast("int"),
+                    F.lit(n_bins - 1),
+                ).alias("bin"),
+            )
+            for fname, (col, width) in items
+        ])
+        return (
+            df.select(F.explode(pairs).alias("fb"))
+            .groupBy(F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+            .agg(F.count("*").alias(name))
+        )
+
+    spine = (
+        spark.createDataFrame([(f,) for f, _ in items], "feature string")
+        .crossJoin(
+            spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    j = (
+        spine.join(binned(ref, "ref_n"), ["feature", "bin"], "left")
+        .join(binned(cur, "cur_n"), ["feature", "bin"], "left")
+        .fillna(0, subset=["ref_n", "cur_n"])
+    )
+    totals = j.groupBy("feature").agg(
+        F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
+    )
+    j = j.join(F.broadcast(totals), "feature")
+    denom = float(smooth) * n_bins
+    pr = (F.col("ref_n") + F.lit(float(smooth))) / (F.col("__rt") + F.lit(denom))
+    pc = (F.col("cur_n") + F.lit(float(smooth))) / (F.col("__ct") + F.lit(denom))
+    return j.select(
+        "feature",
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_bin"),
+    )

@@ -2931,3 +2931,27 @@ def test_resample_interpolate_linear(spark):
     ).selectExpr("k", "CAST(s AS TIMESTAMP) AS ts", "v")
     out2 = resample_interpolate(df2, "k", "ts", "v", 3600).collect()
     assert len(out2) == 1 and out2[0].value_e8 == 150500000  # floor(30100*1e4/2)
+
+
+def test_psi_drift_multi_matches_single(spark):
+    from h2h_spark.operators.quality import psi_drift, psi_drift_multi
+
+    ref = spark.createDataFrame(
+        [(v, 2.0 * v) for v in [10.0, 10.0, 60.0, 110.0]], "x double, y double"
+    )
+    cur = spark.createDataFrame(
+        [(v, 2.0 * v) for v in [10.0, 60.0, 60.0, 160.0]], "x double, y double"
+    )
+    multi = {
+        (r.feature, r.bin): (r.ref_n, r.cur_n, r.psi_bin)
+        for r in psi_drift_multi(
+            ref, cur, {"x": ("x", 50.0), "y": ("y", 100.0)}, n_bins=4
+        ).collect()
+    }
+    for col, width, name in (("x", 50.0, "x"), ("y", 100.0, "y")):
+        single = {
+            r.bin: (r.ref_n, r.cur_n, r.psi_bin)
+            for r in psi_drift(ref, cur, col, n_bins=4, width=width).collect()
+        }
+        for b in range(4):
+            assert multi[(name, b)] == single[b], (name, b)
