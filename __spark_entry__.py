@@ -3460,6 +3460,86 @@ CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS lv(level)
 """
 
 
+def _tdigest_weighted_bounds_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentile rank windows for q_tdigest_weighted's
+    contract — grading harness, not operator cost (this is the full
+    per-group sort + cumulative-weight window the sketch replaces).
+    Built once per sf like the unweighted bounds table.  Weighted
+    percentile here = smallest value whose cumulative weight reaches
+    q x total weight (ties on value are order-independent: the MIN over
+    the crossing rows is the shared value either way)."""
+    from pyspark.sql.window import Window
+
+    w = _work("tdigw_bounds", sf_dir)
+    p = f"{w}/bounds_{_src_sig(sf_dir, 'lineitem')}"
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("v"),
+            F.col("l_quantity").cast("double").alias("wt"),
+        )
+        cum = Window.partitionBy("l_returnflag").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.partitionBy("l_returnflag")
+        c = li.withColumn("cumw", F.sum("wt").over(cum)).withColumn(
+            "tot", F.sum("wt").over(tot)
+        )
+        qs = [0.2, 0.3, 0.45, 0.55, 0.7, 0.8]
+        c.groupBy("l_returnflag").agg(
+            F.array(*[
+                F.min(F.when(F.col("cumw") >= F.lit(q) * F.col("tot"), F.col("v")))
+                for q in qs
+            ]).alias("__pb")
+        ).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def q_tdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-WEIGHTED t-digest quantiles: l_extendedprice weighted
+    by l_quantity per returnflag — the weighted-quantile primitive a
+    training-data pipeline needs for token-count-weighted length/quality
+    distributions (each document counts by its token mass, not once).
+    Same 100 TB shape as q_tdigest: raw (value, weight) rows never
+    shuffle, only map-side centroid pairs do.  Graded by the same rank
+    contract: each estimate must land inside the exact weighted
+    p(q-0.05)..p(q+0.05) window (measured error ~0.2%)."""
+    from h2h_spark.operators.sketch import tdigest_quantiles
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    est = tdigest_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        [0.25, 0.5, 0.75],
+        weight_col="l_quantity",
+    )
+    bounds = _tdigest_weighted_bounds_table(spark, sf_dir)
+    j = est.join(F.broadcast(bounds), "l_returnflag")
+    lo = (
+        F.when(F.col("level") == 0.25, F.col("__pb")[0])
+        .when(F.col("level") == 0.5, F.col("__pb")[2])
+        .otherwise(F.col("__pb")[4])
+    )
+    hi = (
+        F.when(F.col("level") == 0.25, F.col("__pb")[1])
+        .when(F.col("level") == 0.5, F.col("__pb")[3])
+        .otherwise(F.col("__pb")[5])
+    )
+    return j.select(
+        "l_returnflag",
+        "level",
+        ((F.col("est") >= lo) & (F.col("est") <= hi)).alias("ok"),
+    )
+
+
+_SQL_TDIGEST_WEIGHTED = """
+SELECT l_returnflag, CAST(lv.level AS DOUBLE) AS level, TRUE AS ok
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS lv(level)
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/theta distinct sketch per group: k smallest distinct
     md5-portable hashes → (k-1)·M/h_k estimate, exact below k.  Unlike
@@ -7219,6 +7299,7 @@ def _init_queries() -> None:
         "q_kmv_setops": q_kmv_setops,
         "q_resample_interp": q_resample_interp,
         "q_psi_multi": q_psi_multi,
+        "q_tdigest_weighted": q_tdigest_weighted,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7543,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_apply_fast": _SQL_BPE_APPLY,
         "q_kmv_distinct": _SQL_KMV_DISTINCT,
         "q_kmv_setops": _SQL_KMV_SETOPS,
+        "q_tdigest_weighted": _SQL_TDIGEST_WEIGHTED,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -126,12 +126,23 @@ def _tdigest_compress(means, weights, compression: float):
 
 
 def tdigest_partial(
-    df: DataFrame, value_col: str, group_cols: list[str], compression: float = 200.0
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    compression: float = 200.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Map-side digest build: fold each partition into per-group
     centroids without shuffling a single raw value.  Output rows are
     ``group_cols + (c_mean double, c_weight double)``, at most
-    O(compression) per (task, group) — the partial-aggregate contract."""
+    O(compression) per (task, group) — the partial-aggregate contract.
+
+    With ``weight_col`` the digest is IMPORTANCE-WEIGHTED: each row
+    enters with its own weight instead of 1, so the merged digest
+    estimates weighted quantiles (sampling weights, token counts,
+    durations).  Non-positive and null weights are dropped — they carry
+    no rank mass and a negative weight would corrupt the cumulative
+    ranks the scale function maps."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -139,7 +150,8 @@ def tdigest_partial(
     # 50× compression buffered raw values per key (~80 KB) before a
     # squash: the vectorized compress makes bigger buffers pure win
     buf_limit = int(50 * compression)
-    in_schema = df.select(*group_cols, value_col).schema
+    sel = [*group_cols, value_col] + ([weight_col] if weight_col else [])
+    in_schema = df.select(*sel).schema
     out_schema = StructType(
         [in_schema[g] for g in group_cols]
         + [StructField("c_mean", DoubleType()), StructField("c_weight", DoubleType())]
@@ -147,8 +159,8 @@ def tdigest_partial(
 
     def _fold(batches):
         # state per key: list of (means, weights) numpy chunks — raw
-        # values buffer as weight-1 chunks and squash to centroids when
-        # the buffered count passes buf_limit (memory stays
+        # values buffer as per-row-weight chunks and squash to centroids
+        # when the buffered count passes buf_limit (memory stays
         # O(buf_limit + compression) per key, the digest contract)
         state: dict[tuple, list] = {}
         buffered: dict[tuple, int] = {}
@@ -163,16 +175,21 @@ def tdigest_partial(
 
         for pdf in batches:
             # vectorized per-group split: pandas groupby, no row loop
-            sub = pd.DataFrame(
-                {g: pdf[g] for g in group_cols}
-                | {"__v": pdf[value_col].astype("float64")}
-            ).dropna(subset=["__v"])
+            cols = {g: pdf[g] for g in group_cols} | {
+                "__v": pdf[value_col].astype("float64")
+            }
+            if weight_col:
+                cols["__w"] = pdf[weight_col].astype("float64")
+            sub = pd.DataFrame(cols).dropna(subset=["__v"])
+            if weight_col:
+                sub = sub[sub["__w"] > 0]
             for key, grp in sub.groupby(group_cols, sort=False):
                 k = key if isinstance(key, tuple) else (key,)
                 vals = grp["__v"].to_numpy()
-                state.setdefault(k, []).append(
-                    (vals, np.ones_like(vals))
+                wts = (
+                    grp["__w"].to_numpy() if weight_col else np.ones_like(vals)
                 )
+                state.setdefault(k, []).append((vals, wts))
                 buffered[k] = buffered.get(k, 0) + vals.size
                 if buffered[k] > buf_limit:
                     _squash(k)
@@ -184,7 +201,7 @@ def tdigest_partial(
                 rows.append((*k, float(m_i), float(w_i)))
         yield pd.DataFrame(rows, columns=[*group_cols, "c_mean", "c_weight"])
 
-    return df.select(*group_cols, value_col).mapInPandas(_fold, out_schema)
+    return df.select(*sel).mapInPandas(_fold, out_schema)
 
 
 def tdigest_quantiles(
@@ -193,16 +210,21 @@ def tdigest_quantiles(
     group_cols: list[str],
     levels: list[float],
     compression: float = 200.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-group quantile estimates via a distributed t-digest: map-side
     partial digests (no raw shuffle), one centroid-only grouping shuffle,
     per-group merge + midpoint interpolation.  Returns
-    ``group_cols + (level double, est double)``."""
+    ``group_cols + (level double, est double)``.  With ``weight_col``
+    the estimates are importance-WEIGHTED quantiles (see
+    :func:`tdigest_partial`) — the shape is identical because weights
+    only change the rank mass each input point carries; nothing about
+    the shuffle or merge grows."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    partial = tdigest_partial(df, value_col, group_cols, compression)
+    partial = tdigest_partial(df, value_col, group_cols, compression, weight_col)
     out_schema = StructType(
         [partial.schema[g] for g in group_cols]
         + [StructField("level", DoubleType()), StructField("est", DoubleType())]

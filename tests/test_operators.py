@@ -2736,6 +2736,40 @@ def test_tdigest_quantiles_accuracy_and_state(spark):
     assert tot == 20000.0
 
 
+def test_tdigest_weighted_quantiles(spark):
+    from h2h_spark.operators.sketch import tdigest_partial, tdigest_quantiles
+
+    # weight w = 1 + id%5 — weighted rank differs materially from the
+    # unweighted one; null/non-positive weights must be ignored
+    df = spark.range(20000).select(
+        (F.col("id") % 2).alias("g"),
+        F.pow(F.col("id").cast("double"), F.lit(1.3)).alias("v"),
+        F.when(F.col("id") % 97 == 0, F.lit(None))
+        .when(F.col("id") % 89 == 0, F.lit(-2.0))
+        .otherwise((F.lit(1.0) + (F.col("id") % 5).cast("double")))
+        .alias("w"),
+    )
+    est = {
+        (r["g"], r["level"]): r["est"]
+        for r in tdigest_quantiles(
+            df, "v", ["g"], [0.25, 0.5, 0.75], weight_col="w"
+        ).collect()
+    }
+    kept = df.filter(F.col("w") > 0)
+    for (g, lev), e in est.items():
+        # weighted rank error: mass at or below the estimate vs level
+        below, total = kept.filter(F.col("g") == g).agg(
+            F.sum(F.when(F.col("v") <= e, F.col("w")).otherwise(F.lit(0.0))),
+            F.sum("w"),
+        ).collect()[0]
+        assert abs(below / total - lev) < 0.01, (g, lev, e)
+    # weight conservation over the kept rows only
+    parts = tdigest_partial(df, "v", ["g"], weight_col="w")
+    tot = parts.agg(F.sum("c_weight").alias("s")).collect()[0]["s"]
+    exact_tot = kept.agg(F.sum("w")).collect()[0][0]
+    assert abs(tot - exact_tot) < 1e-6
+
+
 def test_wav_pcm16_codec():
     import numpy as np
     import pytest
