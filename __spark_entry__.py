@@ -3642,6 +3642,68 @@ FROM sa, sb, eu
 """
 
 
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV Jaccard-threshold join: near-dup pairs from per-doc bottom-k
+    shingle-hash sketches (Beyer et al. 2007).  The sketch build
+    shuffles NOTHING (in-row transform→sort→slice); candidates come from
+    an inverted index on retained hashes — exactly the pairs with
+    nonzero estimate — and each pair's estimate moves ≤ 2k tiny rows.
+    Contrast q_jaccard_pairs, which shuffles FULL shingle sets to verify
+    candidates: at 100 TB the sketch join moves ~1% of the bytes.  The
+    whole pipeline (md5 hashes, bottom-k, one IEEE division) reproduces
+    bit-for-bit in SQL, so the ESTIMATES are graded exactly."""
+    from h2h_spark.operators.sketch import kmv_jaccard_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return kmv_jaccard_pairs(
+        docs, "doc_id", "text", k=128, threshold=0.4, shingle_k=4,
+        max_hash_freq=64,
+    )
+
+
+_SQL_KMV_JACCARD = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 1) + 1),
+           i -> array_to_string(toks[i:i+3], ' '))) AS shset
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents)
+), h AS (
+  SELECT DISTINCT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (SELECT id, unnest(shset) AS s FROM sh)
+), r0 AS (
+  SELECT id, h, ROW_NUMBER() OVER (PARTITION BY id ORDER BY h) AS rn FROM h
+), sk AS (
+  SELECT id, h FROM r0 WHERE rn <= 128
+), okh AS (
+  SELECT h FROM sk GROUP BY h HAVING COUNT(*) <= 64
+), rf AS (
+  SELECT sk.id, sk.h FROM sk JOIN okh ON sk.h = okh.h
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rf a JOIN rf b ON a.h = b.h AND a.id < b.id
+), pa AS (
+  SELECT c.id_a, c.id_b, s.h, 1 AS a, 0 AS b FROM cand c JOIN sk s ON s.id = c.id_a
+), pb AS (
+  SELECT c.id_a, c.id_b, s.h, 0 AS a, 1 AS b FROM cand c JOIN sk s ON s.id = c.id_b
+), m AS (
+  SELECT id_a, id_b, h, MAX(a) AS a, MAX(b) AS b
+  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) GROUP BY id_a, id_b, h
+), u AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY h) AS rn FROM m
+), agg AS (
+  SELECT id_a, id_b, COUNT(*) AS n_kept, SUM(a*b) AS n_both
+  FROM u WHERE rn <= 128 GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) AS est_jaccard
+FROM agg
+WHERE CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) >= 0.4
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7300,6 +7362,7 @@ def _init_queries() -> None:
         "q_resample_interp": q_resample_interp,
         "q_psi_multi": q_psi_multi,
         "q_tdigest_weighted": q_tdigest_weighted,
+        "q_kmv_jaccard": q_kmv_jaccard,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7625,6 +7688,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_distinct": _SQL_KMV_DISTINCT,
         "q_kmv_setops": _SQL_KMV_SETOPS,
         "q_tdigest_weighted": _SQL_TDIGEST_WEIGHTED,
+        "q_kmv_jaccard": _SQL_KMV_JACCARD,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

