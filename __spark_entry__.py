@@ -6772,6 +6772,63 @@ FROM parts ORDER BY adc, id LIMIT 10
 """
 
 
+def _ivfpq_store_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build + persist the IVF-PQ index once per sf (keyed by the source
+    signature like the bucketed-join tables): codes hive-partitioned by
+    cell with per-cell compaction, centroid/codebook sidecars.  The
+    books _SUCCESS marker is written last and certifies the index."""
+    from h2h_spark.operators.annstore import ivfpq_save
+    from h2h_spark.operators.cluster import centroid_assign
+    from h2h_spark.operators.pq import pq_encode
+
+    w = _work("ivfpq_index", sf_dir)
+    p = f"{w}/idx_{_src_sig(sf_dir, 'embeddings')}"
+    if not os.path.exists(os.path.join(p, "books", "_SUCCESS")):
+        emb, books = _pq_seed_books(spark, sf_dir)
+        cents = _label_centroid_arrays(emb)
+        assigned = centroid_assign(
+            emb, "vec_id", "embedding", cents, "label", "cvec"
+        )
+        codes = pq_encode(emb, "vec_id", "embedding", books, m=_PQ_M, dim=_PQ_DIM)
+        cw = codes.join(
+            assigned.select(
+                F.col("vec_id").alias("id"),
+                F.col("assigned").cast("int").alias("cell"),
+            ),
+            "id",
+        )
+        ivfpq_save(
+            cw,
+            cents.select(F.col("label").cast("int").alias("cell"), "cvec"),
+            books,
+            p,
+        )
+    return p
+
+
+def q_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving against a PERSISTED IVF-PQ index: the index is a
+    durable lake artifact — codes hive-partitioned by coarse cell (one
+    compacted file per cell), centroids + codebooks as KB sidecars — and
+    the probe reads the sidecar driver-side, picks 2 cells, and scans
+    ONLY those cells' files via partition pruning (a 2-of-N-cell probe
+    at 100 TB touches ~2/N of the index bytes and never opens the rest;
+    PartitionFilters asserted in the plan tests).  Results are
+    bit-identical to q_ivfpq_topk's in-memory pipeline, so the same
+    full-pipeline SQL oracle grades the stored path end-to-end."""
+    from h2h_spark.operators.annstore import ivfpq_probe_stored
+
+    p = _ivfpq_store_path(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivfpq_probe_stored(
+        spark, p, q, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_probe=2, top=10
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential smoothing of event values (α=1/2): the
     sequential recurrence runs as ONE vectorized fold per key inside a
@@ -7363,6 +7420,7 @@ def _init_queries() -> None:
         "q_psi_multi": q_psi_multi,
         "q_tdigest_weighted": q_tdigest_weighted,
         "q_kmv_jaccard": q_kmv_jaccard,
+        "q_ivfpq_persist": q_ivfpq_persist,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7689,6 +7747,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_setops": _SQL_KMV_SETOPS,
         "q_tdigest_weighted": _SQL_TDIGEST_WEIGHTED,
         "q_kmv_jaccard": _SQL_KMV_JACCARD,
+        "q_ivfpq_persist": _SQL_IVFPQ,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

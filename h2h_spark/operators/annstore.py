@@ -1,0 +1,132 @@
+"""IVF-PQ index persistence — the serving half of the ANN architecture.
+
+:mod:`h2h_spark.operators.pq` builds the (id, j, code) table and
+:mod:`h2h_spark.operators.simsearch` the coarse cells; this module makes
+the index a durable, PRUNABLE artifact instead of a per-session
+DataFrame:
+
+- codes are stored hive-partitioned BY CELL with per-cell compaction
+  (each cell's rows hash to exactly one write task, so a cell is one
+  parquet file, not a shard of small files per upstream task) — the
+  FAISS on-disk inverted-list layout re-expressed as a lake layout;
+- a probe reads the tiny centroid sidecar driver-side, picks its
+  ``n_probe`` cells, and scans ONLY those cells' files: the cell filter
+  is a *partition* filter, so at 100 TB a 2-of-1024-cell probe touches
+  ~0.2% of the index bytes and never opens the rest (asserted against
+  ``PartitionFilters`` in the plan tests);
+- codebooks (m·k·(dim/m) doubles) and centroids (cells·dim) are
+  kilobyte-scale sidecars — driver/broadcast state by construction.
+
+Save-order contract: codes, then centroids, then books — the books
+``_SUCCESS`` marker is written last, so its presence certifies the whole
+index (the same commit-by-rename discipline as the sinks in
+:mod:`h2h_spark.sources.sink`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _codes_dir(path: str) -> str:
+    return f"{path}/codes"
+
+
+def _cents_dir(path: str) -> str:
+    return f"{path}/centroids"
+
+
+def _books_dir(path: str) -> str:
+    return f"{path}/books"
+
+
+def ivfpq_save(
+    codes_with_cell: DataFrame,
+    centroids: DataFrame,
+    books: dict[tuple[int, int], list[float]],
+    path: str,
+) -> None:
+    """Persist an IVF-PQ index.
+
+    ``codes_with_cell``: (id, cell int, j, code) — the PQ code table
+    joined with its coarse-cell assignment.  ``centroids``: (cell int,
+    cvec array<double>).  ``books``: the PQ codebook dict.
+
+    ``repartition("cell")`` before ``partitionBy("cell")`` is the
+    compaction step: every cell's rows land in exactly one task, so each
+    cell directory holds ONE file regardless of how many upstream tasks
+    produced codes — small-file sprawl is the classic failure of
+    hive-partitioned writes (one file per task per cell)."""
+    spark = codes_with_cell.sparkSession
+    (
+        codes_with_cell.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_codes_dir(path))
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(_cents_dir(path))
+    rows = [
+        (int(j), int(c), [float(x) for x in v]) for (j, c), v in books.items()
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(_books_dir(path))
+
+
+def ivfpq_load_books(
+    spark: SparkSession, path: str
+) -> dict[tuple[int, int], list[float]]:
+    """Codebook sidecar back to the dict :func:`~h2h_spark.operators.pq.adc_topk`
+    consumes (bounded: m·k rows)."""
+    return {
+        (r["j"], r["c"]): list(r["cvec"])
+        for r in spark.read.parquet(_books_dir(path)).collect()
+    }
+
+
+def ivfpq_probe_cells(
+    spark: SparkSession, path: str, query: Sequence[float], n_probe: int
+) -> list[int]:
+    """The coarse-quantizer step of a probe: nearest ``n_probe`` cells by
+    squared L2, accumulated strictly left-to-right so the choice is
+    bit-reproducible outside the engine.  Centroid sidecar is
+    cells×dim — driver state by construction."""
+    q = [float(x) for x in query]
+    scored = []
+    for r in spark.read.parquet(_cents_dir(path)).collect():
+        acc = 0.0
+        for a, b in zip(q, r["cvec"]):
+            acc += (a - b) ** 2
+        scored.append((acc, int(r["cell"])))
+    return [c for _, c in sorted(scored)[:n_probe]]
+
+
+def ivfpq_probe_stored(
+    spark: SparkSession,
+    path: str,
+    query: Sequence[float],
+    *,
+    m: int,
+    k: int,
+    dim: int,
+    n_probe: int = 2,
+    top: int = 10,
+) -> DataFrame:
+    """ANN top-k against the STORED index: centroid sidecar → probe
+    cells driver-side → scan only those cells' code files (partition
+    pruning) → ADC over the survivors.  Returns (id, cell, adc)."""
+    from h2h_spark.operators.pq import adc_topk
+
+    cells = ivfpq_probe_cells(spark, path, query, n_probe)
+    books = ivfpq_load_books(spark, path)
+    codes = spark.read.parquet(_codes_dir(path)).filter(
+        F.col("cell").isin(cells)
+    )
+    scored = adc_topk(codes, books, query, m=m, k=k, dim=dim, top=top)
+    membership = codes.select("id", "cell").distinct()
+    return scored.join(membership, "id").select(
+        "id", F.col("cell").cast("int").alias("cell"), "adc"
+    )

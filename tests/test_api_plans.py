@@ -290,3 +290,60 @@ def test_cli_xml_pipein(spark, tmp_work):
                  "-rowtag", "Row", "-layout", lay_path, "-out", out]) == 0
     back = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert back == [("x", 1), ("y", 2)]
+
+
+def test_ivfpq_store_prunes_and_compacts(spark, tmp_path):
+    """The stored ANN index must (a) hold ONE compacted file per cell and
+    (b) serve probes through partition pruning — the cell predicate must
+    be a PartitionFilter, never a post-scan data filter."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.annstore import (
+        ivfpq_probe_stored,
+        ivfpq_save,
+    )
+    from h2h_spark.operators.pq import pq_encode, seed_codebooks
+
+    dim, m, k = 8, 2, 4
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("id") * 7 + i * 3) % 13).cast("double") / 13.0,
+        ).alias("embedding"),
+    )
+    books = seed_codebooks(emb, "vec_id", "embedding", m=m, k=k, dim=dim)
+    codes = pq_encode(emb, "vec_id", "embedding", books, m=m, dim=dim)
+    # 5 coarse cells by id range; centroids = deterministic fakes
+    cw = codes.join(
+        emb.select(
+            F.col("vec_id").alias("id"), (F.col("vec_id") % 5).cast("int").alias("cell")
+        ),
+        "id",
+    ).repartition(16)  # many upstream tasks -> compaction must collapse them
+    cents = spark.createDataFrame(
+        [(c, [float(c)] * dim) for c in range(5)], "cell int, cvec array<double>"
+    )
+    path = str(tmp_path / "annidx")
+    ivfpq_save(cw, cents, books, path)
+    # (a) one file per cell despite 16 upstream tasks
+    for c in range(5):
+        files = [
+            p
+            for p in glob.glob(f"{path}/codes/cell={c}/part-*")
+            if not p.endswith(".crc")
+        ]
+        assert len(files) == 1, (c, files)
+    # (b) probe: query nearest to centroid 2 -> cells [2, then next]
+    out = ivfpq_probe_stored(
+        spark, path, [2.0] * dim, m=m, k=k, dim=dim, n_probe=2, top=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+    rows = out.collect()
+    assert len(rows) == 5
+    # every returned member is from a probed cell
+    assert {r["cell"] for r in rows} <= {2, 1, 3}
