@@ -5866,6 +5866,52 @@ l{i} AS (
 _SQL_LABEL_PROP = _sql_label_prop()
 
 
+def q_label_prop_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-SYNCHRONOUS label propagation (Cordasco & Gargano 2010):
+    deterministic async-style LPA — nodes split into 2 color classes
+    (node % 2) that update sequentially within each round, each class
+    seeing the labels the earlier class just wrote.  Converges where
+    synchronous LPA oscillates (bipartite substructures), with a fully
+    reproducible schedule: the 2-round x 2-substep schedule unrolls
+    into an exact SQL twin, graded bit-for-bit like q_label_prop."""
+    from h2h_spark.operators.graph import label_propagation_semisync
+
+    labels = label_propagation_semisync(
+        _pagerank_edges(spark, sf_dir), rounds=2, substeps=2
+    )
+    return labels.select("node", "label")
+
+
+def _sql_label_prop_async() -> str:
+    head = """
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+sym AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)"""
+    steps = []
+    t = 0
+    for _r in range(2):
+        for s in range(2):
+            t += 1
+            steps.append(f""",
+l{t} AS (
+  SELECT node, label FROM l{t - 1} WHERE node % 2 <> {s}
+  UNION ALL
+  SELECT node, label FROM (
+    SELECT e.src AS node, lb.label AS label,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, lb.label) AS rn
+    FROM sym e JOIN l{t - 1} lb ON lb.node = e.dst
+    WHERE e.src % 2 = {s}
+    GROUP BY e.src, lb.label) t
+  WHERE rn = 1)""")
+    return head + "".join(steps) + f"\nSELECT node, label FROM l{t}"
+
+
+_SQL_LABEL_PROP_ASYNC = _sql_label_prop_async()
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph analytics: 3 rounds of PageRank over the
     customer→supplier purchase graph in integer fixed-point (BIGINT
@@ -7421,6 +7467,7 @@ def _init_queries() -> None:
         "q_tdigest_weighted": q_tdigest_weighted,
         "q_kmv_jaccard": q_kmv_jaccard,
         "q_ivfpq_persist": q_ivfpq_persist,
+        "q_label_prop_async": q_label_prop_async,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7748,6 +7795,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tdigest_weighted": _SQL_TDIGEST_WEIGHTED,
         "q_kmv_jaccard": _SQL_KMV_JACCARD,
         "q_ivfpq_persist": _SQL_IVFPQ,
+        "q_label_prop_async": _SQL_LABEL_PROP_ASYNC,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

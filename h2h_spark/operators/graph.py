@@ -274,3 +274,70 @@ def label_propagation(
             .select("node", F.col("b.l").alias("label"))
         )
     return labels
+
+
+def label_propagation_semisync(
+    edges: DataFrame,
+    *,
+    rounds: int = 2,
+    substeps: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SEMI-SYNCHRONOUS label propagation (Cordasco & Gargano 2010 —
+    public): the deterministic middle ground between synchronous LPA
+    (oscillates on bipartite substructures) and the classic async LPA
+    (random visit order, irreproducible by design).  Nodes are
+    partitioned into ``substeps`` deterministic color classes
+    (``node % substeps``); within a full round the classes update
+    SEQUENTIALLY, each seeing the labels already updated by earlier
+    classes of the same round.  A 2-node component therefore converges
+    in one round (the second node sees the first's new label) instead
+    of swapping labels forever — async convergence behavior with a
+    fully reproducible schedule, so a bounded (rounds x substeps)
+    schedule unrolls into an exact SQL twin.
+
+    Per sub-step: the same one dst-keyed join + (node,label) count +
+    per-node argmax as the synchronous variant, but only color-class
+    nodes recompute (the WHERE prunes the aggregate); untouched classes
+    pass through a union.  State stays the |V|-row label table;
+    lineage is truncated once per round like pagerank's deep-run
+    guidance."""
+    sym = (
+        edges.select(src, dst)
+        .union(
+            edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for r in range(rounds):
+        for s in range(substeps):
+            cnt = (
+                sym.filter(F.col(src) % substeps == s)
+                .join(
+                    labels.withColumnRenamed("node", "__n"),
+                    F.col(dst) == F.col("__n"),
+                )
+                .groupBy(F.col(src).alias("node"), "label")
+                .agg(F.count("*").alias("c"))
+            )
+            upd = (
+                cnt.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                        )
+                    ).alias("b")
+                )
+                .select("node", F.col("b.l").alias("label"))
+            )
+            labels = labels.filter(F.col("node") % substeps != s).unionByName(upd)
+        labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -3028,3 +3028,40 @@ def test_psi_drift_multi_matches_single(spark):
         }
         for b in range(4):
             assert multi[(name, b)] == single[b], (name, b)
+
+
+def test_label_propagation_semisync_breaks_oscillation(spark):
+    from h2h_spark.operators.graph import (
+        label_propagation,
+        label_propagation_semisync,
+    )
+
+    # bipartite 2-node component: synchronous LPA swaps labels every
+    # round (odd iteration counts leave them exchanged); the semi-sync
+    # schedule converges in ONE round because the second color class
+    # sees the first's fresh label
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    sync = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert sync == {0: 1, 1: 0}  # still oscillating
+    semi = {
+        r["node"]: r["label"]
+        for r in label_propagation_semisync(
+            edges, rounds=2, substeps=2
+        ).collect()
+    }
+    assert semi == {0: 1, 1: 1}  # converged: one community
+
+    # triangle + pendant: both variants agree on the stable community
+    edges2 = spark.createDataFrame(
+        [(0, 2), (2, 4), (4, 0), (4, 6)], "src long, dst long"
+    )
+    semi2 = {
+        r["node"]: r["label"]
+        for r in label_propagation_semisync(
+            edges2, rounds=2, substeps=2
+        ).collect()
+    }
+    assert len(set(semi2.values())) == 1  # one community, deterministic
