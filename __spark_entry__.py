@@ -1354,6 +1354,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT ingestion (Spark 4 native type): nested
+    JSON is parsed ONCE into the binary VARIANT encoding and every
+    typed path (`v:status::string`, `v:meta.total::decimal`) reads the
+    encoded tree without re-parsing — the scale win over per-path
+    get_json_object, which re-parses the whole document for every
+    extraction (~8× on multi-field reads).  The roundtrip
+    relational → JSON → VARIANT → typed must be LOSSLESS: totals come
+    back as decimal(12,2) and aggregate exactly, so the oracle grades
+    against a pure relational recompute — any parse/encode/cast drift
+    mismatches."""
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("meta"),
+        )
+    )
+    v = orders.select(F.parse_json(js).alias("v"))
+    return (
+        v.select(
+            F.expr("v:status::string").alias("status"),
+            F.expr("v:meta.prio::string").alias("prio"),
+            F.expr("v:meta.total::decimal(12,2)").alias("total"),
+        )
+        .groupBy("status", "prio")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("total").alias("sum_total"),
+        )
+    )
+
+
+_SQL_VARIANT_EXTRACT = """
+SELECT o_orderstatus AS status, o_orderpriority AS prio,
+       COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_total
+FROM orders GROUP BY 1, 2
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return TX.quality_score(docs, "doc_id", "text")
@@ -6653,6 +6697,46 @@ SELECT parent, parent, CAST(0 AS BIGINT) FROM roots
 """
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4 WITH RECURSIVE): the same forest
+    walk q_hierarchy_resolve does by pointer doubling, executed by the
+    engine's built-in recursion — the ergonomic path for bounded-depth
+    traversals, now that Spark has the capability the hierarchy
+    operator was built to fill.  Scale posture: native recursion
+    iterates ONE level per round (O(depth) joins, linear lineage), so
+    pointer doubling (O(log depth) rounds) remains the deep-tree scale
+    path; edges are still derived via the engine's distributed
+    global_rank, never a single-partition window.  The oracle runs the
+    identical recursion in DuckDB."""
+    from h2h_spark.operators.rank import global_rank
+
+    ev = _load_events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    ranked = global_rank(users, [("user_id", True)], rank_col="r")
+    child = ranked.filter(F.col("r") >= 8).select(
+        F.col("user_id").alias("child"), F.expr("r div 8").alias("pr")
+    )
+    edges = child.join(
+        ranked.select(F.col("user_id").alias("parent"), F.col("r").alias("pr")),
+        "pr",
+    ).select("child", "parent")
+    edges.createOrReplaceTempView("__rcte_edges")
+    return spark.sql("""
+WITH RECURSIVE walk(id, anc, d) AS (
+  SELECT child, parent, CAST(1 AS BIGINT) FROM __rcte_edges
+  UNION ALL
+  SELECT w.id, e2.parent, w.d + 1
+  FROM walk w JOIN __rcte_edges e2 ON e2.child = w.anc),
+roots AS (SELECT DISTINCT parent FROM __rcte_edges
+          WHERE parent NOT IN (SELECT child FROM __rcte_edges))
+SELECT w.id AS user_id, w.anc AS root, w.d AS depth
+FROM walk w WHERE w.anc IN (SELECT parent FROM roots)
+UNION ALL
+SELECT parent AS user_id, parent AS root, CAST(0 AS BIGINT) AS depth
+FROM roots
+""")
+
+
 def q_time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted state accounting: each event opens a state interval
     closed by the user's next event; intervals split on day boundaries
@@ -7468,6 +7552,8 @@ def _init_queries() -> None:
         "q_kmv_jaccard": q_kmv_jaccard,
         "q_ivfpq_persist": q_ivfpq_persist,
         "q_label_prop_async": q_label_prop_async,
+        "q_recursive_cte": q_recursive_cte,
+        "q_variant_extract": q_variant_extract,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7796,6 +7882,8 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_jaccard": _SQL_KMV_JACCARD,
         "q_ivfpq_persist": _SQL_IVFPQ,
         "q_label_prop_async": _SQL_LABEL_PROP_ASYNC,
+        "q_recursive_cte": _SQL_HIERARCHY,
+        "q_variant_extract": _SQL_VARIANT_EXTRACT,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,
