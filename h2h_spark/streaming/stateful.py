@@ -110,6 +110,46 @@ def hysteresis_alarm_stream(
 
     Emits ``(key, seq, mode)`` rows in append mode and returns the
     materialized result after draining the bounded input."""
+    name = f"h2h_state_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        hysteresis_alarm_transform(
+            stream, key_col, seq_col, value_col, lo=lo, hi=hi
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def hysteresis_alarm_transform(
+    stream: DataFrame,
+    key_col: str,
+    seq_col: str,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """The SOURCE-AGNOSTIC state-machine transform behind
+    :func:`hysteresis_alarm_stream`: takes any streaming DataFrame
+    (file replay, a live ``rate`` source, a message bus) and returns
+    the transition-only streaming DataFrame — the caller picks the
+    sink and trigger.  Separated so the same operator verified against
+    the replayable file fixture also runs against genuinely unbounded
+    sources (see the live rate-source test)."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -142,30 +182,10 @@ def hysteresis_alarm_stream(
                 }
             )
 
-    name = f"h2h_state_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    if transform is not None:
-        stream = transform(stream)
-    q = (
-        stream.groupBy(key_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)

@@ -406,3 +406,56 @@ def test_stream_dq_gate_rejects_unique_constraint(spark, tmp_path):
     schema = spark.read.parquet(src).schema
     with pytest.raises(ValueError, match="unique"):
         stream_dq_gate(spark, src, schema, [not_null("id"), unique("id")])
+
+
+def test_hysteresis_on_live_rate_source(spark):
+    """The same per-key state machine verified on the replayable file
+    fixture, driven over a genuinely UNBOUNDED source (rate): the value
+    wave v = (seq div 4) % 10 makes every legal transition provable —
+    with lo=3, hi=6 a key may only enter alarm at v==7 and leave at
+    v==0 — across whatever micro-batch boundaries the live trigger
+    happens to cut."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.streaming.stateful import hysteresis_alarm_transform
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "2000").load()
+    stream = src.select(
+        (F.col("value") % 4).alias("k"),
+        F.col("value").alias("seq"),
+        F.expr("CAST((value div 4) % 10 AS DOUBLE)").alias("v"),
+    )
+    name = f"rate_hyst_{uuid.uuid4().hex[:8]}"
+    q = (
+        hysteresis_alarm_transform(stream, "k", "seq", "v", lo=3.0, hi=6.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    rows = []
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.table(name).collect()
+            if len(rows) >= 24:  # >= 3 full cycles of 2 transitions x 4 keys
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) >= 24, len(rows)
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["k"], r["seq"])):
+        v = (r["seq"] // 4) % 10
+        if r["mode"] == 1:
+            assert v == 7, dict(r.asDict())
+        else:
+            assert v == 0, dict(r.asDict())
+        by_key.setdefault(r["k"], []).append(r["mode"])
+    for k, modes in by_key.items():
+        assert modes[0] == 1, (k, modes)  # first crossing is upward
+        assert all(m != n for m, n in zip(modes, modes[1:])), (k, modes)
