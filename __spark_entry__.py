@@ -638,6 +638,8 @@ def bench_warmup(spark: SparkSession, sf_dir: str) -> None:
     _ensure_ann_index(spark, sf_dir)
     _jaccard_pairs_table(spark, sf_dir)
     _tdigest_bounds_table(spark, sf_dir)
+    _tdigest_weighted_bounds_table(spark, sf_dir)
+    _ivfpq_store_path(spark, sf_dir)
 
 
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
