@@ -6961,6 +6961,59 @@ def q_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: the stored IVF-PQ index is
+    built from 6/7 of the corpus, then the remaining 1/7 arrives as a
+    delta batch — assigned to cells by the STORED centroids, encoded by
+    the STORED codebooks, and merged via dynamic partition overwrite
+    that rewrites ONLY the touched cells (untouched cell files are
+    never opened).  The coarse quantizer is frozen (standard IVF
+    ingest), so the upserted index is bit-identical to a full build and
+    the probe grades against the SAME full-pipeline SQL oracle as
+    q_ivfpq_topk — growing an index must not change what it returns."""
+    from h2h_spark.operators.annstore import (
+        ivfpq_encode_assign,
+        ivfpq_probe_stored,
+        ivfpq_save,
+        ivfpq_upsert,
+    )
+    from h2h_spark.operators.cluster import centroid_assign
+    from h2h_spark.operators.pq import pq_encode
+
+    emb, books = _pq_seed_books(spark, sf_dir)
+    cents = _label_centroid_arrays(emb)  # frozen day-0 coarse quantizer
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    delta = emb.filter(F.col("vec_id") % 7 == 0)
+    # rebuilt every run (the upsert mutates it; the query must be
+    # idempotent), in contrast to q_ivfpq_persist's cached store
+    p = f"{_work('ivfpq_upsert', sf_dir)}/store_{_src_sig(sf_dir, 'embeddings')}"
+    assigned = centroid_assign(base, "vec_id", "embedding", cents, "label", "cvec")
+    codes = pq_encode(base, "vec_id", "embedding", books, m=_PQ_M, dim=_PQ_DIM)
+    ivfpq_save(
+        codes.join(
+            assigned.select(
+                F.col("vec_id").alias("id"),
+                F.col("assigned").cast("int").alias("cell"),
+            ),
+            "id",
+        ),
+        cents.select(F.col("label").cast("int").alias("cell"), "cvec"),
+        books,
+        p,
+    )
+    delta_codes = ivfpq_encode_assign(
+        spark, p, delta, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM
+    )
+    ivfpq_upsert(spark, p, delta_codes)
+    q = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivfpq_probe_stored(
+        spark, p, q, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_probe=2, top=10
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential smoothing of event values (α=1/2): the
     sequential recurrence runs as ONE vectorized fold per key inside a
@@ -7556,6 +7609,7 @@ def _init_queries() -> None:
         "q_label_prop_async": q_label_prop_async,
         "q_recursive_cte": q_recursive_cte,
         "q_variant_extract": q_variant_extract,
+        "q_ivfpq_upsert": q_ivfpq_upsert,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7886,6 +7940,7 @@ def oracle_sql() -> dict[str, str]:
         "q_label_prop_async": _SQL_LABEL_PROP_ASYNC,
         "q_recursive_cte": _SQL_HIERARCHY,
         "q_variant_extract": _SQL_VARIANT_EXTRACT,
+        "q_ivfpq_upsert": _SQL_IVFPQ,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -104,6 +104,71 @@ def ivfpq_probe_cells(
     return [c for _, c in sorted(scored)[:n_probe]]
 
 
+def ivfpq_encode_assign(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Prepare a DELTA batch for :func:`ivfpq_upsert`: assign each new
+    vector to its coarse cell using the STORED centroids (the frozen
+    day-0 quantizer — standard IVF maintenance never re-trains the
+    coarse quantizer on ingest) and PQ-encode it against the STORED
+    codebooks.  Returns (id, cell int, j, code) rows ready to merge."""
+    from h2h_spark.operators.cluster import centroid_assign
+    from h2h_spark.operators.pq import pq_encode
+
+    cents = spark.read.parquet(_cents_dir(path))
+    books = ivfpq_load_books(spark, path)
+    assigned = centroid_assign(delta, id_col, vec_col, cents, "cell", "cvec")
+    codes = pq_encode(delta, id_col, vec_col, books, m=m, dim=dim)
+    return codes.join(
+        assigned.select(
+            F.col(id_col).alias("id"), F.col("assigned").cast("int").alias("cell")
+        ),
+        "id",
+    )
+
+
+def ivfpq_upsert(spark: SparkSession, path: str, delta_codes: DataFrame) -> None:
+    """Merge a delta batch into the stored index, rewriting ONLY the
+    touched cells: read the existing codes of those cells (partition-
+    pruned scan), resolve id collisions delta-wins (re-ingested vectors
+    replace their old codes), and commit via DYNAMIC partition
+    overwrite — untouched cell directories are never opened, never
+    rewritten.  The merged cells are materialized (localCheckpoint)
+    before the write because Spark refuses a path-level overwrite whose
+    plan still reads the same path; the materialized state is bounded
+    by the touched cells' codes, not the index (at 100 TB a daily delta
+    touches a small fraction of cells, and each cell is ~bytes/N of a
+    code table that is itself ~1% of the raw embedding bytes).
+    Compaction is preserved: one file per rewritten cell."""
+    cells = [int(r["cell"]) for r in delta_codes.select("cell").distinct().collect()]
+    existing = spark.read.parquet(_codes_dir(path)).filter(
+        F.col("cell").isin(cells)
+    )
+    merged = (
+        existing.join(delta_codes.select("id").distinct(), "id", "left_anti")
+        .unionByName(delta_codes.select(*existing.columns))
+        .repartition("cell")
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(_codes_dir(path))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def ivfpq_probe_stored(
     spark: SparkSession,
     path: str,

@@ -347,3 +347,69 @@ def test_ivfpq_store_prunes_and_compacts(spark, tmp_path):
     assert len(rows) == 5
     # every returned member is from a probed cell
     assert {r["cell"] for r in rows} <= {2, 1, 3}
+
+
+def test_ivfpq_upsert_rewrites_only_touched_cells(spark, tmp_path):
+    """Delta merge must leave untouched cell files byte-identical (same
+    path, same mtime), rewrite touched cells as ONE compacted file, and
+    resolve id collisions delta-wins."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.operators.annstore import ivfpq_save, ivfpq_upsert
+    from h2h_spark.operators.pq import pq_encode, seed_codebooks
+
+    dim, m, k = 8, 2, 4
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: ((F.col("id") * 7 + i * 3) % 13).cast("double") / 13.0,
+        ).alias("embedding"),
+    )
+    books = seed_codebooks(emb, "vec_id", "embedding", m=m, k=k, dim=dim)
+    codes = pq_encode(emb, "vec_id", "embedding", books, m=m, dim=dim)
+    cw = codes.join(
+        emb.select(
+            F.col("vec_id").alias("id"), (F.col("vec_id") % 5).cast("int").alias("cell")
+        ),
+        "id",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(c)] * dim) for c in range(5)], "cell int, cvec array<double>"
+    )
+    path = str(tmp_path / "annidx")
+    ivfpq_save(cw, cents, books, path)
+
+    def cell_files():
+        out = {}
+        for c in range(5):
+            fs = [
+                p
+                for p in glob.glob(f"{path}/codes/cell={c}/part-*")
+                if not p.endswith(".crc")
+            ]
+            out[c] = {(p, os.path.getmtime(p)) for p in fs}
+        return out
+
+    before = cell_files()
+    # delta: one brand-new id and one collision (id 7 lives in cell 2),
+    # all landing in cell 2 with sentinel code 3
+    delta = spark.createDataFrame(
+        [(1000, 2, j, 3) for j in range(m)] + [(7, 2, j, 3) for j in range(m)],
+        "id long, cell int, j int, code int",
+    )
+    ivfpq_upsert(spark, path, delta)
+    after = cell_files()
+    for c in (0, 1, 3, 4):
+        assert after[c] == before[c], c  # untouched: same file, same mtime
+    assert after[2] != before[2]
+    assert len(after[2]) == 1  # still one compacted file
+    cell2 = spark.read.parquet(f"{path}/codes").filter(F.col("cell") == 2)
+    got = {(r["id"], r["j"]): r["code"] for r in cell2.collect()}
+    assert got[(1000, 0)] == 3 and got[(1000, 1)] == 3
+    assert got[(7, 0)] == 3 and got[(7, 1)] == 3  # delta won the collision
+    # old cell-2 members survived the rewrite
+    assert (2, 0) in got and (12, 0) in got
