@@ -3750,6 +3750,49 @@ WHERE CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) >= 0.4
 """
 
 
+def q_kmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED KMV/theta sketch: total weight carried by the DISTINCT
+    keys per group without deduplicating — the one-pass estimate of
+    'corpus token mass after exact dedup' a training pipeline budgets
+    with.  Each distinct partkey contributes its max quantity; retained
+    state is k (hash, weight) pairs per group; the BIGINT weight sums +
+    single IEEE multiply/divide reproduce externally, so the ESTIMATE
+    grades bit-for-bit like the unweighted q_kmv_distinct."""
+    from h2h_spark.operators.sketch import kmv_weighted_sum
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        "l_returnflag",
+        F.col("l_partkey").cast("string").alias("pk"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return kmv_weighted_sum(li, "pk", "w", ["l_returnflag"], k=256)
+
+
+_SQL_KMV_WEIGHTED = """
+WITH h AS (
+  SELECT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+         MAX(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2),
+r AS (
+  SELECT l_returnflag, h, w,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM h),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n_kept,
+         SUM(CASE WHEN rn < 256 THEN w END) AS sw,
+         SUM(w) AS sw_all,
+         MAX(CASE WHEN rn = 256 THEN h END) AS hk
+  FROM r WHERE rn <= 256 GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(CASE WHEN n_kept < 256 THEN sw_all
+                 ELSE FLOOR(CAST(sw AS DOUBLE) * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE))
+            END AS BIGINT) AS est_weight
+FROM a
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7610,6 +7653,7 @@ def _init_queries() -> None:
         "q_recursive_cte": q_recursive_cte,
         "q_variant_extract": q_variant_extract,
         "q_ivfpq_upsert": q_ivfpq_upsert,
+        "q_kmv_weighted": q_kmv_weighted,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7941,6 +7985,7 @@ def oracle_sql() -> dict[str, str]:
         "q_recursive_cte": _SQL_HIERARCHY,
         "q_variant_extract": _SQL_VARIANT_EXTRACT,
         "q_ivfpq_upsert": _SQL_IVFPQ,
+        "q_kmv_weighted": _SQL_KMV_WEIGHTED,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -421,6 +421,99 @@ def kmv_set_estimates(
     )
 
 
+def kmv_weighted_sum(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """WEIGHTED KMV/theta sketch: estimate the total weight carried by
+    the DISTINCT keys of each group — e.g. the token mass of a corpus
+    after exact dedup, without ever deduplicating (the generalized
+    theta-sketch aggregation of the DataSketches line; Dasu et al. —
+    public).  Each distinct key contributes its MAX observed weight
+    (deterministic under repeats; exact when weight is functionally
+    dependent on the key, the corpus-token case).
+
+    Estimator: with R = the k smallest distinct hashes and h_k the
+    k-th, est = floor(Σ_{r∈R, rank<k} w_r · M / h_k) — the weighted
+    form of the (k-1)·M/h_k distinct estimator (each retained key
+    stands for M/h_k keys).  Below k distinct keys the sum is exact.
+    Weights accumulate as BIGINT (order-independent), the single
+    IEEE multiply/divide reproduces externally, so the ESTIMATE is
+    oracle-graded bit-for-bit like the unweighted sketch.
+
+    Scale shape: per-partition partials keep ≤ k (hash, max-weight)
+    pairs per group — any globally-retained hash is inside every
+    containing partition's local bottom-k, so merging partials by
+    (group, hash, max) loses nothing; raw keys never shuffle."""
+    import pandas as pd
+
+    from .dedup import portable_hash60
+
+    hashed = df.select(
+        *group_cols,
+        portable_hash60(F.col(key_col)).alias("__h"),
+        F.col(weight_col).cast("bigint").alias("__w"),
+    )
+    gcols = list(group_cols)
+
+    def _part(batches):
+        best: dict = {}
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                g = tuple(row[:-2])
+                h, w = row[-2], row[-1]
+                d = best.setdefault(g, {})
+                if h in d:
+                    if w > d[h]:
+                        d[h] = w
+                else:
+                    d[h] = w
+                    if len(d) > 4 * k:  # amortized trim
+                        best[g] = {
+                            hh: d[hh] for hh in sorted(d)[:k]
+                        }
+        rows = []
+        for g, d in best.items():
+            for h in sorted(d)[:k]:
+                rows.append(g + (h, d[h]))
+        yield pd.DataFrame(rows, columns=gcols + ["__h", "__w"])
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields
+    )
+    parts = hashed.mapInPandas(_part, schema)
+
+    from pyspark.sql.window import Window
+
+    merged = parts.groupBy(*gcols, "__h").agg(F.max("__w").alias("__w"))
+    w = Window.partitionBy(*gcols).orderBy("__h")
+    topk = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    m = float(1 << 60)
+    agg = topk.groupBy(*gcols).agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.when(F.col("__rn") < k, F.col("__w"))).alias("__sw"),
+        F.sum("__w").alias("__sw_all"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+    )
+    return agg.select(
+        *gcols,
+        F.when(F.col("n_kept") < k, F.col("__sw_all"))
+        .otherwise(
+            F.floor(
+                F.col("__sw").cast("double")
+                * F.lit(m)
+                / F.col("__hk").cast("double")
+            ).cast("bigint")
+        )
+        .alias("est_weight"),
+    )
+
+
 def kmv_doc_sketches(
     df: DataFrame, id_col: str, text_col: str, k: int = 128, shingle_k: int = 4
 ) -> DataFrame:

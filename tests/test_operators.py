@@ -3065,3 +3065,33 @@ def test_label_propagation_semisync_breaks_oscillation(spark):
         ).collect()
     }
     assert len(set(semi2.values())) == 1  # one community, deterministic
+
+
+def test_kmv_weighted_sum(spark):
+    from h2h_spark.operators.sketch import kmv_weighted_sum
+
+    # exact path (< k distinct keys): each key repeats 4x with varying
+    # weights; the distinct-sum must use each key's MAX weight
+    df = spark.range(200).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 50).cast("string").alias("key"),
+        ((F.col("id") % 50) + (F.col("id") / 50).cast("long")).alias("w"),
+    )
+    out = kmv_weighted_sum(df, "key", "w", ["g"], k=256).collect()
+    # max weight per key k is k+3; sum over k=0..49 = 1225 + 150
+    assert out[0]["est_weight"] == 1375
+
+    # estimator path (>> k distinct): 5000 distinct keys, weight 7 each
+    # -> estimate close to 35000, and exactly 7x the weight-1 estimate
+    big = spark.range(5000).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("string").alias("key"),
+    )
+    e7 = kmv_weighted_sum(
+        big.withColumn("w", F.lit(7)), "key", "w", ["g"], k=256
+    ).collect()[0]["est_weight"]
+    e1 = kmv_weighted_sum(
+        big.withColumn("w", F.lit(1)), "key", "w", ["g"], k=256
+    ).collect()[0]["est_weight"]
+    assert abs(e7 - 35000) / 35000 < 0.2, e7
+    assert abs(e7 - 7 * e1) <= 7  # same retained set, scaled weights
