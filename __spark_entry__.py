@@ -3750,6 +3750,42 @@ WHERE CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) >= 0.4
 """
 
 
+def q_kmv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-FIRST corpus dedup, end-to-end: KMV Jaccard-threshold
+    pairs (zero-shuffle per-doc sketches, ~1% of the exact-verify
+    bytes) → single-linkage groups via min-label connected components →
+    drop non-canonical members.  The 100 TB dedup cascade in one query:
+    estimates find the groups, and only survivors would ever need an
+    exact verify pass.  The oracle re-derives the whole chain — sketch
+    arithmetic AND the transitive closure — in recursive SQL."""
+    from h2h_spark.operators.sketch import kmv_jaccard_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = kmv_jaccard_pairs(
+        docs, "doc_id", "text", k=128, threshold=0.4, shingle_k=4,
+        max_hash_freq=64,
+    )
+    return D.dedup_corpus(docs, "doc_id", pairs.select("id_a", "id_b")).select(
+        "doc_id"
+    )
+
+
+_SQL_KMV_DEDUP = f"""
+WITH RECURSIVE pairs AS ({_SQL_KMV_JACCARD}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS id, MIN(dst) AS rep FROM reach GROUP BY src)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+"""
+
+
 def q_kmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED KMV/theta sketch: total weight carried by the DISTINCT
     keys per group without deduplicating — the one-pass estimate of
@@ -7654,6 +7690,7 @@ def _init_queries() -> None:
         "q_variant_extract": q_variant_extract,
         "q_ivfpq_upsert": q_ivfpq_upsert,
         "q_kmv_weighted": q_kmv_weighted,
+        "q_kmv_dedup": q_kmv_dedup,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -7986,6 +8023,7 @@ def oracle_sql() -> dict[str, str]:
         "q_variant_extract": _SQL_VARIANT_EXTRACT,
         "q_ivfpq_upsert": _SQL_IVFPQ,
         "q_kmv_weighted": _SQL_KMV_WEIGHTED,
+        "q_kmv_dedup": _SQL_KMV_DEDUP,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,
