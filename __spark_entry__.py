@@ -1913,6 +1913,45 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train/val/test split: near-dup components travel
+    TOGETHER (split keyed on the component representative), so an eval
+    document can never have a near-duplicate in train — the leakage a
+    per-row hash split permits and downstream eval silently rewards.
+    Pairs come from the stored Jaccard artifact; the corpus pays one
+    keyed left join + a scan-side hash.  The oracle re-derives pairs,
+    the recursive closure, and the md5 bucket arithmetic exactly."""
+    from h2h_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = _jaccard_pairs_table(spark, sf_dir)
+    return cluster_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(src, dst) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (SELECT src AS id, MIN(dst) AS rep FROM reach GROUP BY src)
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT d.doc_id,
+             ('0x' || substr(md5(CAST(COALESCE(c.rep, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS b
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-portable train/val/test split by hashed key
     (stable under repartition and appends, unlike randomSplit)."""
@@ -7691,6 +7730,7 @@ def _init_queries() -> None:
         "q_ivfpq_upsert": q_ivfpq_upsert,
         "q_kmv_weighted": q_kmv_weighted,
         "q_kmv_dedup": q_kmv_dedup,
+        "q_leakage_safe_split": q_leakage_safe_split,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8024,6 +8064,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_upsert": _SQL_IVFPQ,
         "q_kmv_weighted": _SQL_KMV_WEIGHTED,
         "q_kmv_dedup": _SQL_KMV_DEDUP,
+        "q_leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

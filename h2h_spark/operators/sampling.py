@@ -51,6 +51,30 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def cluster_safe_split(
+    df: DataFrame, id_col: str, pairs: DataFrame, splits: dict[str, float]
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: rows linked by ``pairs``
+    (near-duplicate edges) are first resolved to connected components,
+    then the WHOLE component is split by its representative's hash — a
+    near-dup of a training document can never land in the eval split,
+    the leakage a plain per-row hash split silently permits (the
+    standard decontamination failure in corpus curation).  Unlinked rows
+    split by their own id, so the assignment is exactly
+    :func:`hash_split` on ``coalesce(rep, id)``.
+
+    Scale shape: the component pass is the min-label CC (pair-graph
+    sized, not corpus sized); the corpus itself takes ONE keyed left
+    join against the |linked-ids|-row component table (broadcast when
+    small) and a scan-side hash — no extra shuffle of the corpus."""
+    from .dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("id", "__cid")
+    j = df.join(comp, F.col(id_col) == F.col("__cid"), "left")
+    keyed = j.withColumn("__skey", F.coalesce(F.col("rep"), F.col(id_col)))
+    return hash_split(keyed, "__skey", splits).drop("__cid", "rep", "__skey")
+
+
 def group_cap_sample(
     df: DataFrame, group_cols: list[str], key_col: str, cap: int
 ) -> DataFrame:

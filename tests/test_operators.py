@@ -3095,3 +3095,27 @@ def test_kmv_weighted_sum(spark):
     ).collect()[0]["est_weight"]
     assert abs(e7 - 35000) / 35000 < 0.2, e7
     assert abs(e7 - 7 * e1) <= 7  # same retained set, scaled weights
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    from h2h_spark.operators.sampling import cluster_safe_split, hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    # 200 near-dup pairs (i, i+500) + a 3-chain {400, 401, 900}
+    pairs = spark.createDataFrame(
+        [(i, i + 500) for i in range(200)] + [(400, 401), (401, 900)],
+        "id_a long, id_b long",
+    )
+    out = cluster_safe_split(docs, "doc_id", pairs, fr)
+    m = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(m) == 1000
+    for i in range(200):
+        assert m[i] == m[i + 500], i  # linked pairs never separate
+    assert m[400] == m[401] == m[900]  # transitive closure honored
+    # unlinked rows are the plain hash split (stability contract)
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    for i in range(202, 400):
+        assert m[i] == plain[i], i
+    # all three splits are populated
+    assert {"train", "val", "test"} == set(m.values())
