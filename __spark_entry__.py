@@ -3842,6 +3842,40 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """
 
 
+def q_kmv_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-first cascade CLOSED with an exact second stage:
+    KMV-estimated candidates (stored pair artifact) are re-scored with
+    the full shingle-set Jaccard, and only exact-J ≥ 0.5 pairs survive
+    — estimates nominate, exactness decides.  At 100 TB only candidate
+    members' shingle sets ever join (|candidates|, not corpus²); the
+    oracle re-derives the sketch stage AND the exact verify."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = _kmv_pairs_table(spark, sf_dir)
+    return D.verify_pairs_exact(
+        docs, "doc_id", "text", pairs, shingle_k=4, threshold=0.5
+    )
+
+
+_SQL_KMV_VERIFIED = f"""
+WITH kmv AS ({_SQL_KMV_JACCARD}),
+sh2 AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 3, 1) + 1),
+           i -> array_to_string(toks[i:i+3], ' '))) AS shset
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents)
+)
+SELECT kmv.id_a, kmv.id_b,
+       ROUND(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shset, sb.shset))), 4) AS jaccard
+FROM kmv JOIN sh2 sa ON sa.id = kmv.id_a JOIN sh2 sb ON sb.id = kmv.id_b
+WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shset, sb.shset))) >= 0.5
+"""
+
+
 def q_kmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED KMV/theta sketch: total weight carried by the DISTINCT
     keys per group without deduplicating — the one-pass estimate of
@@ -7770,6 +7804,7 @@ def _init_queries() -> None:
         "q_kmv_weighted": q_kmv_weighted,
         "q_kmv_dedup": q_kmv_dedup,
         "q_leakage_safe_split": q_leakage_safe_split,
+        "q_kmv_verified": q_kmv_verified,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8104,6 +8139,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_weighted": _SQL_KMV_WEIGHTED,
         "q_kmv_dedup": _SQL_KMV_DEDUP,
         "q_leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
+        "q_kmv_verified": _SQL_KMV_VERIFIED,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -288,6 +288,26 @@ def minhash_near_duplicates(
     return _verify_jaccard(cand, sets, jaccard_threshold)
 
 
+def verify_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cand: DataFrame,
+    *,
+    shingle_k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT-Jaccard verification of an externally produced candidate
+    pair list — the second stage of a sketch-first cascade: estimates
+    (KMV/MinHash) nominate candidates cheaply, then only the nominated
+    pairs pay the full shingle-set intersect/union.  At 100 TB the
+    shingle sets of candidate MEMBERS are the only full sets that ever
+    join — corpus² never appears, and the shuffle is |candidate ids|
+    sets, not |corpus|."""
+    sets = shingle_sets(df, id_col, text_col, k=shingle_k)
+    return _verify_jaccard(cand.select("id_a", "id_b"), sets, threshold)
+
+
 def _verify_jaccard(
     cand: DataFrame, sets: DataFrame, threshold: float
 ) -> DataFrame:
