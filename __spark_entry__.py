@@ -7205,6 +7205,60 @@ def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN index maintenance: the delta embeddings arrive as
+    a STREAM (3 files, one micro-batch each) and every batch upserts
+    into the stored IVF-PQ index via foreachBatch — encode with stored
+    codebooks, assign with stored centroids, dynamic-overwrite only the
+    touched cells.  Batch boundaries must not matter: the drained index
+    is bit-identical to a one-shot bulk build, so the probe grades
+    against the SAME full-pipeline oracle as q_ivfpq_topk."""
+    import glob as _g
+    import shutil
+
+    from h2h_spark.operators.annstore import (
+        ivfpq_probe_stored,
+        stream_ann_ingest,
+    )
+
+    emb, _books = _pq_seed_books(spark, sf_dir)
+    base_p = _ivfpq_base_store(spark, sf_dir)
+    work = _work("stream_ann", sf_dir)
+    sig = _src_sig(sf_dir, "embeddings")
+    src = os.path.join(work, f"src_{sig}")
+    marker = os.path.join(src, "_READY")
+    if not os.path.exists(marker):
+        delta = emb.filter(F.col("vec_id") % 7 == 0).select(
+            "vec_id", "embedding"
+        )
+        os.makedirs(src, exist_ok=True)
+        for b in range(3):
+            tmp = os.path.join(work, f"tmp_{b}")
+            delta.filter(F.expr(f"(vec_id div 7) % 3 = {b}")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(src, f"b{b}.parquet")
+            shutil.move(_g.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+            shutil.rmtree(tmp)
+        open(marker, "w").close()
+    p = f"{work}/live_{sig}"
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    shutil.copytree(base_p, p)
+    schema = spark.read.parquet(src).schema
+    stream_ann_ingest(
+        spark, src, schema, p, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM
+    )
+    q = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return ivfpq_probe_stored(
+        spark, p, q, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_probe=2, top=10
+    )
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential smoothing of event values (α=1/2): the
     sequential recurrence runs as ONE vectorized fold per key inside a
@@ -7805,6 +7859,7 @@ def _init_queries() -> None:
         "q_kmv_dedup": q_kmv_dedup,
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_kmv_verified": q_kmv_verified,
+        "q_stream_ann_ingest": q_stream_ann_ingest,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8140,6 +8195,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_dedup": _SQL_KMV_DEDUP,
         "q_leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
         "q_kmv_verified": _SQL_KMV_VERIFIED,
+        "q_stream_ann_ingest": _SQL_IVFPQ,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,
