@@ -3919,6 +3919,70 @@ FROM a
 """
 
 
+def q_kmv_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-DRIVEN pipeline control: the mixer's per-source cost
+    basis is the KMV-weighted DEDUP-AWARE character mass (distinct
+    texts only, estimated in one pass — duplicated boilerplate no
+    longer inflates a source's share), feeding the same fixed-order
+    keep-rate arithmetic and md5-portable membership as q_mix_budget.
+    Every stage — sketch estimate, threshold math, scan filter —
+    reproduces bit-for-bit, so composing an ESTIMATOR into a control
+    decision stays exactly graded."""
+    from h2h_spark.operators.sampling import mix_to_token_budget
+    from h2h_spark.operators.sketch import kmv_weighted_sum
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    est = kmv_weighted_sum(
+        docs.select("source", "text", "n_chars"), "text", "n_chars",
+        ["source"], k=256,
+    )
+    totals = {r["source"]: float(r["est_weight"]) for r in est.collect()}
+    kept = mix_to_token_budget(
+        docs, "source", "doc_id", "n_chars", budget=50_000, totals=totals
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+_SQL_KMV_MIX_BUDGET = """
+WITH h AS (
+  SELECT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+         MAX(n_chars) AS w
+  FROM documents GROUP BY 1, 2),
+r AS (
+  SELECT source, h, w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h),
+a AS (
+  SELECT source, COUNT(*) AS n_kept,
+         SUM(CASE WHEN rn < 256 THEN w END) AS sw,
+         SUM(w) AS sw_all,
+         MAX(CASE WHEN rn = 256 THEN h END) AS hk
+  FROM r WHERE rn <= 256 GROUP BY source),
+est AS (
+  SELECT source,
+         CAST(CASE WHEN n_kept < 256 THEN sw_all
+                   ELSE FLOOR(CAST(sw AS DOUBLE) * 1152921504606846976.0
+                              / CAST(hk AS DOUBLE))
+              END AS BIGINT) AS t
+  FROM a),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0, (50000.0 * (1.0 / (SELECT COUNT(*) FROM est)))
+                          / CAST(t AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS thr
+  FROM est WHERE t > 0),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN thr ON thr.source = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 10000 < thr.thr)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM kept GROUP BY source
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7860,6 +7924,7 @@ def _init_queries() -> None:
         "q_leakage_safe_split": q_leakage_safe_split,
         "q_kmv_verified": q_kmv_verified,
         "q_stream_ann_ingest": q_stream_ann_ingest,
+        "q_kmv_mix_budget": q_kmv_mix_budget,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8196,6 +8261,7 @@ def oracle_sql() -> dict[str, str]:
         "q_leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
         "q_kmv_verified": _SQL_KMV_VERIFIED,
         "q_stream_ann_ingest": _SQL_IVFPQ,
+        "q_kmv_mix_budget": _SQL_KMV_MIX_BUDGET,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -130,6 +130,7 @@ def mix_to_token_budget(
     cost_col: str,
     budget: int,
     weights: dict[str, float] | None = None,
+    totals: dict[str, float] | None = None,
 ) -> DataFrame:
     """Rebalance a corpus to a target mixture under a total token budget —
     the "data mixing" step of training-set assembly (e.g. 30% code, 50%
@@ -148,16 +149,23 @@ def mix_to_token_budget(
     The keep-rate arithmetic is fixed double-precision ops in a fixed
     order (``(budget * w) / total`` then ``floor(r*10000 + 0.5)``) so an
     external oracle doing the same math lands on the identical threshold.
+
+    ``totals`` overrides the per-stratum cost basis — pass a
+    sketch-estimated table (e.g. the DEDUP-AWARE token mass from
+    :func:`~h2h_spark.operators.sketch.kmv_weighted_sum`) so duplicated
+    boilerplate doesn't inflate a stratum's share; by default the basis
+    is the raw per-stratum cost sum.
     """
     import math
 
     # A stratum whose costs are all NULL sums to NULL — treat it (and a
     # zero total) as rate 0; the SQL oracle mirrors this with `WHERE t > 0`
     # so both sides drop degenerate strata identically.
-    totals = {
-        r[0]: (float(r[1]) if r[1] is not None else 0.0)
-        for r in df.groupBy(strata_col).agg(F.sum(F.col(cost_col))).collect()
-    }
+    if totals is None:
+        totals = {
+            r[0]: (float(r[1]) if r[1] is not None else 0.0)
+            for r in df.groupBy(strata_col).agg(F.sum(F.col(cost_col))).collect()
+        }
     n = len(totals)
     thr: Column | None = None
     for name in sorted(totals):
