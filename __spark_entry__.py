@@ -3983,6 +3983,246 @@ FROM kept GROUP BY source
 """
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial self-join (epsilon-neighborhood): points =
+    the first two embedding dims, eps = 0.1.  The quadratic all-pairs
+    never runs — each point joins only its 3x3 grid-cell neighborhood
+    (one hash-shuffle equi-join on the cell key; the 9x replication
+    carries ids+coords only), then the exact d² predicate runs JVM-side
+    on candidates.  Graded per point: neighbor count + squared distance
+    to the nearest neighbor — d² is pure IEEE multiply/add so the oracle
+    (a literal cross join, affordable only at test SF) matches
+    bit-for-bit."""
+    from h2h_spark.operators.spatial import neighbor_stats
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    return neighbor_stats(pts, "vec_id", "x", "y", eps=0.1).select(
+        F.col("id").alias("vec_id"), "n_neighbors", "min_d2"
+    )
+
+
+_SQL_SPATIAL_JOIN = """
+WITH p AS (
+  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings),
+pr AS (
+  SELECT a.id AS id,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+  FROM p a JOIN p b ON a.id <> b.id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.1*0.1),
+g AS (SELECT id, COUNT(*) AS cnt, MIN(d2) AS mind FROM pr GROUP BY id)
+SELECT p.id AS vec_id, CAST(COALESCE(g.cnt, 0) AS BIGINT) AS n_neighbors,
+       round(g.mind, 8) AS min_d2
+FROM p LEFT JOIN g ON p.id = g.id
+"""
+
+
+def q_cdc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key CDC ordering audit: walk each user's events in ARRIVAL
+    order (event_id) and measure how often and how far EVENT TIME (ts)
+    regresses — the feed-health check every at-least-once CDC consumer
+    runs before folding state in arrival order.  One keyed window
+    shuffle + lag, zero self-joins; all metrics are aggregates of the
+    adjacent-pair deltas, identical window semantics in the oracle."""
+    from h2h_spark.operators.cdc import order_audit
+
+    ev = _load_events(spark, sf_dir)
+    out = order_audit(ev, "user_id", "event_id", "ts")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_rows",
+        "n_regressions",
+        F.round("max_backstep_sec", 6).alias("max_backstep_sec"),
+        "n_ties",
+        "out_of_order_frac",
+    )
+
+
+_SQL_CDC_AUDIT = """
+WITH l AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id) AS step
+  FROM events)
+SELECT user_id, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN step < 0 THEN 1 END), 0) AS BIGINT)
+           AS n_regressions,
+       round(COALESCE(-MIN(CASE WHEN step < 0 THEN step END), 0.0), 6)
+           AS max_backstep_sec,
+       CAST(COALESCE(SUM(CASE WHEN step = 0 THEN 1 END), 0) AS BIGINT)
+           AS n_ties,
+       CASE WHEN COUNT(step) > 0
+            THEN round(CAST(COALESCE(SUM(CASE WHEN step < 0 THEN 1 END), 0)
+                            AS DOUBLE) / COUNT(step), 6)
+            ELSE 0.0 END AS out_of_order_frac
+FROM l GROUP BY user_id
+"""
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier): parts minimizing retail price while
+    maximizing size.  The NOT-EXISTS dominance self-join the oracle
+    spells out is quadratic; the operator's sweep-line form is one
+    map-side-combined groupBy to |distinct price| rows, a prefix-max
+    window over that DISTINCT table (domain-bounded, never the data),
+    and one broadcast join back — the data table is never self-joined."""
+    from h2h_spark.operators.skyline import skyline_2d
+
+    part = spark.read.parquet(_t(sf_dir, "part")).select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+    sky = skyline_2d(part, "price", "size")
+    return sky.select(
+        "p_partkey", F.round("price", 2).alias("p_retailprice"),
+        F.col("size").alias("p_size"),
+    )
+
+
+_SQL_SKYLINE = """
+SELECT q.p_partkey, round(CAST(q.p_retailprice AS DOUBLE), 2) AS p_retailprice,
+       CAST(q.p_size AS INTEGER) AS p_size
+FROM part q
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p
+  WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
+"""
+
+
+def q_stream_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped WEIGHTED median over a stream: lineitem drained one file
+    per micro-batch; each batch folds into a stored per-returnflag
+    weighted t-digest (l_extendedprice weighted by l_quantity) via
+    centroid-table merge — state stays O(groups x compression) forever,
+    per-batch cost |batch|+|state|, raw rows never retained or shuffled.
+    The digest's mergeability makes the final state independent of the
+    micro-batch boundaries, so it's graded by the SAME exact weighted
+    rank window as the batch q_tdigest_weighted (p0.45..p0.55 must
+    contain the estimate)."""
+    from h2h_spark.operators.sketch import tdigest_estimate
+    from h2h_spark.streaming.sinks import stream_tdigest_agg
+
+    work = _work("q_stream_wmedian", sf_dir)
+    src = os.path.join(work, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "lineitem")).select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        ).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = stream_tdigest_agg(
+        spark, src, schema,
+        value_col="l_extendedprice", group_cols=["l_returnflag"],
+        state_root=os.path.join(work, "state"), weight_col="l_quantity",
+    )
+    est = tdigest_estimate(state, ["l_returnflag"], [0.5])
+    bounds = _tdigest_weighted_bounds_table(spark, sf_dir)
+    j = est.join(F.broadcast(bounds), "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        "level",
+        (
+            (F.col("est") >= F.col("__pb")[2])
+            & (F.col("est") <= F.col("__pb")[3])
+        ).alias("ok"),
+    )
+
+
+_SQL_STREAM_WEIGHTED_MEDIAN = """
+SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS level, TRUE AS ok
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+"""
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (MR-DBSCAN factorization) over the 2D
+    embedding projection: grid-bucketed epsilon-graph -> core points by
+    one degree aggregate -> clusters = star-contraction connected
+    components of the core-core subgraph -> borders attach to the min
+    neighboring cluster.  Every stage is a primitive this engine already
+    grades (grid join, CC) — no all-pairs, no driver loop.  The oracle
+    re-derives the full labeling with a recursive min-label CTE over the
+    literal cross-join graph (affordable only at test SF on the sampled
+    probe set)."""
+    from h2h_spark.operators.spatial import dbscan_2d
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    pts = emb.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    out = dbscan_2d(pts, "vec_id", "x", "y", eps=0.05, min_pts=4)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "role")
+
+
+_SQL_DBSCAN = """
+WITH RECURSIVE
+p AS (
+  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings WHERE vec_id % 4 = 0),
+pr AS (
+  SELECT a.id AS a, b.id AS b FROM p a JOIN p b ON a.id <> b.id
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.05*0.05),
+deg AS (SELECT a AS id, COUNT(*) AS n FROM pr GROUP BY a),
+core AS (SELECT id FROM deg WHERE n + 1 >= 4),
+ce AS (SELECT a, b FROM pr
+       WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+r(node, lab) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.b, r.lab FROM r JOIN ce ON ce.a = r.node),
+clus AS (SELECT node AS id, MIN(lab) AS cluster FROM r GROUP BY node),
+bord AS (
+  SELECT pr.a AS id, MIN(c.cluster) AS cluster
+  FROM pr JOIN clus c ON pr.b = c.id
+  WHERE pr.a NOT IN (SELECT id FROM core)
+  GROUP BY pr.a)
+SELECT p.id AS vec_id,
+       COALESCE(cl.cluster, bo.cluster) AS cluster,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN bo.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM p LEFT JOIN clus cl ON p.id = cl.id LEFT JOIN bord bo ON p.id = bo.id
+"""
+
+
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO container path: per row synthesize a VALID ISO BMFF MP4
+    (ftyp/free/moov[mvhd + n x trak/tkhd]/mdat with the 64-bit largesize
+    encoding — ISO/IEC 14496-12 box grammar) from doc_id arithmetic,
+    then walk the real box tree back with the engine's pure-Python
+    parser (`operators/multimodal.py: parse_mp4_meta`) — movie
+    timescale/duration, track count, first-track 16.16 pixel dims, mdat
+    payload bytes.  The oracle recomputes the seed arithmetic, so a
+    green row proves the nested box walk including the largesize
+    branch.  Blobs live and die inside one Arrow task."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return MM.mp4_meta(docs.select("doc_id"), "doc_id")
+
+
+_SQL_MP4_META = """
+SELECT doc_id,
+       CAST(600 + doc_id % 10 * 100 AS INTEGER) AS timescale,
+       CAST(doc_id % 5000 + 100 AS BIGINT) AS duration,
+       CAST((doc_id % 5000 + 100) * 1000 // (600 + doc_id % 10 * 100) AS BIGINT)
+           AS duration_ms,
+       CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks,
+       CAST((doc_id * 3) % 1920 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 1080 + 16 AS INTEGER) AS height,
+       CAST(doc_id % 32 + 1 AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -7925,6 +8165,12 @@ def _init_queries() -> None:
         "q_kmv_verified": q_kmv_verified,
         "q_stream_ann_ingest": q_stream_ann_ingest,
         "q_kmv_mix_budget": q_kmv_mix_budget,
+        "q_spatial_join": q_spatial_join,
+        "q_cdc_audit": q_cdc_audit,
+        "q_skyline": q_skyline,
+        "q_stream_weighted_median": q_stream_weighted_median,
+        "q_dbscan": q_dbscan,
+        "q_mp4_meta": q_mp4_meta,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8262,6 +8508,12 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_verified": _SQL_KMV_VERIFIED,
         "q_stream_ann_ingest": _SQL_IVFPQ,
         "q_kmv_mix_budget": _SQL_KMV_MIX_BUDGET,
+        "q_spatial_join": _SQL_SPATIAL_JOIN,
+        "q_cdc_audit": _SQL_CDC_AUDIT,
+        "q_skyline": _SQL_SKYLINE,
+        "q_stream_weighted_median": _SQL_STREAM_WEIGHTED_MEDIAN,
+        "q_dbscan": _SQL_DBSCAN,
+        "q_mp4_meta": _SQL_MP4_META,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -2481,3 +2481,169 @@ def wav_pcm_stats(df: DataFrame, id_col: str) -> DataFrame:
         f"{id_col} long, n_samples int, sample_rate int, l_sum long, "
         "r_sum long, l_abs long, r_abs long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO BMFF (MP4) container — the video-modality metadata path.  Reference
+# for the box grammar: ISO/IEC 14496-12 (public spec).  Same discipline as
+# the image codecs: a deterministic synthesizer builds VALID container
+# bytes from seed arithmetic, the parser walks the real box tree back, and
+# the oracle recomputes the arithmetic — so a green row proves the box
+# walk (including the 64-bit largesize branch), not a stub.
+
+
+def synthesize_mp4(seed: int) -> bytes:
+    """Minimal VALID MP4: ``ftyp`` + ``free`` + ``moov`` (``mvhd`` +
+    per-track ``trak``/``tkhd``) + an ``mdat`` that uses the 64-bit
+    largesize encoding (size field = 1) so parsers must take that
+    branch.  All fields are fixed seed arithmetic (mirrored by the
+    oracle SQL):
+
+    - ``timescale   = 600 + seed % 10 * 100``
+    - ``duration    = seed % 5000 + 100``       (movie timescale units)
+    - ``n_tracks    = seed % 3 + 1``
+    - track ``i``:  ``width = (seed*3 + i*17) % 1920 + 16``,
+                    ``height = (seed*7 + i*23) % 1080 + 16``
+    - ``mdat`` payload ``seed % 32 + 1`` bytes
+    """
+    seed = int(seed)
+
+    def box(kind: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + kind + payload
+
+    timescale = 600 + seed % 10 * 100
+    duration = seed % 5000 + 100
+    n_tracks = seed % 3 + 1
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b""
+    for i in range(n_tracks):
+        w = (seed * 3 + i * 17) % 1920 + 16
+        h = (seed * 7 + i * 23) % 1080 + 16
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B", 0) + b"\x00\x00\x07"  # version 0, flags 7
+            + struct.pack(">III4xI8x", 0, 0, i + 1, duration)
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+            + matrix
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    free = box(b"free", b"\x00" * (seed % 7 + 1))
+    payload = bytes((seed * 13 + i * 11) % 256 for i in range(seed % 32 + 1))
+    mdat = (
+        struct.pack(">I", 1)  # size = 1 -> 64-bit largesize follows type
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    return ftyp + free + moov + mdat
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (kind, payload_start, payload_end) for each box in
+    ``data[start:end]`` — handles the 64-bit largesize encoding and
+    raises on truncation or a size that escapes the enclosing box."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", data, off)[0]
+        kind = data[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:  # largesize
+            if off + 16 > end:
+                raise ValueError("mp4: truncated largesize header")
+            size = struct.unpack_from(">Q", data, off + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"mp4: box {kind!r} size {size} escapes container")
+        yield kind, off + hdr, off + size
+        off += size
+
+
+def parse_mp4_meta(data: bytes) -> dict | None:
+    """Walk the box tree of a valid MP4 and report container metadata:
+    movie timescale/duration (+ derived ms), track count, the first
+    track's pixel dimensions (from tkhd's 16.16 fixed point), and the
+    total ``mdat`` payload bytes.  Returns None unless the file starts
+    with ``ftyp`` (the MP4 signature check)."""
+    if len(data) < 8 or data[4:8] != b"ftyp":
+        return None
+    meta = {
+        "timescale": None, "duration": None, "duration_ms": None,
+        "n_tracks": 0, "width": None, "height": None, "mdat_bytes": 0,
+    }
+    for kind, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if kind == b"mdat":
+            meta["mdat_bytes"] += pe - ps
+        elif kind == b"moov":
+            for k2, qs, qe in _mp4_boxes(data, ps, pe):
+                if k2 == b"mvhd":
+                    ver = data[qs]
+                    if ver == 1:  # 64-bit times (spec branch)
+                        ts, dur = struct.unpack_from(">IQ", data, qs + 20)
+                    else:
+                        ts, dur = struct.unpack_from(">II", data, qs + 12)
+                    meta["timescale"] = ts
+                    meta["duration"] = dur
+                    meta["duration_ms"] = dur * 1000 // ts if ts else None
+                elif k2 == b"trak":
+                    meta["n_tracks"] += 1
+                    for k3, rs, _re in _mp4_boxes(data, qs, qe):
+                        if k3 == b"tkhd" and meta["width"] is None:
+                            ver = data[rs]
+                            # width/height are the LAST 8 payload bytes in
+                            # both tkhd versions
+                            w, h = struct.unpack_from(">II", data, _re - 8)
+                            meta["width"] = w >> 16
+                            meta["height"] = h >> 16
+    return meta
+
+
+def mp4_meta(df: DataFrame, id_col: str, seed_col: str | None = None) -> DataFrame:
+    """Synthesize-then-decode MP4 metadata stage (the video twin of
+    :func:`media_meta`): per row build a valid MP4 from the seed, parse
+    the real box tree back, emit typed metadata.  One Arrow-batched
+    ``mapInPandas`` — blobs are born and die inside the task."""
+    seed = seed_col or id_col
+    schema = (
+        f"{id_col} long, timescale int, duration bigint, duration_ms bigint, "
+        "n_tracks int, width int, height int, mdat_bytes bigint"
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                parse_mp4_meta(synthesize_mp4(int(s)))
+                for s in pdf[seed].to_numpy()
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "timescale": [m["timescale"] for m in metas],
+                    "duration": [m["duration"] for m in metas],
+                    "duration_ms": [m["duration_ms"] for m in metas],
+                    "n_tracks": [m["n_tracks"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "mdat_bytes": [m["mdat_bytes"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, *([seed] if seed != id_col else [])).mapInPandas(
+        _gen, schema
+    )

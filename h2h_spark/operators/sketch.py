@@ -619,3 +619,72 @@ def kmv_jaccard_pairs(
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def tdigest_merge_centroids(
+    cent: DataFrame, group_cols: list[str], compression: float = 200.0
+) -> DataFrame:
+    """Re-compress a per-group centroid table back to the t-digest size
+    invariant (<= ~compression/2+1 centroids per group).  This is the
+    MERGE half of the digest's mergeability contract: union any number
+    of centroid tables (map-side partials, a stored state, another
+    digest) and one grouping shuffle + per-group compress restores the
+    bound — state never grows with the number of merges.  Input and
+    output schema: ``group_cols + (c_mean double, c_weight double)``."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [cent.schema[g] for g in group_cols]
+        + [StructField("c_mean", DoubleType()), StructField("c_weight", DoubleType())]
+    )
+
+    def _merge(key, pdf):
+        m, w = _tdigest_compress(
+            pdf["c_mean"].to_numpy(), pdf["c_weight"].to_numpy(), compression
+        )
+        return pd.DataFrame(
+            [(*key, float(mi), float(wi)) for mi, wi in zip(m, w)],
+            columns=[*group_cols, "c_mean", "c_weight"],
+        )
+
+    return cent.groupBy(*group_cols).applyInPandas(_merge, out_schema)
+
+
+def tdigest_estimate(
+    cent: DataFrame,
+    group_cols: list[str],
+    levels: list[float],
+    compression: float = 200.0,
+) -> DataFrame:
+    """Quantile estimates from a per-group centroid table (the second
+    half of :func:`tdigest_quantiles`, split out so a STORED digest —
+    e.g. streaming state folded by :func:`tdigest_merge_centroids` —
+    can be queried without re-reading any raw data).  Returns
+    ``group_cols + (level double, est double)``."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [cent.schema[g] for g in group_cols]
+        + [StructField("level", DoubleType()), StructField("est", DoubleType())]
+    )
+    lv = sorted(float(x) for x in levels)
+
+    def _est(key, pdf):
+        m, w = _tdigest_compress(
+            pdf["c_mean"].to_numpy(), pdf["c_weight"].to_numpy(), compression
+        )
+        m = np.asarray(m)
+        w = np.asarray(w)
+        total = w.sum()
+        mid = np.cumsum(w) - w / 2.0
+        ests = np.interp([q * total for q in lv], mid, m)
+        return pd.DataFrame(
+            [(*key, q, float(e)) for q, e in zip(lv, ests)],
+            columns=[*group_cols, "level", "est"],
+        )
+
+    return cent.groupBy(*group_cols).applyInPandas(_est, out_schema)

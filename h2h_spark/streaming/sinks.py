@@ -182,3 +182,80 @@ def idempotent_append(
             empty = transform(empty)
         return empty
     return spark.read.parquet(out_root).drop("batch")
+
+
+def stream_tdigest_agg(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    value_col: str,
+    group_cols: list[str],
+    state_root: str,
+    compression: float = 200.0,
+    weight_col: str | None = None,
+    transform=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous per-group (optionally importance-WEIGHTED) quantile
+    sketch: each micro-batch folds into a stored t-digest centroid
+    table.
+
+    The digest's mergeability is exactly what makes it the right
+    streaming state: per batch we build map-side partial digests over
+    the BATCH only (|batch| work, raw values never shuffle), union them
+    with the stored centroids, and re-compress per group
+    (:func:`h2h_spark.operators.sketch.tdigest_merge_centroids`) — so
+    state stays O(groups x compression) forever while summarizing the
+    whole history.  Per-batch cost is |batch| + |state|, never the
+    history; the raw stream is never retained.  State versions are
+    whole-directory swaps like :func:`stream_fold_agg` (idempotent
+    under micro-batch replay).
+
+    Returns the final centroid table ``group_cols + (c_mean,
+    c_weight)``; query it with
+    :func:`h2h_spark.operators.sketch.tdigest_estimate`.
+    """
+    from h2h_spark.operators.sketch import (
+        tdigest_merge_centroids,
+        tdigest_partial,
+    )
+
+    cur = {"path": None, "v": 0}
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        part = tdigest_partial(
+            batch, value_col, group_cols, compression, weight_col
+        )
+        if cur["path"] is not None:
+            prev = spark.read.parquet(cur["path"])
+            part = prev.unionByName(part)
+        merged = tdigest_merge_centroids(part, group_cols, compression)
+        cur["v"] += 1
+        path = os.path.join(state_root, f"v{cur['v']}")
+        merged.write.mode("overwrite").parquet(path)
+        cur["path"] = path
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if cur["path"] is None:  # empty input: no centroids
+        from pyspark.sql import functions as F
+
+        empty = spark.createDataFrame([], schema)
+        if transform is not None:
+            empty = transform(empty)
+        return empty.select(
+            *group_cols,
+            F.lit(None).cast("double").alias("c_mean"),
+            F.lit(None).cast("double").alias("c_weight"),
+        )
+    return spark.read.parquet(cur["path"])

@@ -3119,3 +3119,166 @@ def test_cluster_safe_split_no_leakage(spark):
         assert m[i] == plain[i], i
     # all three splits are populated
     assert {"train", "val", "test"} == set(m.values())
+
+
+# ---------------------------------------------------------------- spatial
+
+
+def test_grid_self_join_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    from h2h_spark.operators.spatial import grid_self_join
+
+    eps = 0.25
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in grid_self_join(df, "id", "x", "y", eps).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps * eps
+    }
+    assert got == want and len(want) > 0
+
+
+def test_neighbor_stats_isolated_point(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.05, 0.0), (3, 9.0, 9.0)],
+        "id long, x double, y double",
+    )
+    from h2h_spark.operators.spatial import neighbor_stats
+
+    out = {r["id"]: r for r in neighbor_stats(df, "id", "x", "y", 0.1).collect()}
+    assert out[1]["n_neighbors"] == 1 and out[2]["n_neighbors"] == 1
+    assert out[3]["n_neighbors"] == 0 and out[3]["min_d2"] is None
+    assert abs(out[1]["min_d2"] - 0.0025) < 1e-12
+
+
+def test_grid_self_join_rejects_bad_eps(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    from h2h_spark.operators.spatial import grid_self_join
+
+    with pytest.raises(ValueError, match="eps must be positive"):
+        grid_self_join(df, "id", "x", "y", 0.0)
+
+
+# ---------------------------------------------------------------- cdc audit
+
+
+def test_order_audit_counts_regressions(spark):
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # key 1: 10, 20, 15 (one regression of 5s), then tie at 15
+        (1, 1, t(10)), (1, 2, t(20)), (1, 3, t(15)), (1, 4, t(15)),
+        # key 2: strictly increasing
+        (2, 1, t(1)), (2, 2, t(2)),
+        # key 3: single row — no adjacent pairs
+        (3, 1, t(30)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    from h2h_spark.operators.cdc import order_audit
+
+    out = {r["key"]: r for r in order_audit(df, "user_id", "event_id", "ts").collect()}
+    assert out[1]["n_rows"] == 4 and out[1]["n_regressions"] == 1
+    assert out[1]["max_backstep_sec"] == 5.0 and out[1]["n_ties"] == 1
+    assert abs(out[1]["out_of_order_frac"] - round(1 / 3, 6)) < 1e-12
+    assert out[2]["n_regressions"] == 0 and out[2]["max_backstep_sec"] == 0.0
+    assert out[3]["n_rows"] == 1 and out[3]["out_of_order_frac"] == 0.0
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_2d_small(spark):
+    rows = [
+        (1, 1.0, 5),   # frontier (cheapest)
+        (2, 2.0, 9),   # frontier
+        (3, 2.0, 7),   # dominated by 2 (same price, smaller size)
+        (4, 3.0, 9),   # dominated by 2 (worse price, same size)
+        (5, 4.0, 12),  # frontier
+        (6, 4.0, 12),  # duplicate frontier point — survives too
+        (7, 5.0, 1),   # dominated
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    from h2h_spark.operators.skyline import skyline_2d
+
+    got = sorted(r["id"] for r in skyline_2d(df, "price", "size").collect())
+    assert got == [1, 2, 5, 6]
+
+
+# ---------------------------------------------------------- t-digest merge
+
+
+def test_tdigest_merge_centroids_bounded_and_consistent(spark):
+    import numpy as np
+
+    from h2h_spark.operators.sketch import (
+        tdigest_estimate,
+        tdigest_merge_centroids,
+        tdigest_partial,
+    )
+
+    vals = np.random.RandomState(3).normal(100.0, 15.0, 4000)
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, v double"
+    ).repartition(8)
+    part = tdigest_partial(df, "v", ["grp"], compression=100.0)
+    merged = tdigest_merge_centroids(part, ["grp"], compression=100.0)
+    n = merged.count()
+    assert n <= 100  # size invariant: ~compression/2 + 1
+    est = tdigest_estimate(merged, ["grp"], [0.5], compression=100.0).collect()
+    true_med = float(np.median(vals))
+    assert abs(est[0]["est"] - true_med) < 2.0  # well inside 1% of sigma
+
+
+def test_dbscan_2d_labels(spark):
+    # two tight clusters + one isolated noise point
+    rows = (
+        [(i, 0.0 + i * 0.01, 0.0) for i in range(5)]          # cluster at 0
+        + [(10 + i, 5.0 + i * 0.01, 5.0) for i in range(4)]   # cluster at 10
+        + [(99, 50.0, 50.0)]                                  # noise
+        + [(50, 0.06, 0.0)]                                   # border of cluster 0
+    )
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    from h2h_spark.operators.spatial import dbscan_2d
+
+    out = {r["id"]: r for r in dbscan_2d(df, "id", "x", "y", 0.025, 4).collect()}
+    assert out[99]["role"] == "noise" and out[99]["cluster"] is None
+    # cluster label = min CORE id: chain endpoints (0, 4 is core via 50;
+    # 10, 13) have only 3 points in their closed neighborhood -> border
+    assert {out[i]["cluster"] for i in range(5)} == {1}
+    assert out[0]["role"] == "border" and out[2]["role"] == "core"
+    assert {out[10 + i]["cluster"] for i in range(4)} == {11}
+    assert out[10]["role"] == "border" and out[12]["role"] == "core"
+    # 50 at x=0.06 touches only node 4 (x=0.04) -> border of cluster 1
+    assert out[50]["cluster"] == 1 and out[50]["role"] == "border"
+
+
+def test_mp4_parse_rejects_and_errors(spark):
+    from h2h_spark.operators.multimodal import (
+        parse_mp4_meta,
+        synthesize_mp4,
+    )
+
+    assert parse_mp4_meta(b"notmp4!!") is None
+    good = synthesize_mp4(42)
+    with pytest.raises(ValueError, match="mp4"):
+        parse_mp4_meta(good[:-3])  # truncated inside the mdat largesize
+
+
+def test_mp4_meta_dataframe_stage(spark):
+    from h2h_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    out = {r["doc_id"]: r for r in mm.mp4_meta(df, "doc_id").collect()}
+    assert out[7]["timescale"] == 600 + 7 % 10 * 100
+    assert out[7]["n_tracks"] == 7 % 3 + 1
+    assert out[123]["width"] == (123 * 3) % 1920 + 16
+    assert out[123]["mdat_bytes"] == 123 % 32 + 1
