@@ -4223,6 +4223,86 @@ FROM documents
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, not point-in-interval):
+    per customer, pairs of orders whose 7-day windows overlap.  Bucketed
+    equi-join with the once-only rule — a pair is kept only in the
+    bucket containing the overlap start, so no dedup shuffle follows;
+    the naive `a.s < b.e AND b.s < a.e` range join would plan a
+    per-customer nested loop."""
+    from h2h_spark.operators.interval import interval_overlap_join
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    a = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_date"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+    )
+    pairs = interval_overlap_join(
+        a, b, key="cust",
+        left_start="a_date", left_span_sec=7 * 86400,
+        right_start="b_date", right_span_sec=7 * 86400,
+    ).where(F.col("a_key") < F.col("b_key"))
+    return pairs.groupBy("cust").agg(
+        F.count("*").cast("bigint").alias("n_overlap_pairs")
+    ).select(F.col("cust").alias("o_custkey"), "n_overlap_pairs")
+
+
+_SQL_INTERVAL_OVERLAP = """
+WITH o AS (
+  SELECT o_orderkey k, o_custkey c, epoch(o_orderdate) s,
+         epoch(o_orderdate) + 7*86400 e
+  FROM orders)
+SELECT a.c AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+FROM o a JOIN o b ON a.c = b.c AND a.k < b.k AND a.s < b.e AND b.s < a.e
+GROUP BY a.c
+"""
+
+
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded WEIGHTED shortest paths (multi-source) over the
+    customer-supplier purchase graph — deterministic integer edge
+    weights `(s+t)%5+1`, radius 12.  Frontier Bellman-Ford: each round
+    relaxes only improved nodes against the edge list, merges by
+    per-node min, localCheckpoints — rounds bounded by the hop count of
+    the longest useful path, total work O(rounds x |frontier join E|).
+    The bound is what makes the oracle exact: a recursive CTE whose
+    (node, dist) state space is finite, pruned at the same radius."""
+    from h2h_spark.operators.graph import sssp_bounded
+
+    directed = _pagerank_edges(spark, sf_dir)
+    und = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = und.withColumn(
+        "w", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+    )
+    sources = spark.createDataFrame([(2,), (4,), (6,)], "node long")
+    out = sssp_bounded(weighted, sources, max_dist=12.0)
+    return out.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+_SQL_SSSP_BOUNDED = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS t
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e1 AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+e AS (SELECT s, t, (s + t) % 5 + 1 AS w FROM e1),
+walk(id, dist) AS (
+  SELECT * FROM (VALUES (2, 0), (4, 0), (6, 0)) v(id, dist)
+  UNION
+  SELECT e.t, w.dist + e.w FROM walk w JOIN e ON e.s = w.id
+  WHERE w.dist + e.w < 12)
+SELECT CAST(id AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY id
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8171,6 +8251,8 @@ def _init_queries() -> None:
         "q_stream_weighted_median": q_stream_weighted_median,
         "q_dbscan": q_dbscan,
         "q_mp4_meta": q_mp4_meta,
+        "q_interval_overlap": q_interval_overlap,
+        "q_sssp_bounded": q_sssp_bounded,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8514,6 +8596,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_weighted_median": _SQL_STREAM_WEIGHTED_MEDIAN,
         "q_dbscan": _SQL_DBSCAN,
         "q_mp4_meta": _SQL_MP4_META,
+        "q_interval_overlap": _SQL_INTERVAL_OVERLAP,
+        "q_sssp_bounded": _SQL_SSSP_BOUNDED,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

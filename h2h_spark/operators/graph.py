@@ -341,3 +341,76 @@ def label_propagation_semisync(
             labels = labels.filter(F.col("node") % substeps != s).unionByName(upd)
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_dist: float,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distance-bounded multi-source SSSP (weighted shortest paths) by
+    frontier Bellman-Ford relaxation: ``(node, dist)`` with ``dist`` the
+    minimum path weight from any source, considering only paths of
+    total weight < ``max_dist`` (the bounded-radius reachability query —
+    'everything within X minutes' — and what makes the state finite for
+    an exact external oracle).
+
+    Each round joins ONLY the improved frontier against the edge list,
+    keeps candidate relaxations under the bound, and merges them into
+    the settled table by per-node minimum — nodes whose distance did not
+    improve do no work next round.  With positive weights the round
+    count is bounded by the hop count of the longest useful path (<=
+    max_dist / min_weight); every round localCheckpoints so the plan
+    stays one round deep.  Raises if ``max_iter`` rounds pass without
+    convergence (negative or zero weights) rather than returning a
+    non-fixpoint."""
+    e = (
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("t"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("s", "t")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        sources.select(F.col(node).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier.id == e.s)
+            .select(F.col("t").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .filter(F.col("nd") < F.lit(float(max_dist)))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        old = settled.select("id", F.col("dist").alias("od"))
+        improved = (
+            cand.join(old, "id", "left")
+            .filter(F.col("od").isNull() | (F.col("nd") < F.col("od")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            return settled.select(F.col("id").alias(node), "dist")
+        settled = (
+            settled.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"sssp_bounded: no fixpoint after {max_iter} rounds — "
+        "non-positive edge weights or max_iter too small for the radius"
+    )

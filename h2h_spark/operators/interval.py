@@ -66,3 +66,57 @@ def point_interval_join(
         & (F.col("__ps") < F.col("__is") + span_sec)
     )
     return joined.drop("__pb", "__ps", "__is")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_start: str,
+    left_span_sec: int,
+    right_start: str,
+    right_span_sec: int,
+    bucket_sec: int = 86400,
+) -> DataFrame:
+    """Inner-join the interval sets ``[left_start, +left_span)`` x
+    ``[right_start, +right_span)`` per ``key`` on OVERLAP
+    (``ls < re AND rs < le``) — each qualifying pair exactly once,
+    without a post-join dedup shuffle.
+
+    Same bucketed construction as :func:`point_interval_join`, plus the
+    standard once-only trick for interval-interval joins: both sides
+    explode over their covering buckets, but a joined pair is KEPT only
+    in the bucket containing the overlap's start ``max(ls, rs)`` — a
+    bucket both sides provably cover (it is >= each side's start and <
+    each side's end), so every overlapping pair survives in exactly one
+    bucket.  One (key, bucket) hash shuffle per side; amplification =
+    span/bucket rows per interval, the caller's knob.
+    """
+    clash = (set(left.columns) & set(right.columns)) - {key}
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    lsec = _epoch_seconds(F.col(left_start), dict(left.dtypes)[left_start])
+    rsec = _epoch_seconds(F.col(right_start), dict(right.dtypes)[right_start])
+
+    def explode_side(df, sec, span, s_name, e_name):
+        s = sec
+        e = sec + F.lit(float(span))
+        b0 = F.floor(s / bucket_sec).cast("bigint")
+        b1 = F.floor(e / bucket_sec).cast("bigint")
+        return df.withColumn(s_name, s).withColumn(e_name, e).withColumn(
+            "__bkt", F.explode(F.sequence(b0, b1))
+        )
+
+    l = explode_side(left, lsec, left_span_sec, "__ls", "__le")
+    r = explode_side(right, rsec, right_span_sec, "__rs", "__re")
+    ov_start = F.greatest(F.col("__ls"), F.col("__rs"))
+    out = (
+        l.join(r, [key, "__bkt"])
+        .where(
+            (F.col("__ls") < F.col("__re"))
+            & (F.col("__rs") < F.col("__le"))
+            & (F.floor(ov_start / bucket_sec).cast("bigint") == F.col("__bkt"))
+        )
+    )
+    return out.drop("__bkt", "__ls", "__le", "__rs", "__re")

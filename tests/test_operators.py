@@ -3282,3 +3282,78 @@ def test_mp4_meta_dataframe_stage(spark):
     assert out[7]["n_tracks"] == 7 % 3 + 1
     assert out[123]["width"] == (123 * 3) % 1920 + 16
     assert out[123]["mdat_bytes"] == 123 % 32 + 1
+
+
+def test_interval_overlap_join_once_only(spark):
+    from datetime import datetime
+
+    d = lambda day: datetime(2024, 1, day)
+    left = spark.createDataFrame(
+        [(1, 10, d(1)), (1, 11, d(20)), (2, 12, d(1))],
+        "k long, a_id long, a_start timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, 20, d(5)), (1, 21, d(9)), (2, 22, d(15))],
+        "k long, b_id long, b_start timestamp",
+    )
+    from h2h_spark.operators.interval import interval_overlap_join
+
+    # left spans 7 days, right spans 3 days
+    out = interval_overlap_join(
+        left, right, key="k",
+        left_start="a_start", left_span_sec=7 * 86400,
+        right_start="b_start", right_span_sec=3 * 86400,
+    ).collect()
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out)
+    # (10:[1,8) x 20:[5,8)) overlap; (10 x 21:[9,12)) no; (11:[20,27) x none)
+    # (12:[1,8) x 22:[15,18)) no
+    assert pairs == [(10, 20)]
+    assert len(out) == len(set(pairs))  # exactly once, no bucket dups
+
+
+def test_interval_overlap_join_multibucket_dedup(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1))], "k long, a_id long, a_start timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, datetime(2024, 1, 2))], "k long, b_id long, b_start timestamp"
+    )
+    from h2h_spark.operators.interval import interval_overlap_join
+
+    # both spans 10 days -> overlap covers 9 shared daily buckets; the
+    # once-only rule must still emit a single row
+    out = interval_overlap_join(
+        left, right, key="k",
+        left_start="a_start", left_span_sec=10 * 86400,
+        right_start="b_start", right_span_sec=10 * 86400,
+    ).collect()
+    assert len(out) == 1
+
+
+def test_sssp_bounded_small_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 1.0), (9, 10, 1.0),
+         (1, 2, 9.0)],  # parallel edge: cheapest must win
+        "src long, dst long, w double",
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    from h2h_spark.operators.graph import sssp_bounded
+
+    out = {r["node"]: r["dist"] for r in
+           sssp_bounded(edges, sources, max_dist=4.0).collect()}
+    # 1->2 (1), 2->3 (2), 3->4 (3); direct 1->3 of 5 loses; 9/10 unreachable
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_sssp_bounded_radius_prunes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 3.0), (2, 3, 3.0)], "src long, dst long, w double"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    from h2h_spark.operators.graph import sssp_bounded
+
+    out = {r["node"]: r["dist"] for r in
+           sssp_bounded(edges, sources, max_dist=5.0).collect()}
+    assert out == {1: 0.0, 2: 3.0}  # 3 is at dist 6 >= bound -> excluded
