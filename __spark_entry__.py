@@ -4303,6 +4303,49 @@ FROM walk GROUP BY id
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping secondary index (the lakehouse data-skipping shape):
+    orders laid out as 16 range files, a sidecar with per-file zone maps
+    + md5-salted Bloom filters built in ONE grouped pass
+    (`operators/bloomidx.py`), then a point lookup that Bloom-prunes the
+    file list BEFORE any scan task launches and reads only survivors
+    (exact predicate after — false positives die there, false negatives
+    can't happen).  Tests assert the prune actually drops files; the
+    oracle checks the exact result, which never depends on the index."""
+    from h2h_spark.operators.bloomidx import build_file_index, read_point_lookup
+
+    w = _work("q_bloom_prune", sf_dir)
+    data = os.path.join(w, "orders16")
+    if not os.path.exists(os.path.join(data, "_SUCCESS")):
+        spark.read.parquet(_t(sf_dir, "orders")).repartitionByRange(
+            16, "o_orderkey"
+        ).write.mode("overwrite").parquet(data)
+    idx_path = os.path.join(w, "index")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        build_file_index(spark, data, "o_orderkey", "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    probes = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(_t(sf_dir, "orders"))
+        .filter(F.col("o_orderkey") % 7919 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    out = read_point_lookup(spark, index, "o_orderkey", probes)
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )
+
+
+_SQL_BLOOM_PRUNE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 7919 = 0
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8253,6 +8296,7 @@ def _init_queries() -> None:
         "q_mp4_meta": q_mp4_meta,
         "q_interval_overlap": q_interval_overlap,
         "q_sssp_bounded": q_sssp_bounded,
+        "q_bloom_prune": q_bloom_prune,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8598,6 +8642,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mp4_meta": _SQL_MP4_META,
         "q_interval_overlap": _SQL_INTERVAL_OVERLAP,
         "q_sssp_bounded": _SQL_SSSP_BOUNDED,
+        "q_bloom_prune": _SQL_BLOOM_PRUNE,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -3357,3 +3357,32 @@ def test_sssp_bounded_radius_prunes(spark):
     out = {r["node"]: r["dist"] for r in
            sssp_bounded(edges, sources, max_dist=5.0).collect()}
     assert out == {1: 0.0, 2: 3.0}  # 3 is at dist 6 >= bound -> excluded
+
+
+def test_bloom_index_prunes_and_is_exact(spark, tmp_path):
+    from h2h_spark.operators.bloomidx import (
+        build_file_index,
+        prune_files,
+        read_point_lookup,
+    )
+
+    data = str(tmp_path / "d")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    df.repartitionByRange(8, "k").write.parquet(data)
+    idx = build_file_index(spark, data, "k", "k")
+    rows = idx.collect()
+    assert len(rows) == 8 and all(r["n_rows"] > 0 for r in rows)
+    # zone map sanity: min <= max, ranges disjointish by construction
+    assert all(r["min_lay"] <= r["max_lay"] for r in rows)
+
+    # two point keys living in (at most) two files
+    files = prune_files(idx, [17, 3999])
+    assert 1 <= len(files) <= 3  # Bloom may false-positive a file, not 8
+    out = read_point_lookup(spark, idx, "k", [17, 3999]).collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [(17, 51), (3999, 11997)]
+
+    # absent key: everything prunes, result empty with the data schema
+    empty = read_point_lookup(spark, idx, "k", [99999])
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
