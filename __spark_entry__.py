@@ -4346,6 +4346,67 @@ FROM orders WHERE o_orderkey % 7919 = 0
 """
 
 
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data QUARANTINE over a pinned replay: events split
+    into four 8-day files, with a deterministic disordered subset
+    (event_id % 97 == 0 from the first three windows) withheld until the
+    LAST file — so when it finally arrives, the router's watermark
+    (max completed-batch event time - 2 days) has advanced past most of
+    it.  Native watermarks silently DROP those rows; the foreachBatch
+    router (`streaming/sinks.py: stream_late_router`) splits each batch
+    on ts < watermark and counts both sides per key.  File order is
+    pinned by explicit mtimes, which makes the whole replay — and hence
+    the watermark trajectory — closed-form for the oracle."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from h2h_spark.streaming.sinks import stream_late_router
+
+    w = _work("q_stream_late", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        ev = _load_events(spark, sf_dir)
+        bucket = F.floor((F.dayofmonth("ts") - 1) / 8).cast("int")
+        moved = F.col("event_id") % 97 == 0
+        base = 1_700_000_000
+        for k in range(4):
+            if k < 3:
+                sub = ev.filter((bucket == k) & ~moved)
+            else:
+                sub = ev.filter((bucket == 3) | (moved & (bucket <= 2)))
+            tmp = os.path.join(w, f"tmp{k}")
+            sub.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{k}.parquet")
+            _shutil.copyfile(part, dst)
+            os.utime(dst, (base + k * 60, base + k * 60))  # pin replay order
+        open(ready, "w").close()
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    out = stream_late_router(
+        spark, src, schema, ts_col="ts", key_col="event_type",
+        delay_sec=2 * 86400,
+    )
+    return out.select("event_type", "n_on_time", "n_late")
+
+
+_SQL_STREAM_LATE = """
+WITH m AS (
+  SELECT event_type, epoch(ts) AS es,
+         (CAST(date_part('day', ts) AS BIGINT) - 1) // 8 AS b,
+         (event_id % 97 = 0) AS mv
+  FROM events),
+wm AS (SELECT MAX(es) - 2*86400 AS w FROM m WHERE b <= 2 AND NOT mv)
+SELECT event_type,
+       CAST(SUM(CASE WHEN mv AND b <= 2 AND es < (SELECT w FROM wm)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+       CAST(SUM(CASE WHEN mv AND b <= 2 AND es < (SELECT w FROM wm)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM m GROUP BY event_type
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8297,6 +8358,7 @@ def _init_queries() -> None:
         "q_interval_overlap": q_interval_overlap,
         "q_sssp_bounded": q_sssp_bounded,
         "q_bloom_prune": q_bloom_prune,
+        "q_stream_late": q_stream_late,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8643,6 +8705,7 @@ def oracle_sql() -> dict[str, str]:
         "q_interval_overlap": _SQL_INTERVAL_OVERLAP,
         "q_sssp_bounded": _SQL_SSSP_BOUNDED,
         "q_bloom_prune": _SQL_BLOOM_PRUNE,
+        "q_stream_late": _SQL_STREAM_LATE,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

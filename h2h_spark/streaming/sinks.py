@@ -259,3 +259,84 @@ def stream_tdigest_agg(
             F.lit(None).cast("double").alias("c_weight"),
         )
     return spark.read.parquet(cur["path"])
+
+
+def stream_late_router(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    ts_col: str,
+    key_col: str,
+    delay_sec: int,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Watermark-driven LATE-DATA QUARANTINE: Structured Streaming's
+    native watermark silently DROPS late rows; production pipelines that
+    must account for every record route them to a side output instead.
+    This foreachBatch router reimplements the watermark contract
+    explicitly so late rows stay observable:
+
+    - watermark = (max event time over all COMPLETED batches) - delay;
+      it advances only between batches, exactly like the engine's;
+    - each arriving batch splits on ``ts < watermark`` — late rows are
+      quarantined (counted per key; in production, appended to a side
+      table), on-time rows fold into the running per-key counts;
+    - per-batch cost is |batch|; router state is the scalar raw-max plus
+      O(|keys|) counters (the bounded-driver-state pattern of
+      :func:`stream_dq_gate`).
+
+    Returns ``(key, n_on_time, n_late)`` per key.  The result depends on
+    the file replay ORDER (that is what lateness means); drive it with a
+    fixture whose file order is pinned (distinct mtimes).
+    """
+    from pyspark.sql import functions as F
+
+    state = {"raw_max": None}
+    totals: dict = {}
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        ts = F.col(ts_col).cast("double")
+        wm = (
+            None
+            if state["raw_max"] is None
+            else state["raw_max"] - float(delay_sec)
+        )
+        flagged = batch.select(
+            F.col(key_col).alias("k"),
+            (ts < F.lit(wm)).alias("late") if wm is not None
+            else F.lit(False).alias("late"),
+            ts.alias("__ts"),
+        )
+        agg = flagged.groupBy("k").agg(
+            F.sum(F.when(~F.col("late"), 1).otherwise(0)).alias("on"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_n"),
+            F.max("__ts").alias("mx"),
+        )
+        batch_max = None
+        for r in agg.collect():
+            on, lt = totals.get(r["k"], (0, 0))
+            totals[r["k"]] = (on + int(r["on"]), lt + int(r["late_n"]))
+            if r["mx"] is not None:
+                batch_max = r["mx"] if batch_max is None else max(batch_max, r["mx"])
+        if batch_max is not None:
+            state["raw_max"] = (
+                batch_max
+                if state["raw_max"] is None
+                else max(state["raw_max"], batch_max)
+            )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(k, on, lt) for k, (on, lt) in sorted(totals.items())]
+    return spark.createDataFrame(
+        rows, f"{key_col} string, n_on_time long, n_late long"
+    )

@@ -459,3 +459,39 @@ def test_hysteresis_on_live_rate_source(spark):
     for k, modes in by_key.items():
         assert modes[0] == 1, (k, modes)  # first crossing is upward
         assert all(m != n for m, n in zip(modes, modes[1:])), (k, modes)
+
+
+def test_stream_late_router_quarantines(spark, tmp_path):
+    """Three files with pinned mtimes: the third replays old rows that
+    the advanced watermark must quarantine, while fresh rows pass."""
+    import os
+    from datetime import datetime
+
+    from h2h_spark.streaming.sinks import stream_late_router
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_one(name, rows, mt):
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        tmp = str(tmp_path / ("t_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob, shutil
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(src, name)
+        shutil.copyfile(part, dst)
+        os.utime(dst, (mt, mt))
+
+    d = lambda day, h=0: datetime(2024, 1, day, h)
+    write_one("a.parquet", [(d(1), "x"), (d(2), "x")], 1_700_000_000)
+    write_one("b.parquet", [(d(10), "x"), (d(10), "y")], 1_700_000_060)
+    # watermark now = Jan10 - 3d = Jan7: Jan1 is late, Jan8 on time
+    write_one("c.parquet", [(d(1, 12), "x"), (d(8), "y")], 1_700_000_120)
+
+    schema = spark.read.parquet(os.path.join(src, "a.parquet")).schema
+    out = {r["k"]: r for r in stream_late_router(
+        spark, src, schema, ts_col="ts", key_col="k",
+        delay_sec=3 * 86400,
+    ).collect()}
+    assert out["x"]["n_on_time"] == 3 and out["x"]["n_late"] == 1
+    assert out["y"]["n_on_time"] == 2 and out["y"]["n_late"] == 0
