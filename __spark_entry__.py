@@ -22,7 +22,7 @@ import hashlib
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import sys
@@ -4407,6 +4407,383 @@ FROM m GROUP BY event_type
 """
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) partitioned scan — the wire format of web-crawl
+    corpora.  Fixture: every executor partition writes one .warc file
+    (response/metadata records from doc_id arithmetic, headers +
+    Content-Length framing); the engine then scans the directory with
+    4 KiB splits, so nearly every task starts mid-record and must
+    realign on the validated ``\\r\\n\\r\\nWARC/1.0`` delimiter and
+    read past its range end (`sources/warc.py`).  The oracle recomputes
+    every field — including the payload md5 — from the closed form."""
+    from h2h_spark.sources.warc import read_warc, write_warc_records
+
+    w = _work("q_warc_scan", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = r.doc_id
+                payload = (b"PAYLOAD-%08d|" % d) * (d % 5 + 1)
+                recs.append((
+                    {
+                        "WARC-Type": "metadata" if d % 10 == 0 else "response",
+                        "WARC-Record-ID": f"<urn:doc:{d}>",
+                        "WARC-Target-URI": f"https://ex-{d % 7}.org/page/{d}",
+                    },
+                    payload,
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_warc(spark, src, max_partition_bytes=4096)
+    return rec.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "payload_md5",
+    )
+
+
+_SQL_WARC_SCAN = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'metadata' ELSE 'response' END
+           AS warc_type,
+       'https://ex-' || CAST(doc_id % 7 AS VARCHAR) || '.org/page/'
+           || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(17 * (doc_id % 5 + 1) AS BIGINT) AS content_length,
+       md5(repeat('PAYLOAD-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '|',
+                  CAST(doc_id % 5 + 1 AS INTEGER))) AS payload_md5
+FROM documents
+"""
+
+
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed-ustar member scan with block-aligned splits: each
+    task resyncs by scanning 512-byte boundaries for a CHECKSUM-validated
+    header (`sources/tar.py`) — tar has no record delimiter, so the
+    checksum+magic validation IS the alignment rule.  Fixture: one .tar
+    per executor partition (Python tarfile, USTAR format), members and
+    mtimes from doc_id arithmetic; read back with 8 KiB splits.  Oracle:
+    closed form incl. content md5."""
+    import io as _io
+    import tarfile as _tarfile
+
+    from h2h_spark.sources.tar import read_tar
+
+    w = _work("q_tar_members", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows = list(rows)
+            if not rows:
+                return
+            with _tarfile.open(
+                os.path.join(src, f"part_{pid}.tar"),
+                "w",
+                format=_tarfile.USTAR_FORMAT,
+            ) as tf:
+                for r in rows:
+                    d = r.doc_id
+                    content = (b"T%07d" % d) * (d % 4 + 1)
+                    ti = _tarfile.TarInfo(name=f"docs/{d:08d}.txt")
+                    ti.size = len(content)
+                    ti.mtime = 1_700_000_000 + d % 1000
+                    tf.addfile(ti, _io.BytesIO(content))
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    mem = read_tar(spark, src, max_partition_bytes=8192)
+    return mem.select(
+        F.regexp_extract("name", r"docs/(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "name",
+        "size",
+        "mtime",
+        "typeflag",
+        "content_md5",
+    )
+
+
+_SQL_TAR_MEMBERS = """
+SELECT doc_id,
+       'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       CAST(8 * (doc_id % 4 + 1) AS BIGINT) AS size,
+       CAST(1700000000 + doc_id % 1000 AS BIGINT) AS mtime,
+       '0' AS typeflag,
+       md5(repeat('T' || lpad(CAST(doc_id AS VARCHAR), 7, '0'),
+                  CAST(doc_id % 4 + 1 AS INTEGER))) AS content_md5
+FROM documents
+"""
+
+
+def _dirty_url(doc_id: Column) -> Column:
+    """Deterministic dirty-URL synthesizer (fixture for the URL family):
+    scheme/host case, default :443 port, tracking params, unsorted
+    params, fragments — all from doc_id arithmetic so the oracle can
+    state the canonical form closed-form."""
+    k = (doc_id % 50).cast("string")
+    m = (doc_id % 9).cast("string")
+    qm5 = doc_id % 5
+    return F.concat(
+        F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(doc_id % 3 == 0, F.concat(F.lit("EX-"), k, F.lit(".ORG")))
+        .otherwise(F.concat(F.lit("ex-"), k, F.lit(".org"))),
+        F.when(doc_id % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (doc_id % 500).cast("string"),
+        F.when(qm5 == 1, F.concat(F.lit("?utm_source=feed&id="), m))
+        .when(qm5 == 2, F.concat(F.lit("?id="), m, F.lit("&b=2")))
+        .when(qm5 == 3, F.lit("?b=2&a=1&utm_campaign=z"))
+        .when(qm5 == 4, F.lit("?fbclid=XYZ"))
+        .otherwise(F.lit("")),
+        F.when(doc_id % 6 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + first-stage dedup
+    (`operators/urlnorm.py`): RFC 3986 normalization (case, default
+    port, fragment), tracker-param stripping (utm_*/fbclid/gclid),
+    byte-order param sort — all built-in expressions, whole-stage
+    codegen, one window shuffle for the per-canonical-URL winner.  The
+    oracle does NOT rerun the rules: it states the expected canonical
+    string closed-form from the generator arithmetic, so a green row
+    proves the generic normalizer lands exactly on the spec."""
+    from h2h_spark.operators.urlnorm import crawl_url_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    dirty = docs.withColumn("url", _dirty_url(F.col("doc_id")))
+    out = crawl_url_dedup(dirty, "url", "doc_id")
+    return out.select("doc_id", "url_canon", "is_winner")
+
+
+_SQL_URL_CANON = """
+WITH c AS (
+  SELECT doc_id,
+         'https://ex-' || CAST(doc_id % 50 AS VARCHAR) || '.org/Page/'
+         || CAST(doc_id % 500 AS VARCHAR)
+         || (CASE doc_id % 5
+               WHEN 1 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 2 THEN '?b=2&id=' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 3 THEN '?a=1&b=2'
+               ELSE '' END) AS url_canon
+  FROM documents)
+SELECT doc_id, url_canon,
+       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_winner
+FROM c
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-diversity governance: cap each host's contribution to the
+    corpus at 3 documents, selected by PORTABLE deterministic hash order
+    (md5-derived) so any engine reproduces the kept set bit-identically
+    (`operators/urlnorm.py: cap_per_domain`).  One window shuffle on
+    host — the 100 TB shape for per-domain quotas."""
+    from h2h_spark.operators.urlnorm import canonicalize_url, cap_per_domain
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    canon = docs.withColumn(
+        "url_canon", canonicalize_url(_dirty_url(F.col("doc_id")))
+    )
+    kept = cap_per_domain(canon, "url_canon", "doc_id", cap=3)
+    return kept.select("doc_id", "host")
+
+
+_SQL_DOMAIN_CAP = """
+WITH h AS (
+  SELECT doc_id,
+         'ex-' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS host,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY hk, doc_id) AS rn
+  FROM h)
+SELECT doc_id, host FROM r WHERE rn <= 3
+"""
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (k=3, 3 rounds) over
+    the part co-purchase graph (`operators/graph.py: kcore_peel`) — per
+    round one degree aggregate + two semi-joins, lineage truncated; the
+    oracle unrolls the identical rounds, so the result is engine-exact
+    whether or not the peel has converged (same bounded-iteration
+    contract as q_pagerank)."""
+    from h2h_spark.operators.graph import kcore_peel
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    base = li.filter(F.col("l_quantity") >= 45).select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    other = base.withColumnRenamed("p", "q")
+    edges = base.join(other, "o").filter(F.col("p") < F.col("q")).select(
+        F.col("p").alias("a"), F.col("q").alias("b")
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+def _sql_kcore() -> str:
+    head = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 45),
+e0 AS (
+  SELECT DISTINCT x.p AS u, y.p AS v
+  FROM base x JOIN base y ON x.o = y.o AND x.p < y.p)"""
+    rounds = []
+    for i in range(1, 4):
+        rounds.append(f""",
+d{i} AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e{i-1} UNION ALL SELECT v FROM e{i-1})
+  GROUP BY n),
+k{i} AS (SELECT n FROM d{i} WHERE d >= 3),
+e{i} AS (
+  SELECT u, v FROM e{i-1}
+  WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i}))""")
+    return (
+        head
+        + "".join(rounds)
+        + """
+SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+GROUP BY n"""
+    )
+
+
+_SQL_KCORE = _sql_kcore()
+
+
+def q_rr_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by randomized response (Warner 1965):
+    per order, report "is urgent" truthfully with p=3/4, else a coin —
+    both decisions from the portable md5 hash of the order key, so the
+    mechanism replays bit-identically in any engine — then the per-status
+    aggregate unbiases the noisy sum: est = (reported - N/8) / 0.75
+    (`operators/quality.py: randomized_response_counts`).  One grouping
+    shuffle; est_true is one IEEE expression over two integers."""
+    from h2h_spark.operators.quality import randomized_response_counts
+
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    return randomized_response_counts(
+        orders,
+        truth=F.col("o_orderpriority") == "1-URGENT",
+        group_cols=["o_orderstatus"],
+        seed_col=F.col("o_orderkey"),
+        keep_mod=4,
+    )
+
+
+_SQL_RR_PRIVACY = """
+WITH r AS (
+  SELECT o_orderstatus,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 4 <> 0
+              THEN (o_orderpriority = '1-URGENT')
+              ELSE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 8 >= 4
+         END AS rep
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS reported_true,
+       (CAST(CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        - 0.125 * CAST(COUNT(*) AS DOUBLE)) / 0.75 AS est_true
+FROM r GROUP BY o_orderstatus
+"""
+
+
+def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes training over (lang → token): one explode
+    + one grouping shuffle; Laplace-smoothed conditionals kept as EXACT
+    integer rationals (num/den) instead of float logs, so the trained
+    model is engine-portable (`operators/text.py: naive_bayes_counts`).
+    Class totals and the vocab size are broadcast single-row aggregates."""
+    from h2h_spark.operators.text import naive_bayes_counts
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return naive_bayes_counts(docs, "lang", "text")
+
+
+_SQL_NB_TRAIN = """
+WITH toks AS (
+  SELECT lang AS label, t.token
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(token)
+  WHERE t.token <> ''),
+pair AS (SELECT label, token, COUNT(*) AS cnt FROM toks GROUP BY label, token),
+ct AS (SELECT label, COUNT(*) AS class_tokens FROM toks GROUP BY label),
+v AS (SELECT COUNT(DISTINCT token) AS vocab FROM pair),
+cd AS (SELECT lang AS label, COUNT(*) AS class_docs FROM documents GROUP BY lang)
+SELECT p.label, p.token, CAST(p.cnt AS BIGINT) AS cnt,
+       CAST(p.cnt + 1 AS BIGINT) AS num,
+       CAST(ct.class_tokens + v.vocab AS BIGINT) AS den,
+       CAST(cd.class_docs AS BIGINT) AS class_docs
+FROM pair p JOIN ct USING (label) CROSS JOIN v JOIN cd USING (label)
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over the corpus in doc_id order, 10
+    equal id-range buckets (`operators/text.py: vocab_growth`): ONE pass
+    computes each token's first-occurrence bucket, the running curve is
+    a cumulative sum over 10 rows — never a per-prefix distinct.  Floor
+    division is spelled `div`/`//` on both engines (double-cast rounding
+    differs between them)."""
+    from h2h_spark.operators.text import vocab_growth
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return vocab_growth(docs, "doc_id", "text", n_buckets=10)
+
+
+_SQL_VOCAB_GROWTH = """
+WITH lohi AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+toks AS (
+  SELECT LEAST(9, ((d.doc_id - lohi.lo) * 10) // (lohi.hi - lohi.lo + 1))
+             AS bucket,
+         t.token
+  FROM documents d, lohi,
+       UNNEST(regexp_split_to_array(d.text, '\\s+')) AS t(token)
+  WHERE t.token <> ''),
+first AS (SELECT token, MIN(bucket) AS bucket FROM toks GROUP BY token),
+npb AS (SELECT bucket, COUNT(*) AS new_tokens FROM first GROUP BY bucket),
+tpb AS (SELECT bucket, COUNT(*) AS bucket_tokens FROM toks GROUP BY bucket)
+SELECT tpb.bucket,
+       CAST(COALESCE(npb.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(npb.new_tokens, 0)) OVER w AS BIGINT) AS vocab_size,
+       CAST(SUM(tpb.bucket_tokens) OVER w AS BIGINT) AS total_tokens
+FROM tpb LEFT JOIN npb ON npb.bucket = tpb.bucket
+WINDOW w AS (ORDER BY tpb.bucket ROWS UNBOUNDED PRECEDING)
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8359,6 +8736,15 @@ def _init_queries() -> None:
         "q_sssp_bounded": q_sssp_bounded,
         "q_bloom_prune": q_bloom_prune,
         "q_stream_late": q_stream_late,
+        # Round-6 wave 5 (sweep-attested; rotate into the round-7 window):
+        "q_warc_scan": q_warc_scan,
+        "q_tar_members": q_tar_members,
+        "q_url_canon": q_url_canon,
+        "q_domain_cap": q_domain_cap,
+        "q_kcore": q_kcore,
+        "q_rr_privacy": q_rr_privacy,
+        "q_nb_train": q_nb_train,
+        "q_vocab_growth": q_vocab_growth,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -8706,6 +9092,14 @@ def oracle_sql() -> dict[str, str]:
         "q_sssp_bounded": _SQL_SSSP_BOUNDED,
         "q_bloom_prune": _SQL_BLOOM_PRUNE,
         "q_stream_late": _SQL_STREAM_LATE,
+        "q_warc_scan": _SQL_WARC_SCAN,
+        "q_tar_members": _SQL_TAR_MEMBERS,
+        "q_url_canon": _SQL_URL_CANON,
+        "q_domain_cap": _SQL_DOMAIN_CAP,
+        "q_kcore": _SQL_KCORE,
+        "q_rr_privacy": _SQL_RR_PRIVACY,
+        "q_nb_train": _SQL_NB_TRAIN,
+        "q_vocab_growth": _SQL_VOCAB_GROWTH,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

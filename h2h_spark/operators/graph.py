@@ -414,3 +414,58 @@ def sssp_bounded(
         f"sssp_bounded: no fixpoint after {max_iter} rounds — "
         "non-positive edge weights or max_iter too small for the radius"
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    *,
+    a: str = "a",
+    b: str = "b",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected simple graph.
+
+    Per round: one degree aggregate, drop every node with degree < k,
+    restrict the edge set to survivors (two semi-joins).  After
+    ``rounds`` rounds, returns ``(node, degree)`` over the surviving
+    subgraph — with enough rounds this IS the k-core; with a fixed
+    round budget it is a deterministic function both engines compute
+    identically (the oracle unrolls the same rounds in SQL), the same
+    bounded-iteration contract as :func:`pagerank`.
+
+    Scale: each round is O(|E|) with one shuffle on node id for the
+    degree aggregate and broadcast-or-shuffle semi-joins for the
+    restriction; lineage is truncated per round so the plan depth stays
+    constant.  Real deployments run rounds until the removed-count hits
+    zero — peeling converges in O(max coreness) rounds, and each round
+    strictly shrinks the edge set, so late rounds are nearly free.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )

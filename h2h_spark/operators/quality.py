@@ -151,6 +151,54 @@ def k_anonymity(df: DataFrame, qi_cols: list[str], k: int) -> DataFrame:
     ).withColumn("k_anonymous", F.col("n_violating_groups") == 0)
 
 
+def randomized_response_counts(
+    df: DataFrame,
+    truth: Column,
+    group_cols: list[str],
+    *,
+    seed_col: Column,
+    keep_mod: int = 4,
+) -> DataFrame:
+    """Local differential privacy by randomized response (Warner, 1965):
+    each row reports its true boolean with probability ``p = 1 - 1/keep_mod``
+    and a coin flip otherwise, then the aggregate unbiases the noisy sum:
+
+        E[reported] = p·T + (1-p)·N/2   ⇒   est = (reported - (1-p)·N/2) / p
+
+    The per-row "randomness" is a *portable deterministic* hash of
+    ``seed_col`` (md5-derived — :func:`~h2h_spark.operators.dedup
+    .portable_hash60`), so the mechanism is auditable and the whole
+    pipeline reproduces bit-identically in any engine — the same
+    seeded-mechanism discipline as the sampling operators.  (Production
+    use swaps the hash for true randomness; the estimator is unchanged.)
+
+    One grouping shuffle; output one row per group:
+    ``(…group_cols, n, reported_true, est_true)``.  ``est_true`` is a
+    single IEEE expression over two integers, engine-exact.
+    """
+    from h2h_spark.operators.dedup import portable_hash60
+
+    hk = portable_hash60(seed_col.cast("string"))
+    keep = (hk % keep_mod) != 0
+    # the coin is the hash bit just above the keep decision's bits
+    # (keep_mod is a power of two): (hk mod 2m) >= m  ⇔  bit log2(m) set
+    coin = (hk % (2 * keep_mod)) >= keep_mod
+    reported = F.when(keep, truth).otherwise(coin)
+    p = 1.0 - 1.0 / keep_mod
+    half_q = (1.0 - p) / 2.0
+    agg = df.select(
+        *[F.col(c) for c in group_cols], reported.alias("_rep")
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_rep").cast("int")).cast("bigint").alias("reported_true"),
+    )
+    return agg.withColumn(
+        "est_true",
+        (F.col("reported_true").cast("double")
+         - F.lit(half_q) * F.col("n").cast("double")) / F.lit(p),
+    )
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

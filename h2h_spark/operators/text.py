@@ -596,3 +596,108 @@ def classifier_score(
         score.alias("score"),
         (score >= threshold).alias("label"),
     )
+
+
+def naive_bayes_counts(
+    df: DataFrame, label_col: str, text_col: str
+) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING pass — the classifier behind most
+    fast corpus quality/language filters (fastText-style linear models
+    train the same sufficient statistics).  One explode + one grouping
+    shuffle produces, per (label, token):
+
+    - ``cnt``        raw token count in the class,
+    - ``num``/``den`` the Laplace-smoothed conditional P(token|label) as
+      an EXACT integer rational: ``(cnt + 1) / (class_tokens + vocab)``,
+    - ``class_docs`` the class prior's numerator.
+
+    Keeping the probabilities rational (two BIGINTs) instead of a float
+    log keeps the whole model engine-exact — scoring takes logs at apply
+    time, training artifacts stay portable.  Class totals and vocab size
+    are single-row aggregates broadcast back onto the pair table — no
+    driver state, the 100 TB shape.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    pair = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    class_tok = toks.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_tokens")
+    )
+    vocab = pair.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    class_docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_docs")
+    )
+    return (
+        pair.join(F.broadcast(class_tok), "label")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(class_docs), "label")
+        .select(
+            "label",
+            "token",
+            "cnt",
+            (F.col("cnt") + 1).cast("bigint").alias("num"),
+            (F.col("class_tokens") + F.col("vocab")).cast("bigint").alias("den"),
+            "class_docs",
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Heaps-law vocabulary growth: distinct vocabulary size after each
+    prefix of the corpus (in ``id_col`` order, bucketed into
+    ``n_buckets`` equal id-range slices).  Computed scale-correctly:
+    ONE pass finds each token's first-occurrence bucket (min over a
+    grouping shuffle), then the running vocabulary is a cumulative sum
+    over the tiny per-bucket new-token counts — never a per-prefix
+    distinct (the single-partition window touches n_buckets rows only).
+
+    Output: ``(bucket, new_tokens, vocab_size, total_tokens)``.
+    """
+    lo_hi = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    )
+    # integer `div`, not float-divide-then-cast: DuckDB casts
+    # double→bigint by rounding, Spark by truncation — floor division
+    # is the portable spelling on both engines ("//" there).
+    toks = df.crossJoin(F.broadcast(lo_hi)).select(
+        F.least(
+            F.lit(n_buckets - 1).cast("bigint"),
+            F.expr(
+                f"(({id_col} - lo) * {n_buckets}) div (hi - lo + 1)"
+            ),
+        ).alias("bucket"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    first = toks.groupBy("token").agg(F.min("bucket").alias("bucket"))
+    new_per_bucket = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_tokens")
+    )
+    tok_per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_tokens")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_bucket.join(new_per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("new_tokens"),
+            "bucket_tokens",
+        )
+        .withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
+        .withColumn("total_tokens", F.sum("bucket_tokens").over(w).cast("bigint"))
+        .drop("bucket_tokens")
+    )

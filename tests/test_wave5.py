@@ -1,0 +1,238 @@
+"""Round-6 wave-5 operators: WARC/TAR sources, URL canonicalization and
+domain caps, k-core peeling, randomized response, NB training, Heaps
+growth."""
+
+import hashlib
+import io
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from h2h_spark.sources.tar import plan_tar_splits, read_tar, scan_tar_range
+from h2h_spark.sources.warc import (
+    _RangeScanner,
+    plan_warc_splits,
+    read_warc,
+    write_warc_records,
+)
+
+# ---------------------------------------------------------------- WARC
+
+
+def _warc_fixture(path, n=120):
+    recs = []
+    for i in range(n):
+        payload = (b"P-%05d|" % i) * (i % 6 + 1)
+        if i % 11 == 0:
+            # adversarial: embed the record delimiter inside a payload —
+            # the resync validator must reject it (no WARC-Type header)
+            payload += b"\r\n\r\nWARC/1.0\r\nfake: x\r\n"
+        recs.append((
+            {"WARC-Type": "response", "WARC-Record-ID": f"<urn:t:{i}>"},
+            payload,
+        ))
+    write_warc_records(path, recs)
+    return recs
+
+
+def _scan_warc_all(path, split_bytes):
+    out = []
+    for p in plan_warc_splits([path], split_bytes):
+        for h, payload in _RangeScanner(p.path, p.start, p.end).records():
+            out.append((h["warc-record-id"], hashlib.md5(payload).hexdigest()))
+    return sorted(out)
+
+
+def test_warc_split_invariance(tmp_work):
+    path = f"{tmp_work}/t.warc"
+    _warc_fixture(path)
+    import os
+
+    size = os.path.getsize(path)
+    full = _scan_warc_all(path, 10**9)
+    assert len(full) == 120
+    for sb in [13, 100, 555, 4096, size // 2, size - 1]:
+        assert _scan_warc_all(path, sb) == full, sb
+
+
+def test_warc_datasource_roundtrip(spark, tmp_work):
+    path = f"{tmp_work}/ds.warc"
+    recs = _warc_fixture(path, n=40)
+    df = read_warc(spark, path, max_partition_bytes=256)
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == 40
+    for i, (hdrs, payload) in enumerate(recs):
+        r = rows[f"<urn:t:{i}>"]
+        assert r.content_length == len(payload)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+        assert r.warc_type == "response"
+
+
+def test_warc_malformed_raises(tmp_work):
+    path = f"{tmp_work}/bad.warc"
+    with open(path, "wb") as f:
+        f.write(b"WARC/1.0\r\nContent-Length: 999\r\nWARC-Type: x\r\n\r\nshort")
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(_RangeScanner(path, 0, 10**9).records())
+
+
+# ----------------------------------------------------------------- TAR
+
+
+def _tar_fixture(path, n=90):
+    members = []
+    with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for i in range(n):
+            content = (b"C%04d" % i) * (i % 3 + 1)
+            ti = tarfile.TarInfo(name=f"d/{i:06d}.bin")
+            ti.size = len(content)
+            ti.mtime = 1_600_000_000 + i
+            tf.addfile(ti, io.BytesIO(content))
+            members.append((ti.name, content))
+    return members
+
+
+def _scan_tar_all(path, split_bytes):
+    out = []
+    for p in plan_tar_splits([path], split_bytes):
+        for h, c in scan_tar_range(p.path, p.start, p.end):
+            out.append((h["name"], h["size"], h["mtime"],
+                        hashlib.md5(c).hexdigest()))
+    return sorted(out)
+
+
+def test_tar_split_invariance(tmp_work):
+    import os
+
+    path = f"{tmp_work}/t.tar"
+    _tar_fixture(path)
+    size = os.path.getsize(path)
+    full = _scan_tar_all(path, 10**9)
+    assert len(full) == 90
+    for sb in [512, 600, 2048, 8192, size // 2, size - 1]:
+        assert _scan_tar_all(path, sb) == full, sb
+
+
+def test_tar_datasource(spark, tmp_work):
+    path = f"{tmp_work}/ds.tar"
+    members = _tar_fixture(path, n=30)
+    df = read_tar(spark, path, max_partition_bytes=2048)
+    rows = {r.name: r for r in df.collect()}
+    assert len(rows) == 30
+    for name, content in members:
+        assert rows[name].size == len(content)
+        assert rows[name].content_md5 == hashlib.md5(content).hexdigest()
+        assert rows[name].typeflag == "0"
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+URL_CASES = [
+    ("HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&z=1&a=2#frag",
+     "https://www.ex.com/A/b?a=2&z=1"),
+    ("http://Host.org:80/p", "http://host.org/p"),
+    ("https://h.io/p?fbclid=abc", "https://h.io/p"),
+    ("https://h.io/p?gclid=1&b=2&a=1", "https://h.io/p?a=1&b=2"),
+    ("https://h.io:8443/p?x=1", "https://h.io:8443/p?x=1"),  # non-default port kept
+    ("https://h.io/CaseKept/Path", "https://h.io/CaseKept/Path"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    from h2h_spark.operators.urlnorm import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u, _ in URL_CASES], ["url"])
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in URL_CASES]
+
+
+def test_cap_per_domain(spark):
+    from h2h_spark.operators.urlnorm import cap_per_domain
+
+    rows = [(i, f"https://h{i % 4}.org/p/{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "url_canon"])
+    kept = cap_per_domain(df, "url_canon", "id", cap=5)
+    counts = {r.host: r.n for r in
+              kept.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {f"h{k}.org": 5 for k in range(4)}
+    # deterministic: same kept set on re-run
+    ids1 = sorted(r.id for r in kept.collect())
+    ids2 = sorted(r.id for r in cap_per_domain(df, "url_canon", "id", cap=5).collect())
+    assert ids1 == ids2
+
+
+# --------------------------------------------------------------- k-core
+
+
+def test_kcore_peel_known_graph(spark):
+    from h2h_spark.operators.graph import kcore_peel
+
+    # K4 on {1,2,3,4} plus a pendant path 4-5-6: 3-core = the K4.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["a", "b"])
+    out = {r.node: r.degree for r in
+           kcore_peel(edges, k=3, rounds=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# -------------------------------------------------- randomized response
+
+
+def test_randomized_response_deterministic_and_unbiased(spark):
+    from h2h_spark.operators.quality import randomized_response_counts
+
+    rows = [(i, "g", i % 3 == 0) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "g", "truth"])
+    out = randomized_response_counts(
+        df, truth=F.col("truth"), group_cols=["g"],
+        seed_col=F.col("id"), keep_mod=4,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 3000
+    true_count = 1000
+    # estimator lands near the truth (hash bits behave like fair coins)
+    assert abs(r.est_true - true_count) < 0.08 * r.n
+    # bit-exact determinism across runs
+    again = randomized_response_counts(
+        df, truth=F.col("truth"), group_cols=["g"],
+        seed_col=F.col("id"), keep_mod=4,
+    ).collect()[0]
+    assert again.reported_true == r.reported_true
+    assert again.est_true == r.est_true
+
+
+# --------------------------------------------------------- NB + Heaps
+
+
+def test_naive_bayes_counts(spark):
+    from h2h_spark.operators.text import naive_bayes_counts
+
+    df = spark.createDataFrame(
+        [(0, "en", "a b a"), (1, "en", "b c"), (2, "fr", "a a")],
+        ["id", "lang", "text"],
+    )
+    out = {(r.label, r.token): r for r in
+           naive_bayes_counts(df, "lang", "text").collect()}
+    vocab = 3  # a, b, c
+    r = out[("en", "a")]
+    assert (r.cnt, r.num, r.den, r.class_docs) == (2, 3, 5 + vocab, 2)
+    r = out[("fr", "a")]
+    assert (r.cnt, r.num, r.den, r.class_docs) == (2, 3, 2 + vocab, 1)
+    assert ("fr", "b") not in out  # unseen pairs stay implicit
+
+
+def test_vocab_growth(spark):
+    from h2h_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "b c"), (2, "c d e"), (3, "a")],
+        ["doc_id", "text"],
+    )
+    out = {r.bucket: r for r in
+           vocab_growth(df, "doc_id", "text", n_buckets=2).collect()}
+    # buckets: ids 0,1 -> 0; ids 2,3 -> 1
+    assert (out[0].new_tokens, out[0].vocab_size, out[0].total_tokens) == (3, 3, 4)
+    assert (out[1].new_tokens, out[1].vocab_size, out[1].total_tokens) == (2, 5, 8)
