@@ -4784,6 +4784,219 @@ WINDOW w AS (ORDER BY tpb.bucket ROWS UNBOUNDED PRECEDING)
 """
 
 
+def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip-member WARC (.warc.gz) — the ACTUAL Common Crawl layout: one
+    gzip member per record, split-resync by scanning for the gzip magic
+    and validating that the candidate INFLATES to a WARC header
+    (`sources/warc.py: _GzMemberScanner`).  Same fixture arithmetic as
+    q_warc_scan (different salt), 2 KiB splits so most tasks start
+    inside a compressed member and must realign."""
+    from h2h_spark.sources.warc import read_warc_gz, write_warc_gz_records
+
+    w = _work("q_warc_gz", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = r.doc_id
+                payload = (b"GZDOC-%08d|" % d) * (d % 6 + 1)
+                recs.append((
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:gz:{d}>",
+                        "WARC-Target-URI": f"https://gz-{d % 5}.org/p/{d}",
+                    },
+                    payload,
+                ))
+            if recs:
+                write_warc_gz_records(
+                    os.path.join(src, f"part_{pid}.warc.gz"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_warc_gz(spark, src, max_partition_bytes=2048)
+    return rec.select(
+        F.regexp_extract("record_id", r"urn:gz:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "content_length",
+        "payload_md5",
+    )
+
+
+_SQL_WARC_GZ = """
+SELECT doc_id,
+       'response' AS warc_type,
+       'https://gz-' || CAST(doc_id % 5 AS VARCHAR) || '.org/p/'
+           || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(15 * (doc_id % 6 + 1) AS BIGINT) AS content_length,
+       md5(repeat('GZDOC-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '|',
+                  CAST(doc_id % 6 + 1 AS INTEGER))) AS payload_md5
+FROM documents
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (`operators/text.py:
+    extract_html_text`): script/style removal, tag strip, entity decode
+    (&amp; last), whitespace collapse — the WARC-payload→training-doc
+    step, entirely built-in regexp (whole-stage codegen).  Fixture HTML
+    wraps each document's text with head/title/style/script/anchor
+    chrome; the oracle states the extracted text closed-form from the
+    generator, so a green row proves the generic extractor's rules."""
+    from h2h_spark.operators.text import extract_html_text
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p{color:red}</style></head><body>"),
+        F.lit("<script>var a=1;</script><h1>Doc "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(" &amp; more</p><a href=\"/l/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("\">link</a></body></html>"),
+    )
+    out = extract_html_text(docs.withColumn("html", html), "html")
+    return out.select("doc_id", "title", "n_links", "body_text", "n_chars")
+
+
+_SQL_HTML_EXTRACT = """
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+             || CAST(doc_id AS VARCHAR) || ' ' || text || ' & more link',
+             '\\s+', ' ', 'g')) AS body_text
+  FROM documents)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(1 AS BIGINT) AS n_links,
+       body_text,
+       CAST(length(body_text) AS BIGINT) AS n_chars
+FROM g
+"""
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of "n_chars predicts lang='en'" via the rank
+    statistic at per-distinct-score granularity (`operators/stats.py:
+    exact_auc`): ties at half credit, the rank sum kept as the integer
+    2·avg_rank, ONE closing IEEE division — never sorts or windows the
+    full table (the window runs over distinct scores only)."""
+    from h2h_spark.operators.stats import exact_auc
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_auc(
+        docs.withColumn("label", F.col("lang") == "en"), "n_chars", "label"
+    )
+
+
+_SQL_AUC = """
+WITH ps AS (
+  SELECT n_chars AS s, COUNT(*) AS cnt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY n_chars),
+r AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+             AS rank_start
+  FROM ps),
+a AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS p_cnt,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_cnt,
+         CAST(SUM(pos * (2 * rank_start + cnt - 1)) AS BIGINT) AS rank_sum2
+  FROM r)
+SELECT p_cnt, n_cnt, rank_sum2,
+       (CAST(rank_sum2 AS DOUBLE) - CAST(p_cnt * (p_cnt + 1) AS DOUBLE))
+           / CAST(2 * p_cnt * n_cnt AS DOUBLE) AS auc
+FROM a
+"""
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs
+    (`operators/sampling.py: negative_sample`): every 100th order's
+    first line is a (anchor=order, positive=part) pair; 4 negatives per
+    anchor drawn by portable md5 hash mod the densely-indexed part
+    universe — collisions with the positive kept and marked, never
+    resampled (resample loops are nondeterministic under distribution).
+    One dimension sort + one equi-join."""
+    from h2h_spark.operators.sampling import negative_sample
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    part = spark.read.parquet(_t(sf_dir, "part"))
+    positives = li.filter(
+        (F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1)
+    ).select(
+        F.col("l_orderkey").alias("anchor"),
+        F.col("l_partkey").alias("p_partkey"),
+    )
+    return negative_sample(
+        positives, part, anchor_col="anchor", item_col="p_partkey", k=4
+    ).select("anchor", "j", "neg_item", "is_collision")
+
+
+_SQL_NEGATIVE_SAMPLE = """
+WITH u AS (
+  SELECT neg_item, ROW_NUMBER() OVER (ORDER BY neg_item) AS idx
+  FROM (SELECT DISTINCT p_partkey AS neg_item FROM part)),
+n AS (SELECT COUNT(*) AS n FROM u),
+pos AS (
+  SELECT l_orderkey AS anchor, l_partkey AS pos_item
+  FROM lineitem WHERE l_orderkey % 100 = 0 AND l_linenumber = 1),
+d AS (
+  SELECT anchor, pos_item, t.j,
+         CAST(('0x' || substr(md5(CAST(anchor AS VARCHAR) || '|'
+              || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+             % (SELECT n FROM n) + 1 AS idx
+  FROM pos, UNNEST([1, 2, 3, 4]) AS t(j))
+SELECT anchor, CAST(j AS INTEGER) AS j, neg_item,
+       neg_item = pos_item AS is_collision
+FROM d JOIN u USING (idx)
+"""
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection: raw autocorrelation of the daily lineitem
+    count series at lags 1..5 (`operators/timeseries.py:
+    raw_autocorrelation`) — integer products and sums end-to-end, one
+    closing IEEE division; one bucket aggregate + one self-equi-join on
+    the shifted epoch key for ALL lags."""
+    from h2h_spark.operators.timeseries import raw_autocorrelation
+
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return raw_autocorrelation(li, "l_shipdate", max_lag=5)
+
+
+_SQL_AUTOCORR = """
+WITH s AS (
+  SELECT CAST(epoch(date_trunc('day', l_shipdate)) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1),
+l AS (SELECT t, x, u.lag FROM s, UNNEST([1, 2, 3, 4, 5]) AS u(lag)),
+num AS (
+  SELECT lag, CAST(SUM(l.x * b.x) AS BIGINT) AS num
+  FROM l JOIN s b ON b.t = l.t + l.lag * 86400 GROUP BY lag),
+den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS den FROM s)
+SELECT CAST(lag AS INTEGER) AS lag, num, den,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS rho_raw
+FROM num, den
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8745,6 +8958,11 @@ def _init_queries() -> None:
         "q_rr_privacy": q_rr_privacy,
         "q_nb_train": q_nb_train,
         "q_vocab_growth": q_vocab_growth,
+        "q_warc_gz": q_warc_gz,
+        "q_html_extract": q_html_extract,
+        "q_auc": q_auc,
+        "q_negative_sample": q_negative_sample,
+        "q_autocorr": q_autocorr,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9100,6 +9318,11 @@ def oracle_sql() -> dict[str, str]:
         "q_rr_privacy": _SQL_RR_PRIVACY,
         "q_nb_train": _SQL_NB_TRAIN,
         "q_vocab_growth": _SQL_VOCAB_GROWTH,
+        "q_warc_gz": _SQL_WARC_GZ,
+        "q_html_extract": _SQL_HTML_EXTRACT,
+        "q_auc": _SQL_AUC,
+        "q_negative_sample": _SQL_NEGATIVE_SAMPLE,
+        "q_autocorr": _SQL_AUTOCORR,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

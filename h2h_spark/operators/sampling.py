@@ -321,3 +321,52 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    universe: DataFrame,
+    anchor_col: str,
+    item_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    (anchor, positive-item) row, draw ``k`` pseudo-random items from the
+    universe by PORTABLE hash (md5-derived), reproducible in any engine.
+
+    The universe is densely indexed once (row_number over item order —
+    one sort of the item table, usually a dimension-sized side), then
+    negatives resolve by an equi-join on ``idx = H(anchor, j) mod N``.
+    Collisions with the true positive are kept and marked
+    (``is_collision``) rather than resampled — resampling loops are
+    nondeterministic under distribution; downstream drops or re-weights.
+
+    Output: ``(anchor, j, neg_item, is_collision)``.
+    """
+    from pyspark.sql.window import Window
+
+    from h2h_spark.operators.dedup import portable_hash60
+
+    idx = universe.select(F.col(item_col).alias("neg_item")).distinct()
+    idx = idx.withColumn(
+        "idx", F.row_number().over(Window.orderBy("neg_item")).cast("bigint")
+    )
+    n = idx.count()
+    draws = positives.select(
+        F.col(anchor_col).alias("anchor"),
+        F.col(item_col).alias("pos_item"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    draws = draws.withColumn(
+        "idx",
+        portable_hash60(
+            F.concat_ws("|", F.col("anchor").cast("string"),
+                        F.col("j").cast("string"))
+        ) % F.lit(n) + 1,
+    )
+    return draws.join(idx, "idx").select(
+        "anchor",
+        "j",
+        "neg_item",
+        (F.col("neg_item") == F.col("pos_item")).alias("is_collision"),
+    )

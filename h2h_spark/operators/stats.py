@@ -93,3 +93,49 @@ def poisson_bootstrap_means(
             ).alias("replica_mean"),
         )
     )
+
+
+def exact_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """EXACT ROC-AUC via the rank statistic, computed at the
+    per-distinct-score level so it scales: AUC is the probability a
+    positive outranks a negative, ties at half credit —
+
+        AUC = (Σ_pos avg_rank  -  P(P+1)/2) / (P·N)
+
+    Plan: one grouping shuffle to (score → cnt, pos_cnt); a window over
+    the DISTINCT scores (cardinality = #distinct values, not #rows)
+    accumulates rank starts; the rank sum is kept as the INTEGER
+    ``2·avg_rank`` so everything is exact until one final IEEE division.
+    Never sorts the full table, never windows over rows — the 100 TB
+    shape for a metric usually computed by collecting scores.
+
+    Output one row: ``(p_cnt, n_cnt, rank_sum2, auc)``.
+    """
+    from pyspark.sql.window import Window
+
+    per_score = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col(label_col).cast("int")).cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "rank_start", (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+    )
+    # 2·avg_rank of every row tied at this score = 2·rank_start + cnt - 1
+    agg = ranked.agg(
+        F.sum("pos").cast("bigint").alias("p_cnt"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_cnt"),
+        F.sum(
+            F.col("pos") * (2 * F.col("rank_start") + F.col("cnt") - 1)
+        ).cast("bigint").alias("rank_sum2"),
+    )
+    return agg.withColumn(
+        "auc",
+        (
+            F.col("rank_sum2").cast("double")
+            - (F.col("p_cnt") * (F.col("p_cnt") + 1)).cast("double")
+        )
+        / (2 * F.col("p_cnt") * F.col("n_cnt")).cast("double"),
+    )

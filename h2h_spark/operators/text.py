@@ -701,3 +701,48 @@ def vocab_growth(
         .withColumn("total_tokens", F.sum("bucket_tokens").over(w).cast("bigint"))
         .drop("bucket_tokens")
     )
+
+
+def extract_html_text(df: DataFrame, html_col: str) -> DataFrame:
+    """HTML boilerplate stripping — the step between a WARC response
+    payload and a training document.  Rule-based and fully built-in
+    (regexp chain, whole-stage codegen; no parser library, no Python):
+
+    1. drop ``<script>``/``<style>`` blocks (content is never text),
+    2. strip remaining tags to spaces,
+    3. decode the six dominant entities (``&amp;`` LAST, so
+       ``&amp;lt;`` decodes to ``&lt;`` not ``<``),
+    4. collapse whitespace, trim.
+
+    Adds ``title`` (first <title> content), ``body_text``, ``n_chars``,
+    ``n_links`` (href count via length arithmetic).  Production
+    extractors add text-density scoring on top; the regex tier here is
+    the deterministic, engine-portable core they all share.
+    """
+    h = F.col(html_col)
+    no_script = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(
+        no_script, r"(?is)<style[^>]*>.*?</style>", " "
+    )
+    stripped = F.regexp_replace(no_style, r"<[^>]*>", " ")
+    ent = stripped
+    for a, b in [
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ]:
+        ent = F.replace(ent, F.lit(a), F.lit(b))
+    body = F.trim(F.regexp_replace(ent, r"\s+", " "))
+    return (
+        df.withColumn(
+            "title",
+            F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1),
+        )
+        .withColumn("body_text", body)
+        .withColumn("n_chars", F.length("body_text").cast("bigint"))
+        .withColumn(
+            "n_links",
+            F.expr(
+                f"(length({html_col}) - length(replace({html_col}, 'href=', ''))) div 5"
+            ).cast("bigint"),
+        )
+    )

@@ -422,3 +422,56 @@ def ewma_last(
         F.size("series").cast("bigint").alias("n_obs"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+def raw_autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    max_lag: int = 5,
+    bucket: str = "day",
+) -> DataFrame:
+    """Raw (non-centered) autocorrelation of the bucketed EVENT-COUNT
+    series at lags 1..max_lag:  ρ_raw(ℓ) = Σ x_t·x_{t+ℓ} / Σ x_t² —
+    the seasonality detector (a daily-periodic series shows ρ peaks at
+    multiples of the period).
+
+    Exactness discipline: counts are integers, so the lag products and
+    both sums stay BIGINT-exact end-to-end; the only IEEE op is the one
+    closing division — bit-identical cross-engine (the same
+    integers-until-the-last-op contract as q_pagerank/exact_auc).
+
+    Plan: one bucket aggregate, ONE self-equi-join on the shifted epoch
+    key covering all lags (the lag sequence explodes the tiny series,
+    not the raw table), no windows over raw rows — the 100 TB shape.
+    """
+    if bucket != "day":
+        raise ValueError("raw_autocorrelation: only 'day' buckets for now")
+    step = 86400
+    key = F.date_trunc(bucket, F.col(ts_col)).cast("long")
+    series = df.groupBy(key.alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    lags = series.select(
+        "t", "x", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    ).withColumn("t_next", F.col("t") + F.col("lag") * F.lit(step))
+    nxt = series.select(F.col("t").alias("t_next"), F.col("x").alias("x_next"))
+    num = (
+        lags.join(nxt, "t_next")
+        .groupBy("lag")
+        .agg(F.sum(F.col("x") * F.col("x_next")).cast("bigint").alias("num"))
+    )
+    den = series.agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("den")
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "num",
+            "den",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "rho_raw"
+            ),
+        )
+    )

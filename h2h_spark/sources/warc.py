@@ -268,13 +268,197 @@ def write_warc_records(
     """Fixture/test writer: serialize (headers, payload) pairs as WARC/1.0
     records with the mandatory closing CRLFCRLF."""
     with open(path, "wb") as f:
+        write_warc_records_to(f, records)
+
+
+# ---------------------------------------------------------------------------
+# gzip-member WARC (.warc.gz) — the Common Crawl layout: every record is its
+# own gzip member, so the archive is splittable at member boundaries.  A task
+# resyncs by scanning for the gzip magic (1f 8b 08) and VALIDATING the
+# candidate: the member must inflate cleanly and the plaintext must open with
+# ``WARC/1.0\r\n``.  Ownership is by member start offset, read-past-range for
+# the member body — the same discipline as the plain scanner above.
+# ---------------------------------------------------------------------------
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+_GZ_PROBE = 256  # plaintext bytes to inflate when validating a candidate
+
+
+def write_warc_gz_records(
+    path: str, records: Sequence[tuple[dict[str, str], bytes]]
+) -> None:
+    """Fixture/test writer: one gzip member per record (Common Crawl
+    shape).  mtime pinned to 0 and no filename so output is
+    deterministic."""
+    import gzip as _gzip
+    import io as _io
+
+    with open(path, "wb") as f:
         for headers, payload in records:
-            f.write(_MAGIC)
-            f.write(
-                ("Content-Length: %d\r\n" % len(payload)).encode()
-            )
-            for k, v in headers.items():
-                f.write(f"{k}: {v}\r\n".encode())
-            f.write(b"\r\n")
-            f.write(payload)
-            f.write(b"\r\n\r\n")
+            raw = _io.BytesIO()
+            write_warc_records_to(raw, [(headers, payload)])
+            f.write(_gzip.compress(raw.getvalue(), mtime=0))
+
+
+def write_warc_records_to(f, records) -> None:
+    """Serialize records to an open binary file object."""
+    for headers, payload in records:
+        f.write(_MAGIC)
+        f.write(("Content-Length: %d\r\n" % len(payload)).encode())
+        for k, v in headers.items():
+            f.write(f"{k}: {v}\r\n".encode())
+        f.write(b"\r\n")
+        f.write(payload)
+        f.write(b"\r\n\r\n")
+
+
+class _GzMemberScanner:
+    """Stream gzip members whose compressed start lies in [start, end)."""
+
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.size = file_size(path)
+        self.start = start
+        self.end = end
+
+    def _validate(self, f, pos: int) -> bool:
+        """Inflate a probe window at ``pos``; true iff it decompresses
+        and opens with the WARC magic."""
+        import zlib as _zlib
+
+        f.seek(pos)
+        d = _zlib.decompressobj(31)
+        try:
+            out = d.decompress(f.read(_GZ_PROBE), _GZ_PROBE)
+        except _zlib.error:
+            return False
+        return out.startswith(_MAGIC[: min(len(_MAGIC), len(out))]) and bool(out)
+
+    def _align(self, f) -> int | None:
+        if self.start == 0:
+            return 0
+        pos = self.start
+        buf = b""
+        buf_at = pos
+        while True:
+            if not buf:
+                f.seek(buf_at)
+                buf = f.read(_CHUNK)
+                if not buf:
+                    return None
+            idx = buf.find(_GZ_MAGIC)
+            if idx < 0:
+                if buf_at + len(buf) - 2 >= self.end:
+                    return None
+                buf_at += len(buf) - 2
+                buf = buf[-2:]
+                nxt = f.read(_CHUNK)
+                if not nxt:
+                    return None
+                buf += nxt
+                continue
+            cand = buf_at + idx
+            if cand >= self.end:
+                return None
+            if self._validate(f, cand):
+                return cand
+            # false positive (magic bytes inside compressed data)
+            buf = buf[idx + 1:]
+            buf_at = cand + 1
+
+    def records(self) -> Iterator[tuple[dict[str, str], bytes]]:
+        import zlib as _zlib
+
+        with open_input(self.path) as f:
+            pos = self._align(f)
+            if pos is None:
+                return
+            while pos < self.end and pos < self.size:
+                f.seek(pos)
+                d = _zlib.decompressobj(31)
+                plain = bytearray()
+                consumed = 0
+                while not d.eof:
+                    chunk = f.read(_CHUNK)
+                    if not chunk:
+                        raise ValueError(
+                            f"truncated gzip member at offset {pos}"
+                        )
+                    plain += d.decompress(chunk)
+                    consumed += len(chunk) - len(d.unused_data)
+                    if d.eof:
+                        break
+                parsed = _parse_header_block(bytes(plain[:_MAX_HEADER]))
+                if parsed is None:
+                    raise ValueError(
+                        f"gzip member at offset {pos} is not a WARC record"
+                    )
+                headers, hlen = parsed
+                clen = int(headers["content-length"])
+                if len(plain) < hlen + clen:
+                    raise ValueError(
+                        f"short WARC record in gzip member at offset {pos}"
+                    )
+                yield headers, bytes(plain[hlen:hlen + clen])
+                pos += consumed
+
+
+class WarcGzDataSource(DataSource):
+    """``spark.read.format("h2h_warc_gz")`` — gzip-member WARC."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_warc_gz"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> "WarcGzReader":
+        return WarcGzReader(self.options)
+
+
+class WarcGzReader(WarcReader):
+    def partitions(self):
+        return plan_warc_splits(
+            list_part_files(self.path, pattern="*.warc.gz"), self.max_bytes
+        )
+
+    def read(self, part: WarcInputPartition) -> Iterator[pa.RecordBatch]:
+        import hashlib as _hashlib
+
+        ids, types, uris, lens, md5s = [], [], [], [], []
+        for headers, payload in _GzMemberScanner(
+            part.path, part.start, part.end
+        ).records():
+            ids.append(headers.get("warc-record-id", ""))
+            types.append(headers["warc-type"])
+            uris.append(headers.get("warc-target-uri", ""))
+            lens.append(len(payload))
+            md5s.append(_hashlib.md5(payload).hexdigest())
+        yield pa.record_batch(
+            [
+                pa.array(ids, pa.string()),
+                pa.array(types, pa.string()),
+                pa.array(uris, pa.string()),
+                pa.array(lens, pa.int64()),
+                pa.array(md5s, pa.string()),
+            ],
+            names=[
+                "record_id", "warc_type", "target_uri",
+                "content_length", "payload_md5",
+            ],
+        )
+
+
+def read_warc_gz(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+) -> DataFrame:
+    spark.dataSource.register(WarcGzDataSource)
+    return (
+        spark.read.format("h2h_warc_gz")
+        .option("path", path)
+        .option("maxPartitionBytes", str(max_partition_bytes))
+        .load()
+    )

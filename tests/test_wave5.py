@@ -236,3 +236,114 @@ def test_vocab_growth(spark):
     # buckets: ids 0,1 -> 0; ids 2,3 -> 1
     assert (out[0].new_tokens, out[0].vocab_size, out[0].total_tokens) == (3, 3, 4)
     assert (out[1].new_tokens, out[1].vocab_size, out[1].total_tokens) == (2, 5, 8)
+
+
+# ------------------------------------------------------- gzip WARC
+
+
+def test_warc_gz_split_invariance(tmp_work):
+    import os
+
+    from h2h_spark.sources.warc import _GzMemberScanner, write_warc_gz_records
+
+    path = f"{tmp_work}/t.warc.gz"
+    recs = [(
+        {"WARC-Type": "response", "WARC-Record-ID": f"<urn:g:{i}>"},
+        (b"Z%05d|" % i) * (i % 5 + 1),
+    ) for i in range(80)]
+    write_warc_gz_records(path, recs)
+    size = os.path.getsize(path)
+
+    def scan_all(sb):
+        out = []
+        for p in plan_warc_splits([path], sb):
+            for h, c in _GzMemberScanner(p.path, p.start, p.end).records():
+                out.append((h["warc-record-id"], hashlib.md5(c).hexdigest()))
+        return sorted(out)
+
+    full = scan_all(10**9)
+    assert len(full) == 80
+    for sb in [9, 77, 300, 1024, size // 2]:
+        assert scan_all(sb) == full, sb
+
+
+# ------------------------------------------------------- HTML extract
+
+
+def test_extract_html_text(spark):
+    from h2h_spark.operators.text import extract_html_text
+
+    html = ('<html><head><title>T1</title><style>a{b}</style></head>'
+            '<body><script>if(1<2){x()}</script><p>Hello &amp;lt; '
+            '<b>world</b>&nbsp;!</p><a href="/x">y</a>'
+            '<a href="/z">w</a></body></html>')
+    df = spark.createDataFrame([(html,)], ["html"])
+    r = extract_html_text(df, "html").collect()[0]
+    assert r.title == "T1"
+    assert r.body_text == "T1 Hello &lt; world ! y w"
+    assert r.n_links == 2
+    assert r.n_chars == len(r.body_text)
+
+
+# --------------------------------------------------------------- AUC
+
+
+def test_exact_auc_known_values(spark):
+    from h2h_spark.operators.stats import exact_auc
+
+    # perfect separation -> 1.0; ties -> half credit
+    df = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, True)], ["s", "y"]
+    )
+    assert exact_auc(df, "s", "y").collect()[0].auc == 1.0
+    df2 = spark.createDataFrame(
+        [(1, False), (1, True), (2, False), (2, True)], ["s", "y"]
+    )
+    assert exact_auc(df2, "s", "y").collect()[0].auc == 0.5
+    # one inversion among 2x2 = 0.75
+    df3 = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)], ["s", "y"]
+    )
+    assert exact_auc(df3, "s", "y").collect()[0].auc == 0.75
+
+
+# --------------------------------------------------- negative sampling
+
+
+def test_negative_sample_deterministic(spark):
+    from h2h_spark.operators.sampling import negative_sample
+
+    pos = spark.createDataFrame([(1, 10), (2, 20)], ["a", "item"])
+    uni = spark.createDataFrame([(i,) for i in range(10, 20)], ["item"])
+    out1 = sorted(
+        (r.anchor, r.j, r.neg_item)
+        for r in negative_sample(pos, uni, "a", "item", k=3).collect()
+    )
+    out2 = sorted(
+        (r.anchor, r.j, r.neg_item)
+        for r in negative_sample(pos, uni, "a", "item", k=3).collect()
+    )
+    assert out1 == out2
+    assert len(out1) == 6
+    assert all(10 <= n < 20 for _, _, n in out1)
+
+
+# ------------------------------------------------------ autocorrelation
+
+
+def test_raw_autocorrelation_constant_series(spark):
+    import datetime
+
+    from h2h_spark.operators.timeseries import raw_autocorrelation
+
+    # constant daily count of 2 across 10 days: rho(lag) = (10-lag)/10
+    rows = [
+        (datetime.datetime(2024, 1, 1 + d, 3, 0, 0),)
+        for d in range(10) for _ in range(2)
+    ]
+    df = spark.createDataFrame(rows, ["ts"])
+    out = {r.lag: r for r in raw_autocorrelation(df, "ts", max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        assert out[lag].num == 4 * (10 - lag)
+        assert out[lag].den == 40
+        assert out[lag].rho_raw == (10 - lag) / 10
