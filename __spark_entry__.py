@@ -4997,6 +4997,145 @@ FROM num, den
 """
 
 
+def q_text_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode punctuation folding (NFKC-lite) — curly quotes/dashes to
+    ASCII, NBSP to space, zero-width drops, whitespace collapse
+    (`operators/text.py: normalize_text`, pure replace chain).  Fixture
+    wraps each document in fancy punctuation; the oracle states the
+    folded result closed-form."""
+    from h2h_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    dirty = F.concat(
+        F.lit("“Doc "), F.col("doc_id").cast("string"),
+        F.lit("” —​ "), F.col("text"),
+        F.lit(" …"),
+    )
+    out = normalize_text(docs.withColumn("dirty", dirty), "dirty")
+    return out.select(
+        "doc_id", "norm", F.length("norm").cast("bigint").alias("n_chars")
+    )
+
+
+_SQL_TEXT_NORM = """
+WITH g AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             '"Doc ' || CAST(doc_id AS VARCHAR) || '" - ' || text || ' ...',
+             '\\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars FROM g
+"""
+
+
+def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token diversity as Gini impurity (1 - sum p_i^2) —
+    the log-free entropy surrogate, EXACT integers until one closing
+    IEEE division (`operators/text.py: label_gini_diversity`)."""
+    from h2h_spark.operators.text import label_gini_diversity
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return label_gini_diversity(docs, "lang", "text")
+
+
+_SQL_GINI_DIVERSITY = """
+WITH toks AS (
+  SELECT lang AS label, t.token
+  FROM documents, UNNEST(regexp_split_to_array(text, '\\s+')) AS t(token)
+  WHERE t.token <> ''),
+per AS (SELECT label, token, COUNT(*) AS cnt FROM toks GROUP BY label, token),
+agg AS (
+  SELECT label, CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM per GROUP BY label)
+SELECT label, total_tokens, sum_sq,
+       CAST(total_tokens * total_tokens - sum_sq AS DOUBLE)
+           / CAST(total_tokens * total_tokens AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for "n_chars predicts lang='en'": 10 equal
+    score-range bins via portable integer `div` bucketing (never
+    double*10 flooring — cast-rounding differs across engines); counts
+    stay integer until the closing division (`operators/stats.py:
+    calibration_bins`).  Pairs with q_auc: ranking vs probability
+    quality."""
+    from h2h_spark.operators.stats import calibration_bins
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return calibration_bins(
+        docs.withColumn("label", F.col("lang") == "en"),
+        "n_chars",
+        "label",
+        n_bins=10,
+    )
+
+
+_SQL_CALIBRATION = """
+WITH m AS (SELECT MAX(n_chars) AS mx FROM documents),
+b AS (
+  SELECT LEAST(9, (n_chars * 10) // (mx + 1)) AS bin, n_chars AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents, m)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+       CAST(SUM(s) AS BIGINT) AS sum_score
+FROM b GROUP BY bin
+"""
+
+
+def q_seq_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style behavioral pattern mining
+    (`operators/paths.py: sequence_pattern_counts`): each user's
+    time-ordered events encode to a character string (one grouping
+    shuffle, deterministic (ts, event_id) struct sort), then
+    view→(clicks/views)*→purchase funnels count as non-overlapping
+    regex matches 'v[cv]*p' — one regex per USER over a compact string,
+    not per event."""
+    from h2h_spark.operators.paths import sequence_pattern_counts
+
+    ev = _load_events(spark, sf_dir)
+    return sequence_pattern_counts(
+        ev, "user_id", "ts", "event_id", "event_type", r"v[cv]*p"
+    )
+
+
+_SQL_SEQ_REGEX = """
+WITH r AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c FROM events),
+s AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM r GROUP BY user_id)
+SELECT user_id AS key, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v[cv]*p')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC file (Feather v2) scan (`sources/arrowipc.py`): the
+    footer indexes every record batch, so the planner assigns PRECISE
+    batch runs per task (no resync needed — contrast WARC/TAR) and each
+    task's output IS the stored Arrow batch via a memory-mapped random
+    access read, the cheapest scan the Python DataSource API can
+    express.  Customer roundtrip, 2 batches per split (~12 tasks)."""
+    import pyarrow.parquet as _pq
+
+    from h2h_spark.sources.arrowipc import read_arrow_ipc, write_arrow_ipc
+
+    w = _work("q_arrow_ipc", sf_dir)
+    target = os.path.join(w, "customer.arrow")
+    if not os.path.exists(target):
+        write_arrow_ipc(
+            _pq.read_table(_t(sf_dir, "customer")), target, chunk_rows=64
+        )
+    return read_arrow_ipc(spark, target, batches_per_split=2)
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -8963,6 +9102,11 @@ def _init_queries() -> None:
         "q_auc": q_auc,
         "q_negative_sample": q_negative_sample,
         "q_autocorr": q_autocorr,
+        "q_text_norm": q_text_norm,
+        "q_gini_diversity": q_gini_diversity,
+        "q_calibration": q_calibration,
+        "q_seq_regex": q_seq_regex,
+        "q_arrow_ipc": q_arrow_ipc,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9323,6 +9467,11 @@ def oracle_sql() -> dict[str, str]:
         "q_auc": _SQL_AUC,
         "q_negative_sample": _SQL_NEGATIVE_SAMPLE,
         "q_autocorr": _SQL_AUTOCORR,
+        "q_text_norm": _SQL_TEXT_NORM,
+        "q_gini_diversity": _SQL_GINI_DIVERSITY,
+        "q_calibration": _SQL_CALIBRATION,
+        "q_seq_regex": _SQL_SEQ_REGEX,
+        "q_arrow_ipc": _SQL_SELECT_CUSTOMER,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

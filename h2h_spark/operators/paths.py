@@ -148,3 +148,58 @@ def last_touch_attribution(
         .groupBy("channel")
         .agg(F.count("*").cast("bigint").alias("n_conversions"))
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    event_col: str,
+    pattern: str,
+    *,
+    alphabet: dict[str, str] | None = None,
+) -> DataFrame:
+    """Regex pattern mining over per-key event SEQUENCES — the
+    MATCH_RECOGNIZE shape: encode each key's time-ordered events as a
+    character string (one char per event type), then count
+    non-overlapping regex matches.  ``(key, seq_len, n_matches)``.
+
+    The encode step is one grouping shuffle (collect_list + sort_array
+    on a (ts, tiebreak, char) struct — deterministic total order); the
+    regex runs once per KEY on a compact string, not per event.  A key's
+    sequence must fit in memory — true for behavioral sessions;
+    sessionize first when keys are unbounded.
+
+    ``alphabet`` maps event values to single chars; default: first
+    letter."""
+    if alphabet is not None:
+        c = F.col(event_col)
+        enc = F.lit(None).cast("string")
+        expr = None
+        for k, v in alphabet.items():
+            expr = F.when(c == k, v) if expr is None else expr.when(c == k, v)
+        enc = expr.otherwise(F.lit("?"))
+    else:
+        enc = F.substring(F.col(event_col), 1, 1)
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            enc.alias("c"),
+        ).alias("e"),
+    )
+    seqs = rows.groupBy("key").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda s: s.getField("c")
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "key",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.regexp_count("seq", F.lit(pattern)).cast("bigint").alias("n_matches"),
+    )

@@ -139,3 +139,47 @@ def exact_auc(
         )
         / (2 * F.col("p_cnt") * F.col("n_cnt")).cast("double"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for an integer-valued score: bins are equal
+    slices of the observed score RANGE (portable integer `div`
+    bucketing off a broadcast max — no double*10 flooring, whose
+    rounding differs across engines), and every statistic stays integer
+    until the closing divisions:
+
+        (bin, n, n_pos, pos_rate, sum_score)
+
+    The per-bin positive rate against the bin's score mass is the
+    calibration read-out that pairs with :func:`exact_auc` (ranking
+    quality vs probability quality).  One broadcast + one grouping
+    shuffle."""
+    mx = df.agg(F.max(F.col(score_col)).alias("mx"))
+    binned = df.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(n_bins - 1).cast("bigint"),
+            F.expr(f"({score_col} * {n_bins}) div (mx + 1)"),
+        ).alias("bin"),
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("s").cast("bigint").alias("sum_score"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        "sum_score",
+    )

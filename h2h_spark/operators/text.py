@@ -746,3 +746,59 @@ def extract_html_text(df: DataFrame, html_col: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+# Unicode punctuation folding table (NFKC-lite): the deterministic,
+# engine-portable core of corpus text normalization — fancy quotes and
+# dashes fold to ASCII, NBSP to space, zero-width code points drop.
+# Applied IN ORDER on both engines (each pair is a plain substring
+# replace, no regex), then whitespace collapses.
+NORMALIZE_TABLE: list[tuple[str, str]] = [
+    ("‘", "'"), ("’", "'"), ("‚", "'"),
+    ("“", '"'), ("”", '"'), ("„", '"'),
+    ("–", "-"), ("—", "-"), ("−", "-"),
+    ("…", "..."),
+    (" ", " "),
+    ("​", ""), ("‌", ""), ("‍", ""), ("﻿", ""),
+]
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str = "norm") -> DataFrame:
+    """Fold common Unicode punctuation to ASCII and collapse whitespace —
+    the text-normalization pass every tokenizer-training pipeline runs
+    first.  Pure replace chain (whole-stage codegen), identical table in
+    the SQL twin."""
+    c = F.col(text_col)
+    for a, b in NORMALIZE_TABLE:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(c, r"\s+", " "))
+    )
+
+
+def label_gini_diversity(
+    df: DataFrame, label_col: str, text_col: str
+) -> DataFrame:
+    """Per-label token diversity as GINI IMPURITY (1 - Σ p²) — the
+    entropy surrogate that needs no logarithm, so it stays EXACT
+    integer arithmetic until one closing IEEE division (ln is libm and
+    not bit-portable across engines).  One explode + two grouping
+    shuffles; output ``(label, total_tokens, sum_sq, gini)``."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    per = toks.groupBy("label", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    agg = per.groupBy("label").agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+    )
+    t2 = F.col("total_tokens") * F.col("total_tokens")
+    return agg.withColumn(
+        "gini",
+        (t2 - F.col("sum_sq")).cast("double") / t2.cast("double"),
+    )

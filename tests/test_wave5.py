@@ -347,3 +347,75 @@ def test_raw_autocorrelation_constant_series(spark):
         assert out[lag].num == 4 * (10 - lag)
         assert out[lag].den == 40
         assert out[lag].rho_raw == (10 - lag) / 10
+
+
+# --------------------------------------------------------- wave 7
+
+
+def test_normalize_text(spark):
+    from h2h_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("“Hi” — it’s fine…​ok",)],
+        ["t"],
+    )
+    r = normalize_text(df, "t").collect()[0]
+    assert r.norm == '"Hi" - it\'s fine...ok'
+
+
+def test_label_gini_diversity(spark):
+    from h2h_spark.operators.text import label_gini_diversity
+
+    df = spark.createDataFrame(
+        [(0, "x", "a a a a"), (1, "y", "a b c d")], ["id", "lab", "text"]
+    )
+    out = {r.label: r for r in label_gini_diversity(df, "lab", "text").collect()}
+    assert out["x"].gini == 0.0  # single token -> no diversity
+    assert out["y"].gini == 0.75  # uniform over 4 -> 1 - 4/16
+
+
+def test_calibration_bins(spark):
+    from h2h_spark.operators.stats import calibration_bins
+
+    rows = [(s, s >= 50) for s in range(100)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r.bin: r for r in calibration_bins(df, "s", "y", n_bins=10).collect()}
+    assert len(out) == 10
+    assert all(out[b].n == 10 for b in out)
+    assert out[0].pos_rate == 0.0 and out[9].pos_rate == 1.0
+    assert out[5].pos_rate == 1.0 and out[4].pos_rate == 0.0
+
+
+def test_sequence_pattern_counts(spark):
+    import datetime
+
+    from h2h_spark.operators.paths import sequence_pattern_counts
+
+    t0 = datetime.datetime(2024, 1, 1)
+    evs = [
+        (1, t0 + datetime.timedelta(minutes=i), i, e)
+        for i, e in enumerate(["view", "click", "purchase", "view", "error",
+                               "view", "view", "purchase"])
+    ]
+    df = spark.createDataFrame(evs, ["u", "ts", "eid", "etype"])
+    r = sequence_pattern_counts(df, "u", "ts", "eid", "etype", r"v[cv]*p").collect()[0]
+    assert r.seq_len == 8          # 'vcpvevvp'
+    assert r.n_matches == 2        # 'vcp' and 'vvp'
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_work):
+    import pyarrow as pa
+
+    from h2h_spark.sources.arrowipc import read_arrow_ipc, write_arrow_ipc
+
+    tbl = pa.table({
+        "i": pa.array(range(1000), pa.int64()),
+        "s": pa.array([f"r{i}" for i in range(1000)]),
+        "d": pa.array([i / 7 for i in range(1000)], pa.float64()),
+    })
+    path = f"{tmp_work}/t.arrow"
+    write_arrow_ipc(tbl, path, chunk_rows=64)
+    df = read_arrow_ipc(spark, path, batches_per_split=3)
+    assert df.rdd.getNumPartitions() >= 5
+    got = sorted((r.i, r.s, r.d) for r in df.collect())
+    assert got == [(i, f"r{i}", i / 7) for i in range(1000)]
