@@ -5136,6 +5136,137 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_arrow_ipc(spark, target, batches_per_split=2)
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl admission control per RFC 9309 (`operators/robots.py`):
+    longest-prefix rule wins, Allow beats Disallow on ties, default
+    allow.  Rule tables are robots.txt-sized → broadcast; the corpus
+    side takes one prefix-match join + one per-URL window.  Rules here:
+    every host disallows /Page/1*, even hosts re-allow /Page/12*,
+    every-third host disallows /Page/3*."""
+    from h2h_spark.operators.robots import robots_filter
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("ex-"), (F.col("doc_id") % 50).cast("string"), F.lit(".org")
+        ).alias("host"),
+        F.concat(
+            F.lit("/Page/"), (F.col("doc_id") % 500).cast("string")
+        ).alias("path"),
+    )
+    rules = []
+    for k in range(50):
+        rules.append((f"ex-{k}.org", "/Page/1", False))
+        if k % 2 == 0:
+            rules.append((f"ex-{k}.org", "/Page/12", True))
+        if k % 3 == 0:
+            rules.append((f"ex-{k}.org", "/Page/3", False))
+    rules_df = spark.createDataFrame(rules, ["host", "pattern", "allow"])
+    out = robots_filter(urls, rules_df, id_col="doc_id")
+    return out.select("doc_id", "host", "path", "allowed", "rule")
+
+
+_SQL_ROBOTS_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+         'ex-' || CAST(doc_id % 50 AS VARCHAR) || '.org' AS host,
+         '/Page/' || CAST(doc_id % 500 AS VARCHAR) AS path
+  FROM documents),
+k AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(50) r),
+rules AS (
+  SELECT 'ex-' || CAST(k AS VARCHAR) || '.org' AS host,
+         '/Page/1' AS pattern, FALSE AS allow FROM k
+  UNION ALL
+  SELECT 'ex-' || CAST(k AS VARCHAR) || '.org', '/Page/12', TRUE
+  FROM k WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'ex-' || CAST(k AS VARCHAR) || '.org', '/Page/3', FALSE
+  FROM k WHERE k % 3 = 0),
+m AS (
+  SELECT u.doc_id, u.host, u.path, r.pattern AS rule, r.allow,
+         ROW_NUMBER() OVER (PARTITION BY u.doc_id
+             ORDER BY length(r.pattern) DESC, r.allow DESC, r.pattern)
+             AS rn
+  FROM u LEFT JOIN rules r
+    ON r.host = u.host AND starts_with(u.path, r.pattern))
+SELECT doc_id, host, path, COALESCE(allow, TRUE) AS allowed, rule
+FROM m WHERE rn = 1
+"""
+
+
+def q_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style message passing (`operators/graph.py:
+    feature_propagation`): 2 rounds of floor-mean neighborhood
+    aggregation over the undirected purchase graph in integer fixed
+    point — per round one src join + one dst aggregate, the canonical
+    GraphSAGE plan; the oracle unrolls identical rounds."""
+    from h2h_spark.operators.graph import feature_propagation
+
+    edges = _pagerank_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    feats = nodes.withColumn("feat", (F.col("node") % 1000 + 1).cast("bigint"))
+    return feature_propagation(edges, feats, rounds=2)
+
+
+_SQL_FEATURE_PROP = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+und AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src AS s, dst AS t FROM edges
+    UNION ALL SELECT dst, src FROM edges)),
+f0 AS (
+  SELECT n, n % 1000 + 1 AS f
+  FROM (SELECT DISTINCT s AS n FROM und)),
+m1 AS (
+  SELECT t AS n, CAST(SUM(f) AS BIGINT) // COUNT(f) AS nf
+  FROM und JOIN f0 ON f0.n = und.s GROUP BY t),
+f1 AS (SELECT f0.n, COALESCE(m1.nf, f0.f) AS f
+       FROM f0 LEFT JOIN m1 USING (n)),
+m2 AS (
+  SELECT t AS n, CAST(SUM(f) AS BIGINT) // COUNT(f) AS nf
+  FROM und JOIN f1 ON f1.n = und.s GROUP BY t),
+f2 AS (SELECT f1.n, COALESCE(m2.nf, f1.f) AS f
+       FROM f1 LEFT JOIN m2 USING (n))
+SELECT n AS node, CAST(f AS BIGINT) AS feat FROM f2
+"""
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-batching prep (`operators/packing.py:
+    length_bucketed_batches`): length-band buckets (64-char bands),
+    portable-hash pseudo-shuffle within the band, batches of 16 —
+    padding waste bounded by the band width regardless of the length
+    distribution.  One window shuffle on bucket; batch ids are
+    bucket-local (no global coordination)."""
+    from h2h_spark.operators.packing import length_bucketed_batches
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return length_bucketed_batches(
+        docs, "doc_id", "n_chars", bucket_width=64, batch_size=16
+    )
+
+
+_SQL_LENGTH_BATCHING = """
+WITH b AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS seq_len,
+         n_chars // 64 AS bucket,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             AS hk
+  FROM documents)
+SELECT id, seq_len, CAST(bucket AS BIGINT) AS bucket,
+       (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY hk, id) - 1) // 16
+           AS batch_idx
+FROM b
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9107,6 +9238,9 @@ def _init_queries() -> None:
         "q_calibration": q_calibration,
         "q_seq_regex": q_seq_regex,
         "q_arrow_ipc": q_arrow_ipc,
+        "q_robots_filter": q_robots_filter,
+        "q_feature_prop": q_feature_prop,
+        "q_length_batching": q_length_batching,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9472,6 +9606,9 @@ def oracle_sql() -> dict[str, str]:
         "q_calibration": _SQL_CALIBRATION,
         "q_seq_regex": _SQL_SEQ_REGEX,
         "q_arrow_ipc": _SQL_SELECT_CUSTOMER,
+        "q_robots_filter": _SQL_ROBOTS_FILTER,
+        "q_feature_prop": _SQL_FEATURE_PROP,
+        "q_length_batching": _SQL_LENGTH_BATCHING,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -469,3 +469,46 @@ def kcore_peel(
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    feat: str = "feat",
+    rounds: int = 2,
+) -> DataFrame:
+    """GNN-style neighborhood mean aggregation in INTEGER fixed point —
+    the message-passing primitive (GraphSAGE mean aggregator) expressed
+    as joins:  feat'(v) = floor(Σ_{u~v} feat(u) / deg(v)), ``rounds``
+    times over the undirected closure of ``edges``.  Isolated nodes
+    keep their feature.  Floor arithmetic ⇒ an unrolled SQL oracle
+    lands on identical bits (the q_pagerank contract).
+
+    Per round: one src-keyed join + one dst-keyed aggregate — O(|E|),
+    two shuffles, the canonical message-passing plan.  Lineage is
+    truncated per round."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = features.select(F.col(node).alias("n"), F.col(feat).cast("bigint").alias("f"))
+    for _ in range(rounds):
+        msg = (
+            und.join(cur.withColumnRenamed("n", "s"), "s")
+            .groupBy(F.col("t").alias("n"))
+            .agg(
+                F.expr("sum(f) div count(f)").alias("__nf")
+            )
+        )
+        cur = (
+            cur.join(msg, "n", "left")
+            .select("n", F.coalesce("__nf", "f").alias("f"))
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(F.col("n").alias(node), F.col("f").alias(feat))

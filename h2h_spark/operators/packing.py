@@ -68,3 +68,41 @@ def pack_sequences(
         )
     )
     return out
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    bucket_width: int = 64,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Dynamic-batching prep for sequence training: bucket rows by
+    length band (``len div bucket_width``), order within each bucket by
+    the PORTABLE md5 hash (deterministic pseudo-shuffle, reproducible in
+    any engine), and cut batches of ``batch_size``.  Returns one row per
+    row of input: ``(id, seq_len, bucket, batch_idx)`` — batches whose
+    members share a length band, so padding waste is bounded by
+    ``bucket_width`` regardless of the corpus length distribution.
+
+    One window shuffle partitioned by bucket; batch ids are
+    bucket-local (callers needing global ids compose (bucket,
+    batch_idx), avoiding any global coordination)."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.operators.dedup import portable_hash60
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("bigint").alias("seq_len"),
+        F.expr(f"cast({len_col} as bigint) div {bucket_width}").alias("bucket"),
+        portable_hash60(F.col(id_col).cast("string")).alias("__hk"),
+    )
+    w = Window.partitionBy("bucket").orderBy("__hk", "id")
+    rn = (F.row_number().over(w) - 1).cast("bigint")
+    return (
+        base.withColumn("__rn", rn)
+        .withColumn("batch_idx", F.expr(f"__rn div {batch_size}"))
+        .select("id", "seq_len", "bucket", "batch_idx")
+    )

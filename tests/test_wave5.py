@@ -419,3 +419,74 @@ def test_arrow_ipc_roundtrip(spark, tmp_work):
     assert df.rdd.getNumPartitions() >= 5
     got = sorted((r.i, r.s, r.d) for r in df.collect())
     assert got == [(i, f"r{i}", i / 7) for i in range(1000)]
+
+
+# --------------------------------------------------------- wave 8
+
+
+def test_robots_filter_semantics(spark):
+    from h2h_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        [(0, "h.org", "/a/b"), (1, "h.org", "/a"), (2, "h.org", "/c"),
+         (3, "x.org", "/a/b"), (4, "h.org", "/a/b/c")],
+        ["id", "host", "path"],
+    )
+    rules = spark.createDataFrame(
+        [("h.org", "/a", False), ("h.org", "/a/b", True)],
+        ["host", "pattern", "allow"],
+    )
+    out = {r.id: (r.allowed, r.rule) for r in
+           robots_filter(urls, rules, id_col="id").collect()}
+    assert out[0] == (True, "/a/b")    # longest match wins
+    assert out[1] == (False, "/a")
+    assert out[2] == (True, None)      # no rule -> default allow
+    assert out[3] == (True, None)      # other host untouched
+    assert out[4] == (True, "/a/b")    # prefix extends
+
+
+def test_robots_tie_allow_wins(spark):
+    from h2h_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame([(0, "h.org", "/p")], ["id", "host", "path"])
+    rules = spark.createDataFrame(
+        [("h.org", "/p", False), ("h.org", "/p", True)],
+        ["host", "pattern", "allow"],
+    )
+    r = robots_filter(urls, rules, id_col="id").collect()[0]
+    assert r.allowed is True
+
+
+def test_feature_propagation_path(spark):
+    from h2h_spark.operators.graph import feature_propagation
+
+    # path 1-2-3, feats 10/20/90: round1 -> 1:20, 2:(10+90)div2=50, 3:20
+    # round2 -> 1:50, 2:(20+20)div2=20, 3:50
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    feats = spark.createDataFrame([(1, 10), (2, 20), (3, 90)], ["node", "feat"])
+    out = {r.node: r.feat for r in
+           feature_propagation(edges, feats, rounds=2).collect()}
+    assert out == {1: 50, 2: 20, 3: 50}
+
+
+def test_length_bucketed_batches(spark):
+    from h2h_spark.operators.packing import length_bucketed_batches
+
+    rows = [(i, 10 + (i % 3) * 100) for i in range(90)]
+    df = spark.createDataFrame(rows, ["id", "ln"])
+    out = length_bucketed_batches(df, "id", "ln", bucket_width=64, batch_size=8)
+    rowsc = out.collect()
+    assert len(rowsc) == 90
+    # 3 buckets of 30 rows -> batches of 8,8,8,6 each
+    from collections import Counter
+
+    per = Counter((r.bucket, r.batch_idx) for r in rowsc)
+    for b in {r.bucket for r in rowsc}:
+        sizes = sorted(v for (bk, _), v in per.items() if bk == b)
+        assert sizes == [6, 8, 8, 8]
+    # all members of a batch share the bucket (by construction) and
+    # assignment is deterministic
+    again = {(r.id): (r.bucket, r.batch_idx) for r in
+             length_bucketed_batches(df, "id", "ln",
+                                     bucket_width=64, batch_size=8).collect()}
+    assert all(again[r.id] == (r.bucket, r.batch_idx) for r in rowsc)
