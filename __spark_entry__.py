@@ -5267,6 +5267,183 @@ FROM b
 """
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl→corpus composition over the engine's own
+    pieces: WARC scan (4 KiB split realignment) → record-type gate →
+    URL host/path parse → robots.txt admission (RFC 9309 prefix rules)
+    → size quality gate → per-host admitted counts + payload bytes.
+    Every stage is an already-graded operator; this query grades their
+    COMPOSITION against one closed-form oracle."""
+    from h2h_spark.operators.robots import robots_filter
+    from h2h_spark.sources.warc import read_warc, write_warc_records
+
+    w = _work("q_crawl_pipeline", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = r.doc_id
+                payload = (b"CRAWL-%08d|" % d) * (d % 5 + 1)
+                recs.append((
+                    {
+                        "WARC-Type": "metadata" if d % 10 == 0 else "response",
+                        "WARC-Record-ID": f"<urn:cp:{d}>",
+                        "WARC-Target-URI": f"https://ex-{d % 7}.org/page/{d}",
+                    },
+                    payload,
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_warc(spark, src, max_partition_bytes=4096)
+    resp = rec.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("record_id", r"urn:cp:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.regexp_extract("target_uri", r"^https://([^/]*)", 1).alias("host"),
+        F.regexp_extract("target_uri", r"^https://[^/]*(/[^?#]*)", 1)
+        .alias("path"),
+        "content_length",
+    )
+    rules_df = spark.createDataFrame(
+        [(f"ex-{k}.org", "/page/1", False) for k in range(7)],
+        ["host", "pattern", "allow"],
+    )
+    admitted = (
+        robots_filter(resp, rules_df, id_col="doc_id")
+        .filter(F.col("allowed"))
+        .filter(F.col("content_length") >= 34)
+    )
+    return admitted.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+        F.sum("content_length").cast("bigint").alias("bytes_admitted"),
+    )
+
+
+_SQL_CRAWL_PIPELINE = """
+WITH d AS (
+  SELECT doc_id,
+         'ex-' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host,
+         '/page/' || CAST(doc_id AS VARCHAR) AS path,
+         15 * (doc_id % 5 + 1) AS cl
+  FROM documents WHERE doc_id % 10 <> 0)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       CAST(SUM(cl) AS BIGINT) AS bytes_admitted
+FROM d
+WHERE NOT starts_with(path, '/page/1') AND cl >= 34
+GROUP BY host
+"""
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity CANONICALIZATION end-to-end: fuzzy candidate pairs
+    (blocked levenshtein, the q_fuzzy_match machinery) feed min-label
+    connected components, and each component reports its canonical
+    representative and size — pairwise verdicts → identity groups, the
+    step record-linkage systems run after matching.  The oracle
+    re-derives the grouping with a recursive min-label CTE over the
+    identical pair list."""
+    from h2h_spark.operators.dedup import connected_components
+
+    parts = spark.read.parquet(_t(sf_dir, "part"))
+    probes = parts.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(F.lit("z"), F.expr("substr(p_name, 2)")).alias("probe_name"),
+    )
+    cat = parts.select("p_partkey", "p_name")
+    pairs = TX.fuzzy_join(
+        probes, cat, "probe_name", "p_name", max_edit=1
+    ).select(
+        F.col("probe_key").alias("id_a"), F.col("p_partkey").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("rep").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+_SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE probes AS (
+  SELECT p_partkey AS probe_key, 'z' || substr(p_name, 2) AS probe_name
+  FROM part WHERE p_partkey % 20 = 0),
+pairs AS (
+  SELECT probe_key AS a, c.p_partkey AS b
+  FROM probes JOIN part c
+    ON regexp_extract(probe_name, '(\\S+)$') = regexp_extract(c.p_name, '(\\S+)$')
+  WHERE levenshtein(probe_name, c.p_name) <= 1),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+r(n, lab) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT und.b, r.lab FROM r JOIN und ON und.a = r.n),
+g AS (SELECT n, MIN(lab) AS rep FROM r GROUP BY n)
+SELECT rep AS entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM g GROUP BY rep
+"""
+
+
+def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key ADMISSION QUOTA (`streaming/sinks.py:
+    stream_quota_router`): events replay as 4 pinned time-sliced files;
+    foreachBatch counters admit min(remaining, batch_count) per
+    event_type, cap 400.  Cumulative admission is batching-invariant —
+    min(quota, total) — which is the oracle contract; the mechanism
+    (durable counters consulted per micro-batch) is the production
+    ingestion-governor shape."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from h2h_spark.streaming.sinks import stream_quota_router
+
+    w = _work("q_stream_quota", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        ev = _load_events(spark, sf_dir)
+        bucket = F.floor((F.dayofmonth("ts") - 1) / 8).cast("int")
+        base = 1_700_000_000
+        for k in range(4):
+            sub = ev.filter(bucket == k)
+            tmp = os.path.join(w, f"tmp{k}")
+            sub.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{k}.parquet")
+            _shutil.copyfile(part, dst)
+            os.utime(dst, (base + k * 60, base + k * 60))
+        open(ready, "w").close()
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    out = stream_quota_router(
+        spark, src, schema, key_col="event_type", quota=400
+    )
+    return out.select(
+        F.col("key").alias("event_type"), "n_admitted", "n_rejected"
+    )
+
+
+_SQL_STREAM_QUOTA = """
+SELECT event_type,
+       CAST(LEAST(400, COUNT(*)) AS BIGINT) AS n_admitted,
+       CAST(COUNT(*) - LEAST(400, COUNT(*)) AS BIGINT) AS n_rejected
+FROM events GROUP BY event_type
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9241,6 +9418,9 @@ def _init_queries() -> None:
         "q_robots_filter": q_robots_filter,
         "q_feature_prop": q_feature_prop,
         "q_length_batching": q_length_batching,
+        "q_crawl_pipeline": q_crawl_pipeline,
+        "q_entity_resolution": q_entity_resolution,
+        "q_stream_quota": q_stream_quota,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9609,6 +9789,9 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_filter": _SQL_ROBOTS_FILTER,
         "q_feature_prop": _SQL_FEATURE_PROP,
         "q_length_batching": _SQL_LENGTH_BATCHING,
+        "q_crawl_pipeline": _SQL_CRAWL_PIPELINE,
+        "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
+        "q_stream_quota": _SQL_STREAM_QUOTA,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

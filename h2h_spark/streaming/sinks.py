@@ -340,3 +340,60 @@ def stream_late_router(
     return spark.createDataFrame(
         rows, f"{key_col} string, n_on_time long, n_late long"
     )
+
+
+def stream_quota_router(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    key_col: str,
+    quota: int,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Per-key ADMISSION QUOTA across micro-batches — the streaming
+    ingestion governor (cap what any one key/tenant/domain contributes
+    to a live corpus).  foreachBatch keeps O(|keys|) admitted counters;
+    each batch admits ``min(remaining_k, batch_count_k)`` per key and
+    rejects the rest.  Cumulative admission is batching-invariant
+    (min(quota, total)), which is exactly what makes the contract
+    oracle-checkable while the MECHANISM — durable counters consulted
+    and updated per micro-batch — is the production shape (in
+    production the counters live in the checkpointed state store /
+    an idempotent KV table).
+
+    Returns ``(key, n_admitted, n_rejected)`` per key.
+    """
+    from pyspark.sql import functions as F
+
+    admitted: dict = {}
+    rejected: dict = {}
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        counts = batch.groupBy(F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        for r in counts.collect():
+            have = admitted.get(r["k"], 0)
+            take = min(quota - have, int(r["c"]))
+            take = max(take, 0)
+            admitted[r["k"]] = have + take
+            rejected[r["k"]] = rejected.get(r["k"], 0) + int(r["c"]) - take
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (k, admitted.get(k, 0), rejected.get(k, 0))
+        for k in sorted(set(admitted) | set(rejected))
+    ]
+    return spark.createDataFrame(
+        rows, "key string, n_admitted bigint, n_rejected bigint"
+    )

@@ -490,3 +490,33 @@ def test_length_bucketed_batches(spark):
              length_bucketed_batches(df, "id", "ln",
                                      bucket_width=64, batch_size=8).collect()}
     assert all(again[r.id] == (r.bucket, r.batch_idx) for r in rowsc)
+
+
+# --------------------------------------------------------- wave 9
+
+
+def test_stream_quota_router(spark, tmp_work):
+    import os
+
+    from h2h_spark.streaming.sinks import stream_quota_router
+
+    # 3 files of 10 'a' + 4 'b' each; quota 12:
+    # a admits 10, 2, 0 -> 12; b admits all 12
+    for k in range(3):
+        df = spark.createDataFrame(
+            [("a",)] * 10 + [("b",)] * 4, "key_v string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_work}/tmp{k}")
+        import glob
+        import shutil
+
+        part = glob.glob(f"{tmp_work}/tmp{k}/part-*.parquet")[0]
+        dst = f"{tmp_work}/src/b{k}.parquet"
+        os.makedirs(f"{tmp_work}/src", exist_ok=True)
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    schema = spark.read.parquet(f"{tmp_work}/src/b0.parquet").schema
+    out = {r.key: (r.n_admitted, r.n_rejected) for r in stream_quota_router(
+        spark, f"{tmp_work}/src", schema, key_col="key_v", quota=12
+    ).collect()}
+    assert out == {"a": (12, 18), "b": (12, 0)}
