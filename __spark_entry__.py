@@ -5444,6 +5444,65 @@ FROM events GROUP BY event_type
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprinting (dHash) over REAL decoded BMP
+    bytes (`operators/multimodal.py: image_dhash`): 9×8 nearest-sample,
+    one bit per horizontal gradient sign, the 64-bit key emitted as two
+    unsigned 32-bit halves (no BIGINT sign-bit exposure).  The standard
+    bucket key for image near-dup — pairs with the MinHash family the
+    way SimHash pairs with text.  Oracle recomputes every bit from the
+    pixel closed form."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return MM.image_dhash(docs.select("doc_id"), "doc_id")
+
+
+_SQL_IMAGE_DHASH = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents),
+bits AS (
+  SELECT g.doc_id, r.x * 8 + c.x AS idx,
+         CASE WHEN (3 * ((r.x * g.h) // 8) + 5 * ((c.x * g.w) // 9)
+                    + g.doc_id) % 256
+                 < (3 * ((r.x * g.h) // 8) + 5 * (((c.x + 1) * g.w) // 9)
+                    + g.doc_id) % 256
+              THEN 1 ELSE 0 END AS b
+  FROM g, generate_series(0, 7) AS r(x), generate_series(0, 7) AS c(x))
+SELECT doc_id,
+       CAST(SUM(CASE WHEN idx >= 32
+                     THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                     ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(SUM(CASE WHEN idx < 32
+                     THEN b * (CAST(1 AS BIGINT) << idx)
+                     ELSE 0 END) AS BIGINT) AS dhash_lo,
+       CAST(SUM(b) AS BIGINT) AS n_ones
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity shape over REAL decoded PCM16 audio
+    (`operators/multimodal.py: wav_energy_blocks`): 100-sample blocks of
+    the left channel, exact integer energy Σs², silence threshold —
+    segment/measure/gate, every value BIGINT-exact."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return MM.wav_energy_blocks(docs.select("doc_id"), "doc_id")
+
+
+_SQL_AUDIO_ENERGY = """
+WITH g AS (SELECT doc_id, doc_id % 400 + 50 AS ns FROM documents),
+s AS (
+  SELECT g.doc_id, i.x // 100 AS block,
+         ((13 * i.x + 7 * doc_id) % 65536) - 32768 AS l
+  FROM g, generate_series(0, 449) AS i(x) WHERE i.x < g.ns)
+SELECT doc_id, CAST(block AS BIGINT) AS block,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l * l) AS BIGINT) AS energy,
+       CAST(SUM(l * l) AS BIGINT) < 20000000000 AS is_silence
+FROM s GROUP BY doc_id, block
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9421,6 +9480,8 @@ def _init_queries() -> None:
         "q_crawl_pipeline": q_crawl_pipeline,
         "q_entity_resolution": q_entity_resolution,
         "q_stream_quota": q_stream_quota,
+        "q_image_dhash": q_image_dhash,
+        "q_audio_energy": q_audio_energy,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9792,6 +9853,8 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_pipeline": _SQL_CRAWL_PIPELINE,
         "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
         "q_stream_quota": _SQL_STREAM_QUOTA,
+        "q_image_dhash": _SQL_IMAGE_DHASH,
+        "q_audio_energy": _SQL_AUDIO_ENERGY,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -2647,3 +2647,90 @@ def mp4_meta(df: DataFrame, id_col: str, seed_col: str | None = None) -> DataFra
     return df.select(id_col, *([seed] if seed != id_col else [])).mapInPandas(
         _gen, schema
     )
+
+
+def image_dhash(df: DataFrame, id_col: str) -> DataFrame:
+    """Perceptual image fingerprint (dHash): decode the REAL BMP bytes,
+    nearest-sample to a 9×8 grid, emit one bit per horizontal gradient
+    sign (cell < right neighbor) — 64 bits, the standard near-duplicate
+    key for images (bucket on the hash, verify within buckets: the same
+    candidates-then-verify discipline as MinHash for text).
+
+    Output ``(id, dhash_hi, dhash_lo, n_ones)`` — the 64-bit key split
+    into two unsigned 32-bit halves so no engine touches the BIGINT
+    sign bit.  Arrow-batched ``mapInPandas``; blobs never shuffle."""
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los, ones = [], [], []
+            for seed in pdf[id_col]:
+                img = decode_bmp(synthesize_bmp(int(seed)))
+                gray = img[:, :, 0].astype(np.int64)  # channels identical
+                grid = resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)  # 8x8
+                flat = bits.flatten()  # idx = r*8 + c
+                val = 0
+                for i, b in enumerate(flat):
+                    val |= int(b) << i
+                his.append((val >> 32) & 0xFFFFFFFF)
+                los.append(val & 0xFFFFFFFF)
+                ones.append(int(flat.sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "dhash_hi": pd.Series(his, dtype="int64"),
+                    "dhash_lo": pd.Series(los, dtype="int64"),
+                    "n_ones": pd.Series(ones, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run, "id long, dhash_hi long, dhash_lo long, n_ones long"
+    ).withColumnRenamed("id", id_col)
+
+
+def wav_energy_blocks(
+    df: DataFrame, id_col: str, *, block: int = 100
+) -> DataFrame:
+    """Audio activity detection: decode the REAL stereo PCM16 WAV bytes,
+    then per ``block``-sample window of the LEFT channel report the
+    exact integer energy Σs² and a silence flag — the
+    voice-activity-gate shape (segment, measure, threshold) with every
+    value BIGINT-exact for the oracle.  One output row per (id, block).
+    """
+    import numpy as np
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blks, ns, energies = [], [], [], []
+            for seed in pdf[id_col]:
+                frames, _rate = decode_wav_pcm16(
+                    synthesize_wav_stereo(int(seed))
+                )
+                left = frames[:, 0].astype(np.int64)
+                for b in range(0, len(left), block):
+                    seg = left[b:b + block]
+                    ids.append(seed)
+                    blks.append(b // block)
+                    ns.append(len(seg))
+                    energies.append(int((seg * seg).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "block": pd.Series(blks, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    out = spread.mapInPandas(
+        _run, "id long, block long, n long, energy long"
+    ).withColumnRenamed("id", id_col)
+    return out.withColumn("is_silence", F.col("energy") < 20_000_000_000)

@@ -520,3 +520,43 @@ def test_stream_quota_router(spark, tmp_work):
         spark, f"{tmp_work}/src", schema, key_col="key_v", quota=12
     ).collect()}
     assert out == {"a": (12, 18), "b": (12, 0)}
+
+
+# --------------------------------------------------------- wave 10
+
+
+def test_image_dhash_shape_and_determinism(spark):
+    from h2h_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame([(i,) for i in range(24)], ["doc_id"])
+    rows = {r.doc_id: r for r in image_dhash(df, "doc_id").collect()}
+    assert len(rows) == 24
+    for r in rows.values():
+        assert 0 <= r.dhash_hi < 1 << 32 and 0 <= r.dhash_lo < 1 << 32
+        assert 0 <= r.n_ones <= 64
+        assert r.n_ones == bin((r.dhash_hi << 32) | r.dhash_lo).count("1")
+    again = {r.doc_id: (r.dhash_hi, r.dhash_lo) for r in
+             image_dhash(df, "doc_id").collect()}
+    assert all(again[k] == (v.dhash_hi, v.dhash_lo) for k, v in rows.items())
+
+
+def test_wav_energy_blocks(spark):
+    from h2h_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        synthesize_wav_stereo,
+        wav_energy_blocks,
+    )
+
+    df = spark.createDataFrame([(7,), (123,)], ["doc_id"])
+    out = {}
+    for r in wav_energy_blocks(df, "doc_id", block=100).collect():
+        out[(r.doc_id, r.block)] = (r.n, r.energy, r.is_silence)
+    for seed in (7, 123):
+        frames, _ = decode_wav_pcm16(synthesize_wav_stereo(seed))
+        left = frames[:, 0].astype("int64")
+        for b in range(0, len(left), 100):
+            seg = left[b:b + 100]
+            n, e, sil = out[(seed, b // 100)]
+            assert n == len(seg)
+            assert e == int((seg * seg).sum())
+            assert sil == (e < 20_000_000_000)
