@@ -5503,6 +5503,126 @@ FROM s GROUP BY doc_id, block
 """
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUP pairs over perceptual hashes (`operators/dedup.py:
+    dhash_neardup_pairs`): 4×16-bit LSH bands bucket the candidates
+    (one grouping shuffle — pigeonhole-complete below 4 bit-flips),
+    XOR-popcount verifies Hamming ≤ 6.  Probe set doc_id%25==0; output
+    is the aggregate (pairs, exact, mean-free dist sum) so the row
+    stays O(1) while the oracle re-derives EVERY hash bit and pair."""
+    from h2h_spark.operators.dedup import dhash_neardup_pairs
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+        F.col("doc_id") % 25 == 0
+    )
+    hashes = MM.image_dhash(docs.select("doc_id"), "doc_id")
+    pairs = dhash_neardup_pairs(
+        hashes, id_col="doc_id", max_hamming=6
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum("dist").cast("bigint").alias("dist_sum"),
+    )
+
+
+_SQL_IMAGE_NEARDUP = """
+WITH g AS (
+  SELECT doc_id, doc_id % 13 + 4 AS h, (doc_id * 5) % 13 + 4 AS w
+  FROM documents WHERE doc_id % 25 = 0),
+bits AS (
+  SELECT g.doc_id, r.x * 8 + c.x AS idx,
+         CASE WHEN (3 * ((r.x * g.h) // 8) + 5 * ((c.x * g.w) // 9)
+                    + g.doc_id) % 256
+                 < (3 * ((r.x * g.h) // 8) + 5 * (((c.x + 1) * g.w) // 9)
+                    + g.doc_id) % 256
+              THEN 1 ELSE 0 END AS b
+  FROM g, generate_series(0, 7) AS r(x), generate_series(0, 7) AS c(x)),
+hv AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN idx >= 32
+                       THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN idx < 32
+                       THEN b * (CAST(1 AS BIGINT) << idx)
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, hi, lo, t.band,
+         CASE t.band WHEN 0 THEN lo % 65536
+                     WHEN 1 THEN lo // 65536
+                     WHEN 2 THEN hi % 65536
+                     ELSE hi // 65536 END AS val
+  FROM hv, UNNEST([0, 1, 2, 3]) AS t(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT id_a, id_b,
+         bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS dist
+  FROM cand)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum
+FROM pairs WHERE dist <= 6
+"""
+
+
+def q_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip caption parsing (`operators/text.py: parse_srt_stats`) —
+    the video→text bridge: synthesize a real multi-cue SRT per doc
+    (index / HH:MM:SS,mmm --> range / text blocks), parse EVERY cue's
+    timestamp range back with built-in split/transform/aggregate
+    expressions, and report cue count, total caption milliseconds, and
+    caption text chars.  Oracle states the closed form."""
+    from h2h_spark.operators.text import parse_srt_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    d = F.col("doc_id")
+
+    # cue i (1-based): start = (d%1000)*10 + (i-1)*2500, dur = 1500 + (d%7)*100
+    def fmt(ms_col: Column) -> Column:
+        h = F.floor(ms_col / 3600000).cast("bigint")
+        m = F.floor((ms_col % 3600000) / 60000).cast("bigint")
+        s = F.floor((ms_col % 60000) / 1000).cast("bigint")
+        ms = ms_col % 1000
+        return F.concat(
+            F.lpad(h.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(m.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(s.cast("string"), 2, "0"), F.lit(","),
+            F.lpad(ms.cast("string"), 3, "0"),
+        )
+
+    cues = F.transform(
+        F.sequence(F.lit(1), (d % 4 + 1).cast("int")),
+        lambda i: F.concat(
+            i.cast("string"), F.lit("\n"),
+            fmt((d % 1000) * 10 + (i - 1) * 2500), F.lit(" --> "),
+            fmt((d % 1000) * 10 + (i - 1) * 2500 + 1500 + (d % 7) * 100),
+            F.lit("\n"),
+            F.lit("Cue "), i.cast("string"), F.lit(" of doc "),
+            d.cast("string"),
+        ),
+    )
+    srt = F.array_join(cues, "\n\n")
+    return parse_srt_stats(docs.withColumn("srt", srt), "doc_id", "srt")
+
+
+_SQL_SRT_PARSE = """
+SELECT doc_id,
+       CAST(doc_id % 4 + 1 AS BIGINT) AS n_cues,
+       CAST((doc_id % 4 + 1) * (1500 + (doc_id % 7) * 100) AS BIGINT)
+           AS total_ms,
+       CAST((doc_id % 4 + 1) * (13 + length(CAST(doc_id AS VARCHAR)))
+           AS BIGINT) AS n_text_chars
+FROM documents
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9482,6 +9602,8 @@ def _init_queries() -> None:
         "q_stream_quota": q_stream_quota,
         "q_image_dhash": q_image_dhash,
         "q_audio_energy": q_audio_energy,
+        "q_image_neardup": q_image_neardup,
+        "q_srt_parse": q_srt_parse,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9855,6 +9977,8 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_quota": _SQL_STREAM_QUOTA,
         "q_image_dhash": _SQL_IMAGE_DHASH,
         "q_audio_energy": _SQL_AUDIO_ENERGY,
+        "q_image_neardup": _SQL_IMAGE_NEARDUP,
+        "q_srt_parse": _SQL_SRT_PARSE,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

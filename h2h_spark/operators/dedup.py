@@ -795,3 +795,63 @@ def connected_components_star(
         "id", F.col("id").alias("rep")
     )
     return stars.unionByName(reps)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    *,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-duplicate pairs from 64-bit perceptual hashes
+    (dHash/pHash family) — the LSH-banding discipline applied to
+    Hamming space: a pair within Hamming distance k must agree EXACTLY
+    on at least one of 4 disjoint 16-bit bands whenever k < 4 bands
+    (pigeonhole: k bit-flips can dirty at most k bands)... and is a
+    useful recall filter beyond that.  Candidates come only from
+    same-band-value buckets (one grouping shuffle), then popcount of
+    the XOR verifies — never an all-pairs scan.
+
+    Returns distinct ``(id_a, id_b, dist)`` with id_a < id_b,
+    dist ≤ max_hamming.  All bit arithmetic (shift/and/xor/bit_count)
+    is engine-portable integer work.
+    """
+    h = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+    )
+    bands = h.select(
+        "id", "hi", "lo",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "val",
+        F.when(F.col("band") == 0, F.col("lo") % 65536)
+        .when(F.col("band") == 1, F.expr("lo div 65536"))
+        .when(F.col("band") == 2, F.col("hi") % 65536)
+        .otherwise(F.expr("hi div 65536")),
+    )
+    a = bands.select(
+        "band", "val", F.col("id").alias("id_a"),
+        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+    )
+    b = bands.select(
+        "band", "val", F.col("id").alias("id_b"),
+        F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    dist = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).cast("int")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_hamming)
+        .select("id_a", "id_b", "dist")
+    )

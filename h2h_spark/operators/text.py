@@ -802,3 +802,46 @@ def label_gini_diversity(
         "gini",
         (t2 - F.col("sum_sq")).cast("double") / t2.cast("double"),
     )
+
+
+def _srt_ms(block: Column, group_base: int) -> Column:
+    """Millisecond value of the start (group_base=1) or end (5) timestamp
+    of one SRT cue block."""
+    pat = (
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3})\s*-->\s*"
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    )
+    g = [
+        F.regexp_extract(block, pat, group_base + i).cast("bigint")
+        for i in range(4)
+    ]
+    return ((g[0] * 3600 + g[1] * 60 + g[2]) * 1000 + g[3])
+
+
+def parse_srt_stats(df: DataFrame, id_col: str, srt_col: str) -> DataFrame:
+    """SubRip (SRT) caption parsing — the video→text modality bridge
+    (caption tracks are training text).  Splits cue blocks, parses the
+    ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` range of EVERY cue, and reports
+    ``(id, n_cues, total_ms, n_text_chars)`` — all with built-in
+    split/transform/aggregate expressions, no Python in the hot path.
+    """
+    blocks = F.filter(
+        F.split(F.col(srt_col), "\n\n"), lambda b: F.trim(b) != ""
+    )
+    base = df.select(F.col(id_col), blocks.alias("__b"))
+    dur = F.aggregate(
+        F.col("__b"),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + _srt_ms(b, 5) - _srt_ms(b, 1),
+    )
+    chars = F.aggregate(
+        F.col("__b"),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.length(F.element_at(F.split(b, "\n"), 3)),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__b").cast("bigint").alias("n_cues"),
+        dur.alias("total_ms"),
+        chars.alias("n_text_chars"),
+    )

@@ -560,3 +560,37 @@ def test_wav_energy_blocks(spark):
             assert n == len(seg)
             assert e == int((seg * seg).sum())
             assert sil == (e < 20_000_000_000)
+
+
+# --------------------------------------------------------- wave 11
+
+
+def test_dhash_neardup_pairs_small(spark):
+    from h2h_spark.operators.dedup import dhash_neardup_pairs
+
+    rows = [
+        (1, 0, 0b1010),          # lo band0 = 10
+        (2, 0, 0b1010),          # identical -> dist 0
+        (3, 0, 0b1011),          # 1 bit off -> dist 1, same band1-3
+        (4, 1 << 20, 1 << 40),   # far from everything, no shared band? 
+    ]
+    df = spark.createDataFrame(rows, ["id", "dhash_hi", "dhash_lo"])
+    out = {(r.id_a, r.id_b): r.dist for r in
+           dhash_neardup_pairs(df, id_col="id", max_hamming=2).collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 1
+    assert out[(2, 3)] == 1
+    # node 4 shares zero-valued bands with 1-3 but its distance exceeds 2
+    assert all(4 not in k for k in out)
+
+
+def test_parse_srt_stats(spark):
+    from h2h_spark.operators.text import parse_srt_stats
+
+    srt = ("1\n00:00:01,500 --> 00:00:03,000\nHello there\n\n"
+           "2\n00:01:00,000 --> 00:01:02,250\nBye")
+    df = spark.createDataFrame([(7, srt)], ["id", "srt"])
+    r = parse_srt_stats(df, "id", "srt").collect()[0]
+    assert r.n_cues == 2
+    assert r.total_ms == 1500 + 2250
+    assert r.n_text_chars == len("Hello there") + len("Bye")
