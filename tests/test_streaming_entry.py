@@ -438,9 +438,12 @@ def test_hysteresis_on_live_rate_source(spark):
     )
     rows = []
     try:
+        # Poll — never processAllAvailable() on a LIVE source: it waits
+        # for "no data left", which a rate source that outpaces a busy
+        # machine never reaches, and the deadline below is then never
+        # consulted (this exact hang froze three full-suite runs).
         deadline = time.time() + 90
         while time.time() < deadline:
-            q.processAllAvailable()
             rows = spark.table(name).collect()
             if len(rows) >= 24:  # >= 3 full cycles of 2 transitions x 4 keys
                 break
