@@ -5623,6 +5623,42 @@ FROM documents
 """
 
 
+def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 SAMPLE TABLES (ISO 14496-12 stts/stsz): synthesize tracks
+    with real two-run duration tables and per-sample size tables, walk
+    moov→trak→mdia→minf→stbl back, and report per-track frame counts,
+    media-unit + ms durations, and byte totals
+    (`operators/multimodal.py: parse_mp4_sample_tables`) — the metadata
+    a frame-sampling pipeline needs before touching any codec.  Oracle
+    recomputes every run and size from the seed closed form."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return MM.mp4_sample_stats(docs.select("doc_id"), "doc_id")
+
+
+_SQL_MP4_SAMPLES = """
+WITH g AS (
+  SELECT doc_id, doc_id % 10 + 1 AS n1, (doc_id * 3) % 7 + 1 AS n2
+  FROM documents),
+tr AS (
+  SELECT g.doc_id, g.n1, g.n2, t.x AS track
+  FROM g, generate_series(0, 2) AS t(x) WHERE t.x <= g.doc_id % 3),
+bytes AS (
+  SELECT tr.doc_id, tr.track,
+         SUM((tr.doc_id + 17 * j.x + tr.track) % 500 + 20) AS total_bytes
+  FROM tr, generate_series(0, 16) AS j(x) WHERE j.x < tr.n1 + tr.n2
+  GROUP BY tr.doc_id, tr.track)
+SELECT tr.doc_id, CAST(tr.track AS INTEGER) AS track,
+       CAST(600 + 60 * tr.track AS INTEGER) AS timescale,
+       CAST(tr.n1 + tr.n2 AS BIGINT) AS n_samples,
+       CAST(tr.n1 * (100 + 10 * tr.track)
+            + tr.n2 * (200 + 5 * tr.track) AS BIGINT) AS duration,
+       CAST((tr.n1 * (100 + 10 * tr.track) + tr.n2 * (200 + 5 * tr.track))
+            * 1000 // (600 + 60 * tr.track) AS BIGINT) AS duration_ms,
+       CAST(b.total_bytes AS BIGINT) AS total_bytes
+FROM tr JOIN bytes b ON b.doc_id = tr.doc_id AND b.track = tr.track
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9604,6 +9640,7 @@ def _init_queries() -> None:
         "q_audio_energy": q_audio_energy,
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
+        "q_mp4_samples": q_mp4_samples,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -9979,6 +10016,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_energy": _SQL_AUDIO_ENERGY,
         "q_image_neardup": _SQL_IMAGE_NEARDUP,
         "q_srt_parse": _SQL_SRT_PARSE,
+        "q_mp4_samples": _SQL_MP4_SAMPLES,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

@@ -2734,3 +2734,164 @@ def wav_energy_blocks(
         _run, "id long, block long, n long, energy long"
     ).withColumnRenamed("id", id_col)
     return out.withColumn("is_silence", F.col("energy") < 20_000_000_000)
+
+
+def synthesize_mp4_samples(seed: int) -> bytes:
+    """MP4 with REAL sample tables: per track a full
+    ``mdia``/``mdhd`` + ``minf``/``stbl`` with ``stts`` (two duration
+    runs) and ``stsz`` (per-sample sizes) — ISO/IEC 14496-12 §8.6.1.2 /
+    §8.7.3.2.  All fields closed-form seed arithmetic (track ``i``):
+
+    - stts runs: ``(seed%10+1) × (100+10i)`` then ``((seed*3)%7+1) ×
+      (200+5i)``
+    - media timescale ``600 + 60i``
+    - stsz sample ``j``: ``(seed + 17j + i) % 500 + 20`` bytes
+    """
+    seed = int(seed)
+
+    def box(kind: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + kind + payload
+
+    n1 = seed % 10 + 1
+    n2 = (seed * 3) % 7 + 1
+    traks = b""
+    for i in range(seed % 3 + 1):
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIIHH", 0, 0, 600 + 60 * i, 0, 0x55C4, 0),
+        )
+        stts = box(
+            b"stts",
+            struct.pack(">B3xI", 0, 2)
+            + struct.pack(">II", n1, 100 + 10 * i)
+            + struct.pack(">II", n2, 200 + 5 * i),
+        )
+        sizes = [
+            (seed + 17 * j + i) % 500 + 20 for j in range(n1 + n2)
+        ]
+        stsz = box(
+            b"stsz",
+            struct.pack(">B3xII", 0, 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        stbl = box(b"stbl", stts + stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + minf)
+        traks += box(b"trak", mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, 600, 1000)
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def parse_mp4_sample_tables(data: bytes) -> list[dict]:
+    """Walk moov→trak→mdia→{mdhd, minf→stbl→{stts, stsz}} and report,
+    per track: media timescale, sample count, total duration in media
+    units (Σ count·delta over the stts runs) and in ms, and total
+    sample bytes (Σ stsz sizes, honoring the uniform-size shortcut)."""
+    if len(data) < 8 or data[4:8] != b"ftyp":
+        return []
+    out: list[dict] = []
+    for kind, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if kind != b"moov":
+            continue
+        for k2, qs, qe in _mp4_boxes(data, ps, pe):
+            if k2 != b"trak":
+                continue
+            ts = None
+            n_samples = 0
+            dur = 0
+            total = 0
+            for k3, rs, re_ in _mp4_boxes(data, qs, qe):
+                if k3 != b"mdia":
+                    continue
+                for k4, ss, se in _mp4_boxes(data, rs, re_):
+                    if k4 == b"mdhd":
+                        ver = data[ss]
+                        ts = (
+                            struct.unpack_from(">I", data, ss + 20)[0]
+                            if ver == 1
+                            else struct.unpack_from(">I", data, ss + 12)[0]
+                        )
+                    elif k4 == b"minf":
+                        for k5, us, ue in _mp4_boxes(data, ss, se):
+                            if k5 != b"stbl":
+                                continue
+                            for k6, vs, ve in _mp4_boxes(data, us, ue):
+                                if k6 == b"stts":
+                                    n = struct.unpack_from(">I", data, vs + 4)[0]
+                                    for e in range(n):
+                                        c, d = struct.unpack_from(
+                                            ">II", data, vs + 8 + 8 * e
+                                        )
+                                        n_samples += c
+                                        dur += c * d
+                                elif k6 == b"stsz":
+                                    uniform, cnt = struct.unpack_from(
+                                        ">II", data, vs + 4
+                                    )
+                                    if uniform:
+                                        total += uniform * cnt
+                                    else:
+                                        for j in range(cnt):
+                                            total += struct.unpack_from(
+                                                ">I", data, vs + 12 + 4 * j
+                                            )[0]
+            out.append(
+                {
+                    "timescale": ts,
+                    "n_samples": n_samples,
+                    "duration": dur,
+                    "duration_ms": dur * 1000 // ts if ts else None,
+                    "total_bytes": total,
+                }
+            )
+    return out
+
+
+def mp4_sample_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """VIDEO sample-table path: synthesize an MP4 whose tracks carry
+    real stts/stsz tables, walk them back, and report per-track frame
+    counts / durations / byte totals — the metadata a frame-sampling
+    pipeline needs before it touches any codec.  Arrow-batched; blobs
+    partition-local."""
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, trk, ts_c, ns, dur, ms, tb = [], [], [], [], [], [], []
+            for seed in pdf[id_col]:
+                tracks = parse_mp4_sample_tables(
+                    synthesize_mp4_samples(int(seed))
+                )
+                for i, t in enumerate(tracks):
+                    ids.append(seed)
+                    trk.append(i)
+                    ts_c.append(t["timescale"])
+                    ns.append(t["n_samples"])
+                    dur.append(t["duration"])
+                    ms.append(t["duration_ms"])
+                    tb.append(t["total_bytes"])
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "track": pd.Series(trk, dtype="int32"),
+                    "timescale": pd.Series(ts_c, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration": pd.Series(dur, dtype="int64"),
+                    "duration_ms": pd.Series(ms, dtype="int64"),
+                    "total_bytes": pd.Series(tb, dtype="int64"),
+                }
+            )
+
+    spread = df.select(id_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.mapInPandas(
+        _run,
+        "id long, track int, timescale int, n_samples long, duration long, "
+        "duration_ms long, total_bytes long",
+    ).withColumnRenamed("id", id_col)

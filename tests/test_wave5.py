@@ -594,3 +594,43 @@ def test_parse_srt_stats(spark):
     assert r.n_cues == 2
     assert r.total_ms == 1500 + 2250
     assert r.n_text_chars == len("Hello there") + len("Bye")
+
+
+# --------------------------------------------------------- wave 12
+
+
+def test_mp4_sample_tables_roundtrip():
+    from h2h_spark.operators.multimodal import (
+        parse_mp4_sample_tables,
+        synthesize_mp4_samples,
+    )
+
+    for seed in (0, 9, 64, 333):
+        tracks = parse_mp4_sample_tables(synthesize_mp4_samples(seed))
+        n1, n2 = seed % 10 + 1, (seed * 3) % 7 + 1
+        assert len(tracks) == seed % 3 + 1
+        for i, t in enumerate(tracks):
+            assert t["timescale"] == 600 + 60 * i
+            assert t["n_samples"] == n1 + n2
+            assert t["duration"] == n1 * (100 + 10 * i) + n2 * (200 + 5 * i)
+            assert t["total_bytes"] == sum(
+                (seed + 17 * j + i) % 500 + 20 for j in range(n1 + n2)
+            )
+
+
+def test_mp4_sample_tables_uniform_stsz():
+    import struct
+
+    from h2h_spark.operators.multimodal import parse_mp4_sample_tables
+
+    def box(kind, payload):
+        return struct.pack(">I", 8 + len(payload)) + kind + payload
+
+    stts = box(b"stts", struct.pack(">B3xIII", 0, 1, 5, 10))
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 77, 5))  # uniform 77
+    mdhd = box(b"mdhd", struct.pack(">B3x", 0)
+               + struct.pack(">IIIIHH", 0, 0, 1000, 0, 0, 0))
+    trak = box(b"trak", box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts + stsz))))
+    data = box(b"ftyp", b"isom") + box(b"moov", trak)
+    t = parse_mp4_sample_tables(data)[0]
+    assert (t["n_samples"], t["duration"], t["total_bytes"]) == (5, 50, 385)
