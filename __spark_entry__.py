@@ -5659,6 +5659,70 @@ FROM tr JOIN bytes b ON b.doc_id = tr.doc_id AND b.track = tr.track
 """
 
 
+def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP dataset-container scan (`sources/zipsrc.py`): the central
+    directory is the INDEX (driver reads KBs, like a parquet footer),
+    tasks random-access exact member runs, parse the REAL local
+    headers, inflate, and hard-verify CRC-32 + sizes.  Third container
+    family: TAR = checksum resync, Arrow IPC = footer batch index,
+    ZIP = footer member index + per-member decompression."""
+    import zipfile as _zipfile
+
+    from h2h_spark.sources.zipsrc import read_zip
+
+    w = _work("q_zip_members", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            rows = list(rows)
+            if not rows:
+                return
+            with _zipfile.ZipFile(
+                os.path.join(src, f"part_{pid}.zip"), "w",
+                _zipfile.ZIP_DEFLATED,
+            ) as z:
+                for r in rows:
+                    d = r.doc_id
+                    content = ("Y%07d|" % d) * (d % 6 + 1)
+                    kind = (
+                        _zipfile.ZIP_STORED if d % 3 == 0
+                        else _zipfile.ZIP_DEFLATED
+                    )
+                    z.writestr(f"docs/{d:08d}.txt", content,
+                               compress_type=kind)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    mem = read_zip(spark, src, members_per_split=64)
+    return mem.select(
+        F.regexp_extract("name", r"docs/(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "name",
+        "method",
+        "size",
+        "content_md5",
+    )
+
+
+_SQL_ZIP_MEMBERS = """
+SELECT doc_id,
+       'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 END AS INTEGER) AS method,
+       CAST(9 * (doc_id % 6 + 1) AS BIGINT) AS size,
+       md5(repeat('Y' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '|',
+                  CAST(doc_id % 6 + 1 AS INTEGER))) AS content_md5
+FROM documents
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9641,6 +9705,7 @@ def _init_queries() -> None:
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
         "q_mp4_samples": q_mp4_samples,
+        "q_zip_members": q_zip_members,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -10017,6 +10082,7 @@ def oracle_sql() -> dict[str, str]:
         "q_image_neardup": _SQL_IMAGE_NEARDUP,
         "q_srt_parse": _SQL_SRT_PARSE,
         "q_mp4_samples": _SQL_MP4_SAMPLES,
+        "q_zip_members": _SQL_ZIP_MEMBERS,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

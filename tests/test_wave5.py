@@ -634,3 +634,61 @@ def test_mp4_sample_tables_uniform_stsz():
     data = box(b"ftyp", b"isom") + box(b"moov", trak)
     t = parse_mp4_sample_tables(data)[0]
     assert (t["n_samples"], t["duration"], t["total_bytes"]) == (5, 50, 385)
+
+
+# --------------------------------------------------------- wave 13
+
+
+def test_zip_central_directory_and_members(tmp_work):
+    import zipfile
+
+    from h2h_spark.sources.zipsrc import read_central_directory, read_member
+
+    path = f"{tmp_work}/t.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(50):
+            z.writestr(f"m/{i:04d}", f"C{i:03d}|" * (i % 5 + 1))
+        z.writestr("stored", b"plain", compress_type=zipfile.ZIP_STORED)
+    ms = read_central_directory(path)
+    assert len(ms) == 51
+    with open(path, "rb") as f:
+        for i, m in enumerate(ms[:-1]):
+            assert read_member(f, m) == (f"C{i:03d}|" * (i % 5 + 1)).encode()
+        assert read_member(f, ms[-1]) == b"plain"
+        assert ms[-1]["method"] == 0
+
+
+def test_zip_corrupt_member_raises(tmp_work):
+    import zipfile
+
+    import pytest as _pytest
+
+    from h2h_spark.sources.zipsrc import read_central_directory, read_member
+
+    path = f"{tmp_work}/bad.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a", b"AAAABBBB")
+    ms = read_central_directory(path)
+    data = bytearray(open(path, "rb").read())
+    # flip a payload byte inside the stored member
+    idx = data.find(b"AAAABBBB")
+    data[idx] = ord("X")
+    open(path, "wb").write(bytes(data))
+    with open(path, "rb") as f:
+        with _pytest.raises(ValueError, match="CRC"):
+            read_member(f, ms[0])
+
+
+def test_zip_datasource(spark, tmp_work):
+    import zipfile
+
+    from h2h_spark.sources.zipsrc import read_zip
+
+    path = f"{tmp_work}/ds.zip"
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for i in range(40):
+            z.writestr(f"d/{i:04d}", b"x" * (i + 1))
+    df = read_zip(spark, path, members_per_split=7)
+    rows = {r.name: r.size for r in df.collect()}
+    assert len(rows) == 40
+    assert all(rows[f"d/{i:04d}"] == i + 1 for i in range(40))
