@@ -5723,6 +5723,62 @@ FROM documents
 """
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed approx-distinct (`streaming/sinks.py:
+    stream_kmv_distinct`): per hour-window KMV state (k=64 smallest
+    distinct portable hashes) folded across 4 pinned replay files —
+    KMV's merge is min-merge, so the fold is batching-invariant and the
+    final estimate (exact below k, else floor((k-1)·2^60/h_k)) grades
+    BIT-EXACTLY against the SQL re-derivation.  Streaming sketches with
+    no error-bound hedging."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from h2h_spark.streaming.sinks import stream_kmv_distinct
+
+    w = _work("q_stream_kmv", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        ev = _load_events(spark, sf_dir)
+        bucket = F.floor((F.dayofmonth("ts") - 1) / 8).cast("int")
+        base = 1_700_000_000
+        for kf in range(4):
+            sub = ev.filter(bucket == kf)
+            tmp = os.path.join(w, f"tmp{kf}")
+            sub.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{kf}.parquet")
+            _shutil.copyfile(part, dst)
+            os.utime(dst, (base + kf * 60, base + kf * 60))
+        open(ready, "w").close()
+    schema = spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+    return stream_kmv_distinct(
+        spark, src, schema, ts_col="ts", key_col="user_id", k=64
+    )
+
+
+_SQL_STREAM_KMV = """
+WITH h AS (
+  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events),
+r AS (SELECT w, hv, ROW_NUMBER() OVER (PARTITION BY w ORDER BY hv) AS rn
+      FROM h),
+agg AS (
+  SELECT w, COUNT(*) AS d, MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+  FROM r GROUP BY w)
+SELECT w AS window_ts,
+       CAST(CASE WHEN d < 64 THEN d
+                 ELSE FLOOR(63.0 * 1152921504606846976.0
+                            / CAST(hk AS DOUBLE)) END AS BIGINT)
+           AS est_distinct
+FROM agg
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9706,6 +9762,7 @@ def _init_queries() -> None:
         "q_srt_parse": q_srt_parse,
         "q_mp4_samples": q_mp4_samples,
         "q_zip_members": q_zip_members,
+        "q_stream_kmv": q_stream_kmv,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -10083,6 +10140,7 @@ def oracle_sql() -> dict[str, str]:
         "q_srt_parse": _SQL_SRT_PARSE,
         "q_mp4_samples": _SQL_MP4_SAMPLES,
         "q_zip_members": _SQL_ZIP_MEMBERS,
+        "q_stream_kmv": _SQL_STREAM_KMV,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

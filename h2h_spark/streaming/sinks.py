@@ -397,3 +397,69 @@ def stream_quota_router(
     return spark.createDataFrame(
         rows, "key string, n_admitted bigint, n_rejected bigint"
     )
+
+
+def stream_kmv_distinct(
+    spark: SparkSession,
+    src_dir: str,
+    schema: T.StructType,
+    ts_col: str,
+    key_col: str,
+    *,
+    k: int = 64,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Windowed APPROX-DISTINCT over a stream via mergeable KMV
+    sketches: per hour-window, the state is the k smallest distinct
+    portable hashes (O(windows·k) driver state; in production, the
+    state store).  Each micro-batch contributes its own k-bounded
+    per-window minima — KMV's merge IS min-merge, so the fold is
+    batching-invariant and the final ESTIMATE (the
+    `operators/sketch.kmv_distinct` formula: exact below k, else
+    floor((k-1)·2^60/h_k)) is bit-gradeable by an external oracle —
+    the same no-error-bound-hedging contract as the batch sketch.
+
+    Returns ``(window_ts, est_distinct)``.
+    """
+    from pyspark.sql import functions as F
+
+    state: dict = {}  # window epoch -> sorted list of <= k hashes
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        from h2h_spark.operators.dedup import portable_hash60
+        from pyspark.sql.window import Window
+
+        h = batch.select(
+            F.date_trunc("hour", F.col(ts_col)).cast("long").alias("w"),
+            portable_hash60(F.col(key_col).cast("string")).alias("hv"),
+        ).distinct()
+        rn = F.row_number().over(Window.partitionBy("w").orderBy("hv"))
+        top = h.withColumn("__rn", rn).filter(F.col("__rn") <= k)
+        for r in top.collect():
+            cur = state.setdefault(r["w"], [])
+            cur.append(r["hv"])
+        for w in state:
+            state[w] = sorted(set(state[w]))[:k]
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    m = float(1 << 60)
+    rows = []
+    for w, hs in sorted(state.items()):
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            import math
+
+            est = math.floor(float(k - 1) * m / float(hs[k - 1]))
+        rows.append((w, est))
+    return spark.createDataFrame(rows, "window_ts bigint, est_distinct bigint")

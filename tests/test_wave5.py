@@ -692,3 +692,45 @@ def test_zip_datasource(spark, tmp_work):
     rows = {r.name: r.size for r in df.collect()}
     assert len(rows) == 40
     assert all(rows[f"d/{i:04d}"] == i + 1 for i in range(40))
+
+
+# --------------------------------------------------------- wave 14
+
+
+def test_stream_kmv_distinct_matches_batch(spark, tmp_work):
+    import glob
+    import math
+    import os
+    import shutil
+
+    from h2h_spark.streaming.sinks import stream_kmv_distinct
+
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, h, 0, 0), u)
+        for h in range(3) for u in range(10 + 30 * h)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "uid"])
+    os.makedirs(f"{tmp_work}/src", exist_ok=True)
+    for k in range(2):
+        sub = df.filter((F.col("uid") % 2) == k)
+        sub.coalesce(1).write.mode("overwrite").parquet(f"{tmp_work}/t{k}")
+        part = glob.glob(f"{tmp_work}/t{k}/part-*.parquet")[0]
+        dst = f"{tmp_work}/src/b{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + k * 60,) * 2)
+    schema = spark.read.parquet(f"{tmp_work}/src/b0.parquet").schema
+    out = {r.window_ts: r.est_distinct for r in stream_kmv_distinct(
+        spark, f"{tmp_work}/src", schema, ts_col="ts", key_col="uid", k=16
+    ).collect()}
+    assert len(out) == 3
+    # windows below k are exact; larger windows estimate within 50%
+    assert out[min(out)] == 10
+    for w, true in zip(sorted(out), (10, 40, 70)):
+        assert abs(out[w] - true) <= max(1, true // 2), (w, out[w], true)
+    # deterministic across runs
+    again = {r.window_ts: r.est_distinct for r in stream_kmv_distinct(
+        spark, f"{tmp_work}/src", schema, ts_col="ts", key_col="uid", k=16
+    ).collect()}
+    assert again == out
