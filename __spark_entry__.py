@@ -5779,6 +5779,56 @@ FROM agg
 """
 
 
+def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (gear hash / FastCDC family,
+    `operators/dedup.py: content_defined_chunks`): boundaries depend on
+    local content, so edits shift only their own chunk — the dedup
+    primitive for byte/text streams.  The gear recurrence mod 2^32 IS a
+    32-term weighted window sum, so the oracle re-derives every hash
+    with a 32-offset self-join and every chunk md5 from substr — the
+    whole chunking decision grades bit-exactly.  ASCII corpus ⇒ byte
+    and char positions coincide (documented assumption)."""
+    from h2h_spark.operators.dedup import content_defined_chunks
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return content_defined_chunks(docs, "doc_id", "text", mask_bits=5)
+
+
+_SQL_CONTENT_CHUNKS = """
+WITH p AS (
+  SELECT doc_id, substr(text, CAST(i.x AS INTEGER), 1) AS ch, i.x AS i
+  FROM documents, generate_series(1, 2000) AS i(x)
+  WHERE i.x <= length(text)),
+tt AS (
+  SELECT doc_id, i, CAST(('0x' || substr(md5(ch), 1, 8)) AS BIGINT) AS t
+  FROM p),
+h AS (
+  SELECT a.doc_id, a.i,
+         CAST(SUM((b.t * (CAST(1 AS BIGINT)
+                          << CAST(a.i - b.i AS INTEGER))) % 4294967296)
+              AS BIGINT) % 4294967296 AS hv
+  FROM tt a JOIN tt b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 31 AND a.i
+  GROUP BY a.doc_id, a.i),
+ends AS (
+  SELECT doc_id, i FROM h WHERE hv % 32 = 0
+  UNION
+  SELECT doc_id, length(text) AS i FROM documents),
+seg AS (
+  SELECT doc_id, i AS endpos,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+             AS start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+  FROM ends)
+SELECT s.doc_id, CAST(s.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(s.start AS BIGINT) AS start,
+       CAST(s.endpos - s.start + 1 AS BIGINT) AS chunk_len,
+       md5(substr(d.text, CAST(s.start AS INTEGER),
+                  CAST(s.endpos - s.start + 1 AS INTEGER))) AS chunk_md5
+FROM seg s JOIN documents d USING (doc_id)
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9763,6 +9813,7 @@ def _init_queries() -> None:
         "q_mp4_samples": q_mp4_samples,
         "q_zip_members": q_zip_members,
         "q_stream_kmv": q_stream_kmv,
+        "q_content_chunks": q_content_chunks,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -10141,6 +10192,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mp4_samples": _SQL_MP4_SAMPLES,
         "q_zip_members": _SQL_ZIP_MEMBERS,
         "q_stream_kmv": _SQL_STREAM_KMV,
+        "q_content_chunks": _SQL_CONTENT_CHUNKS,
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

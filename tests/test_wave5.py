@@ -734,3 +734,33 @@ def test_stream_kmv_distinct_matches_batch(spark, tmp_work):
         spark, f"{tmp_work}/src", schema, ts_col="ts", key_col="uid", k=16
     ).collect()}
     assert again == out
+
+
+# --------------------------------------------------------- wave 15
+
+
+def test_content_defined_chunks_insertion_stability(spark):
+    from h2h_spark.operators.dedup import content_defined_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi") * 3
+    edited = base[:200] + "INSERTED TEXT " + base[200:]
+    df = spark.createDataFrame([(1, base), (2, edited)], ["id", "text"])
+    out = content_defined_chunks(df, "id", "text", mask_bits=5)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r.id, []).append((r.chunk_idx, r.start, r.chunk_len, r.chunk_md5))
+    for v in chunks.values():
+        v.sort()
+    md5_1 = {c[3] for c in chunks[1]}
+    md5_2 = {c[3] for c in chunks[2]}
+    # content-defined boundaries: most chunks survive the insertion
+    shared = md5_1 & md5_2
+    assert len(shared) >= len(md5_1) // 2, (len(shared), len(md5_1))
+    # chunks tile the doc exactly
+    for doc_id, text in ((1, base), (2, edited)):
+        v = chunks[doc_id]
+        assert v[0][1] == 1
+        assert sum(c[2] for c in v) == len(text)
+        for a, b in zip(v, v[1:]):
+            assert b[1] == a[1] + a[2]
