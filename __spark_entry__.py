@@ -5829,6 +5829,57 @@ FROM seg s JOIN documents d USING (doc_id)
 """
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass DECISION-quality evaluation (`operators/stats.py:
+    classification_report`): the marker-lexicon language-ID's
+    predictions against the corpus labels — per class integer tp/fp/fn
+    from one pair-count aggregate, precision/recall/F1 each ONE IEEE
+    division (F1 = 2tp/(2tp+fp+fn), never nested p·r).  Completes the
+    eval trio: q_auc (ranking), q_calibration (probability),
+    q_langid_eval (decision)."""
+    from h2h_spark.operators.stats import classification_report
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pred = TX.lang_id(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return classification_report(joined, "lang", "pred_lang")
+
+
+def _sql_langid_eval() -> str:
+    return f"""
+WITH pred AS ({_lang_oracle_sql()}),
+joined AS (
+  SELECT d.lang AS y, p.pred_lang AS p
+  FROM documents d JOIN pred p USING (doc_id)),
+pairs AS (SELECT y, p, COUNT(*) AS n FROM joined GROUP BY y, p),
+classes AS (
+  SELECT DISTINCT y AS cls FROM pairs
+  UNION SELECT DISTINCT p FROM pairs),
+tp AS (SELECT y AS cls, CAST(SUM(n) AS BIGINT) AS tp
+       FROM pairs WHERE y = p GROUP BY y),
+fp AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS fp
+       FROM pairs WHERE y <> p GROUP BY p),
+fn AS (SELECT y AS cls, CAST(SUM(n) AS BIGINT) AS fn
+       FROM pairs WHERE y <> p GROUP BY y),
+m AS (
+  SELECT c.cls, COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+         COALESCE(fn.fn, 0) AS fn
+  FROM classes c LEFT JOIN tp USING (cls) LEFT JOIN fp USING (cls)
+  LEFT JOIN fn USING (cls))
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+            ELSE 0.0 END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+            ELSE 0.0 END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+            ELSE 0.0 END AS f1
+FROM m
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: noisy probe names (deterministic 1-char typo)
     matched back to the part catalog — block on the last name token
@@ -9814,6 +9865,7 @@ def _init_queries() -> None:
         "q_zip_members": q_zip_members,
         "q_stream_kmv": q_stream_kmv,
         "q_content_chunks": q_content_chunks,
+        "q_langid_eval": q_langid_eval,
         # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
@@ -10193,6 +10245,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zip_members": _SQL_ZIP_MEMBERS,
         "q_stream_kmv": _SQL_STREAM_KMV,
         "q_content_chunks": _SQL_CONTENT_CHUNKS,
+        "q_langid_eval": _sql_langid_eval(),
         "q_gif_color": _SQL_GIF_COLOR,
         "q_lateral_topk": _SQL_LATERAL_TOPK,
         "q_group_weighted_sample": _SQL_GROUP_WEIGHTED_SAMPLE,

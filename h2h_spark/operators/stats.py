@@ -183,3 +183,54 @@ def calibration_bins(
         ),
         "sum_score",
     )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Multiclass evaluation, engine-exact: per class, integer tp/fp/fn
+    from ONE pair-count aggregate, then precision/recall/F1 each as a
+    SINGLE IEEE division over integers (F1 spelled 2tp/(2tp+fp+fn) —
+    never the nested p·r form, whose intermediate rounding differs by
+    expression shape).  Classes = union of truth and prediction labels.
+    Pairs with exact_auc/calibration_bins: ranking, probability, and
+    decision quality respectively."""
+    pairs = df.groupBy(
+        F.col(label_col).alias("y"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    classes = (
+        pairs.select(F.col("y").alias("cls"))
+        .unionAll(pairs.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    tp = pairs.filter(F.col("y") == F.col("p")).select(
+        F.col("y").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = pairs.filter(F.col("y") != F.col("p")).groupBy(
+        F.col("p").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("fp"))
+    fn = pairs.filter(F.col("y") != F.col("p")).groupBy(
+        F.col("y").alias("cls")
+    ).agg(F.sum("n").cast("bigint").alias("fn"))
+    out = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .fillna(0, subset=["tp", "fp", "fn"])
+    )
+
+    def ratio(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return out.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        ratio(2 * F.col("tp"),
+              2 * F.col("tp") + F.col("fp") + F.col("fn")).alias("f1"),
+    )

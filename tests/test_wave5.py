@@ -764,3 +764,22 @@ def test_content_defined_chunks_insertion_stability(spark):
         assert sum(c[2] for c in v) == len(text)
         for a, b in zip(v, v[1:]):
             assert b[1] == a[1] + a[2]
+
+
+# --------------------------------------------------------- wave 16
+
+
+def test_classification_report(spark):
+    from h2h_spark.operators.stats import classification_report
+
+    rows = [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5 + \
+           [("b", "a")] * 1 + [("c", "a")] * 2
+    df = spark.createDataFrame(rows, ["y", "p"])
+    out = {r.cls: r for r in classification_report(df, "y", "p").collect()}
+    a = out["a"]
+    assert (a.tp, a.fp, a.fn) == (8, 3, 2)
+    assert a.precision == 8 / 11 and a.recall == 0.8
+    assert a.f1 == 16 / 21
+    c = out["c"]
+    assert (c.tp, c.fp, c.fn) == (0, 0, 2)
+    assert c.precision == 0.0 and c.recall == 0.0 and c.f1 == 0.0
