@@ -161,13 +161,23 @@ class _RangeScanner:
             search_from = idx + 1
 
     def records(self) -> Iterator[tuple[dict[str, str], bytes]]:
-        """Yield (headers, payload) for records starting in [start,end)."""
+        """Yield (headers, payload) for records starting in [start,end).
+
+        The consume pointer is an OFFSET into the buffer, compacted only
+        when past-data exceeds a chunk — slicing the buffer per record
+        would memcpy the unconsumed remainder once per record (~70×
+        write amplification at 7 KB records / 1 MiB read chunks,
+        measured ~2× scanner slowdown)."""
         if not self.align():
             self.f.close()
             return
+        off = 0  # consume offset into self.buf
         while self.pos < self.end and self.pos < self.size:
-            self._fill(_MAX_HEADER)
-            parsed = _parse_header_block(self.buf[:_MAX_HEADER])
+            if off > _CHUNK:
+                self.buf = self.buf[off:]
+                off = 0
+            self._fill(off + _MAX_HEADER)
+            parsed = _parse_header_block(self.buf[off:off + _MAX_HEADER])
             if parsed is None:
                 raise ValueError(
                     f"malformed WARC record at offset {self.pos}"
@@ -175,15 +185,15 @@ class _RangeScanner:
             headers, hlen = parsed
             clen = int(headers["content-length"])
             total = hlen + clen + 4  # header + payload + closing \r\n\r\n
-            self._fill(total)
-            payload = self.buf[hlen:hlen + clen]
+            self._fill(off + total)
+            payload = self.buf[off + hlen:off + hlen + clen]
             if len(payload) < clen:
                 raise ValueError(
                     f"truncated WARC payload at offset {self.pos}"
                 )
             yield headers, payload
             self.pos += total
-            self.buf = self.buf[total:]
+            off += total
         self.f.close()
 
 
