@@ -890,6 +890,13 @@ def content_defined_chunks(
     Per doc: one vectorized numpy pass (sliding-window dot mod 2^32),
     Arrow-batched; output ``(id, chunk_idx, start, chunk_len,
     chunk_md5)`` — the chunk table that feeds hash-based dedup.
+
+    ``start``/``chunk_len`` are 1-based BYTE offsets/lengths into the
+    UTF-8 encoding and ``chunk_md5`` hashes the raw byte slice: the
+    gear hash runs over bytes, so boundaries are byte positions and may
+    fall inside a multi-byte codepoint — chunks always tile the byte
+    stream exactly (web-crawl corpora are not ASCII; slicing the str by
+    byte indices would corrupt every non-ASCII document).
     """
     import hashlib as _hashlib
 
@@ -904,9 +911,8 @@ def content_defined_chunks(
         for pdf in batches:
             ids, idxs, starts, lens, md5s = [], [], [], [], []
             for rid, text in zip(pdf["__id"], pdf["__text"]):
-                bs = np.frombuffer(
-                    text.encode("utf-8"), dtype=np.uint8
-                ).astype(np.int64)
+                enc = text.encode("utf-8")
+                bs = np.frombuffer(enc, dtype=np.uint8).astype(np.int64)
                 n = len(bs)
                 if n == 0:
                     continue
@@ -923,12 +929,12 @@ def content_defined_chunks(
                 prev = 0
                 ci = 0
                 for b in list(bounds) + ([n - 1] if (len(bounds) == 0 or bounds[-1] != n - 1) else []):
-                    seg = text[prev:int(b) + 1]
+                    seg = enc[prev:int(b) + 1]  # byte slice — see docstring
                     ids.append(rid)
                     idxs.append(ci)
-                    starts.append(prev + 1)  # 1-based like SQL substr
+                    starts.append(prev + 1)  # 1-based byte offset
                     lens.append(len(seg))
-                    md5s.append(_hashlib.md5(seg.encode("utf-8")).hexdigest())
+                    md5s.append(_hashlib.md5(seg).hexdigest())
                     ci += 1
                     prev = int(b) + 1
             yield pd.DataFrame(

@@ -362,6 +362,12 @@ class _GzMemberScanner:
                     return None
                 buf_at += len(buf) - 2
                 buf = buf[-2:]
+                # Re-seek before refilling: a preceding failed _validate()
+                # moved the file position (it seeks to the candidate and
+                # reads the probe window), so a bare read here would desync
+                # the buf/buf_at mapping and silently drop every record in
+                # the partition after any false-positive gzip magic.
+                f.seek(buf_at + len(buf))
                 nxt = f.read(_CHUNK)
                 if not nxt:
                     return None

@@ -267,6 +267,45 @@ def test_warc_gz_split_invariance(tmp_work):
         assert scan_all(sb) == full, sb
 
 
+def test_warc_gz_align_survives_false_magic(tmp_work):
+    """Regression (ADVICE r6 high): a failed _validate() moves the file
+    position; the buffer refill in _align must re-seek or the buf/offset
+    mapping desyncs and the partition silently drops all its records.
+    Layout: member1 | fake gzip magic + >1 MiB of zeros | member2 | member3,
+    split starting inside the filler so the scanner hits the fake candidate
+    in chunk 1 and the real member2 magic only after a refill."""
+    import io
+    import gzip
+
+    from h2h_spark.sources.warc import (
+        _CHUNK, _GzMemberScanner, write_warc_records_to,
+    )
+
+    def gz_member(i):
+        raw = io.BytesIO()
+        write_warc_records_to(
+            raw,
+            [({"WARC-Type": "response",
+               "WARC-Record-ID": f"<urn:fm:{i}>"}, b"payload-%d" % i)],
+        )
+        return gzip.compress(raw.getvalue(), mtime=0)
+
+    m1, m2, m3 = gz_member(1), gz_member(2), gz_member(3)
+    # \x1f\x8b\x08 + zeros: a gzip header whose stored-block NLEN check
+    # fails -> _validate() reads its probe window and returns False.
+    filler = b"\x1f\x8b\x08" + b"\x00" * (_CHUNK + 100)
+    path = f"{tmp_work}/fm.warc.gz"
+    with open(path, "wb") as f:
+        f.write(m1 + filler + m2 + m3)
+
+    start = len(m1) - 1  # inside member1's tail, so chunk 1 contains the
+    # fake magic at len(m1) (old code returned [] here — verified)
+    scanner = _GzMemberScanner(path, start, len(m1) + len(filler)
+                               + len(m2) + len(m3))
+    ids = [h["warc-record-id"] for h, _ in scanner.records()]
+    assert ids == ["<urn:fm:2>", "<urn:fm:3>"]
+
+
 # ------------------------------------------------------- HTML extract
 
 
@@ -764,6 +803,37 @@ def test_content_defined_chunks_insertion_stability(spark):
         assert sum(c[2] for c in v) == len(text)
         for a, b in zip(v, v[1:]):
             assert b[1] == a[1] + a[2]
+
+
+def test_content_defined_chunks_non_ascii(spark):
+    """Regression (ADVICE r6 medium): offsets/lengths/md5s are byte-space —
+    a non-ASCII document must tile its UTF-8 encoding exactly and every
+    chunk_md5 must hash the byte slice at (start, chunk_len)."""
+    import hashlib
+
+    from h2h_spark.operators.dedup import content_defined_chunks
+
+    texts = {
+        1: ("héllo wörld – ünïcode κόσμος 中文测试 " * 12) + "fin",
+        2: "日本語のテキスト、絵文字🙂も含む。" * 9,
+        3: "plain ascii control " * 20,
+    }
+    df = spark.createDataFrame(list(texts.items()), ["id", "text"])
+    out = content_defined_chunks(df, "id", "text", mask_bits=4)
+    chunks = {}
+    for r in out.collect():
+        chunks.setdefault(r.id, []).append(
+            (r.chunk_idx, r.start, r.chunk_len, r.chunk_md5))
+    for doc_id, text in texts.items():
+        enc = text.encode("utf-8")
+        v = sorted(chunks[doc_id])
+        assert v[0][1] == 1
+        assert sum(c[2] for c in v) == len(enc)  # tiles the BYTE stream
+        for a, b in zip(v, v[1:]):
+            assert b[1] == a[1] + a[2]
+        for _, start, ln, md5 in v:
+            seg = enc[start - 1:start - 1 + ln]
+            assert hashlib.md5(seg).hexdigest() == md5
 
 
 # --------------------------------------------------------- wave 16
