@@ -9737,13 +9737,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def _init_queries() -> None:
     # Registration order matters: the driver's correctness gate grades the
-    # FIRST 50 entries.  Round-6 rotation (per VERDICT r05 item 1): slots
-    # 1-8 keep the SURVEY §2.2 contract queries, slots 9-44 are the 36
-    # remaining never-driver-graded entries (the 12 round-5 additions
-    # first — tokenizers, OPQ, color codecs, sampling, t-digest — then the
-    # 24 round-4 deferrals), and slots 45-50 hold the new round-6 queries.
-    # After this window grades green, every query ever registered has a
-    # committed driver row (ever-green 149 -> 185+).
+    # FIRST 50 entries.  Round-8 rotation (per VERDICT r07 item 1): slots
+    # 1-8 keep the SURVEY §2.2 contract queries, slots 9-50 take 42 of the
+    # 61 never-driver-graded entries — crawl/container tier first, then the
+    # wave-4 spatial/streaming queries, then the wave-5 remainder.  The 19
+    # left over (session-1 continuations + q_langid_eval) head the round-9
+    # queue immediately after slot 50.  After this window grades green,
+    # ever-driver-graded goes 191 -> 233.
     _QUERIES.update({
         # ---- graded window, slots 1-8: SURVEY §2.2 contract queries ----
         "q_scan_project_filter": q_scan_project_filter,
@@ -9754,7 +9754,76 @@ def _init_queries() -> None:
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
-        # ---- slots 9-20: round-5 additions, never driver-graded ----
+        # ---- slots 9-19: crawl/container tier (never driver-graded;
+        # sweep-attested at both SFs in ORACLE_SWEEP_r06) ----
+        "q_warc_scan": q_warc_scan,
+        "q_warc_gz": q_warc_gz,
+        "q_tar_members": q_tar_members,
+        "q_zip_members": q_zip_members,
+        "q_arrow_ipc": q_arrow_ipc,
+        "q_robots_filter": q_robots_filter,
+        "q_url_canon": q_url_canon,
+        "q_domain_cap": q_domain_cap,
+        "q_html_extract": q_html_extract,
+        "q_crawl_pipeline": q_crawl_pipeline,
+        "q_entity_resolution": q_entity_resolution,
+        # ---- slots 20-29: wave-4 spatial/streaming, never driver-graded ----
+        "q_spatial_join": q_spatial_join,
+        "q_cdc_audit": q_cdc_audit,
+        "q_skyline": q_skyline,
+        "q_stream_weighted_median": q_stream_weighted_median,
+        "q_dbscan": q_dbscan,
+        "q_mp4_meta": q_mp4_meta,
+        "q_interval_overlap": q_interval_overlap,
+        "q_sssp_bounded": q_sssp_bounded,
+        "q_bloom_prune": q_bloom_prune,
+        "q_stream_late": q_stream_late,
+        # ---- slots 30-50: wave-5 remainder, never driver-graded ----
+        "q_content_chunks": q_content_chunks,
+        "q_kcore": q_kcore,
+        "q_rr_privacy": q_rr_privacy,
+        "q_nb_train": q_nb_train,
+        "q_vocab_growth": q_vocab_growth,
+        "q_auc": q_auc,
+        "q_negative_sample": q_negative_sample,
+        "q_autocorr": q_autocorr,
+        "q_text_norm": q_text_norm,
+        "q_gini_diversity": q_gini_diversity,
+        "q_calibration": q_calibration,
+        "q_seq_regex": q_seq_regex,
+        "q_feature_prop": q_feature_prop,
+        "q_length_batching": q_length_batching,
+        "q_stream_quota": q_stream_quota,
+        "q_image_dhash": q_image_dhash,
+        "q_audio_energy": q_audio_energy,
+        "q_image_neardup": q_image_neardup,
+        "q_srt_parse": q_srt_parse,
+        "q_mp4_samples": q_mp4_samples,
+        "q_stream_kmv": q_stream_kmv,
+        # ---- end of the 50-entry graded window ----
+        # Round-9 rotation queue: the remaining never-driver-graded
+        # entries (sweep-attested at both SFs); rotate these into the
+        # next window.
+        "q_bpe_apply_fast": q_bpe_apply_fast,
+        "q_kmv_distinct": q_kmv_distinct,
+        "q_kmv_setops": q_kmv_setops,
+        "q_resample_interp": q_resample_interp,
+        "q_psi_multi": q_psi_multi,
+        "q_tdigest_weighted": q_tdigest_weighted,
+        "q_kmv_jaccard": q_kmv_jaccard,
+        "q_ivfpq_persist": q_ivfpq_persist,
+        "q_label_prop_async": q_label_prop_async,
+        "q_recursive_cte": q_recursive_cte,
+        "q_variant_extract": q_variant_extract,
+        "q_ivfpq_upsert": q_ivfpq_upsert,
+        "q_kmv_weighted": q_kmv_weighted,
+        "q_kmv_dedup": q_kmv_dedup,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        "q_kmv_verified": q_kmv_verified,
+        "q_stream_ann_ingest": q_stream_ann_ingest,
+        "q_kmv_mix_budget": q_kmv_mix_budget,
+        "q_langid_eval": q_langid_eval,
+        # Ever-green in committed CORRECTNESS_r01-r07 rows:
         "q_unigram_train": q_unigram_train,
         "q_opq_encode": q_opq_encode,
         "q_bpe_batch": q_bpe_batch,
@@ -9767,7 +9836,6 @@ def _init_queries() -> None:
         "q_weighted_sample": q_weighted_sample,
         "q_group_weighted_sample": q_group_weighted_sample,
         "q_tdigest": q_tdigest,
-        # ---- slots 21-44: round-4 deferrals, never driver-graded ----
         "q_hash_split": q_hash_split,
         "q_group_cap_sample": q_group_cap_sample,
         "q_stratified_sample": q_stratified_sample,
@@ -9792,81 +9860,12 @@ def _init_queries() -> None:
         "q_bootstrap_means": q_bootstrap_means,
         "q_assoc_rules": q_assoc_rules,
         "q_ab_test": q_ab_test,
-        # ---- slots 45-50: new round-6 queries (inserted as they land);
-        # placeholders below are r05-driver-green and swap out first ----
         "q_jpeg_progressive": q_jpeg_progressive,
         "q_stream_custom_state": q_stream_custom_state,
         "q_wav_pcm": q_wav_pcm,
         "q_psi_drift": q_psi_drift,
         "q_label_prop": q_label_prop,
         "q_bpe_apply": q_bpe_apply,
-        # ---- end of the 50-entry graded window ----
-        # Round-6 addition past slot 50 — attested by the committed
-        # ORACLE_SWEEP_r06 artifacts (both SFs re-run after it landed);
-        # rotate into the round-7 window:
-        "q_bpe_apply_fast": q_bpe_apply_fast,
-        "q_kmv_distinct": q_kmv_distinct,
-        "q_kmv_setops": q_kmv_setops,
-        "q_resample_interp": q_resample_interp,
-        "q_psi_multi": q_psi_multi,
-        "q_tdigest_weighted": q_tdigest_weighted,
-        "q_kmv_jaccard": q_kmv_jaccard,
-        "q_ivfpq_persist": q_ivfpq_persist,
-        "q_label_prop_async": q_label_prop_async,
-        "q_recursive_cte": q_recursive_cte,
-        "q_variant_extract": q_variant_extract,
-        "q_ivfpq_upsert": q_ivfpq_upsert,
-        "q_kmv_weighted": q_kmv_weighted,
-        "q_kmv_dedup": q_kmv_dedup,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_kmv_verified": q_kmv_verified,
-        "q_stream_ann_ingest": q_stream_ann_ingest,
-        "q_kmv_mix_budget": q_kmv_mix_budget,
-        "q_spatial_join": q_spatial_join,
-        "q_cdc_audit": q_cdc_audit,
-        "q_skyline": q_skyline,
-        "q_stream_weighted_median": q_stream_weighted_median,
-        "q_dbscan": q_dbscan,
-        "q_mp4_meta": q_mp4_meta,
-        "q_interval_overlap": q_interval_overlap,
-        "q_sssp_bounded": q_sssp_bounded,
-        "q_bloom_prune": q_bloom_prune,
-        "q_stream_late": q_stream_late,
-        # Round-6 wave 5 (sweep-attested; rotate into the round-7 window):
-        "q_warc_scan": q_warc_scan,
-        "q_tar_members": q_tar_members,
-        "q_url_canon": q_url_canon,
-        "q_domain_cap": q_domain_cap,
-        "q_kcore": q_kcore,
-        "q_rr_privacy": q_rr_privacy,
-        "q_nb_train": q_nb_train,
-        "q_vocab_growth": q_vocab_growth,
-        "q_warc_gz": q_warc_gz,
-        "q_html_extract": q_html_extract,
-        "q_auc": q_auc,
-        "q_negative_sample": q_negative_sample,
-        "q_autocorr": q_autocorr,
-        "q_text_norm": q_text_norm,
-        "q_gini_diversity": q_gini_diversity,
-        "q_calibration": q_calibration,
-        "q_seq_regex": q_seq_regex,
-        "q_arrow_ipc": q_arrow_ipc,
-        "q_robots_filter": q_robots_filter,
-        "q_feature_prop": q_feature_prop,
-        "q_length_batching": q_length_batching,
-        "q_crawl_pipeline": q_crawl_pipeline,
-        "q_entity_resolution": q_entity_resolution,
-        "q_stream_quota": q_stream_quota,
-        "q_image_dhash": q_image_dhash,
-        "q_audio_energy": q_audio_energy,
-        "q_image_neardup": q_image_neardup,
-        "q_srt_parse": q_srt_parse,
-        "q_mp4_samples": q_mp4_samples,
-        "q_zip_members": q_zip_members,
-        "q_stream_kmv": q_stream_kmv,
-        "q_content_chunks": q_content_chunks,
-        "q_langid_eval": q_langid_eval,
-        # Ever-green in r01-r05 (committed CORRECTNESS rows):
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
         "q_bfs_distances": q_bfs_distances,
