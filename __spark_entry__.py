@@ -4540,6 +4540,73 @@ FROM documents
 """
 
 
+def q_tar_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-tar member scan covering BOTH .tar.gz layouts in one
+    directory (`sources/tar.py`): even executor partitions write the
+    splittable member-gzipped framing (one gzip member per tar member,
+    warc.gz-style; tasks resync via the shared validated gzip-magic
+    scanner with a ustar-checksum predicate), odd partitions write the
+    conventional single-stream layout (unsplittable — one whole-file
+    task streaming at O(chunk + member) memory).  ``layout="auto"``
+    probes the first gzip member per file to pick the discipline.
+    Oracle: closed form incl. content md5."""
+    from h2h_spark.sources.tar import read_tar_gz
+
+    w = _work("q_tar_gz_members", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.tar import (
+                write_tar_gz_members, write_tar_gz_stream,
+            )
+
+            pid = TaskContext.get().partitionId()
+            members = []
+            for r in rows:
+                d = r.doc_id
+                members.append((
+                    f"gz/{d:08d}.txt",
+                    1_700_000_000 + d % 997,
+                    (b"G%07d" % d) * (d % 3 + 1),
+                ))
+            if not members:
+                return
+            writer = write_tar_gz_members if pid % 2 == 0 else write_tar_gz_stream
+            writer(os.path.join(src, f"part_{pid}.tar.gz"), members)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    mem = read_tar_gz(spark, src, max_partition_bytes=8192)
+    return mem.select(
+        F.regexp_extract("name", r"gz/(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "name",
+        "size",
+        "mtime",
+        "typeflag",
+        "content_md5",
+    )
+
+
+_SQL_TAR_GZ_MEMBERS = """
+SELECT doc_id,
+       'gz/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       CAST(8 * (doc_id % 3 + 1) AS BIGINT) AS size,
+       CAST(1700000000 + doc_id % 997 AS BIGINT) AS mtime,
+       '0' AS typeflag,
+       md5(repeat('G' || lpad(CAST(doc_id AS VARCHAR), 7, '0'),
+                  CAST(doc_id % 3 + 1 AS INTEGER))) AS content_md5
+FROM documents
+"""
+
+
 def _dirty_url(doc_id: Column) -> Column:
     """Deterministic dirty-URL synthesizer (fixture for the URL family):
     scheme/host case, default :443 port, tracking params, unsorted
@@ -9759,6 +9826,7 @@ def _init_queries() -> None:
         "q_warc_scan": q_warc_scan,
         "q_warc_gz": q_warc_gz,
         "q_tar_members": q_tar_members,
+        "q_tar_gz_members": q_tar_gz_members,
         "q_zip_members": q_zip_members,
         "q_arrow_ipc": q_arrow_ipc,
         "q_robots_filter": q_robots_filter,
@@ -9799,11 +9867,13 @@ def _init_queries() -> None:
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
         "q_mp4_samples": q_mp4_samples,
-        "q_stream_kmv": q_stream_kmv,
-        # ---- end of the 50-entry graded window ----
+        # ---- end of the 50-entry graded window (q_tar_gz_members, new
+        # this round, took slot 13; q_stream_kmv moved to the round-9
+        # queue head) ----
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_stream_kmv": q_stream_kmv,
         "q_bpe_apply_fast": q_bpe_apply_fast,
         "q_kmv_distinct": q_kmv_distinct,
         "q_kmv_setops": q_kmv_setops,
@@ -10214,6 +10284,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_late": _SQL_STREAM_LATE,
         "q_warc_scan": _SQL_WARC_SCAN,
         "q_tar_members": _SQL_TAR_MEMBERS,
+        "q_tar_gz_members": _SQL_TAR_GZ_MEMBERS,
         "q_url_canon": _SQL_URL_CANON,
         "q_domain_cap": _SQL_DOMAIN_CAP,
         "q_kcore": _SQL_KCORE,

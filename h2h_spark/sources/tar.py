@@ -186,8 +186,293 @@ class TarReader(DataSourceReader):
         )
 
 
+# ---------------------------------------------------------------------------
+# Compressed tar (.tar.gz) — two layouts, two disciplines:
+#
+# - MEMBER-GZIPPED (one gzip member per tar member, the analogue of Common
+#   Crawl's .warc.gz framing; produced by :func:`write_tar_gz_members` or any
+#   per-record gzip framer): splittable.  The planner cuts plain byte ranges
+#   and each task resyncs with the shared validated gzip-member scanner
+#   (`gzscan.GzMemberScanner`) — candidate = gzip magic, validation = the
+#   first 512 inflated bytes checksum as a ustar header.  Ownership by
+#   member start offset, read-past-range for the body.
+#
+# - SINGLE-STREAM (conventional ``tar czf``: one deflate stream over the
+#   whole archive): NOT splittable — there is no boundary a task could
+#   resync to without inflating everything before it.  The planner assigns
+#   the whole file to one task that streams through it with O(chunk + one
+#   member) memory.  This cliff is intrinsic to the format (the reference
+#   documents its own transport cliffs the same way,
+#   ``docs/HDFS_Intro.xml:96-150``); real deployments repack to a
+#   splittable framing (member-gzip, uncompressed tar, parquet) once and
+#   scan that thereafter.  Parallelism across *files* still applies — a
+#   directory of 1000 tarballs fans out to 1000 tasks.
+#
+# ``layout="auto"`` (default) probes the first gzip member: if it ends
+# before the file does, the archive is member-framed and splittable;
+# otherwise it is planned as a single stream.  Detection errs toward
+# "stream", which is correct (just serial) for BOTH layouts.
+# ---------------------------------------------------------------------------
+
+
+def _validate_tar_plain(plain: bytes) -> bool:
+    """Gzip-member candidate predicate: the inflated prefix must open with
+    a checksum-valid ustar header (end-of-archive zero blocks fail this,
+    so the trailer member never aligns a split — it is only consumed
+    sequentially after a validated start)."""
+    return len(plain) >= _BLOCK and _parse_ustar_header(plain[:_BLOCK]) is not None
+
+
+def _members_from_plain(
+    plain: bytes, gz_offset: int
+) -> Iterator[tuple[dict, bytes]]:
+    """Parse one gzip member's plaintext as whole tar members.  The
+    member-gzipped contract is that every gzip member holds a whole
+    number of tar members; a tar member that spans gzip members is a
+    different layout and raises loudly (use ``layout="stream"``)."""
+    off = 0
+    while off + _BLOCK <= len(plain):
+        block = plain[off:off + _BLOCK]
+        if block.count(0) == _BLOCK:
+            return  # end-of-archive trailer
+        hdr = _parse_ustar_header(block)
+        if hdr is None:
+            raise ValueError(
+                f"malformed ustar header inside gzip member at "
+                f"compressed offset {gz_offset}"
+            )
+        data_end = off + _BLOCK + hdr["size"]
+        if data_end > len(plain):
+            raise ValueError(
+                f"tar member spans gzip members at compressed offset "
+                f"{gz_offset} — not the member-gzipped layout; read with "
+                f'layout="stream"'
+            )
+        yield hdr, plain[off + _BLOCK:data_end]
+        off += _BLOCK * (1 + math.ceil(hdr["size"] / _BLOCK))
+    if off < len(plain):
+        raise ValueError(
+            f"gzip member at compressed offset {gz_offset} is not "
+            f"block-aligned tar data"
+        )
+
+
+def scan_tar_gz_members(
+    path: str, start: int, end: int
+) -> Iterator[tuple[dict, bytes]]:
+    """Member-gzipped layout: (header, content) for tar members in gzip
+    members whose compressed start lies in [start, end)."""
+    from h2h_spark.sources.gzscan import GzMemberScanner
+
+    scanner = GzMemberScanner(
+        path, start, end, _validate_tar_plain, probe_plain=_BLOCK
+    )
+    for pos, plain in scanner.members():
+        yield from _members_from_plain(plain, pos)
+
+
+def scan_tar_gz_stream(path: str) -> Iterator[tuple[dict, bytes]]:
+    """Single-stream layout: sequential inflate + tar walk.  Memory is
+    O(chunk + one member).  Also correct (serially) for member-gzipped
+    archives — ``GzStreamReader`` restarts on concatenated members."""
+    from h2h_spark.sources.gzscan import GzStreamReader
+
+    it = GzStreamReader(path).chunks()
+    buf = bytearray()
+
+    def _fill(n: int) -> bool:
+        while len(buf) < n:
+            try:
+                buf.extend(next(it))
+            except StopIteration:
+                return False
+        return True
+
+    while True:
+        if not _fill(_BLOCK):
+            if buf and buf.count(0) != len(buf):
+                raise ValueError(f"truncated tar stream in {path}")
+            return
+        block = bytes(buf[:_BLOCK])
+        if block.count(0) == _BLOCK:
+            return  # end-of-archive
+        hdr = _parse_ustar_header(block)
+        if hdr is None:
+            raise ValueError(f"malformed ustar header in stream {path}")
+        padded = _BLOCK * math.ceil(hdr["size"] / _BLOCK)
+        if not _fill(_BLOCK + padded):
+            raise ValueError(f"truncated tar member in stream {path}")
+        yield hdr, bytes(buf[_BLOCK:_BLOCK + hdr["size"]])
+        del buf[:_BLOCK + padded]
+
+
+def detect_tar_gz_layout(path: str, probe_cap: int = 1 << 20) -> str:
+    """``"member"`` iff the first gzip member ends before the file does
+    (within ``probe_cap`` compressed bytes — a first member bigger than
+    the cap is planned as a stream, which stays correct, just serial)."""
+    import zlib
+
+    size = file_size(path)
+    with open_input(path) as f:
+        d = zlib.decompressobj(31)
+        consumed = 0
+        while consumed < probe_cap:
+            chunk = f.read(64 * 1024)
+            if not chunk:
+                break
+            d.decompress(chunk)
+            consumed += len(chunk) - len(d.unused_data)
+            if d.eof:
+                return "member" if consumed < size else "stream"
+    return "stream"
+
+
+class TarGzDataSource(DataSource):
+    """``spark.read.format("h2h_tar_gz")`` — compressed tar."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_tar_gz"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> "TarGzReader":
+        return TarGzReader(self.options)
+
+
+class _TarGzPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int, mode: str):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.mode = mode  # "member" | "stream"
+
+
+class TarGzReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_bytes = int(
+            options.get("maxPartitionBytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self.layout = options.get("layout", "auto")
+        if self.layout not in ("auto", "member", "stream"):
+            raise ValueError(
+                f"layout must be auto|member|stream, got {self.layout!r}"
+            )
+
+    def partitions(self):
+        parts: list[_TarGzPartition] = []
+        for path in list_part_files(self.path, pattern="*.tar.gz"):
+            layout = (
+                detect_tar_gz_layout(path)
+                if self.layout == "auto"
+                else self.layout
+            )
+            size = file_size(path)
+            if size == 0:
+                continue
+            if layout == "stream":
+                parts.append(_TarGzPartition(path, 0, size, "stream"))
+                continue
+            n = max(1, math.ceil(size / self.max_bytes))
+            base, rem = divmod(size, n)
+            off = 0
+            for i in range(n):
+                ln = base + (1 if i < rem else 0)
+                parts.append(_TarGzPartition(path, off, off + ln, "member"))
+                off += ln
+        if not parts:  # Spark calls read(None) on an empty plan
+            parts.append(_TarGzPartition("", 0, 0, "stream"))
+        return parts
+
+    def read(self, part: _TarGzPartition) -> Iterator[pa.RecordBatch]:
+        names, sizes, mtimes, flags, md5s = [], [], [], [], []
+        if part.path:
+            members = (
+                scan_tar_gz_stream(part.path)
+                if part.mode == "stream"
+                else scan_tar_gz_members(part.path, part.start, part.end)
+            )
+            for hdr, content in members:
+                names.append(hdr["name"])
+                sizes.append(hdr["size"])
+                mtimes.append(hdr["mtime"])
+                flags.append(hdr["typeflag"])
+                md5s.append(hashlib.md5(content).hexdigest())
+        yield pa.record_batch(
+            [
+                pa.array(names, pa.string()),
+                pa.array(sizes, pa.int64()),
+                pa.array(mtimes, pa.int64()),
+                pa.array(flags, pa.string()),
+                pa.array(md5s, pa.string()),
+            ],
+            names=["name", "size", "mtime", "typeflag", "content_md5"],
+        )
+
+
+def ustar_member_bytes(name: str, content: bytes, mtime: int = 0) -> bytes:
+    """One tar member (header + data + zero padding), ustar format."""
+    import io as _io
+    import tarfile as _tarfile
+
+    ti = _tarfile.TarInfo(name=name)
+    ti.size = len(content)
+    ti.mtime = mtime
+    hdr = ti.tobuf(_tarfile.USTAR_FORMAT)
+    return hdr + content + b"\x00" * ((-len(content)) % _BLOCK)
+
+
+def write_tar_gz_members(
+    path: str, members: Sequence[tuple[str, int, bytes]]
+) -> None:
+    """Fixture/test writer for the splittable member-gzipped layout: one
+    gzip member per tar member plus a trailer member holding the
+    end-of-archive zero blocks.  mtime pinned for determinism."""
+    import gzip as _gzip
+
+    with open(path, "wb") as f:
+        for name, mtime, content in members:
+            f.write(
+                _gzip.compress(ustar_member_bytes(name, content, mtime), mtime=0)
+            )
+        f.write(_gzip.compress(b"\x00" * (2 * _BLOCK), mtime=0))
+
+
+def write_tar_gz_stream(
+    path: str, members: Sequence[tuple[str, int, bytes]]
+) -> None:
+    """Fixture/test writer for the conventional single-stream layout."""
+    import gzip as _gzip
+
+    raw = b"".join(
+        ustar_member_bytes(name, content, mtime)
+        for name, mtime, content in members
+    ) + b"\x00" * (2 * _BLOCK)
+    with open(path, "wb") as f:
+        f.write(_gzip.compress(raw, mtime=0))
+
+
 def register_tar(spark: SparkSession) -> None:
     spark.dataSource.register(TarDataSource)
+    spark.dataSource.register(TarGzDataSource)
+
+
+def read_tar_gz(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+    layout: str = "auto",
+) -> DataFrame:
+    register_tar(spark)
+    return (
+        spark.read.format("h2h_tar_gz")
+        .option("path", path)
+        .option("maxPartitionBytes", str(max_partition_bytes))
+        .option("layout", layout)
+        .load()
+    )
 
 
 def read_tar(

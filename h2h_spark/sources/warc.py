@@ -36,6 +36,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from h2h_spark.sources.gzscan import GZ_MAGIC as _GZ_MAGIC
+from h2h_spark.sources.gzscan import GzMemberScanner
 from h2h_spark.sources.util import file_size, list_part_files, open_input
 
 _MAGIC = b"WARC/1.0\r\n"
@@ -290,7 +292,6 @@ def write_warc_records(
 # the member body — the same discipline as the plain scanner above.
 # ---------------------------------------------------------------------------
 
-_GZ_MAGIC = b"\x1f\x8b\x08"
 _GZ_PROBE = 256  # plaintext bytes to inflate when validating a candidate
 
 
@@ -322,101 +323,38 @@ def write_warc_records_to(f, records) -> None:
         f.write(b"\r\n\r\n")
 
 
-class _GzMemberScanner:
-    """Stream gzip members whose compressed start lies in [start, end)."""
+def _validate_warc_plain(plain: bytes) -> bool:
+    """Candidate predicate: the inflated prefix opens with the WARC magic."""
+    return plain.startswith(_MAGIC[: min(len(_MAGIC), len(plain))])
+
+
+class _GzMemberScanner(GzMemberScanner):
+    """Stream gzip members whose compressed start lies in [start, end).
+
+    The resync mechanics (magic scan, probe-inflate validation, the
+    re-seek-before-refill discipline) live in the shared
+    :class:`h2h_spark.sources.gzscan.GzMemberScanner`; this subclass
+    supplies the WARC validator and parses each member's plaintext."""
 
     def __init__(self, path: str, start: int, end: int):
-        self.path = path
-        self.size = file_size(path)
-        self.start = start
-        self.end = end
-
-    def _validate(self, f, pos: int) -> bool:
-        """Inflate a probe window at ``pos``; true iff it decompresses
-        and opens with the WARC magic."""
-        import zlib as _zlib
-
-        f.seek(pos)
-        d = _zlib.decompressobj(31)
-        try:
-            out = d.decompress(f.read(_GZ_PROBE), _GZ_PROBE)
-        except _zlib.error:
-            return False
-        return out.startswith(_MAGIC[: min(len(_MAGIC), len(out))]) and bool(out)
-
-    def _align(self, f) -> int | None:
-        if self.start == 0:
-            return 0
-        pos = self.start
-        buf = b""
-        buf_at = pos
-        while True:
-            if not buf:
-                f.seek(buf_at)
-                buf = f.read(_CHUNK)
-                if not buf:
-                    return None
-            idx = buf.find(_GZ_MAGIC)
-            if idx < 0:
-                if buf_at + len(buf) - 2 >= self.end:
-                    return None
-                buf_at += len(buf) - 2
-                buf = buf[-2:]
-                # Re-seek before refilling: a preceding failed _validate()
-                # moved the file position (it seeks to the candidate and
-                # reads the probe window), so a bare read here would desync
-                # the buf/buf_at mapping and silently drop every record in
-                # the partition after any false-positive gzip magic.
-                f.seek(buf_at + len(buf))
-                nxt = f.read(_CHUNK)
-                if not nxt:
-                    return None
-                buf += nxt
-                continue
-            cand = buf_at + idx
-            if cand >= self.end:
-                return None
-            if self._validate(f, cand):
-                return cand
-            # false positive (magic bytes inside compressed data)
-            buf = buf[idx + 1:]
-            buf_at = cand + 1
+        super().__init__(
+            path, start, end, _validate_warc_plain, probe_plain=_GZ_PROBE
+        )
 
     def records(self) -> Iterator[tuple[dict[str, str], bytes]]:
-        import zlib as _zlib
-
-        with open_input(self.path) as f:
-            pos = self._align(f)
-            if pos is None:
-                return
-            while pos < self.end and pos < self.size:
-                f.seek(pos)
-                d = _zlib.decompressobj(31)
-                plain = bytearray()
-                consumed = 0
-                while not d.eof:
-                    chunk = f.read(_CHUNK)
-                    if not chunk:
-                        raise ValueError(
-                            f"truncated gzip member at offset {pos}"
-                        )
-                    plain += d.decompress(chunk)
-                    consumed += len(chunk) - len(d.unused_data)
-                    if d.eof:
-                        break
-                parsed = _parse_header_block(bytes(plain[:_MAX_HEADER]))
-                if parsed is None:
-                    raise ValueError(
-                        f"gzip member at offset {pos} is not a WARC record"
-                    )
-                headers, hlen = parsed
-                clen = int(headers["content-length"])
-                if len(plain) < hlen + clen:
-                    raise ValueError(
-                        f"short WARC record in gzip member at offset {pos}"
-                    )
-                yield headers, bytes(plain[hlen:hlen + clen])
-                pos += consumed
+        for pos, plain in self.members():
+            parsed = _parse_header_block(plain[:_MAX_HEADER])
+            if parsed is None:
+                raise ValueError(
+                    f"gzip member at offset {pos} is not a WARC record"
+                )
+            headers, hlen = parsed
+            clen = int(headers["content-length"])
+            if len(plain) < hlen + clen:
+                raise ValueError(
+                    f"short WARC record in gzip member at offset {pos}"
+                )
+            yield headers, plain[hlen:hlen + clen]
 
 
 class WarcGzDataSource(DataSource):
