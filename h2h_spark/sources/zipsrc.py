@@ -25,25 +25,94 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from h2h_spark.sources.util import file_size, list_part_files, open_input
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 _CDH_SIG = b"PK\x01\x02"
 _LFH_SIG = b"PK\x03\x04"
 
 
+def _zip64_extra(extra: bytes, need: list[str]) -> dict[str, int]:
+    """Parse the ZIP64 extended-information extra field (header id
+    0x0001, APPNOTE §4.5.3): 8-byte values appear in fixed order —
+    usize, csize, lfh_off, disk — but ONLY for the fields whose 32-bit
+    slot holds the 0xFFFFFFFF sentinel (``need`` lists those)."""
+    off = 0
+    while off + 4 <= len(extra):
+        hid, hlen = struct.unpack_from("<HH", extra, off)
+        if hid == 0x0001:
+            body = extra[off + 4:off + 4 + hlen]
+            vals: dict[str, int] = {}
+            p = 0
+            for field in need:
+                width = 4 if field == "disk" else 8
+                if p + width > len(body):
+                    raise ValueError(
+                        "zip64 extra field too short for sentinel fields "
+                        f"{need}"
+                    )
+                vals[field] = int.from_bytes(body[p:p + width], "little")
+                p += width
+            return vals
+        off += 4 + hlen
+    raise ValueError(
+        f"central-directory entry has 0xFFFFFFFF sentinels {need} but no "
+        "zip64 extra field"
+    )
+
+
+def _locate_directory(path: str, f, size: int) -> tuple[int, int, int]:
+    """Find the EOCD (floats behind a ≤64 KiB comment), follow the ZIP64
+    locator when the 32-bit record carries sentinels, and validate that
+    the directory it points at actually ends where the record begins —
+    a fabricated EOCD embedded in an archive comment fails this check
+    instead of redirecting the scan (APPNOTE §4.3.16/§4.3.14)."""
+    tail_len = min(size, 22 + 65535)
+    f.seek(size - tail_len)
+    tail = f.read(tail_len)
+    idx = tail.rfind(_EOCD_SIG)
+    if idx < 0:
+        raise ValueError(f"{path}: no end-of-central-directory record")
+    eocd_abs = size - tail_len + idx
+    n_entries, cd_size, cd_off = struct.unpack_from("<HII", tail, idx + 10)
+    dir_end = eocd_abs
+    if n_entries == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        loc_abs = eocd_abs - 20
+        f.seek(max(loc_abs, 0))
+        loc = f.read(20)
+        if loc_abs < 0 or loc[:4] != _EOCD64_LOC_SIG:
+            raise ValueError(
+                f"{path}: EOCD carries zip64 sentinels but no zip64 "
+                "EOCD locator precedes it"
+            )
+        eocd64_off = struct.unpack_from("<Q", loc, 8)[0]
+        if eocd64_off + 56 > loc_abs:
+            raise ValueError(f"{path}: zip64 EOCD offset out of bounds")
+        f.seek(eocd64_off)
+        e64 = f.read(56)
+        if e64[:4] != _EOCD64_SIG:
+            raise ValueError(f"{path}: bad zip64 EOCD signature")
+        n_entries, cd_size, cd_off = struct.unpack_from("<QQQ", e64, 32)
+        dir_end = eocd64_off
+    if cd_off + cd_size > dir_end:
+        # ``>`` not ``!=``: in-place-edited archives may leave a gap
+        # before the directory record, and some writers emit a zip64
+        # EOCD even when the 32-bit record has no sentinels.
+        raise ValueError(
+            f"{path}: central directory [{cd_off}, {cd_off + cd_size}) "
+            f"overlaps the directory record at {dir_end} — rejecting "
+            "(comment-embedded or corrupt EOCD)"
+        )
+    return n_entries, cd_size, cd_off
+
+
 def read_central_directory(path: str) -> list[dict]:
     """Driver-side directory read: locate the EOCD in the file tail
-    (it floats behind an optional comment, max 64 KiB), then parse
-    every central-directory entry."""
+    (it floats behind an optional comment, max 64 KiB), follow the
+    ZIP64 records when present, then parse every central-directory
+    entry (including per-entry zip64 extra fields)."""
     size = file_size(path)
     with open_input(path) as f:
-        tail_len = min(size, 22 + 65535)
-        f.seek(size - tail_len)
-        tail = f.read(tail_len)
-        idx = tail.rfind(_EOCD_SIG)
-        if idx < 0:
-            raise ValueError(f"{path}: no end-of-central-directory record")
-        n_entries, cd_size, cd_off = struct.unpack_from(
-            "<HII", tail, idx + 10
-        )
+        n_entries, cd_size, cd_off = _locate_directory(path, f, size)
         f.seek(cd_off)
         cd = f.read(cd_size)
     members, off = [], 0
@@ -56,6 +125,19 @@ def read_central_directory(path: str) -> list[dict]:
         )
         lfh_off = struct.unpack_from("<I", cd, off + 42)[0]
         name = cd[off + 46:off + 46 + nlen].decode("utf-8", "replace")
+        need = [
+            field
+            for field, v in (
+                ("usize", usize), ("csize", csize), ("lfh_off", lfh_off),
+            )
+            if v == 0xFFFFFFFF
+        ]
+        if need:
+            extra = cd[off + 46 + nlen:off + 46 + nlen + elen]
+            vals = _zip64_extra(extra, need)
+            usize = vals.get("usize", usize)
+            csize = vals.get("csize", csize)
+            lfh_off = vals.get("lfh_off", lfh_off)
         members.append(
             {
                 "name": name, "method": method, "crc": crc,
