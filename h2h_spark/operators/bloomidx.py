@@ -127,6 +127,11 @@ def read_point_lookup(
     files = prune_files(index, probe_keys)
     if not files:
         any_file = [r["file"] for r in index.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError(
+                "bloom index is empty — no indexed files to derive the "
+                "data schema from; build the index before probing it"
+            )
         empty = spark.read.parquet(*any_file).limit(0)
         return empty.where(F.lit(False))
     return spark.read.parquet(*files).where(F.col(key_col).isin(probe_keys))

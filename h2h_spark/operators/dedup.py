@@ -885,7 +885,7 @@ def content_defined_chunks(
     truncates it to a 32-term weighted window sum, which is exactly
     what makes the whole operator EXTERNALLY GRADEABLE: an oracle can
     recompute every hash with a 32-offset self-join.  Boundary where
-    ``h_i mod 2^mask_bits == 0`` (expected chunk ≈ 2^mask_bits chars).
+    ``h_i mod 2^mask_bits == 0`` (expected chunk ≈ 2^mask_bits bytes).
 
     Per doc: one vectorized numpy pass (sliding-window dot mod 2^32),
     Arrow-batched; output ``(id, chunk_idx, start, chunk_len,

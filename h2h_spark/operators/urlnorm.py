@@ -45,7 +45,10 @@ def url_parts(url: Column) -> tuple[Column, Column, Column, Column]:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # the query starts at the first ``?`` BEFORE any ``#`` — a ``?``
+    # inside the fragment (``/p#frag?x``) is fragment text, not a query
+    # (RFC 3986 §3.4/§3.5)
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     return scheme, hostport, path, query
 
 

@@ -1,0 +1,105 @@
+"""Round-8 fixes: RFC 9309 wildcard rules in the robots filter, the
+fragment-embedded ``?`` edge in URL canonicalization, and the
+empty-bloom-index guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------ robots wildcards
+
+
+def _verdicts(spark, rules, paths, host="h"):
+    from h2h_spark.operators.robots import robots_filter
+
+    urls = spark.createDataFrame(
+        [(i, host, p) for i, p in enumerate(paths)], ["id", "host", "path"]
+    )
+    rdf = spark.createDataFrame(
+        [(host, pat, allow) for pat, allow in rules],
+        ["host", "pattern", "allow"],
+    )
+    out = robots_filter(urls, rdf, id_col="id").collect()
+    return {r["path"]: (r["allowed"], r["rule"]) for r in out}
+
+def test_robots_star_and_dollar(spark):
+    # RFC 9309 §2.2.3: * matches any char sequence, terminal $ anchors.
+    v = _verdicts(
+        spark,
+        rules=[("/*.pdf$", False)],
+        paths=["/a/b.pdf", "/x.pdf", "/a/b.pdfx", "/a/pdf", "/p.pdf/sub"],
+    )
+    assert v["/a/b.pdf"] == (False, "/*.pdf$")
+    assert v["/x.pdf"] == (False, "/*.pdf$")
+    assert v["/a/b.pdfx"][0] is True  # $ anchored: .pdfx does not match
+    assert v["/a/pdf"][0] is True
+    assert v["/p.pdf/sub"][0] is True
+
+
+def test_robots_star_unanchored_prefix(spark):
+    # Without $, the pattern matches a PREFIX of the path.
+    v = _verdicts(
+        spark,
+        rules=[("/dl/*/raw", False)],
+        paths=["/dl/a/raw", "/dl/a/b/raw/more", "/dl/raw"],
+    )
+    assert v["/dl/a/raw"][0] is False
+    assert v["/dl/a/b/raw/more"][0] is False  # * spans a/b; prefix match
+    assert v["/dl/raw"][0] is True  # * must consume at least the slash? no —
+    # "/dl/*/raw" with * matching "" gives "/dl//raw" ≠ "/dl/raw"
+
+
+def test_robots_wildcard_specificity_and_literals(spark):
+    # Longest pattern (most octets) wins across wildcard + plain rules;
+    # regex metachars in patterns stay literal.
+    v = _verdicts(
+        spark,
+        rules=[("/p", True), ("/*.php", False)],
+        paths=["/p/index.php", "/p/page"],
+    )
+    assert v["/p/index.php"] == (False, "/*.php")  # 6 octets > 2
+    assert v["/p/page"] == (True, "/p")
+    v2 = _verdicts(spark, rules=[("/a+b", False)], paths=["/a+b/x", "/aab"])
+    assert v2["/a+b/x"][0] is False  # literal '+', not regex repeat
+    assert v2["/aab"][0] is True
+
+
+def test_robots_mid_dollar_literal(spark):
+    # $ is only special when terminal; mid-pattern it is a literal.
+    v = _verdicts(
+        spark, rules=[("/x$y", False)], paths=["/x$y/z", "/xy"]
+    )
+    assert v["/x$y/z"][0] is False
+    assert v["/xy"][0] is True
+
+
+# ------------------------------------------------------ urlnorm fragment
+
+
+def test_url_fragment_question_mark_not_query(spark):
+    from h2h_spark.operators.urlnorm import canonicalize_url
+
+    cases = [
+        # a ? inside the fragment is fragment text, not a query
+        ("https://Ex.org/p#frag?utm_source=x", "https://ex.org/p"),
+        ("https://ex.org/p?b=2&a=1#frag?z=9", "https://ex.org/p?a=1&b=2"),
+        ("https://ex.org/p#?", "https://ex.org/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+# ------------------------------------------------------ bloomidx guard
+
+
+def test_bloom_empty_index_raises(spark):
+    from h2h_spark.operators.bloomidx import read_point_lookup
+
+    empty_index = spark.createDataFrame(
+        [], "file string, m_bits int, bloom binary"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        read_point_lookup(spark, empty_index, "k", [1])
