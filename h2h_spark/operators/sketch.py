@@ -549,6 +549,7 @@ def kmv_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 4,
     max_hash_freq: int = 64,
+    sketches: DataFrame | None = None,
 ) -> DataFrame:
     """KMV Jaccard-THRESHOLD join (Beyer et al. 2007, SIGMOD — public):
     estimate pairwise shingle-set Jaccard from per-doc bottom-k sketches
@@ -573,11 +574,20 @@ def kmv_jaccard_pairs(
     bucket join and ≤ 2k rows per surviving candidate pair through one
     window — at 128 hashes/doc that is ~1% of a typical document's
     bytes, vs :func:`~h2h_spark.operators.dedup.jaccard_pairs` which
-    shuffles full shingle sets for verification."""
+    shuffles full shingle sets for verification.
+
+    ``sketches`` (optional): a prebuilt/stored ``(id, __h)`` sketch table
+    from :func:`kmv_doc_sketches` — the production shape, where sketches
+    are a maintained artifact updated at ingest and the threshold join
+    runs against the store instead of re-hashing the corpus.  When given,
+    ``df``/``text_col``/``k``/``shingle_k`` must match what built it (the
+    estimator's contract is bottom-k of the same hash family)."""
     from pyspark.sql.window import Window
 
-    sk = kmv_doc_sketches(df, id_col, text_col, k, shingle_k)
-    sk.persist()
+    sk = sketches
+    if sk is None:
+        sk = kmv_doc_sketches(df, id_col, text_col, k, shingle_k)
+        sk.persist()
     # inverted index with stop-hash cap: buckets wider than the cap are
     # dropped WHOLESALE (both sides), mirroring the SQL twin
     ok_h = (
