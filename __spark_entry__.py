@@ -5438,6 +5438,230 @@ GROUP BY host
 """
 
 
+def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL crawl→corpus chain from ``examples/crawl_to_corpus.py``
+    as one graded composition: WARC scan with payload bytes (8 KiB split
+    realignment) → record-type gate → URL canonicalization +
+    canonical-URL dedup (min-id winner) → robots.txt admission
+    (prefix AND RFC 9309 ``*``/``$`` wildcard rules) → per-domain cap
+    (portable-hash order) → HTML text extraction → content-defined
+    chunking → chunk-level exact dedup (min-id chunk ownership) →
+    per-host corpus accounting.  Every stage is an already-graded
+    operator (q_warc_scan/q_url_canon/q_robots_filter/q_domain_cap/
+    q_html_extract/q_content_chunks); this query grades — and the bench
+    tracks — the COMPOSITION.  ASCII corpus ⇒ CDC byte and char
+    positions coincide (same documented assumption as
+    q_content_chunks)."""
+    from h2h_spark.operators.dedup import content_defined_chunks
+    from h2h_spark.operators.robots import robots_filter
+    from h2h_spark.operators.text import extract_html_text
+    from h2h_spark.operators.urlnorm import (
+        cap_per_domain, crawl_url_dedup, url_host,
+    )
+    from h2h_spark.sources.warc import read_warc, write_warc_records
+
+    w = _work("q_crawl_corpus_e2e", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = r.doc_id
+                scheme = "HTTPS" if d % 2 == 0 else "https"
+                host = f"EX-{d % 5}.ORG" if d % 3 == 0 else f"ex-{d % 5}.org"
+                port = ":443" if d % 4 == 0 else ""
+                q = (
+                    f"?utm_source=crawl&ref={d % 3}"
+                    if d % 5 == 1
+                    else f"?ref={d % 3}"
+                )
+                words = " ".join(
+                    f"w{(d + 7 * j) % 23:02d}" for j in range(d % 6 + 4)
+                )
+                html = (
+                    f"<html><head><title>D{d}</title></head><body>"
+                    f'<p>{words}</p><a href="/n">next</a></body></html>'
+                )
+                recs.append((
+                    {
+                        "WARC-Type": "metadata" if d % 10 == 0 else "response",
+                        "WARC-Record-ID": f"<urn:e2e:{d}>",
+                        "WARC-Target-URI":
+                            f"{scheme}://{host}{port}/page/{d % 40}{q}",
+                    },
+                    html.encode(),
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_warc(
+        spark, src, max_partition_bytes=8192, include_payload=True
+    )
+    resp = rec.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("record_id", r"urn:e2e:(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    winners = crawl_url_dedup(resp, "url", "doc_id").filter(
+        F.col("is_winner")
+    )
+    parts = winners.withColumn(
+        "host", url_host(F.col("url_canon"))
+    ).withColumn(
+        "path",
+        F.regexp_extract("url_canon", r"^[a-z]+://[^/?#]*([^?#]*)", 1),
+    )
+    rules = []
+    for k in range(5):
+        rules += [
+            (f"ex-{k}.org", "/page/1", False),
+            (f"ex-{k}.org", "/page/12", True),
+            (f"ex-{k}.org", "/*4$", False),
+        ]
+    rules_df = spark.createDataFrame(rules, ["host", "pattern", "allow"])
+    admitted = robots_filter(parts, rules_df, id_col="doc_id").filter(
+        F.col("allowed")
+    )
+    capped = cap_per_domain(
+        admitted.drop("host"), "url_canon", "doc_id", cap=15
+    )
+    corpus = extract_html_text(capped, "html").select(
+        "doc_id", "host", "body_text"
+    )
+    chunks = content_defined_chunks(
+        corpus, "doc_id", "body_text", mask_bits=5
+    )
+    host_of = corpus.select("doc_id", "host")
+    per_docs = corpus.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("body_text")).cast("bigint").alias("text_chars"),
+    )
+    per_chunks = chunks.join(host_of, "doc_id").groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    owners = chunks.groupBy("chunk_md5").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    per_owned = owners.join(host_of, "doc_id").groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_owned_chunks")
+    )
+    return (
+        per_docs.join(per_chunks, "host")
+        .join(per_owned, "host", "left")
+        .select(
+            "host", "n_docs", "text_chars", "n_chunks",
+            F.coalesce("n_owned_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("n_owned_chunks"),
+        )
+    )
+
+
+_SQL_CRAWL_CORPUS_E2E = """
+WITH base AS (
+  SELECT doc_id, doc_id % 5 AS h5, doc_id % 40 AS m40, doc_id % 3 AS r3
+  FROM documents WHERE doc_id % 10 <> 0),
+canon AS (
+  SELECT doc_id,
+         'https://ex-' || CAST(h5 AS VARCHAR) || '.org/page/'
+             || CAST(m40 AS VARCHAR) || '?ref=' || CAST(r3 AS VARCHAR)
+             AS url_canon,
+         'ex-' || CAST(h5 AS VARCHAR) || '.org' AS host,
+         '/page/' || CAST(m40 AS VARCHAR) AS path
+  FROM base),
+winners AS (
+  SELECT doc_id, host, path FROM (
+    SELECT c.*,
+           ROW_NUMBER() OVER (PARTITION BY url_canon ORDER BY doc_id) AS rn
+    FROM canon c) WHERE rn = 1),
+admitted AS (
+  SELECT doc_id, host FROM winners
+  WHERE CASE WHEN starts_with(path, '/page/12') THEN TRUE
+             WHEN starts_with(path, '/page/1') THEN FALSE
+             WHEN path LIKE '%4' THEN FALSE
+             ELSE TRUE END),
+capped AS (
+  SELECT doc_id, host FROM (
+    SELECT doc_id, host,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT),
+             doc_id) AS rn
+    FROM admitted) WHERE rn <= 15),
+words AS (
+  SELECT c.doc_id,
+         string_agg('w' || lpad(CAST((c.doc_id + 7 * j.x) % 23 AS VARCHAR),
+                                2, '0'), ' ' ORDER BY j.x) AS ws
+  FROM capped c, generate_series(0, 9) AS j(x)
+  WHERE j.x < c.doc_id % 6 + 4
+  GROUP BY c.doc_id),
+corpus AS (
+  SELECT c.doc_id, c.host,
+         'D' || CAST(c.doc_id AS VARCHAR) || ' ' || w.ws || ' next'
+             AS body_text
+  FROM capped c JOIN words w ON w.doc_id = c.doc_id),
+p AS (
+  SELECT doc_id, substr(body_text, CAST(i.x AS INTEGER), 1) AS ch, i.x AS i
+  FROM corpus, generate_series(1, 120) AS i(x)
+  WHERE i.x <= length(body_text)),
+tt AS (
+  SELECT doc_id, i, CAST(('0x' || substr(md5(ch), 1, 8)) AS BIGINT) AS t
+  FROM p),
+h AS (
+  SELECT a.doc_id, a.i,
+         CAST(SUM((b.t * (CAST(1 AS BIGINT)
+                          << CAST(a.i - b.i AS INTEGER))) % 4294967296)
+              AS BIGINT) % 4294967296 AS hv
+  FROM tt a JOIN tt b
+    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 31 AND a.i
+  GROUP BY a.doc_id, a.i),
+ends AS (
+  SELECT doc_id, i FROM h WHERE hv % 32 = 0
+  UNION
+  SELECT doc_id, length(body_text) AS i FROM corpus),
+seg AS (
+  SELECT doc_id, i AS endpos,
+         COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+             AS start
+  FROM ends),
+chunks AS (
+  SELECT s.doc_id,
+         md5(substr(c.body_text, CAST(s.start AS INTEGER),
+                    CAST(s.endpos - s.start + 1 AS INTEGER))) AS chunk_md5
+  FROM seg s JOIN corpus c USING (doc_id)),
+per_docs AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(body_text)) AS BIGINT) AS text_chars
+  FROM corpus GROUP BY host),
+per_chunks AS (
+  SELECT c2.host, CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM chunks ch JOIN corpus c2 USING (doc_id) GROUP BY c2.host),
+owners AS (
+  SELECT chunk_md5, MIN(doc_id) AS doc_id FROM chunks GROUP BY chunk_md5),
+per_owned AS (
+  SELECT c3.host, CAST(COUNT(*) AS BIGINT) AS n_owned_chunks
+  FROM owners o JOIN corpus c3 USING (doc_id) GROUP BY c3.host)
+SELECT d.host, d.n_docs, d.text_chars, pc.n_chunks,
+       CAST(COALESCE(po.n_owned_chunks, 0) AS BIGINT) AS n_owned_chunks
+FROM per_docs d
+JOIN per_chunks pc ON pc.host = d.host
+LEFT JOIN per_owned po ON po.host = d.host
+"""
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity CANONICALIZATION end-to-end: fuzzy candidate pairs
     (blocked levenshtein, the q_fuzzy_match machinery) feed min-label
@@ -9858,6 +10082,7 @@ def _init_queries() -> None:
         "q_domain_cap": q_domain_cap,
         "q_html_extract": q_html_extract,
         "q_crawl_pipeline": q_crawl_pipeline,
+        "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_entity_resolution": q_entity_resolution,
         # ---- slots 20-29: wave-4 spatial/streaming, never driver-graded ----
         "q_spatial_join": q_spatial_join,
@@ -9890,13 +10115,14 @@ def _init_queries() -> None:
         "q_audio_energy": q_audio_energy,
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
-        "q_mp4_samples": q_mp4_samples,
-        # ---- end of the 50-entry graded window (q_tar_gz_members, new
-        # this round, took slot 13; q_stream_kmv moved to the round-9
-        # queue head) ----
+        # ---- end of the 50-entry graded window (q_tar_gz_members and
+        # q_crawl_corpus_e2e, both new this round, took slots 13 and 20;
+        # q_mp4_samples and q_stream_kmv moved to the round-9 queue
+        # head) ----
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_mp4_samples": q_mp4_samples,
         "q_stream_kmv": q_stream_kmv,
         "q_bpe_apply_fast": q_bpe_apply_fast,
         "q_kmv_distinct": q_kmv_distinct,
@@ -10329,6 +10555,7 @@ def oracle_sql() -> dict[str, str]:
         "q_feature_prop": _SQL_FEATURE_PROP,
         "q_length_batching": _SQL_LENGTH_BATCHING,
         "q_crawl_pipeline": _SQL_CRAWL_PIPELINE,
+        "q_crawl_corpus_e2e": _SQL_CRAWL_CORPUS_E2E,
         "q_entity_resolution": _SQL_ENTITY_RESOLUTION,
         "q_stream_quota": _SQL_STREAM_QUOTA,
         "q_image_dhash": _SQL_IMAGE_DHASH,

@@ -917,13 +917,14 @@ def content_defined_chunks(
                 if n == 0:
                     continue
                 t = table[bs]  # uint64, < 2^32
-                # h_i = sum_{k=0..31} (t[i-k] << k)  (mod 2^32)
+                # h_i = sum_{k=0..31} (t[i-k] << k)  (mod 2^32); for a
+                # doc shorter than the 32-byte window only the first n
+                # offsets exist (k >= n would slice t negatively and
+                # crash on shape mismatch)
                 h = np.zeros(n, dtype=np.uint64)
-                for k in range(32):
-                    term = (t[: n - k if k else n] * weights[k]) & np.uint64(
-                        0xFFFFFFFF
-                    )
-                    h[k:] += term[: n - k]
+                for k in range(min(32, n)):
+                    term = (t[: n - k] * weights[k]) & np.uint64(0xFFFFFFFF)
+                    h[k:] += term
                 h &= np.uint64(0xFFFFFFFF)
                 bounds = np.nonzero((h & np.uint64(mask)) == 0)[0]
                 prev = 0

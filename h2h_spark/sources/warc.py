@@ -205,14 +205,24 @@ _SCHEMA_DDL = (
 )
 
 
+def _truthy(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes")
+
+
 class WarcDataSource(DataSource):
-    """``spark.read.format("h2h_warc").option("path", ...)``"""
+    """``spark.read.format("h2h_warc").option("path", ...)``
+
+    ``includePayload=true`` adds a ``payload binary`` column — opt-in
+    because a metadata-only scan (the common audit/accounting shape)
+    should not materialize record bodies into Arrow batches."""
 
     @classmethod
     def name(cls) -> str:
         return "h2h_warc"
 
     def schema(self) -> str:
+        if _truthy(self.options.get("includePayload", "false")):
+            return _SCHEMA_DDL + ", payload binary"
         return _SCHEMA_DDL
 
     def reader(self, schema) -> "WarcReader":
@@ -225,6 +235,7 @@ class WarcReader(DataSourceReader):
         self.max_bytes = int(
             options.get("maxPartitionBytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
+        self.include_payload = _truthy(options.get("includePayload", "false"))
 
     def partitions(self):
         return plan_warc_splits(
@@ -233,6 +244,7 @@ class WarcReader(DataSourceReader):
 
     def read(self, part: WarcInputPartition) -> Iterator[pa.RecordBatch]:
         ids, types, uris, lens, md5s = [], [], [], [], []
+        payloads: list[bytes] = []
         for headers, payload in _RangeScanner(
             part.path, part.start, part.end
         ).records():
@@ -241,19 +253,23 @@ class WarcReader(DataSourceReader):
             uris.append(headers.get("warc-target-uri", ""))
             lens.append(len(payload))
             md5s.append(hashlib.md5(payload).hexdigest())
-        yield pa.record_batch(
-            [
-                pa.array(ids, pa.string()),
-                pa.array(types, pa.string()),
-                pa.array(uris, pa.string()),
-                pa.array(lens, pa.int64()),
-                pa.array(md5s, pa.string()),
-            ],
-            names=[
-                "record_id", "warc_type", "target_uri",
-                "content_length", "payload_md5",
-            ],
-        )
+            if self.include_payload:
+                payloads.append(payload)
+        cols = [
+            pa.array(ids, pa.string()),
+            pa.array(types, pa.string()),
+            pa.array(uris, pa.string()),
+            pa.array(lens, pa.int64()),
+            pa.array(md5s, pa.string()),
+        ]
+        names = [
+            "record_id", "warc_type", "target_uri",
+            "content_length", "payload_md5",
+        ]
+        if self.include_payload:
+            cols.append(pa.array(payloads, pa.binary()))
+            names.append("payload")
+        yield pa.record_batch(cols, names=names)
 
 
 def register_warc(spark: SparkSession) -> None:
@@ -264,12 +280,14 @@ def read_warc(
     spark: SparkSession,
     path: str,
     max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+    include_payload: bool = False,
 ) -> DataFrame:
     register_warc(spark)
     return (
         spark.read.format("h2h_warc")
         .option("path", path)
         .option("maxPartitionBytes", str(max_partition_bytes))
+        .option("includePayload", str(include_payload).lower())
         .load()
     )
 

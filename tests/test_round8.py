@@ -103,3 +103,50 @@ def test_bloom_empty_index_raises(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         read_point_lookup(spark, empty_index, "k", [1])
+
+
+# ---------------------------------------------- CDC short-doc regression
+
+
+def test_cdc_short_docs_tile_bytes(spark):
+    # Docs shorter than the 32-byte gear window crashed on a numpy
+    # shape mismatch (t[:n-k] with k >= n); they must chunk cleanly and
+    # tile the byte stream.
+    from h2h_spark.operators.dedup import content_defined_chunks
+
+    rows = [(1, "a"), (2, "ab"), (3, "D7 w01 w08 next"), (4, "x" * 31),
+            (5, "y" * 32), (6, "z" * 200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = content_defined_chunks(df, "doc_id", "text", mask_bits=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4, 5, 6}
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start"] == 1
+        pos = 1
+        for c in chunks:
+            assert c["start"] == pos
+            pos += c["chunk_len"]
+        assert pos - 1 == len(text.encode())
+
+
+# ---------------------------------------------- WARC payload column
+
+
+def test_warc_include_payload(spark, tmp_work):
+    from h2h_spark.sources.warc import read_warc, write_warc_records
+
+    path = f"{tmp_work}/p.warc"
+    recs = [(
+        {"WARC-Type": "response", "WARC-Record-ID": f"<urn:p:{i}>"},
+        b"BODY-%03d" % i,
+    ) for i in range(10)]
+    write_warc_records(path, recs)
+    with_p = read_warc(spark, path, include_payload=True)
+    assert "payload" in with_p.columns
+    got = {r["record_id"]: bytes(r["payload"]) for r in with_p.collect()}
+    assert got == {f"<urn:p:{i}>": b"BODY-%03d" % i for i in range(10)}
+    without = read_warc(spark, path)
+    assert "payload" not in without.columns
