@@ -582,8 +582,6 @@ def kmv_jaccard_pairs(
     runs against the store instead of re-hashing the corpus.  When given,
     ``df``/``text_col``/``k``/``shingle_k`` must match what built it (the
     estimator's contract is bottom-k of the same hash family)."""
-    from pyspark.sql.window import Window
-
     sk = sketches
     if sk is None:
         sk = kmv_doc_sketches(df, id_col, text_col, k, shingle_k)
@@ -604,31 +602,28 @@ def kmv_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # per-pair union sketch: gather BOTH retained sets, merge on hash,
-    # bottom-k of the union, count hashes present in both
-    pa = cand.join(sk, sk["id"] == cand["id_a"]).select(
-        "id_a", "id_b", "__h", F.lit(1).alias("a"), F.lit(0).alias("b")
+    # per-pair union sketch, all JVM array built-ins: each pair carries
+    # its two retained sets as sorted arrays (<= k values), the union's
+    # bottom-k is a sort+slice, and n_both counts kept hashes present in
+    # both — identical integers (and therefore a bit-identical IEEE
+    # division) to the explode/group/window formulation this replaces,
+    # but moving 2 arrays per pair through 2 hash joins instead of
+    # ~2k rows per pair through a grouping shuffle plus a window sort.
+    arr = sk.groupBy("id").agg(F.array_sort(F.collect_list("__h")).alias("hs"))
+    paired = cand.join(
+        arr.select(F.col("id").alias("id_a"), F.col("hs").alias("__ha")),
+        "id_a",
+    ).join(
+        arr.select(F.col("id").alias("id_b"), F.col("hs").alias("__hb")),
+        "id_b",
     )
-    pb = cand.join(sk, sk["id"] == cand["id_b"]).select(
-        "id_a", "id_b", "__h", F.lit(0).alias("a"), F.lit(1).alias("b")
-    )
-    merged = (
-        pa.unionByName(pb)
-        .groupBy("id_a", "id_b", "__h")
-        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
-    )
-    w = Window.partitionBy("id_a", "id_b").orderBy("__h")
-    u = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
-    est = F.col("n_both").cast("double") / F.col("n_kept").cast("double")
-    return (
-        u.groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.sum(F.col("a") * F.col("b")).alias("n_both"),
-        )
-        .select("id_a", "id_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    kept = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
+    n_kept = F.size(kept)
+    n_both = F.size(F.array_intersect(kept, F.array_intersect("__ha", "__hb")))
+    est = n_both.cast("double") / n_kept.cast("double")
+    return paired.select(
+        "id_a", "id_b", est.alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def tdigest_merge_centroids(
