@@ -22,6 +22,24 @@ TARGET_MB = 200
 PAYLOAD = (b"x" * 900 + b"\n") * 8  # ~7.2 KB per record
 
 
+def _rnd_payload() -> bytes:
+    """Deterministic incompressible ~7.2 KB payload for the gzip-family
+    probes: with the repetitive PAYLOAD the whole 200 MB archive deflates
+    to ~4 MB → one task, and the probe measures serial per-member
+    overhead instead of the splittable scan it exists to measure."""
+    import hashlib
+
+    out = bytearray()
+    seed = b"probe"
+    while len(out) < len(PAYLOAD):
+        seed = hashlib.md5(seed).digest()
+        out += seed
+    return bytes(out[: len(PAYLOAD)])
+
+
+PAYLOAD_RND = _rnd_payload()
+
+
 def build_warc(path: str) -> int:
     from h2h_spark.sources.warc import write_warc_records
 
@@ -52,6 +70,33 @@ def build_tar(path: str) -> int:
             ti = tarfile.TarInfo(name=f"d/{i:08d}")
             ti.size = len(PAYLOAD)
             tf.addfile(ti, io.BytesIO(PAYLOAD))
+    return n
+
+
+def build_warc_gz(path: str) -> int:
+    from h2h_spark.sources.warc import write_warc_gz_records
+
+    per = len(PAYLOAD) + 120
+    n = TARGET_MB * 1024 * 1024 // per
+    write_warc_gz_records(
+        path,
+        [(
+            {"WARC-Type": "response", "WARC-Record-ID": f"<urn:g:{i}>"},
+            PAYLOAD_RND,
+        ) for i in range(n)],
+    )
+    return n
+
+
+def build_tar_gz(path: str, layout: str) -> int:
+    from h2h_spark.sources.tar import write_tar_gz_members, write_tar_gz_stream
+
+    per = len(PAYLOAD) + 1024
+    n = TARGET_MB * 1024 * 1024 // per
+    members = [(f"d/{i:08d}", 0, PAYLOAD_RND) for i in range(n)]
+    (write_tar_gz_members if layout == "member" else write_tar_gz_stream)(
+        path, members
+    )
     return n
 
 
@@ -107,6 +152,39 @@ def main() -> None:
         f"TAR   {mb:.0f} MB, 8 MiB splits: {n} members in {dt:.1f}s = "
         f"{mb/dt:.0f} MB/s"
     )
+
+    wgz = f"{OUT}/probe.warc.gz"
+    if not os.path.exists(wgz):
+        n_wgz = build_warc_gz(wgz)
+    from h2h_spark.sources.warc import read_warc_gz
+
+    t0 = time.time()
+    n = read_warc_gz(spark, wgz, max_partition_bytes=8 << 20).count()
+    dt = time.time() - t0
+    mb = os.path.getsize(wgz) / 1e6
+    umb = n * (len(PAYLOAD_RND) + 120) / 1e6
+    results.append(
+        f"WARC.GZ {mb:.0f} MB compressed ({umb:.0f} MB inflated), 8 MiB "
+        f"splits: {n} records in {dt:.1f}s = {umb/dt:.0f} MB/s inflated"
+    )
+
+    from h2h_spark.sources.tar import read_tar_gz
+
+    for layout in ("member", "stream"):
+        tgz = f"{OUT}/probe_{layout}.tar.gz"
+        if not os.path.exists(tgz):
+            build_tar_gz(tgz, layout)
+        t0 = time.time()
+        n = read_tar_gz(spark, tgz, max_partition_bytes=8 << 20).count()
+        dt = time.time() - t0
+        mb = os.path.getsize(tgz) / 1e6
+        umb = n * (len(PAYLOAD_RND) + 1024) / 1e6
+        results.append(
+            f"TAR.GZ/{layout} {mb:.0f} MB compressed ({umb:.0f} MB "
+            f"inflated): {n} members in {dt:.1f}s = {umb/dt:.0f} MB/s "
+            f"inflated" + (" (single task — unsplittable layout)"
+                           if layout == "stream" else "")
+        )
 
     zp = f"{OUT}/probe.zip"
     if not os.path.exists(zp):
