@@ -104,6 +104,23 @@ def _work(query: str, sf_dir: str) -> str:
     return d
 
 
+def _split_bytes(src: str, target_tasks: int = 32, floor: int = 4096) -> int:
+    """Scale-aware split size for the container-source fixtures: aim at
+    ~``target_tasks`` byte-range tasks over the directory (the fixed
+    task-count sizing a production scan would use) with a floor that
+    keeps every file multi-split at the driver's sf0.01 grading scale —
+    so mid-file resync realignment is exercised at EVERY sf while the
+    sf0.1 bench is not dominated by hundreds of tiny Python-datasource
+    tasks (r7 bench: q_tar_members spent its 4.4 s scheduling 633
+    8 KiB-split tasks over 5 MB of tar)."""
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if not f.startswith("_")
+    )
+    return max(floor, total // target_tasks)
+
+
 def _dsum(col, scale: int = 4):
     """Order-independent money sum: exact decimal accumulate, one final
     cast to double (bit-identical to the DuckDB twin)."""
@@ -4472,7 +4489,7 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    rec = read_warc(spark, src, max_partition_bytes=4096)
+    rec = read_warc(spark, src, max_partition_bytes=_split_bytes(src))
     return rec.select(
         F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
         .cast("bigint")
@@ -4539,7 +4556,7 @@ def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    mem = read_tar(spark, src, max_partition_bytes=8192)
+    mem = read_tar(spark, src, max_partition_bytes=_split_bytes(src, floor=8192))
     return mem.select(
         F.regexp_extract("name", r"docs/(\d+)\.txt", 1)
         .cast("bigint")
@@ -4606,7 +4623,7 @@ def q_tar_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    mem = read_tar_gz(spark, src, max_partition_bytes=8192)
+    mem = read_tar_gz(spark, src, max_partition_bytes=_split_bytes(src, floor=2048))
     return mem.select(
         F.regexp_extract("name", r"gz/(\d+)\.txt", 1)
         .cast("bigint")
@@ -4914,7 +4931,7 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    rec = read_warc_gz(spark, src, max_partition_bytes=2048)
+    rec = read_warc_gz(spark, src, max_partition_bytes=_split_bytes(src, floor=2048))
     return rec.select(
         F.regexp_extract("record_id", r"urn:gz:(\d+)", 1)
         .cast("bigint")
@@ -5398,7 +5415,7 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    rec = read_warc(spark, src, max_partition_bytes=4096)
+    rec = read_warc(spark, src, max_partition_bytes=_split_bytes(src))
     resp = rec.filter(F.col("warc_type") == "response").select(
         F.regexp_extract("record_id", r"urn:cp:(\d+)", 1)
         .cast("bigint")
@@ -5506,7 +5523,8 @@ def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
     rec = read_warc(
-        spark, src, max_partition_bytes=8192, include_payload=True
+        spark, src, max_partition_bytes=_split_bytes(src),
+        include_payload=True,
     )
     resp = rec.filter(F.col("warc_type") == "response").select(
         F.regexp_extract("record_id", r"urn:e2e:(\d+)", 1)
@@ -6015,7 +6033,7 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         docs.repartition(8, "doc_id").foreachPartition(_write)
         open(ready, "w").close()
-    mem = read_zip(spark, src, members_per_split=64)
+    mem = read_zip(spark, src, members_per_split=256)
     return mem.select(
         F.regexp_extract("name", r"docs/(\d+)\.txt", 1)
         .cast("bigint")
