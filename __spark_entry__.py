@@ -1097,9 +1097,11 @@ def q_csv_quoted_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's quote-parity realignment has (``libhdfsconnector.cpp:
     437-441,476-558``) and plain ``multiLine`` mode lacks: terminators
     inside quoted fields parsed correctly while the file still splits into
-    byte-range tasks.  Forced 4 KiB ranges make records (with embedded
-    newlines) straddle hundreds of split edges; the two-pass parity scan
-    (``sources/csv_split.py``) must realign every one exactly."""
+    byte-range tasks.  Scale-aware ~64-task ranges make records (with
+    embedded newlines) straddle dozens of split edges at every sf; the
+    two-pass parity scan (``sources/csv_split.py``) must realign every
+    one exactly (the exhaustive tiny-split sweep lives in the unit
+    tests)."""
     from h2h_spark.sources.csv_split import read_csv_quoted_splits
 
     w = _work("q_csv_quoted_splits", sf_dir)
@@ -1109,7 +1111,8 @@ def q_csv_quoted_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_csv(cust, f"{w}/cust_q", sep=",", quote="'")
     return read_csv_quoted_splits(
         spark, f"{w}/cust_q", CUSTOMER_LAYOUT.to_struct_type(),
-        sep=",", quote="'", max_partition_bytes=4096,
+        sep=",", quote="'",
+        max_partition_bytes=_split_bytes(f"{w}/cust_q", target_tasks=64),
     )
 
 
