@@ -181,3 +181,52 @@ class GzStreamReader:
                     pending = d.unconsumed_tail
             if fed_current and not d.eof:
                 raise ValueError(f"truncated gzip stream in {self.path}")
+
+
+class CodecStreamReader:
+    """Sequential chunked reader over a non-gzip compressed stream —
+    bz2 / xz from the stdlib, zstd when the ``zstandard`` package is
+    installed (import-gated: this container does not ship it, but the
+    dispatch point is where a deployment plugs it in).  These codecs
+    have no cheap member-resync path here, so files read as one task
+    each; parallelism across files still applies.  Memory O(chunk)."""
+
+    def __init__(self, path: str, codec: str):
+        if codec not in ("bz2", "xz", "zst"):
+            raise ValueError(f"unsupported stream codec {codec!r}")
+        self.path = path
+        self.codec = codec
+
+    def chunks(self) -> Iterator[bytes]:
+        raw = open_input(self.path)
+        try:
+            if self.codec == "bz2":
+                import bz2
+
+                f = bz2.BZ2File(raw)
+            elif self.codec == "xz":
+                import lzma
+
+                f = lzma.LZMAFile(raw)
+            else:
+                try:
+                    import zstandard
+                except ImportError as e:  # pragma: no cover - env-dependent
+                    raise ImportError(
+                        "reading .zst requires the 'zstandard' package, "
+                        "which is not installed in this environment"
+                    ) from e
+                f = zstandard.ZstdDecompressor().stream_reader(raw)
+            while True:
+                try:
+                    out = f.read(_CHUNK)
+                except (OSError, EOFError) as e:
+                    raise ValueError(
+                        f"corrupt/truncated {self.codec} stream in "
+                        f"{self.path}: {e}"
+                    ) from e
+                if not out:
+                    return
+                yield out
+        finally:
+            raw.close()

@@ -271,13 +271,20 @@ def scan_tar_gz_members(
         yield from _members_from_plain(plain, pos)
 
 
-def scan_tar_gz_stream(path: str) -> Iterator[tuple[dict, bytes]]:
-    """Single-stream layout: sequential inflate + tar walk.  Memory is
-    O(chunk + one member).  Also correct (serially) for member-gzipped
-    archives — ``GzStreamReader`` restarts on concatenated members."""
-    from h2h_spark.sources.gzscan import GzStreamReader
+def scan_tar_gz_stream(
+    path: str, codec: str = "gz"
+) -> Iterator[tuple[dict, bytes]]:
+    """Single-stream layout: sequential decompress + tar walk.  Memory
+    is O(chunk + one member).  ``codec``: ``gz`` (also correct, serially,
+    for member-gzipped archives — ``GzStreamReader`` restarts on
+    concatenated members), ``bz2``/``xz`` (stdlib), ``zst``
+    (import-gated)."""
+    from h2h_spark.sources.gzscan import CodecStreamReader, GzStreamReader
 
-    it = GzStreamReader(path).chunks()
+    reader = (
+        GzStreamReader(path) if codec == "gz" else CodecStreamReader(path, codec)
+    )
+    it = reader.chunks()
     buf = bytearray()
 
     def _fill(n: int) -> bool:
@@ -360,12 +367,25 @@ class TarGzReader(DataSourceReader):
             raise ValueError(
                 f"layout must be auto|member|stream, got {self.layout!r}"
             )
+        self.codec = options.get("codec", "gz")
+        if self.codec not in ("gz", "bz2", "xz", "zst"):
+            raise ValueError(
+                f"codec must be gz|bz2|xz|zst, got {self.codec!r}"
+            )
+        if self.codec != "gz" and self.layout == "member":
+            raise ValueError(
+                f"layout=member requires codec=gz (no member-resync path "
+                f"for {self.codec})"
+            )
 
     def partitions(self):
         parts: list[_TarGzPartition] = []
-        for path in list_part_files(self.path, pattern="*.tar.gz"):
+        pattern = f"*.tar.{self.codec}"
+        for path in list_part_files(self.path, pattern=pattern):
             layout = (
-                detect_tar_gz_layout(path)
+                "stream"
+                if self.codec != "gz"
+                else detect_tar_gz_layout(path)
                 if self.layout == "auto"
                 else self.layout
             )
@@ -390,7 +410,7 @@ class TarGzReader(DataSourceReader):
         names, sizes, mtimes, flags, md5s = [], [], [], [], []
         if part.path:
             members = (
-                scan_tar_gz_stream(part.path)
+                scan_tar_gz_stream(part.path, self.codec)
                 if part.mode == "stream"
                 else scan_tar_gz_members(part.path, part.start, part.end)
             )
@@ -464,13 +484,18 @@ def read_tar_gz(
     path: str,
     max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
     layout: str = "auto",
+    codec: str = "gz",
 ) -> DataFrame:
+    """Read compressed tar: ``codec="gz"`` (splittable when
+    member-gzipped, see module docs), or ``bz2``/``xz``/``zst`` —
+    stream-only codecs, one task per file."""
     register_tar(spark)
     return (
         spark.read.format("h2h_tar_gz")
         .option("path", path)
         .option("maxPartitionBytes", str(max_partition_bytes))
         .option("layout", layout)
+        .option("codec", codec)
         .load()
     )
 

@@ -136,3 +136,67 @@ def test_tar_gz_datasource_both_layouts(spark, tmp_work):
     assert got == _expect(members)
     # the member-framed half split into multiple tasks
     assert df.rdd.getNumPartitions() > 2
+
+
+def _write_tar_codec(path, members, codec):
+    import bz2
+    import lzma
+
+    raw = b"".join(
+        ustar_member_bytes(name, content, mtime)
+        for name, mtime, content in members
+    ) + b"\x00" * 1024
+    comp = bz2.compress(raw) if codec == "bz2" else lzma.compress(raw)
+    with open(path, "wb") as f:
+        f.write(comp)
+
+
+@pytest.mark.parametrize("codec", ["bz2", "xz"])
+def test_tar_codec_stream_scan(tmp_work, codec):
+    from h2h_spark.sources.tar import scan_tar_gz_stream
+
+    members = _members(20)
+    path = f"{tmp_work}/c.tar.{codec}"
+    _write_tar_codec(path, members, codec)
+    got = sorted(
+        (h["name"], h["size"], h["mtime"], hashlib.md5(c).hexdigest())
+        for h, c in scan_tar_gz_stream(path, codec)
+    )
+    assert got == _expect(members)
+
+
+@pytest.mark.parametrize("codec", ["bz2", "xz"])
+def test_tar_codec_datasource(spark, tmp_work, codec):
+    import os
+
+    members = _members(15)
+    d = f"{tmp_work}/ds_{codec}"
+    os.makedirs(d)
+    _write_tar_codec(f"{d}/part_0.tar.{codec}", members, codec)
+    df = read_tar_gz(spark, d, codec=codec)
+    got = sorted(
+        (r["name"], r["size"], r["mtime"], r["content_md5"])
+        for r in df.collect()
+    )
+    assert got == _expect(members)
+
+
+def test_tar_codec_member_layout_rejected(spark, tmp_work):
+    import os
+
+    d = f"{tmp_work}/bad"
+    os.makedirs(d)
+    with pytest.raises(Exception, match="member"):
+        read_tar_gz(spark, d, codec="bz2", layout="member").collect()
+
+
+def test_tar_codec_truncated_raises(tmp_work):
+    from h2h_spark.sources.tar import scan_tar_gz_stream
+
+    members = _members(10)
+    path = f"{tmp_work}/t.tar.bz2"
+    _write_tar_codec(path, members, "bz2")
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        list(scan_tar_gz_stream(path, "bz2"))
