@@ -2779,6 +2779,55 @@ GROUP BY sp.doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (`operators/text.py:
+    duplicate_spans` — the Lee et al. 2022 primitive): every OVERLAPPING
+    8-token n-gram hashed, n-grams in ≥2 distinct docs mark their token
+    range, per-doc ranges merge into maximal spans with 1-based token
+    bounds — the excise list substring dedup consumes.  The oracle
+    re-derives every position: same tokenizer, same md5 n-gram keys,
+    same gaps-and-islands merge."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
+
+
+_SQL_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id, CAST(i.x AS BIGINT) AS pos,
+         md5(array_to_string(
+             list_slice(toks, CAST(i.x AS INTEGER),
+                        CAST(i.x + 7 AS INTEGER)), ' ')) AS gh
+  FROM tt, generate_series(1, 2000) AS i(x)
+  WHERE i.x <= n - 7),
+f AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+d AS (SELECT doc_id, pos FROM g JOIN f USING (gh)),
+m AS (
+  SELECT doc_id, pos,
+         MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END
+             AS ns
+  FROM m),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM s)
+SELECT doc_id, CAST(sid - 1 AS BIGINT) AS span_idx,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok
+FROM sp GROUP BY doc_id, sid
+"""
+
+
 def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction, content-certified: scatter documents into
     64 tiny part files, compact to ~4 MiB targets (coalesce — no
@@ -10265,6 +10314,7 @@ def _init_queries() -> None:
         "q_dedup_corpus": q_dedup_corpus,
         "q_embed_dedup": q_embed_dedup,
         "q_span_dedup": q_span_dedup,
+        "q_dup_spans": q_dup_spans,
         "q_ivf_topk": q_ivf_topk,
         "q_embed_quantize": q_embed_quantize,
         "q_label_centroids": q_label_centroids,
@@ -10439,6 +10489,7 @@ def oracle_sql() -> dict[str, str]:
         "q_resample_interp": _SQL_RESAMPLE_INTERP,
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
+        "q_dup_spans": _SQL_DUP_SPANS,
         "q_compact": _SQL_COMPACT,
         "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
         "q_label_centroids": _SQL_LABEL_CENTROIDS,

@@ -378,6 +378,79 @@ def span_duplication(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication SPANS (the primitive behind Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public): hash every OVERLAPPING ``window``-token n-gram,
+    mark the token range of any n-gram that occurs in ≥ ``min_docs``
+    distinct documents, and merge each document's marked ranges into
+    MAXIMAL spans — the excise list substring-level dedup consumes.
+    Contrast :func:`span_duplication`, which scores non-overlapping
+    windows and reports fractions without positions.
+
+    Overlapping or ADJACENT ranges merge (positions p, p+1 share
+    window-1 tokens; a 1-token gap still means every token in between
+    is covered by neither window, so it splits).
+
+    Scale shape: the explode emits one 32-byte-hash row per token
+    position (~n rows/doc — the shingle-family amplification, never the
+    text itself); the n-gram frequency aggregates map-side; the merge
+    is one per-doc window over only the DUPLICATED positions.  Output:
+    ``(id, span_idx, start_tok, end_tok)``, 1-based inclusive token
+    positions per maximal span."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    base = base.filter(F.size("__t") >= window)
+    n = F.size("__t")
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - window + 1),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("__t", p, window), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    freq = grams.groupBy("gh").agg(F.count_distinct("id").alias("nd"))
+    dup = grams.join(freq.filter(F.col("nd") >= min_docs), "gh").select(
+        "id", "pos"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (window - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__ns",
+        (prev_end.isNull() | (F.col("pos") > prev_end + 1)).cast("int"),
+    ).withColumn("__sid", F.sum("__ns").over(w))
+    return (
+        marked.groupBy("id", "__sid")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + (window - 1)).cast("bigint").alias("end_tok"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("__sid") - 1).cast("bigint").alias("span_idx"),
+            "start_tok",
+            "end_tok",
+        )
+    )
+
+
 def tfidf_keywords(
     df: DataFrame, id_col: str, text_col: str, *, top_k: int = 3
 ) -> DataFrame:

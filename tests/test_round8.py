@@ -150,3 +150,52 @@ def test_warc_include_payload(spark, tmp_work):
     assert got == {f"<urn:p:{i}>": b"BODY-%03d" % i for i in range(10)}
     without = read_warc(spark, path)
     assert "payload" not in without.columns
+
+
+# ---------------------------------------------- duplicate spans (Lee et al.)
+
+
+def test_duplicate_spans_merge_semantics(spark):
+    from h2h_spark.operators.text import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    shared2 = "one two three four five six seven eight"
+    rows = [
+        # doc 1: shared at tokens 3-10, shared2 at 14-21 (gap -> 2 spans)
+        (1, "x1 x2 " + shared + " y1 y2 y3 " + shared2 + " z1"),
+        # doc 2: shared + an extra token + shared again -> windows overlap
+        # through the junction only where 8-grams repeat elsewhere
+        (2, shared + " q1 q2 q3 " + shared2),
+        # doc 3: no duplicated 8-grams
+        (3, "solo tokens only here nothing repeats at all ever once"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(df, "doc_id", "text", window=8, min_docs=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_idx"], r["start_tok"], r["end_tok"])
+        )
+    for v in spans.values():
+        v.sort()
+    # doc 1: tokens 1-2 prefix, shared at 3..10, filler 11-13, shared2 at
+    # 14..21 — two disjoint maximal spans, indices 0 and 1
+    assert spans[1] == [(0, 3, 10), (1, 14, 21)]
+    # doc 2: shared at 1..8, shared2 at 12..19
+    assert spans[2] == [(0, 1, 8), (1, 12, 19)]
+    assert 3 not in spans
+
+
+def test_duplicate_spans_adjacent_merge(spark):
+    from h2h_spark.operators.text import duplicate_spans
+
+    # Two docs sharing a 10-token run: overlapping 8-gram hits at
+    # positions 1,2,3 merge into ONE maximal span covering 1..10.
+    run = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, run + " tail1 only"), (2, "head2 " + run)], ["doc_id", "text"]
+    )
+    out = duplicate_spans(df, "doc_id", "text", window=8, min_docs=2)
+    spans = {(r["doc_id"], r["span_idx"]): (r["start_tok"], r["end_tok"])
+             for r in out.collect()}
+    assert spans == {(1, 0): (1, 10), (2, 0): (2, 11)}
