@@ -2828,6 +2828,69 @@ FROM sp GROUP BY doc_id, sid
 """
 
 
+def q_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup accounting with FIRST-OCCURRENCE retention
+    (`operators/text.py: excise_duplicate_spans`): duplicated maximal
+    spans minus the one copy each cluster keeps — a doc retains a span
+    iff it is the min doc id among docs containing the span's leading
+    8-gram.  Per doc: total / duplicated / excised / retained token
+    counts — the post-dedup corpus-size budget.  Oracle re-derives
+    ownership and every span bound."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return TX.excise_duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
+
+
+_SQL_DUP_EXCISE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+tt AS (SELECT * FROM base WHERE n >= 8),
+g AS (
+  SELECT doc_id, CAST(i.x AS BIGINT) AS pos,
+         md5(array_to_string(
+             list_slice(toks, CAST(i.x AS INTEGER),
+                        CAST(i.x + 7 AS INTEGER)), ' ')) AS gh
+  FROM tt, generate_series(1, 2000) AS i(x)
+  WHERE i.x <= n - 7),
+f AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS owner
+      FROM g GROUP BY gh),
+d AS (SELECT g.doc_id, g.pos, f.owner
+      FROM g JOIN f USING (gh) WHERE f.nd >= 2),
+m AS (
+  SELECT doc_id, pos, owner,
+         MAX(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM d),
+s AS (
+  SELECT doc_id, pos, owner,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END
+             AS ns
+  FROM m),
+sp AS (
+  SELECT doc_id, pos, owner,
+         SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM s),
+spans AS (
+  SELECT doc_id, sid, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok,
+         arg_min(owner, pos) AS owner
+  FROM sp GROUP BY doc_id, sid),
+per AS (
+  SELECT doc_id,
+         SUM(end_tok - start_tok + 1) AS n_dup_tokens,
+         SUM(CASE WHEN owner <> doc_id THEN end_tok - start_tok + 1
+                  ELSE 0 END) AS n_excised
+  FROM spans GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(p.n_excised, 0) AS BIGINT) AS n_excised,
+       CAST(b.n - COALESCE(p.n_excised, 0) AS BIGINT) AS n_retained
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction, content-certified: scatter documents into
     64 tiny part files, compact to ~4 MiB targets (coalesce — no
@@ -10315,6 +10378,7 @@ def _init_queries() -> None:
         "q_embed_dedup": q_embed_dedup,
         "q_span_dedup": q_span_dedup,
         "q_dup_spans": q_dup_spans,
+        "q_dup_excise": q_dup_excise,
         "q_ivf_topk": q_ivf_topk,
         "q_embed_quantize": q_embed_quantize,
         "q_label_centroids": q_label_centroids,
@@ -10490,6 +10554,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_dup_spans": _SQL_DUP_SPANS,
+        "q_dup_excise": _SQL_DUP_EXCISE,
         "q_compact": _SQL_COMPACT,
         "q_tfidf_keywords": _SQL_TFIDF_KEYWORDS,
         "q_label_centroids": _SQL_LABEL_CENTROIDS,

@@ -451,6 +451,105 @@ def duplicate_spans(
     )
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-dedup ACCOUNTING with first-occurrence retention: the
+    duplicated maximal spans from :func:`duplicate_spans`, minus the one
+    copy each cluster keeps.  A document RETAINS a span iff it is the
+    span's owner — the minimum doc id among documents containing the
+    span's leading n-gram (a deterministic, engine-portable stand-in for
+    "keep the first occurrence" that needs no global document order).
+    Everything else is excise budget.
+
+    Output per document: ``(id, n_tokens, n_dup_tokens, n_excised,
+    n_retained)`` where ``n_dup_tokens`` counts tokens inside duplicated
+    spans, ``n_excised`` counts tokens in spans this document does NOT
+    own, and ``n_retained = n_tokens - n_excised`` — the post-dedup
+    corpus size a curation pipeline budgets with.  Documents shorter
+    than ``window`` tokens pass through with zeros.
+
+    Scale shape: everything reuses the duplicate-span machinery (hash
+    rows, map-side n-gram frequency, per-doc windows over duplicated
+    positions only); ownership is one more broadcast-sized aggregate on
+    the n-gram table."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__t")
+    ).select("id", "__t", F.size("__t").alias("n_tokens"))
+    elig = base.filter(F.col("n_tokens") >= window)
+    n = F.col("n_tokens")
+    grams = elig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - window + 1),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("__t", p, window), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    freq = grams.groupBy("gh").agg(
+        F.count_distinct("id").alias("nd"), F.min("id").alias("owner")
+    )
+    dup = grams.join(freq.filter(F.col("nd") >= min_docs), "gh").select(
+        "id", "pos", "gh", "owner"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (window - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__ns",
+        (prev_end.isNull() | (F.col("pos") > prev_end + 1)).cast("int"),
+    ).withColumn("__sid", F.sum("__ns").over(w))
+    spans = marked.groupBy("id", "__sid").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + (window - 1)).alias("end_tok"),
+        # the leading n-gram is the row with the minimum pos: min_by
+        # gives its owner without a second join back to the gram table
+        F.min_by("owner", "pos").alias("owner"),
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("end_tok") - F.col("start_tok") + 1)
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+        F.sum(
+            F.when(
+                F.col("owner") != F.col("id"),
+                F.col("end_tok") - F.col("start_tok") + 1,
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_excised"),
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+            F.coalesce("n_excised", F.lit(0)).cast("bigint").alias("n_excised"),
+            (F.col("n_tokens") - F.coalesce("n_excised", F.lit(0)))
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+    )
+
+
 def tfidf_keywords(
     df: DataFrame, id_col: str, text_col: str, *, top_k: int = 3
 ) -> DataFrame:

@@ -199,3 +199,29 @@ def test_duplicate_spans_adjacent_merge(spark):
     spans = {(r["doc_id"], r["span_idx"]): (r["start_tok"], r["end_tok"])
              for r in out.collect()}
     assert spans == {(1, 0): (1, 10), (2, 0): (2, 11)}
+
+
+def test_excise_duplicate_spans_ownership(spark):
+    from h2h_spark.operators.text import excise_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail one two"),          # owner (min doc id)
+            (2, "pre " + shared + " post"),         # must excise
+            (3, "short text"),                       # < window -> zeros
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           excise_duplicate_spans(df, "doc_id", "text",
+                                  window=8, min_docs=2).collect()}
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["n_dup_tokens"] == 8
+    assert out[1]["n_excised"] == 0          # owner keeps its copy
+    assert out[1]["n_retained"] == 11
+    assert out[2]["n_dup_tokens"] == 8
+    assert out[2]["n_excised"] == 8
+    assert out[2]["n_retained"] == 10 - 8
+    assert (out[3]["n_dup_tokens"], out[3]["n_excised"],
+            out[3]["n_retained"]) == (0, 0, 2)
