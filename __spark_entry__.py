@@ -10246,15 +10246,18 @@ def _init_queries() -> None:
         "q_stream_quota": q_stream_quota,
         "q_image_dhash": q_image_dhash,
         "q_audio_energy": q_audio_energy,
-        "q_image_neardup": q_image_neardup,
-        "q_srt_parse": q_srt_parse,
-        # ---- end of the 50-entry graded window (q_tar_gz_members and
-        # q_crawl_corpus_e2e, both new this round, took slots 13 and 20;
-        # q_mp4_samples and q_stream_kmv moved to the round-9 queue
-        # head) ----
+        "q_dup_spans": q_dup_spans,
+        "q_dup_excise": q_dup_excise,
+        # ---- end of the 50-entry graded window (the four NEW round-8
+        # queries q_tar_gz_members / q_crawl_corpus_e2e / q_dup_spans /
+        # q_dup_excise sit at slots 13, 20, 49, 50; the displaced
+        # q_image_neardup / q_srt_parse / q_mp4_samples / q_stream_kmv
+        # head the round-9 queue) ----
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_image_neardup": q_image_neardup,
+        "q_srt_parse": q_srt_parse,
         "q_mp4_samples": q_mp4_samples,
         "q_stream_kmv": q_stream_kmv,
         "q_bpe_apply_fast": q_bpe_apply_fast,
@@ -10377,8 +10380,6 @@ def _init_queries() -> None:
         "q_dedup_corpus": q_dedup_corpus,
         "q_embed_dedup": q_embed_dedup,
         "q_span_dedup": q_span_dedup,
-        "q_dup_spans": q_dup_spans,
-        "q_dup_excise": q_dup_excise,
         "q_ivf_topk": q_ivf_topk,
         "q_embed_quantize": q_embed_quantize,
         "q_label_centroids": q_label_centroids,
