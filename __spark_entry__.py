@@ -5671,12 +5671,15 @@ def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = cap_per_domain(
         admitted.drop("host"), "url_canon", "doc_id", cap=15
     )
+    # The capped corpus is bounded by cap×hosts (75 rows at ANY sf) but
+    # sits atop the full WARC scan + three windows; three downstream
+    # aggregates consume it, so persist or the scan runs 3×.
     corpus = extract_html_text(capped, "html").select(
         "doc_id", "host", "body_text"
-    )
+    ).persist()
     chunks = content_defined_chunks(
         corpus, "doc_id", "body_text", mask_bits=5
-    )
+    ).persist()
     host_of = corpus.select("doc_id", "host")
     per_docs = corpus.groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
