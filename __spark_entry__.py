@@ -2779,6 +2779,60 @@ GROUP BY sp.doc_id
 """
 
 
+def q_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord scan (`sources/tfrecord.py`) — the TensorFlow training
+    container, made SPLITTABLE: the 12-byte masked-CRC32C header is
+    self-validating, so a mid-file task realigns by sliding a window
+    until a header's length-CRC matches AND the frame chains into a
+    second validating header (false positive ~2^-64) — the engine's
+    candidate-scan-then-validate discipline applied to a format stock
+    readers treat as shard-parallel only.  Data CRCs hard-verified.
+    Fixture: per-partition .tfrecord files, payloads from doc_id
+    arithmetic; oracle closed-form."""
+    from h2h_spark.sources.tfrecord import read_tfrecord, write_tfrecords
+
+    w = _work("q_tfrecord", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.tfrecord import write_tfrecords as _wt
+
+            pid = TaskContext.get().partitionId()
+            payloads = [
+                (b"F%07d|" % r.doc_id) * (r.doc_id % 6 + 1) for r in rows
+            ]
+            if payloads:
+                _wt(os.path.join(src, f"part_{pid}.tfrecord"), payloads)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_tfrecord(
+        spark, src, max_partition_bytes=_split_bytes(src), include_data=True
+    )
+    return rec.select(
+        F.regexp_extract(F.col("data").cast("string"), r"F(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "length",
+        "data_md5",
+    )
+
+
+_SQL_TFRECORD = """
+SELECT doc_id,
+       CAST(9 * (doc_id % 6 + 1) AS BIGINT) AS length,
+       md5(repeat('F' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '|',
+                  CAST(doc_id % 6 + 1 AS INTEGER))) AS data_md5
+FROM documents
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication spans (`operators/text.py:
     duplicate_spans` — the Lee et al. 2022 primitive): every OVERLAPPING
@@ -10248,7 +10302,7 @@ def _init_queries() -> None:
         "q_length_batching": q_length_batching,
         "q_stream_quota": q_stream_quota,
         "q_image_dhash": q_image_dhash,
-        "q_audio_energy": q_audio_energy,
+        "q_tfrecord": q_tfrecord,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         # ---- end of the 50-entry graded window (the four NEW round-8
@@ -10259,6 +10313,7 @@ def _init_queries() -> None:
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_audio_energy": q_audio_energy,
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
         "q_mp4_samples": q_mp4_samples,
@@ -10557,6 +10612,7 @@ def oracle_sql() -> dict[str, str]:
         "q_resample_interp": _SQL_RESAMPLE_INTERP,
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
+        "q_tfrecord": _SQL_TFRECORD,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,
         "q_compact": _SQL_COMPACT,
