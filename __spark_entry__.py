@@ -2833,6 +2833,72 @@ FROM documents
 """
 
 
+def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.Example decode over TFRecord shards (`operators/tfexample.py`
+    + `sources/tfrecord.py`): hand-rolled protobuf wire-format parse
+    (varint / length-delimited, packed+unpacked, unknown-field skip) of
+    the training-shard payload format, Arrow-batched.  Fixture: per-
+    partition .tfrecord files of Examples with int64/float/bytes
+    features from doc_id arithmetic; float values picked float32-exact
+    so the oracle grades bit-for-bit."""
+    from h2h_spark.operators.tfexample import parse_tf_examples
+    from h2h_spark.sources.tfrecord import read_tfrecord
+
+    w = _work("q_tf_example", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.operators.tfexample import encode_tf_example
+            from h2h_spark.sources.tfrecord import write_tfrecords as _wt
+
+            pid = TaskContext.get().partitionId()
+            payloads = [
+                encode_tf_example({
+                    "id": r.doc_id,
+                    "tags": list(range(r.doc_id % 5 + 1)),
+                    "score": [(r.doc_id % 16) * 0.25],
+                    "text": f"T{r.doc_id}",
+                })
+                for r in rows
+            ]
+            if payloads:
+                _wt(os.path.join(src, f"part_{pid}.tfrecord"), payloads)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_tfrecord(
+        spark, src, max_partition_bytes=_split_bytes(src), include_data=True
+    )
+    parsed = parse_tf_examples(
+        rec.select("data"), "data",
+        {"id": "int64", "tags": "int64", "score": "float", "text": "string"},
+    )
+    return parsed.select(
+        F.element_at("id", 1).alias("doc_id"),
+        F.size("tags").cast("bigint").alias("n_tags"),
+        F.aggregate("tags", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("tag_sum"),
+        F.element_at("score", 1).alias("score"),
+        F.length(F.element_at("text", 1)).cast("bigint").alias("text_len"),
+    )
+
+
+_SQL_TF_EXAMPLE = """
+SELECT doc_id,
+       CAST(doc_id % 5 + 1 AS BIGINT) AS n_tags,
+       CAST((doc_id % 5) * (doc_id % 5 + 1) / 2 AS BIGINT) AS tag_sum,
+       CAST(CAST((doc_id % 16) * 0.25 AS FLOAT) AS DOUBLE) AS score,
+       CAST(length('T' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication spans (`operators/text.py:
     duplicate_spans` — the Lee et al. 2022 primitive): every OVERLAPPING
@@ -10301,8 +10367,8 @@ def _init_queries() -> None:
         "q_feature_prop": q_feature_prop,
         "q_length_batching": q_length_batching,
         "q_stream_quota": q_stream_quota,
-        "q_image_dhash": q_image_dhash,
         "q_tfrecord": q_tfrecord,
+        "q_tf_example": q_tf_example,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         # ---- end of the 50-entry graded window (the four NEW round-8
@@ -10313,6 +10379,7 @@ def _init_queries() -> None:
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_image_dhash": q_image_dhash,
         "q_audio_energy": q_audio_energy,
         "q_image_neardup": q_image_neardup,
         "q_srt_parse": q_srt_parse,
@@ -10613,6 +10680,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_tfrecord": _SQL_TFRECORD,
+        "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,
         "q_compact": _SQL_COMPACT,
