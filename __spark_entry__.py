@@ -2839,38 +2839,28 @@ def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     (varint / length-delimited, packed+unpacked, unknown-field skip) of
     the training-shard payload format, Arrow-batched.  Fixture: per-
     partition .tfrecord files of Examples with int64/float/bytes
-    features from doc_id arithmetic; float values picked float32-exact
-    so the oracle grades bit-for-bit."""
+    features from doc_id arithmetic, exported through the engine's own
+    shard writer (`write_tf_examples` — the DataFrame → training-shards
+    path); float values picked float32-exact so the oracle grades
+    bit-for-bit."""
     from h2h_spark.operators.tfexample import parse_tf_examples
-    from h2h_spark.sources.tfrecord import read_tfrecord
+    from h2h_spark.sources.tfrecord import read_tfrecord, write_tf_examples
 
     w = _work("q_tf_example", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
-        os.makedirs(src, exist_ok=True)
         docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
-
-        def _write(rows):
-            from pyspark import TaskContext
-
-            from h2h_spark.operators.tfexample import encode_tf_example
-            from h2h_spark.sources.tfrecord import write_tfrecords as _wt
-
-            pid = TaskContext.get().partitionId()
-            payloads = [
-                encode_tf_example({
-                    "id": r.doc_id,
-                    "tags": list(range(r.doc_id % 5 + 1)),
-                    "score": [(r.doc_id % 16) * 0.25],
-                    "text": f"T{r.doc_id}",
-                })
-                for r in rows
-            ]
-            if payloads:
-                _wt(os.path.join(src, f"part_{pid}.tfrecord"), payloads)
-
-        docs.repartition(8, "doc_id").foreachPartition(_write)
+        feats = docs.select(
+            F.col("doc_id").alias("id"),
+            F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int"))
+            .alias("tags"),
+            F.array(((F.col("doc_id") % 16) * 0.25).cast("double"))
+            .alias("score"),
+            F.concat(F.lit("T"), F.col("doc_id").cast("string"))
+            .alias("text"),
+        ).repartition(8, "id")
+        write_tf_examples(feats, src)
         open(ready, "w").close()
     rec = read_tfrecord(
         spark, src, max_partition_bytes=_split_bytes(src), include_data=True

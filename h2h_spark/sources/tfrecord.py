@@ -296,6 +296,49 @@ class TfRecordReader(DataSourceReader):
         yield pa.record_batch(cols, names=names)
 
 
+def write_tf_examples(
+    df: DataFrame, path: str, feature_cols: Sequence[str] | None = None
+) -> None:
+    """Export a DataFrame as tf.Example TFRecord shards — the training-
+    shard write path: one ``part_<i>.tfrecord`` per input partition
+    (the engine's ``part_<i>`` naming contract), each row serialized as
+    a tf.Example whose features are the selected columns (int/bigint →
+    Int64List, float/double → FloatList, string/binary → BytesList,
+    arrays thereof element-wise).  Executor-parallel via
+    ``foreachPartition`` — no driver data path; empty partitions write
+    no file."""
+    from h2h_spark.sources.util import ensure_dir, strip_scheme
+
+    import os as _os
+
+    ensure_dir(path)
+    base = strip_scheme(path)
+    cols = list(feature_cols) if feature_cols is not None else df.columns
+    sel = df.select(*cols)
+
+    def _write(rows):
+        from pyspark import TaskContext
+
+        from h2h_spark.operators.tfexample import encode_tf_example
+
+        pid = TaskContext.get().partitionId()
+        payloads = []
+        for r in rows:
+            feats = {}
+            for c in cols:
+                v = r[c]
+                if v is None:
+                    continue
+                feats[c] = v if isinstance(v, (list, tuple)) else [v]
+            payloads.append(encode_tf_example(feats))
+        if payloads:
+            write_tfrecords(
+                _os.path.join(base, f"part_{pid}.tfrecord"), payloads
+            )
+
+    sel.foreachPartition(_write)
+
+
 def register_tfrecord(spark: SparkSession) -> None:
     spark.dataSource.register(TfRecordDataSource)
 

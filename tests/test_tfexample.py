@@ -86,3 +86,25 @@ def test_parse_tf_examples_dataframe(spark):
         assert r["score"] == [i / 2]
         assert r["text"] == [f"doc-{i}"]
         assert r["missing"] is None
+
+
+def test_write_tf_examples_roundtrip(spark, tmp_work):
+    from h2h_spark.operators.tfexample import parse_tf_examples
+    from h2h_spark.sources.tfrecord import read_tfrecord, write_tf_examples
+
+    rows = [(i, f"d{i}", [i, i + 1], float(i) * 0.5) for i in range(25)]
+    df = spark.createDataFrame(rows, ["id", "name", "tags", "w"]).repartition(4)
+    out_dir = f"{tmp_work}/shards"
+    write_tf_examples(df, out_dir)
+    back = parse_tf_examples(
+        read_tfrecord(spark, out_dir, include_data=True).select("data"),
+        "data",
+        {"id": "int64", "name": "string", "tags": "int64", "w": "float"},
+    )
+    got = {r["id"][0]: r for r in back.collect()}
+    assert len(got) == 25
+    for i, name, tags, w in rows:
+        r = got[i]
+        assert r["name"] == [name]
+        assert r["tags"] == tags
+        assert r["w"] == [w]  # .5-steps are float32-exact
