@@ -186,6 +186,24 @@ def main() -> None:
                            if layout == "stream" else "")
         )
 
+    from h2h_spark.sources.tfrecord import read_tfrecord, write_tfrecords
+
+    tfr = f"{OUT}/probe.tfrecord"
+    if not os.path.exists(tfr):
+        n_tfr = TARGET_MB * 1024 * 1024 // (len(PAYLOAD) + 16)
+        write_tfrecords(tfr, [PAYLOAD] * n_tfr)
+    for verify in (True, False):
+        t0 = time.time()
+        n = read_tfrecord(
+            spark, tfr, max_partition_bytes=8 << 20, verify_data_crc=verify
+        ).count()
+        dt = time.time() - t0
+        mb = os.path.getsize(tfr) / 1e6
+        results.append(
+            f"TFRECORD {mb:.0f} MB, 8 MiB splits, dataCrc={verify}: {n} "
+            f"records in {dt:.1f}s = {mb/dt:.0f} MB/s"
+        )
+
     zp = f"{OUT}/probe.zip"
     if not os.path.exists(zp):
         build_zip(zp)
