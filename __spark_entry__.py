@@ -2833,6 +2833,74 @@ FROM documents
 """
 
 
+def q_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSONL scan (`sources/jsonl.py`) covering BOTH layouts
+    in one directory: member-gzip framing (whole lines per gzip member —
+    the splittable shard layout) resynced via the shared validated
+    gzip-magic scanner with a JSON-line predicate; conventional
+    single-stream .jsonl.gz as the documented one-task-per-file cliff.
+    Lines parse downstream with from_json so Catalyst owns the schema.
+    Oracle closed-form."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_gz", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.jsonl import (
+                write_jsonl_gz_members, write_jsonl_gz_stream,
+            )
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 7,
+                     "wc": r.doc_id % 23 + 1},
+                    sort_keys=True,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            p = os.path.join(src, f"part_{pid}.jsonl.gz")
+            if pid % 2 == 0:
+                write_jsonl_gz_members(p, lines, lines_per_member=16)
+            else:
+                write_jsonl_gz_stream(p, lines)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, wc bigint").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.wc").cast("bigint").alias("total_wc"),
+        F.min("j.id").cast("bigint").alias("min_id"),
+    )
+
+
+_SQL_JSONL_GZ = """
+SELECT doc_id % 7 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 23 + 1) AS BIGINT) AS total_wc,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents
+GROUP BY doc_id % 7
+"""
+
+
 def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf.Example decode over TFRecord shards (`operators/tfexample.py`
     + `sources/tfrecord.py`): hand-rolled protobuf wire-format parse
@@ -10355,10 +10423,10 @@ def _init_queries() -> None:
         "q_calibration": q_calibration,
         "q_seq_regex": q_seq_regex,
         "q_feature_prop": q_feature_prop,
-        "q_length_batching": q_length_batching,
         "q_stream_quota": q_stream_quota,
         "q_tfrecord": q_tfrecord,
         "q_tf_example": q_tf_example,
+        "q_jsonl_gz": q_jsonl_gz,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         # ---- end of the 50-entry graded window (the four NEW round-8
@@ -10369,6 +10437,7 @@ def _init_queries() -> None:
         # Round-9 rotation queue: the remaining never-driver-graded
         # entries (sweep-attested at both SFs); rotate these into the
         # next window.
+        "q_length_batching": q_length_batching,
         "q_image_dhash": q_image_dhash,
         "q_audio_energy": q_audio_energy,
         "q_image_neardup": q_image_neardup,
@@ -10670,6 +10739,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rolling_time_sum": _SQL_ROLLING_TIME_SUM,
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_tfrecord": _SQL_TFRECORD,
+        "q_jsonl_gz": _SQL_JSONL_GZ,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

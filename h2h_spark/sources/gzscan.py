@@ -183,6 +183,25 @@ class GzStreamReader:
                 raise ValueError(f"truncated gzip stream in {self.path}")
 
 
+def detect_member_layout(path: str, probe_cap: int = 1 << 20) -> str:
+    """``"member"`` iff the first gzip member ends before the file does
+    (within ``probe_cap`` compressed bytes — a first member bigger than
+    the cap reads as a stream, which stays correct, just serial)."""
+    size = file_size(path)
+    with open_input(path) as f:
+        d = zlib.decompressobj(31)
+        consumed = 0
+        while consumed < probe_cap:
+            chunk = f.read(64 * 1024)
+            if not chunk:
+                break
+            d.decompress(chunk)
+            consumed += len(chunk) - len(d.unused_data)
+            if d.eof:
+                return "member" if consumed < size else "stream"
+    return "stream"
+
+
 class CodecStreamReader:
     """Sequential chunked reader over a non-gzip compressed stream —
     bz2 / xz from the stdlib, zstd when the ``zstandard`` package is

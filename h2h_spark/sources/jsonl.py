@@ -1,0 +1,226 @@
+"""Compressed JSONL scan — the corpus wire format (Dolma, RedPajama,
+The Pile all ship ``.jsonl.gz``/``.jsonl.zst`` shards; one JSON object
+per line).
+
+Plain ``.jsonl`` and single-stream ``.jsonl.gz`` Spark reads natively —
+but single-stream gzip is UNSPLITTABLE, so a 10 GB shard becomes one
+task.  The fix real pipelines use is member-gzip framing (each gzip
+member holds a whole number of lines — the same trick as Common Crawl's
+.warc.gz), which this source makes splittable with the engine's shared
+validated gzip-member resync (`gzscan.GzMemberScanner`):
+
+- candidate = gzip magic in the raw byte range;
+- validation = the member inflates cleanly AND its plaintext starts
+  with ``{`` AND its first complete line (when the probe window holds
+  one) parses as JSON — a magic hit inside compressed data dies at the
+  inflate, a member that starts mid-line dies at the ``{`` check;
+- ownership by member start offset, read-past-range for the body.
+
+``layout="stream"`` (or auto-detection) falls back to one
+whole-file task per single-stream shard — same cliff contract as the
+tar source, parallelism across shards still applies.  ``bz2``/``xz``
+(stdlib) and ``zst`` (import-gated) are stream-only codecs.
+
+Output: ``(line string)`` raw JSON lines — parse with
+``F.from_json``/``get_json_object`` downstream so Catalyst sees the
+schema and prunes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Sequence
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from h2h_spark.sources.gzscan import (
+    CodecStreamReader,
+    GzMemberScanner,
+    GzStreamReader,
+    detect_member_layout,
+)
+from h2h_spark.sources.util import file_size, list_part_files
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _validate_jsonl_plain(plain: bytes) -> bool:
+    if not plain.startswith(b"{"):
+        return False
+    nl = plain.find(b"\n")
+    if nl < 0:
+        return True  # probe window cut mid-line; inflate+{ already strong
+    try:
+        json.loads(plain[:nl])
+    except ValueError:
+        return False
+    return True
+
+
+def write_jsonl_gz_members(
+    path: str, lines: Sequence[str], lines_per_member: int = 16
+) -> None:
+    """Fixture/test writer for the splittable member-gzip framing:
+    every member holds ``lines_per_member`` whole lines.  mtime pinned
+    for determinism."""
+    import gzip as _gzip
+
+    with open(path, "wb") as f:
+        for lo in range(0, len(lines), lines_per_member):
+            block = "".join(
+                ln + "\n" for ln in lines[lo:lo + lines_per_member]
+            )
+            f.write(_gzip.compress(block.encode(), mtime=0))
+
+
+def write_jsonl_gz_stream(path: str, lines: Sequence[str]) -> None:
+    """Fixture/test writer for the conventional single-stream layout."""
+    import gzip as _gzip
+
+    with open(path, "wb") as f:
+        f.write(
+            _gzip.compress("".join(ln + "\n" for ln in lines).encode(), mtime=0)
+        )
+
+
+def scan_jsonl_gz_members(path: str, start: int, end: int) -> Iterator[str]:
+    """Member layout: lines of members whose compressed start lies in
+    [start, end)."""
+    scanner = GzMemberScanner(
+        path, start, end, _validate_jsonl_plain, probe_plain=4096
+    )
+    for pos, plain in scanner.members():
+        if plain and not plain.endswith(b"\n"):
+            raise ValueError(
+                f"gzip member at offset {pos} does not end on a line "
+                f"boundary — not the member-framed layout; read with "
+                f'layout="stream"'
+            )
+        for raw in plain.splitlines():
+            yield raw.decode("utf-8", "replace")
+
+
+def scan_jsonl_stream(path: str, codec: str = "gz") -> Iterator[str]:
+    """Single-stream layout: sequential decompress + line split.
+    Memory O(chunk + one line)."""
+    reader = (
+        GzStreamReader(path) if codec == "gz" else CodecStreamReader(path, codec)
+    )
+    buf = bytearray()
+    for chunk in reader.chunks():
+        buf += chunk
+        lines = buf.split(b"\n")
+        buf = bytearray(lines.pop())
+        for raw in lines:
+            yield raw.decode("utf-8", "replace")
+    if buf:
+        yield buf.decode("utf-8", "replace")
+
+
+class _JsonlPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int, mode: str):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.mode = mode
+
+
+class JsonlGzDataSource(DataSource):
+    """``spark.read.format("h2h_jsonl_gz")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_jsonl_gz"
+
+    def schema(self) -> str:
+        return "line string"
+
+    def reader(self, schema) -> "JsonlGzReader":
+        return JsonlGzReader(self.options)
+
+
+class JsonlGzReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_bytes = int(
+            options.get("maxPartitionBytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self.layout = options.get("layout", "auto")
+        if self.layout not in ("auto", "member", "stream"):
+            raise ValueError(
+                f"layout must be auto|member|stream, got {self.layout!r}"
+            )
+        self.codec = options.get("codec", "gz")
+        if self.codec not in ("gz", "bz2", "xz", "zst"):
+            raise ValueError(
+                f"codec must be gz|bz2|xz|zst, got {self.codec!r}"
+            )
+        if self.codec != "gz" and self.layout == "member":
+            raise ValueError(
+                f"layout=member requires codec=gz (no member-resync path "
+                f"for {self.codec})"
+            )
+
+    def partitions(self):
+        parts: list[_JsonlPartition] = []
+        pattern = f"*.jsonl.{self.codec}"
+        for path in list_part_files(self.path, pattern=pattern):
+            layout = (
+                "stream"
+                if self.codec != "gz"
+                else detect_member_layout(path)
+                if self.layout == "auto"
+                else self.layout
+            )
+            size = file_size(path)
+            if size == 0:
+                continue
+            if layout == "stream":
+                parts.append(_JsonlPartition(path, 0, size, "stream"))
+                continue
+            n = max(1, math.ceil(size / self.max_bytes))
+            base, rem = divmod(size, n)
+            off = 0
+            for i in range(n):
+                ln = base + (1 if i < rem else 0)
+                parts.append(_JsonlPartition(path, off, off + ln, "member"))
+                off += ln
+        if not parts:  # Spark calls read(None) on an empty plan
+            parts.append(_JsonlPartition("", 0, 0, "stream"))
+        return parts
+
+    def read(self, part: _JsonlPartition) -> Iterator[pa.RecordBatch]:
+        lines: list[str] = []
+        if part.path:
+            it = (
+                scan_jsonl_stream(part.path, self.codec)
+                if part.mode == "stream"
+                else scan_jsonl_gz_members(part.path, part.start, part.end)
+            )
+            lines = [ln for ln in it if ln]
+        yield pa.record_batch([pa.array(lines, pa.string())], names=["line"])
+
+
+def register_jsonl_gz(spark: SparkSession) -> None:
+    spark.dataSource.register(JsonlGzDataSource)
+
+
+def read_jsonl_gz(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+    layout: str = "auto",
+    codec: str = "gz",
+) -> DataFrame:
+    register_jsonl_gz(spark)
+    return (
+        spark.read.format("h2h_jsonl_gz")
+        .option("path", path)
+        .option("maxPartitionBytes", str(max_partition_bytes))
+        .option("layout", layout)
+        .option("codec", codec)
+        .load()
+    )

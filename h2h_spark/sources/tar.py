@@ -315,23 +315,10 @@ def scan_tar_gz_stream(
 
 def detect_tar_gz_layout(path: str, probe_cap: int = 1 << 20) -> str:
     """``"member"`` iff the first gzip member ends before the file does
-    (within ``probe_cap`` compressed bytes — a first member bigger than
-    the cap is planned as a stream, which stays correct, just serial)."""
-    import zlib
+    (shared probe — ``gzscan.detect_member_layout``)."""
+    from h2h_spark.sources.gzscan import detect_member_layout
 
-    size = file_size(path)
-    with open_input(path) as f:
-        d = zlib.decompressobj(31)
-        consumed = 0
-        while consumed < probe_cap:
-            chunk = f.read(64 * 1024)
-            if not chunk:
-                break
-            d.decompress(chunk)
-            consumed += len(chunk) - len(d.unused_data)
-            if d.eof:
-                return "member" if consumed < size else "stream"
-    return "stream"
+    return detect_member_layout(path, probe_cap)
 
 
 class TarGzDataSource(DataSource):
