@@ -102,3 +102,25 @@ def test_jsonl_gz_from_json_projection(spark, tmp_work):
     rows = {r["id"]: r["text"] for r in parsed.collect()}
     assert len(rows) == 40
     assert rows[3] == "doc 3 xxx"
+
+
+def test_jsonl_gz_empty_dir(spark, tmp_work):
+    import os
+
+    d = f"{tmp_work}/empty"
+    os.makedirs(d)
+    assert read_jsonl_gz(spark, d).count() == 0
+
+
+def test_jsonl_zst_import_gated(tmp_work):
+    # zstandard is not installed in this container: the codec path must
+    # fail with a message naming the package, not an AttributeError.
+    path = f"{tmp_work}/x.jsonl.zst"
+    open(path, "wb").write(b"\x28\xb5\x2f\xfd")
+    try:
+        import zstandard  # noqa: F401
+        pytest.skip("zstandard installed here")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="zstandard"):
+        list(scan_jsonl_stream(path, "zst"))

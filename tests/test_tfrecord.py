@@ -118,3 +118,22 @@ def test_tfrecord_datasource(spark, tmp_work):
     with_data = read_tfrecord(spark, d, include_data=True)
     got = sorted(bytes(r["data"]) for r in with_data.collect())
     assert got == sorted(payloads)
+
+
+def test_tfrecord_empty_dir(spark, tmp_work):
+    import os
+
+    d = f"{tmp_work}/empty"
+    os.makedirs(d)
+    assert read_tfrecord(spark, d).count() == 0
+
+
+def test_tfrecord_empty_file_skipped(spark, tmp_work):
+    import os
+
+    d = f"{tmp_work}/one"
+    os.makedirs(d)
+    open(f"{d}/part_0.tfrecord", "wb").close()
+    write_tfrecords(f"{d}/part_1.tfrecord", [b"abc"])
+    df = read_tfrecord(spark, d)
+    assert df.count() == 1
