@@ -10366,13 +10366,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 def _init_queries() -> None:
     # Registration order matters: the driver's correctness gate grades the
-    # FIRST 50 entries.  Round-8 rotation (per VERDICT r07 item 1): slots
-    # 1-8 keep the SURVEY §2.2 contract queries, slots 9-50 take 42 of the
-    # 61 never-driver-graded entries — crawl/container tier first, then the
-    # wave-4 spatial/streaming queries, then the wave-5 remainder.  The 19
-    # left over (session-1 continuations + q_langid_eval) head the round-9
-    # queue immediately after slot 50.  After this window grades green,
-    # ever-driver-graded goes 191 -> 233.
+    # FIRST 50 entries.  Round-9 rotation (per VERDICT r08 item 1): slots
+    # 1-8 keep the SURVEY §2.2 contract queries, slots 9-34 take the final
+    # 26 never-driver-graded entries (the committed round-9 queue), and
+    # slots 35-50 backfill with high-value crawl/container/shard entries
+    # (all driver-graded green in r08).  After this window grades green,
+    # ever-driver-graded reaches 259/259 — full registry coverage.
     _QUERIES.update({
         # ---- graded window, slots 1-8: SURVEY §2.2 contract queries ----
         "q_scan_project_filter": q_scan_project_filter,
@@ -10383,60 +10382,8 @@ def _init_queries() -> None:
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
-        # ---- slots 9-19: crawl/container tier (never driver-graded;
-        # sweep-attested at both SFs in ORACLE_SWEEP_r06) ----
-        "q_warc_scan": q_warc_scan,
-        "q_warc_gz": q_warc_gz,
-        "q_tar_members": q_tar_members,
-        "q_tar_gz_members": q_tar_gz_members,
-        "q_zip_members": q_zip_members,
-        "q_arrow_ipc": q_arrow_ipc,
-        "q_robots_filter": q_robots_filter,
-        "q_url_canon": q_url_canon,
-        "q_domain_cap": q_domain_cap,
-        "q_html_extract": q_html_extract,
-        "q_crawl_pipeline": q_crawl_pipeline,
-        "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
-        "q_entity_resolution": q_entity_resolution,
-        # ---- slots 20-29: wave-4 spatial/streaming, never driver-graded ----
-        "q_spatial_join": q_spatial_join,
-        "q_cdc_audit": q_cdc_audit,
-        "q_skyline": q_skyline,
-        "q_stream_weighted_median": q_stream_weighted_median,
-        "q_dbscan": q_dbscan,
-        "q_mp4_meta": q_mp4_meta,
-        "q_interval_overlap": q_interval_overlap,
-        "q_sssp_bounded": q_sssp_bounded,
-        "q_bloom_prune": q_bloom_prune,
-        "q_stream_late": q_stream_late,
-        # ---- slots 30-50: wave-5 remainder, never driver-graded ----
-        "q_content_chunks": q_content_chunks,
-        "q_kcore": q_kcore,
-        "q_rr_privacy": q_rr_privacy,
-        "q_nb_train": q_nb_train,
-        "q_vocab_growth": q_vocab_growth,
-        "q_auc": q_auc,
-        "q_negative_sample": q_negative_sample,
-        "q_autocorr": q_autocorr,
-        "q_text_norm": q_text_norm,
-        "q_gini_diversity": q_gini_diversity,
-        "q_calibration": q_calibration,
-        "q_seq_regex": q_seq_regex,
-        "q_feature_prop": q_feature_prop,
-        "q_stream_quota": q_stream_quota,
-        "q_tfrecord": q_tfrecord,
-        "q_tf_example": q_tf_example,
-        "q_jsonl_gz": q_jsonl_gz,
-        "q_dup_spans": q_dup_spans,
-        "q_dup_excise": q_dup_excise,
-        # ---- end of the 50-entry graded window (the four NEW round-8
-        # queries q_tar_gz_members / q_crawl_corpus_e2e / q_dup_spans /
-        # q_dup_excise sit at slots 13, 20, 49, 50; the displaced
-        # q_image_neardup / q_srt_parse / q_mp4_samples / q_stream_kmv
-        # head the round-9 queue) ----
-        # Round-9 rotation queue: the remaining never-driver-graded
-        # entries (sweep-attested at both SFs); rotate these into the
-        # next window.
+        # ---- slots 9-34: the round-9 queue — the final 26 entries never
+        # driver-graded (sweep-attested at both SFs in ORACLE_SWEEP_r08) ----
         "q_length_batching": q_length_batching,
         "q_image_dhash": q_image_dhash,
         "q_audio_energy": q_audio_energy,
@@ -10463,6 +10410,53 @@ def _init_queries() -> None:
         "q_stream_ann_ingest": q_stream_ann_ingest,
         "q_kmv_mix_budget": q_kmv_mix_budget,
         "q_langid_eval": q_langid_eval,
+        # ---- slots 35-50: backfill — high-value crawl/container/shard
+        # entries, all driver-graded green in CORRECTNESS_r08; NEW round-9
+        # queries are inserted here as they land ----
+        "q_warc_scan": q_warc_scan,
+        "q_warc_gz": q_warc_gz,
+        "q_tar_members": q_tar_members,
+        "q_tar_gz_members": q_tar_gz_members,
+        "q_zip_members": q_zip_members,
+        "q_arrow_ipc": q_arrow_ipc,
+        "q_tfrecord": q_tfrecord,
+        "q_tf_example": q_tf_example,
+        "q_jsonl_gz": q_jsonl_gz,
+        "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
+        "q_dup_spans": q_dup_spans,
+        "q_dup_excise": q_dup_excise,
+        "q_content_chunks": q_content_chunks,
+        "q_robots_filter": q_robots_filter,
+        "q_url_canon": q_url_canon,
+        "q_dbscan": q_dbscan,
+        # ---- end of the 50-entry graded window ----
+        # Displaced from the r8 window (all graded green in r08):
+        "q_domain_cap": q_domain_cap,
+        "q_html_extract": q_html_extract,
+        "q_crawl_pipeline": q_crawl_pipeline,
+        "q_entity_resolution": q_entity_resolution,
+        "q_spatial_join": q_spatial_join,
+        "q_cdc_audit": q_cdc_audit,
+        "q_skyline": q_skyline,
+        "q_stream_weighted_median": q_stream_weighted_median,
+        "q_mp4_meta": q_mp4_meta,
+        "q_interval_overlap": q_interval_overlap,
+        "q_sssp_bounded": q_sssp_bounded,
+        "q_bloom_prune": q_bloom_prune,
+        "q_stream_late": q_stream_late,
+        "q_kcore": q_kcore,
+        "q_rr_privacy": q_rr_privacy,
+        "q_nb_train": q_nb_train,
+        "q_vocab_growth": q_vocab_growth,
+        "q_auc": q_auc,
+        "q_negative_sample": q_negative_sample,
+        "q_autocorr": q_autocorr,
+        "q_text_norm": q_text_norm,
+        "q_gini_diversity": q_gini_diversity,
+        "q_calibration": q_calibration,
+        "q_seq_regex": q_seq_regex,
+        "q_feature_prop": q_feature_prop,
+        "q_stream_quota": q_stream_quota,
         # Ever-green in committed CORRECTNESS_r01-r07 rows:
         "q_unigram_train": q_unigram_train,
         "q_opq_encode": q_opq_encode,
