@@ -2901,6 +2901,76 @@ GROUP BY doc_id % 7
 """
 
 
+def q_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd-compressed JSONL scan (`sources/jsonl.py` codec="zst") — the
+    Dolma / RedPajama-v2 shard format — covering BOTH layouts in one
+    directory: member-framed shards (whole lines per zstd frame) split
+    into byte ranges via the structural frame walker + JSON-line probe
+    (`gzscan.zst_frame_len` / `ZstMemberScanner`: frame extents are
+    computable from block headers WITHOUT decompressing); single-frame
+    shards as the documented one-task-per-file cliff.  Oracle
+    closed-form."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_zst", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.jsonl import (
+                write_jsonl_zst_members, write_jsonl_zst_stream,
+            )
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 9,
+                     "toks": r.doc_id % 31 + 2},
+                    sort_keys=True,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            p = os.path.join(src, f"part_{pid}.jsonl.zst")
+            if pid % 2 == 0:
+                write_jsonl_zst_members(p, lines, lines_per_member=16)
+            else:
+                write_jsonl_zst_stream(p, lines)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="zst",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, toks bigint").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.toks").cast("bigint").alias("total_toks"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+_SQL_JSONL_ZST = """
+SELECT doc_id % 9 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 31 + 2) AS BIGINT) AS total_toks,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY doc_id % 9
+"""
+
+
 def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf.Example decode over TFRecord shards (`operators/tfexample.py`
     + `sources/tfrecord.py`): hand-rolled protobuf wire-format parse
@@ -10422,15 +10492,16 @@ def _init_queries() -> None:
         "q_tfrecord": q_tfrecord,
         "q_tf_example": q_tf_example,
         "q_jsonl_gz": q_jsonl_gz,
+        "q_jsonl_zst": q_jsonl_zst,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
-        "q_dbscan": q_dbscan,
         # ---- end of the 50-entry graded window ----
         # Displaced from the r8 window (all graded green in r08):
+        "q_dbscan": q_dbscan,
         "q_domain_cap": q_domain_cap,
         "q_html_extract": q_html_extract,
         "q_crawl_pipeline": q_crawl_pipeline,
@@ -10734,6 +10805,7 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": _SQL_SPAN_DEDUP,
         "q_tfrecord": _SQL_TFRECORD,
         "q_jsonl_gz": _SQL_JSONL_GZ,
+        "q_jsonl_zst": _SQL_JSONL_ZST,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -29,6 +29,7 @@ from typing import Callable, Iterator
 from h2h_spark.sources.util import file_size, open_input
 
 GZ_MAGIC = b"\x1f\x8b\x08"
+ZST_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 §3.1.1 (LE 0xFD2FB528)
 _CHUNK = 1 << 20  # 1 MiB streaming read unit
 _PROBE_COMPRESSED_CAP = 64 * 1024  # bound on compressed bytes per probe
 
@@ -230,12 +231,12 @@ class CodecStreamReader:
             else:
                 try:
                     import zstandard
-                except ImportError as e:  # pragma: no cover - env-dependent
-                    raise ImportError(
-                        "reading .zst requires the 'zstandard' package, "
-                        "which is not installed in this environment"
-                    ) from e
-                f = zstandard.ZstdDecompressor().stream_reader(raw)
+
+                    f = zstandard.ZstdDecompressor().stream_reader(raw)
+                except ImportError:  # pyarrow bundles a zstd codec
+                    import pyarrow as pa
+
+                    f = pa.CompressedInputStream(raw, "zstd")
             while True:
                 try:
                     out = f.read(_CHUNK)
@@ -249,3 +250,257 @@ class CodecStreamReader:
                 yield out
         finally:
             raw.close()
+
+
+# ---------------------------------------------------------------------------
+# zstd member framing (RFC 8878) — same split discipline, different codec.
+#
+# Dolma and RedPajama-v2 ship ``.jsonl.zst`` shards; zstd's frame format
+# supports the identical member-framing trick as gzip: one independent
+# frame per block of whole lines makes the shard splittable at frame
+# boundaries.  Two properties make the zstd path even cheaper than gzip:
+#
+# - every BLOCK header (3 bytes) carries the block's ON-DISK size, so a
+#   frame's compressed extent is computable by walking headers WITHOUT
+#   decompressing anything (``zst_frame_len``) — structural validation
+#   (reserved bits, block types, bounded sizes) comes for free and kills
+#   nearly all false magic hits before any inflate;
+# - one-shot frames (the member layout) carry Frame_Content_Size, so the
+#   full decompress is a single sized call.
+#
+# Decompression uses the ``zstandard`` package when installed, else the
+# zstd codec that ships inside pyarrow (always present here).
+# ---------------------------------------------------------------------------
+
+_ZST_SKIPPABLE_LO = 0x184D2A50  # skippable-frame magics (16 values)
+_ZST_SKIPPABLE_HI = 0x184D2A5F
+
+
+class ZstFrameError(ValueError):
+    """Candidate bytes do not parse as a zstd frame."""
+
+
+def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool]:
+    """Parse a zstd frame header prefix (``hdr`` = bytes at the frame
+    start, >= 18 bytes or the whole remaining file).  Returns
+    ``(header_len, content_size | None, has_checksum)``; raises
+    ``ZstFrameError`` on structural violations."""
+    if len(hdr) < 6 or hdr[:4] != ZST_MAGIC:
+        raise ZstFrameError("no zstd magic")
+    fhd = hdr[4]
+    if fhd & 0x08:  # reserved bit (RFC 8878 §3.1.1.1.1) must be 0
+        raise ZstFrameError("reserved frame-header bit set")
+    single_segment = bool(fhd & 0x20)
+    fcs_flag = fhd >> 6
+    did_flag = fhd & 0x03
+    has_checksum = bool(fhd & 0x04)
+    pos = 5
+    if not single_segment:
+        pos += 1  # Window_Descriptor
+    pos += (0, 1, 2, 4)[did_flag]
+    fcs_len = (0, 2, 4, 8)[fcs_flag]
+    if fcs_flag == 0 and single_segment:
+        fcs_len = 1
+    if len(hdr) < pos + fcs_len:
+        raise ZstFrameError("truncated frame header")
+    content_size: int | None = None
+    if fcs_len:
+        content_size = int.from_bytes(hdr[pos:pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+    pos += fcs_len
+    return pos, content_size, has_checksum
+
+
+def zst_frame_len(f, pos: int, size: int) -> tuple[int, int | None]:
+    """Walk block headers of the zstd frame starting at byte ``pos`` of
+    open file ``f`` and return ``(compressed_frame_len,
+    content_size | None)`` without decompressing.  Raises
+    ``ZstFrameError`` if the bytes are not a structurally valid frame
+    (the false-positive path of the candidate scan)."""
+    f.seek(pos)
+    hdr = f.read(18)
+    hlen, content_size, has_checksum = _zst_parse_header(hdr)
+    off = pos + hlen
+    while True:
+        if off + 3 > size:
+            raise ZstFrameError("truncated block header")
+        f.seek(off)
+        bh = int.from_bytes(f.read(3), "little")
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 3:  # reserved block type
+            raise ZstFrameError("reserved block type")
+        on_disk = 1 if btype == 1 else bsize  # RLE stores one byte
+        off += 3 + on_disk
+        if off > size:
+            raise ZstFrameError("block extends past end of file")
+        if last:
+            break
+    if has_checksum:
+        off += 4
+        if off > size:
+            raise ZstFrameError("checksum extends past end of file")
+    return off - pos, content_size
+
+
+def _zst_decompress(frame: bytes, content_size: int | None) -> bytes:
+    """Decompress one complete zstd frame; ``zstandard`` if installed,
+    else pyarrow's bundled zstd codec."""
+    try:
+        import zstandard
+
+        return zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=content_size or 1 << 31
+        )
+    except ImportError:
+        pass
+    import pyarrow as pa
+
+    if content_size is not None:
+        return bytes(pa.Codec("zstd").decompress(frame, content_size))
+    out = bytearray()
+    stream = pa.CompressedInputStream(pa.BufferReader(frame), "zstd")
+    while True:
+        chunk = stream.read(_CHUNK)
+        if not chunk:
+            return bytes(out)
+        out += chunk
+
+
+def _zst_probe_plain(frame_prefix: bytes, probe_plain: int) -> bytes:
+    """Best-effort decompress of up to ``probe_plain`` plaintext bytes
+    from a (possibly truncated) compressed window at a frame start."""
+    try:
+        import zstandard
+
+        d = zstandard.ZstdDecompressor().decompressobj()
+        try:
+            return d.decompress(frame_prefix)[:probe_plain]
+        except zstandard.ZstdError:
+            return b""
+    except ImportError:
+        pass
+    import pyarrow as pa
+
+    out = bytearray()
+    try:
+        stream = pa.CompressedInputStream(
+            pa.BufferReader(frame_prefix), "zstd"
+        )
+        while len(out) < probe_plain:
+            chunk = stream.read(min(4096, probe_plain - len(out)))
+            if not chunk:
+                break
+            out += chunk
+    except (OSError, pa.ArrowInvalid):
+        # window ends mid-frame after yielding some plaintext — keep it
+        pass
+    return bytes(out)
+
+
+class ZstMemberScanner:
+    """Stream ``(offset, plaintext)`` for every zstd frame whose start
+    lies in ``[start, end)`` — the zstd twin of ``GzMemberScanner``.
+
+    Candidates are magic hits in the raw range; validation is (a) the
+    structural block-header walk (``zst_frame_len``) and (b) the
+    format predicate over a decompressed probe window.  Ownership by
+    frame start offset; the frame body may extend past the range end
+    (read-past-range, never double-emitted).  Memory per task is
+    O(one member + chunk)."""
+
+    def __init__(
+        self,
+        path: str,
+        start: int,
+        end: int,
+        validate: Callable[[bytes], bool],
+        probe_plain: int = 256,
+    ):
+        self.path = path
+        self.size = file_size(path)
+        self.start = start
+        self.end = end
+        self.validate = validate
+        self.probe_plain = probe_plain
+
+    def _validate(self, f, pos: int) -> int | None:
+        """Return the frame length if ``pos`` starts a real member."""
+        try:
+            flen, _ = zst_frame_len(f, pos, self.size)
+        except ZstFrameError:
+            return None
+        f.seek(pos)
+        prefix = f.read(min(flen, _PROBE_COMPRESSED_CAP))
+        plain = _zst_probe_plain(prefix, self.probe_plain)
+        if plain and self.validate(plain):
+            return flen
+        return None
+
+    def _align(self, f) -> int | None:
+        if self.start == 0:
+            return 0
+        pos = self.start
+        buf = b""
+        buf_at = pos
+        while True:
+            if not buf:
+                f.seek(buf_at)
+                buf = f.read(_CHUNK)
+                if not buf:
+                    return None
+            idx = buf.find(ZST_MAGIC)
+            if idx < 0:
+                if buf_at + len(buf) - 3 >= self.end:
+                    return None
+                buf_at += len(buf) - 3
+                buf = buf[-3:]
+                # _validate moved the file position; re-seek (same desync
+                # hazard as the gzip aligner above).
+                f.seek(buf_at + len(buf))
+                nxt = f.read(_CHUNK)
+                if not nxt:
+                    return None
+                buf += nxt
+                continue
+            cand = buf_at + idx
+            if cand >= self.end:
+                return None
+            if self._validate(f, cand) is not None:
+                return cand
+            buf = buf[idx + 1:]
+            buf_at = cand + 1
+
+    def members(self) -> Iterator[tuple[int, bytes]]:
+        with open_input(self.path) as f:
+            pos = self._align(f)
+            if pos is None:
+                return
+            while pos < self.end and pos < self.size:
+                flen, content_size = zst_frame_len(f, pos, self.size)
+                f.seek(pos)
+                frame = f.read(flen)
+                yield pos, _zst_decompress(frame, content_size)
+                pos += flen
+
+
+def detect_zst_member_layout(path: str) -> str:
+    """``"member"`` iff the first zstd frame ends before the file does.
+    Skippable frames at the head are stepped over (they carry no data)."""
+    size = file_size(path)
+    with open_input(path) as f:
+        pos = 0
+        while pos + 8 <= size:
+            f.seek(pos)
+            magic = int.from_bytes(f.read(4), "little")
+            if _ZST_SKIPPABLE_LO <= magic <= _ZST_SKIPPABLE_HI:
+                pos += 8 + int.from_bytes(f.read(4), "little")
+                continue
+            try:
+                flen, _ = zst_frame_len(f, pos, size)
+            except ZstFrameError:
+                return "stream"
+            return "member" if pos + flen < size else "stream"
+    return "stream"

@@ -16,10 +16,17 @@ validated gzip-member resync (`gzscan.GzMemberScanner`):
   inflate, a member that starts mid-line dies at the ``{`` check;
 - ownership by member start offset, read-past-range for the body.
 
+``codec="zst"`` gets the SAME splittable member path (Dolma and
+RedPajama-v2 ship ``.jsonl.zst``): zstd frames are the members,
+candidate = frame magic ``28 b5 2f fd``, validation = the structural
+block-header walk (``gzscan.zst_frame_len`` — frame extents are
+computable WITHOUT decompressing) plus the identical ``{``/JSON-line
+probe predicate (`gzscan.ZstMemberScanner`).
+
 ``layout="stream"`` (or auto-detection) falls back to one
 whole-file task per single-stream shard — same cliff contract as the
 tar source, parallelism across shards still applies.  ``bz2``/``xz``
-(stdlib) and ``zst`` (import-gated) are stream-only codecs.
+(stdlib) are stream-only codecs.
 
 Output: ``(line string)`` raw JSON lines — parse with
 ``F.from_json``/``get_json_object`` downstream so Catalyst sees the
@@ -40,7 +47,9 @@ from h2h_spark.sources.gzscan import (
     CodecStreamReader,
     GzMemberScanner,
     GzStreamReader,
+    ZstMemberScanner,
     detect_member_layout,
+    detect_zst_member_layout,
 )
 from h2h_spark.sources.util import file_size, list_part_files
 
@@ -86,16 +95,50 @@ def write_jsonl_gz_stream(path: str, lines: Sequence[str]) -> None:
         )
 
 
-def scan_jsonl_gz_members(path: str, start: int, end: int) -> Iterator[str]:
+def _zst_compress(block: bytes) -> bytes:
+    """One-shot zstd frame (carries Frame_Content_Size); ``zstandard``
+    if installed, else pyarrow's bundled codec.  Deterministic."""
+    try:
+        import zstandard
+
+        return zstandard.ZstdCompressor(level=3).compress(block)
+    except ImportError:
+        return bytes(pa.Codec("zstd").compress(block))
+
+
+def write_jsonl_zst_members(
+    path: str, lines: Sequence[str], lines_per_member: int = 16
+) -> None:
+    """Fixture/test writer for the splittable member-zstd framing:
+    every frame holds ``lines_per_member`` whole lines (the Dolma /
+    RedPajama-v2 shard shape)."""
+    with open(path, "wb") as f:
+        for lo in range(0, len(lines), lines_per_member):
+            block = "".join(
+                ln + "\n" for ln in lines[lo:lo + lines_per_member]
+            )
+            f.write(_zst_compress(block.encode()))
+
+
+def write_jsonl_zst_stream(path: str, lines: Sequence[str]) -> None:
+    """Fixture/test writer for the single-frame (unsplittable) layout."""
+    with open(path, "wb") as f:
+        f.write(_zst_compress("".join(ln + "\n" for ln in lines).encode()))
+
+
+def scan_jsonl_members(
+    path: str, start: int, end: int, codec: str = "gz"
+) -> Iterator[str]:
     """Member layout: lines of members whose compressed start lies in
-    [start, end)."""
-    scanner = GzMemberScanner(
+    [start, end).  ``codec`` picks the resync machinery (gz | zst)."""
+    scanner_cls = GzMemberScanner if codec == "gz" else ZstMemberScanner
+    scanner = scanner_cls(
         path, start, end, _validate_jsonl_plain, probe_plain=4096
     )
     for pos, plain in scanner.members():
         if plain and not plain.endswith(b"\n"):
             raise ValueError(
-                f"gzip member at offset {pos} does not end on a line "
+                f"{codec} member at offset {pos} does not end on a line "
                 f"boundary — not the member-framed layout; read with "
                 f'layout="stream"'
             )
@@ -158,20 +201,24 @@ class JsonlGzReader(DataSourceReader):
             raise ValueError(
                 f"codec must be gz|bz2|xz|zst, got {self.codec!r}"
             )
-        if self.codec != "gz" and self.layout == "member":
+        if self.codec in ("bz2", "xz") and self.layout == "member":
             raise ValueError(
-                f"layout=member requires codec=gz (no member-resync path "
-                f"for {self.codec})"
+                f"layout=member requires codec=gz|zst (no member-resync "
+                f"path for {self.codec})"
             )
 
     def partitions(self):
         parts: list[_JsonlPartition] = []
         pattern = f"*.jsonl.{self.codec}"
+        detect = {
+            "gz": detect_member_layout,
+            "zst": detect_zst_member_layout,
+        }.get(self.codec)
         for path in list_part_files(self.path, pattern=pattern):
             layout = (
                 "stream"
-                if self.codec != "gz"
-                else detect_member_layout(path)
+                if detect is None
+                else detect(path)
                 if self.layout == "auto"
                 else self.layout
             )
@@ -192,16 +239,34 @@ class JsonlGzReader(DataSourceReader):
             parts.append(_JsonlPartition("", 0, 0, "stream"))
         return parts
 
+    # flush a RecordBatch roughly this often so a multi-GB single-stream
+    # shard never materializes the whole partition in Python (memory
+    # stays O(batch + one line), honouring the module contract)
+    _BATCH_LINES = 65536
+
     def read(self, part: _JsonlPartition) -> Iterator[pa.RecordBatch]:
+        def batch(lines: list[str]) -> pa.RecordBatch:
+            return pa.record_batch(
+                [pa.array(lines, pa.string())], names=["line"]
+            )
+
         lines: list[str] = []
         if part.path:
             it = (
                 scan_jsonl_stream(part.path, self.codec)
                 if part.mode == "stream"
-                else scan_jsonl_gz_members(part.path, part.start, part.end)
+                else scan_jsonl_members(
+                    part.path, part.start, part.end, self.codec
+                )
             )
-            lines = [ln for ln in it if ln]
-        yield pa.record_batch([pa.array(lines, pa.string())], names=["line"])
+            for ln in it:
+                if not ln:
+                    continue
+                lines.append(ln)
+                if len(lines) >= self._BATCH_LINES:
+                    yield batch(lines)
+                    lines = []
+        yield batch(lines)
 
 
 def register_jsonl_gz(spark: SparkSession) -> None:

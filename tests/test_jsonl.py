@@ -8,7 +8,7 @@ import pytest
 
 from h2h_spark.sources.jsonl import (
     read_jsonl_gz,
-    scan_jsonl_gz_members,
+    scan_jsonl_members,
     scan_jsonl_stream,
     write_jsonl_gz_members,
     write_jsonl_gz_stream,
@@ -28,7 +28,7 @@ def _scan_members_all(path, size, split_bytes):
     off = 0
     while off < size:
         end = min(off + split_bytes, size)
-        out.extend(scan_jsonl_gz_members(path, off, end))
+        out.extend(scan_jsonl_members(path, off, end))
         off = end
     return out
 
@@ -71,7 +71,7 @@ def test_jsonl_member_not_line_aligned_raises(tmp_work):
         f.write(gzip.compress(whole[:15], mtime=0))
         f.write(gzip.compress(whole[15:], mtime=0))
     with pytest.raises(ValueError, match="line boundary"):
-        list(scan_jsonl_gz_members(path, 0, 10**9))
+        list(scan_jsonl_members(path, 0, 10**9))
 
 
 def test_jsonl_gz_datasource_mixed_layouts(spark, tmp_work):
@@ -112,15 +112,146 @@ def test_jsonl_gz_empty_dir(spark, tmp_work):
     assert read_jsonl_gz(spark, d).count() == 0
 
 
-def test_jsonl_zst_import_gated(tmp_work):
-    # zstandard is not installed in this container: the codec path must
-    # fail with a message naming the package, not an AttributeError.
-    path = f"{tmp_work}/x.jsonl.zst"
-    open(path, "wb").write(b"\x28\xb5\x2f\xfd")
-    try:
-        import zstandard  # noqa: F401
-        pytest.skip("zstandard installed here")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError, match="zstandard"):
-        list(scan_jsonl_stream(path, "zst"))
+# ---------------------------------------------------------------------------
+# .jsonl.zst — the Dolma / RedPajama-v2 shard codec (RFC 8878 member
+# framing; decoded via zstandard when installed, else pyarrow's bundled
+# zstd codec, so the path works in this container)
+# ---------------------------------------------------------------------------
+
+from h2h_spark.sources.jsonl import (  # noqa: E402
+    write_jsonl_zst_members,
+    write_jsonl_zst_stream,
+)
+
+
+def _scan_zst_all(path, size, split_bytes):
+    out = []
+    off = 0
+    while off < size:
+        end = min(off + split_bytes, size)
+        out.extend(scan_jsonl_members(path, off, end, "zst"))
+        off = end
+    return out
+
+
+def test_jsonl_zst_member_split_invariance(tmp_work):
+    import os
+
+    lines = _lines()
+    path = f"{tmp_work}/m.jsonl.zst"
+    write_jsonl_zst_members(path, lines, lines_per_member=8)
+    size = os.path.getsize(path)
+    assert _scan_zst_all(path, size, 10**9) == lines
+    for sb in [7, 64, 500, size // 2]:
+        assert _scan_zst_all(path, size, sb) == lines, sb
+
+
+def test_jsonl_zst_stream_scan(tmp_work):
+    lines = _lines(50)
+    path = f"{tmp_work}/s.jsonl.zst"
+    write_jsonl_zst_stream(path, lines)
+    assert list(scan_jsonl_stream(path, "zst")) == lines
+
+
+def test_jsonl_zst_layout_detection(tmp_work):
+    from h2h_spark.sources.gzscan import detect_zst_member_layout
+
+    lines = _lines(60)
+    pm = f"{tmp_work}/m.jsonl.zst"
+    ps = f"{tmp_work}/s.jsonl.zst"
+    write_jsonl_zst_members(pm, lines, lines_per_member=10)
+    write_jsonl_zst_stream(ps, lines)
+    assert detect_zst_member_layout(pm) == "member"
+    assert detect_zst_member_layout(ps) == "stream"
+
+
+def test_jsonl_zst_skippable_frame_layout(tmp_work):
+    # a skippable frame (magic 0x184D2A50, carries no data) at the head
+    # must be stepped over by layout detection
+    from h2h_spark.sources.gzscan import detect_zst_member_layout
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    lines = _lines(40)
+    path = f"{tmp_work}/sk.jsonl.zst"
+    skip = b"\x50\x2a\x4d\x18" + (8).to_bytes(4, "little") + b"META!!!!"
+    with open(path, "wb") as f:
+        f.write(skip)
+        for lo in range(0, len(lines), 10):
+            block = "".join(ln + "\n" for ln in lines[lo:lo + 10])
+            f.write(_zst_compress(block.encode()))
+    assert detect_zst_member_layout(path) == "member"
+    # the scanner aligns past the skippable frame (start>0 path scans for
+    # the data-frame magic; start=0 is not a valid frame here, so scan
+    # from byte 1 to exercise alignment)
+    import os
+
+    size = os.path.getsize(path)
+    got = list(scan_jsonl_members(path, 1, size, "zst"))
+    assert got == lines
+
+
+def test_jsonl_zst_member_not_line_aligned_raises(tmp_work):
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    path = f"{tmp_work}/bad.jsonl.zst"
+    whole = '{"id": 1, "text": "abcdef"}\n{"id": 2}\n'.encode()
+    with open(path, "wb") as f:
+        f.write(_zst_compress(whole[:15]))
+        f.write(_zst_compress(whole[15:]))
+    with pytest.raises(ValueError, match="line boundary"):
+        list(scan_jsonl_members(path, 0, 10**9, "zst"))
+
+
+def test_jsonl_zst_truncated_frame_raises(tmp_work):
+    from h2h_spark.sources.gzscan import ZstFrameError, zst_frame_len
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    frame = _zst_compress(b'{"id": 1}\n' * 20)
+    path = f"{tmp_work}/t.jsonl.zst"
+    open(path, "wb").write(frame[:len(frame) - 5])
+    import os
+
+    with open(path, "rb") as f:
+        with pytest.raises(ZstFrameError):
+            zst_frame_len(f, 0, os.path.getsize(path))
+
+
+def test_jsonl_zst_frame_len_matches_writer(tmp_work):
+    import os
+
+    from h2h_spark.sources.gzscan import zst_frame_len
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    blocks = [b'{"id": %d}\n' % i * (i + 1) for i in range(5)]
+    frames = [_zst_compress(b) for b in blocks]
+    path = f"{tmp_work}/fl.jsonl.zst"
+    open(path, "wb").write(b"".join(frames))
+    size = os.path.getsize(path)
+    pos = 0
+    with open(path, "rb") as f:
+        for i, fr in enumerate(frames):
+            flen, csize = zst_frame_len(f, pos, size)
+            assert flen == len(fr), i
+            assert csize == len(blocks[i]), i
+            pos += flen
+    assert pos == size
+
+
+def test_jsonl_zst_datasource_mixed_layouts(spark, tmp_work):
+    import os
+
+    lines = _lines(120)
+    d = f"{tmp_work}/dsz"
+    os.makedirs(d)
+    write_jsonl_zst_members(f"{d}/part_0.jsonl.zst", lines[:60],
+                            lines_per_member=5)
+    write_jsonl_zst_stream(f"{d}/part_1.jsonl.zst", lines[60:])
+    df = read_jsonl_gz(spark, d, max_partition_bytes=512, codec="zst")
+    got = sorted(r["line"] for r in df.collect())
+    assert got == sorted(lines)
+    assert df.rdd.getNumPartitions() > 2
+
+
+def test_jsonl_member_layout_rejected_for_stdlib_codecs(spark, tmp_work):
+    with pytest.raises(Exception, match="member"):
+        read_jsonl_gz(spark, tmp_work, layout="member", codec="bz2").count()
