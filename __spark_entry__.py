@@ -2827,8 +2827,71 @@ def q_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TFRECORD = """
 SELECT doc_id,
        CAST(9 * (doc_id % 6 + 1) AS BIGINT) AS length,
-       md5(repeat('F' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '|',
+       md5(repeat('F' || printf('%07d', doc_id) || '|',
                   CAST(doc_id % 6 + 1 AS INTEGER))) AS data_md5
+FROM documents
+"""
+
+
+def q_tfrecord_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed TFRecord shards (``TFRecordOptions(
+    compression_type="GZIP")`` — whole-file gzip over the record
+    stream) read alongside plain shards in ONE directory
+    (`sources/tfrecord.py:scan_tfrecord_gz`): plain files split into
+    validated byte ranges, gz files are the documented one-task-per-
+    file cliff (a deflate stream has no resync offset); data CRCs
+    hard-verified on both paths via the vectorized CRC-32C.  Fixture:
+    even partitions plain, odd partitions gz; oracle closed-form."""
+    from h2h_spark.sources.tfrecord import read_tfrecord
+
+    w = _work("q_tfrecord_gz", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.tfrecord import (
+                write_tfrecords, write_tfrecords_gz,
+            )
+
+            pid = TaskContext.get().partitionId()
+            payloads = [
+                (b"GZ%06d|" % r.doc_id) * (r.doc_id % 4 + 2) for r in rows
+            ]
+            if not payloads:
+                return
+            if pid % 2 == 0:
+                write_tfrecords(
+                    os.path.join(src, f"part_{pid}.tfrecord"), payloads
+                )
+            else:
+                write_tfrecords_gz(
+                    os.path.join(src, f"part_{pid}.tfrecord.gz"), payloads
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_tfrecord(
+        spark, src, max_partition_bytes=_split_bytes(src), include_data=True
+    )
+    return rec.select(
+        F.regexp_extract(F.col("data").cast("string"), r"GZ(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "length",
+        "data_md5",
+    )
+
+
+_SQL_TFRECORD_GZ = """
+SELECT doc_id,
+       CAST(9 * (doc_id % 4 + 2) AS BIGINT) AS length,
+       md5(repeat('GZ' || printf('%06d', doc_id) || '|',
+                  CAST(doc_id % 4 + 2 AS INTEGER))) AS data_md5
 FROM documents
 """
 
@@ -4871,7 +4934,7 @@ SELECT doc_id,
        'https://ex-' || CAST(doc_id % 7 AS VARCHAR) || '.org/page/'
            || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(17 * (doc_id % 5 + 1) AS BIGINT) AS content_length,
-       md5(repeat('PAYLOAD-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '|',
+       md5(repeat('PAYLOAD-' || printf('%08d', doc_id) || '|',
                   CAST(doc_id % 5 + 1 AS INTEGER))) AS payload_md5
 FROM documents
 """
@@ -4934,11 +4997,11 @@ def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TAR_MEMBERS = """
 SELECT doc_id,
-       'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       'docs/' || printf('%08d', doc_id) || '.txt' AS name,
        CAST(8 * (doc_id % 4 + 1) AS BIGINT) AS size,
        CAST(1700000000 + doc_id % 1000 AS BIGINT) AS mtime,
        '0' AS typeflag,
-       md5(repeat('T' || lpad(CAST(doc_id AS VARCHAR), 7, '0'),
+       md5(repeat('T' || printf('%07d', doc_id),
                   CAST(doc_id % 4 + 1 AS INTEGER))) AS content_md5
 FROM documents
 """
@@ -5001,11 +5064,11 @@ def q_tar_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TAR_GZ_MEMBERS = """
 SELECT doc_id,
-       'gz/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       'gz/' || printf('%08d', doc_id) || '.txt' AS name,
        CAST(8 * (doc_id % 3 + 1) AS BIGINT) AS size,
        CAST(1700000000 + doc_id % 997 AS BIGINT) AS mtime,
        '0' AS typeflag,
-       md5(repeat('G' || lpad(CAST(doc_id AS VARCHAR), 7, '0'),
+       md5(repeat('G' || printf('%07d', doc_id),
                   CAST(doc_id % 3 + 1 AS INTEGER))) AS content_md5
 FROM documents
 """
@@ -5312,7 +5375,7 @@ SELECT doc_id,
        'https://gz-' || CAST(doc_id % 5 AS VARCHAR) || '.org/p/'
            || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(15 * (doc_id % 6 + 1) AS BIGINT) AS content_length,
-       md5(repeat('GZDOC-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '|',
+       md5(repeat('GZDOC-' || printf('%08d', doc_id) || '|',
                   CAST(doc_id % 6 + 1 AS INTEGER))) AS payload_md5
 FROM documents
 """
@@ -5942,7 +6005,7 @@ def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_owned = owners.join(host_of, "doc_id").groupBy("host").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_owned_chunks")
     )
-    return (
+    out = (
         per_docs.join(per_chunks, "host")
         .join(per_owned, "host", "left")
         .select(
@@ -5952,6 +6015,14 @@ def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_owned_chunks"),
         )
     )
+    # materialize the (≤ #hosts = 5 row) result eagerly so both cached
+    # frames can be released — repeated bench/sweep iterations must not
+    # accumulate blocks in the shared session
+    rows = out.collect()
+    schema = out.schema
+    corpus.unpersist()
+    chunks.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 _SQL_CRAWL_CORPUS_E2E = """
@@ -6413,10 +6484,10 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ZIP_MEMBERS = """
 SELECT doc_id,
-       'docs/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS name,
+       'docs/' || printf('%08d', doc_id) || '.txt' AS name,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 END AS INTEGER) AS method,
        CAST(9 * (doc_id % 6 + 1) AS BIGINT) AS size,
-       md5(repeat('Y' || lpad(CAST(doc_id AS VARCHAR), 7, '0') || '|',
+       md5(repeat('Y' || printf('%07d', doc_id) || '|',
                   CAST(doc_id % 6 + 1 AS INTEGER))) AS content_md5
 FROM documents
 """
@@ -10490,6 +10561,7 @@ def _init_queries() -> None:
         "q_zip_members": q_zip_members,
         "q_arrow_ipc": q_arrow_ipc,
         "q_tfrecord": q_tfrecord,
+        "q_tfrecord_gz": q_tfrecord_gz,
         "q_tf_example": q_tf_example,
         "q_jsonl_gz": q_jsonl_gz,
         "q_jsonl_zst": q_jsonl_zst,
@@ -10498,9 +10570,9 @@ def _init_queries() -> None:
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
         "q_robots_filter": q_robots_filter,
-        "q_url_canon": q_url_canon,
         # ---- end of the 50-entry graded window ----
         # Displaced from the r8 window (all graded green in r08):
+        "q_url_canon": q_url_canon,
         "q_dbscan": q_dbscan,
         "q_domain_cap": q_domain_cap,
         "q_html_extract": q_html_extract,
@@ -10806,6 +10878,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfrecord": _SQL_TFRECORD,
         "q_jsonl_gz": _SQL_JSONL_GZ,
         "q_jsonl_zst": _SQL_JSONL_ZST,
+        "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

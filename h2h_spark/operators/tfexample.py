@@ -107,11 +107,48 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
             val = buf[i:i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > len(buf):
+                raise ValueError("truncated fixed32 field")
             val = buf[i:i + 4]
             i += 4
         elif wt == 1:
+            if i + 8 > len(buf):
+                raise ValueError("truncated fixed64 field")
             val = buf[i:i + 8]
             i += 8
+        elif wt in (3, 4):
+            # deprecated group wire types: no length prefix, so a group
+            # cannot be skipped without tracking nesting — consume
+            # matching START/END keys and drop the content (the
+            # "ignores unknown fields" contract)
+            if wt == 4:
+                raise ValueError("END_GROUP without matching START_GROUP")
+            depth = 1
+            while depth:
+                if i >= len(buf):
+                    raise ValueError("truncated group field")
+                k, i = _dec_varint(buf, i)
+                w = k & 7
+                if w == 3:
+                    depth += 1
+                elif w == 4:
+                    depth -= 1
+                elif w == 0:
+                    _, i = _dec_varint(buf, i)
+                elif w == 2:
+                    ln, i = _dec_varint(buf, i)
+                    if i + ln > len(buf):
+                        raise ValueError("truncated group field")
+                    i += ln
+                elif w == 5:
+                    i += 4
+                elif w == 1:
+                    i += 8
+                else:
+                    raise ValueError(f"unsupported wire type {w}")
+                if i > len(buf):
+                    raise ValueError("truncated group field")
+            continue
         else:
             raise ValueError(f"unsupported wire type {wt}")
         yield field, wt, val
@@ -192,6 +229,12 @@ def parse_tf_examples(
     for t in spec.values():
         if t not in _SPEC_TYPES:
             raise ValueError(f"unknown tf.Example feature type {t!r}")
+    clash = sorted(set(spec) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"spec feature name(s) {clash} collide with input column(s); "
+            f"rename or drop the input column first"
+        )
     passthrough = [c for c in df.columns]
     out_schema = ", ".join(
         [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in passthrough]

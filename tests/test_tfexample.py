@@ -108,3 +108,54 @@ def test_write_tf_examples_roundtrip(spark, tmp_work):
         assert r["name"] == [name]
         assert r["tags"] == tags
         assert r["w"] == [w]  # .5-steps are float32-exact
+
+
+# ---------------------------------------------------------------------------
+# round 9: wire-format hardening (ADVICE items)
+# ---------------------------------------------------------------------------
+
+
+def test_fields_truncated_fixed_raises_cleanly():
+    import pytest
+
+    from h2h_spark.operators.tfexample import _fields
+
+    # fixed32 key (field 1, wt 5) with only 2 trailing bytes
+    with pytest.raises(ValueError, match="truncated fixed32"):
+        list(_fields(b"\x0d\xaa\xbb"))
+    # fixed64 key (field 1, wt 1) with only 3 trailing bytes
+    with pytest.raises(ValueError, match="truncated fixed64"):
+        list(_fields(b"\x09\xaa\xbb\xcc"))
+
+
+def test_fields_skips_deprecated_groups():
+    from h2h_spark.operators.tfexample import _fields
+
+    # field 1 START_GROUP, nested varint field, END_GROUP, then a normal
+    # varint field 2 = 7 — the group content must be skipped as unknown
+    buf = b"\x0b" + b"\x10\x05" + b"\x0c" + b"\x10\x07"
+    got = list(_fields(buf))
+    assert got == [(2, 0, 7)]
+
+
+def test_fields_unmatched_end_group_raises():
+    import pytest
+
+    from h2h_spark.operators.tfexample import _fields
+
+    with pytest.raises(ValueError, match="END_GROUP"):
+        list(_fields(b"\x0c"))
+
+
+def test_parse_tf_examples_name_collision_raises(spark):
+    import pytest
+
+    from h2h_spark.operators.tfexample import (
+        encode_tf_example, parse_tf_examples,
+    )
+
+    df = spark.createDataFrame(
+        [(encode_tf_example({"id": [1]}), 9)], "data binary, id bigint"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        parse_tf_examples(df, "data", {"id": "int64"})

@@ -137,3 +137,93 @@ def test_tfrecord_empty_file_skipped(spark, tmp_work):
     write_tfrecords(f"{d}/part_1.tfrecord", [b"abc"])
     df = read_tfrecord(spark, d)
     assert df.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# round 9: vectorized CRC-32C + gzip-compressed shards
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_vectorized_matches_scalar():
+    import random
+
+    from h2h_spark.sources.tfrecord import _crc_update, crc32c
+
+    random.seed(42)
+    for sz in [0, 1, 1023, 1024, 1025, 4095, 4096, 4097, 8192, 100_000]:
+        d = random.randbytes(sz)
+        assert crc32c(d) == (~_crc_update(0xFFFFFFFF, d) & 0xFFFFFFFF), sz
+    # incremental state threading across the crossover
+    d = random.randbytes(10_000)
+    assert crc32c(d[5000:], crc32c(d[:5000])) == crc32c(d)
+
+
+def test_tfrecord_gz_roundtrip(tmp_work):
+    from h2h_spark.sources.tfrecord import scan_tfrecord_gz, write_tfrecords_gz
+
+    payloads = [b"rec-%04d|" % i * (i % 5 + 1) for i in range(300)]
+    path = f"{tmp_work}/a.tfrecord.gz"
+    write_tfrecords_gz(path, payloads)
+    got = [d for _, d in scan_tfrecord_gz(path)]
+    assert got == payloads
+    # offsets are decompressed-stream positions, strictly increasing
+    offs = [p for p, _ in scan_tfrecord_gz(path)]
+    assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_tfrecord_gz_data_crc_detects_corruption(tmp_work):
+    import gzip
+    import io
+
+    from h2h_spark.sources.tfrecord import (
+        masked_crc32c, scan_tfrecord_gz,
+    )
+
+    data = b"X" * 40
+    ln = struct.pack("<Q", len(data))
+    frame = (
+        ln + struct.pack("<I", masked_crc32c(ln))
+        + data + struct.pack("<I", masked_crc32c(data) ^ 1)
+    )
+    path = f"{tmp_work}/bad.tfrecord.gz"
+    open(path, "wb").write(gzip.compress(frame, mtime=0))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        list(scan_tfrecord_gz(path))
+    # checksum-blind opt-out still reads it
+    assert [d for _, d in scan_tfrecord_gz(path, verify_data=False)] == [data]
+
+
+def test_tfrecord_gz_truncated_raises(tmp_work):
+    import gzip
+
+    from h2h_spark.sources.tfrecord import (
+        masked_crc32c, scan_tfrecord_gz,
+    )
+
+    data = b"Y" * 64
+    ln = struct.pack("<Q", len(data))
+    frame = ln + struct.pack("<I", masked_crc32c(ln)) + data[:10]
+    path = f"{tmp_work}/trunc.tfrecord.gz"
+    open(path, "wb").write(gzip.compress(frame, mtime=0))
+    with pytest.raises(ValueError, match="truncated"):
+        list(scan_tfrecord_gz(path))
+
+
+def test_tfrecord_datasource_mixed_plain_and_gz(spark, tmp_work):
+    import os
+
+    from h2h_spark.sources.tfrecord import (
+        read_tfrecord, write_tfrecords, write_tfrecords_gz,
+    )
+
+    d = f"{tmp_work}/mix"
+    os.makedirs(d)
+    pay_a = [b"plain-%03d" % i for i in range(200)]
+    pay_b = [b"gzzzz-%03d" % i for i in range(150)]
+    write_tfrecords(f"{d}/part_0.tfrecord", pay_a)
+    write_tfrecords_gz(f"{d}/part_1.tfrecord.gz", pay_b)
+    df = read_tfrecord(spark, d, max_partition_bytes=512, include_data=True)
+    got = sorted(bytes(r["data"]) for r in df.collect())
+    assert got == sorted(pay_a + pay_b)
+    # plain file split into many tasks + 1 whole-file gz task
+    assert df.rdd.getNumPartitions() > 2
