@@ -154,6 +154,19 @@ class TarDataSource(DataSource):
         return TarReader(self.options)
 
 
+def _tar_batch(names, sizes, mtimes, flags, md5s) -> pa.RecordBatch:
+    return pa.record_batch(
+        [
+            pa.array(names, pa.string()),
+            pa.array(sizes, pa.int64()),
+            pa.array(mtimes, pa.int64()),
+            pa.array(flags, pa.string()),
+            pa.array(md5s, pa.string()),
+        ],
+        names=["name", "size", "mtime", "typeflag", "content_md5"],
+    )
+
+
 class TarReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
@@ -166,6 +179,10 @@ class TarReader(DataSourceReader):
             list_part_files(self.path, pattern="*.tar"), self.max_bytes
         )
 
+    # flush bound: a partition's member-metadata lists never grow past
+    # this, keeping whole-file stream tasks at O(batch + one member)
+    _BATCH_RECORDS = 65536
+
     def read(self, part: TarInputPartition) -> Iterator[pa.RecordBatch]:
         names, sizes, mtimes, flags, md5s = [], [], [], [], []
         for hdr, content in scan_tar_range(part.path, part.start, part.end):
@@ -174,16 +191,10 @@ class TarReader(DataSourceReader):
             mtimes.append(hdr["mtime"])
             flags.append(hdr["typeflag"])
             md5s.append(hashlib.md5(content).hexdigest())
-        yield pa.record_batch(
-            [
-                pa.array(names, pa.string()),
-                pa.array(sizes, pa.int64()),
-                pa.array(mtimes, pa.int64()),
-                pa.array(flags, pa.string()),
-                pa.array(md5s, pa.string()),
-            ],
-            names=["name", "size", "mtime", "typeflag", "content_md5"],
-        )
+            if len(names) >= self._BATCH_RECORDS:
+                yield _tar_batch(names, sizes, mtimes, flags, md5s)
+                names, sizes, mtimes, flags, md5s = [], [], [], [], []
+        yield _tar_batch(names, sizes, mtimes, flags, md5s)
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +404,8 @@ class TarGzReader(DataSourceReader):
             parts.append(_TarGzPartition("", 0, 0, "stream"))
         return parts
 
+    _BATCH_RECORDS = 65536
+
     def read(self, part: _TarGzPartition) -> Iterator[pa.RecordBatch]:
         names, sizes, mtimes, flags, md5s = [], [], [], [], []
         if part.path:
@@ -407,16 +420,10 @@ class TarGzReader(DataSourceReader):
                 mtimes.append(hdr["mtime"])
                 flags.append(hdr["typeflag"])
                 md5s.append(hashlib.md5(content).hexdigest())
-        yield pa.record_batch(
-            [
-                pa.array(names, pa.string()),
-                pa.array(sizes, pa.int64()),
-                pa.array(mtimes, pa.int64()),
-                pa.array(flags, pa.string()),
-                pa.array(md5s, pa.string()),
-            ],
-            names=["name", "size", "mtime", "typeflag", "content_md5"],
-        )
+                if len(names) >= self._BATCH_RECORDS:
+                    yield _tar_batch(names, sizes, mtimes, flags, md5s)
+                    names, sizes, mtimes, flags, md5s = [], [], [], [], []
+        yield _tar_batch(names, sizes, mtimes, flags, md5s)
 
 
 def ustar_member_bytes(name: str, content: bytes, mtime: int = 0) -> bytes:

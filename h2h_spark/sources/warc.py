@@ -242,9 +242,33 @@ class WarcReader(DataSourceReader):
             list_part_files(self.path, pattern="*.warc"), self.max_bytes
         )
 
+    # flush bounds so a partition (with payloads especially) never
+    # materializes in full — memory stays O(batch + one record)
+    _BATCH_RECORDS = 65536
+    _BATCH_BYTES = 32 * 1024 * 1024
+
     def read(self, part: WarcInputPartition) -> Iterator[pa.RecordBatch]:
         ids, types, uris, lens, md5s = [], [], [], [], []
         payloads: list[bytes] = []
+        pending = 0
+
+        def batch() -> pa.RecordBatch:
+            cols = [
+                pa.array(ids, pa.string()),
+                pa.array(types, pa.string()),
+                pa.array(uris, pa.string()),
+                pa.array(lens, pa.int64()),
+                pa.array(md5s, pa.string()),
+            ]
+            names = [
+                "record_id", "warc_type", "target_uri",
+                "content_length", "payload_md5",
+            ]
+            if self.include_payload:
+                cols.append(pa.array(payloads, pa.binary()))
+                names.append("payload")
+            return pa.record_batch(cols, names=names)
+
         for headers, payload in _RangeScanner(
             part.path, part.start, part.end
         ).records():
@@ -255,21 +279,16 @@ class WarcReader(DataSourceReader):
             md5s.append(hashlib.md5(payload).hexdigest())
             if self.include_payload:
                 payloads.append(payload)
-        cols = [
-            pa.array(ids, pa.string()),
-            pa.array(types, pa.string()),
-            pa.array(uris, pa.string()),
-            pa.array(lens, pa.int64()),
-            pa.array(md5s, pa.string()),
-        ]
-        names = [
-            "record_id", "warc_type", "target_uri",
-            "content_length", "payload_md5",
-        ]
-        if self.include_payload:
-            cols.append(pa.array(payloads, pa.binary()))
-            names.append("payload")
-        yield pa.record_batch(cols, names=names)
+                pending += len(payload)
+            if (
+                len(ids) >= self._BATCH_RECORDS
+                or pending >= self._BATCH_BYTES
+            ):
+                yield batch()
+                ids, types, uris, lens, md5s = [], [], [], [], []
+                payloads = []
+                pending = 0
+        yield batch()
 
 
 def register_warc(spark: SparkSession) -> None:
@@ -399,6 +418,22 @@ class WarcGzReader(WarcReader):
         import hashlib as _hashlib
 
         ids, types, uris, lens, md5s = [], [], [], [], []
+
+        def batch() -> pa.RecordBatch:
+            return pa.record_batch(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(types, pa.string()),
+                    pa.array(uris, pa.string()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(md5s, pa.string()),
+                ],
+                names=[
+                    "record_id", "warc_type", "target_uri",
+                    "content_length", "payload_md5",
+                ],
+            )
+
         for headers, payload in _GzMemberScanner(
             part.path, part.start, part.end
         ).records():
@@ -407,19 +442,10 @@ class WarcGzReader(WarcReader):
             uris.append(headers.get("warc-target-uri", ""))
             lens.append(len(payload))
             md5s.append(_hashlib.md5(payload).hexdigest())
-        yield pa.record_batch(
-            [
-                pa.array(ids, pa.string()),
-                pa.array(types, pa.string()),
-                pa.array(uris, pa.string()),
-                pa.array(lens, pa.int64()),
-                pa.array(md5s, pa.string()),
-            ],
-            names=[
-                "record_id", "warc_type", "target_uri",
-                "content_length", "payload_md5",
-            ],
-        )
+            if len(ids) >= self._BATCH_RECORDS:
+                yield batch()
+                ids, types, uris, lens, md5s = [], [], [], [], []
+        yield batch()
 
 
 def read_warc_gz(
