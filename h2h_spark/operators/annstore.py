@@ -147,12 +147,18 @@ def ivfpq_upsert(spark: SparkSession, path: str, delta_codes: DataFrame) -> None
     touches a small fraction of cells, and each cell is ~bytes/N of a
     code table that is itself ~1% of the raw embedding bytes).
     Compaction is preserved: one file per rewritten cell."""
+    # materialize the (small) delta ONCE up front: everything below —
+    # the touched-cell collect, the anti-join, the union — would
+    # otherwise re-evaluate the whole encode/assign pipeline per use
+    delta_codes = delta_codes.localCheckpoint(eager=True)
     cells = [int(r["cell"]) for r in delta_codes.select("cell").distinct().collect()]
     existing = spark.read.parquet(_codes_dir(path)).filter(
         F.col("cell").isin(cells)
     )
     merged = (
-        existing.join(delta_codes.select("id").distinct(), "id", "left_anti")
+        existing.join(
+            F.broadcast(delta_codes.select("id").distinct()), "id", "left_anti"
+        )
         .unionByName(delta_codes.select(*existing.columns))
         .repartition("cell")
         .localCheckpoint(eager=True)
