@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from h2h_spark.sources.gzscan import GZ_MAGIC as _GZ_MAGIC
-from h2h_spark.sources.gzscan import GzMemberScanner
+from h2h_spark.sources.gzscan import GzMemberScanner, ZstMemberScanner
 from h2h_spark.sources.util import file_size, list_part_files, open_input
 
 _MAGIC = b"WARC/1.0\r\n"
@@ -456,6 +456,152 @@ def read_warc_gz(
     spark.dataSource.register(WarcGzDataSource)
     return (
         spark.read.format("h2h_warc_gz")
+        .option("path", path)
+        .option("maxPartitionBytes", str(max_partition_bytes))
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# zstd-member WARC (.warc.zst) — the IIPC zstd variant (iipc/warc-
+# specifications, "WARC zstd" draft; also produced by warcio): records are
+# packed into independent zstd frames (one or MORE records per frame), so
+# the archive is splittable at frame boundaries with the engine's shared
+# zstd discipline (`gzscan.ZstMemberScanner`): candidate = frame magic,
+# structural block-header walk to find the frame extent WITHOUT
+# decompressing, probe-decode + ``WARC/`` prefix to validate.  Frames may
+# hold several records, so each frame's plaintext is parsed record-by-
+# record (Content-Length framing, the plain scanner's rules).
+#
+# The draft also allows a leading SKIPPABLE frame carrying a compression
+# dictionary (magic 0x184D2A5D).  Dictionary decode requires the
+# ``zstandard`` package (pyarrow's one-shot codec takes no dictionary);
+# the reader detects that frame and raises a loud, actionable error
+# rather than silently dropping every record.
+# ---------------------------------------------------------------------------
+
+_ZST_DICT_MAGIC = b"\x5d\x2a\x4d\x18"  # skippable-frame magic used for dicts
+
+
+def write_warc_zst_records(
+    path: str,
+    records: Sequence[tuple[dict[str, str], bytes]],
+    records_per_frame: int = 1,
+) -> None:
+    """Fixture/test writer: ``records_per_frame`` whole records per zstd
+    frame (the IIPC layout; warcio writes 1/frame)."""
+    import io as _io
+
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    with open(path, "wb") as f:
+        for lo in range(0, len(records), records_per_frame):
+            raw = _io.BytesIO()
+            write_warc_records_to(raw, records[lo:lo + records_per_frame])
+            f.write(_zst_compress(raw.getvalue()))
+
+
+class _ZstMemberScanner(ZstMemberScanner):
+    """Stream WARC records from zstd frames whose start lies in
+    [start, end); a frame may hold multiple records."""
+
+    def __init__(self, path: str, start: int, end: int):
+        super().__init__(
+            path, start, end, _validate_warc_plain, probe_plain=_GZ_PROBE
+        )
+
+    def records(self) -> Iterator[tuple[dict[str, str], bytes]]:
+        for pos, plain in self.members():
+            off = 0
+            n = len(plain)
+            while off < n:
+                parsed = _parse_header_block(plain[off:off + _MAX_HEADER])
+                if parsed is None:
+                    raise ValueError(
+                        f"zstd frame at offset {pos} holds a malformed "
+                        f"WARC record (frame offset {off})"
+                    )
+                headers, hlen = parsed
+                clen = int(headers["content-length"])
+                if off + hlen + clen > n:
+                    raise ValueError(
+                        f"short WARC record in zstd frame at offset {pos}"
+                    )
+                yield headers, plain[off + hlen:off + hlen + clen]
+                off += hlen + clen + 4  # skip the closing \r\n\r\n
+
+
+class WarcZstDataSource(DataSource):
+    """``spark.read.format("h2h_warc_zst")`` — zstd-member WARC."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_warc_zst"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> "WarcZstReader":
+        return WarcZstReader(self.options)
+
+
+class WarcZstReader(WarcReader):
+    def partitions(self):
+        paths = list_part_files(self.path, pattern="*.warc.zst")
+        for p in paths:
+            with open_input(p) as f:
+                if f.read(4) == _ZST_DICT_MAGIC:
+                    raise ValueError(
+                        f"{p} starts with a zstd dictionary frame; "
+                        f"dictionary-compressed .warc.zst needs the "
+                        f"'zstandard' package (pyarrow's codec takes no "
+                        f"dictionary) — install it or repack without a "
+                        f"dictionary"
+                    )
+        return plan_warc_splits(paths, self.max_bytes)
+
+    def read(self, part: WarcInputPartition) -> Iterator[pa.RecordBatch]:
+        import hashlib as _hashlib
+
+        ids, types, uris, lens, md5s = [], [], [], [], []
+
+        def batch() -> pa.RecordBatch:
+            return pa.record_batch(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(types, pa.string()),
+                    pa.array(uris, pa.string()),
+                    pa.array(lens, pa.int64()),
+                    pa.array(md5s, pa.string()),
+                ],
+                names=[
+                    "record_id", "warc_type", "target_uri",
+                    "content_length", "payload_md5",
+                ],
+            )
+
+        for headers, payload in _ZstMemberScanner(
+            part.path, part.start, part.end
+        ).records():
+            ids.append(headers.get("warc-record-id", ""))
+            types.append(headers["warc-type"])
+            uris.append(headers.get("warc-target-uri", ""))
+            lens.append(len(payload))
+            md5s.append(_hashlib.md5(payload).hexdigest())
+            if len(ids) >= self._BATCH_RECORDS:
+                yield batch()
+                ids, types, uris, lens, md5s = [], [], [], [], []
+        yield batch()
+
+
+def read_warc_zst(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+) -> DataFrame:
+    spark.dataSource.register(WarcZstDataSource)
+    return (
+        spark.read.format("h2h_warc_zst")
         .option("path", path)
         .option("maxPartitionBytes", str(max_partition_bytes))
         .load()

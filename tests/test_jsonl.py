@@ -255,3 +255,64 @@ def test_jsonl_zst_datasource_mixed_layouts(spark, tmp_work):
 def test_jsonl_member_layout_rejected_for_stdlib_codecs(spark, tmp_work):
     with pytest.raises(Exception, match="member"):
         read_jsonl_gz(spark, tmp_work, layout="member", codec="bz2").count()
+
+
+def test_warc_zst_multi_record_frames_split_invariance(tmp_work):
+    import os
+
+    from h2h_spark.sources.warc import (
+        _ZstMemberScanner, write_warc_zst_records,
+    )
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{i}>"},
+         b"pay-%03d|" % i * (i % 4 + 1))
+        for i in range(200)
+    ]
+    p = f"{tmp_work}/a.warc.zst"
+    write_warc_zst_records(p, recs, records_per_frame=3)
+    size = os.path.getsize(p)
+    full = [pl for _, pl in _ZstMemberScanner(p, 0, size).records()]
+    assert full == [pl for _, pl in recs]
+    got = []
+    cuts = list(range(0, size, max(1, size // 7))) + [size]
+    for a, b in zip(cuts, cuts[1:]):
+        got += [pl for _, pl in _ZstMemberScanner(p, a, b).records()]
+    assert got == full
+
+
+def test_warc_zst_datasource(spark, tmp_work):
+    import os
+
+    from h2h_spark.sources.warc import read_warc_zst, write_warc_zst_records
+
+    d = f"{tmp_work}/wz"
+    os.makedirs(d)
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{i}>",
+          "WARC-Target-URI": f"http://h/{i}"}, b"x" * (i + 1))
+        for i in range(50)
+    ]
+    write_warc_zst_records(f"{d}/p.warc.zst", recs, records_per_frame=2)
+    df = read_warc_zst(spark, d, max_partition_bytes=256)
+    rows = {r["record_id"]: r["content_length"] for r in df.collect()}
+    assert len(rows) == 50
+    assert rows["<urn:7>"] == 8
+
+
+def test_warc_zst_dictionary_frame_rejected(spark, tmp_work):
+    import os
+
+    import pytest
+
+    from h2h_spark.sources.warc import read_warc_zst
+
+    d = f"{tmp_work}/wdict"
+    os.makedirs(d)
+    p = f"{d}/p.warc.zst"
+    # skippable frame with the dictionary magic at the head
+    open(p, "wb").write(
+        b"\x5d\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"DICT"
+    )
+    with pytest.raises(Exception, match="zstandard"):
+        read_warc_zst(spark, d).count()
