@@ -5074,6 +5074,75 @@ FROM documents
 """
 
 
+def q_tar_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd-compressed tar covering BOTH .tar.zst layouts in one
+    directory (`sources/tar.py` codec="zst"): even partitions write the
+    splittable member-framed layout (one zstd frame per tar member;
+    tasks resync via the structural frame walker + ustar-checksum
+    predicate), odd partitions the single-frame cliff.  layout="auto"
+    probes the first frame per file.  Oracle closed-form incl. md5."""
+    from h2h_spark.sources.tar import read_tar_gz
+
+    w = _work("q_tar_zst", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.tar import (
+                write_tar_zst_members, write_tar_zst_stream,
+            )
+
+            pid = TaskContext.get().partitionId()
+            members = []
+            for r in rows:
+                d = r.doc_id
+                members.append((
+                    f"zs/{d:08d}.txt",
+                    1_600_000_000 + d % 991,
+                    (b"Z%07d" % d) * (d % 5 + 1),
+                ))
+            if not members:
+                return
+            writer = (
+                write_tar_zst_members if pid % 2 == 0 else write_tar_zst_stream
+            )
+            writer(os.path.join(src, f"part_{pid}.tar.zst"), members)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    mem = read_tar_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="zst",
+    )
+    return mem.select(
+        F.regexp_extract("name", r"zs/(\d+)\.txt", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "name",
+        "size",
+        "mtime",
+        "typeflag",
+        "content_md5",
+    )
+
+
+_SQL_TAR_ZST = """
+SELECT doc_id,
+       'zs/' || printf('%08d', doc_id) || '.txt' AS name,
+       CAST(8 * (doc_id % 5 + 1) AS BIGINT) AS size,
+       CAST(1600000000 + doc_id % 991 AS BIGINT) AS mtime,
+       '0' AS typeflag,
+       md5(repeat('Z' || printf('%07d', doc_id),
+                  CAST(doc_id % 5 + 1 AS INTEGER))) AS content_md5
+FROM documents
+"""
+
+
 def _dirty_url(doc_id: Column) -> Column:
     """Deterministic dirty-URL synthesizer (fixture for the URL family):
     scheme/host case, default :443 port, tracking params, unsorted
@@ -10642,6 +10711,8 @@ def _init_queries() -> None:
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
         # ---- end of the 50-entry graded window ----
+        # NEW round-9 queries that did not fit the window (sweep-attested):
+        "q_tar_zst": q_tar_zst,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -10952,6 +11023,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonl_zst": _SQL_JSONL_ZST,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
+        "q_tar_zst": _SQL_TAR_ZST,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -269,13 +269,15 @@ def _members_from_plain(
 
 
 def scan_tar_gz_members(
-    path: str, start: int, end: int
+    path: str, start: int, end: int, codec: str = "gz"
 ) -> Iterator[tuple[dict, bytes]]:
-    """Member-gzipped layout: (header, content) for tar members in gzip
-    members whose compressed start lies in [start, end)."""
-    from h2h_spark.sources.gzscan import GzMemberScanner
+    """Member-compressed layout: (header, content) for tar members in
+    gzip members (or zstd frames, ``codec="zst"``) whose compressed
+    start lies in [start, end)."""
+    from h2h_spark.sources.gzscan import GzMemberScanner, ZstMemberScanner
 
-    scanner = GzMemberScanner(
+    scanner_cls = GzMemberScanner if codec == "gz" else ZstMemberScanner
+    scanner = scanner_cls(
         path, start, end, _validate_tar_plain, probe_plain=_BLOCK
     )
     for pos, plain in scanner.members():
@@ -332,6 +334,13 @@ def detect_tar_gz_layout(path: str, probe_cap: int = 1 << 20) -> str:
     return detect_member_layout(path, probe_cap)
 
 
+def _detect_tar_zst_layout(path: str) -> str:
+    """``"member"`` iff the first zstd frame ends before the file does."""
+    from h2h_spark.sources.gzscan import detect_zst_member_layout
+
+    return detect_zst_member_layout(path)
+
+
 class TarGzDataSource(DataSource):
     """``spark.read.format("h2h_tar_gz")`` — compressed tar."""
 
@@ -370,20 +379,24 @@ class TarGzReader(DataSourceReader):
             raise ValueError(
                 f"codec must be gz|bz2|xz|zst, got {self.codec!r}"
             )
-        if self.codec != "gz" and self.layout == "member":
+        if self.codec in ("bz2", "xz") and self.layout == "member":
             raise ValueError(
-                f"layout=member requires codec=gz (no member-resync path "
-                f"for {self.codec})"
+                f"layout=member requires codec=gz|zst (no member-resync "
+                f"path for {self.codec})"
             )
 
     def partitions(self):
         parts: list[_TarGzPartition] = []
         pattern = f"*.tar.{self.codec}"
         for path in list_part_files(self.path, pattern=pattern):
+            detect = {
+                "gz": detect_tar_gz_layout,
+                "zst": _detect_tar_zst_layout,
+            }.get(self.codec)
             layout = (
                 "stream"
-                if self.codec != "gz"
-                else detect_tar_gz_layout(path)
+                if detect is None
+                else detect(path)
                 if self.layout == "auto"
                 else self.layout
             )
@@ -412,7 +425,9 @@ class TarGzReader(DataSourceReader):
             members = (
                 scan_tar_gz_stream(part.path, self.codec)
                 if part.mode == "stream"
-                else scan_tar_gz_members(part.path, part.start, part.end)
+                else scan_tar_gz_members(
+                    part.path, part.start, part.end, self.codec
+                )
             )
             for hdr, content in members:
                 names.append(hdr["name"])
@@ -466,6 +481,34 @@ def write_tar_gz_stream(
     ) + b"\x00" * (2 * _BLOCK)
     with open(path, "wb") as f:
         f.write(_gzip.compress(raw, mtime=0))
+
+
+def write_tar_zst_members(
+    path: str, members: Sequence[tuple[str, int, bytes]]
+) -> None:
+    """Fixture/test writer for the splittable member-zstd layout: one
+    zstd frame per tar member plus a trailer frame holding the
+    end-of-archive zero blocks."""
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    with open(path, "wb") as f:
+        for name, mtime, content in members:
+            f.write(_zst_compress(ustar_member_bytes(name, content, mtime)))
+        f.write(_zst_compress(b"\x00" * (2 * _BLOCK)))
+
+
+def write_tar_zst_stream(
+    path: str, members: Sequence[tuple[str, int, bytes]]
+) -> None:
+    """Fixture/test writer for the single-frame (unsplittable) layout."""
+    from h2h_spark.sources.jsonl import _zst_compress
+
+    raw = b"".join(
+        ustar_member_bytes(name, content, mtime)
+        for name, mtime, content in members
+    ) + b"\x00" * (2 * _BLOCK)
+    with open(path, "wb") as f:
+        f.write(_zst_compress(raw))
 
 
 def register_tar(spark: SparkSession) -> None:

@@ -200,3 +200,61 @@ def test_tar_codec_truncated_raises(tmp_work):
     open(path, "wb").write(data[: len(data) // 2])
     with pytest.raises(ValueError, match="truncated|corrupt"):
         list(scan_tar_gz_stream(path, "bz2"))
+
+
+# ---------------------------------------------------------------------------
+# round 9: .tar.zst (member-framed splittable + single-frame cliff)
+# ---------------------------------------------------------------------------
+
+
+def test_tar_zst_member_split_invariance(tmp_work):
+    import os
+
+    from h2h_spark.sources.tar import (
+        scan_tar_gz_members, write_tar_zst_members,
+    )
+
+    members = [(f"d/f{i:03d}.txt", 1000 + i, b"c%03d|" % i * (i % 9 + 1))
+               for i in range(120)]
+    p = f"{tmp_work}/m.tar.zst"
+    write_tar_zst_members(p, members)
+    size = os.path.getsize(p)
+    full = [(h["name"], c) for h, c in scan_tar_gz_members(p, 0, size, "zst")]
+    assert full == [(n, c) for n, _, c in members]
+    got = []
+    cuts = list(range(0, size, max(1, size // 6))) + [size]
+    for a, b in zip(cuts, cuts[1:]):
+        got += [(h["name"], c)
+                for h, c in scan_tar_gz_members(p, a, b, "zst")]
+    assert got == full
+
+
+def test_tar_zst_stream_scan(tmp_work):
+    from h2h_spark.sources.tar import (
+        scan_tar_gz_stream, write_tar_zst_stream,
+    )
+
+    members = [(f"f{i}.bin", 7, bytes([i]) * (i * 37 % 600)) for i in range(40)]
+    p = f"{tmp_work}/s.tar.zst"
+    write_tar_zst_stream(p, members)
+    got = [(h["name"], c) for h, c in scan_tar_gz_stream(p, "zst")]
+    assert got == [(n, c) for n, _, c in members]
+
+
+def test_tar_zst_datasource_auto_layout(spark, tmp_work):
+    import os
+
+    from h2h_spark.sources.tar import (
+        read_tar_gz, write_tar_zst_members, write_tar_zst_stream,
+    )
+
+    d = f"{tmp_work}/tz"
+    os.makedirs(d)
+    mem = [(f"a{i}.txt", 1, b"A" * (i + 1)) for i in range(60)]
+    stm = [(f"b{i}.txt", 2, b"B" * (i + 1)) for i in range(40)]
+    write_tar_zst_members(f"{d}/p0.tar.zst", mem)
+    write_tar_zst_stream(f"{d}/p1.tar.zst", stm)
+    df = read_tar_gz(spark, d, max_partition_bytes=512, codec="zst")
+    names = sorted(r["name"] for r in df.collect())
+    assert names == sorted([n for n, _, _ in mem] + [n for n, _, _ in stm])
+    assert df.rdd.getNumPartitions() > 2
