@@ -116,6 +116,19 @@ def main() -> None:
     log("readback_verify", n_records=n_back,
         tokens_match=bool(tok_back == tok_src))
     assert n_back == n_kept and tok_back == tok_src
+
+    # --- 7. .jsonl.zst corpus publication (Dolma/RedPajama shape) ---------
+    from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+
+    corpus_dir = f"{work}/corpus_jsonl_zst"
+    write_jsonl_shards(
+        feats.select("id", "n_tokens", "bucket"), corpus_dir,
+        codec="zst", lines_per_member=256,
+    )
+    n_pub = read_jsonl_gz(spark, corpus_dir, codec="zst").count()
+    log("jsonl_zst_publish", n_lines=n_pub,
+        splittable=True, match=bool(n_pub == n_kept))
+    assert n_pub == n_kept
     log("done", ok=True)
 
 

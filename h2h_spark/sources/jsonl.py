@@ -163,6 +163,66 @@ def scan_jsonl_stream(path: str, codec: str = "gz") -> Iterator[str]:
         yield buf.decode("utf-8", "replace")
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    codec: str = "zst",
+    lines_per_member: int = 1024,
+    line_col: str | None = None,
+) -> None:
+    """Export a DataFrame as member-framed compressed JSONL shards —
+    the Dolma / RedPajama-v2 publication format, written SPLITTABLY so
+    this engine (or any member-aware reader) can re-scan each shard in
+    parallel: one ``part_<i>.jsonl.<codec>`` per input partition (the
+    engine's ``part_<i>`` naming contract), every member holding
+    ``lines_per_member`` whole JSON lines.
+
+    ``line_col`` names a string column that already contains the JSON
+    line (pre-serialize with ``F.to_json(F.struct(...))`` so the JVM
+    does the encoding); if None, each row is serialized to a JSON
+    object of all its columns executor-side.  Executor-parallel via
+    ``foreachPartition`` — no driver data path; empty partitions write
+    no file."""
+    if codec not in ("gz", "zst"):
+        raise ValueError(
+            f"write_jsonl_shards supports codec gz|zst, got {codec!r}"
+        )
+    from h2h_spark.sources.util import ensure_dir, strip_scheme
+
+    import os as _os
+
+    ensure_dir(path)
+    base = strip_scheme(path)
+    if line_col is None:
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            F.to_json(F.struct(*df.columns)).alias("__line")
+        )
+        line_col = "__line"
+    else:
+        df = df.select(line_col)
+
+    def _write(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        lines = [r[line_col] for r in rows]
+        if not lines:
+            return
+        writer = (
+            write_jsonl_gz_members if codec == "gz"
+            else write_jsonl_zst_members
+        )
+        writer(
+            _os.path.join(base, f"part_{pid}.jsonl.{codec}"),
+            lines,
+            lines_per_member=lines_per_member,
+        )
+
+    df.foreachPartition(_write)
+
+
 class _JsonlPartition(InputPartition):
     def __init__(self, path: str, start: int, end: int, mode: str):
         self.path = path

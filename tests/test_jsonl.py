@@ -316,3 +316,44 @@ def test_warc_zst_dictionary_frame_rejected(spark, tmp_work):
     )
     with pytest.raises(Exception, match="zstandard"):
         read_warc_zst(spark, d).count()
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_work):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    ).repartition(4, "id")
+    for codec in ("gz", "zst"):
+        d = f"{tmp_work}/shards_{codec}"
+        write_jsonl_shards(df, d, codec=codec, lines_per_member=32)
+        files = sorted(os.listdir(d))
+        assert all(f.startswith("part_") and f.endswith(f".jsonl.{codec}")
+                   for f in files)
+        back = read_jsonl_gz(spark, d, max_partition_bytes=256, codec=codec)
+        parsed = back.select(
+            F.from_json("line", "id bigint, grp bigint").alias("j")
+        ).select("j.id", "j.grp")
+        rows = {r["id"]: r["grp"] for r in parsed.collect()}
+        assert len(rows) == 500 and rows[13] == 6
+        # member framing => splittable => more tasks than files
+        assert back.rdd.getNumPartitions() > len(files)
+
+
+def test_write_jsonl_shards_line_col(spark, tmp_work):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+
+    df = spark.range(50).select(
+        F.to_json(F.struct(F.col("id"))).alias("doc")
+    )
+    d = f"{tmp_work}/shards_lc"
+    write_jsonl_shards(df, d, codec="zst", lines_per_member=8,
+                       line_col="doc")
+    back = read_jsonl_gz(spark, d, codec="zst")
+    assert back.count() == 50
