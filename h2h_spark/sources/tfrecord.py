@@ -449,10 +449,17 @@ class TfRecordReader(DataSourceReader):
         # plain shards split into byte ranges; whole-file-gzipped shards
         # (TFRecordOptions GZIP) are the documented one-task-per-file
         # cliff — a gzip stream has no offset to resync to
-        parts = plan_tfrecord_splits(
-            list_part_files(self.path, pattern="*.tfrecord"), self.max_bytes
-        )
+        # suffix-filter both listings: list_part_files returns a single-
+        # file path as-is regardless of pattern, and a file must never
+        # be planned under both disciplines
+        plain = [
+            p for p in list_part_files(self.path, pattern="*.tfrecord")
+            if p.endswith(".tfrecord")
+        ]
+        parts = plan_tfrecord_splits(plain, self.max_bytes)
         for path in list_part_files(self.path, pattern="*.tfrecord.gz"):
+            if not path.endswith(".tfrecord.gz"):
+                continue
             size = file_size(path)
             if size:
                 parts.append(TfRecordPartition(path, 0, size, gz=True))

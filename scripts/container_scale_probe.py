@@ -204,6 +204,100 @@ def main() -> None:
             f"records in {dt:.1f}s = {mb/dt:.0f} MB/s"
         )
 
+    # zstd container family + compressed shard formats (round 9)
+    from h2h_spark.sources.warc import read_warc_zst, write_warc_zst_records
+
+    wz = f"{OUT}/probe.warc.zst"
+    if not os.path.exists(wz):
+        per = len(PAYLOAD) + 120
+        n_wz = TARGET_MB * 1024 * 1024 // per
+        write_warc_zst_records(
+            wz,
+            [(
+                {"WARC-Type": "response", "WARC-Record-ID": f"<urn:z:{i}>"},
+                PAYLOAD_RND,
+            ) for i in range(n_wz)],
+            records_per_frame=4,
+        )
+    t0 = time.time()
+    n = read_warc_zst(spark, wz, max_partition_bytes=8 << 20).count()
+    dt = time.time() - t0
+    mb = os.path.getsize(wz) / 1e6
+    umb = n * (len(PAYLOAD_RND) + 120) / 1e6
+    results.append(
+        f"WARC.ZST {mb:.0f} MB compressed ({umb:.0f} MB inflated), 8 MiB "
+        f"splits: {n} records in {dt:.1f}s = {umb/dt:.0f} MB/s inflated"
+    )
+
+    from h2h_spark.sources.tar import write_tar_zst_members
+
+    tz = f"{OUT}/probe_member.tar.zst"
+    if not os.path.exists(tz):
+        per = len(PAYLOAD) + 1024
+        n_tz = TARGET_MB * 1024 * 1024 // per
+        write_tar_zst_members(
+            tz, [(f"d/{i:08d}", 0, PAYLOAD_RND) for i in range(n_tz)]
+        )
+    t0 = time.time()
+    n = read_tar_gz(spark, tz, max_partition_bytes=8 << 20, codec="zst").count()
+    dt = time.time() - t0
+    mb = os.path.getsize(tz) / 1e6
+    umb = n * (len(PAYLOAD_RND) + 1024) / 1e6
+    results.append(
+        f"TAR.ZST/member {mb:.0f} MB compressed ({umb:.0f} MB inflated), "
+        f"8 MiB splits: {n} members in {dt:.1f}s = {umb/dt:.0f} MB/s inflated"
+    )
+
+    from h2h_spark.sources.jsonl import (
+        read_jsonl_gz, write_jsonl_gz_members, write_jsonl_zst_members,
+    )
+
+    line = '{"t": "' + PAYLOAD_RND[:2048].hex() + '"}'  # ~4.1 KB/line
+    n_lines = TARGET_MB * 1024 * 1024 // len(line)
+    for codec, writer in (
+        ("gz", write_jsonl_gz_members), ("zst", write_jsonl_zst_members),
+    ):
+        jp = f"{OUT}/probe.jsonl.{codec}"
+        if not os.path.exists(jp):
+            writer(jp, [line] * n_lines, lines_per_member=16)
+        t0 = time.time()
+        n = read_jsonl_gz(
+            spark, jp, max_partition_bytes=8 << 20, codec=codec
+        ).count()
+        dt = time.time() - t0
+        mb = os.path.getsize(jp) / 1e6
+        umb = n * (len(line) + 1) / 1e6
+        results.append(
+            f"JSONL.{codec.upper()} {mb:.0f} MB compressed ({umb:.0f} MB "
+            f"inflated), 8 MiB splits: {n} lines in {dt:.1f}s = "
+            f"{umb/dt:.0f} MB/s inflated"
+        )
+
+    from h2h_spark.sources.tfrecord import write_tfrecords_gz
+
+    # whole-file gzip cliff: 8 shard files so the scan still parallelizes
+    tgz_dir = f"{OUT}/tfrec_gz"
+    if not os.path.exists(tgz_dir):
+        os.makedirs(tgz_dir)
+        n_per = TARGET_MB * 1024 * 1024 // (len(PAYLOAD_RND) + 16) // 8
+        for s in range(8):
+            write_tfrecords_gz(
+                f"{tgz_dir}/part_{s}.tfrecord.gz", [PAYLOAD_RND] * n_per
+            )
+    for verify in (True, False):
+        t0 = time.time()
+        n = read_tfrecord(spark, tgz_dir, verify_data_crc=verify).count()
+        dt = time.time() - t0
+        mb = sum(
+            os.path.getsize(f"{tgz_dir}/{f}") for f in os.listdir(tgz_dir)
+        ) / 1e6
+        umb = n * (len(PAYLOAD_RND) + 16) / 1e6
+        results.append(
+            f"TFRECORD.GZ {mb:.0f} MB compressed ({umb:.0f} MB inflated), "
+            f"8 whole-file tasks, dataCrc={verify}: {n} records in "
+            f"{dt:.1f}s = {umb/dt:.0f} MB/s inflated"
+        )
+
     zp = f"{OUT}/probe.zip"
     if not os.path.exists(zp):
         build_zip(zp)

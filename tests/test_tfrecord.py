@@ -227,3 +227,22 @@ def test_tfrecord_datasource_mixed_plain_and_gz(spark, tmp_work):
     assert got == sorted(pay_a + pay_b)
     # plain file split into many tasks + 1 whole-file gz task
     assert df.rdd.getNumPartitions() > 2
+
+
+def test_tfrecord_single_file_path_not_double_planned(spark, tmp_work):
+    # a single plain .tfrecord passed as the path must not ALSO be
+    # planned as a gz whole-file task (list_part_files returns a file
+    # path as-is for any pattern)
+    from h2h_spark.sources.tfrecord import read_tfrecord, write_tfrecords
+
+    p = f"{tmp_work}/one.tfrecord"
+    payloads = [b"r%03d" % i for i in range(50)]
+    write_tfrecords(p, payloads)
+    df = read_tfrecord(spark, p, include_data=True)
+    assert df.count() == 50
+    # and a single .tfrecord.gz path reads only as gz
+    from h2h_spark.sources.tfrecord import write_tfrecords_gz
+
+    pg = f"{tmp_work}/one.tfrecord.gz"
+    write_tfrecords_gz(pg, payloads)
+    assert read_tfrecord(spark, pg).count() == 50
