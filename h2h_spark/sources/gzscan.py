@@ -479,6 +479,16 @@ class ZstMemberScanner:
             if pos is None:
                 return
             while pos < self.end and pos < self.size:
+                # step over skippable frames (magic 0x184D2A5x; metadata
+                # sidecars carry no records) — they may open the file or
+                # sit between data frames
+                f.seek(pos)
+                head = f.read(8)
+                if len(head) >= 8:
+                    magic = int.from_bytes(head[:4], "little")
+                    if _ZST_SKIPPABLE_LO <= magic <= _ZST_SKIPPABLE_HI:
+                        pos += 8 + int.from_bytes(head[4:8], "little")
+                        continue
                 flen, content_size = zst_frame_len(f, pos, self.size)
                 f.seek(pos)
                 frame = f.read(flen)

@@ -180,14 +180,13 @@ def test_jsonl_zst_skippable_frame_layout(tmp_work):
             block = "".join(ln + "\n" for ln in lines[lo:lo + 10])
             f.write(_zst_compress(block.encode()))
     assert detect_zst_member_layout(path) == "member"
-    # the scanner aligns past the skippable frame (start>0 path scans for
-    # the data-frame magic; start=0 is not a valid frame here, so scan
-    # from byte 1 to exercise alignment)
     import os
 
     size = os.path.getsize(path)
-    got = list(scan_jsonl_members(path, 1, size, "zst"))
-    assert got == lines
+    # start=0: the member walk itself steps over the skippable frame
+    assert list(scan_jsonl_members(path, 0, size, "zst")) == lines
+    # start>0: the aligner scans for the data-frame magic
+    assert list(scan_jsonl_members(path, 1, size, "zst")) == lines
 
 
 def test_jsonl_zst_member_not_line_aligned_raises(tmp_work):
