@@ -526,3 +526,85 @@ def test_huffman_tables_are_prefix_free():
         )
         for a, b in zip(as_strings, as_strings[1:]):
             assert not b.startswith(a), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# round 9: zstd member framing + TFRecord property stress (no Spark)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_lines=st.integers(1, 120),
+    per_member=st.integers(1, 17),
+    n_cuts=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_zst_member_scan_split_invariance_property(
+    tmp_path_factory, n_lines, per_member, n_cuts, seed
+):
+    """ANY cover of [0, size) by contiguous ranges yields every line
+    exactly once, in file order — the splittability contract."""
+    import json as _json
+    import os
+
+    from h2h_spark.sources.jsonl import (
+        scan_jsonl_members, write_jsonl_zst_members,
+    )
+
+    rng = random.Random(seed)
+    lines = [
+        _json.dumps({"i": i, "s": "".join(
+            rng.choices(_string.ascii_letters, k=rng.randint(0, 40))
+        )}, sort_keys=True)
+        for i in range(n_lines)
+    ]
+    d = tmp_path_factory.mktemp("zstprop")
+    p = str(d / "x.jsonl.zst")
+    write_jsonl_zst_members(p, lines, lines_per_member=per_member)
+    size = os.path.getsize(p)
+    cuts = sorted(rng.randint(0, size) for _ in range(n_cuts))
+    bounds = [0] + cuts + [size]
+    got = []
+    for a, b in zip(bounds, bounds[1:]):
+        if a < b:
+            got.extend(scan_jsonl_members(p, a, b, "zst"))
+    assert got == lines
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payload_sizes=st.lists(st.integers(0, 3000), min_size=1, max_size=60),
+    n_cuts=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tfrecord_split_invariance_property(
+    tmp_path_factory, payload_sizes, n_cuts, seed
+):
+    import os
+
+    from h2h_spark.sources.tfrecord import (
+        scan_tfrecord_range, write_tfrecords,
+    )
+
+    rng = random.Random(seed)
+    payloads = [rng.randbytes(sz) for sz in payload_sizes]
+    d = tmp_path_factory.mktemp("tfprop")
+    p = str(d / "x.tfrecord")
+    write_tfrecords(p, payloads)
+    size = os.path.getsize(p)
+    cuts = sorted(rng.randint(0, size) for _ in range(n_cuts))
+    bounds = [0] + cuts + [size]
+    got = []
+    for a, b in zip(bounds, bounds[1:]):
+        if a < b:
+            got.extend(data for _, data in scan_tfrecord_range(p, a, b))
+    assert got == payloads
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=9000))
+def test_crc32c_vec_scalar_equivalence_property(data):
+    from h2h_spark.sources.tfrecord import _crc_update, crc32c
+
+    assert crc32c(data) == (~_crc_update(0xFFFFFFFF, data) & 0xFFFFFFFF)
