@@ -293,3 +293,50 @@ def test_cli_so_mf_si_over_webhdfs(spark, whdfs, tmp_path):
     # impersonation flows from -hdfsuser to user.name on the wire
     users = {q.get("user.name") for (_m, p, q) in store.log if "/cli/" in p}
     assert users == {"svc_etl"}
+
+
+def test_container_sources_over_webhdfs(spark, whdfs):
+    """Round-9 shard formats over the cluster transport: a splittable
+    TFRecord shard and a member-framed .jsonl.zst shard served by the
+    REST stub, scanned through webhdfs:// with forced small ranges —
+    the datasources resolve listing/size/ranged-reads through the same
+    client stack as the FLAT path."""
+    import io
+
+    from h2h_spark.sources.jsonl import read_jsonl_gz, _zst_compress
+    from h2h_spark.sources.tfrecord import masked_crc32c, read_tfrecord
+
+    store, port = whdfs
+    # build a tfrecord shard in memory
+    payloads = [b"wh-%04d|" % i * (i % 4 + 1) for i in range(300)]
+    buf = io.BytesIO()
+    import struct as _struct
+
+    for data in payloads:
+        ln = _struct.pack("<Q", len(data))
+        buf.write(ln)
+        buf.write(_struct.pack("<I", masked_crc32c(ln)))
+        buf.write(data)
+        buf.write(_struct.pack("<I", masked_crc32c(data)))
+    store.files["/shards/a.tfrecord"] = buf.getvalue()
+    store.dirs.add("/shards")
+    uri = f"webhdfs://127.0.0.1:{port}/shards/a.tfrecord"
+    df = read_tfrecord(spark, uri, max_partition_bytes=2048,
+                       include_data=True)
+    got = sorted(bytes(r["data"]) for r in df.collect())
+    assert got == sorted(payloads)
+    opens = [q for (m, p, q) in store.log
+             if q.get("op") == "OPEN" and "redirected" in q]
+    assert any(int(q.get("offset", 0)) > 0 for q in opens)
+
+    # member-framed .jsonl.zst shard
+    lines = ['{"i": %d}' % i for i in range(200)]
+    blob = b""
+    for lo in range(0, len(lines), 16):
+        blob += _zst_compress(
+            "".join(ln + "\n" for ln in lines[lo:lo + 16]).encode()
+        )
+    store.files["/shards/b.jsonl.zst"] = blob
+    zuri = f"webhdfs://127.0.0.1:{port}/shards/b.jsonl.zst"
+    zdf = read_jsonl_gz(spark, zuri, max_partition_bytes=512, codec="zst")
+    assert sorted(r["line"] for r in zdf.collect()) == sorted(lines)
