@@ -3139,6 +3139,122 @@ FROM sp GROUP BY doc_id, sid
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm — `operators/text.py:winnow_fingerprints`): overlapping
+    5-gram hashes, window-4 minimum selection with the rightmost-tie
+    rule, consecutive duplicate selections collapsed.  Graded as a
+    per-doc DIGEST (count + position range + md5 over the ordered
+    selected set) so the compare is exact over every selected
+    fingerprint without shipping ~40 rows/doc.  Oracle replicates the
+    window-minimum selection in SQL (struct-min window frame)."""
+    from h2h_spark.operators.text import winnow_fingerprints
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "fp"))),
+                    lambda s: F.concat_ws(
+                        ":", s["pos"].cast("string"), s["fp"]
+                    ),
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )
+
+
+_SQL_WINNOW_FP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id, CAST(i.x AS BIGINT) AS pos, n - 4 AS m,
+         md5(array_to_string(
+             list_slice(toks, CAST(i.x AS INTEGER),
+                        CAST(i.x + 4 AS INTEGER)), ' ')) AS gh
+  FROM tt, generate_series(1, 200) AS i(x)
+  WHERE i.x <= n - 4),
+s AS (
+  SELECT doc_id, pos, m,
+         min({'gh': gh, 'np': -pos}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g),
+selected AS (
+  SELECT DISTINCT doc_id, -(sel).np AS pos, (sel).gh AS fp
+  FROM s WHERE pos <= m - 3)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       md5(string_agg(CAST(pos AS VARCHAR) || ':' || fp, ','
+                      ORDER BY pos)) AS fp_digest
+FROM selected GROUP BY doc_id
+"""
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints
+    (`operators/text.py:winnow_overlap`): docs sharing ≥ 3 distinct
+    selected fingerprints, ranked by shared count — the MOSS match
+    step.  Ubiquitous fingerprints (document frequency > 64) are
+    dropped before the bucket self-join (the LSH-band fan-out guard),
+    mirrored in the oracle."""
+    from h2h_spark.operators.text import winnow_fingerprints, winnow_overlap
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return winnow_overlap(
+        fps, "doc_id", min_shared=3, max_docs_per_fp=64
+    )
+
+
+_SQL_WINNOW_PAIRS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id, CAST(i.x AS BIGINT) AS pos, n - 4 AS m,
+         md5(array_to_string(
+             list_slice(toks, CAST(i.x AS INTEGER),
+                        CAST(i.x + 4 AS INTEGER)), ' ')) AS gh
+  FROM tt, generate_series(1, 200) AS i(x)
+  WHERE i.x <= n - 4),
+s AS (
+  SELECT doc_id, pos, m,
+         min({'gh': gh, 'np': -pos}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+  FROM g),
+selected AS (
+  SELECT DISTINCT doc_id, (sel).gh AS fp
+  FROM s WHERE pos <= m - 3),
+kept AS (
+  SELECT doc_id, fp FROM selected
+  WHERE fp IN (SELECT fp FROM selected GROUP BY fp
+               HAVING COUNT(*) <= 64))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup accounting with FIRST-OCCURRENCE retention
     (`operators/text.py: excise_duplicate_spans`): duplicated maximal
@@ -10713,6 +10829,8 @@ def _init_queries() -> None:
         # ---- end of the 50-entry graded window ----
         # NEW round-9 queries that did not fit the window (sweep-attested):
         "q_tar_zst": q_tar_zst,
+        "q_winnow_fp": q_winnow_fp,
+        "q_winnow_pairs": q_winnow_pairs,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11024,6 +11142,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
+        "q_winnow_fp": _SQL_WINNOW_FP,
+        "q_winnow_pairs": _SQL_WINNOW_PAIRS,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -1017,3 +1017,109 @@ def parse_srt_stats(df: DataFrame, id_col: str, srt_col: str) -> DataFrame:
         dur.alias("total_ms"),
         chars.alias("n_text_chars"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm, public):
+    hash every overlapping ``k``-token gram, slide a ``window`` of
+    consecutive gram hashes, and from each window select the MINIMUM
+    hash (rightmost occurrence on ties); consecutive windows selecting
+    the same position collapse to one fingerprint.
+
+    The winnowing guarantee: any substring shared by two documents that
+    spans at least ``window + k - 1`` tokens produces at least one
+    SHARED selected fingerprint — so overlap detection needs only the
+    selected set (density ~2/(window+1) of all grams), not every gram.
+    This is the local-fingerprint primitive for partial-overlap /
+    quote / plagiarism detection, where whole-doc hashing
+    (:func:`fingerprint`) and doc-level MinHash both miss contained
+    copies.
+
+    Built-ins only: the gram hash is the engine's portable
+    md5-of-joined-tokens (the :func:`duplicate_spans` twin) and the
+    window minimum is one per-doc window function ordered by position
+    with a ``(hash ASC, pos DESC)`` struct min — no UDF, no shuffle
+    beyond the per-doc window.  Output: ``(id, pos, fp)``, 1-based gram
+    positions of selected fingerprints."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    base = base.filter(F.size("__t") >= k + window - 1)
+    n = F.size("__t")
+    grams = base.select(
+        "id",
+        (n - k + 1).cast("int").alias("m"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda p: F.struct(
+                    p.cast("int").alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("__t", p, k), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", "m", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = (
+        grams.withColumn(
+            "__sel",
+            F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(w),
+        )
+        .filter(F.col("pos") <= F.col("m") - (window - 1))
+        .select(
+            F.col("id").alias(id_col),
+            (-F.col("__sel.np")).cast("bigint").alias("pos"),
+            F.col("__sel.gh").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    id_col: str = "id",
+    *,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """Candidate overlap pairs from winnowing fingerprints: documents
+    sharing ≥ ``min_shared`` distinct selected fingerprints, with the
+    shared count — the MOSS match-ranking step.
+
+    Scale shape: the pair generation is the LSH-band bucket join —
+    fingerprints appearing in more than ``max_docs_per_fp`` documents
+    are dropped FIRST (a fingerprint shared by everything ranks
+    nothing; the cap bounds any bucket's pair fan-out at cap², the same
+    guard as the MinHash banding path).  One groupBy on the fingerprint,
+    one self-join inside buckets, one pair aggregate."""
+    f = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    df_per_fp = f.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    kept = f.join(
+        df_per_fp.filter(F.col("__df") <= max_docs_per_fp).select("fp"), "fp"
+    )
+    a = kept.select(F.col("id").alias("id_a"), "fp")
+    b = kept.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -225,3 +225,61 @@ def test_excise_duplicate_spans_ownership(spark):
     assert out[2]["n_retained"] == 10 - 8
     assert (out[3]["n_dup_tokens"], out[3]["n_excised"],
             out[3]["n_retained"]) == (0, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# round 9: winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: a substring of >= window+k-1 tokens
+    shared by two docs yields at least one SHARED fingerprint."""
+    from h2h_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "nine eight seven " + shared + " ten eleven"),
+        ],
+        "id bigint, text string",
+    )
+    fps = winnow_fingerprints(df, "id", "text", k=5, window=4)
+    rows = fps.collect()
+    fp1 = {r["fp"] for r in rows if r["id"] == 1}
+    fp2 = {r["fp"] for r in rows if r["id"] == 2}
+    assert fp1 & fp2, "shared 8-token substring must share a fingerprint"
+
+
+def test_winnow_density_and_positions(spark):
+    from h2h_spark.operators.text import winnow_fingerprints
+
+    words = " ".join(f"w{i}a" for i in range(60))
+    df = spark.createDataFrame([(1, words)], "id bigint, text string")
+    fps = winnow_fingerprints(df, "id", "text", k=5, window=4).collect()
+    poss = sorted(r["pos"] for r in fps)
+    m = 60 - 5 + 1  # grams
+    assert poss[0] >= 1 and poss[-1] <= m
+    # selections cover: gaps between consecutive picks < window
+    assert all(b - a <= 4 for a, b in zip(poss, poss[1:]))
+    # density ~2/(window+1): picks are a strict subset of grams
+    assert 0 < len(poss) < m
+
+
+def test_winnow_overlap_threshold_and_cap(spark):
+    from h2h_spark.operators.text import (
+        winnow_fingerprints, winnow_overlap,
+    )
+
+    blob = " ".join(f"t{i}x" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob), (3, "totally different words " * 8)],
+        "id bigint, text string",
+    )
+    fps = winnow_fingerprints(df, "id", "text", k=5, window=4)
+    pairs = winnow_overlap(fps, "id", min_shared=2).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    # a cap of 1 doc per fp drops every shared fingerprint -> no pairs
+    none = winnow_overlap(fps, "id", min_shared=1, max_docs_per_fp=1)
+    assert none.count() == 0
