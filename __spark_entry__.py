@@ -3139,6 +3139,62 @@ FROM sp GROUP BY doc_id, sid
 """
 
 
+def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF camera-metadata extraction (`operators/multimodal.py:
+    parse_exif` — hand-rolled TIFF 6.0 IFD walker per CIPA DC-008: both
+    byte orders, out-of-line values, Exif sub-IFD pointer): each doc id
+    synthesizes a real JPEG with an APP1 Exif segment (little-endian
+    for even ids, big-endian for odd — both wire layouts graded), the
+    engine walks the actual bytes.  Pure metadata walk, no pixel
+    decode; Arrow-batched; oracle closed-form."""
+    from h2h_spark.operators.multimodal import exif_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import (
+            encode_exif_app1, insert_exif, synthesize_jpeg,
+        )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                app1 = encode_exif_app1(
+                    make=f"Cam{d % 5}",
+                    model=f"M{d % 7}",
+                    orientation=d % 8 + 1,
+                    datetime_str="2024:01:%02d 12:00:00" % (d % 28 + 1),
+                    width=640 + (d % 13) * 16,
+                    height=480 + (d % 9) * 16,
+                    iso=100 * (d % 4 + 1),
+                    byteorder="II" if d % 2 == 0 else "MM",
+                )
+                out.append(insert_exif(synthesize_jpeg(d % 11), app1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return exif_stats(binary, "doc_id").select(
+        "doc_id", "make", "model", "orientation",
+        F.col("datetime").alias("dt"), "width", "height", "iso",
+    )
+
+
+_SQL_EXIF_META = """
+SELECT doc_id,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'M' || CAST(doc_id % 7 AS VARCHAR) AS model,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+       '2024:01:' || printf('%02d', doc_id % 28 + 1) || ' 12:00:00' AS dt,
+       CAST(640 + (doc_id % 13) * 16 AS BIGINT) AS width,
+       CAST(480 + (doc_id % 9) * 16 AS BIGINT) AS height,
+       CAST(100 * (doc_id % 4 + 1) AS BIGINT) AS iso
+FROM documents
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -10831,6 +10887,7 @@ def _init_queries() -> None:
         "q_tar_zst": q_tar_zst,
         "q_winnow_fp": q_winnow_fp,
         "q_winnow_pairs": q_winnow_pairs,
+        "q_exif_meta": q_exif_meta,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11144,6 +11201,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tar_zst": _SQL_TAR_ZST,
         "q_winnow_fp": _SQL_WINNOW_FP,
         "q_winnow_pairs": _SQL_WINNOW_PAIRS,
+        "q_exif_meta": _SQL_EXIF_META,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -2895,3 +2895,227 @@ def mp4_sample_stats(df: DataFrame, id_col: str) -> DataFrame:
         "id long, track int, timescale int, n_samples long, duration long, "
         "duration_ms long, total_bytes long",
     ).withColumnRenamed("id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF 6.0 IFD) — camera metadata for image corpora.
+# Public specs: CIPA DC-008 (Exif 2.3) + TIFF 6.0.  The parser is a
+# hand-rolled IFD walker (both byte orders, out-of-line values, the
+# Exif sub-IFD pointer); the encoder exists for deterministic fixtures.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAG_MAKE = 0x010F
+_EXIF_TAG_MODEL = 0x0110
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_DATETIME = 0x0132
+_EXIF_TAG_SUBIFD = 0x8769
+_EXIF_TAG_ISO = 0x8827
+_EXIF_TAG_PIXX = 0xA002
+_EXIF_TAG_PIXY = 0xA003
+
+
+def encode_exif_app1(
+    *,
+    make: str = "",
+    model: str = "",
+    orientation: int = 1,
+    datetime_str: str = "",
+    width: int = 0,
+    height: int = 0,
+    iso: int = 0,
+    byteorder: str = "II",
+) -> bytes:
+    """Build one APP1 Exif segment (fixture writer): TIFF header +
+    IFD0 (Make/Model/Orientation/DateTime + Exif-IFD pointer) + the
+    Exif sub-IFD (PixelXDimension/PixelYDimension/ISO)."""
+    import struct as _s
+
+    le = byteorder == "II"
+    e = "<" if le else ">"
+
+    def entry(tag, typ, cnt, val4):
+        return _s.pack(e + "HHI", tag, typ, cnt) + val4
+
+    # layout: TIFF hdr (8) | IFD0 | sub-IFD | out-of-line data
+    ifd0_tags = []
+    sub_tags = []
+    blob = bytearray()  # out-of-line values, offsets fixed at the end
+    pend: list[tuple[int, bytes]] = []  # (patch position in seg, data)
+
+    def ascii_val(tag, s, into):
+        data = s.encode("ascii", "replace") + b"\x00"
+        if len(data) <= 4:
+            into.append(entry(tag, 2, len(data), data.ljust(4, b"\x00")))
+        else:
+            into.append((tag, data))  # resolved in pass 2
+
+    ifd0_entries: list = []
+    if make:
+        ascii_val(_EXIF_TAG_MAKE, make, ifd0_entries)
+    if model:
+        ascii_val(_EXIF_TAG_MODEL, model, ifd0_entries)
+    ifd0_entries.append(
+        entry(_EXIF_TAG_ORIENTATION, 3, 1, _s.pack(e + "HH", orientation, 0))
+    )
+    if datetime_str:
+        ascii_val(_EXIF_TAG_DATETIME, datetime_str, ifd0_entries)
+    ifd0_entries.append((_EXIF_TAG_SUBIFD, None))  # pointer, pass 2
+
+    sub_entries: list = [
+        entry(_EXIF_TAG_ISO, 3, 1, _s.pack(e + "HH", iso, 0)),
+        entry(_EXIF_TAG_PIXX, 4, 1, _s.pack(e + "I", width)),
+        entry(_EXIF_TAG_PIXY, 4, 1, _s.pack(e + "I", height)),
+    ]
+    ifd0_entries.sort(key=lambda x: x[0] if isinstance(x, tuple) else
+                      _s.unpack(e + "H", x[:2])[0])
+    sub_entries.sort(key=lambda x: _s.unpack(e + "H", x[:2])[0])
+
+    n0 = len(ifd0_entries)
+    ifd0_size = 2 + 12 * n0 + 4
+    sub_off = 8 + ifd0_size
+    sub_size = 2 + 12 * len(sub_entries) + 4
+    data_off = sub_off + sub_size
+
+    resolved0 = []
+    for it in ifd0_entries:
+        if isinstance(it, tuple):
+            tag, data = it
+            if tag == _EXIF_TAG_SUBIFD:
+                resolved0.append(
+                    entry(tag, 4, 1, _s.pack(e + "I", sub_off))
+                )
+            else:
+                resolved0.append(
+                    entry(tag, 2, len(data), _s.pack(e + "I", data_off + len(blob)))
+                )
+                blob += data
+        else:
+            resolved0.append(it)
+
+    tiff = bytearray()
+    tiff += (b"II" if le else b"MM") + _s.pack(e + "H", 42) + _s.pack(e + "I", 8)
+    tiff += _s.pack(e + "H", n0) + b"".join(resolved0) + _s.pack(e + "I", 0)
+    tiff += _s.pack(e + "H", len(sub_entries)) + b"".join(sub_entries)
+    tiff += _s.pack(e + "I", 0)
+    tiff += blob
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Parse EXIF metadata from a JPEG: scan marker segments for APP1
+    ``Exif\\x00\\x00``, walk IFD0 and the Exif sub-IFD.  Returns
+    ``{make, model, orientation, datetime, width, height, iso}`` with
+    None for absent fields; raises ValueError on malformed TIFF."""
+    import struct as _s
+
+    out = {"make": None, "model": None, "orientation": None,
+           "datetime": None, "width": None, "height": None, "iso": None}
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    i = 2
+    tiff = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            break
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:  # start of scan: no more metadata segments
+            break
+        seglen = _s.unpack(">H", payload[i + 2:i + 4])[0]
+        if marker == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = payload[i + 10:i + 2 + seglen]
+            break
+        i += 2 + seglen
+    if tiff is None:
+        return out
+    if len(tiff) < 8 or tiff[:2] not in (b"II", b"MM"):
+        raise ValueError("malformed TIFF header in Exif segment")
+    e = "<" if tiff[:2] == b"II" else ">"
+    if _s.unpack(e + "H", tiff[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic in Exif segment")
+
+    def read_val(entry_bytes):
+        tag, typ, cnt = _s.unpack(e + "HHI", entry_bytes[:8])
+        val4 = entry_bytes[8:12]
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            return tag, None
+        total = size * cnt
+        raw = val4[:total] if total <= 4 else None
+        if raw is None:
+            off = _s.unpack(e + "I", val4)[0]
+            if off + total > len(tiff):
+                raise ValueError("EXIF value offset out of range")
+            raw = tiff[off:off + total]
+        if typ == 2:
+            return tag, raw.rstrip(b"\x00").decode("ascii", "replace")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        vals = _s.unpack(e + str(cnt) + fmt, raw)
+        return tag, vals[0] if cnt == 1 else list(vals)
+
+    def walk(off):
+        if off + 2 > len(tiff):
+            raise ValueError("IFD offset out of range")
+        n = _s.unpack(e + "H", tiff[off:off + 2])[0]
+        ents = {}
+        for j in range(n):
+            base = off + 2 + 12 * j
+            if base + 12 > len(tiff):
+                raise ValueError("truncated IFD")
+            tag, val = read_val(tiff[base:base + 12])
+            ents[tag] = val
+        return ents
+
+    ifd0_off = _s.unpack(e + "I", tiff[4:8])[0]
+    ifd0 = walk(ifd0_off)
+    out["make"] = ifd0.get(_EXIF_TAG_MAKE)
+    out["model"] = ifd0.get(_EXIF_TAG_MODEL)
+    out["orientation"] = ifd0.get(_EXIF_TAG_ORIENTATION)
+    out["datetime"] = ifd0.get(_EXIF_TAG_DATETIME)
+    sub_off = ifd0.get(_EXIF_TAG_SUBIFD)
+    if isinstance(sub_off, int) and sub_off:
+        sub = walk(sub_off)
+        out["iso"] = sub.get(_EXIF_TAG_ISO)
+        out["width"] = sub.get(_EXIF_TAG_PIXX)
+        out["height"] = sub.get(_EXIF_TAG_PIXY)
+    return out
+
+
+def exif_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
+    """EXIF metadata columns for a binary JPEG column — Arrow-batched
+    per-row parse (pure metadata walk, no pixel decode), ids spread,
+    blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, make string, model string, "
+        "orientation bigint, datetime string, width bigint, "
+        "height bigint, iso bigint"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_exif(bytes(raw))
+                rows.append((
+                    rid, m["make"], m["model"], m["orientation"],
+                    m["datetime"], m["width"], m["height"], m["iso"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "make", "model", "orientation",
+                         "datetime", "width", "height", "iso"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -283,3 +283,45 @@ def test_winnow_overlap_threshold_and_cap(spark):
     # a cap of 1 doc per fp drops every shared fingerprint -> no pairs
     none = winnow_overlap(fps, "id", min_shared=1, max_docs_per_fp=1)
     assert none.count() == 0
+
+
+def test_exif_roundtrip_both_byteorders():
+    from h2h_spark.operators.multimodal import (
+        encode_exif_app1, insert_exif, parse_exif, synthesize_jpeg,
+    )
+
+    for bo in ("II", "MM"):
+        app1 = encode_exif_app1(
+            make="CamCo", model="X-100 Mark II", orientation=6,
+            datetime_str="2024:03:01 10:11:12", width=4032, height=3024,
+            iso=200, byteorder=bo,
+        )
+        m = parse_exif(insert_exif(synthesize_jpeg(7), app1))
+        assert m["make"] == "CamCo" and m["width"] == 4032, (bo, m)
+        assert m["orientation"] == 6 and m["iso"] == 200
+
+
+def test_exif_absent_and_malformed():
+    import pytest
+
+    from h2h_spark.operators.multimodal import parse_exif, synthesize_jpeg
+
+    assert all(v is None for v in parse_exif(synthesize_jpeg(3)).values())
+    with pytest.raises(ValueError, match="SOI"):
+        parse_exif(b"\x00\x01")
+    # APP1 Exif with garbage TIFF must raise, not desync
+    bad = b"\xff\xd8" + b"\xff\xe1\x00\x10Exif\x00\x00XXXXXXXX" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="TIFF"):
+        parse_exif(bad)
+
+
+def test_exif_value_longer_than_4_bytes_out_of_line():
+    # Make > 4 chars forces the out-of-line value path
+    from h2h_spark.operators.multimodal import (
+        encode_exif_app1, insert_exif, parse_exif, synthesize_jpeg,
+    )
+
+    app1 = encode_exif_app1(make="A Very Long Camera Maker Name",
+                            byteorder="MM")
+    m = parse_exif(insert_exif(synthesize_jpeg(1), app1))
+    assert m["make"] == "A Very Long Camera Maker Name"
