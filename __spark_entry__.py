@@ -3195,6 +3195,63 @@ FROM documents
 """
 
 
+def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-header walk (`operators/multimodal.py:parse_mp3` —
+    ISO/IEC 11172-3 header layout, the MP3 twin of the MP4 stts/stsz
+    walk): each doc id synthesizes a real MPEG-1 Layer III frame
+    sequence behind an ID3v2 tag; the engine skips the tag (syncsafe
+    length), hops frame-to-frame by computed frame length with sync
+    resync, and reports frame count / audio bytes / integer-exact
+    duration / CBR rate detection.  No decode; Arrow-batched; oracle
+    closed-form."""
+    from h2h_spark.operators.multimodal import mp3_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_mp3_frames
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 6 + 3
+                bri = d % 14 + 1
+                sri = d % 3
+                out.append(encode_mp3_frames(
+                    [(bri, sri, i % 2) for i in range(n)],
+                    id3_bytes=d % 50,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return mp3_stats(binary, "doc_id")
+
+
+# frame length = 144*bitrate/rate + padding (integer division); the
+# fixture alternates padding 0,1,... so total padding = floor(n/2);
+# duration is integer-exact: samples*1000 // rate (see parse_mp3)
+_SQL_MP3_META = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 6 + 3 AS n,
+         [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+             [CAST(doc_id % 14 + 1 AS INTEGER)] AS br,
+         [44100,48000,32000][CAST(doc_id % 3 + 1 AS INTEGER)] AS sr
+  FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * (144 * br * 1000 // sr) + n // 2 AS BIGINT) AS audio_bytes,
+       CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(br AS BIGINT) AS bitrate_kbps,
+       FALSE AS is_vbr
+FROM p
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -10888,6 +10945,7 @@ def _init_queries() -> None:
         "q_winnow_fp": q_winnow_fp,
         "q_winnow_pairs": q_winnow_pairs,
         "q_exif_meta": q_exif_meta,
+        "q_mp3_meta": q_mp3_meta,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11202,6 +11260,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_fp": _SQL_WINNOW_FP,
         "q_winnow_pairs": _SQL_WINNOW_PAIRS,
         "q_exif_meta": _SQL_EXIF_META,
+        "q_mp3_meta": _SQL_MP3_META,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -3119,3 +3119,123 @@ def exif_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Audio Layer III) frame-header walk — audio-corpus metadata
+# without decode, the MP3 twin of the MP4 stts/stsz walk.  Public spec:
+# ISO/IEC 11172-3 header layout; ID3v2 tag framing per id3.org.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                 128, 160, 192, 224, 256, 320)  # kbps, MPEG-1 Layer III
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def encode_mp3_frames(
+    frames: "Sequence[tuple[int, int, int]]", id3_bytes: int = 0
+) -> bytes:
+    """Fixture writer: a valid MPEG-1 Layer III frame sequence.  Each
+    frame spec is ``(bitrate_index 1-14, samplerate_index 0-2,
+    padding 0|1)``; payloads are deterministic filler.  ``id3_bytes``
+    prepends an ID3v2 tag of that body size (syncsafe length)."""
+    out = bytearray()
+    if id3_bytes:
+        ss = [(id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0)]
+        out += b"ID3\x04\x00\x00" + bytes(ss) + bytes(id3_bytes)
+    for bri, sri, pad in frames:
+        if not (1 <= bri <= 14 and 0 <= sri <= 2 and pad in (0, 1)):
+            raise ValueError("bad mp3 frame spec")
+        flen = 144 * _MP3_BITRATES[bri] * 1000 // _MP3_RATES[sri] + pad
+        hdr = bytes([
+            0xFF,
+            0xFB,  # MPEG-1, Layer III, no CRC
+            (bri << 4) | (sri << 2) | (pad << 1),
+            0x00,  # stereo, no extras
+        ])
+        body = bytes((7 * i + bri) % 251 for i in range(flen - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """Walk MP3 frame headers: skip a leading ID3v2 tag, then hop
+    frame-to-frame by the computed frame length (144*bitrate/rate +
+    padding), resyncing on the 11-bit sync word after junk.  Returns
+    ``{n_frames, audio_bytes, duration_ms, sample_rate, bitrate_kbps
+    (None when VBR), is_vbr}`` — no entropy decode, O(frames) header
+    reads."""
+    i = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    n_frames = 0
+    audio = 0
+    samples_by_rate: dict[int, int] = {}
+    rates = set()
+    brs = set()
+    while i + 4 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xE0) != 0xE0:
+            i += 1  # resync scan
+            continue
+        b1, b2 = payload[i + 1], payload[i + 2]
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        bri = (b2 >> 4) & 0xF
+        sri = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if version != 3 or layer != 1 or bri in (0, 15) or sri == 3:
+            i += 1  # not an MPEG-1 Layer III header: false sync
+            continue
+        flen = 144 * _MP3_BITRATES[bri] * 1000 // _MP3_RATES[sri] + pad
+        if i + flen > n:
+            break  # truncated final frame: stop, never over-read
+        n_frames += 1
+        audio += flen
+        rate = _MP3_RATES[sri]
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + 1152
+        rates.add(rate)
+        brs.add(_MP3_BITRATES[bri])
+        i += flen
+    # integer-exact duration (truncating per rate) — deterministic and
+    # externally recomputable, no float accumulation-order hazard
+    dur_ms = sum(smp * 1000 // r for r, smp in samples_by_rate.items())
+    return {
+        "n_frames": n_frames,
+        "audio_bytes": audio,
+        "duration_ms": dur_ms,
+        "sample_rate": rates.pop() if len(rates) == 1 else None,
+        "bitrate_kbps": brs.pop() if len(brs) == 1 else None,
+        "is_vbr": len(brs) > 1,
+    }
+
+
+def mp3_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
+    """MP3 header-walk metadata columns for a binary column —
+    Arrow-batched, no decode, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, n_frames bigint, audio_bytes bigint, "
+        "duration_ms bigint, sample_rate bigint, bitrate_kbps bigint, "
+        "is_vbr boolean"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_mp3(bytes(raw))
+                rows.append((rid, m["n_frames"], m["audio_bytes"],
+                             m["duration_ms"], m["sample_rate"],
+                             m["bitrate_kbps"], m["is_vbr"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "audio_bytes", "duration_ms",
+                         "sample_rate", "bitrate_kbps", "is_vbr"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -325,3 +325,24 @@ def test_exif_value_longer_than_4_bytes_out_of_line():
                             byteorder="MM")
     m = parse_exif(insert_exif(synthesize_jpeg(1), app1))
     assert m["make"] == "A Very Long Camera Maker Name"
+
+
+def test_mp3_frame_walk_cbr_vbr_and_resync():
+    from h2h_spark.operators.multimodal import encode_mp3_frames, parse_mp3
+
+    p = encode_mp3_frames([(9, 0, i % 2) for i in range(10)], id3_bytes=64)
+    m = parse_mp3(p)
+    assert m["n_frames"] == 10 and m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128 and not m["is_vbr"]
+    assert m["duration_ms"] == 10 * 1152 * 1000 // 44100
+    # mixed bitrates -> VBR, bitrate None
+    m2 = parse_mp3(encode_mp3_frames([(5, 1, 0), (12, 1, 0)]))
+    assert m2["is_vbr"] and m2["bitrate_kbps"] is None
+    # junk prefix resyncs; truncated final frame is dropped, not over-read
+    blob = b"\x01\x02junk" + encode_mp3_frames([(9, 0, 0), (9, 0, 0)])
+    m3 = parse_mp3(blob[:-5])
+    assert m3["n_frames"] == 1
+    # false sync inside payload must not double-count (walk hops by
+    # frame length, never scans inside an owned frame)
+    frames = encode_mp3_frames([(3, 0, 0)] * 4)
+    assert parse_mp3(frames)["n_frames"] == 4
