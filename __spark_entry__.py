@@ -3252,6 +3252,49 @@ FROM p
 """
 
 
+def q_parquet_rowgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group footer audit (`sources/meta.py:
+    parquet_rowgroup_stats`): footer-only metadata reads distributed
+    over the file list — the pruning-audit / compaction-planning
+    introspection (no data pages touched).  Fixture: documents ids
+    written sorted at a FIXED row_group_size=1000, so every group's
+    row count and min/max statistics are closed-form over the view
+    (group g = sorted rows [g·1000, (g+1)·1000))."""
+    import glob as _g
+
+    from h2h_spark.sources.meta import parquet_rowgroup_stats
+
+    w = _work("q_parquet_rowgroups", sf_dir)
+    src = os.path.join(w, "t.parquet")
+    if not _g.glob(src):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = [
+            r.doc_id
+            for r in spark.read.parquet(_t(sf_dir, "documents"))
+            .select("doc_id").orderBy("doc_id").collect()
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64())}),
+            src, row_group_size=1000,
+        )
+    out = parquet_rowgroup_stats(spark, src, "doc_id")
+    return out.select("row_group", "n_rows", "stats_min", "stats_max")
+
+
+_SQL_PARQUET_ROWGROUPS = """
+WITH s AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+  FROM documents)
+SELECT CAST(rn // 1000 AS BIGINT) AS row_group,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS VARCHAR) AS stats_min,
+       CAST(MAX(doc_id) AS VARCHAR) AS stats_max
+FROM s GROUP BY rn // 1000
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -10946,6 +10989,7 @@ def _init_queries() -> None:
         "q_winnow_pairs": q_winnow_pairs,
         "q_exif_meta": q_exif_meta,
         "q_mp3_meta": q_mp3_meta,
+        "q_parquet_rowgroups": q_parquet_rowgroups,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11261,6 +11305,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow_pairs": _SQL_WINNOW_PAIRS,
         "q_exif_meta": _SQL_EXIF_META,
         "q_mp3_meta": _SQL_MP3_META,
+        "q_parquet_rowgroups": _SQL_PARQUET_ROWGROUPS,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

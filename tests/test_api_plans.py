@@ -413,3 +413,22 @@ def test_ivfpq_upsert_rewrites_only_touched_cells(spark, tmp_path):
     assert got[(7, 0)] == 3 and got[(7, 1)] == 3  # delta won the collision
     # old cell-2 members survived the rewrite
     assert (2, 0) in got and (12, 0) in got
+
+
+def test_parquet_rowgroup_stats_multi_group(spark, tmp_work):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from h2h_spark.sources.meta import parquet_rowgroup_stats
+
+    p = f"{tmp_work}/t.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array(range(250), pa.int64())}),
+        p, row_group_size=100,
+    )
+    rows = sorted(
+        (r["row_group"], r["n_rows"], r["stats_min"], r["stats_max"])
+        for r in parquet_rowgroup_stats(spark, p, "k").collect()
+    )
+    assert rows == [(0, 100, "0", "99"), (1, 100, "100", "199"),
+                    (2, 50, "200", "249")]
