@@ -39,7 +39,21 @@ from h2h_spark.sources.csv import read_csv, write_csv
 from h2h_spark.sources.flat import read_flat, write_flat
 from h2h_spark.sources.xml import read_xml, write_xml
 from h2h_spark.sources.merge import merge_parts, write_single_file
-from h2h_spark.sources.meta import file_status
+from h2h_spark.sources.meta import file_status, parquet_rowgroup_stats
+
+# crawl / container / training-shard sources (lazy-heavy deps kept out of
+# the hot import path are imported inside these modules as needed)
+from h2h_spark.sources.warc import read_warc, read_warc_gz, read_warc_zst
+from h2h_spark.sources.tar import read_tar, read_tar_gz
+from h2h_spark.sources.zipsrc import read_zip
+from h2h_spark.sources.arrowipc import read_arrow_ipc
+from h2h_spark.sources.tfrecord import (
+    read_tfrecord,
+    write_tf_examples,
+    write_tfrecords,
+    write_tfrecords_gz,
+)
+from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
 
 __all__ = [
     "Layout",
@@ -60,9 +74,23 @@ __all__ = [
     "merge_parts",
     "write_single_file",
     "file_status",
+    "parquet_rowgroup_stats",
     "pipe_in",
     "pipe_out",
     "pipe_out_and_merge",
+    "read_warc",
+    "read_warc_gz",
+    "read_warc_zst",
+    "read_tar",
+    "read_tar_gz",
+    "read_zip",
+    "read_arrow_ipc",
+    "read_tfrecord",
+    "write_tf_examples",
+    "write_tfrecords",
+    "write_tfrecords_gz",
+    "read_jsonl_gz",
+    "write_jsonl_shards",
 ]
 
 __version__ = "0.1.0"
