@@ -3295,6 +3295,107 @@ FROM s GROUP BY rn // 1000
 """
 
 
+def q_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata walk (`operators/multimodal.py:parse_flac_meta` —
+    xiph.org block framing: STREAMINFO bit unpack + VORBIS_COMMENT
+    tags): each doc id synthesizes a FLAC header with arithmetic-derived
+    stream parameters and tags plus filler frames the walker must not
+    read; integer-exact duration.  Arrow-batched; oracle closed-form."""
+    from h2h_spark.operators.multimodal import flac_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_flac_meta
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(encode_flac_meta(
+                    sample_rate=(44100, 48000, 32000, 22050)[d % 4],
+                    channels=d % 2 + 1,
+                    bits_per_sample=(16, 24)[d % 2],
+                    total_samples=100000 + d * 7,
+                    tags={"TITLE": f"T{d % 9}", "ARTIST": f"A{d % 6}"},
+                    audio_bytes=d % 300,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return flac_stats(binary, "doc_id")
+
+
+_SQL_FLAC_META = """
+WITH p AS (
+  SELECT doc_id,
+         [44100,48000,32000,22050][CAST(doc_id % 4 + 1 AS INTEGER)] AS sr,
+         100000 + doc_id * 7 AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST([16,24][CAST(doc_id % 2 + 1 AS INTEGER)] AS BIGINT)
+           AS bits_per_sample,
+       CAST(ts AS BIGINT) AS total_samples,
+       CAST(ts * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(2 AS BIGINT) AS n_tags,
+       'T' || CAST(doc_id % 9 AS VARCHAR) AS title,
+       'A' || CAST(doc_id % 6 AS VARCHAR) AS artist
+FROM p
+"""
+
+
+def q_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG container page walk (`operators/multimodal.py:parse_ogg` —
+    RFC 3533 framing: lacing-segment packet reassembly accounting,
+    per-stream granule tracking, page CRC-32 hard-verified with the
+    OGG polynomial): each doc id synthesizes a 2-stream OGG file with
+    arithmetic-derived page/packet shapes.  Oracle closed-form (packet
+    sizes chosen so lacing arithmetic is exact in SQL)."""
+    from h2h_spark.operators.multimodal import ogg_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_ogg_pages
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # stream 1: (d%3+1) pages of two packets (sizes d%200+1,
+                # 300); stream 2: one page, one packet (d%100+5)
+                pages = [
+                    (1, 1000 * (p + 1) + d % 7, [d % 200 + 1, 300])
+                    for p in range(d % 3 + 1)
+                ] + [(2, d % 11, [d % 100 + 5])]
+                out.append(encode_ogg_pages(pages))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return ogg_stats(binary, "doc_id")
+
+
+_SQL_OGG_PAGES = """
+WITH p AS (SELECT doc_id, doc_id % 3 + 1 AS np FROM documents)
+SELECT doc_id, CAST(1 AS BIGINT) AS serial,
+       CAST(np AS BIGINT) AS n_pages,
+       CAST(2 * np AS BIGINT) AS n_packets,
+       CAST(np * (doc_id % 200 + 1 + 300) AS BIGINT) AS body_bytes,
+       CAST(1000 * np + doc_id % 7 AS BIGINT) AS last_granule
+FROM p
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(doc_id % 100 + 5 AS BIGINT), CAST(doc_id % 11 AS BIGINT)
+FROM p
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -10990,6 +11091,8 @@ def _init_queries() -> None:
         "q_exif_meta": q_exif_meta,
         "q_mp3_meta": q_mp3_meta,
         "q_parquet_rowgroups": q_parquet_rowgroups,
+        "q_flac_meta": q_flac_meta,
+        "q_ogg_pages": q_ogg_pages,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11306,6 +11409,8 @@ def oracle_sql() -> dict[str, str]:
         "q_exif_meta": _SQL_EXIF_META,
         "q_mp3_meta": _SQL_MP3_META,
         "q_parquet_rowgroups": _SQL_PARQUET_ROWGROUPS,
+        "q_flac_meta": _SQL_FLAC_META,
+        "q_ogg_pages": _SQL_OGG_PAGES,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

@@ -3239,3 +3239,288 @@ def mp3_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# FLAC metadata (STREAMINFO + VORBIS_COMMENT) — the lossless-audio twin
+# of the MP3/WAV paths.  Public specs: xiph.org FLAC format (metadata
+# block framing, STREAMINFO bit layout) and the Vorbis comment spec.
+# No audio decode — header/metadata walk only.
+# ---------------------------------------------------------------------------
+
+
+def encode_flac_meta(
+    *,
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    tags: "dict[str, str] | None" = None,
+    audio_bytes: int = 0,
+) -> bytes:
+    """Fixture writer: ``fLaC`` magic + STREAMINFO + optional
+    VORBIS_COMMENT, followed by ``audio_bytes`` of deterministic filler
+    standing in for frames (the walker never reads past the last
+    metadata block)."""
+    import struct as _s
+
+    si = bytearray()
+    si += _s.pack(">HH", 4096, 4096)  # min/max block size
+    si += (0).to_bytes(3, "big") * 2  # min/max frame size (unknown)
+    # 20 bits rate | 3 bits (channels-1) | 5 bits (bps-1) | 36 bits samples
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    si += packed.to_bytes(8, "big")
+    si += bytes(16)  # md5 of unencoded audio (zeroed in fixtures)
+    blocks = [(0, bytes(si))]
+    if tags is not None:
+        vc = bytearray()
+        vendor = b"h2h_spark"
+        vc += _s.pack("<I", len(vendor)) + vendor
+        vc += _s.pack("<I", len(tags))
+        for k, v in tags.items():
+            ent = f"{k}={v}".encode()
+            vc += _s.pack("<I", len(ent)) + ent
+        blocks.append((4, bytes(vc)))
+    out = bytearray(b"fLaC")
+    for i, (btype, body) in enumerate(blocks):
+        last = 0x80 if i == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(body).to_bytes(3, "big")
+        out += body
+    out += bytes((5 * i + 1) % 256 for i in range(audio_bytes))
+    return bytes(out)
+
+
+def parse_flac_meta(payload: bytes) -> dict:
+    """Walk FLAC metadata blocks: STREAMINFO (required first block) and
+    VORBIS_COMMENT.  Returns ``{sample_rate, channels, bits_per_sample,
+    total_samples, duration_ms, n_tags, title, artist}`` (integer-exact
+    duration = samples*1000 // rate).  Raises ValueError on malformed
+    input."""
+    import struct as _s
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (no fLaC magic)")
+    i = 4
+    out = {"sample_rate": None, "channels": None, "bits_per_sample": None,
+           "total_samples": None, "duration_ms": None, "n_tags": 0,
+           "title": None, "artist": None}
+    first = True
+    while i + 4 <= len(payload):
+        hdr = payload[i]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[i + 1:i + 4], "big")
+        body = payload[i + 4:i + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated FLAC metadata block")
+        if first and btype != 0:
+            raise ValueError("first FLAC block is not STREAMINFO")
+        first = False
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("bad STREAMINFO length")
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            out["sample_rate"] = rate
+            out["channels"] = ((packed >> 41) & 0x7) + 1
+            out["bits_per_sample"] = ((packed >> 36) & 0x1F) + 1
+            out["total_samples"] = packed & ((1 << 36) - 1)
+            if rate:
+                out["duration_ms"] = out["total_samples"] * 1000 // rate
+        elif btype == 4:
+            j = 0
+            (vlen,) = _s.unpack_from("<I", body, j)
+            j += 4 + vlen
+            (n,) = _s.unpack_from("<I", body, j)
+            j += 4
+            out["n_tags"] = n
+            for _ in range(n):
+                (elen,) = _s.unpack_from("<I", body, j)
+                j += 4
+                ent = body[j:j + elen].decode("utf-8", "replace")
+                j += elen
+                k, _, v = ent.partition("=")
+                if k.upper() == "TITLE":
+                    out["title"] = v
+                elif k.upper() == "ARTIST":
+                    out["artist"] = v
+        i += 4 + blen
+        if hdr & 0x80:
+            break
+    return out
+
+
+def flac_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
+    """FLAC metadata columns for a binary column — Arrow-batched walk,
+    no decode, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, sample_rate bigint, channels bigint, "
+        "bits_per_sample bigint, total_samples bigint, duration_ms bigint, "
+        "n_tags bigint, title string, artist string"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_flac_meta(bytes(raw))
+                rows.append((rid, m["sample_rate"], m["channels"],
+                             m["bits_per_sample"], m["total_samples"],
+                             m["duration_ms"], m["n_tags"], m["title"],
+                             m["artist"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "channels",
+                         "bits_per_sample", "total_samples", "duration_ms",
+                         "n_tags", "title", "artist"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# OGG container page walk (RFC 3533) — page framing for Vorbis/Opus
+# corpora: per-stream page/packet/byte accounting without codec decode.
+# Page CRC-32 (poly 0x04C11DB7, unreflected, init 0, crc field zeroed)
+# hard-verified like the ZIP/TFRecord sources.
+# ---------------------------------------------------------------------------
+
+
+def _ogg_crc_table():
+    tbl = []
+    for n in range(256):
+        c = n << 24
+        for _ in range(8):
+            c = ((c << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if c & 0x80000000 \
+                else (c << 1) & 0xFFFFFFFF
+        tbl.append(c)
+    return tbl
+
+
+_OGG_CRC = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    global _OGG_CRC
+    if _OGG_CRC is None:
+        _OGG_CRC = _ogg_crc_table()
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def encode_ogg_pages(
+    pages: "Sequence[tuple[int, int, list[int]]]",
+) -> bytes:
+    """Fixture writer: each page spec is ``(serial, granule,
+    packet_sizes)``; packets are split into 255-byte lacing segments per
+    RFC 3533 §6 (a multiple-of-255 packet gets a terminating 0 lacing
+    value).  Page sequence numbers run per stream; CRC real."""
+    import struct as _s
+
+    seqs: dict[int, int] = {}
+    out = bytearray()
+    for serial, granule, packet_sizes in pages:
+        lacing = []
+        body = bytearray()
+        for psz in packet_sizes:
+            q, r = divmod(psz, 255)
+            lacing += [255] * q + [r]
+            body += bytes((11 * i + psz) % 256 for i in range(psz))
+        if len(lacing) > 255:
+            raise ValueError("too many lacing segments for one page")
+        seq = seqs.get(serial, 0)
+        seqs[serial] = seq + 1
+        hdr = bytearray()
+        hdr += b"OggS\x00"
+        hdr += bytes([0x02 if seq == 0 else 0x00])  # BOS flag on first
+        hdr += _s.pack("<q", granule)
+        hdr += _s.pack("<I", serial)
+        hdr += _s.pack("<I", seq)
+        hdr += b"\x00\x00\x00\x00"  # crc placeholder
+        hdr += bytes([len(lacing)]) + bytes(lacing)
+        page = bytes(hdr) + bytes(body)
+        crc = _ogg_crc(page)
+        page = page[:22] + _s.pack("<I", crc) + page[26:]
+        out += page
+    return bytes(out)
+
+
+def parse_ogg(payload: bytes) -> "list[dict]":
+    """Walk OGG pages: per logical stream (serial) return ``{serial,
+    n_pages, n_packets, body_bytes, last_granule}``.  Packet count =
+    lacing values < 255 (continued packets count once, on the page
+    where they END).  CRC hard-verified per page; ValueError on
+    mismatch or malformed framing."""
+    import struct as _s
+
+    i = 0
+    n = len(payload)
+    streams: dict[int, dict] = {}
+    while i + 27 <= n:
+        if payload[i:i + 4] != b"OggS":
+            raise ValueError(f"lost OGG capture at offset {i}")
+        if payload[i + 4] != 0:
+            raise ValueError("unsupported OGG version")
+        granule = _s.unpack_from("<q", payload, i + 6)[0]
+        serial = _s.unpack_from("<I", payload, i + 14)[0]
+        stored_crc = _s.unpack_from("<I", payload, i + 22)[0]
+        nseg = payload[i + 26]
+        seg_end = i + 27 + nseg
+        if seg_end > n:
+            raise ValueError("truncated OGG segment table")
+        lacing = payload[i + 27:seg_end]
+        body_len = sum(lacing)
+        page_end = seg_end + body_len
+        if page_end > n:
+            raise ValueError("truncated OGG page body")
+        page = bytearray(payload[i:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != stored_crc:
+            raise ValueError(f"OGG page CRC mismatch at offset {i}")
+        st = streams.setdefault(
+            serial,
+            {"serial": serial, "n_pages": 0, "n_packets": 0,
+             "body_bytes": 0, "last_granule": 0},
+        )
+        st["n_pages"] += 1
+        st["n_packets"] += sum(1 for v in lacing if v < 255)
+        st["body_bytes"] += body_len
+        st["last_granule"] = granule
+        i = page_end
+    if i != n:
+        raise ValueError("trailing bytes after last OGG page")
+    return sorted(streams.values(), key=lambda s: s["serial"])
+
+
+def ogg_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
+    """Per-(id, stream) OGG page accounting — Arrow-batched walk."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, serial bigint, n_pages bigint, "
+        "n_packets bigint, body_bytes bigint, last_granule bigint"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                for st in parse_ogg(bytes(raw)):
+                    rows.append((rid, st["serial"], st["n_pages"],
+                                 st["n_packets"], st["body_bytes"],
+                                 st["last_granule"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "serial", "n_pages", "n_packets",
+                         "body_bytes", "last_granule"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -346,3 +346,44 @@ def test_mp3_frame_walk_cbr_vbr_and_resync():
     # frame length, never scans inside an owned frame)
     frames = encode_mp3_frames([(3, 0, 0)] * 4)
     assert parse_mp3(frames)["n_frames"] == 4
+
+
+def test_flac_meta_roundtrip_and_guards():
+    import pytest
+
+    from h2h_spark.operators.multimodal import (
+        encode_flac_meta, parse_flac_meta,
+    )
+
+    p = encode_flac_meta(sample_rate=44100, channels=2, bits_per_sample=16,
+                         total_samples=441000,
+                         tags={"TITLE": "T", "ARTIST": "A", "ALBUM": "X"},
+                         audio_bytes=64)
+    m = parse_flac_meta(p)
+    assert (m["duration_ms"], m["n_tags"], m["title"]) == (10000, 3, "T")
+    with pytest.raises(ValueError, match="fLaC"):
+        parse_flac_meta(b"RIFF....")
+    # first block must be STREAMINFO
+    bad = b"fLaC" + bytes([0x84]) + (4).to_bytes(3, "big") + b"abcd"
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        parse_flac_meta(bad)
+
+
+def test_ogg_page_walk_and_crc():
+    import pytest
+
+    from h2h_spark.operators.multimodal import encode_ogg_pages, parse_ogg
+
+    blob = encode_ogg_pages([(1, 100, [10, 255, 300]), (2, 50, [7]),
+                             (1, 200, [512])])
+    st = parse_ogg(blob)
+    assert st[0]["n_pages"] == 2 and st[0]["n_packets"] == 4
+    assert st[0]["body_bytes"] == 10 + 255 + 300 + 512
+    assert st[1] == {"serial": 2, "n_pages": 1, "n_packets": 1,
+                     "body_bytes": 7, "last_granule": 50}
+    bad = bytearray(blob)
+    bad[40] ^= 1
+    with pytest.raises(ValueError):
+        parse_ogg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ogg(blob[:-3])
