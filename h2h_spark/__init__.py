@@ -54,6 +54,7 @@ from h2h_spark.sources.tfrecord import (
     write_tfrecords_gz,
 )
 from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+from h2h_spark.sources.mbox import read_mbox
 
 __all__ = [
     "Layout",
@@ -91,6 +92,7 @@ __all__ = [
     "write_tfrecords_gz",
     "read_jsonl_gz",
     "write_jsonl_shards",
+    "read_mbox",
 ]
 
 __version__ = "0.1.0"

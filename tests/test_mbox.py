@@ -1,0 +1,82 @@
+"""mbox source: validated From-line resync, split invariance."""
+
+import os
+
+import pytest
+
+from h2h_spark.sources.mbox import read_mbox, scan_mbox_range, write_mbox
+
+
+def _msgs(n=80):
+    out = []
+    for i in range(n):
+        body = (b"text %d\nFrom the body trap\nmore\n" % i) * (i % 3 + 1)
+        out.append((
+            f"u{i}@ex.org Thu Jan  1 00:00:00 2026",
+            {"From": f"U{i} <u{i}@ex.org>", "Subject": f"s{i % 5}",
+             "Date": "Thu, 01 Jan 2026 00:00:00 +0000"},
+            body,
+        ))
+    return out
+
+
+def test_mbox_split_invariance(tmp_work):
+    p = f"{tmp_work}/a.mbox"
+    write_mbox(p, _msgs())
+    size = os.path.getsize(p)
+    full = list(scan_mbox_range(p, 0, size))
+    assert len(full) == 80
+    for ncuts in (3, 7, 13):
+        cuts = [0] + [size * i // ncuts for i in range(1, ncuts)] + [size]
+        got = []
+        for a, b in zip(cuts, cuts[1:]):
+            got += list(scan_mbox_range(p, a, b))
+        assert [g[0] for g in got] == [f[0] for f in full], ncuts
+
+
+def test_mbox_cut_exactly_at_separator(tmp_work):
+    # ownership: a split cut ON the 'F' of a separator gives the message
+    # to the right-hand task, once
+    p = f"{tmp_work}/b.mbox"
+    write_mbox(p, _msgs(10))
+    size = os.path.getsize(p)
+    offsets = [m[0] for m in scan_mbox_range(p, 0, size)]
+    cut = offsets[4]
+    left = list(scan_mbox_range(p, 0, cut))
+    right = list(scan_mbox_range(p, cut, size))
+    assert [m[0] for m in left] == offsets[:4]
+    assert [m[0] for m in right] == offsets[4:]
+    # and one byte later the message belongs to the LEFT task
+    left2 = list(scan_mbox_range(p, 0, cut + 1))
+    right2 = list(scan_mbox_range(p, cut + 1, size))
+    assert [m[0] for m in left2] == offsets[:5]
+    assert [m[0] for m in right2] == offsets[5:]
+
+
+def test_mbox_header_unfolding_and_fields(tmp_work):
+    p = f"{tmp_work}/c.mbox"
+    with open(p, "wb") as f:
+        f.write(b"From x Thu Jan  1 00:00:00 2026\n")
+        f.write(b"Subject: a very\n long subject\n")
+        f.write(b"From: A <a@b.c>\n\nbody\n")
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert msgs[0][2]["subject"] == "a very long subject"
+    assert msgs[0][3] == b"body\n"
+
+
+def test_mbox_datasource(spark, tmp_work):
+    d = f"{tmp_work}/ds"
+    os.makedirs(d)
+    write_mbox(f"{d}/p.mbox", _msgs(60))
+    df = read_mbox(spark, d, max_partition_bytes=1024)
+    rows = df.collect()
+    assert len(rows) == 60
+    assert df.rdd.getNumPartitions() > 2
+    assert {r["subject"] for r in rows} == {f"s{i}" for i in range(5)}
+
+
+def test_mbox_not_mbox_raises(spark, tmp_work):
+    p = f"{tmp_work}/bad.mbox"
+    open(p, "wb").write(b"this is not a mailbox\n")
+    with pytest.raises(Exception, match="From"):
+        list(scan_mbox_range(p, 0, os.path.getsize(p)))
