@@ -3463,6 +3463,50 @@ FROM documents
 """
 
 
+def q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone TIFF metadata (`operators/multimodal.py:
+    parse_tiff_meta` — the raw-.tif twin of the EXIF IFD walk, baseline
+    image tags, both byte orders alternating by id).  Oracle
+    closed-form."""
+    from h2h_spark.operators.multimodal import tiff_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_tiff_meta
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(encode_tiff_meta(
+                    width=320 + (d % 17) * 8,
+                    height=240 + (d % 11) * 8,
+                    bits=(1, 8, 16)[d % 3],
+                    compression=(1, 5, 7)[d % 3],
+                    description=f"scan of page {d % 23}",
+                    byteorder="II" if d % 2 == 0 else "MM",
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return tiff_stats(binary, "doc_id")
+
+
+_SQL_TIFF_META = """
+SELECT doc_id,
+       CAST(320 + (doc_id % 17) * 8 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 11) * 8 AS BIGINT) AS height,
+       CAST([1,8,16][CAST(doc_id % 3 + 1 AS INTEGER)] AS BIGINT) AS bits,
+       CAST([1,5,7][CAST(doc_id % 3 + 1 AS INTEGER)] AS BIGINT)
+           AS compression,
+       'scan of page ' || CAST(doc_id % 23 AS VARCHAR) AS description
+FROM documents
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -11161,6 +11205,7 @@ def _init_queries() -> None:
         "q_flac_meta": q_flac_meta,
         "q_ogg_pages": q_ogg_pages,
         "q_mbox_scan": q_mbox_scan,
+        "q_tiff_meta": q_tiff_meta,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11480,6 +11525,7 @@ def oracle_sql() -> dict[str, str]:
         "q_flac_meta": _SQL_FLAC_META,
         "q_ogg_pages": _SQL_OGG_PAGES,
         "q_mbox_scan": _SQL_MBOX_SCAN,
+        "q_tiff_meta": _SQL_TIFF_META,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

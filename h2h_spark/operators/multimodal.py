@@ -3524,3 +3524,143 @@ def ogg_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# --------------------------------------------------------------------------
+# Standalone TIFF image metadata — the raw-.tif twin of the EXIF path
+# (same TIFF 6.0 IFD walk, baseline image tags instead of camera tags).
+# --------------------------------------------------------------------------
+
+_TIFF_TAG_WIDTH = 0x0100
+_TIFF_TAG_HEIGHT = 0x0101
+_TIFF_TAG_BITS = 0x0102
+_TIFF_TAG_COMPRESSION = 0x0103
+_TIFF_TAG_DESCRIPTION = 0x010E
+
+
+def encode_tiff_meta(
+    *,
+    width: int,
+    height: int,
+    bits: int = 8,
+    compression: int = 1,
+    description: str = "",
+    byteorder: str = "II",
+) -> bytes:
+    """Fixture writer: a TIFF header + one IFD carrying the baseline
+    image tags (no strip data — the walker reads metadata only)."""
+    import struct as _s
+
+    le = byteorder == "II"
+    e = "<" if le else ">"
+
+    def entry(tag, typ, cnt, val4):
+        return _s.pack(e + "HHI", tag, typ, cnt) + val4
+
+    entries = [
+        entry(_TIFF_TAG_WIDTH, 4, 1, _s.pack(e + "I", width)),
+        entry(_TIFF_TAG_HEIGHT, 4, 1, _s.pack(e + "I", height)),
+        entry(_TIFF_TAG_BITS, 3, 1, _s.pack(e + "HH", bits, 0)),
+        entry(_TIFF_TAG_COMPRESSION, 3, 1, _s.pack(e + "HH", compression, 0)),
+    ]
+    blob = b""
+    if description:
+        data = description.encode("ascii", "replace") + b"\x00"
+        n = len(entries) + 1
+        data_off = 8 + 2 + 12 * n + 4
+        if len(data) <= 4:
+            entries.append(
+                entry(_TIFF_TAG_DESCRIPTION, 2, len(data),
+                      data.ljust(4, b"\x00"))
+            )
+        else:
+            entries.append(
+                entry(_TIFF_TAG_DESCRIPTION, 2, len(data),
+                      _s.pack(e + "I", data_off))
+            )
+            blob = data
+    entries.sort(key=lambda b: _s.unpack(e + "H", b[:2])[0])
+    out = bytearray()
+    out += (b"II" if le else b"MM") + _s.pack(e + "H", 42)
+    out += _s.pack(e + "I", 8)
+    out += _s.pack(e + "H", len(entries)) + b"".join(entries)
+    out += _s.pack(e + "I", 0)
+    out += blob
+    return bytes(out)
+
+
+def parse_tiff_meta(payload: bytes) -> dict:
+    """Baseline TIFF metadata via the IFD walk: ``{width, height, bits,
+    compression, description}``; both byte orders; ValueError on
+    malformed headers."""
+    import struct as _s
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    e = "<" if payload[:2] == b"II" else ">"
+    if _s.unpack(e + "H", payload[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    off = _s.unpack(e + "I", payload[4:8])[0]
+    if off + 2 > len(payload):
+        raise ValueError("IFD offset out of range")
+    n = _s.unpack(e + "H", payload[off:off + 2])[0]
+    out = {"width": None, "height": None, "bits": None,
+           "compression": None, "description": None}
+    for j in range(n):
+        base = off + 2 + 12 * j
+        if base + 12 > len(payload):
+            raise ValueError("truncated IFD")
+        tag, typ, cnt = _s.unpack(e + "HHI", payload[base:base + 8])
+        val4 = payload[base + 8:base + 12]
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        raw = val4[:total] if total <= 4 else None
+        if raw is None:
+            voff = _s.unpack(e + "I", val4)[0]
+            if voff + total > len(payload):
+                raise ValueError("TIFF value offset out of range")
+            raw = payload[voff:voff + total]
+        if typ == 2:
+            val = raw.rstrip(b"\x00").decode("ascii", "replace")
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            vals = _s.unpack(e + str(cnt) + fmt, raw)
+            val = vals[0] if cnt == 1 else list(vals)
+        if tag == _TIFF_TAG_WIDTH:
+            out["width"] = val
+        elif tag == _TIFF_TAG_HEIGHT:
+            out["height"] = val
+        elif tag == _TIFF_TAG_BITS:
+            out["bits"] = val
+        elif tag == _TIFF_TAG_COMPRESSION:
+            out["compression"] = val
+        elif tag == _TIFF_TAG_DESCRIPTION:
+            out["description"] = val
+    return out
+
+
+def tiff_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
+    """TIFF metadata columns for a binary column — Arrow-batched."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, width bigint, height bigint, bits bigint, "
+        "compression bigint, description string"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_tiff_meta(bytes(raw))
+                rows.append((rid, m["width"], m["height"], m["bits"],
+                             m["compression"], m["description"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "bits",
+                         "compression", "description"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -387,3 +387,22 @@ def test_ogg_page_walk_and_crc():
         parse_ogg(bytes(bad))
     with pytest.raises(ValueError, match="truncated"):
         parse_ogg(blob[:-3])
+
+
+def test_tiff_meta_roundtrip_both_byteorders():
+    import pytest
+
+    from h2h_spark.operators.multimodal import (
+        encode_tiff_meta, parse_tiff_meta,
+    )
+
+    for bo in ("II", "MM"):
+        t = encode_tiff_meta(width=800, height=600, bits=16, compression=5,
+                             description="a description over four bytes",
+                             byteorder=bo)
+        m = parse_tiff_meta(t)
+        assert (m["width"], m["height"], m["bits"], m["compression"]) == \
+            (800, 600, 16, 5), bo
+        assert m["description"].startswith("a description")
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_tiff_meta(b"XXXX")
