@@ -199,7 +199,8 @@ def scan_mbox_range(
 
 _SCHEMA_DDL = (
     "offset bigint, envelope string, sender string, subject string, "
-    "msg_date string, n_headers bigint, body_bytes bigint, body_md5 string"
+    "msg_date string, msg_id string, in_reply_to string, "
+    "n_headers bigint, body_bytes bigint, body_md5 string"
 )
 
 
@@ -252,7 +253,7 @@ class MboxReader(DataSourceReader):
 
     def read(self, part: MboxPartition) -> Iterator[pa.RecordBatch]:
         offs, envs, senders, subjects, dates = [], [], [], [], []
-        nhdrs, blens, bmd5s = [], [], []
+        mids, irts, nhdrs, blens, bmd5s = [], [], [], [], []
 
         def batch() -> pa.RecordBatch:
             return pa.record_batch(
@@ -262,12 +263,15 @@ class MboxReader(DataSourceReader):
                     pa.array(senders, pa.string()),
                     pa.array(subjects, pa.string()),
                     pa.array(dates, pa.string()),
+                    pa.array(mids, pa.string()),
+                    pa.array(irts, pa.string()),
                     pa.array(nhdrs, pa.int64()),
                     pa.array(blens, pa.int64()),
                     pa.array(bmd5s, pa.string()),
                 ],
                 names=["offset", "envelope", "sender", "subject",
-                       "msg_date", "n_headers", "body_bytes", "body_md5"],
+                       "msg_date", "msg_id", "in_reply_to",
+                       "n_headers", "body_bytes", "body_md5"],
             )
 
         if part.path:
@@ -279,13 +283,15 @@ class MboxReader(DataSourceReader):
                 senders.append(headers.get("from", ""))
                 subjects.append(headers.get("subject", ""))
                 dates.append(headers.get("date", ""))
+                mids.append(headers.get("message-id", ""))
+                irts.append(headers.get("in-reply-to", ""))
                 nhdrs.append(len(headers))
                 blens.append(len(body))
                 bmd5s.append(hashlib.md5(body).hexdigest())
                 if len(offs) >= self._BATCH_RECORDS:
                     yield batch()
                     offs, envs, senders, subjects, dates = [], [], [], [], []
-                    nhdrs, blens, bmd5s = [], [], []
+                    mids, irts, nhdrs, blens, bmd5s = [], [], [], [], []
         yield batch()
 
 
