@@ -3580,6 +3580,66 @@ FROM documents GROUP BY doc_id - doc_id % 5
 """
 
 
+def q_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite dataset scan (`sources/sqlitesrc.py`): rowid-keyspace
+    split planning (MIN/MAX rowid probe per file — the footer-read
+    role — then contiguous rowid slices, each task an index-range
+    B-tree walk via ``mode=ro``), PRAGMA-derived schema with type
+    affinity mapped to Spark types.  Fixture: per-partition .sqlite
+    files from doc_id arithmetic, 64-row tasks so single files fan out.
+    Oracle closed-form."""
+    from h2h_spark.sources.sqlitesrc import read_sqlite
+
+    w = _work("q_sqlite_scan", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.sqlitesrc import write_sqlite
+
+            pid = TaskContext.get().partitionId()
+            recs = [
+                (r.doc_id, "doc %05d" % r.doc_id,
+                 (r.doc_id % 16) * 0.25,
+                 (b"P%04d" % (r.doc_id % 1000)) * (r.doc_id % 3 + 1))
+                for r in rows
+            ]
+            if recs:
+                write_sqlite(
+                    os.path.join(src, f"part_{pid}.sqlite"), "docs",
+                    [("id", "INTEGER"), ("name", "TEXT"),
+                     ("score", "REAL"), ("payload", "BLOB")],
+                    recs,
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    df = read_sqlite(spark, src, "docs", max_rows_per_task=64)
+    return df.select(
+        F.col("id").alias("doc_id"),
+        "name",
+        "score",
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+_SQL_SQLITE_SCAN = """
+SELECT doc_id,
+       'doc ' || printf('%05d', doc_id) AS name,
+       CAST((doc_id % 16) * 0.25 AS DOUBLE) AS score,
+       CAST(5 * (doc_id % 3 + 1) AS BIGINT) AS payload_len,
+       md5(repeat('P' || printf('%04d', doc_id % 1000),
+                  CAST(doc_id % 3 + 1 AS INTEGER))) AS payload_md5
+FROM documents
+"""
+
+
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     algorithm — `operators/text.py:winnow_fingerprints`): overlapping
@@ -11280,6 +11340,7 @@ def _init_queries() -> None:
         "q_mbox_scan": q_mbox_scan,
         "q_tiff_meta": q_tiff_meta,
         "q_mbox_threads": q_mbox_threads,
+        "q_sqlite_scan": q_sqlite_scan,
         # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
@@ -11601,6 +11662,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mbox_scan": _SQL_MBOX_SCAN,
         "q_tiff_meta": _SQL_TIFF_META,
         "q_mbox_threads": _SQL_MBOX_THREADS,
+        "q_sqlite_scan": _SQL_SQLITE_SCAN,
         "q_tf_example": _SQL_TF_EXAMPLE,
         "q_dup_spans": _SQL_DUP_SPANS,
         "q_dup_excise": _SQL_DUP_EXCISE,

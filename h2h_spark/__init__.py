@@ -55,6 +55,7 @@ from h2h_spark.sources.tfrecord import (
 )
 from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
 from h2h_spark.sources.mbox import read_mbox
+from h2h_spark.sources.sqlitesrc import read_sqlite
 
 __all__ = [
     "Layout",
@@ -93,6 +94,7 @@ __all__ = [
     "read_jsonl_gz",
     "write_jsonl_shards",
     "read_mbox",
+    "read_sqlite",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,231 @@
+"""SQLite scan — database files as a first-class dataset source
+(public format; many research datasets and app exports ship ``.sqlite``
+/ ``.db`` files).
+
+SQLite files are not byte-range splittable (pages of a B-tree), but the
+ROWID keyspace is: the planner reads each file's ``MIN(rowid) /
+MAX(rowid)`` (a footer-read-sized probe, the same role as the parquet
+footer or the ZIP central directory) and cuts the rowid range into
+``max(1, ceil(n_rows / maxRowsPerTask))`` contiguous slices; every task
+opens the file read-only (``mode=ro`` URI) and scans
+``rowid >= lo AND rowid < hi`` — an index-range B-tree walk, never a
+full scan per task.  Parallelism within a single big file AND across
+files.
+
+Schema comes from ``PRAGMA table_info`` with SQLite's declared-type
+affinity mapped to Spark types (INTEGER→bigint, REAL→double,
+TEXT→string, BLOB→binary, NUMERIC→double); rows surface through
+Arrow batches.  Decoding is the stdlib ``sqlite3`` (C speed); the
+engine's contribution is the distributed planning + schema mapping.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from h2h_spark.sources.util import list_part_files, strip_scheme
+
+_DEFAULT_MAX_ROWS_PER_TASK = 1_000_000
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str, what: str) -> str:
+    """Table/column names are interpolated into SQL — allow plain
+    identifiers only (loud, not quoted-and-prayed)."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsupported {what} name {name!r}")
+    return name
+
+
+def _affinity_to_spark(decl: str) -> tuple[str, "type"]:
+    """SQLite declared-type → (spark ddl type, python caster) per the
+    type-affinity rules (sqlite.org/datatype3.html §3.1)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return "bigint", int
+    if any(k in d for k in ("CHAR", "CLOB", "TEXT")):
+        return "string", str
+    if "BLOB" in d or d == "":
+        return "binary", bytes
+    if any(k in d for k in ("REAL", "FLOA", "DOUB")):
+        return "double", float
+    return "double", float  # NUMERIC affinity
+
+
+def sqlite_table_schema(path: str, table: str) -> list[tuple[str, str]]:
+    """``[(column, spark_type)]`` for one table via PRAGMA table_info."""
+    import sqlite3
+
+    _check_ident(table, "table")
+    con = sqlite3.connect(f"file:{strip_scheme(path)}?mode=ro", uri=True)
+    try:
+        cols = con.execute(f"PRAGMA table_info({table})").fetchall()
+    finally:
+        con.close()
+    if not cols:
+        raise ValueError(f"table {table!r} not found in {path}")
+    return [(c[1], _affinity_to_spark(c[2])[0]) for c in cols]
+
+
+class SqlitePartition(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo  # rowid >= lo
+        self.hi = hi  # rowid < hi
+
+
+def plan_sqlite_splits(
+    paths, table: str, max_rows_per_task: int
+) -> list[SqlitePartition]:
+    import sqlite3
+
+    parts: list[SqlitePartition] = []
+    for path in paths:
+        con = sqlite3.connect(f"file:{strip_scheme(path)}?mode=ro", uri=True)
+        try:
+            row = con.execute(
+                f"SELECT MIN(rowid), MAX(rowid), COUNT(*) FROM {table}"
+            ).fetchone()
+        finally:
+            con.close()
+        lo, hi, n = row
+        if not n:
+            continue
+        k = max(1, math.ceil(n / max_rows_per_task))
+        span = hi - lo + 1
+        base, rem = divmod(span, k)
+        off = lo
+        for i in range(k):
+            ln = base + (1 if i < rem else 0)
+            parts.append(SqlitePartition(path, off, off + ln))
+            off += ln
+    return parts
+
+
+class SqliteDataSource(DataSource):
+    """``spark.read.format("h2h_sqlite").option("table", ...)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_sqlite"
+
+    def schema(self) -> str:
+        table = _check_ident(self.options["table"], "table")
+        paths = list_part_files(self.options["path"], pattern="*.sqlite")
+        if not paths:
+            raise ValueError(f"no .sqlite files under {self.options['path']}")
+        return ", ".join(
+            f"`{c}` {t}" for c, t in sqlite_table_schema(paths[0], table)
+        )
+
+    def reader(self, schema) -> "SqliteReader":
+        return SqliteReader(self.options)
+
+
+class SqliteReader(DataSourceReader):
+    _BATCH_ROWS = 65536
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.table = _check_ident(options["table"], "table")
+        self.max_rows = int(
+            options.get("maxRowsPerTask", _DEFAULT_MAX_ROWS_PER_TASK)
+        )
+
+    def partitions(self):
+        parts = plan_sqlite_splits(
+            list_part_files(self.path, pattern="*.sqlite"),
+            self.table,
+            self.max_rows,
+        )
+        if not parts:
+            parts.append(SqlitePartition("", 0, 0))
+        return parts
+
+    def read(self, part: SqlitePartition) -> Iterator[pa.RecordBatch]:
+        import sqlite3
+
+        if not part.path:
+            return
+        schema = sqlite_table_schema(part.path, self.table)
+        names = [c for c, _ in schema]
+        casters = [
+            _affinity_to_spark_caster(t) for _, t in schema
+        ]
+        con = sqlite3.connect(f"file:{part.path}?mode=ro", uri=True)
+        try:
+            cur = con.execute(
+                f"SELECT {', '.join(names)} FROM {self.table} "
+                f"WHERE rowid >= ? AND rowid < ?",
+                (part.lo, part.hi),
+            )
+            while True:
+                rows = cur.fetchmany(self._BATCH_ROWS)
+                if not rows:
+                    break
+                cols = list(zip(*rows))
+                arrays = [
+                    pa.array(
+                        [None if v is None else cast(v) for v in col], typ
+                    )
+                    for col, (cast, typ) in zip(cols, casters)
+                ]
+                yield pa.record_batch(arrays, names=names)
+        finally:
+            con.close()
+        # Spark requires at least one batch only when rows exist; an
+        # empty range yields nothing, which the harness accepts
+
+
+def _affinity_to_spark_caster(spark_type: str):
+    return {
+        "bigint": (int, pa.int64()),
+        "double": (float, pa.float64()),
+        "string": (str, pa.string()),
+        "binary": (bytes, pa.binary()),
+    }[spark_type]
+
+
+def write_sqlite(path: str, table: str, columns, rows) -> None:
+    """Fixture/test writer: create one table and insert rows."""
+    import os
+    import sqlite3
+
+    _check_ident(table, "table")
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        cols = ", ".join(f"{c} {t}" for c, t in columns)
+        con.execute(f"CREATE TABLE {table} ({cols})")
+        ph = ", ".join("?" * len(columns))
+        con.executemany(f"INSERT INTO {table} VALUES ({ph})", rows)
+        con.commit()
+    finally:
+        con.close()
+
+
+def register_sqlite(spark: SparkSession) -> None:
+    spark.dataSource.register(SqliteDataSource)
+
+
+def read_sqlite(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    max_rows_per_task: int = _DEFAULT_MAX_ROWS_PER_TASK,
+) -> DataFrame:
+    register_sqlite(spark)
+    return (
+        spark.read.format("h2h_sqlite")
+        .option("path", path)
+        .option("table", table)
+        .option("maxRowsPerTask", str(max_rows_per_task))
+        .load()
+    )

@@ -1,0 +1,63 @@
+"""SQLite source: rowid-range split planning, schema affinity mapping."""
+
+import os
+
+import pytest
+
+from h2h_spark.sources.sqlitesrc import (
+    read_sqlite,
+    sqlite_table_schema,
+    write_sqlite,
+)
+
+
+def _make(path, n=500):
+    write_sqlite(
+        path, "docs",
+        [("id", "INTEGER"), ("name", "TEXT"), ("score", "REAL"),
+         ("payload", "BLOB")],
+        [(i, f"name {i}", i * 0.5, bytes([i % 256]) * (i % 5))
+         for i in range(n)],
+    )
+
+
+def test_sqlite_roundtrip_split(spark, tmp_work):
+    p = f"{tmp_work}/a.sqlite"
+    _make(p)
+    df = read_sqlite(spark, p, "docs", max_rows_per_task=100)
+    assert df.rdd.getNumPartitions() >= 5
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    assert rows[7]["name"] == "name 7" and rows[7]["score"] == 3.5
+    assert bytes(rows[9]["payload"]) == bytes([9]) * 4
+    assert rows[3]["payload"] is not None
+
+
+def test_sqlite_multi_file(spark, tmp_work):
+    d = f"{tmp_work}/db"
+    os.makedirs(d)
+    _make(f"{d}/p0.sqlite", 100)
+    _make(f"{d}/p1.sqlite", 50)
+    df = read_sqlite(spark, d, "docs")
+    assert df.count() == 150
+
+
+def test_sqlite_schema_and_guards(tmp_work):
+    p = f"{tmp_work}/s.sqlite"
+    _make(p, 10)
+    assert sqlite_table_schema(p, "docs") == [
+        ("id", "bigint"), ("name", "string"), ("score", "double"),
+        ("payload", "binary"),
+    ]
+    with pytest.raises(ValueError, match="not found"):
+        sqlite_table_schema(p, "nope")
+    with pytest.raises(ValueError, match="table name"):
+        sqlite_table_schema(p, "docs; DROP TABLE docs")
+
+
+def test_sqlite_nulls(spark, tmp_work):
+    p = f"{tmp_work}/n.sqlite"
+    write_sqlite(p, "t", [("id", "INTEGER"), ("v", "TEXT")],
+                 [(1, "a"), (2, None), (3, "c")])
+    rows = {r["id"]: r["v"] for r in read_sqlite(spark, p, "t").collect()}
+    assert rows == {1: "a", 2: None, 3: "c"}
