@@ -354,7 +354,19 @@ def test_event_transitions_equals_naive(spark, seed):
     row_tot = {}
     for (a, _), nc in counts.items():
         row_tot[a] = row_tot.get(a, 0) + nc
-    naive = {k: (nc, round(nc / row_tot[k[0]], 4)) for k, nc in counts.items()}
+    # Spark round() is HALF_UP; Python round() is banker's — they split
+    # at exact .xxxx5 quotients (e.g. 17/32), so the naive twin must
+    # round the way the engine does
+    def _r4(x: float) -> float:
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    naive = {k: (nc, _r4(nc / row_tot[k[0]])) for k, nc in counts.items()}
     assert got == naive
 
 
