@@ -298,6 +298,49 @@ def main() -> None:
             f"{dt:.1f}s = {umb/dt:.0f} MB/s inflated"
         )
 
+    # round-9 sources: mbox (validated From-line resync) and SQLite
+    # (rowid-range planning)
+    from h2h_spark.sources.mbox import read_mbox, write_mbox
+
+    mb = f"{OUT}/probe.mbox"
+    if not os.path.exists(mb):
+        per = len(PAYLOAD) + 160
+        n_mb = TARGET_MB * 1024 * 1024 // per
+        write_mbox(mb, [(
+            f"u{i}@ex.org Thu Jan  1 00:00:00 2026",
+            {"From": f"u{i}@ex.org", "Subject": f"s{i}",
+             "Message-ID": f"<m{i}@ex>"},
+            PAYLOAD,
+        ) for i in range(n_mb)])
+    t0 = time.time()
+    n = read_mbox(spark, mb, max_partition_bytes=8 << 20).count()
+    dt = time.time() - t0
+    mbsz = os.path.getsize(mb) / 1e6
+    results.append(
+        f"MBOX  {mbsz:.0f} MB, 8 MiB splits: {n} messages in {dt:.1f}s = "
+        f"{mbsz/dt:.0f} MB/s"
+    )
+
+    from h2h_spark.sources.sqlitesrc import read_sqlite, write_sqlite
+
+    sq = f"{OUT}/probe.sqlite"
+    if not os.path.exists(sq):
+        per = len(PAYLOAD) + 40
+        n_sq = TARGET_MB * 1024 * 1024 // per
+        write_sqlite(
+            sq, "docs",
+            [("id", "INTEGER"), ("payload", "BLOB")],
+            ((i, PAYLOAD) for i in range(n_sq)),
+        )
+    t0 = time.time()
+    n = read_sqlite(spark, sq, "docs", max_rows_per_task=2048).count()
+    dt = time.time() - t0
+    sqsz = os.path.getsize(sq) / 1e6
+    results.append(
+        f"SQLITE {sqsz:.0f} MB, 2048-row tasks: {n} rows in {dt:.1f}s = "
+        f"{sqsz/dt:.0f} MB/s"
+    )
+
     zp = f"{OUT}/probe.zip"
     if not os.path.exists(zp):
         build_zip(zp)
