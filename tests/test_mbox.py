@@ -80,3 +80,37 @@ def test_mbox_not_mbox_raises(spark, tmp_work):
     open(p, "wb").write(b"this is not a mailbox\n")
     with pytest.raises(Exception, match="From"):
         list(scan_mbox_range(p, 0, os.path.getsize(p)))
+
+
+def test_mbox_empty_dir(spark, tmp_work):
+    import os as _os
+
+    d = f"{tmp_work}/empty"
+    _os.makedirs(d)
+    assert read_mbox(spark, d).count() == 0
+
+
+def test_mbox_body_from_trap_does_not_split(tmp_work):
+    # an UNescaped body line "From x" without a following header line
+    # must fail validation and stay inside the message
+    p = f"{tmp_work}/trap.mbox"
+    with open(p, "wb") as f:
+        f.write(b"From a Thu Jan  1 00:00:00 2026\n")
+        f.write(b"Subject: one\n\n")
+        f.write(b"body line\nFrom the middle of a sentence\nmore body\n")
+        f.write(b"From b Thu Jan  1 00:00:00 2026\n")
+        f.write(b"Subject: two\n\nbody2\n")
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert len(msgs) == 2
+    assert b"middle of a sentence" in msgs[0][3]
+
+
+def test_mbox_message_id_columns(spark, tmp_work):
+    p = f"{tmp_work}/ids.mbox"
+    write_mbox(p, [(
+        "a@b Thu Jan  1 00:00:00 2026",
+        {"From": "a@b", "Message-ID": "<m1@x>", "In-Reply-To": "<m0@x>"},
+        b"hi",
+    )])
+    r = read_mbox(spark, p).collect()[0]
+    assert r["msg_id"] == "<m1@x>" and r["in_reply_to"] == "<m0@x>"

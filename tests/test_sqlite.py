@@ -61,3 +61,32 @@ def test_sqlite_nulls(spark, tmp_work):
                  [(1, "a"), (2, None), (3, "c")])
     rows = {r["id"]: r["v"] for r in read_sqlite(spark, p, "t").collect()}
     assert rows == {1: "a", 2: None, 3: "c"}
+
+
+def test_sqlite_empty_table(spark, tmp_work):
+    p = f"{tmp_work}/e.sqlite"
+    write_sqlite(p, "t", [("id", "INTEGER")], [])
+    assert read_sqlite(spark, p, "t").count() == 0
+
+
+def test_sqlite_sparse_rowids(spark, tmp_work):
+    # deleted rows leave rowid gaps; range slicing must still cover all
+    import sqlite3
+
+    p = f"{tmp_work}/g.sqlite"
+    _make(p, 300)
+    con = sqlite3.connect(p)
+    con.execute("DELETE FROM docs WHERE id % 3 = 0")
+    con.commit()
+    con.close()
+    df = read_sqlite(spark, p, "docs", max_rows_per_task=50)
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [i for i in range(300) if i % 3 != 0]
+
+
+def test_sqlite_numeric_affinity(spark, tmp_work):
+    p = f"{tmp_work}/num.sqlite"
+    write_sqlite(p, "t", [("id", "INTEGER"), ("v", "NUMERIC")],
+                 [(1, 2.5), (2, 7)])
+    rows = {r["id"]: r["v"] for r in read_sqlite(spark, p, "t").collect()}
+    assert rows == {1: 2.5, 2: 7.0}
