@@ -3,22 +3,28 @@ wire format (mailing-list and mail-dump datasets ship as mbox).
 
 Messages are framed by ``From `` separator lines (the RFC 4155 mboxo
 framing: a line beginning ``From `` starts a new message; body lines
-that begin with ``From`` are ``>From``-escaped by writers).  That makes
-mbox splittable with the engine's candidate-scan-then-validate
-discipline (the WARC/FLAT realignment contract,
-``libhdfsconnector.cpp:76-96``):
+that begin with ``From`` are ``>From``-escaped by writers — mboxrd
+quoting, which this reader REVERSES when materializing the body so
+``body_bytes``/``body_md5`` describe the true message text, not the
+on-disk escaped form).  That makes mbox splittable with the engine's
+candidate-scan-then-validate discipline (the WARC/FLAT realignment
+contract, ``libhdfsconnector.cpp:76-96``):
 
 - the planner cuts plain byte ranges;
 - a task whose range starts mid-file scans for ``\\nFrom `` and
-  VALIDATES the candidate by requiring an RFC 5322 header line
-  (``field-name:``) within the following lines before a blank line —
-  an unescaped ``From `` inside a body costs one failed validation,
-  never a desync;
+  VALIDATES the candidate: the envelope line must carry an
+  asctime-style date (``From addr Thu Jan  1 00:00:00 2026`` — the
+  RFC 4155 postmark shape), or failing that TWO consecutive RFC 5322
+  header lines (``field-name:``) must follow — an unescaped ``From ``
+  inside a prose body (even one followed by a colon-bearing line like
+  ``Note: ...``) costs one failed validation, never a desync;
 - a message belongs to the task whose separator starts in range; the
   body may extend past the range end (read-past-range, never
   double-emitted).
 
-Memory per task is O(chunk + one message).
+Both LF and CRLF line endings are handled (the header/body boundary is
+the earlier of ``\\n\\n`` and ``\\r\\n\\r\\n``).  Memory per task is
+O(chunk + one message).
 """
 
 from __future__ import annotations
@@ -40,6 +46,25 @@ _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _MAX_HEADER = 64 * 1024  # bound on one header block
 # RFC 5322 field-name: printable US-ASCII except colon, then ':'
 _HDR_RE = re.compile(rb"^[!-9;-~]+:")
+# asctime-style date inside the RFC 4155 envelope ("postmark") line:
+# "From addr Thu Jan  1 00:00:00 2026" — the strong separator signal
+_CTIME_RE = re.compile(
+    rb"(Mon|Tue|Wed|Thu|Fri|Sat|Sun) +"
+    rb"(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) +\d{1,2} +"
+    rb"\d{1,2}:\d{2}(:\d{2})? +\d{4}"
+)
+# mboxrd body quoting: writers prepend '>' to any '^>*From ' line;
+# readers strip exactly one '>' from any '^>+From ' line
+_QUOTABLE_RE = re.compile(rb"^>*From ")
+_UNQUOTE_RE = re.compile(rb"(?m)^>(>*From )")
+
+
+def _unescape_body(body: bytes) -> bytes:
+    """Reverse mboxrd quoting: strip one leading ``>`` from every
+    ``>+From `` line so consumers see the true message text."""
+    if b">From " not in body:
+        return body
+    return _UNQUOTE_RE.sub(rb"\1", body)
 
 
 def write_mbox(
@@ -55,7 +80,7 @@ def write_mbox(
                 f.write(f"{k}: {v}\n".encode())
             f.write(b"\n")
             for line in body.split(b"\n"):
-                if line.startswith(b"From ") or line.startswith(b">From "):
+                if _QUOTABLE_RE.match(line):
                     f.write(b">" + line + b"\n")
                 else:
                     f.write(line + b"\n")
@@ -90,13 +115,23 @@ class _MboxScanner:
         self.end = end
 
     def _validated(self, buf: bytes, at: int) -> bool:
-        """True iff the ``From `` line at ``at`` is followed by an RFC
-        5322 header line before the blank line — the resync guard."""
+        """True iff the ``From `` line at ``at`` is a credible RFC 4155
+        separator — the resync guard.  Strong signal: the envelope line
+        carries an asctime-style date (the RFC 4155 postmark shape) AND
+        a header line follows.  Fallback (odd envelopes): TWO
+        consecutive RFC 5322 header lines, or one header line
+        immediately closed by the blank line.  A prose body line like
+        ``From x\\nNote: ...\\nmore prose`` fails both."""
         eol = buf.find(b"\n", at)
         if eol < 0:
             return False
-        nxt = buf[eol + 1:eol + 1 + 1024].split(b"\n", 1)[0]
-        return bool(_HDR_RE.match(nxt))
+        lines = buf[eol + 1:eol + 1 + 2048].split(b"\n", 2)
+        if not _HDR_RE.match(lines[0]):
+            return False
+        if _CTIME_RE.search(buf[at:eol]):
+            return True
+        second = lines[1].rstrip(b"\r") if len(lines) > 1 else b""
+        return second == b"" or bool(_HDR_RE.match(second))
 
     def messages(self) -> Iterator[tuple[int, str, dict, bytes]]:
         with open_input(self.path) as f:
@@ -180,14 +215,22 @@ class _MboxScanner:
         eol = msg.find(b"\n")
         if eol < 0 or not msg.startswith(b"From "):
             raise ValueError(f"malformed mbox separator at offset {at}")
-        env = msg[5:eol].decode("utf-8", "replace")
+        env = msg[5:eol].decode("utf-8", "replace").rstrip("\r")
         rest = msg[eol + 1:]
-        blank = rest.find(b"\n\n")
+        # header/body boundary: the EARLIER of LF-LF and CRLF-CRLF so
+        # CRLF-terminated mailboxes keep their bodies (a pure-CRLF file
+        # never contains b"\n\n")
+        b_lf = rest.find(b"\n\n")
+        b_crlf = rest.find(b"\r\n\r\n")
+        if b_crlf >= 0 and (b_lf < 0 or b_crlf < b_lf):
+            blank, skip = b_crlf, 4
+        else:
+            blank, skip = b_lf, 2
         if blank < 0:
             headers, body = _parse_headers(rest[:_MAX_HEADER]), b""
         else:
             headers = _parse_headers(rest[:blank])
-            body = rest[blank + 2:]
+            body = _unescape_body(rest[blank + skip:])
         return env, headers, body
 
 

@@ -105,6 +105,67 @@ def test_mbox_body_from_trap_does_not_split(tmp_work):
     assert b"middle of a sentence" in msgs[0][3]
 
 
+def test_mbox_body_unescape_roundtrip(tmp_work):
+    # write -> read is identity on body text (modulo the writer's
+    # trailing newline): mboxrd '>From ' quoting is reversed on read
+    p = f"{tmp_work}/rt.mbox"
+    body = b"plain\nFrom the start of a line\n>From already quoted\n>>From deep"
+    write_mbox(p, [(
+        "a@b Thu Jan  1 00:00:00 2026", {"From": "a@b"}, body,
+    )])
+    raw = open(p, "rb").read()
+    assert b"\n>From the start" in raw          # quoted on disk
+    assert b"\n>>From already quoted" in raw    # one more '>' added
+    assert b"\n>>>From deep" in raw
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert msgs[0][3] == body + b"\n"           # original text back
+
+
+def test_mbox_crlf_body_found(tmp_work):
+    # CRLF-terminated mailbox: the header/body boundary is \r\n\r\n;
+    # the body must not be silently lost
+    p = f"{tmp_work}/crlf.mbox"
+    with open(p, "wb") as f:
+        f.write(b"From a Thu Jan  1 00:00:00 2026\r\n")
+        f.write(b"Subject: crlf\r\nFrom: A <a@b.c>\r\n\r\n")
+        f.write(b"line one\r\nline two\r\n")
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert len(msgs) == 1
+    assert msgs[0][2]["subject"] == "crlf"
+    assert msgs[0][3] == b"line one\r\nline two\r\n"
+
+
+def test_mbox_prose_colon_trap_does_not_split(tmp_work):
+    # an unescaped mboxo body line 'From x' followed by a colon-bearing
+    # prose line must NOT validate as a separator (no ctime date on the
+    # envelope, no second consecutive header line)
+    p = f"{tmp_work}/prose.mbox"
+    with open(p, "wb") as f:
+        f.write(b"From a Thu Jan  1 00:00:00 2026\n")
+        f.write(b"Subject: one\n\n")
+        f.write(b"From x\nNote: this looks like a header\nbut prose follows\n")
+        f.write(b"From b Thu Jan  1 00:00:00 2026\n")
+        f.write(b"Subject: two\n\nbody2\n")
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert len(msgs) == 2
+    assert b"Note: this looks like a header" in msgs[0][3]
+    assert msgs[1][2]["subject"] == "two"
+
+
+def test_mbox_odd_envelope_two_headers_validates(tmp_work):
+    # fallback path: an envelope WITHOUT a ctime date still validates
+    # when two consecutive header lines follow
+    p = f"{tmp_work}/odd.mbox"
+    with open(p, "wb") as f:
+        f.write(b"From MAILER-DAEMON\n")
+        f.write(b"Subject: odd\nFrom: d@e.f\n\nbody\n")
+        f.write(b"From MAILER-DAEMON\n")
+        f.write(b"Subject: odd2\nFrom: d@e.f\n\nbody2\n")
+    msgs = list(scan_mbox_range(p, 0, os.path.getsize(p)))
+    assert len(msgs) == 2
+    assert msgs[1][2]["subject"] == "odd2"
+
+
 def test_mbox_message_id_columns(spark, tmp_work):
     p = f"{tmp_work}/ids.mbox"
     write_mbox(p, [(
