@@ -274,16 +274,23 @@ class CodecStreamReader:
 
 _ZST_SKIPPABLE_LO = 0x184D2A50  # skippable-frame magics (16 values)
 _ZST_SKIPPABLE_HI = 0x184D2A5F
+# the IIPC "WARC zstd" draft reserves 0x184D2A5D for a skippable frame
+# carrying the compression dictionary at the head of the file
+ZST_DICT_FRAME_MAGIC = b"\x5d\x2a\x4d\x18"
+# a structured zstd dictionary begins with this magic followed by its
+# 4-byte little-endian Dictionary_ID (RFC 8878 §5)
+_ZDICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 LE
 
 
 class ZstFrameError(ValueError):
     """Candidate bytes do not parse as a zstd frame."""
 
 
-def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool]:
+def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool, int]:
     """Parse a zstd frame header prefix (``hdr`` = bytes at the frame
     start, >= 18 bytes or the whole remaining file).  Returns
-    ``(header_len, content_size | None, has_checksum)``; raises
+    ``(header_len, content_size | None, has_checksum, dict_id)`` —
+    ``dict_id`` is 0 when the frame declares no dictionary; raises
     ``ZstFrameError`` on structural violations."""
     if len(hdr) < 6 or hdr[:4] != ZST_MAGIC:
         raise ZstFrameError("no zstd magic")
@@ -297,7 +304,11 @@ def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool]:
     pos = 5
     if not single_segment:
         pos += 1  # Window_Descriptor
-    pos += (0, 1, 2, 4)[did_flag]
+    did_len = (0, 1, 2, 4)[did_flag]
+    if len(hdr) < pos + did_len:
+        raise ZstFrameError("truncated frame header")
+    dict_id = int.from_bytes(hdr[pos:pos + did_len], "little")
+    pos += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:
         fcs_len = 1
@@ -309,18 +320,25 @@ def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool]:
         if fcs_len == 2:
             content_size += 256
     pos += fcs_len
-    return pos, content_size, has_checksum
+    return pos, content_size, has_checksum, dict_id
 
 
 def zst_frame_len(f, pos: int, size: int) -> tuple[int, int | None]:
+    """``(compressed_frame_len, content_size | None)`` of the frame at
+    ``pos`` — see ``zst_frame_info``."""
+    flen, csize, _ = zst_frame_info(f, pos, size)
+    return flen, csize
+
+
+def zst_frame_info(f, pos: int, size: int) -> tuple[int, int | None, int]:
     """Walk block headers of the zstd frame starting at byte ``pos`` of
     open file ``f`` and return ``(compressed_frame_len,
-    content_size | None)`` without decompressing.  Raises
+    content_size | None, dict_id)`` without decompressing.  Raises
     ``ZstFrameError`` if the bytes are not a structurally valid frame
     (the false-positive path of the candidate scan)."""
     f.seek(pos)
     hdr = f.read(18)
-    hlen, content_size, has_checksum = _zst_parse_header(hdr)
+    hlen, content_size, has_checksum, dict_id = _zst_parse_header(hdr)
     off = pos + hlen
     while True:
         if off + 3 > size:
@@ -342,20 +360,64 @@ def zst_frame_len(f, pos: int, size: int) -> tuple[int, int | None]:
         off += 4
         if off > size:
             raise ZstFrameError("checksum extends past end of file")
-    return off - pos, content_size
+    return off - pos, content_size, dict_id
 
 
-def _zst_decompress(frame: bytes, content_size: int | None) -> bytes:
+def _need_zstandard(why: str):
+    raise ValueError(
+        f"{why} needs the 'zstandard' package (pyarrow's bundled zstd "
+        f"codec takes no dictionary) — install it or repack the data "
+        f"without a dictionary"
+    )
+
+
+def read_zst_dictionary(path: str) -> tuple[bytes | None, int | None]:
+    """Parse a LEADING dictionary skippable frame (IIPC .warc.zst draft,
+    magic 0x184D2A5D) and return ``(dict_bytes, dict_id)`` —
+    ``(None, None)`` when the file carries no dictionary frame.  The
+    skippable content may itself be a one-shot zstd frame (a compressed
+    dictionary) — that layer is inflated with the PLAIN codec
+    (compressing the dictionary itself uses no dictionary), so the
+    extraction works without the ``zstandard`` package; only the DECODE
+    of data frames against the dictionary requires it.  ``dict_id`` is
+    read from the structured-dictionary magic (RFC 8878 §5) when
+    present; raw-content dictionaries return ``None`` (no embedded id
+    to cross-check)."""
+    with open_input(path) as f:
+        head = f.read(8)
+        if len(head) < 8 or head[:4] != ZST_DICT_FRAME_MAGIC:
+            return None, None
+        ln = int.from_bytes(head[4:8], "little")
+        content = f.read(ln)
+    if len(content) < ln:
+        raise ValueError(f"{path}: truncated zstd dictionary frame")
+    if content[:4] == ZST_MAGIC:
+        content = _zst_decompress(content, None)
+    dict_id: int | None = None
+    if content[:4] == _ZDICT_MAGIC:
+        dict_id = int.from_bytes(content[4:8], "little")
+    return content, dict_id
+
+
+def _zst_decompress(
+    frame: bytes, content_size: int | None, dict_bytes: bytes | None = None
+) -> bytes:
     """Decompress one complete zstd frame; ``zstandard`` if installed,
-    else pyarrow's bundled zstd codec."""
+    else pyarrow's bundled zstd codec.  Dictionary decode is
+    ``zstandard``-only and fails LOUDLY when the package is absent."""
     try:
         import zstandard
 
-        return zstandard.ZstdDecompressor().decompress(
+        kw = {}
+        if dict_bytes is not None:
+            kw["dict_data"] = zstandard.ZstdCompressionDict(dict_bytes)
+        return zstandard.ZstdDecompressor(**kw).decompress(
             frame, max_output_size=content_size or 1 << 31
         )
     except ImportError:
         pass
+    if dict_bytes is not None:
+        _need_zstandard("decoding a dictionary-compressed zstd frame")
     import pyarrow as pa
 
     if content_size is not None:
@@ -369,19 +431,29 @@ def _zst_decompress(frame: bytes, content_size: int | None) -> bytes:
         out += chunk
 
 
-def _zst_probe_plain(frame_prefix: bytes, probe_plain: int) -> bytes:
+def _zst_probe_plain(
+    frame_prefix: bytes, probe_plain: int, dict_bytes: bytes | None = None
+) -> bytes:
     """Best-effort decompress of up to ``probe_plain`` plaintext bytes
-    from a (possibly truncated) compressed window at a frame start."""
+    from a (possibly truncated) compressed window at a frame start.
+    With a dictionary the probe must not fail SILENTLY when
+    ``zstandard`` is absent (a rejected candidate is dropped data) —
+    it raises the loud install/repack error instead."""
     try:
         import zstandard
 
-        d = zstandard.ZstdDecompressor().decompressobj()
+        kw = {}
+        if dict_bytes is not None:
+            kw["dict_data"] = zstandard.ZstdCompressionDict(dict_bytes)
+        d = zstandard.ZstdDecompressor(**kw).decompressobj()
         try:
             return d.decompress(frame_prefix)[:probe_plain]
         except zstandard.ZstdError:
             return b""
     except ImportError:
         pass
+    if dict_bytes is not None:
+        _need_zstandard("probing a dictionary-compressed zstd frame")
     import pyarrow as pa
 
     out = bytearray()
@@ -409,7 +481,14 @@ class ZstMemberScanner:
     format predicate over a decompressed probe window.  Ownership by
     frame start offset; the frame body may extend past the range end
     (read-past-range, never double-emitted).  Memory per task is
-    O(one member + chunk)."""
+    O(one member + chunk).
+
+    Dictionary-compressed members (IIPC .warc.zst draft): a frame that
+    declares a Dictionary_ID triggers ONE head-of-file read of the
+    leading dictionary skippable frame (footer-read-sized, cached for
+    the task); the id is cross-checked against the dictionary's own
+    embedded id.  Decode against a dictionary requires ``zstandard``
+    and fails loudly (never silently drops records) when absent."""
 
     def __init__(
         self,
@@ -425,16 +504,45 @@ class ZstMemberScanner:
         self.end = end
         self.validate = validate
         self.probe_plain = probe_plain
+        self._dict: tuple[bytes | None, int | None] | None = None  # lazy
+
+    def _dict_for(self, dict_id: int) -> bytes | None:
+        """Dictionary bytes for a frame declaring ``dict_id`` (0 = no
+        dictionary).  Loud on a missing or mismatched dictionary."""
+        if not dict_id:
+            return None
+        if self._dict is None:
+            self._dict = read_zst_dictionary(self.path)
+        db, embedded = self._dict
+        if db is None:
+            raise ValueError(
+                f"{self.path}: zstd frame declares dictionary id "
+                f"{dict_id} but the file has no leading dictionary "
+                f"skippable frame (magic 0x184D2A5D)"
+            )
+        if embedded is not None and embedded != dict_id:
+            raise ValueError(
+                f"{self.path}: zstd frame declares dictionary id "
+                f"{dict_id} but the file's dictionary has id {embedded}"
+            )
+        return db
 
     def _validate(self, f, pos: int) -> int | None:
         """Return the frame length if ``pos`` starts a real member."""
         try:
-            flen, _ = zst_frame_len(f, pos, self.size)
+            flen, _, dict_id = zst_frame_info(f, pos, self.size)
         except ZstFrameError:
+            return None
+        try:
+            dict_bytes = self._dict_for(dict_id)
+        except ValueError:
+            # a CANDIDATE declaring a dictionary the file doesn't carry
+            # (or a mismatched id) is a false magic hit — reject it; the
+            # authoritative members() walk stays loud on real frames
             return None
         f.seek(pos)
         prefix = f.read(min(flen, _PROBE_COMPRESSED_CAP))
-        plain = _zst_probe_plain(prefix, self.probe_plain)
+        plain = _zst_probe_plain(prefix, self.probe_plain, dict_bytes)
         if plain and self.validate(plain):
             return flen
         return None
@@ -489,10 +597,13 @@ class ZstMemberScanner:
                     if _ZST_SKIPPABLE_LO <= magic <= _ZST_SKIPPABLE_HI:
                         pos += 8 + int.from_bytes(head[4:8], "little")
                         continue
-                flen, content_size = zst_frame_len(f, pos, self.size)
+                flen, content_size, dict_id = zst_frame_info(
+                    f, pos, self.size
+                )
+                dict_bytes = self._dict_for(dict_id)
                 f.seek(pos)
                 frame = f.read(flen)
-                yield pos, _zst_decompress(frame, content_size)
+                yield pos, _zst_decompress(frame, content_size, dict_bytes)
                 pos += flen
 
 

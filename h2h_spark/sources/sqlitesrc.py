@@ -17,6 +17,18 @@ affinity mapped to Spark types (INTEGER→bigint, REAL→double,
 TEXT→string, BLOB→binary, NUMERIC→double); rows surface through
 Arrow batches.  Decoding is the stdlib ``sqlite3`` (C speed); the
 engine's contribution is the distributed planning + schema mapping.
+
+Untrusted-input discipline: the user-supplied TABLE name is allowlisted
+to plain identifiers; COLUMN names come from the file itself (PRAGMA)
+and are double-quote-escaped into every SELECT (``"a""b"``), so
+reserved words, spaces, or hostile names in a third-party ``.db`` can
+neither break the read nor alter the query.  Caveats (SQLite affinity
+is advisory, sqlite.org/datatype3.html §3): a NUMERIC/REAL/INTEGER
+column may legally store TEXT — such values raise a loud per-column
+error rather than a bare ``ValueError`` mid-task; NUMERIC/INTEGER
+values above 2^53 coerced to double would silently lose precision, so
+the INTEGER path stays int64 end-to-end and only NUMERIC pays the
+documented double cliff.
 """
 
 from __future__ import annotations
@@ -36,11 +48,22 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _check_ident(name: str, what: str) -> str:
-    """Table/column names are interpolated into SQL — allow plain
-    identifiers only (loud, not quoted-and-prayed)."""
+    """USER-supplied names (the table option) are interpolated into SQL
+    — allow plain identifiers only (loud, not quoted-and-prayed)."""
     if not _IDENT_RE.match(name):
         raise ValueError(f"unsupported {what} name {name!r}")
     return name
+
+
+def _quote_ident(name: str) -> str:
+    """FILE-derived names (columns from PRAGMA table_info) are quoted,
+    not rejected: reserved words ('group') and spaced names ('name with
+    space') are legal SQLite column names.  Standard double-quote
+    escaping; embedded NULs are the one thing SQLite identifiers cannot
+    carry safely — reject loudly at planning time."""
+    if "\x00" in name:
+        raise ValueError(f"column name with NUL byte: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
 
 
 def _affinity_to_spark(decl: str) -> tuple[str, "type"]:
@@ -70,6 +93,8 @@ def sqlite_table_schema(path: str, table: str) -> list[tuple[str, str]]:
         con.close()
     if not cols:
         raise ValueError(f"table {table!r} not found in {path}")
+    for c in cols:
+        _quote_ident(c[1])  # surface unquotable names at planning time
     return [(c[1], _affinity_to_spark(c[2])[0]) for c in cols]
 
 
@@ -121,7 +146,10 @@ class SqliteDataSource(DataSource):
         if not paths:
             raise ValueError(f"no .sqlite files under {self.options['path']}")
         return ", ".join(
-            f"`{c}` {t}" for c, t in sqlite_table_schema(paths[0], table)
+            # Spark DDL backtick-quoting: escape embedded backticks by
+            # doubling so any legal SQLite column name survives
+            "`" + c.replace("`", "``") + f"` {t}"
+            for c, t in sqlite_table_schema(paths[0], table)
         )
 
     def reader(self, schema) -> "SqliteReader":
@@ -155,14 +183,12 @@ class SqliteReader(DataSourceReader):
             return
         schema = sqlite_table_schema(part.path, self.table)
         names = [c for c, _ in schema]
-        casters = [
-            _affinity_to_spark_caster(t) for _, t in schema
-        ]
+        casters = [_make_caster(t, c) for c, t in schema]
         con = sqlite3.connect(f"file:{part.path}?mode=ro", uri=True)
         try:
             cur = con.execute(
-                f"SELECT {', '.join(names)} FROM {self.table} "
-                f"WHERE rowid >= ? AND rowid < ?",
+                f"SELECT {', '.join(_quote_ident(n) for n in names)} "
+                f"FROM {self.table} WHERE rowid >= ? AND rowid < ?",
                 (part.lo, part.hi),
             )
             while True:
@@ -183,13 +209,42 @@ class SqliteReader(DataSourceReader):
         # empty range yields nothing, which the harness accepts
 
 
-def _affinity_to_spark_caster(spark_type: str):
-    return {
-        "bigint": (int, pa.int64()),
-        "double": (float, pa.float64()),
-        "string": (str, pa.string()),
-        "binary": (bytes, pa.binary()),
-    }[spark_type]
+def _make_caster(spark_type: str, col: str):
+    """(python caster, arrow type) for one column.  SQLite affinity is
+    advisory: an INTEGER/REAL/NUMERIC column may legally hold TEXT or
+    BLOB values — those raise a loud error naming the column instead of
+    a bare ValueError from int()/float() mid-task."""
+    if spark_type == "bigint":
+        def cast_int(v):
+            if isinstance(v, int):
+                return v
+            if isinstance(v, float):
+                return int(v)
+            raise ValueError(
+                f"sqlite column {col!r}: non-numeric value {v!r} in an "
+                "INTEGER-affinity column (SQLite affinity is advisory); "
+                "read the column as TEXT or clean the file"
+            )
+        return cast_int, pa.int64()
+    if spark_type == "double":
+        def cast_float(v):
+            if isinstance(v, (int, float)):
+                # NUMERIC ints above 2^53 lose precision as double —
+                # documented cliff (module docstring)
+                return float(v)
+            raise ValueError(
+                f"sqlite column {col!r}: non-numeric value {v!r} in a "
+                "REAL/NUMERIC-affinity column (SQLite affinity is "
+                "advisory); read the column as TEXT or clean the file"
+            )
+        return cast_float, pa.float64()
+    if spark_type == "string":
+        def cast_str(v):
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            return str(v)
+        return cast_str, pa.string()
+    return bytes, pa.binary()
 
 
 def write_sqlite(path: str, table: str, columns, rows) -> None:
@@ -202,7 +257,7 @@ def write_sqlite(path: str, table: str, columns, rows) -> None:
         os.remove(path)
     con = sqlite3.connect(path)
     try:
-        cols = ", ".join(f"{c} {t}" for c, t in columns)
+        cols = ", ".join(f"{_quote_ident(c)} {t}" for c, t in columns)
         con.execute(f"CREATE TABLE {table} ({cols})")
         ph = ", ".join("?" * len(columns))
         con.executemany(f"INSERT INTO {table} VALUES ({ph})", rows)

@@ -474,31 +474,58 @@ def read_warc_gz(
 # record (Content-Length framing, the plain scanner's rules).
 #
 # The draft also allows a leading SKIPPABLE frame carrying a compression
-# dictionary (magic 0x184D2A5D).  Dictionary decode requires the
-# ``zstandard`` package (pyarrow's one-shot codec takes no dictionary);
-# the reader detects that frame and raises a loud, actionable error
+# dictionary (magic 0x184D2A5D; the dictionary content may itself be
+# zstd-compressed).  The shared scanner (`gzscan.ZstMemberScanner`)
+# extracts that dictionary (one footer-read-sized head probe per task,
+# cached), cross-checks each frame's declared Dictionary_ID against the
+# dictionary's embedded id, and decodes against it via the ``zstandard``
+# package.  When ``zstandard`` is absent (pyarrow's one-shot codec takes
+# no dictionary) the planner raises a loud, actionable error up front
 # rather than silently dropping every record.
 # ---------------------------------------------------------------------------
 
-_ZST_DICT_MAGIC = b"\x5d\x2a\x4d\x18"  # skippable-frame magic used for dicts
+from h2h_spark.sources.gzscan import (  # noqa: E402
+    ZST_DICT_FRAME_MAGIC as _ZST_DICT_MAGIC,
+)
 
 
 def write_warc_zst_records(
     path: str,
     records: Sequence[tuple[dict[str, str], bytes]],
     records_per_frame: int = 1,
+    dictionary: bytes | None = None,
 ) -> None:
     """Fixture/test writer: ``records_per_frame`` whole records per zstd
-    frame (the IIPC layout; warcio writes 1/frame)."""
+    frame (the IIPC layout; warcio writes 1/frame).  With
+    ``dictionary`` (a structured zstd dictionary, e.g. from
+    ``zstandard.train_dictionary``) the dictionary is written as the
+    leading skippable frame (magic 0x184D2A5D) and every data frame is
+    compressed against it — requires the ``zstandard`` package."""
     import io as _io
 
     from h2h_spark.sources.jsonl import _zst_compress
 
+    cctx = None
+    if dictionary is not None:
+        import zstandard
+
+        cctx = zstandard.ZstdCompressor(
+            dict_data=zstandard.ZstdCompressionDict(dictionary)
+        )
     with open(path, "wb") as f:
+        if dictionary is not None:
+            f.write(
+                _ZST_DICT_MAGIC
+                + len(dictionary).to_bytes(4, "little")
+                + dictionary
+            )
         for lo in range(0, len(records), records_per_frame):
             raw = _io.BytesIO()
             write_warc_records_to(raw, records[lo:lo + records_per_frame])
-            f.write(_zst_compress(raw.getvalue()))
+            data = raw.getvalue()
+            f.write(
+                cctx.compress(data) if cctx else _zst_compress(data)
+            )
 
 
 class _ZstMemberScanner(ZstMemberScanner):
@@ -551,13 +578,19 @@ class WarcZstReader(WarcReader):
         for p in paths:
             with open_input(p) as f:
                 if f.read(4) == _ZST_DICT_MAGIC:
-                    raise ValueError(
-                        f"{p} starts with a zstd dictionary frame; "
-                        f"dictionary-compressed .warc.zst needs the "
-                        f"'zstandard' package (pyarrow's codec takes no "
-                        f"dictionary) — install it or repack without a "
-                        f"dictionary"
-                    )
+                    # dictionary decode is zstandard-only: surface the
+                    # missing dependency at PLANNING time, not as one
+                    # opaque failure per task
+                    try:
+                        import zstandard  # noqa: F401
+                    except ImportError:
+                        raise ValueError(
+                            f"{p} starts with a zstd dictionary frame; "
+                            f"dictionary-compressed .warc.zst needs the "
+                            f"'zstandard' package (pyarrow's codec takes "
+                            f"no dictionary) — install it or repack "
+                            f"without a dictionary"
+                        ) from None
         return plan_warc_splits(paths, self.max_bytes)
 
     def read(self, part: WarcInputPartition) -> Iterator[pa.RecordBatch]:

@@ -90,3 +90,65 @@ def test_sqlite_numeric_affinity(spark, tmp_work):
                  [(1, 2.5), (2, 7)])
     rows = {r["id"]: r["v"] for r in read_sqlite(spark, p, "t").collect()}
     assert rows == {1: 2.5, 2: 7.0}
+
+
+def test_sqlite_reserved_and_spaced_columns(spark, tmp_work):
+    # file-derived column names are quoted, not rejected: reserved words
+    # and spaces are legal SQLite identifiers (ADVICE r09 medium)
+    p = f"{tmp_work}/q.sqlite"
+    write_sqlite(
+        p, "t",
+        [("group", "INTEGER"), ("name with space", "TEXT"),
+         ('has"quote', "REAL")],
+        [(1, "a", 0.5), (2, "b", 1.5)],
+    )
+    assert sqlite_table_schema(p, "t") == [
+        ("group", "bigint"), ("name with space", "string"),
+        ('has"quote', "double"),
+    ]
+    df = read_sqlite(spark, p, "t")
+    rows = sorted((r["group"], r["name with space"], r['has"quote'])
+                  for r in df.collect())
+    assert rows == [(1, "a", 0.5), (2, "b", 1.5)]
+
+
+def test_sqlite_numeric_text_value_loud_error(spark, tmp_work):
+    # NUMERIC affinity may legally store TEXT; the caster must raise a
+    # clear error naming the column, not a bare ValueError (ADVICE r09)
+    import sqlite3
+
+    p = f"{tmp_work}/badnum.sqlite"
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (id INTEGER, v NUMERIC)")
+    con.execute("INSERT INTO t VALUES (1, 'abc')")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception, match="column 'v'.*advisory"):
+        read_sqlite(spark, p, "t").collect()
+
+
+def test_sqlite_integer_text_value_loud_error(spark, tmp_work):
+    import sqlite3
+
+    p = f"{tmp_work}/badint.sqlite"
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (id INTEGER)")
+    con.execute("INSERT INTO t VALUES ('xyz')")
+    con.commit()
+    con.close()
+    with pytest.raises(Exception, match="column 'id'.*advisory"):
+        read_sqlite(spark, p, "t").collect()
+
+
+def test_sqlite_text_column_with_blob_value(spark, tmp_work):
+    # TEXT affinity may hold BLOBs: decode utf-8 (replace), never repr()
+    import sqlite3
+
+    p = f"{tmp_work}/tb.sqlite"
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+    con.execute("INSERT INTO t VALUES (1, x'68690aff')")  # "hi\n" + 0xff
+    con.commit()
+    con.close()
+    rows = read_sqlite(spark, p, "t").collect()
+    assert rows[0]["v"].startswith("hi\n")
