@@ -106,10 +106,25 @@ class SqlitePartition(InputPartition):
 
 
 def plan_sqlite_splits(
-    paths, table: str, max_rows_per_task: int
+    paths, table: str, max_rows_per_task: int, mode: str = "range"
 ) -> list[SqlitePartition]:
+    """Cut each file's rowid keyspace into task slices.
+
+    ``mode="range"`` (default): MIN/MAX/COUNT probe per file (O(1)
+    queries, the footer-read discipline), then uniform slices of the
+    rowid SPAN — assumes a roughly dense keyspace.  A skewed space
+    (mass deletions, imported rowids like epoch micros) yields uneven
+    tasks: correct, but some slices carry most rows.
+
+    ``mode="exact"``: equi-COUNT boundaries from one rowid-only pass
+    (``SELECT rowid ... ORDER BY rowid`` — a B-tree key walk, no
+    payload decode).  Every task gets <= max_rows_per_task rows
+    regardless of keyspace shape.  Planner cost is O(rows) per file
+    (documented opt-in cliff; default stays O(1))."""
     import sqlite3
 
+    if mode not in ("range", "exact"):
+        raise ValueError(f"splitMode must be 'range' or 'exact', got {mode!r}")
     parts: list[SqlitePartition] = []
     for path in paths:
         con = sqlite3.connect(f"file:{strip_scheme(path)}?mode=ro", uri=True)
@@ -117,11 +132,29 @@ def plan_sqlite_splits(
             row = con.execute(
                 f"SELECT MIN(rowid), MAX(rowid), COUNT(*) FROM {table}"
             ).fetchone()
+            lo, hi, n = row
+            if not n:
+                continue
+            if mode == "exact" and n > max_rows_per_task:
+                bounds = [lo]
+                cur = con.execute(
+                    f"SELECT rowid FROM {table} ORDER BY rowid"
+                )
+                i = 0
+                while True:
+                    rows = cur.fetchmany(65536)
+                    if not rows:
+                        break
+                    for (rid,) in rows:
+                        if i and i % max_rows_per_task == 0:
+                            bounds.append(rid)
+                        i += 1
+                bounds.append(hi + 1)
+                for a, b in zip(bounds, bounds[1:]):
+                    parts.append(SqlitePartition(path, a, b))
+                continue
         finally:
             con.close()
-        lo, hi, n = row
-        if not n:
-            continue
         k = max(1, math.ceil(n / max_rows_per_task))
         span = hi - lo + 1
         base, rem = divmod(span, k)
@@ -165,12 +198,14 @@ class SqliteReader(DataSourceReader):
         self.max_rows = int(
             options.get("maxRowsPerTask", _DEFAULT_MAX_ROWS_PER_TASK)
         )
+        self.split_mode = options.get("splitMode", "range")
 
     def partitions(self):
         parts = plan_sqlite_splits(
             list_part_files(self.path, pattern="*.sqlite"),
             self.table,
             self.max_rows,
+            self.split_mode,
         )
         if not parts:
             parts.append(SqlitePartition("", 0, 0))
@@ -275,6 +310,7 @@ def read_sqlite(
     path: str,
     table: str,
     max_rows_per_task: int = _DEFAULT_MAX_ROWS_PER_TASK,
+    split_mode: str = "range",
 ) -> DataFrame:
     register_sqlite(spark)
     return (
@@ -282,5 +318,6 @@ def read_sqlite(
         .option("path", path)
         .option("table", table)
         .option("maxRowsPerTask", str(max_rows_per_task))
+        .option("splitMode", split_mode)
         .load()
     )

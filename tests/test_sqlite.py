@@ -92,6 +92,57 @@ def test_sqlite_numeric_affinity(spark, tmp_work):
     assert rows == {1: 2.5, 2: 7.0}
 
 
+def test_sqlite_exact_split_balances_skewed_rowids(spark, tmp_work):
+    # skewed rowid keyspace (mass deletion / imported epoch-like ids):
+    # range mode is correct but lopsided; exact mode equi-counts
+    import sqlite3
+
+    from h2h_spark.sources.sqlitesrc import plan_sqlite_splits
+
+    p = f"{tmp_work}/skew.sqlite"
+    write_sqlite(
+        p, "t", [("id", "INTEGER")], [],
+    )
+    con = sqlite3.connect(p)
+    # 200 rows at rowids 1..200, 200 more at 1_000_000_000+
+    con.executemany(
+        "INSERT INTO t (rowid, id) VALUES (?, ?)",
+        [(i + 1, i) for i in range(200)]
+        + [(1_000_000_000 + i, 200 + i) for i in range(200)],
+    )
+    con.commit()
+    con.close()
+
+    def _counts(mode):
+        parts = plan_sqlite_splits([p], "t", 100, mode)
+        con = sqlite3.connect(p)
+        try:
+            return [
+                con.execute(
+                    "SELECT COUNT(*) FROM t WHERE rowid >= ? AND rowid < ?",
+                    (q.lo, q.hi),
+                ).fetchone()[0]
+                for q in parts
+            ]
+        finally:
+            con.close()
+
+    range_counts = _counts("range")
+    exact_counts = _counts("exact")
+    assert sum(range_counts) == sum(exact_counts) == 400
+    assert max(range_counts) >= 200          # lopsided under skew
+    assert max(exact_counts) <= 100          # equi-count bound holds
+    # end-to-end read agrees in both modes
+    ids_exact = sorted(
+        r["id"] for r in read_sqlite(
+            spark, p, "t", max_rows_per_task=100, split_mode="exact"
+        ).collect()
+    )
+    assert ids_exact == list(range(400))
+    with pytest.raises(ValueError, match="splitMode"):
+        plan_sqlite_splits([p], "t", 100, "bogus")
+
+
 def test_sqlite_reserved_and_spaced_columns(spark, tmp_work):
     # file-derived column names are quoted, not rejected: reserved words
     # and spaces are legal SQLite identifiers (ADVICE r09 medium)
