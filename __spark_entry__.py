@@ -3040,6 +3040,59 @@ GROUP BY doc_id % 9
 """
 
 
+def q_jsonl_zst_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd SEEKABLE-format shard roundtrip (facebook/zstd
+    contrib/seekable_format, public spec): EXPORT the documents table as
+    member-framed .jsonl.zst shards with trailing seek tables
+    (`write_jsonl_shards(seekable=True)`, executor-parallel), then read
+    them back through the planner's seek-table fast path — exact
+    frame-aligned splits from ONE footer-sized read per shard, zero
+    candidate scanning and zero read-past-range
+    (`jsonl.py:partitions()` / `gzscan.zst_seek_table`).  At 100 TB
+    this is the difference between O(frames) metadata planning and
+    per-task magic scans over raw bytes.  Oracle closed-form."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+
+    w = _work("q_jsonl_zst_seek", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        lines = docs.select(
+            F.to_json(F.struct(
+                F.col("doc_id").alias("id"),
+                (F.col("doc_id") % 7).alias("bucket"),
+                F.length("text").alias("nchars"),
+            )).alias("line")
+        ).repartition(8)
+        write_jsonl_shards(
+            lines, src, codec="zst", lines_per_member=16, line_col="line"
+        )
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="zst",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, bucket bigint, nchars bigint")
+        .alias("j")
+    )
+    return j.groupBy(F.col("j.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.nchars").cast("bigint").alias("total_chars"),
+        F.min("j.id").cast("bigint").alias("min_id"),
+    )
+
+
+_SQL_JSONL_ZST_SEEK = """
+SELECT doc_id % 7 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY doc_id % 7
+"""
+
+
 def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf.Example decode over TFRecord shards (`operators/tfexample.py`
     + `sources/tfrecord.py`): hand-rolled protobuf wire-format parse
@@ -11331,12 +11384,13 @@ def _init_queries() -> None:
         "q_warc_zst": q_warc_zst,
         "q_tfrecord": q_tfrecord,
         "q_jsonl_zst": q_jsonl_zst,
+        "q_jsonl_zst_seek": q_jsonl_zst_seek,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
-        "q_kmv_setops": q_kmv_setops,
         # ---- end of the 50-entry graded window ----
+        "q_kmv_setops": q_kmv_setops,
         "q_kmv_weighted": q_kmv_weighted,
         "q_kmv_verified": q_kmv_verified,
         "q_kmv_mix_budget": q_kmv_mix_budget,
@@ -11657,6 +11711,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tfrecord": _SQL_TFRECORD,
         "q_jsonl_gz": _SQL_JSONL_GZ,
         "q_jsonl_zst": _SQL_JSONL_ZST,
+        "q_jsonl_zst_seek": _SQL_JSONL_ZST_SEEK,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

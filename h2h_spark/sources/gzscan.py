@@ -282,8 +282,88 @@ ZST_DICT_FRAME_MAGIC = b"\x5d\x2a\x4d\x18"
 _ZDICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 LE
 
 
+# facebook/zstd "seekable format" (contrib/seekable_format, public
+# spec): a member-framed archive ends with a SEEK TABLE in a skippable
+# frame (magic 0x184D2A5E) whose footer carries 0x8F92EAB1 — per-frame
+# (compressed_size, decompressed_size) entries turn split planning into
+# exact O(frames) metadata with zero candidate scanning.
+ZST_SEEKABLE_FRAME_MAGIC = b"\x5e\x2a\x4d\x18"  # 0x184D2A5E LE
+_ZST_SEEKABLE_FOOTER_MAGIC = b"\xb1\xea\x92\x8f"  # 0x8F92EAB1 LE
+
+
 class ZstFrameError(ValueError):
     """Candidate bytes do not parse as a zstd frame."""
+
+
+def zst_seek_table(path: str) -> list[tuple[int, int, int]] | None:
+    """Read the trailing seekable-format seek table: ``[(compressed_off,
+    compressed_len, decompressed_len)]`` per frame, or ``None`` when the
+    file carries no seek table (fall back to the candidate scan).  One
+    footer-sized read plans the whole file; malformed tables raise
+    loudly rather than degrade to scanning (a silent fallback would
+    mask corruption)."""
+    size = file_size(path)
+    if size < 26:  # skippable hdr (8) + footer (9) + one frame (>=9)
+        return None
+    with open_input(path) as f:
+        f.seek(size - 9)
+        footer = f.read(9)
+        if footer[5:9] != _ZST_SEEKABLE_FOOTER_MAGIC:
+            return None
+        n_frames = int.from_bytes(footer[0:4], "little")
+        desc = footer[4]
+        if desc & 0x7C:  # reserved descriptor bits must be zero
+            raise ValueError(
+                f"{path}: reserved seek-table descriptor bits set"
+            )
+        entry = 12 if desc & 0x80 else 8  # checksum flag adds 4 bytes
+        tbl_len = n_frames * entry + 9
+        frames_end = size - tbl_len - 8
+        if frames_end < 0:
+            raise ValueError(f"{path}: seek table larger than the file")
+        f.seek(frames_end)
+        hdr = f.read(8)
+        if hdr[:4] != ZST_SEEKABLE_FRAME_MAGIC:
+            raise ValueError(
+                f"{path}: seekable footer magic present but the seek "
+                f"table's skippable-frame header is missing"
+            )
+        if int.from_bytes(hdr[4:8], "little") != tbl_len:
+            raise ValueError(f"{path}: seek-table frame length mismatch")
+        data = f.read(tbl_len - 9)
+    out: list[tuple[int, int, int]] = []
+    off = 0
+    p = 0
+    for _ in range(n_frames):
+        clen = int.from_bytes(data[p:p + 4], "little")
+        dlen = int.from_bytes(data[p + 4:p + 8], "little")
+        p += entry
+        out.append((off, clen, dlen))
+        off += clen
+    if off != frames_end:
+        raise ValueError(
+            f"{path}: seek table sums to {off} compressed bytes but the "
+            f"frame area spans {frames_end}"
+        )
+    return out
+
+
+def write_zst_seek_table(f, entries: list[tuple[int, int]]) -> None:
+    """Append a seekable-format seek table to open file ``f``:
+    ``entries`` = per-frame ``(compressed_len, decompressed_len)`` in
+    file order (no per-frame checksums)."""
+    body = b"".join(
+        c.to_bytes(4, "little") + d.to_bytes(4, "little")
+        for c, d in entries
+    )
+    tbl_len = len(body) + 9
+    f.write(ZST_SEEKABLE_FRAME_MAGIC + tbl_len.to_bytes(4, "little"))
+    f.write(body)
+    f.write(
+        len(entries).to_bytes(4, "little")
+        + b"\x00"
+        + _ZST_SEEKABLE_FOOTER_MAGIC
+    )
 
 
 def _zst_parse_header(hdr: bytes) -> tuple[int, int | None, bool, int]:

@@ -50,6 +50,7 @@ from h2h_spark.sources.gzscan import (
     ZstMemberScanner,
     detect_member_layout,
     detect_zst_member_layout,
+    zst_seek_table,
 )
 from h2h_spark.sources.util import file_size, list_part_files
 
@@ -107,17 +108,30 @@ def _zst_compress(block: bytes) -> bytes:
 
 
 def write_jsonl_zst_members(
-    path: str, lines: Sequence[str], lines_per_member: int = 16
+    path: str,
+    lines: Sequence[str],
+    lines_per_member: int = 16,
+    seekable: bool = False,
 ) -> None:
     """Fixture/test writer for the splittable member-zstd framing:
     every frame holds ``lines_per_member`` whole lines (the Dolma /
-    RedPajama-v2 shard shape)."""
+    RedPajama-v2 shard shape).  ``seekable=True`` appends the
+    facebook/zstd seekable-format seek table (a trailing skippable
+    frame any member-aware reader steps over) so planning needs no
+    candidate scan."""
+    from h2h_spark.sources.gzscan import write_zst_seek_table
+
+    entries: list[tuple[int, int]] = []
     with open(path, "wb") as f:
         for lo in range(0, len(lines), lines_per_member):
             block = "".join(
                 ln + "\n" for ln in lines[lo:lo + lines_per_member]
-            )
-            f.write(_zst_compress(block.encode()))
+            ).encode()
+            frame = _zst_compress(block)
+            f.write(frame)
+            entries.append((len(frame), len(block)))
+        if seekable:
+            write_zst_seek_table(f, entries)
 
 
 def write_jsonl_zst_stream(path: str, lines: Sequence[str]) -> None:
@@ -169,6 +183,7 @@ def write_jsonl_shards(
     codec: str = "zst",
     lines_per_member: int = 1024,
     line_col: str | None = None,
+    seekable: bool = True,
 ) -> None:
     """Export a DataFrame as member-framed compressed JSONL shards —
     the Dolma / RedPajama-v2 publication format, written SPLITTABLY so
@@ -182,7 +197,11 @@ def write_jsonl_shards(
     does the encoding); if None, each row is serialized to a JSON
     object of all its columns executor-side.  Executor-parallel via
     ``foreachPartition`` — no driver data path; empty partitions write
-    no file."""
+    no file.  ``seekable`` (zst only, default on) appends the
+    facebook/zstd seekable-format seek table to each shard so any
+    seekable-aware reader — including this engine's own planner — cuts
+    exact frame-aligned splits from one footer read instead of
+    scanning for frame magics."""
     if codec not in ("gz", "zst"):
         raise ValueError(
             f"write_jsonl_shards supports codec gz|zst, got {codec!r}"
@@ -210,15 +229,13 @@ def write_jsonl_shards(
         lines = [r[line_col] for r in rows]
         if not lines:
             return
-        writer = (
-            write_jsonl_gz_members if codec == "gz"
-            else write_jsonl_zst_members
-        )
-        writer(
-            _os.path.join(base, f"part_{pid}.jsonl.{codec}"),
-            lines,
-            lines_per_member=lines_per_member,
-        )
+        out = _os.path.join(base, f"part_{pid}.jsonl.{codec}")
+        if codec == "gz":
+            write_jsonl_gz_members(out, lines, lines_per_member)
+        else:
+            write_jsonl_zst_members(
+                out, lines, lines_per_member, seekable=seekable
+            )
 
     df.foreachPartition(_write)
 
@@ -288,6 +305,25 @@ class JsonlGzReader(DataSourceReader):
             if layout == "stream":
                 parts.append(_JsonlPartition(path, 0, size, "stream"))
                 continue
+            if self.codec == "zst":
+                tbl = zst_seek_table(path)
+                if tbl:
+                    # seekable fast path: exact frame-aligned splits
+                    # from the seek table — tasks never scan for magics
+                    # and never read past their range
+                    run_start, run_len = tbl[0][0], 0
+                    for off, clen, _dlen in tbl:
+                        if run_len and run_len + clen > self.max_bytes:
+                            parts.append(_JsonlPartition(
+                                path, run_start, run_start + run_len,
+                                "member",
+                            ))
+                            run_start, run_len = off, 0
+                        run_len += clen
+                    parts.append(_JsonlPartition(
+                        path, run_start, run_start + run_len, "member"
+                    ))
+                    continue
             n = max(1, math.ceil(size / self.max_bytes))
             base, rem = divmod(size, n)
             off = 0

@@ -356,3 +356,93 @@ def test_write_jsonl_shards_line_col(spark, tmp_work):
                        line_col="doc")
     back = read_jsonl_gz(spark, d, codec="zst")
     assert back.count() == 50
+
+
+# --------------------------------------------------------------------------
+# zstd seekable format (facebook/zstd contrib/seekable_format)
+# --------------------------------------------------------------------------
+
+
+def test_zst_seek_table_roundtrip(tmp_work):
+    import os
+
+    from h2h_spark.sources.gzscan import zst_seek_table
+    from h2h_spark.sources.jsonl import write_jsonl_zst_members
+
+    lines = _lines(100)
+    p = f"{tmp_work}/seek.jsonl.zst"
+    write_jsonl_zst_members(p, lines, lines_per_member=8, seekable=True)
+    tbl = zst_seek_table(p)
+    assert tbl is not None and len(tbl) == 13  # ceil(100/8)
+    # offsets contiguous, extents match the real frame walk
+    from h2h_spark.sources.gzscan import zst_frame_len
+
+    size = os.path.getsize(p)
+    with open(p, "rb") as f:
+        for off, clen, dlen in tbl:
+            flen, csize = zst_frame_len(f, off, size)
+            assert flen == clen
+            assert csize is None or csize == dlen
+    # decompressed sizes sum to the plaintext total
+    assert sum(d for _, _, d in tbl) == sum(len(ln) + 1 for ln in lines)
+    # member scan steps over the trailing seek-table skippable frame
+    assert _scan_zst_all(p, size, 10**9) == lines
+
+
+def test_zst_seek_table_absent_and_corrupt(tmp_work):
+    from h2h_spark.sources.gzscan import zst_seek_table
+    from h2h_spark.sources.jsonl import write_jsonl_zst_members
+
+    lines = _lines(20)
+    p = f"{tmp_work}/plain.jsonl.zst"
+    write_jsonl_zst_members(p, lines, lines_per_member=8)
+    assert zst_seek_table(p) is None
+    # corrupt: footer magic present but frame sizes lie
+    ps = f"{tmp_work}/bad.jsonl.zst"
+    write_jsonl_zst_members(ps, lines, lines_per_member=8, seekable=True)
+    raw = bytearray(open(ps, "rb").read())
+    # 3 frames -> 24 entry bytes + 9 footer; the last entry's
+    # compressed-size field starts 17 bytes from EOF
+    raw[-17] ^= 0x01
+    open(ps, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="seek table|length mismatch"):
+        zst_seek_table(ps)
+
+
+def test_jsonl_zst_seekable_datasource_planning(spark, tmp_work):
+    import os
+
+    from h2h_spark.sources.jsonl import write_jsonl_zst_members
+
+    d = f"{tmp_work}/seekds"
+    os.makedirs(d)
+    lines = _lines(200)
+    write_jsonl_zst_members(
+        f"{d}/p.jsonl.zst", lines, lines_per_member=8, seekable=True
+    )
+    df = read_jsonl_gz(spark, d, max_partition_bytes=512, codec="zst")
+    got = sorted(json.loads(r["line"])["id"] for r in df.collect())
+    assert got == list(range(200))
+    assert df.rdd.getNumPartitions() > 2  # seek table fanned the file out
+
+
+def test_write_jsonl_shards_seekable_default(spark, tmp_work):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.gzscan import zst_seek_table
+    from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
+
+    d = f"{tmp_work}/shards"
+    df = spark.range(300).select(
+        F.to_json(F.struct(F.col("id"))).alias("line")
+    ).repartition(3)
+    write_jsonl_shards(df, d, codec="zst", lines_per_member=16,
+                       line_col="line")
+    shards = glob.glob(f"{d}/*.jsonl.zst")
+    assert shards and all(zst_seek_table(p) is not None for p in shards)
+    back = read_jsonl_gz(spark, d, codec="zst")
+    ids = sorted(json.loads(r["line"])["id"] for r in back.collect())
+    assert ids == list(range(300))
