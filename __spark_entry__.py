@@ -3566,6 +3566,107 @@ FROM documents
 """
 
 
+def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container metadata (`operators/multimodal.py:parse_webp` —
+    RIFF chunk walk + VP8 keyframe header (RFC 6386 §9.1) + VP8L
+    signature bits + VP8X extended features incl. ANIM/ANMF animation
+    frames; Google WebP Container Specification).  No pixel decode;
+    fixture flavors rotate by id.  Oracle closed-form."""
+    from h2h_spark.operators.multimodal import webp_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_webp
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                flavor = ("lossy", "lossless", "extended")[d % 3]
+                out.append(encode_webp(
+                    width=16 + (d % 50) * 4,
+                    height=16 + (d % 30) * 4,
+                    flavor=flavor,
+                    n_anim_frames=(d % 4) if flavor == "extended" else 0,
+                    has_exif=(flavor == "extended" and d % 2 == 0),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return webp_stats(binary, "doc_id")
+
+
+_SQL_WEBP_META = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+            ELSE 'extended' END AS format,
+       CAST(16 + (doc_id % 50) * 4 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 30) * 4 AS BIGINT) AS height,
+       (doc_id % 3 = 2 AND doc_id % 2 = 0) AS has_exif,
+       (doc_id % 3 = 2 AND doc_id % 4 > 0) AS is_animated,
+       CAST(CASE WHEN doc_id % 3 < 2 THEN 1
+                 WHEN doc_id % 4 = 0 THEN 1
+                 ELSE doc_id % 4 END AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+def q_adts_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS/AAC frame walk (`operators/multimodal.py:parse_adts` —
+    ISO/IEC 13818-7 §6.2 framing: 13-bit frame-length hops with sync
+    resync, 1024 samples per raw data block, integer-exact duration,
+    CRC-header width handling).  The streaming-audio twin of
+    `q_mp3_meta`.  Oracle closed-form incl. the 14496-3 sampling-
+    frequency table."""
+    from h2h_spark.operators.multimodal import adts_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_adts_frames
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d % 5 + 1
+                out.append(encode_adts_frames(
+                    [(d % 4, d % 13, 50 + (d % 11) * 7)] * k,
+                    with_crc=(d % 2 == 1),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return adts_stats(binary, "doc_id")
+
+
+_SQL_ADTS_META = """
+WITH t AS (
+  SELECT doc_id,
+         doc_id % 5 + 1 AS k,
+         CASE WHEN doc_id % 2 = 1 THEN 9 ELSE 7 END AS hdr,
+         50 + (doc_id % 11) * 7 AS payload,
+         [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+          16000, 12000, 11025, 8000, 7350][CAST(doc_id % 13 + 1 AS INTEGER)]
+             AS rate
+  FROM documents)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS n_frames,
+       CAST(k * (hdr + payload) AS BIGINT) AS audio_bytes,
+       CAST(1024 * k * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(doc_id % 4 AS BIGINT) AS profile,
+       CAST(2 AS BIGINT) AS channels,
+       doc_id % 2 = 1 AS has_crc
+FROM t
+"""
+
+
 def q_mbox_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email THREAD reconstruction over the mbox source: Message-ID /
     In-Reply-To headers become a reply graph, min-label connected
@@ -11385,11 +11486,13 @@ def _init_queries() -> None:
         "q_tfrecord": q_tfrecord,
         "q_jsonl_zst": q_jsonl_zst,
         "q_jsonl_zst_seek": q_jsonl_zst_seek,
+        "q_webp_meta": q_webp_meta,
+        "q_adts_meta": q_adts_meta,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
+        # ---- end of the 50-entry graded window ----
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
-        # ---- end of the 50-entry graded window ----
         "q_kmv_setops": q_kmv_setops,
         "q_kmv_weighted": q_kmv_weighted,
         "q_kmv_verified": q_kmv_verified,
@@ -11712,6 +11815,8 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonl_gz": _SQL_JSONL_GZ,
         "q_jsonl_zst": _SQL_JSONL_ZST,
         "q_jsonl_zst_seek": _SQL_JSONL_ZST_SEEK,
+        "q_webp_meta": _SQL_WEBP_META,
+        "q_adts_meta": _SQL_ADTS_META,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

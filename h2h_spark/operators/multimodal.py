@@ -3664,3 +3664,316 @@ def tiff_stats(df: DataFrame, id_col: str, data_col: str = "data") -> DataFrame:
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# WebP metadata — the RIFF-based web image container (Google "WebP
+# Container Specification", developers.google.com/speed/webp/docs/riff_container;
+# VP8 frame header per RFC 6386 §9.1, VP8L per the WebP Lossless
+# Bitstream Specification).  Crawl corpora are full of WebP; this is a
+# header walk only — no pixel decode, O(chunks) per image.
+# ---------------------------------------------------------------------------
+
+
+def encode_webp(
+    *,
+    width: int,
+    height: int,
+    flavor: str = "lossy",
+    n_anim_frames: int = 0,
+    has_exif: bool = False,
+) -> bytes:
+    """Fixture writer: a structurally valid WebP file.  ``flavor`` is
+    ``lossy`` (VP8), ``lossless`` (VP8L) or ``extended`` (VP8X wrapper;
+    with ``n_anim_frames > 0`` an ANIM/ANMF animation, optionally an
+    EXIF chunk).  Image payloads are deterministic filler — parseable
+    headers, not decodable pixels (the documented fixture contract of
+    every walker in this module)."""
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError("webp fixture dims out of range")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+    def vp8_payload() -> bytes:
+        # RFC 6386 §9.1: 3-byte frame tag (keyframe bit 0 = 0), start
+        # code 9D 01 2A, then 14-bit width/height (LE uint16 each)
+        tag = (0 | (1 << 4) | (20 << 5)).to_bytes(3, "little")
+        return (
+            tag + b"\x9d\x01\x2a"
+            + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+            + bytes(24)
+        )
+
+    def vp8l_payload() -> bytes:
+        # signature 0x2F then a 32-bit LE field: 14-bit w-1, 14-bit h-1,
+        # 1-bit alpha, 3-bit version (0)
+        bits = (width - 1) | ((height - 1) << 14)
+        return b"\x2f" + bits.to_bytes(4, "little") + bytes(16)
+
+    if flavor == "lossy":
+        body = chunk(b"VP8 ", vp8_payload())
+    elif flavor == "lossless":
+        body = chunk(b"VP8L", vp8l_payload())
+    elif flavor == "extended":
+        flags = 0
+        if has_exif:
+            flags |= 0x08
+        if n_anim_frames:
+            flags |= 0x02
+        vp8x = (
+            bytes([flags]) + bytes(3)
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        body = chunk(b"VP8X", vp8x)
+        if n_anim_frames:
+            body += chunk(b"ANIM", bytes(4) + (0).to_bytes(2, "little"))
+            for i in range(n_anim_frames):
+                anmf = (
+                    bytes(6)  # frame x/y (24-bit each)
+                    + (width - 1).to_bytes(3, "little")
+                    + (height - 1).to_bytes(3, "little")
+                    + (40 + i).to_bytes(3, "little")  # duration ms
+                    + b"\x00"
+                    + chunk(b"VP8 ", vp8_payload())
+                )
+                body += chunk(b"ANMF", anmf)
+        else:
+            body += chunk(b"VP8 ", vp8_payload())
+        if has_exif:
+            body += chunk(b"EXIF", b"II*\x00" + bytes(8))
+    else:
+        raise ValueError(f"unknown webp flavor {flavor!r}")
+    riff = b"WEBP" + body
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def parse_webp(payload: bytes) -> dict:
+    """Walk the RIFF chunk list and the VP8/VP8L/VP8X headers.  Returns
+    ``{format, width, height, has_alpha, has_exif, is_animated,
+    n_frames, n_chunks}``; raises ``ValueError`` on structural
+    violations (bad magic, truncated chunk, bad start code) — loud,
+    never a guessed size."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP file (RIFF/WEBP magic missing)")
+    riff_len = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_len > n:
+        raise ValueError("RIFF length extends past end of payload")
+    out = {
+        "format": None, "width": None, "height": None,
+        "has_alpha": False, "has_exif": False, "is_animated": False,
+        "n_frames": 0, "n_chunks": 0,
+    }
+
+    def parse_vp8(b: bytes) -> tuple[int, int]:
+        if len(b) < 10 or b[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 keyframe start code")
+        w = int.from_bytes(b[6:8], "little") & 0x3FFF
+        h = int.from_bytes(b[8:10], "little") & 0x3FFF
+        return w, h
+
+    def parse_vp8l(b: bytes) -> tuple[int, int, bool]:
+        if len(b) < 5 or b[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = int.from_bytes(b[1:5], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, bool(
+            (bits >> 28) & 1
+        )
+
+    i = 12
+    end = 8 + riff_len
+    while i + 8 <= end:
+        fourcc = payload[i:i + 4]
+        clen = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated {fourcc!r} chunk")
+        out["n_chunks"] += 1
+        if fourcc == b"VP8 ":
+            w, h = parse_vp8(body)
+            out["n_frames"] += 1
+            if out["format"] is None:
+                out["format"], out["width"], out["height"] = "lossy", w, h
+        elif fourcc == b"VP8L":
+            w, h, alpha = parse_vp8l(body)
+            out["n_frames"] += 1
+            if out["format"] is None:
+                out["format"], out["width"], out["height"] = (
+                    "lossless", w, h,
+                )
+                out["has_alpha"] = alpha
+        elif fourcc == b"VP8X":
+            if clen < 10:
+                raise ValueError("short VP8X chunk")
+            flags = body[0]
+            out["format"] = "extended"
+            out["has_alpha"] = bool(flags & 0x10)
+            out["has_exif"] = bool(flags & 0x08)
+            out["is_animated"] = bool(flags & 0x02)
+            out["width"] = int.from_bytes(body[4:7], "little") + 1
+            out["height"] = int.from_bytes(body[7:10], "little") + 1
+        elif fourcc == b"ANMF":
+            out["n_frames"] += 1
+        i += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if out["format"] is None:
+        raise ValueError("WebP carries no image chunk")
+    return out
+
+
+def webp_stats(
+    df: DataFrame, id_col: str, data_col: str = "data"
+) -> DataFrame:
+    """WebP metadata columns for a binary column — Arrow-batched, no
+    pixel decode, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, format string, width bigint, height bigint, "
+        "has_exif boolean, is_animated boolean, n_frames bigint"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_webp(bytes(raw))
+                rows.append((rid, m["format"], m["width"], m["height"],
+                             m["has_exif"], m["is_animated"],
+                             m["n_frames"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "width", "height",
+                         "has_exif", "is_animated", "n_frames"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# ADTS/AAC frame walk — the streaming AAC framing (ISO/IEC 13818-7 §6.2
+# adts_frame; sampling-frequency table per ISO/IEC 14496-3).  The audio
+# twin of the MP3 walker: header hops with sync resync, integer-exact
+# duration, no entropy decode.
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def encode_adts_frames(
+    frames: "Sequence[tuple[int, int, int]]", with_crc: bool = False
+) -> bytes:
+    """Fixture writer: a valid ADTS frame sequence.  Each spec is
+    ``(profile 0-3, samplerate_index 0-12, payload_bytes)``; payloads
+    are deterministic filler (structural fixture, not decodable AAC)."""
+    out = bytearray()
+    hdr_len = 9 if with_crc else 7
+    for prof, sri, nbytes in frames:
+        if not (0 <= prof <= 3 and 0 <= sri <= 12 and nbytes >= 0):
+            raise ValueError("bad adts frame spec")
+        flen = hdr_len + nbytes
+        if flen >= 1 << 13:
+            raise ValueError("adts frame too long for the 13-bit field")
+        b = bytearray(hdr_len)
+        b[0] = 0xFF
+        b[1] = 0xF0 | (0 << 3) | (0 << 1) | (0 if with_crc else 1)
+        b[2] = (prof << 6) | (sri << 2) | (0 << 1) | 0
+        # channel_config = 2 spans bytes 2-3
+        b[2] |= (2 >> 2) & 1
+        b[3] = ((2 & 3) << 6) | ((flen >> 11) & 3)
+        b[4] = (flen >> 3) & 0xFF
+        b[5] = ((flen & 7) << 5) | 0x1F  # buffer fullness high bits
+        b[6] = 0xFC  # fullness low + number_of_raw_data_blocks-1 = 0
+        out += bytes(b) + bytes((3 * i + prof) % 251 for i in range(nbytes))
+    return bytes(out)
+
+
+def parse_adts(payload: bytes) -> dict:
+    """Walk ADTS frame headers: hop by the 13-bit frame length,
+    resyncing on the 12-bit sync word after junk.  Returns ``{n_frames,
+    audio_bytes, duration_ms, sample_rate, profile, channels,
+    has_crc}`` — 1024 samples per raw data block, integer-exact
+    duration, never over-reads a truncated tail."""
+    i = 0
+    n = len(payload)
+    n_frames = 0
+    audio = 0
+    samples_by_rate: dict[int, int] = {}
+    rates = set()
+    profiles = set()
+    channels = set()
+    crc_flags = set()
+    while i + 7 <= n:
+        if payload[i] != 0xFF or (payload[i + 1] & 0xF6) != 0xF0:
+            i += 1  # resync scan (syncword + layer bits must be 00)
+            continue
+        protection_absent = payload[i + 1] & 1
+        prof = (payload[i + 2] >> 6) & 3
+        sri = (payload[i + 2] >> 2) & 0xF
+        if sri >= len(_ADTS_RATES):
+            i += 1  # reserved sampling index: false sync
+            continue
+        chan = ((payload[i + 2] & 1) << 2) | ((payload[i + 3] >> 6) & 3)
+        flen = (
+            ((payload[i + 3] & 3) << 11)
+            | (payload[i + 4] << 3)
+            | ((payload[i + 5] >> 5) & 7)
+        )
+        hdr_len = 7 if protection_absent else 9
+        if flen < hdr_len or i + flen > n:
+            break  # malformed or truncated final frame: stop, no over-read
+        blocks = (payload[i + 6] & 3) + 1
+        n_frames += 1
+        audio += flen
+        rate = _ADTS_RATES[sri]
+        samples_by_rate[rate] = (
+            samples_by_rate.get(rate, 0) + 1024 * blocks
+        )
+        rates.add(rate)
+        profiles.add(prof)
+        channels.add(chan)
+        crc_flags.add(not protection_absent)
+        i += flen
+    dur_ms = sum(smp * 1000 // r for r, smp in samples_by_rate.items())
+    return {
+        "n_frames": n_frames,
+        "audio_bytes": audio,
+        "duration_ms": dur_ms,
+        "sample_rate": rates.pop() if len(rates) == 1 else None,
+        "profile": profiles.pop() if len(profiles) == 1 else None,
+        "channels": channels.pop() if len(channels) == 1 else None,
+        "has_crc": crc_flags.pop() if len(crc_flags) == 1 else None,
+    }
+
+
+def adts_stats(
+    df: DataFrame, id_col: str, data_col: str = "data"
+) -> DataFrame:
+    """ADTS/AAC header-walk metadata columns for a binary column —
+    Arrow-batched, no decode, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, n_frames bigint, audio_bytes bigint, "
+        "duration_ms bigint, sample_rate bigint, profile bigint, "
+        "channels bigint, has_crc boolean"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_adts(bytes(raw))
+                rows.append((rid, m["n_frames"], m["audio_bytes"],
+                             m["duration_ms"], m["sample_rate"],
+                             m["profile"], m["channels"], m["has_crc"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "audio_bytes", "duration_ms",
+                         "sample_rate", "profile", "channels", "has_crc"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -1,0 +1,79 @@
+"""Round-10 walkers: WebP RIFF/VP8/VP8L/VP8X, ADTS/AAC framing."""
+
+import pytest
+
+from h2h_spark.operators.multimodal import (
+    encode_adts_frames,
+    encode_webp,
+    parse_adts,
+    parse_webp,
+)
+
+
+def test_webp_lossy_and_lossless_dims():
+    m = parse_webp(encode_webp(width=320, height=240, flavor="lossy"))
+    assert (m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "lossy", 320, 240, 1,
+    )
+    m = parse_webp(encode_webp(width=16384, height=1, flavor="lossless"))
+    assert (m["format"], m["width"], m["height"]) == ("lossless", 16384, 1)
+
+
+def test_webp_extended_animation_and_exif():
+    m = parse_webp(encode_webp(
+        width=64, height=32, flavor="extended", n_anim_frames=5,
+        has_exif=True,
+    ))
+    assert m["format"] == "extended"
+    assert (m["width"], m["height"]) == (64, 32)
+    assert m["is_animated"] and m["has_exif"]
+    assert m["n_frames"] == 5
+    # static extended: VP8X + one VP8 chunk
+    m = parse_webp(encode_webp(width=10, height=10, flavor="extended"))
+    assert not m["is_animated"] and m["n_frames"] == 1
+
+
+def test_webp_malformed_raises():
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        parse_webp(b"RIFFxxxxWAVE")
+    good = encode_webp(width=20, height=20, flavor="lossy")
+    with pytest.raises(ValueError, match="extends past|truncated"):
+        parse_webp(good[:-5])
+    # corrupt the VP8 start code
+    bad = bytearray(good)
+    bad[12 + 8 + 3] ^= 0xFF
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp(bytes(bad))
+    with pytest.raises(ValueError, match="no image chunk"):
+        parse_webp(b"RIFF" + (4).to_bytes(4, "little") + b"WEBP")
+
+
+def test_adts_walk_and_duration():
+    # 3 frames at 48 kHz: 3*1024 samples -> 64 ms exactly
+    a = encode_adts_frames([(1, 3, 100)] * 3)
+    m = parse_adts(a)
+    assert m["n_frames"] == 3 and m["audio_bytes"] == 3 * 107
+    assert m["duration_ms"] == 3 * 1024 * 1000 // 48000
+    assert m["sample_rate"] == 48000 and m["channels"] == 2
+    assert m["has_crc"] is False
+
+
+def test_adts_crc_header_width():
+    a = encode_adts_frames([(2, 4, 50)], with_crc=True)
+    m = parse_adts(a)
+    assert m["has_crc"] is True and m["audio_bytes"] == 59
+
+
+def test_adts_resync_and_truncation():
+    a = encode_adts_frames([(1, 3, 80)] * 2)
+    # junk prefix: resync finds both frames
+    assert parse_adts(b"\x00junk\xff" + a)["n_frames"] == 2
+    # truncated final frame: stop without over-reading
+    assert parse_adts(a[:-10])["n_frames"] == 1
+    # mixed sample rates -> no single rate reported, duration still exact
+    b = encode_adts_frames([(1, 3, 80)]) + encode_adts_frames([(1, 4, 80)])
+    m = parse_adts(b)
+    assert m["sample_rate"] is None
+    assert m["duration_ms"] == (
+        1024 * 1000 // 48000 + 1024 * 1000 // 44100
+    )
