@@ -3667,6 +3667,80 @@ FROM t
 """
 
 
+def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska metadata (`operators/multimodal.py:parse_webm` —
+    RFC 8794 EBML vint walk over Segment Info + Tracks; Clusters
+    skipped by declared size so cost is O(metadata), the video twin of
+    the MP4 box walk).  Fixture track mixes rotate by id (video-only /
+    audio-only / muxed).  Oracle closed-form."""
+    from h2h_spark.operators.multimodal import webm_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_webm
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                video = {
+                    "type": "video",
+                    "codec": "V_VP9" if d % 2 == 0 else "V_VP8",
+                    "width": 640 + (d % 13) * 16,
+                    "height": 360 + (d % 9) * 16,
+                }
+                audio = {
+                    "type": "audio",
+                    "codec": "A_OPUS" if d % 2 == 0 else "A_VORBIS",
+                    "rate": 48000 if d % 2 == 0 else 44100,
+                    "channels": d % 2 + 1,
+                }
+                tracks = ([video], [audio], [video, audio])[d % 3]
+                out.append(encode_webm(
+                    duration_ms=1000 + (d % 120) * 250,
+                    tracks=tracks,
+                    n_clusters=d % 4 + 1,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return webm_stats(binary, "doc_id")
+
+
+_SQL_WEBM_META = """
+SELECT doc_id,
+       'webm' AS doctype,
+       CAST(1000 + (doc_id % 120) * 250 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_tracks,
+       CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 1 ELSE 0 END AS BIGINT)
+           AS n_video,
+       CAST(CASE WHEN doc_id % 3 IN (1, 2) THEN 1 ELSE 0 END AS BIGINT)
+           AS n_audio,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN CAST(640 + (doc_id % 13) * 16 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 2)
+            THEN CAST(360 + (doc_id % 9) * 16 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 3 IN (1, 2)
+            THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END
+                      AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 3 IN (1, 2)
+            THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+       CASE doc_id % 3
+            WHEN 0 THEN
+                CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+            WHEN 1 THEN
+                CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS,V_VP9'
+                      ELSE 'A_VORBIS,V_VP8' END
+       END AS codecs
+FROM documents
+"""
+
+
 def q_mbox_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email THREAD reconstruction over the mbox source: Message-ID /
     In-Reply-To headers become a reply graph, min-label connected
@@ -11488,9 +11562,10 @@ def _init_queries() -> None:
         "q_jsonl_zst_seek": q_jsonl_zst_seek,
         "q_webp_meta": q_webp_meta,
         "q_adts_meta": q_adts_meta,
+        "q_webm_meta": q_webm_meta,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
-        "q_dup_spans": q_dup_spans,
         # ---- end of the 50-entry graded window ----
+        "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
         "q_kmv_setops": q_kmv_setops,
@@ -11817,6 +11892,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonl_zst_seek": _SQL_JSONL_ZST_SEEK,
         "q_webp_meta": _SQL_WEBP_META,
         "q_adts_meta": _SQL_ADTS_META,
+        "q_webm_meta": _SQL_WEBM_META,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -3977,3 +3977,270 @@ def adts_stats(
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska metadata — EBML element walk (RFC 8794 variable-length
+# integers; Matroska element ids per the public matroska.org spec /
+# IETF draft-ietf-cellar-matroska).  The video-container twin of the
+# MP4 box walk: Segment Info (timestamp scale, duration) and Tracks
+# (type, codec, video dims, audio rate/channels) — Clusters (the media
+# data) are SKIPPED by their declared size, so cost is O(metadata).
+# ---------------------------------------------------------------------------
+
+_EBML_HEADER_ID = b"\x1a\x45\xdf\xa3"
+_WEBM_IDS = {
+    "segment": b"\x18\x53\x80\x67",
+    "info": b"\x15\x49\xa9\x66",
+    "timestamp_scale": b"\x2a\xd7\xb1",
+    "duration": b"\x44\x89",
+    "tracks": b"\x16\x54\xae\x6b",
+    "track_entry": b"\xae",
+    "track_type": b"\x83",
+    "codec_id": b"\x86",
+    "video": b"\xe0",
+    "pixel_width": b"\xb0",
+    "pixel_height": b"\xba",
+    "audio": b"\xe1",
+    "sampling_frequency": b"\xb5",
+    "channels": b"\x9f",
+    "cluster": b"\x1f\x43\xb6\x75",
+    "doctype": b"\x42\x82",
+}
+
+
+def _ebml_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """Read one EBML variable-length integer at ``i``; returns
+    ``(value, next_index)``.  ``keep_marker`` retains the length-marker
+    bit (element IDs are matched with it; sizes drop it).  A size with
+    all value bits set means 'unknown size' and returns -1."""
+    if i >= len(data):
+        raise ValueError("EBML vint at end of data")
+    first = data[i]
+    if first == 0:
+        raise ValueError(f"invalid EBML vint lead byte 0x00 at {i}")
+    length = 9 - first.bit_length()
+    if i + length > len(data):
+        raise ValueError("truncated EBML vint")
+    if keep_marker:
+        val = int.from_bytes(data[i:i + length], "big")
+    else:
+        val = first & ((1 << (8 - length)) - 1)
+        for b in data[i + 1:i + length]:
+            val = (val << 8) | b
+        if val == (1 << (7 * length)) - 1:
+            val = -1  # unknown size (RFC 8794 §4)
+    return val, i + length
+
+
+def _ebml_walk(data: bytes, i: int, end: int):
+    """Yield ``(id_bytes, payload_start, payload_end)`` for the sibling
+    elements in ``[i, end)``; unknown-size elements extend to ``end``."""
+    while i < end:
+        eid, j = _ebml_vint(data, i, keep_marker=True)
+        id_len = j - i
+        id_bytes = data[i:j]
+        size, k = _ebml_vint(data, j, keep_marker=False)
+        if size < 0:
+            yield id_bytes, k, end
+            return
+        if k + size > end:
+            raise ValueError(
+                f"EBML element {id_bytes.hex()} at {i} extends past "
+                f"its parent"
+            )
+        yield id_bytes, k, k + size
+        i = k + size
+        del id_len
+
+
+def encode_webm(
+    *,
+    duration_ms: int,
+    tracks: "Sequence[dict]",
+    n_clusters: int = 2,
+    doctype: str = "webm",
+) -> bytes:
+    """Fixture writer: a structurally valid WebM/Matroska file.  Each
+    track dict: ``{"type": "video"|"audio", "codec": str, "width"/
+    "height"or "rate"/"channels"}``.  Cluster payloads are filler."""
+    def el(id_bytes: bytes, payload: bytes) -> bytes:
+        n = len(payload)
+        # 2-byte size with marker 0x40 covers fixtures up to 2^14-2
+        if n < (1 << 14) - 1:
+            size = bytes([0x40 | (n >> 8), n & 0xFF])
+        else:
+            size = bytes([0x08 | (n >> 56)]) + (n & ((1 << 56) - 1)).to_bytes(7, "big")
+        return id_bytes + size + payload
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    import struct as _struct
+
+    header = el(
+        _EBML_HEADER_ID,
+        el(_WEBM_IDS["doctype"], doctype.encode()),
+    )
+    info = el(
+        _WEBM_IDS["info"],
+        el(_WEBM_IDS["timestamp_scale"], uint(1_000_000))
+        + el(_WEBM_IDS["duration"], _struct.pack(">f", float(duration_ms))),
+    )
+    tr = b""
+    for t in tracks:
+        body = (
+            el(_WEBM_IDS["track_type"],
+               uint(1 if t["type"] == "video" else 2))
+            + el(_WEBM_IDS["codec_id"], t["codec"].encode())
+        )
+        if t["type"] == "video":
+            body += el(
+                _WEBM_IDS["video"],
+                el(_WEBM_IDS["pixel_width"], uint(t["width"]))
+                + el(_WEBM_IDS["pixel_height"], uint(t["height"])),
+            )
+        else:
+            body += el(
+                _WEBM_IDS["audio"],
+                el(_WEBM_IDS["sampling_frequency"],
+                   _struct.pack(">f", float(t["rate"])))
+                + el(_WEBM_IDS["channels"], uint(t["channels"])),
+            )
+        tr += el(_WEBM_IDS["track_entry"], body)
+    tracks_el = el(_WEBM_IDS["tracks"], tr)
+    clusters = b"".join(
+        el(_WEBM_IDS["cluster"], bytes((5 * i + 3) % 251 for i in range(64)))
+        for i in range(n_clusters)
+    )
+    return header + el(
+        _WEBM_IDS["segment"], info + tracks_el + clusters
+    )
+
+
+def parse_webm(payload: bytes) -> dict:
+    """EBML walk of Segment Info + Tracks; Clusters are skipped by
+    size.  Returns ``{doctype, duration_ms, n_tracks, n_video,
+    n_audio, width, height, sample_rate, channels, codecs}`` (dims
+    from the first video track, audio fields from the first audio
+    track, codecs sorted-joined).  Loud on structural violations."""
+    import struct as _struct
+
+    n = len(payload)
+    if payload[:4] != _EBML_HEADER_ID:
+        raise ValueError("not an EBML file (header magic missing)")
+    out = {
+        "doctype": None, "duration_ms": None, "n_tracks": 0,
+        "n_video": 0, "n_audio": 0, "width": None, "height": None,
+        "sample_rate": None, "channels": None, "codecs": None,
+    }
+    scale = 1_000_000  # ns per tick, Matroska default
+    raw_duration = None
+    codecs = []
+    for eid, a, b in _ebml_walk(payload, 0, n):
+        if eid == _EBML_HEADER_ID:
+            for hid, ha, hb in _ebml_walk(payload, a, b):
+                if hid == _WEBM_IDS["doctype"]:
+                    out["doctype"] = payload[ha:hb].split(b"\x00")[0].decode(
+                        "ascii", "replace"
+                    )
+        elif eid == _WEBM_IDS["segment"]:
+            for sid, sa, sb in _ebml_walk(payload, a, b):
+                if sid == _WEBM_IDS["info"]:
+                    for iid, ia, ib in _ebml_walk(payload, sa, sb):
+                        if iid == _WEBM_IDS["timestamp_scale"]:
+                            scale = int.from_bytes(payload[ia:ib], "big")
+                        elif iid == _WEBM_IDS["duration"]:
+                            w = ib - ia
+                            if w == 4:
+                                raw_duration = _struct.unpack(
+                                    ">f", payload[ia:ib])[0]
+                            elif w == 8:
+                                raw_duration = _struct.unpack(
+                                    ">d", payload[ia:ib])[0]
+                            else:
+                                raise ValueError(
+                                    f"Duration element width {w}")
+                elif sid == _WEBM_IDS["tracks"]:
+                    for tid, ta, tb in _ebml_walk(payload, sa, sb):
+                        if tid != _WEBM_IDS["track_entry"]:
+                            continue
+                        out["n_tracks"] += 1
+                        ttype = None
+                        for fid, fa, fb in _ebml_walk(payload, ta, tb):
+                            if fid == _WEBM_IDS["track_type"]:
+                                ttype = int.from_bytes(
+                                    payload[fa:fb], "big")
+                            elif fid == _WEBM_IDS["codec_id"]:
+                                codecs.append(
+                                    payload[fa:fb].decode(
+                                        "ascii", "replace"))
+                            elif fid == _WEBM_IDS["video"]:
+                                for vid, va, vb in _ebml_walk(
+                                        payload, fa, fb):
+                                    v = int.from_bytes(
+                                        payload[va:vb], "big")
+                                    if (vid == _WEBM_IDS["pixel_width"]
+                                            and out["width"] is None):
+                                        out["width"] = v
+                                    elif (vid == _WEBM_IDS["pixel_height"]
+                                            and out["height"] is None):
+                                        out["height"] = v
+                            elif fid == _WEBM_IDS["audio"]:
+                                for aid, aa, ab in _ebml_walk(
+                                        payload, fa, fb):
+                                    if (aid == _WEBM_IDS[
+                                            "sampling_frequency"]
+                                            and out["sample_rate"]
+                                            is None):
+                                        w = ab - aa
+                                        out["sample_rate"] = int(
+                                            _struct.unpack(
+                                                ">f" if w == 4 else ">d",
+                                                payload[aa:ab])[0])
+                                    elif (aid == _WEBM_IDS["channels"]
+                                            and out["channels"] is None):
+                                        out["channels"] = int.from_bytes(
+                                            payload[aa:ab], "big")
+                        if ttype == 1:
+                            out["n_video"] += 1
+                        elif ttype == 2:
+                            out["n_audio"] += 1
+                # Clusters and everything else: skipped by size
+    if raw_duration is not None:
+        out["duration_ms"] = int(raw_duration * scale / 1_000_000)
+    out["codecs"] = ",".join(sorted(codecs)) if codecs else None
+    return out
+
+
+def webm_stats(
+    df: DataFrame, id_col: str, data_col: str = "data"
+) -> DataFrame:
+    """WebM/Matroska metadata columns for a binary column —
+    Arrow-batched EBML walk, Clusters skipped, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, doctype string, duration_ms bigint, "
+        "n_tracks bigint, n_video bigint, n_audio bigint, "
+        "width bigint, height bigint, sample_rate bigint, "
+        "channels bigint, codecs string"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_webm(bytes(raw))
+                rows.append((rid, m["doctype"], m["duration_ms"],
+                             m["n_tracks"], m["n_video"], m["n_audio"],
+                             m["width"], m["height"], m["sample_rate"],
+                             m["channels"], m["codecs"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "doctype", "duration_ms", "n_tracks",
+                         "n_video", "n_audio", "width", "height",
+                         "sample_rate", "channels", "codecs"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

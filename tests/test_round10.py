@@ -77,3 +77,49 @@ def test_adts_resync_and_truncation():
     assert m["duration_ms"] == (
         1024 * 1000 // 48000 + 1024 * 1000 // 44100
     )
+
+
+def test_webm_roundtrip_muxed():
+    from h2h_spark.operators.multimodal import encode_webm, parse_webm
+
+    b = encode_webm(duration_ms=5000, tracks=[
+        {"type": "video", "codec": "V_VP9", "width": 1920, "height": 1080},
+        {"type": "audio", "codec": "A_OPUS", "rate": 48000, "channels": 2},
+    ])
+    m = parse_webm(b)
+    assert m["doctype"] == "webm" and m["duration_ms"] == 5000
+    assert (m["n_tracks"], m["n_video"], m["n_audio"]) == (2, 1, 1)
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert (m["sample_rate"], m["channels"]) == (48000, 2)
+    assert m["codecs"] == "A_OPUS,V_VP9"
+
+
+def test_webm_clusters_skipped_and_guards():
+    from h2h_spark.operators.multimodal import encode_webm, parse_webm
+
+    b = encode_webm(
+        duration_ms=250,
+        tracks=[{"type": "audio", "codec": "A_VORBIS", "rate": 44100,
+                 "channels": 1}],
+        n_clusters=6,
+    )
+    m = parse_webm(b)
+    assert m["n_tracks"] == 1 and m["sample_rate"] == 44100
+    with pytest.raises(ValueError, match="EBML"):
+        parse_webm(b"nope")
+    # an element whose size extends past its parent must be loud
+    bad = bytearray(b)
+    # corrupt the Tracks element's size low byte to overflow the segment
+    with pytest.raises(ValueError):
+        parse_webm(bytes(bad[: len(bad) // 2]))
+
+
+def test_ebml_vint_unknown_size():
+    from h2h_spark.operators.multimodal import _ebml_vint
+
+    # 0xFF = 1-byte vint with all value bits set -> unknown size
+    assert _ebml_vint(b"\xff", 0, keep_marker=False)[0] == -1
+    # id keeps the marker bit
+    assert _ebml_vint(b"\xae", 0, keep_marker=True)[0] == 0xAE
+    with pytest.raises(ValueError, match="lead byte"):
+        _ebml_vint(b"\x00", 0, keep_marker=False)
