@@ -3667,6 +3667,174 @@ FROM t
 """
 
 
+def q_cdx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) crawl-index scan (`sources/cdx.py` — the Common Crawl /
+    pywb capture-index format: `SURT ts14 {json}` lines in member-gzip
+    shards, split via the shared validated gz-member resync with a
+    CDXJ line predicate).  Also grades the engine-side `surt_key`
+    column expression (pure built-ins, whole-stage codegen) by
+    recomputing every line's SURT from its url — `surt_computed` must
+    equal the stored key.  Oracle closed-form."""
+    from h2h_spark.sources.cdx import read_cdx, surt_key
+
+    w = _work("q_cdx_scan", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.cdx import write_cdxj
+
+            pid = TaskContext.get().partitionId()
+            entries = []
+            for r in rows:
+                d = r.doc_id
+                entries.append((
+                    f"org,ex{d % 20})/p/{d}?v={d % 7}",
+                    f"202401{d % 28 + 1:02d}120000",
+                    {
+                        "url": f"https://www.ex{d % 20}.org/p/{d}?v={d % 7}",
+                        "filename": f"crawl-{d % 4}.warc.gz",
+                        "offset": str(d * 997 % 100000),
+                        "length": str(500 + d % 100),
+                        "status": str((200, 200, 404, 301, 200)[d % 5]),
+                        "mime": "text/html" if d % 3 else "application/pdf",
+                    },
+                ))
+            if entries:
+                write_cdxj(
+                    os.path.join(src, f"part_{pid}.cdxj.gz"),
+                    entries, lines_per_member=16,
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    idx = read_cdx(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    return idx.select(
+        F.regexp_extract("url", r"/p/(\d+)\?", 1).cast("bigint")
+        .alias("doc_id"),
+        "surt",
+        surt_key(F.col("url")).alias("surt_computed"),
+        "ts", "warc_file", "offset", "length", "status", "mime",
+    )
+
+
+_SQL_CDX_SCAN = """
+SELECT doc_id,
+       'org,ex' || CAST(doc_id % 20 AS VARCHAR) || ')/p/' ||
+           CAST(doc_id AS VARCHAR) || '?v=' || CAST(doc_id % 7 AS VARCHAR)
+           AS surt,
+       'org,ex' || CAST(doc_id % 20 AS VARCHAR) || ')/p/' ||
+           CAST(doc_id AS VARCHAR) || '?v=' || CAST(doc_id % 7 AS VARCHAR)
+           AS surt_computed,
+       '202401' || printf('%02d', doc_id % 28 + 1) || '120000' AS ts,
+       'crawl-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS warc_file,
+       CAST(doc_id * 997 % 100000 AS BIGINT) AS offset,
+       CAST(500 + doc_id % 100 AS BIGINT) AS length,
+       CAST([200, 200, 404, 301, 200][CAST(doc_id % 5 + 1 AS INTEGER)]
+            AS BIGINT) AS status,
+       CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+            ELSE 'text/html' END AS mime
+FROM documents
+"""
+
+
+def q_cdx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven random access into WARC (`sources/cdx.py:
+    fetch_warc_by_location`) — the 100 TB pruning pattern: filter the
+    CDX index (status=200 AND doc_id%7=3 here), then read EXACTLY the
+    bytes the index names (one seek + one sized read per record, rows
+    sorted by (file, offset) per task) instead of scanning the
+    archive.  Fixture: per-partition .warc.gz written with extents
+    captured, index written FROM those extents.  Oracle closed-form
+    incl. payload md5."""
+    from h2h_spark.sources.cdx import fetch_warc_by_location, read_cdx
+
+    w = _work("q_cdx_locate", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.cdx import write_cdxj
+            from h2h_spark.sources.warc import write_warc_gz_records
+
+            pid = TaskContext.get().partitionId()
+            recs, metas = [], []
+            for r in rows:
+                d = r.doc_id
+                payload = (b"payload %06d|" % d) * (d % 4 + 1)
+                recs.append((
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:doc:{d}>",
+                        "WARC-Target-URI": f"https://ex.org/{d}",
+                    },
+                    payload,
+                ))
+                metas.append(d)
+            if not recs:
+                return
+            wpath = os.path.join(src, f"part_{pid}.warc.gz")
+            extents = write_warc_gz_records(wpath, recs)
+            entries = [
+                (
+                    f"org,ex)/{d}",
+                    "20240101120000",
+                    {
+                        "url": f"https://ex.org/{d}",
+                        "filename": wpath,
+                        "offset": str(off),
+                        "length": str(ln),
+                        "status": str((200, 404, 200, 301, 200)[d % 5]),
+                        "mime": "text/html",
+                    },
+                )
+                for d, (off, ln) in zip(metas, extents)
+            ]
+            write_cdxj(
+                os.path.join(src, f"part_{pid}.cdxj.gz"),
+                entries, lines_per_member=16,
+            )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    idx = read_cdx(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    picked = idx.filter(
+        (F.col("status") == 200)
+        & (F.regexp_extract("surt", r"\)/(\d+)$", 1).cast("bigint") % 7 == 3)
+    )
+    fetched = fetch_warc_by_location(picked)
+    return fetched.select(
+        F.regexp_extract("surt", r"\)/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "target_uri", "payload_len", "payload_md5",
+    )
+
+
+_SQL_CDX_LOCATE = """
+SELECT doc_id,
+       'https://ex.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(15 * (doc_id % 4 + 1) AS BIGINT) AS payload_len,
+       md5(repeat('payload ' || printf('%06d', doc_id) || '|',
+                  CAST(doc_id % 4 + 1 AS INTEGER))) AS payload_md5
+FROM documents
+WHERE doc_id % 5 IN (0, 2, 4) AND doc_id % 7 = 3
+"""
+
+
 def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebM/Matroska metadata (`operators/multimodal.py:parse_webm` —
     RFC 8794 EBML vint walk over Segment Info + Tracks; Clusters
@@ -11557,14 +11725,16 @@ def _init_queries() -> None:
         "q_stream_ann_ingest": q_stream_ann_ingest,
         "q_langid_eval": q_langid_eval,
         "q_warc_zst": q_warc_zst,
-        "q_tfrecord": q_tfrecord,
         "q_jsonl_zst": q_jsonl_zst,
         "q_jsonl_zst_seek": q_jsonl_zst_seek,
         "q_webp_meta": q_webp_meta,
         "q_adts_meta": q_adts_meta,
         "q_webm_meta": q_webm_meta,
-        "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
+        "q_cdx_scan": q_cdx_scan,
+        "q_cdx_locate": q_cdx_locate,
         # ---- end of the 50-entry graded window ----
+        "q_tfrecord": q_tfrecord,
+        "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
         "q_dup_excise": q_dup_excise,
         "q_content_chunks": q_content_chunks,
@@ -11893,6 +12063,8 @@ def oracle_sql() -> dict[str, str]:
         "q_webp_meta": _SQL_WEBP_META,
         "q_adts_meta": _SQL_ADTS_META,
         "q_webm_meta": _SQL_WEBM_META,
+        "q_cdx_scan": _SQL_CDX_SCAN,
+        "q_cdx_locate": _SQL_CDX_LOCATE,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

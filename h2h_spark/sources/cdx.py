@@ -1,0 +1,366 @@
+"""CDX(J) crawl-index scan + index-driven WARC record fetch.
+
+Common Crawl (and every IIPC-style web archive) publishes a CAPTURE
+INDEX next to its WARC data: sorted text lines of
+
+    <SURT key> <14-digit timestamp> <JSON blob>
+
+where the JSON carries the capture's url/status/mime and — the part
+that matters at 100 TB — the ``filename``/``offset``/``length`` of the
+record's gzip member inside the WARC.  Pipelines use the index to
+PRUNE: filter captures index-side (status, mime, url pattern, dedup by
+digest), then fetch only the matching members by random access instead
+of scanning petabytes of WARC.  (Format per the pywb CDXJ spec /
+iipc openwayback CDX docs; Common Crawl's cc-index ships this shape.)
+
+This module provides:
+
+- ``surt_key(url_col)`` — the canonical Sort-friendly URI Reordering
+  Transform key as a pure JVM-side column expression (host labels
+  reversed and comma-joined, scheme/port/www dropped, lowercased);
+- a splittable datasource ``h2h_cdx`` for ``.cdxj`` (plain text, line
+  realignment at byte-range cuts) and member-gzip ``.cdxj.gz`` shards
+  (the shared ``GzMemberScanner`` discipline);
+- ``fetch_warc_by_location(df)`` — the random-access fetch: rows carry
+  ``(warc_file, offset, length)``; each task reads EXACTLY the bytes
+  the index names (one seek + one sized read per record, sorted by
+  offset for IO locality), inflates the single member and parses the
+  record.  No scanning, no read amplification.
+
+Memory per task is O(chunk + one record); the driver holds only split
+metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Sequence
+
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from h2h_spark.sources.gzscan import GzMemberScanner
+from h2h_spark.sources.util import file_size, list_part_files, open_input
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_CHUNK = 1 << 20
+
+
+def surt_key(url: Column | str) -> Column:
+    """SURT key for a URL column, pure built-ins (stays in whole-stage
+    codegen): ``https://www.Ex.org:443/a/b?q=1`` →
+    ``org,ex)/a/b?q=1``.  Scheme and a leading ``www.`` are dropped,
+    the host is lowercased and its labels reversed with commas, the
+    port is stripped, path/query keep their case (standard SURT)."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/]*)", 1)
+    path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(
+        rev, F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+
+
+def write_cdxj(
+    path: str,
+    entries: Sequence[tuple[str, str, dict]],
+    lines_per_member: int = 0,
+) -> None:
+    """Fixture/test writer: ``(surt, ts14, blob_dict)`` per line.
+    ``lines_per_member > 0`` writes member-gzip framing (splittable
+    ``.cdxj.gz``); 0 writes plain text."""
+    lines = [
+        f"{surt} {ts} {json.dumps(blob, sort_keys=True)}\n"
+        for surt, ts, blob in entries
+    ]
+    if lines_per_member:
+        import gzip as _gzip
+
+        with open(path, "wb") as f:
+            for lo in range(0, len(lines), lines_per_member):
+                block = "".join(lines[lo:lo + lines_per_member])
+                f.write(_gzip.compress(block.encode(), mtime=0))
+    else:
+        with open(path, "wb") as f:
+            f.write("".join(lines).encode())
+
+
+def _parse_cdxj_line(line: str) -> tuple | None:
+    parts = line.split(" ", 2)
+    if len(parts) != 3:
+        raise ValueError(f"malformed CDXJ line: {line[:80]!r}")
+    surt, ts, blob_s = parts
+    blob = json.loads(blob_s)
+    return (
+        surt,
+        ts,
+        blob.get("url", ""),
+        blob.get("filename", ""),
+        int(blob["offset"]) if "offset" in blob else None,
+        int(blob["length"]) if "length" in blob else None,
+        int(blob["status"]) if "status" in blob else None,
+        blob.get("mime", ""),
+        blob.get("digest", ""),
+    )
+
+
+def _validate_cdxj_plain(plain: bytes) -> bool:
+    """Member-gz candidate predicate: the first complete line parses as
+    ``surt ts14 {json``."""
+    head = plain.split(b"\n", 1)[0]
+    parts = head.split(b" ", 2)
+    return (
+        len(parts) == 3
+        and len(parts[1]) == 14
+        and parts[1].isdigit()
+        and parts[2].startswith(b"{")
+    )
+
+
+def scan_cdxj_lines(path: str, start: int, end: int) -> Iterator[str]:
+    """Plain-text layout: lines whose FIRST byte lies in ``[start,
+    end)`` — a task that starts mid-line skips to the next newline
+    (the previous task owns the straddling line; read-past-range for
+    the tail)."""
+    size = file_size(path)
+    with open_input(path) as f:
+        if start == 0:
+            line_start = 0
+            f.seek(0)
+        else:
+            # the line straddling the cut belongs to the LEFT task:
+            # find the first newline at or after start-1, own the line
+            # that begins right after it
+            f.seek(start - 1)
+            pos = start - 1
+            line_start = None
+            while line_start is None:
+                chunk = f.read(_CHUNK)
+                if not chunk:
+                    return
+                nl = chunk.find(b"\n")
+                if nl >= 0:
+                    line_start = pos + nl + 1
+                    f.seek(line_start)
+                else:
+                    pos += len(chunk)
+        if line_start >= end or line_start >= size:
+            return
+        carry = bytearray()
+        while True:
+            nl = carry.find(b"\n")
+            while nl >= 0:
+                if line_start >= end:
+                    return
+                yield carry[:nl].decode("utf-8", "replace")
+                del carry[:nl + 1]
+                line_start += nl + 1
+                nl = carry.find(b"\n")
+            if line_start >= end:
+                return
+            chunk = f.read(_CHUNK)
+            if not chunk:
+                if carry:  # final unterminated line (read-past-range)
+                    yield carry.decode("utf-8", "replace")
+                return
+            carry += chunk
+
+
+_SCHEMA_DDL = (
+    "surt string, ts string, url string, warc_file string, "
+    "offset bigint, length bigint, status bigint, mime string, "
+    "digest string"
+)
+
+
+class CdxDataSource(DataSource):
+    """``spark.read.format("h2h_cdx")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "h2h_cdx"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> "CdxReader":
+        return CdxReader(self.options)
+
+
+class CdxPartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int, mode: str):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.mode = mode
+
+
+class CdxReader(DataSourceReader):
+    _BATCH_LINES = 65536
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_bytes = int(
+            options.get("maxPartitionBytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+
+    def partitions(self):
+        parts: list[CdxPartition] = []
+        for mode, pattern in (("gz", "*.cdxj.gz"), ("plain", "*.cdxj")):
+            for path in list_part_files(self.path, pattern=pattern):
+                size = file_size(path)
+                if size == 0:
+                    continue
+                n = max(1, math.ceil(size / self.max_bytes))
+                base, rem = divmod(size, n)
+                off = 0
+                for i in range(n):
+                    ln = base + (1 if i < rem else 0)
+                    parts.append(CdxPartition(path, off, off + ln, mode))
+                    off += ln
+        if not parts:
+            parts.append(CdxPartition("", 0, 0, "plain"))
+        return parts
+
+    def read(self, part: CdxPartition) -> Iterator[pa.RecordBatch]:
+        cols: list[list] = [[] for _ in range(9)]
+        types = [
+            pa.string(), pa.string(), pa.string(), pa.string(),
+            pa.int64(), pa.int64(), pa.int64(), pa.string(), pa.string(),
+        ]
+        names = ["surt", "ts", "url", "warc_file", "offset", "length",
+                 "status", "mime", "digest"]
+
+        def batch() -> pa.RecordBatch:
+            return pa.record_batch(
+                [pa.array(c, t) for c, t in zip(cols, types)], names=names
+            )
+
+        if part.path:
+            if part.mode == "gz":
+                lines: Iterator[str] = (
+                    raw.decode("utf-8", "replace")
+                    for _, plain in GzMemberScanner(
+                        part.path, part.start, part.end,
+                        _validate_cdxj_plain, probe_plain=4096,
+                    ).members()
+                    for raw in plain.splitlines()
+                )
+            else:
+                lines = scan_cdxj_lines(part.path, part.start, part.end)
+            for line in lines:
+                if not line:
+                    continue
+                row = _parse_cdxj_line(line)
+                for c, v in zip(cols, row):
+                    c.append(v)
+                if len(cols[0]) >= self._BATCH_LINES:
+                    yield batch()
+                    cols = [[] for _ in range(9)]
+        yield batch()
+
+
+def register_cdx(spark: SparkSession) -> None:
+    spark.dataSource.register(CdxDataSource)
+
+
+def read_cdx(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = _DEFAULT_MAX_PARTITION_BYTES,
+) -> DataFrame:
+    register_cdx(spark)
+    return (
+        spark.read.format("h2h_cdx")
+        .option("path", path)
+        .option("maxPartitionBytes", str(max_partition_bytes))
+        .load()
+    )
+
+
+def fetch_warc_by_location(
+    df: DataFrame,
+    file_col: str = "warc_file",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Index-driven random access: for each row, read EXACTLY
+    ``length`` bytes at ``offset`` of ``file`` (one seek + one sized
+    read), inflate the single gzip member and parse the WARC record.
+    Adds ``record_id, warc_type, target_uri, payload_len, payload_md5``
+    to the input columns.  Rows are sorted by (file, offset) within
+    each partition for IO locality — no shuffle; repartition by
+    ``file_col`` upstream if tasks should be file-coherent."""
+    import hashlib
+
+    from h2h_spark.sources.warc import _parse_header_block
+
+    in_cols = df.columns
+    schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}"
+                       for c in in_cols)
+    schema += (", record_id string, warc_type string, target_uri string"
+               ", payload_len bigint, payload_md5 string")
+
+    def _run(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.sort_values([file_col, offset_col])
+            rid, wtype, uri, plen, pmd5 = [], [], [], [], []
+            handle = None
+            handle_path = None
+            try:
+                for path, off, ln in zip(
+                    pdf[file_col], pdf[offset_col], pdf[length_col]
+                ):
+                    if handle_path != path:
+                        if handle is not None:
+                            handle.close()
+                        handle = open_input(path)
+                        handle_path = path
+                    handle.seek(int(off))
+                    member = handle.read(int(ln))
+                    if len(member) < int(ln):
+                        raise ValueError(
+                            f"{path}: index names {ln} bytes at {off} "
+                            f"but only {len(member)} are readable"
+                        )
+                    plain = _gzip.decompress(member)
+                    parsed = _parse_header_block(plain)
+                    if parsed is None:
+                        raise ValueError(
+                            f"{path}: bytes at {off} do not parse as a "
+                            f"WARC record (stale index?)"
+                        )
+                    headers, hlen = parsed
+                    clen = int(headers["content-length"])
+                    payload = plain[hlen:hlen + clen]
+                    rid.append(headers.get("warc-record-id", ""))
+                    wtype.append(headers.get("warc-type", ""))
+                    uri.append(headers.get("warc-target-uri", ""))
+                    plen.append(len(payload))
+                    pmd5.append(hashlib.md5(payload).hexdigest())
+            finally:
+                if handle is not None:
+                    handle.close()
+            out = pdf.copy()
+            out["record_id"] = rid
+            out["warc_type"] = wtype
+            out["target_uri"] = uri
+            out["payload_len"] = plen
+            out["payload_md5"] = pmd5
+            yield out
+
+    return (
+        df.sortWithinPartitions(file_col, offset_col)
+        .mapInPandas(_run, schema)
+    )

@@ -334,18 +334,25 @@ _GZ_PROBE = 256  # plaintext bytes to inflate when validating a candidate
 
 def write_warc_gz_records(
     path: str, records: Sequence[tuple[dict[str, str], bytes]]
-) -> None:
+) -> list[tuple[int, int]]:
     """Fixture/test writer: one gzip member per record (Common Crawl
     shape).  mtime pinned to 0 and no filename so output is
-    deterministic."""
+    deterministic.  Returns each member's ``(offset, compressed_len)``
+    — the extents a CDX index records."""
     import gzip as _gzip
     import io as _io
 
+    extents: list[tuple[int, int]] = []
     with open(path, "wb") as f:
+        off = 0
         for headers, payload in records:
             raw = _io.BytesIO()
             write_warc_records_to(raw, [(headers, payload)])
-            f.write(_gzip.compress(raw.getvalue(), mtime=0))
+            member = _gzip.compress(raw.getvalue(), mtime=0)
+            f.write(member)
+            extents.append((off, len(member)))
+            off += len(member)
+    return extents
 
 
 def write_warc_records_to(f, records) -> None:

@@ -1,0 +1,112 @@
+"""CDX(J) crawl-index source: line-range and gz-member scans, SURT
+expression, index-driven WARC fetch."""
+
+import os
+
+import pytest
+
+from h2h_spark.sources.cdx import (
+    _parse_cdxj_line,
+    fetch_warc_by_location,
+    read_cdx,
+    scan_cdxj_lines,
+    surt_key,
+    write_cdxj,
+)
+
+
+def _entries(n=60):
+    return [
+        (f"org,ex{i % 5})/p/{i}", f"2024010112{i % 60:02d}00",
+         {"url": f"https://ex{i % 5}.org/p/{i}", "filename": "a.warc.gz",
+          "offset": str(100 * i), "length": "95", "status": "200",
+          "mime": "text/html"})
+        for i in range(n)
+    ]
+
+
+def test_cdxj_plain_split_invariance(tmp_work):
+    p = f"{tmp_work}/x.cdxj"
+    write_cdxj(p, _entries())
+    size = os.path.getsize(p)
+    full = list(scan_cdxj_lines(p, 0, size))
+    assert len(full) == 60
+    for ncuts in (2, 7, 13, 29):
+        cuts = [0] + [size * i // ncuts for i in range(1, ncuts)] + [size]
+        got = []
+        for a, b in zip(cuts, cuts[1:]):
+            got += list(scan_cdxj_lines(p, a, b))
+        assert got == full, ncuts
+
+
+def test_cdxj_final_line_without_newline(tmp_work):
+    p = f"{tmp_work}/t.cdxj"
+    write_cdxj(p, _entries(3))
+    raw = open(p, "rb").read().rstrip(b"\n")
+    open(p, "wb").write(raw)
+    size = os.path.getsize(p)
+    lines = list(scan_cdxj_lines(p, 0, size))
+    assert len(lines) == 3
+    assert _parse_cdxj_line(lines[-1])[0] == "org,ex2)/p/2"
+
+
+def test_cdx_datasource_both_layouts(spark, tmp_work):
+    d = f"{tmp_work}/idx"
+    os.makedirs(d)
+    write_cdxj(f"{d}/a.cdxj", _entries(30))
+    write_cdxj(f"{d}/b.cdxj.gz", _entries(25), lines_per_member=4)
+    df = read_cdx(spark, d, max_partition_bytes=512)
+    assert df.count() == 55
+    assert df.rdd.getNumPartitions() > 2
+    row = df.filter("offset = 700").collect()
+    assert {r["length"] for r in row} == {95}
+
+
+def test_cdx_malformed_line_raises(spark, tmp_work):
+    d = f"{tmp_work}/bad"
+    os.makedirs(d)
+    open(f"{d}/x.cdxj", "wb").write(b"only-two fields\n")
+    with pytest.raises(Exception, match="malformed CDXJ"):
+        read_cdx(spark, d).count()
+
+
+def test_surt_key_expression(spark):
+    cases = [
+        ("https://www.Ex.org:443/a/b?q=1", "org,ex)/a/b?q=1"),
+        ("http://sub.host.NET/x", "net,host,sub)/x"),
+        ("https://plain.io", "io,plain)/"),
+        ("https://a.b.c.d.example.com/deep/path",
+         "com,example,d,c,b,a)/deep/path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
+    assert got == [s for _, s in cases]
+
+
+def test_fetch_warc_by_location_and_stale_index(spark, tmp_work):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.warc import write_warc_gz_records
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Record-ID": f"<urn:{i}>",
+          "WARC-Target-URI": f"https://ex.org/{i}"},
+         b"pay %d|" % i)
+        for i in range(12)
+    ]
+    wp = f"{tmp_work}/a.warc.gz"
+    ext = write_warc_gz_records(wp, recs)
+    rows = [(wp, off, ln, i) for i, (off, ln) in enumerate(ext)]
+    df = spark.createDataFrame(
+        rows, "warc_file string, offset long, length long, i long"
+    )
+    out = fetch_warc_by_location(df.filter(F.col("i") % 3 == 0))
+    got = {r["i"]: r["record_id"] for r in out.collect()}
+    assert got == {0: "<urn:0>", 3: "<urn:3>", 6: "<urn:6>", 9: "<urn:9>"}
+    # stale index: offset pointing mid-member must fail LOUDLY
+    stale = spark.createDataFrame(
+        [(wp, ext[1][0] + 3, ext[1][1], 1)],
+        "warc_file string, offset long, length long, i long",
+    )
+    with pytest.raises(Exception, match="stale index|do not parse|Bad"):
+        fetch_warc_by_location(stale).collect()
