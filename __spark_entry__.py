@@ -3667,6 +3667,171 @@ FROM t
 """
 
 
+def q_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIF metadata (`operators/multimodal.py:parse_avif` —
+    ISOBMFF item tree per ISO/IEC 23008-12 + the AOM AV1-AVIF binding:
+    meta(iinf/infe item types, iprp/ipco ispe dims, pixi bit depth),
+    reusing the MP4 box walker; no AV1 decode).  The modern crawl
+    image format next to WebP.  Oracle closed-form."""
+    from h2h_spark.operators.multimodal import avif_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import encode_avif_meta
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(encode_avif_meta(
+                    width=256 + (d % 31) * 8,
+                    height=144 + (d % 17) * 8,
+                    bit_depth=(8, 10, 12)[d % 3],
+                    has_exif=(d % 4 == 0),
+                    animated=(d % 5 == 0),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return avif_stats(binary, "doc_id")
+
+
+_SQL_AVIF_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'avis' ELSE 'avif' END AS brand,
+       CAST(256 + (doc_id % 31) * 8 AS BIGINT) AS width,
+       CAST(144 + (doc_id % 17) * 8 AS BIGINT) AS height,
+       CAST([8, 10, 12][CAST(doc_id % 3 + 1 AS INTEGER)] AS BIGINT)
+           AS bit_depth,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_items,
+       doc_id % 4 = 0 AS has_exif,
+       doc_id % 5 = 0 AS is_animated
+FROM documents
+"""
+
+
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame extraction (`operators/multimodal.py:
+    parse_id3_tags` — id3.org v2.3/v2.4: syncsafe vs plain frame
+    sizes, $00/$03 text encodings, padding stop), layered in front of
+    real MP3 frames so the tag walk must hand off cleanly where the
+    audio walk begins.  Oracle closed-form."""
+    from h2h_spark.operators.multimodal import id3_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.multimodal import (
+            encode_id3v2, encode_mp3_frames,
+        )
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tags = {
+                    "TIT2": f"track {d % 97}",
+                    "TPE1": f"artist {d % 13}",
+                    "TALB": f"album {d % 7}",
+                }
+                if d % 3 == 0:
+                    tags["TCON"] = f"genre {d % 5}"
+                out.append(
+                    encode_id3v2(tags, version=3 if d % 2 else 4)
+                    + encode_mp3_frames([(5, 1, 0)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return id3_stats(binary, "doc_id")
+
+
+_SQL_ID3_TAGS = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 4 END AS BIGINT)
+           AS id3_version,
+       'track ' || CAST(doc_id % 97 AS VARCHAR) AS title,
+       'artist ' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+       'album ' || CAST(doc_id % 7 AS VARCHAR) AS album,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT)
+           AS n_frames
+FROM documents
+"""
+
+
+def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style extracted-text archive scan — Common Crawl's derived
+    text corpus is WARC with ``conversion`` records (one per page, the
+    extracted plain text as payload) plus a leading ``warcinfo`` record
+    per shard.  The query reads the member-gz archive, DROPS the
+    warcinfo records, and accounts the text payloads — the first step
+    of every WET-based LLM corpus build.  Fixture payloads are the
+    actual documents.text bytes so the oracle hashes the same
+    content."""
+    from h2h_spark.sources.warc import read_warc_gz
+
+    w = _work("q_wet_extract", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")) \
+            .select("doc_id", "text")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.warc import write_warc_gz_records
+
+            pid = TaskContext.get().partitionId()
+            recs = [(
+                {"WARC-Type": "warcinfo",
+                 "WARC-Record-ID": f"<urn:warcinfo:{pid}>"},
+                b"software: h2h-spark-wet-fixture\r\n",
+            )]
+            for r in rows:
+                recs.append((
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:wet:{r.doc_id}>",
+                        "WARC-Target-URI": f"https://ex.org/{r.doc_id}",
+                    },
+                    r.text.encode("utf-8"),
+                ))
+            if len(recs) > 1:
+                write_warc_gz_records(
+                    os.path.join(src, f"part_{pid}.warc.gz"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    rec = read_warc_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    return rec.filter(F.col("warc_type") == "conversion").select(
+        F.regexp_extract("record_id", r"<urn:wet:(\d+)>", 1)
+        .cast("bigint").alias("doc_id"),
+        "target_uri",
+        F.col("content_length").alias("text_bytes"),
+        F.col("payload_md5").alias("text_md5"),
+    )
+
+
+_SQL_WET_EXTRACT = """
+SELECT doc_id,
+       'https://ex.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS text_bytes,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 def q_cdx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX(J) crawl-index scan (`sources/cdx.py` — the Common Crawl /
     pywb capture-index format: `SURT ts14 {json}` lines in member-gzip
@@ -11732,7 +11897,11 @@ def _init_queries() -> None:
         "q_webm_meta": q_webm_meta,
         "q_cdx_scan": q_cdx_scan,
         "q_cdx_locate": q_cdx_locate,
-        # ---- end of the 50-entry graded window ----
+        # ---- end of the 50-entry graded window (round-10 additions
+        # past this point queue for the NEXT rotation) ----
+        "q_avif_meta": q_avif_meta,
+        "q_id3_tags": q_id3_tags,
+        "q_wet_extract": q_wet_extract,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12065,6 +12234,9 @@ def oracle_sql() -> dict[str, str]:
         "q_webm_meta": _SQL_WEBM_META,
         "q_cdx_scan": _SQL_CDX_SCAN,
         "q_cdx_locate": _SQL_CDX_LOCATE,
+        "q_avif_meta": _SQL_AVIF_META,
+        "q_id3_tags": _SQL_ID3_TAGS,
+        "q_wet_extract": _SQL_WET_EXTRACT,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -4244,3 +4244,249 @@ def webm_stats(
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# AVIF/HEIF metadata — ISOBMFF item-based images (HEIF per ISO/IEC
+# 23008-12; AVIF brand/av01 bindings per the public AOM "AV1 Image File
+# Format" spec, aomediacodec.github.io/av1-avif).  Reuses the MP4 box
+# walker; reads the meta-box item tree (iinf/infe item types, iprp/ipco
+# ispe dimensions + pixi bit depth) — no AV1 decode.
+# ---------------------------------------------------------------------------
+
+
+def _full_payload(data: bytes, ps: int) -> tuple[int, int]:
+    """Split a FullBox payload: returns (version, first content byte)."""
+    return data[ps], ps + 4
+
+
+def encode_avif_meta(
+    *,
+    width: int,
+    height: int,
+    bit_depth: int = 8,
+    has_exif: bool = False,
+    animated: bool = False,
+) -> bytes:
+    """Fixture writer: a structurally valid AVIF meta tree (ftyp +
+    meta(hdlr, pitm, iinf/infe, iprp/ipco(ispe, pixi)) + filler mdat).
+    Headers are real; the AV1 payload is filler (the module's fixture
+    contract)."""
+    def box(kind: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + kind + payload
+
+    def full(kind: bytes, payload: bytes, version: int = 0) -> bytes:
+        return box(kind, bytes([version, 0, 0, 0]) + payload)
+
+    brand = b"avis" if animated else b"avif"
+    ftyp = box(b"ftyp", brand + bytes(4) + brand + b"mif1")
+    hdlr = full(b"hdlr", bytes(4) + b"pict" + bytes(12) + b"\x00")
+    pitm = full(b"pitm", (1).to_bytes(2, "big"))
+    infes = [full(
+        b"infe", (1).to_bytes(2, "big") + bytes(2) + b"av01" + b"\x00",
+        version=2,
+    )]
+    if has_exif:
+        infes.append(full(
+            b"infe", (2).to_bytes(2, "big") + bytes(2) + b"Exif" + b"\x00",
+            version=2,
+        ))
+    iinf = full(b"iinf", len(infes).to_bytes(2, "big") + b"".join(infes))
+    ispe = full(b"ispe", struct.pack(">II", width, height))
+    pixi = full(b"pixi", bytes([3, bit_depth, bit_depth, bit_depth]))
+    iprp = box(b"iprp", box(b"ipco", ispe + pixi))
+    meta = full(b"meta", hdlr + pitm + iinf + iprp)
+    mdat = box(b"mdat", bytes(32))
+    return ftyp + meta + mdat
+
+
+def parse_avif(data: bytes) -> dict:
+    """Walk the AVIF/HEIF meta tree.  Returns ``{brand, width, height,
+    bit_depth, n_items, has_exif, is_animated}``; loud on a missing
+    ftyp/avif brand or malformed boxes."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISOBMFF file (ftyp missing)")
+    out = {
+        "brand": None, "width": None, "height": None, "bit_depth": None,
+        "n_items": 0, "has_exif": False, "is_animated": False,
+    }
+    for kind, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if kind == b"ftyp":
+            out["brand"] = data[ps:ps + 4].decode("ascii", "replace")
+            if out["brand"] not in ("avif", "avis", "mif1", "heic",
+                                    "heix"):
+                raise ValueError(
+                    f"not an AVIF/HEIF brand: {out['brand']!r}"
+                )
+            out["is_animated"] = out["brand"] == "avis"
+        elif kind == b"meta":
+            _, cs = _full_payload(data, ps)
+            for k2, qs, qe in _mp4_boxes(data, cs, pe):
+                if k2 == b"iinf":
+                    ver, es = _full_payload(data, qs)
+                    if ver == 0:
+                        n = struct.unpack_from(">H", data, es)[0]
+                        es += 2
+                    else:
+                        n = struct.unpack_from(">I", data, es)[0]
+                        es += 4
+                    out["n_items"] = n
+                    for k3, rs, _re in _mp4_boxes(data, es, qe):
+                        if k3 != b"infe":
+                            continue
+                        iver, ics = _full_payload(data, rs)
+                        if iver < 2:
+                            continue  # pre-HEIF infe carries no type
+                        itype = data[ics + 4:ics + 8]
+                        if itype == b"Exif":
+                            out["has_exif"] = True
+                elif k2 == b"iprp":
+                    for k3, rs, re_ in _mp4_boxes(data, qs, qe):
+                        if k3 != b"ipco":
+                            continue
+                        for k4, ss, se in _mp4_boxes(data, rs, re_):
+                            if k4 == b"ispe" and out["width"] is None:
+                                _, vs = _full_payload(data, ss)
+                                w, h = struct.unpack_from(">II", data, vs)
+                                out["width"], out["height"] = w, h
+                            elif (k4 == b"pixi"
+                                    and out["bit_depth"] is None):
+                                _, vs = _full_payload(data, ss)
+                                nch = data[vs]
+                                if nch:
+                                    out["bit_depth"] = data[vs + 1]
+    if out["brand"] is None:
+        raise ValueError("ftyp box missing")
+    return out
+
+
+def avif_stats(
+    df: DataFrame, id_col: str, data_col: str = "data"
+) -> DataFrame:
+    """AVIF/HEIF metadata columns for a binary column — Arrow-batched
+    box walk, no AV1 decode, blobs never shuffle."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, brand string, width bigint, height bigint, "
+        "bit_depth bigint, n_items bigint, has_exif boolean, "
+        "is_animated boolean"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_avif(bytes(raw))
+                rows.append((rid, m["brand"], m["width"], m["height"],
+                             m["bit_depth"], m["n_items"], m["has_exif"],
+                             m["is_animated"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "brand", "width", "height", "bit_depth",
+                         "n_items", "has_exif", "is_animated"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames — the tag block the MP3 walker skips (id3.org
+# ID3v2.3/2.4 informal standards): frame walk over TIT2/TPE1/TALB/...
+# text frames with the $00 Latin-1 and $03 UTF-8 encodings.
+# ---------------------------------------------------------------------------
+
+
+def encode_id3v2(tags: dict, version: int = 4) -> bytes:
+    """Fixture writer: an ID3v2.3/2.4 tag block holding text frames.
+    ``tags`` maps 4-char frame ids (``TIT2``...) to strings (UTF-8,
+    encoding byte $03)."""
+    if version not in (3, 4):
+        raise ValueError("id3 version must be 3 or 4")
+    frames = b""
+    for fid, text in tags.items():
+        if len(fid) != 4:
+            raise ValueError(f"bad ID3 frame id {fid!r}")
+        body = b"\x03" + text.encode("utf-8")
+        if version == 4:  # syncsafe frame size
+            sz = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            sz = len(body).to_bytes(4, "big")
+        frames += fid.encode("ascii") + sz + b"\x00\x00" + body
+    ss = bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, 0]) + ss + frames
+
+
+def parse_id3_tags(payload: bytes) -> dict:
+    """Parse the leading ID3v2 tag block (if any): returns ``{version,
+    title, artist, album, n_frames}`` — text frames only, $00 Latin-1
+    and $03 UTF-8 encodings, v2.4 syncsafe / v2.3 plain frame sizes.
+    Files without a tag return zeros/Nones (not an error: bare MP3 is
+    legal)."""
+    out = {"version": None, "title": None, "artist": None,
+           "album": None, "n_frames": 0}
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return out
+    version = payload[3]
+    out["version"] = version
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    end = min(10 + size, len(payload))
+    i = 10
+    want = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    while i + 10 <= end:
+        fid = payload[i:i + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if version == 4:
+            fsz = 0
+            for b in payload[i + 4:i + 8]:
+                fsz = (fsz << 7) | (b & 0x7F)
+        else:
+            fsz = int.from_bytes(payload[i + 4:i + 8], "big")
+        if i + 10 + fsz > end:
+            raise ValueError(
+                f"ID3 frame {fid!r} extends past the tag block"
+            )
+        body = payload[i + 10:i + 10 + fsz]
+        out["n_frames"] += 1
+        if fid in want and fsz >= 1:
+            enc = body[0]
+            text = body[1:]
+            if enc == 0x00:
+                val = text.decode("latin-1")
+            elif enc == 0x03:
+                val = text.decode("utf-8", "replace")
+            else:  # UTF-16 variants: decode best-effort
+                val = text.decode("utf-16", "replace")
+            out[want[fid]] = val.rstrip("\x00")
+        i += 10 + fsz
+    return out
+
+
+def id3_stats(
+    df: DataFrame, id_col: str, data_col: str = "data"
+) -> DataFrame:
+    """ID3v2 text-frame columns for a binary column — Arrow-batched."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, id3_version bigint, title string, "
+        "artist string, album string, n_frames bigint"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_id3_tags(bytes(raw))
+                rows.append((rid, m["version"], m["title"], m["artist"],
+                             m["album"], m["n_frames"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "id3_version", "title", "artist",
+                         "album", "n_frames"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

@@ -123,3 +123,62 @@ def test_ebml_vint_unknown_size():
     assert _ebml_vint(b"\xae", 0, keep_marker=True)[0] == 0xAE
     with pytest.raises(ValueError, match="lead byte"):
         _ebml_vint(b"\x00", 0, keep_marker=False)
+
+
+def test_avif_meta_roundtrip_and_guards():
+    from h2h_spark.operators.multimodal import encode_avif_meta, parse_avif
+
+    m = parse_avif(encode_avif_meta(width=1024, height=768, bit_depth=10,
+                                    has_exif=True))
+    assert (m["brand"], m["width"], m["height"], m["bit_depth"]) == (
+        "avif", 1024, 768, 10,
+    )
+    assert m["has_exif"] and m["n_items"] == 2 and not m["is_animated"]
+    m = parse_avif(encode_avif_meta(width=8, height=8, animated=True))
+    assert m["brand"] == "avis" and m["is_animated"]
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_avif(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="brand"):
+        # a plain MP4 ftyp is NOT an AVIF/HEIF image
+        parse_avif(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+
+
+def test_id3_tags_versions_and_encodings():
+    from h2h_spark.operators.multimodal import (
+        encode_id3v2,
+        encode_mp3_frames,
+        parse_id3_tags,
+        parse_mp3,
+    )
+
+    for v in (3, 4):
+        blob = encode_id3v2(
+            {"TIT2": "Ein Lied über Käse", "TPE1": "Bänd"}, version=v
+        ) + encode_mp3_frames([(5, 1, 0)] * 2)
+        m = parse_id3_tags(blob)
+        assert m["version"] == v and m["title"] == "Ein Lied über Käse"
+        assert m["artist"] == "Bänd" and m["n_frames"] == 2
+        # the audio walk still finds its frames after the tag block
+        assert parse_mp3(blob)["n_frames"] == 2
+    # no tag block is legal, not an error
+    m = parse_id3_tags(encode_mp3_frames([(5, 1, 0)]))
+    assert m["version"] is None and m["n_frames"] == 0
+    # latin-1 encoding byte
+    frame = b"\x00caf\xe9"
+    sz = bytes((len(frame) >> s) & 0x7F for s in (21, 14, 7, 0))
+    raw = b"TIT2" + sz + b"\x00\x00" + frame
+    ss = bytes((len(raw) >> s) & 0x7F for s in (21, 14, 7, 0))
+    m = parse_id3_tags(b"ID3\x04\x00\x00" + ss + raw)
+    assert m["title"] == "café"
+
+
+def test_id3_truncated_frame_is_loud():
+    from h2h_spark.operators.multimodal import encode_id3v2, parse_id3_tags
+
+    blob = bytearray(encode_id3v2({"TIT2": "x" * 50}))
+    # shrink the TAG size so the frame HEADER fits the declared area
+    # but the frame body crosses it
+    blob[8] = 0x00
+    blob[9] = 0x0F
+    with pytest.raises(ValueError, match="extends past"):
+        parse_id3_tags(bytes(blob))
