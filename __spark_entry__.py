@@ -156,6 +156,15 @@ LINEITEM_CSV_LAYOUT = Layout(
     ]
 )
 
+SITEMAP_LAYOUT = Layout(
+    [
+        ("loc", String(64)),
+        ("lastmod", String(10)),
+        ("changefreq", String(8)),
+        ("priority", Real(8)),
+    ]
+)
+
 
 # --------------------------------------------------------------------------
 # flagship
@@ -3664,6 +3673,55 @@ SELECT doc_id,
        CAST(2 AS BIGINT) AS channels,
        doc_id % 2 = 1 AS has_crc
 FROM t
+"""
+
+
+def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol) — the crawl frontier's
+    seed format — expressed as pure COMPOSITION of existing engine
+    pieces: the row-tag XML writer emits `urlset/url` documents, the
+    splittable XML scan reads them back with 8 KiB splits (url entries
+    straddle every cut), and the frontier step filters by changefreq
+    and extracts ids.  Exercises O4/O9 on a second real-world schema.
+    Oracle closed-form."""
+    w = _work("q_sitemap", sf_dir)
+    src = f"{w}/sitemap.xml"
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    urls = docs.select(
+        F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.element_at(
+            F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("changefreq"),
+        ((F.col("doc_id") % 8) * 0.125).alias("priority"),
+    )
+    write_single_file(
+        urls, src, lambda d, p: write_xml(d, p, row_path="urlset/url")
+    )
+    sm = read_xml(
+        spark, src, SITEMAP_LAYOUT, row_tag="url",
+        max_partition_bytes=8192,
+    )
+    return sm.filter(F.col("changefreq") != "monthly").select(
+        F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "loc", "lastmod", "changefreq", "priority",
+    )
+
+
+_SQL_SITEMAP = """
+SELECT doc_id,
+       'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2024-01-' || printf('%02d', doc_id % 28 + 1) AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST((doc_id % 8) * 0.125 AS DOUBLE) AS priority
+FROM documents
+WHERE doc_id % 3 <> 2
 """
 
 
@@ -11902,6 +11960,7 @@ def _init_queries() -> None:
         "q_avif_meta": q_avif_meta,
         "q_id3_tags": q_id3_tags,
         "q_wet_extract": q_wet_extract,
+        "q_sitemap": q_sitemap,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12237,6 +12296,7 @@ def oracle_sql() -> dict[str, str]:
         "q_avif_meta": _SQL_AVIF_META,
         "q_id3_tags": _SQL_ID3_TAGS,
         "q_wet_extract": _SQL_WET_EXTRACT,
+        "q_sitemap": _SQL_SITEMAP,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
