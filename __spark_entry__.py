@@ -3725,6 +3725,71 @@ WHERE doc_id % 3 <> 2
 """
 
 
+def q_cdx_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index PRODUCTION (`sources/cdx.py:write_cdx_sharded`) — the
+    cc-index build shape: captures → SURT keys (engine expression) →
+    `repartitionByRange` on the key (Spark samples boundaries) → sorted
+    member-gz shards, then a distributed audit (`verify_cdx_shards`,
+    one task per shard) proves every shard is internally sorted and
+    shard boundaries are monotonic in shard order — the publish gate a
+    100 TB index build runs.  Oracle grades the invariants (total rows
+    conserved, all shards sorted, boundaries ordered); shard SIZES are
+    sampler-dependent by design and not graded."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.sources.cdx import (
+        surt_key, verify_cdx_shards, write_cdx_sharded,
+    )
+
+    w = _work("q_cdx_build", sf_dir)
+    src = os.path.join(w, "idx")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://www.ex"), (d % 20).cast("string"),
+            F.lit(".org/p/"), d.cast("string"),
+        )
+        captures = docs.select(
+            surt_key(url).alias("surt"),
+            F.concat(
+                F.lit("2024010112"),
+                F.lpad((d % 60).cast("string"), 2, "0"), F.lit("00"),
+            ).alias("ts"),
+            url.alias("url"),
+            F.concat(F.lit("crawl-"), (d % 4).cast("string"),
+                     F.lit(".warc.gz")).alias("warc_file"),
+            (d * 997 % 100000).alias("offset"),
+            (500 + d % 100).alias("length"),
+            F.lit(200).alias("status"),
+            F.lit("text/html").alias("mime"),
+        )
+        write_cdx_sharded(captures, src, n_shards=8, lines_per_member=64)
+        open(ready, "w").close()
+    shards = verify_cdx_shards(spark, src)
+    ordered = shards.withColumn(
+        "prev_max", F.lag("max_surt").over(Window.orderBy("shard"))
+    )
+    return ordered.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.min(F.col("is_sorted").cast("int")).cast("boolean")
+        .alias("all_sorted"),
+        F.min(
+            (F.col("prev_max").isNull()
+             | (F.col("prev_max") <= F.col("min_surt"))).cast("int")
+        ).cast("boolean").alias("boundaries_ok"),
+    )
+
+
+_SQL_CDX_BUILD = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       TRUE AS all_sorted,
+       TRUE AS boundaries_ok
+FROM documents
+"""
+
+
 def q_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIF metadata (`operators/multimodal.py:parse_avif` —
     ISOBMFF item tree per ISO/IEC 23008-12 + the AOM AV1-AVIF binding:
@@ -11961,6 +12026,7 @@ def _init_queries() -> None:
         "q_id3_tags": q_id3_tags,
         "q_wet_extract": q_wet_extract,
         "q_sitemap": q_sitemap,
+        "q_cdx_build": q_cdx_build,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12297,6 +12363,7 @@ def oracle_sql() -> dict[str, str]:
         "q_id3_tags": _SQL_ID3_TAGS,
         "q_wet_extract": _SQL_WET_EXTRACT,
         "q_sitemap": _SQL_SITEMAP,
+        "q_cdx_build": _SQL_CDX_BUILD,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -21,9 +21,22 @@ import __spark_entry__ as entrymod
 from h2h_spark import get_spark
 
 
+def _cpu_probe() -> float:
+    """A fixed single-core Python loop, timed — a load/thermal
+    calibration constant recorded next to the timings so a loaded-box
+    bench can be recognized as such (this box's quiet figure is
+    ~1.9-2.0 s; BASELINE.md documents 1.3-1.5x load bands)."""
+    t0 = time.time()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    probe_before = _cpu_probe()
     spark = get_spark("h2h_spark_bench")
 
     # Warm the JVM + Python worker pool so q1 doesn't pay startup; the
@@ -75,6 +88,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf_val,
+        "cpu_probe_sec": [probe_before, _cpu_probe()],
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"

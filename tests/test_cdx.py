@@ -110,3 +110,37 @@ def test_fetch_warc_by_location_and_stale_index(spark, tmp_work):
     )
     with pytest.raises(Exception, match="stale index|do not parse|Bad"):
         fetch_warc_by_location(stale).collect()
+
+
+def test_write_cdx_sharded_sorted_and_verified(spark, tmp_work):
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.cdx import (
+        surt_key,
+        verify_cdx_shards,
+        write_cdx_sharded,
+    )
+
+    d = f"{tmp_work}/built"
+    df = spark.range(400).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 37).cast("string"),
+                 F.lit(".org/p/"), F.col("id").cast("string")).alias("url"),
+        F.lit("20240101120000").alias("ts"),
+        F.lit("a.warc.gz").alias("warc_file"),
+        (F.col("id") * 13).alias("offset"),
+        F.lit(100).alias("length"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("mime"),
+    ).withColumn("surt", surt_key(F.col("url")))
+    write_cdx_sharded(df, d, n_shards=4, lines_per_member=16)
+    audit = verify_cdx_shards(spark, d).collect()
+    assert sum(r["n_rows"] for r in audit) == 400
+    assert all(r["is_sorted"] for r in audit)
+    rows = sorted(audit, key=lambda r: r["shard"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_surt"] <= b["min_surt"]
+    # missing column is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        write_cdx_sharded(df.drop("mime"), f"{tmp_work}/x", n_shards=2)
