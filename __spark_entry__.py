@@ -3725,6 +3725,126 @@ WHERE doc_id % 3 <> 2
 """
 
 
+def q_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOXML text extraction (`operators/office.py` — ECMA-376: .docx
+    is a ZIP container, text lives in w:t runs inside w:p paragraphs
+    of word/document.xml).  Composes the engine's ZIP machinery with a
+    namespace-aware XML walk, one task per file batch; the corpus-
+    ingest step for office-document datasets.  Oracle closed-form incl.
+    the newline-joined text md5."""
+    from h2h_spark.operators.office import docx_stats
+
+    w = _work("q_docx_text", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from h2h_spark.operators.office import write_docx
+
+            for r in rows:
+                d = r.doc_id
+                write_docx(
+                    os.path.join(src, f"doc_{d}.docx"),
+                    [f"para {i} of doc {d}" for i in range(d % 6 + 1)],
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    stats = docx_stats(spark, src)
+    return stats.select(
+        F.regexp_extract("file", r"doc_(\d+)\.docx$", 1).cast("bigint")
+        .alias("doc_id"),
+        "n_paragraphs", "n_words", "text_bytes", "text_md5",
+    )
+
+
+_SQL_DOCX_TEXT = """
+WITH t AS (
+  SELECT doc_id, doc_id % 6 + 1 AS k,
+         array_to_string(
+           list_transform(range(doc_id % 6 + 1),
+                          i -> 'para ' || i || ' of doc ' || doc_id),
+           chr(10)) AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS n_paragraphs,
+       CAST(5 * k AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS text_bytes,
+       md5(text) AS text_md5
+FROM t
+"""
+
+
+def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-agnostic content dedup over the capture index — the classic
+    web-archive dedup: captures sharing a payload DIGEST collapse to
+    their earliest capture (min ts; `F.min_by` / DuckDB `arg_min`),
+    BEFORE any WARC byte is fetched.  Index-side dedup is the 100 TB
+    win: the duplicate records are never read.  Oracle closed-form."""
+    from h2h_spark.sources.cdx import read_cdx
+
+    w = _work("q_cdx_dedup", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.cdx import write_cdxj
+
+            pid = TaskContext.get().partitionId()
+            entries = []
+            for r in rows:
+                d = r.doc_id
+                entries.append((
+                    f"org,ex)/{d}",
+                    f"20240101{d % 1000000:06d}",
+                    {
+                        "url": f"https://ex.org/{d}",
+                        "filename": f"crawl-{d % 4}.warc.gz",
+                        "offset": str(d * 997 % 100000),
+                        "length": str(500 + d % 100),
+                        "status": "200",
+                        "mime": "text/html",
+                        "digest": f"sha1:{d % 37:05d}",
+                    },
+                ))
+            if entries:
+                write_cdxj(
+                    os.path.join(src, f"part_{pid}.cdxj.gz"),
+                    entries, lines_per_member=16,
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    idx = read_cdx(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    return idx.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_captures"),
+        F.min("ts").alias("first_ts"),
+        F.min_by("url", "ts").alias("chosen_url"),
+        F.sum("length").cast("bigint").alias("bytes_saved_if_deduped"),
+    )
+
+
+_SQL_CDX_DEDUP = """
+SELECT 'sha1:' || printf('%05d', doc_id % 37) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       '20240101' || printf('%06d', MIN(doc_id)) AS first_ts,
+       'https://ex.org/' || CAST(MIN(doc_id) AS VARCHAR) AS chosen_url,
+       CAST(SUM(500 + doc_id % 100) AS BIGINT) AS bytes_saved_if_deduped
+FROM documents
+GROUP BY doc_id % 37
+"""
+
+
 def q_cdx_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX index PRODUCTION (`sources/cdx.py:write_cdx_sharded`) — the
     cc-index build shape: captures → SURT keys (engine expression) →
@@ -12027,6 +12147,8 @@ def _init_queries() -> None:
         "q_wet_extract": q_wet_extract,
         "q_sitemap": q_sitemap,
         "q_cdx_build": q_cdx_build,
+        "q_docx_text": q_docx_text,
+        "q_cdx_dedup": q_cdx_dedup,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12364,6 +12486,8 @@ def oracle_sql() -> dict[str, str]:
         "q_wet_extract": _SQL_WET_EXTRACT,
         "q_sitemap": _SQL_SITEMAP,
         "q_cdx_build": _SQL_CDX_BUILD,
+        "q_docx_text": _SQL_DOCX_TEXT,
+        "q_cdx_dedup": _SQL_CDX_DEDUP,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
