@@ -3778,6 +3778,50 @@ FROM t
 """
 
 
+def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF triage metadata (`operators/office.py:parse_pdf_meta` — ISO
+    32000-1 classic xref walk: header version, %%EOF, xref table,
+    trailer /Size + /Encrypt, page count RESOLVED through /Root →
+    /Pages → /Count; compressed-xref PDFs rejected loudly).  The
+    pre-OCR gate of a document-ingest pipeline: drop encrypted /
+    malformed files before spending decode compute.  Oracle
+    closed-form."""
+    from h2h_spark.operators.office import pdf_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.office import build_pdf
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(build_pdf(
+                    d % 9 + 1,
+                    version="1.7" if d % 2 else "1.4",
+                    encrypted=(d % 11 == 0),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return pdf_stats(binary, "doc_id")
+
+
+_SQL_PDF_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN '1.7' ELSE '1.4' END AS version,
+       CAST(2 + (doc_id % 9 + 1)
+            + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_objects,
+       CAST(doc_id % 9 + 1 AS BIGINT) AS n_pages,
+       doc_id % 11 = 0 AS encrypted
+FROM documents
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-agnostic content dedup over the capture index — the classic
     web-archive dedup: captures sharing a payload DIGEST collapse to
@@ -12149,6 +12193,7 @@ def _init_queries() -> None:
         "q_cdx_build": q_cdx_build,
         "q_docx_text": q_docx_text,
         "q_cdx_dedup": q_cdx_dedup,
+        "q_pdf_meta": q_pdf_meta,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12488,6 +12533,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_build": _SQL_CDX_BUILD,
         "q_docx_text": _SQL_DOCX_TEXT,
         "q_cdx_dedup": _SQL_CDX_DEDUP,
+        "q_pdf_meta": _SQL_PDF_META,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

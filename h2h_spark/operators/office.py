@@ -135,3 +135,160 @@ def docx_stats(spark: SparkSession, path: str) -> DataFrame:
         "file string, n_paragraphs bigint, n_words bigint, "
         "text_bytes bigint, text_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF metadata — the classic cross-reference walk (ISO 32000-1 §7.5:
+# header, xref table, trailer dictionary; page tree via /Root → /Pages
+# → /Count).  The pre-OCR triage step of a document-ingest pipeline:
+# version / page count / encryption flag WITHOUT parsing content
+# streams.  PDF 1.5+ cross-reference STREAMS are rejected loudly (a
+# compressed-xref walk needs object-stream inflation — documented
+# cliff), never silently guessed.
+# ---------------------------------------------------------------------------
+
+
+def build_pdf(
+    n_pages: int,
+    version: str = "1.4",
+    encrypted: bool = False,
+) -> bytes:
+    """Fixture/test builder: a structurally valid classic-xref PDF with
+    a real page tree, as bytes.  Content streams are empty (metadata
+    fixture)."""
+    import io
+
+    buf = io.BytesIO()
+    offsets: list[int] = []
+
+    def obj(body: str) -> None:
+        offsets.append(buf.tell())
+        num = len(offsets)
+        buf.write(f"{num} 0 obj\n{body}\nendobj\n".encode())
+
+    buf.write(f"%PDF-{version}\n".encode())
+    obj("<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    obj(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>")
+    for _ in range(n_pages):
+        obj("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+    if encrypted:
+        obj("<< /Filter /Standard /V 1 /R 2 /P -44 >>")
+    xref_off = buf.tell()
+    n = len(offsets) + 1
+    buf.write(f"xref\n0 {n}\n".encode())
+    buf.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        buf.write(f"{off:010d} 00000 n \n".encode())
+    trailer = f"<< /Size {n} /Root 1 0 R"
+    if encrypted:
+        trailer += f" /Encrypt {len(offsets)} 0 R"
+    trailer += " >>"
+    buf.write(
+        f"trailer\n{trailer}\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return buf.getvalue()
+
+
+def write_pdf(
+    path: str,
+    n_pages: int,
+    version: str = "1.4",
+    encrypted: bool = False,
+) -> None:
+    with open(path, "wb") as f:
+        f.write(build_pdf(n_pages, version, encrypted))
+
+
+def parse_pdf_meta(data: bytes) -> dict:
+    """Classic-xref metadata walk: header version, %%EOF check,
+    startxref → xref table → trailer (/Size, /Encrypt), page count by
+    RESOLVING /Root → /Pages → /Count through the table (no content
+    parse).  Returns ``{version, n_objects, n_pages, encrypted}``."""
+    import re as _re
+
+    m = _re.match(rb"%PDF-(\d+\.\d+)", data)
+    if not m:
+        raise ValueError("not a PDF (header missing)")
+    version = m.group(1).decode("ascii")
+    if b"%%EOF" not in data[-1024:]:
+        raise ValueError("missing %%EOF marker in the last 1024 bytes")
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("missing startxref")
+    xref_off = int(data[sx + 9:sx + 40].split()[0])
+    if data[xref_off:xref_off + 4] != b"xref":
+        raise ValueError(
+            "cross-reference stream (PDF 1.5+ compressed xref) — the "
+            "classic-xref walk does not decode object streams"
+        )
+    # parse the table: sections of "start count" then 20-byte entries
+    pos = data.index(b"\n", xref_off) + 1
+    offsets: dict[int, int] = {}
+    while not data[pos:pos + 7].startswith(b"trailer"):
+        line_end = data.index(b"\n", pos)
+        head = data[pos:line_end].split()
+        if len(head) != 2:
+            raise ValueError(f"malformed xref section header at {pos}")
+        start, count = int(head[0]), int(head[1])
+        pos = line_end + 1
+        for i in range(count):
+            entry = data[pos:pos + 20]
+            if len(entry) < 18:
+                raise ValueError("truncated xref entry")
+            if entry[17:18] == b"n":
+                offsets[start + i] = int(entry[:10])
+            pos += 20
+    tre = data.index(b">>", pos)
+    trailer = data[pos:tre + 2]
+    sz = _re.search(rb"/Size\s+(\d+)", trailer)
+    root = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", trailer)
+    if not sz or not root:
+        raise ValueError("trailer missing /Size or /Root")
+    encrypted = b"/Encrypt" in trailer
+
+    def load(num: int) -> bytes:
+        if num not in offsets:
+            raise ValueError(f"object {num} not in the xref table")
+        off = offsets[num]
+        end = data.index(b"endobj", off)
+        return data[off:end]
+
+    catalog = load(int(root.group(1)))
+    pm = _re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", catalog)
+    if not pm:
+        raise ValueError("catalog has no /Pages")
+    pages = load(int(pm.group(1)))
+    cm = _re.search(rb"/Count\s+(\d+)", pages)
+    if not cm:
+        raise ValueError("page tree has no /Count")
+    return {
+        "version": version,
+        "n_objects": int(sz.group(1)) - 1,
+        "n_pages": int(cm.group(1)),
+        "encrypted": encrypted,
+    }
+
+
+def pdf_stats(df: "DataFrame", id_col: str, data_col: str = "data"):
+    """PDF metadata columns for a binary column — Arrow-batched."""
+    import pandas as pd
+
+    schema = (
+        f"`{id_col}` bigint, version string, n_objects bigint, "
+        "n_pages bigint, encrypted boolean"
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, raw in zip(pdf[id_col], pdf[data_col]):
+                m = parse_pdf_meta(bytes(raw))
+                rows.append((rid, m["version"], m["n_objects"],
+                             m["n_pages"], m["encrypted"]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "version", "n_objects", "n_pages",
+                               "encrypted"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(_run, schema)

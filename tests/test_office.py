@@ -50,3 +50,25 @@ def test_docx_stats_distributed(spark, tmp_work):
     assert rows["doc_7.docx"]["n_words"] == 4
     with pytest.raises(ValueError, match="no .docx"):
         docx_stats(spark, f"{tmp_work}/empty_nope")
+
+
+def test_pdf_meta_roundtrip_and_guards():
+    from h2h_spark.operators.office import build_pdf, parse_pdf_meta
+
+    m = parse_pdf_meta(build_pdf(5, version="1.7", encrypted=True))
+    assert m == {"version": "1.7", "n_objects": 8, "n_pages": 5,
+                 "encrypted": True}
+    m = parse_pdf_meta(build_pdf(1))
+    assert m["n_pages"] == 1 and not m["encrypted"]
+    with pytest.raises(ValueError, match="header"):
+        parse_pdf_meta(b"%PNG nope")
+    good = build_pdf(2)
+    with pytest.raises(ValueError, match="%%EOF"):
+        parse_pdf_meta(good[:-8])
+    # a startxref pointing at an object (the xref-stream shape) is loud
+    bad = bytearray(good)
+    idx = bad.rindex(b"startxref")
+    nl = bad.index(b"\n", idx) + 1
+    bad[nl:nl + 1] = b"9"  # corrupt the offset
+    with pytest.raises(ValueError, match="xref"):
+        parse_pdf_meta(bytes(bad))
