@@ -52,16 +52,23 @@ _CHUNK = 1 << 20
 def surt_key(url: Column | str) -> Column:
     """SURT key for a URL column, pure built-ins (stays in whole-stage
     codegen): ``https://www.Ex.org:443/a/b?q=1`` →
-    ``org,ex)/a/b?q=1``.  Scheme and a leading ``www.`` are dropped,
-    the host is lowercased and its labels reversed with commas, the
-    port is stripped, path/query keep their case (standard SURT)."""
+    ``org,ex)/a/b?q=1``.  Scheme and a leading ``www`` label (with an
+    optional digit suffix, e.g. ``www2.``) are dropped, the host is
+    lowercased and its labels reversed with commas, the port is
+    stripped, path/query keep their case.  Canonical-SURT nuances
+    (matching the pywb ``surt`` library): IPv4 literal hosts are kept
+    UNREVERSED (``http://192.168.0.1/x`` → ``192.168.0.1)/x``), and the
+    ``www`` strip applies to ``www``/``www1``/``www2``/... labels."""
     u = F.col(url) if isinstance(url, str) else url
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     hostport = F.regexp_extract(rest, r"^([^/]*)", 1)
     path = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
-    host = F.regexp_replace(host, r"^www\.", "")
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    host_no_www = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.when(is_ipv4, host).otherwise(
+        F.array_join(F.reverse(F.split(host_no_www, r"\.")), ",")
+    )
     return F.concat(
         rev, F.lit(")"),
         F.when(path == "", F.lit("/")).otherwise(path),

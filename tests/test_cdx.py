@@ -77,6 +77,13 @@ def test_surt_key_expression(spark):
         ("https://plain.io", "io,plain)/"),
         ("https://a.b.c.d.example.com/deep/path",
          "com,example,d,c,b,a)/deep/path"),
+        # canonical-SURT nuances (pywb surt): IPv4 hosts stay
+        # unreversed; www strip covers www\d* labels; a non-IP host
+        # whose first label merely starts with digits still reverses.
+        ("http://192.168.0.1:8080/x?y=1", "192.168.0.1)/x?y=1"),
+        ("https://WWW2.Example.COM/", "com,example)/"),
+        ("http://www.example.com", "com,example)/"),
+        ("http://123.example.com/a", "com,example,123)/a"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["s"] for r in df.select(surt_key("url").alias("s")).collect()]
