@@ -3817,7 +3817,55 @@ SELECT doc_id,
             + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS n_objects,
        CAST(doc_id % 9 + 1 AS BIGINT) AS n_pages,
-       doc_id % 11 = 0 AS encrypted
+       doc_id % 11 = 0 AS encrypted,
+       'table' AS xref_type
+FROM documents
+"""
+
+
+def q_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5+ COMPRESSED cross-reference walk
+    (`operators/office.py:parse_pdf_meta` — /Type /XRef stream with
+    W-field rows, FlateDecode + PNG Up predictor decode per ISO
+    32000-1 §7.4.4.4, type-2 entries resolved through /Type /ObjStm
+    object streams §7.5.7).  This is the layout every modern PDF
+    writer emits; the fixtures pack catalog/pages/page objects into an
+    object stream and alternate predictor-wrapped vs raw xref rows.
+    Oracle closed-form on the same seed arithmetic."""
+    from h2h_spark.operators.office import pdf_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def _synth(batches):
+        import pandas as pd
+
+        from h2h_spark.operators.office import build_pdf_xrefstream
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.append(build_pdf_xrefstream(
+                    d % 7 + 1,
+                    version=("1.5", "1.6", "1.7")[d % 3],
+                    predictor=12 if d % 2 == 0 else 1,
+                    encrypted=(d % 13 == 0),
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": out})
+
+    binary = docs.mapInPandas(_synth, "doc_id bigint, data binary")
+    return pdf_stats(binary, "doc_id")
+
+
+_SQL_PDF_XREFSTREAM = """
+SELECT doc_id,
+       ['1.5', '1.6', '1.7'][CAST(doc_id % 3 + 1 AS INTEGER)] AS version,
+       CAST((doc_id % 7 + 1) + 4
+            + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_objects,
+       CAST(doc_id % 7 + 1 AS BIGINT) AS n_pages,
+       doc_id % 13 = 0 AS encrypted,
+       'stream' AS xref_type
 FROM documents
 """
 
@@ -12194,6 +12242,7 @@ def _init_queries() -> None:
         "q_docx_text": q_docx_text,
         "q_cdx_dedup": q_cdx_dedup,
         "q_pdf_meta": q_pdf_meta,
+        "q_pdf_xrefstream": q_pdf_xrefstream,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12534,6 +12583,7 @@ def oracle_sql() -> dict[str, str]:
         "q_docx_text": _SQL_DOCX_TEXT,
         "q_cdx_dedup": _SQL_CDX_DEDUP,
         "q_pdf_meta": _SQL_PDF_META,
+        "q_pdf_xrefstream": _SQL_PDF_XREFSTREAM,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

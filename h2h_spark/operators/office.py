@@ -138,13 +138,16 @@ def docx_stats(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PDF metadata — the classic cross-reference walk (ISO 32000-1 §7.5:
-# header, xref table, trailer dictionary; page tree via /Root → /Pages
-# → /Count).  The pre-OCR triage step of a document-ingest pipeline:
-# version / page count / encryption flag WITHOUT parsing content
-# streams.  PDF 1.5+ cross-reference STREAMS are rejected loudly (a
-# compressed-xref walk needs object-stream inflation — documented
-# cliff), never silently guessed.
+# PDF metadata — the cross-reference walk (ISO 32000-1 §7.5: header,
+# xref table or PDF 1.5+ cross-reference STREAM, trailer dictionary;
+# page tree via /Root → /Pages → /Count).  The pre-OCR triage step of a
+# document-ingest pipeline: version / page count / encryption flag
+# WITHOUT parsing content streams.  Both reference layouts are
+# supported: the classic ASCII table, and compressed xref streams
+# (/Type /XRef, /W field widths, optional PNG predictors per §7.4.4.4)
+# with type-2 entries resolved through object streams (/Type /ObjStm,
+# §7.5.7).  Unsupported filters / predictors / indirect /Length fail
+# loudly, never silently guessed.
 # ---------------------------------------------------------------------------
 
 
@@ -200,11 +203,320 @@ def write_pdf(
         f.write(build_pdf(n_pages, version, encrypted))
 
 
+def _pack_xref_row(t: int, f2: int, f3: int) -> bytes:
+    """One W=[1 4 2] cross-reference-stream row (§7.5.8.3)."""
+    import struct
+
+    return struct.pack(">BIH", t, f2, f3)
+
+
+def build_pdf_xrefstream(
+    n_pages: int,
+    version: str = "1.5",
+    predictor: int = 1,
+    encrypted: bool = False,
+) -> bytes:
+    """Fixture/test builder: a structurally valid PDF 1.5+ file whose
+    catalog / page-tree / page objects are packed into a FlateDecode
+    OBJECT STREAM (/Type /ObjStm, §7.5.7) and whose cross-reference is
+    a /Type /XRef STREAM with W [1 4 2] — type-2 entries for the
+    compressed objects, type-1 for the objstm / xref stream themselves
+    (and the /Encrypt dictionary, which §7.5.8.2 forbids inside an
+    objstm).  ``predictor=12`` applies the PNG Up predictor to the
+    xref rows (the layout real-world writers emit)."""
+    import io
+    import zlib
+
+    n_inline = 2 + n_pages
+    enc_num = n_inline + 1 if encrypted else None
+    objstm_num = n_inline + (2 if encrypted else 1)
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    inline = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"),
+    ] + [
+        (3 + i, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>")
+        for i in range(n_pages)
+    ]
+    header_pairs: list[str] = []
+    body = io.BytesIO()
+    for num, obj in inline:
+        header_pairs.append(f"{num} {body.tell()}")
+        body.write(obj.encode() + b" ")
+    head_s = (" ".join(header_pairs) + " ").encode()
+    stm_z = zlib.compress(head_s + body.getvalue())
+
+    buf = io.BytesIO()
+    buf.write(f"%PDF-{version}\n".encode())
+    enc_off = 0
+    if encrypted:
+        enc_off = buf.tell()
+        buf.write(
+            f"{enc_num} 0 obj\n<< /Filter /Standard /V 1 /R 2 /P -44 "
+            f">>\nendobj\n".encode()
+        )
+    objstm_off = buf.tell()
+    buf.write(
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {n_inline} "
+        f"/First {len(head_s)} /Filter /FlateDecode "
+        f"/Length {len(stm_z)} >>\nstream\n".encode()
+    )
+    buf.write(stm_z)
+    buf.write(b"\nendstream\nendobj\n")
+
+    xref_off = buf.tell()
+    rows = [_pack_xref_row(0, 0, 65535)]
+    for idx, (num, _) in enumerate(inline):
+        rows.append(_pack_xref_row(2, objstm_num, idx))
+    if encrypted:
+        rows.append(_pack_xref_row(1, enc_off, 0))
+    rows.append(_pack_xref_row(1, objstm_off, 0))
+    rows.append(_pack_xref_row(1, xref_off, 0))
+    payload = b"".join(rows)
+    parms = ""
+    if predictor >= 10:
+        # PNG Up (tag 2) per row, byte-wise minus the prior row.
+        row_len = 7
+        out = bytearray()
+        prev = bytes(row_len)
+        for i in range(0, len(payload), row_len):
+            row = payload[i:i + row_len]
+            out.append(2)
+            out += bytes((row[j] - prev[j]) & 0xFF for j in range(row_len))
+            prev = row
+        payload = bytes(out)
+        parms = f" /DecodeParms << /Predictor {predictor} /Columns 7 >>"
+    xz = zlib.compress(payload)
+    xdict = (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R"
+        + (f" /Encrypt {enc_num} 0 R" if encrypted else "")
+        + f" /Filter /FlateDecode{parms} /Length {len(xz)} >>"
+    )
+    buf.write(f"{xref_num} 0 obj\n{xdict}\nstream\n".encode())
+    buf.write(xz)
+    buf.write(b"\nendstream\nendobj\n")
+    buf.write(f"startxref\n{xref_off}\n%%EOF\n".encode())
+    return buf.getvalue()
+
+
+def _scan_pdf_dict(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Return the balanced ``<< ... >>`` dictionary starting at/after
+    ``pos`` (nested dictionaries handled) and the end offset."""
+    start = data.index(b"<<", pos)
+    depth = 0
+    i = start
+    n = len(data)
+    while i < n:
+        two = data[i:i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i], i
+        else:
+            i += 1
+    raise ValueError("unterminated PDF dictionary")
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (filters 0-4) for Colors=1 / 8-bit
+    rows of ``columns`` bytes — the §7.4.4.4 LZW/Flate predictor
+    wrapping used by cross-reference streams."""
+    stride = columns + 1
+    if len(data) % stride:
+        raise ValueError(
+            f"predicted stream length {len(data)} is not a multiple of "
+            f"Columns+1 ({stride})"
+        )
+    out = bytearray()
+    prev = bytes(columns)
+    for base in range(0, len(data), stride):
+        ft = data[base]
+        row = bytearray(data[base + 1:base + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG predictor filter tag {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _decode_pdf_stream(dct: bytes, raw: bytes) -> bytes:
+    """Decode one PDF stream body given its dictionary: FlateDecode (or
+    no filter) plus optional PNG predictors.  Anything else is a loud
+    error naming the unsupported feature."""
+    import re as _re
+    import zlib
+
+    fm = _re.search(rb"/Filter\s*/(\w+)", dct)
+    if fm and fm.group(1) != b"FlateDecode":
+        raise ValueError(
+            f"unsupported stream /Filter /{fm.group(1).decode()} — only "
+            "FlateDecode (and unfiltered) streams are decoded"
+        )
+    data = zlib.decompress(raw) if fm else raw
+    pm = _re.search(rb"/Predictor\s+(\d+)", dct)
+    if not pm:
+        return data
+    pred = int(pm.group(1))
+    if pred == 1:
+        return data
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unsupported /Predictor {pred} (TIFF/unknown)")
+    for key, default in ((rb"/Colors\s+(\d+)", 1),
+                         (rb"/BitsPerComponent\s+(\d+)", 8)):
+        km = _re.search(key, dct)
+        if km and int(km.group(1)) != default:
+            raise ValueError(
+                "only Colors=1 / BitsPerComponent=8 predictor streams "
+                "are supported for cross-reference data"
+            )
+    cm = _re.search(rb"/Columns\s+(\d+)", dct)
+    return _png_unpredict(data, int(cm.group(1)) if cm else 1)
+
+
+def _read_pdf_stream_obj(data: bytes, off: int) -> tuple[bytes, bytes]:
+    """Parse ``N G obj << dict >> stream ... endstream`` at ``off``;
+    returns ``(dict_bytes, raw_stream_bytes)``.  Indirect /Length is a
+    loud documented limit (resolving it needs the very table being
+    built)."""
+    import re as _re
+
+    if not _re.match(rb"\d+\s+\d+\s+obj", data[off:off + 40]):
+        raise ValueError(f"no indirect object at offset {off}")
+    dct, p = _scan_pdf_dict(data, off)
+    if _re.search(rb"/Length\s+\d+\s+\d+\s+R", dct):
+        raise ValueError("indirect /Length in a stream dictionary is "
+                         "not supported")
+    lm = _re.search(rb"/Length\s+(\d+)", dct)
+    if not lm:
+        raise ValueError("stream dictionary missing /Length")
+    sm = _re.compile(rb"stream(\r\n|\n|\r)").search(data, p)
+    if not sm or sm.start() > p + 32:
+        raise ValueError("no 'stream' keyword after dictionary")
+    s0 = sm.end()
+    raw = data[s0:s0 + int(lm.group(1))]
+    if len(raw) < int(lm.group(1)):
+        raise ValueError("truncated stream body")
+    return dct, raw
+
+
+def _parse_xref_stream_at(
+    data: bytes,
+    off: int,
+    offsets: dict[int, int],
+    compressed: dict[int, tuple[int, int]],
+) -> bytes:
+    """Parse one /Type /XRef stream: merge its entries into
+    ``offsets`` (type 1) / ``compressed`` (type 2), NEWEST-WINS (the
+    caller walks the /Prev chain newest → oldest).  Returns the stream
+    dictionary (the trailer of a 1.5+ file)."""
+    import re as _re
+
+    dct, raw = _read_pdf_stream_obj(data, off)
+    if b"/XRef" not in dct:
+        raise ValueError(
+            "startxref target is neither an ASCII 'xref' table nor a "
+            "/Type /XRef stream"
+        )
+    content = _decode_pdf_stream(dct, raw)
+    wm = _re.search(rb"/W\s*\[([^\]]*)\]", dct)
+    szm = _re.search(rb"/Size\s+(\d+)", dct)
+    if not wm or not szm:
+        raise ValueError("xref stream missing /W or /Size")
+    widths = [int(x) for x in wm.group(1).split()]
+    if len(widths) != 3:
+        raise ValueError(f"/W must have 3 field widths, got {widths}")
+    size = int(szm.group(1))
+    im = _re.search(rb"/Index\s*\[([^\]]*)\]", dct)
+    index = ([int(x) for x in im.group(1).split()] if im else [0, size])
+    if len(index) % 2:
+        raise ValueError("/Index must hold (start, count) pairs")
+    rw = sum(widths)
+    pos = 0
+    for k in range(0, len(index), 2):
+        start, count = index[k], index[k + 1]
+        for i in range(count):
+            row = content[pos:pos + rw]
+            pos += rw
+            if len(row) < rw:
+                raise ValueError("truncated cross-reference stream")
+            fields = []
+            o = 0
+            for w in widths:
+                fields.append(int.from_bytes(row[o:o + w], "big"))
+                o += w
+            t = fields[0] if widths[0] else 1
+            num = start + i
+            if num in offsets or num in compressed:
+                continue  # a newer section already defined this object
+            if t == 1:
+                offsets[num] = fields[1]
+            elif t == 2:
+                compressed[num] = (fields[1], fields[2])
+            elif t != 0:
+                raise ValueError(f"unknown xref entry type {t}")
+    return dct
+
+
+def _parse_xref_table_at(
+    data: bytes, off: int, offsets: dict[int, int]
+) -> bytes:
+    """Parse one classic ASCII xref table at ``off`` (newest-wins merge
+    into ``offsets``); returns the trailer dictionary bytes."""
+    pos = data.index(b"\n", off) + 1
+    while not data[pos:pos + 7].startswith(b"trailer"):
+        line_end = data.index(b"\n", pos)
+        head = data[pos:line_end].split()
+        if len(head) != 2:
+            raise ValueError(f"malformed xref section header at {pos}")
+        start, count = int(head[0]), int(head[1])
+        pos = line_end + 1
+        for i in range(count):
+            entry = data[pos:pos + 20]
+            if len(entry) < 18:
+                raise ValueError("truncated xref entry")
+            if entry[17:18] == b"n" and start + i not in offsets:
+                offsets[start + i] = int(entry[:10])
+            pos += 20
+    dct, _ = _scan_pdf_dict(data, pos)
+    return dct
+
+
 def parse_pdf_meta(data: bytes) -> dict:
-    """Classic-xref metadata walk: header version, %%EOF check,
-    startxref → xref table → trailer (/Size, /Encrypt), page count by
-    RESOLVING /Root → /Pages → /Count through the table (no content
-    parse).  Returns ``{version, n_objects, n_pages, encrypted}``."""
+    """Cross-reference metadata walk: header version, %%EOF check,
+    startxref → xref table OR PDF 1.5+ /Type /XRef stream (FlateDecode
+    + PNG predictors; /Prev incremental-update chains newest-wins;
+    type-2 entries resolved through /Type /ObjStm object streams) →
+    trailer (/Size, /Encrypt), page count by RESOLVING /Root → /Pages
+    → /Count (no content parse).  Returns ``{version, n_objects,
+    n_pages, encrypted, xref_type}``."""
     import re as _re
 
     m = _re.match(rb"%PDF-(\d+\.\d+)", data)
@@ -217,30 +529,37 @@ def parse_pdf_meta(data: bytes) -> dict:
     if sx < 0:
         raise ValueError("missing startxref")
     xref_off = int(data[sx + 9:sx + 40].split()[0])
-    if data[xref_off:xref_off + 4] != b"xref":
-        raise ValueError(
-            "cross-reference stream (PDF 1.5+ compressed xref) — the "
-            "classic-xref walk does not decode object streams"
-        )
-    # parse the table: sections of "start count" then 20-byte entries
-    pos = data.index(b"\n", xref_off) + 1
+
     offsets: dict[int, int] = {}
-    while not data[pos:pos + 7].startswith(b"trailer"):
-        line_end = data.index(b"\n", pos)
-        head = data[pos:line_end].split()
-        if len(head) != 2:
-            raise ValueError(f"malformed xref section header at {pos}")
-        start, count = int(head[0]), int(head[1])
-        pos = line_end + 1
-        for i in range(count):
-            entry = data[pos:pos + 20]
-            if len(entry) < 18:
-                raise ValueError("truncated xref entry")
-            if entry[17:18] == b"n":
-                offsets[start + i] = int(entry[:10])
-            pos += 20
-    tre = data.index(b">>", pos)
-    trailer = data[pos:tre + 2]
+    compressed: dict[int, tuple[int, int]] = {}
+    trailer = b""
+    xref_type = ""
+    seen: set[int] = set()
+    next_off: int | None = xref_off
+    while next_off is not None:
+        if next_off in seen:
+            raise ValueError("cyclic /Prev chain in cross-reference data")
+        seen.add(next_off)
+        if data[next_off:next_off + 4] == b"xref":
+            dct = _parse_xref_table_at(data, next_off, offsets)
+            this_type = "table"
+            # hybrid-reference file: merge the 1.5 sidecar stream too
+            xs = _re.search(rb"/XRefStm\s+(\d+)", dct)
+            if xs:
+                _parse_xref_stream_at(
+                    data, int(xs.group(1)), offsets, compressed
+                )
+        else:
+            dct = _parse_xref_stream_at(
+                data, next_off, offsets, compressed
+            )
+            this_type = "stream"
+        if not trailer:
+            trailer = dct
+            xref_type = this_type
+        pv = _re.search(rb"/Prev\s+(\d+)", dct)
+        next_off = int(pv.group(1)) if pv else None
+
     sz = _re.search(rb"/Size\s+(\d+)", trailer)
     root = _re.search(rb"/Root\s+(\d+)\s+\d+\s+R", trailer)
     if not sz or not root:
@@ -248,11 +567,45 @@ def parse_pdf_meta(data: bytes) -> dict:
     encrypted = b"/Encrypt" in trailer
 
     def load(num: int) -> bytes:
-        if num not in offsets:
-            raise ValueError(f"object {num} not in the xref table")
-        off = offsets[num]
-        end = data.index(b"endobj", off)
-        return data[off:end]
+        if num in offsets:
+            off = offsets[num]
+            end = data.index(b"endobj", off)
+            return data[off:end]
+        if num in compressed:
+            stm_num, idx = compressed[num]
+            if stm_num not in offsets:
+                raise ValueError(
+                    f"object stream {stm_num} missing from the xref data"
+                )
+            sdct, raw = _read_pdf_stream_obj(data, offsets[stm_num])
+            if b"/ObjStm" not in sdct:
+                raise ValueError(
+                    f"type-2 entry points at object {stm_num} which is "
+                    "not a /Type /ObjStm"
+                )
+            nm = _re.search(rb"/N\s+(\d+)", sdct)
+            fm = _re.search(rb"/First\s+(\d+)", sdct)
+            if not nm or not fm:
+                raise ValueError("object stream missing /N or /First")
+            n, first = int(nm.group(1)), int(fm.group(1))
+            content = _decode_pdf_stream(sdct, raw)
+            head = content[:first].split()
+            if len(head) < 2 * n:
+                raise ValueError("object stream header shorter than /N")
+            if idx >= n:
+                raise ValueError(
+                    f"type-2 index {idx} out of range for /N {n}"
+                )
+            onum, ooff = int(head[2 * idx]), int(head[2 * idx + 1])
+            if onum != num:
+                raise ValueError(
+                    f"object stream header says object {onum} at index "
+                    f"{idx}, xref said {num}"
+                )
+            end = (int(head[2 * idx + 3])
+                   if idx + 1 < n else len(content) - first)
+            return content[first + ooff:first + end]
+        raise ValueError(f"object {num} not in the xref data")
 
     catalog = load(int(root.group(1)))
     pm = _re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", catalog)
@@ -267,6 +620,7 @@ def parse_pdf_meta(data: bytes) -> dict:
         "n_objects": int(sz.group(1)) - 1,
         "n_pages": int(cm.group(1)),
         "encrypted": encrypted,
+        "xref_type": xref_type,
     }
 
 
@@ -276,7 +630,7 @@ def pdf_stats(df: "DataFrame", id_col: str, data_col: str = "data"):
 
     schema = (
         f"`{id_col}` bigint, version string, n_objects bigint, "
-        "n_pages bigint, encrypted boolean"
+        "n_pages bigint, encrypted boolean, xref_type string"
     )
 
     def _run(batches):
@@ -285,10 +639,10 @@ def pdf_stats(df: "DataFrame", id_col: str, data_col: str = "data"):
             for rid, raw in zip(pdf[id_col], pdf[data_col]):
                 m = parse_pdf_meta(bytes(raw))
                 rows.append((rid, m["version"], m["n_objects"],
-                             m["n_pages"], m["encrypted"]))
+                             m["n_pages"], m["encrypted"], m["xref_type"]))
             yield pd.DataFrame(
                 rows, columns=[id_col, "version", "n_objects", "n_pages",
-                               "encrypted"],
+                               "encrypted", "xref_type"],
             )
 
     return df.select(id_col, data_col).mapInPandas(_run, schema)
