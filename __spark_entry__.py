@@ -3870,6 +3870,118 @@ FROM documents
 """
 
 
+def _safetensors_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture: the embeddings table written as 8 deterministic
+    safetensors shards (shard = vec_id % 8), each holding an ``emb``
+    [n, 64] F32 tensor and an ``ids`` [n, 1] I64 tensor, rows sorted by
+    vec_id."""
+    w = _work("q_safetensors", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+            "vec_id", "embedding", (F.col("vec_id") % 8).alias("shard")
+        )
+
+        def _write(rows):
+            import numpy as np
+
+            from h2h_spark.sources.safetensors import write_safetensors
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.shard), []).append(
+                    (int(r.vec_id), r.embedding)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                mat = np.array([v for _, v in items], dtype="<f4")
+                ids = np.array([[i] for i, _ in items], dtype="<i8")
+                write_safetensors(
+                    os.path.join(src, f"emb_shard_{shard}.safetensors"),
+                    {"emb": mat, "ids": ids},
+                    metadata={"shard": shard},
+                )
+
+        emb.repartition(8, "shard").foreachPartition(_write)
+        open(ready, "w").close()
+    return src
+
+
+def q_safetensors_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors shard metadata walk (`sources/safetensors.py:
+    read_header` — 8-byte LE header length + JSON tensor map, offsets
+    validated contiguous, byte spans validated against shape×itemsize;
+    public spec github.com/huggingface/safetensors).  Planning-tier
+    reads only: headers are the format's 'footer', so a 100 TB shard
+    fleet inventories with KiB-sized reads per file.  Oracle
+    closed-form on the shard arithmetic."""
+    from h2h_spark.sources.safetensors import safetensors_meta
+
+    src = _safetensors_fixture(spark, sf_dir)
+    meta = safetensors_meta(spark, src)
+    return meta.select(
+        F.regexp_extract("file", r"emb_shard_(\d+)\.safetensors$", 1)
+        .cast("bigint").alias("shard"),
+        "tensor", "dtype",
+        F.element_at("shape", 1).alias("n_rows"),
+        F.element_at("shape", 2).alias("dim"),
+        "nbytes",
+    )
+
+
+_SQL_SAFETENSORS_META = """
+WITH s AS (
+  SELECT vec_id % 8 AS shard, COUNT(*) AS cnt
+  FROM embeddings GROUP BY 1)
+SELECT shard, 'emb' AS tensor, 'F32' AS dtype,
+       cnt AS n_rows, CAST(64 AS BIGINT) AS dim,
+       cnt * 64 * 4 AS nbytes
+FROM s
+UNION ALL
+SELECT shard, 'ids' AS tensor, 'I64' AS dtype,
+       cnt AS n_rows, CAST(1 AS BIGINT) AS dim,
+       cnt * 8 AS nbytes
+FROM s
+"""
+
+
+def q_safetensors_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed safetensors ROW scan
+    (`sources/safetensors.py:SafetensorsReader` — rows of a 2-D tensor
+    are a fixed stride, so one tensor splits into byte-range tasks with
+    zero resync; rowsPerSplit=64 forces multi-split reads here).  The
+    ``emb`` and ``ids`` tensors are read as two scans joined on (file,
+    row_idx), mapped back to vec_id, and verified BIT-EXACT against the
+    source embeddings — the roundtrip proof that byte-range tensor
+    reads lose nothing.  Oracle closed-form."""
+    from h2h_spark.sources.safetensors import read_safetensors
+
+    src = _safetensors_fixture(spark, sf_dir)
+    vecs = read_safetensors(spark, src, "emb", rows_per_split=64)
+    ids = read_safetensors(spark, src, "ids", rows_per_split=64).select(
+        "file", "row_idx", F.element_at("vec", 1).alias("vec_id")
+    )
+    joined = vecs.join(ids, ["file", "row_idx"])
+    ref = spark.read.parquet(_t(sf_dir, "embeddings"))
+    cmp = joined.join(ref, "vec_id")
+    return (
+        cmp.groupBy((F.col("vec_id") % 8).alias("shard"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("vec") == F.col("embedding")).cast("bigint"))
+            .alias("n_exact"),
+        )
+    )
+
+
+_SQL_SAFETENSORS_EMBED = """
+SELECT vec_id % 8 AS shard, COUNT(*) AS n_rows, COUNT(*) AS n_exact
+FROM embeddings GROUP BY 1
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-agnostic content dedup over the capture index — the classic
     web-archive dedup: captures sharing a payload DIGEST collapse to
@@ -12243,6 +12355,8 @@ def _init_queries() -> None:
         "q_cdx_dedup": q_cdx_dedup,
         "q_pdf_meta": q_pdf_meta,
         "q_pdf_xrefstream": q_pdf_xrefstream,
+        "q_safetensors_meta": q_safetensors_meta,
+        "q_safetensors_embed": q_safetensors_embed,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12584,6 +12698,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_dedup": _SQL_CDX_DEDUP,
         "q_pdf_meta": _SQL_PDF_META,
         "q_pdf_xrefstream": _SQL_PDF_XREFSTREAM,
+        "q_safetensors_meta": _SQL_SAFETENSORS_META,
+        "q_safetensors_embed": _SQL_SAFETENSORS_EMBED,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -56,6 +56,11 @@ from h2h_spark.sources.tfrecord import (
 from h2h_spark.sources.jsonl import read_jsonl_gz, write_jsonl_shards
 from h2h_spark.sources.mbox import read_mbox
 from h2h_spark.sources.sqlitesrc import read_sqlite
+from h2h_spark.sources.safetensors import (
+    read_safetensors,
+    safetensors_meta,
+    write_safetensors,
+)
 
 __all__ = [
     "Layout",
@@ -95,6 +100,9 @@ __all__ = [
     "write_jsonl_shards",
     "read_mbox",
     "read_sqlite",
+    "read_safetensors",
+    "safetensors_meta",
+    "write_safetensors",
 ]
 
 __version__ = "0.1.0"
