@@ -3982,6 +3982,160 @@ FROM embeddings GROUP BY 1
 """
 
 
+def q_npy_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy ``.npy`` shard row scan (`sources/npy.py:NpyReader` —
+    NEP-1 header plans fixed-stride row byte-ranges; rowsPerSplit=64
+    forces multi-split reads).  The embeddings table is written as 6
+    vec_id%6 shards, read back distributed, and verified BIT-EXACT
+    against the source by joining on the shard-local row rank.  Oracle
+    closed-form."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.sources.npy import read_npy
+
+    w = _work("q_npy_embed", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+            "vec_id", "embedding", (F.col("vec_id") % 6).alias("shard")
+        )
+
+        def _write(rows):
+            import numpy as np
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.shard), []).append(
+                    (int(r.vec_id), r.embedding)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                np.save(
+                    os.path.join(src, f"emb_{shard}.npy"),
+                    np.array([v for _, v in items], dtype="<f4"),
+                )
+
+        emb.repartition(6, "shard").foreachPartition(_write)
+        open(ready, "w").close()
+    vecs = read_npy(spark, src, rows_per_split=64).select(
+        F.regexp_extract("file", r"emb_(\d+)\.npy$", 1).cast("bigint")
+        .alias("shard"),
+        "row_idx", "vec",
+    )
+    ref = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", "embedding", (F.col("vec_id") % 6).alias("shard")
+    ).withColumn(
+        "row_idx",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("vec_id")
+        ).cast("bigint") - 1,
+    )
+    cmp = vecs.join(ref, ["shard", "row_idx"])
+    return cmp.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("vec") == F.col("embedding")).cast("bigint"))
+        .alias("n_exact"),
+    )
+
+
+_SQL_NPY_EMBED = """
+SELECT vec_id % 6 AS shard, COUNT(*) AS n_rows, COUNT(*) AS n_exact
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_npz_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.npz`` container scan, BOTH layout tiers in one archive
+    (`sources/npy.py:NpzReader`): the ``emb`` member STORED (byte-range
+    row splits survive the ZIP wrapper — the scale path) and the same
+    data DEFLATED as ``emb_z`` (whole-member decode, the documented
+    ``savez_compressed`` cliff).  Both reads must agree bit-for-bit
+    with each other and the source.  Oracle closed-form."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.sources.npy import read_npz
+
+    w = _work("q_npz_mixed", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+            "vec_id", "embedding", (F.col("vec_id") % 4).alias("shard")
+        )
+
+        def _write(rows):
+            import io
+            import zipfile
+
+            import numpy as np
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.shard), []).append(
+                    (int(r.vec_id), r.embedding)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                buf = io.BytesIO()
+                np.save(buf, np.array([v for _, v in items], dtype="<f4"))
+                npy = buf.getvalue()
+                with zipfile.ZipFile(
+                    os.path.join(src, f"part_{shard}.npz"), "w"
+                ) as z:
+                    z.writestr(
+                        zipfile.ZipInfo("emb.npy", (2024, 1, 1, 0, 0, 0)),
+                        npy,
+                    )
+                    info = zipfile.ZipInfo(
+                        "emb_z.npy", (2024, 1, 1, 0, 0, 0)
+                    )
+                    info.compress_type = zipfile.ZIP_DEFLATED
+                    z.writestr(info, npy)
+
+        emb.repartition(4, "shard").foreachPartition(_write)
+        open(ready, "w").close()
+
+    def _shardify(df):
+        return df.select(
+            F.regexp_extract("file", r"part_(\d+)\.npz", 1).cast("bigint")
+            .alias("shard"),
+            "row_idx", "vec",
+        )
+
+    stored = _shardify(read_npz(spark, src, "emb", rows_per_split=64))
+    deflated = _shardify(
+        read_npz(spark, src, "emb_z", rows_per_split=64)
+    ).withColumnRenamed("vec", "vec_z")
+    ref = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        "vec_id", "embedding", (F.col("vec_id") % 4).alias("shard")
+    ).withColumn(
+        "row_idx",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("vec_id")
+        ).cast("bigint") - 1,
+    )
+    cmp = stored.join(deflated, ["shard", "row_idx"]).join(
+        ref, ["shard", "row_idx"]
+    )
+    return cmp.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("vec") == F.col("embedding")).cast("bigint"))
+        .alias("n_exact_stored"),
+        F.sum((F.col("vec_z") == F.col("embedding")).cast("bigint"))
+        .alias("n_exact_deflated"),
+    )
+
+
+_SQL_NPZ_MIXED = """
+SELECT vec_id % 4 AS shard, COUNT(*) AS n_rows,
+       COUNT(*) AS n_exact_stored, COUNT(*) AS n_exact_deflated
+FROM embeddings GROUP BY 1
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-agnostic content dedup over the capture index — the classic
     web-archive dedup: captures sharing a payload DIGEST collapse to
@@ -12357,6 +12511,8 @@ def _init_queries() -> None:
         "q_pdf_xrefstream": q_pdf_xrefstream,
         "q_safetensors_meta": q_safetensors_meta,
         "q_safetensors_embed": q_safetensors_embed,
+        "q_npy_embed": q_npy_embed,
+        "q_npz_mixed": q_npz_mixed,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12700,6 +12856,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pdf_xrefstream": _SQL_PDF_XREFSTREAM,
         "q_safetensors_meta": _SQL_SAFETENSORS_META,
         "q_safetensors_embed": _SQL_SAFETENSORS_EMBED,
+        "q_npy_embed": _SQL_NPY_EMBED,
+        "q_npz_mixed": _SQL_NPZ_MIXED,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -61,6 +61,7 @@ from h2h_spark.sources.safetensors import (
     safetensors_meta,
     write_safetensors,
 )
+from h2h_spark.sources.npy import read_npy, read_npz
 
 __all__ = [
     "Layout",
@@ -103,6 +104,8 @@ __all__ = [
     "read_safetensors",
     "safetensors_meta",
     "write_safetensors",
+    "read_npy",
+    "read_npz",
 ]
 
 __version__ = "0.1.0"
