@@ -4136,6 +4136,92 @@ FROM embeddings GROUP BY 1
 """
 
 
+def q_gguf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGUF model-file inventory (`sources/gguf.py:parse_gguf_meta` —
+    ggml-org gguf.md v3 header walk: KV pairs, tensor infos, ggml-order
+    dims, alignment-validated offsets; the tensor DATA — ~all of a real
+    checkpoint — is never read).  The model-fleet inventory op:
+    architecture / parameter count / quantization mix from KiB-sized
+    header reads.  Oracle closed-form on the fixture arithmetic."""
+    from h2h_spark.sources.gguf import gguf_meta
+
+    w = _work("q_gguf_meta", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import numpy as np
+
+            from h2h_spark.sources.gguf import write_gguf
+
+            for r in rows:
+                d_id = int(r.doc_id)
+                v = 64 + d_id % 32
+                dim = 8 + (d_id % 4) * 4
+                write_gguf(
+                    os.path.join(src, f"model_{d_id}.gguf"),
+                    {
+                        "general.architecture":
+                            ("llama", "gpt2", "phi2")[d_id % 3],
+                        "general.name": f"model-{d_id}",
+                        "llama.embedding_length": dim,
+                        "tokenizer.add_bos": d_id % 2 == 0,
+                    },
+                    {
+                        "tok_embd.weight":
+                            np.zeros((v, dim), dtype="<f4"),
+                        "output_norm.weight":
+                            np.ones((dim,), dtype="<f4"),
+                    },
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    meta = gguf_meta(spark, src)
+    return meta.select(
+        F.regexp_extract("file", r"model_(\d+)\.gguf$", 1).cast("bigint")
+        .alias("doc_id"),
+        "architecture", "model_name", "n_kv", "n_tensors",
+        "tensor", "type_name",
+        F.array_join(F.transform("dims", lambda x: x.cast("string")), "x")
+        .alias("dims_s"),
+        "n_elems", "nbytes", "offset",
+    )
+
+
+_SQL_GGUF_META = """
+WITH t AS (
+  SELECT doc_id, 64 + doc_id % 32 AS v, 8 + (doc_id % 4) * 4 AS dim
+  FROM documents)
+SELECT doc_id,
+       ['llama', 'gpt2', 'phi2'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS architecture,
+       'model-' || CAST(doc_id AS VARCHAR) AS model_name,
+       CAST(4 AS BIGINT) AS n_kv, CAST(2 AS BIGINT) AS n_tensors,
+       'tok_embd.weight' AS tensor, 'F32' AS type_name,
+       CAST(dim AS VARCHAR) || 'x' || CAST(v AS VARCHAR) AS dims_s,
+       CAST(v * dim AS BIGINT) AS n_elems,
+       CAST(v * dim * 4 AS BIGINT) AS nbytes,
+       CAST(0 AS BIGINT) AS offset
+FROM t
+UNION ALL
+SELECT doc_id,
+       ['llama', 'gpt2', 'phi2'][CAST(doc_id % 3 + 1 AS INTEGER)]
+           AS architecture,
+       'model-' || CAST(doc_id AS VARCHAR) AS model_name,
+       CAST(4 AS BIGINT) AS n_kv, CAST(2 AS BIGINT) AS n_tensors,
+       'output_norm.weight' AS tensor, 'F32' AS type_name,
+       CAST(dim AS VARCHAR) AS dims_s,
+       CAST(dim AS BIGINT) AS n_elems,
+       CAST(dim * 4 AS BIGINT) AS nbytes,
+       CAST((v * dim * 4 + 31) // 32 * 32 AS BIGINT) AS offset
+FROM t
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-agnostic content dedup over the capture index — the classic
     web-archive dedup: captures sharing a payload DIGEST collapse to
@@ -12513,6 +12599,7 @@ def _init_queries() -> None:
         "q_safetensors_embed": q_safetensors_embed,
         "q_npy_embed": q_npy_embed,
         "q_npz_mixed": q_npz_mixed,
+        "q_gguf_meta": q_gguf_meta,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12858,6 +12945,7 @@ def oracle_sql() -> dict[str, str]:
         "q_safetensors_embed": _SQL_SAFETENSORS_EMBED,
         "q_npy_embed": _SQL_NPY_EMBED,
         "q_npz_mixed": _SQL_NPZ_MIXED,
+        "q_gguf_meta": _SQL_GGUF_META,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

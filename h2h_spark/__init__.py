@@ -62,6 +62,7 @@ from h2h_spark.sources.safetensors import (
     write_safetensors,
 )
 from h2h_spark.sources.npy import read_npy, read_npz
+from h2h_spark.sources.gguf import gguf_meta, parse_gguf_meta, write_gguf
 
 __all__ = [
     "Layout",
@@ -106,6 +107,9 @@ __all__ = [
     "write_safetensors",
     "read_npy",
     "read_npz",
+    "gguf_meta",
+    "parse_gguf_meta",
+    "write_gguf",
 ]
 
 __version__ = "0.1.0"
