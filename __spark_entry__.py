@@ -4222,6 +4222,77 @@ FROM t
 """
 
 
+def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sample assembly (`operators/webdataset.py` — the
+    tar-shard convention: a sample is the contiguous run of members
+    sharing a key; fields keyed by extension; contiguity VERIFIED, one
+    shard per task per the ecosystem's own shard-parallel contract).
+    Each document becomes a 3-field sample (`txt`/`cls`/`json`) in its
+    vec-style shard; the read-back is graded field-by-field via the
+    txt md5.  Oracle closed-form."""
+    from h2h_spark.operators.webdataset import wds_samples
+
+    w = _work("q_webdataset", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+            "doc_id", "text", (F.col("doc_id") % 6).alias("shard")
+        )
+
+        def _write(rows):
+            import json as _json
+
+            from h2h_spark.operators.webdataset import write_wds_shard
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.shard), []).append(
+                    (int(r.doc_id), r.text)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                write_wds_shard(
+                    os.path.join(src, f"shard_{shard:05d}.tar"),
+                    [
+                        (f"{d:08d}", {
+                            "txt": t.encode("utf-8"),
+                            "cls": str(d % 10).encode(),
+                            "json": _json.dumps(
+                                {"id": d}, sort_keys=True
+                            ).encode(),
+                        })
+                        for d, t in items
+                    ],
+                )
+
+        docs.repartition(6, "shard").foreachPartition(_write)
+        open(ready, "w").close()
+    samples = wds_samples(spark, src)
+    return samples.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        "n_fields",
+        F.array_join("exts", ",").alias("exts"),
+        "total_bytes",
+        F.element_at("field_md5", "txt").alias("txt_md5"),
+        F.element_at("field_md5", "cls").alias("cls_md5"),
+    )
+
+
+_SQL_WEBDATASET = """
+SELECT doc_id,
+       3 AS n_fields,
+       'cls,json,txt' AS exts,
+       CAST(strlen(text) + 1
+            + strlen('{"id": ' || CAST(doc_id AS VARCHAR) || '}')
+            AS BIGINT) AS total_bytes,
+       md5(text) AS txt_md5,
+       md5(CAST(doc_id % 10 AS VARCHAR)) AS cls_md5
+FROM documents
+"""
+
+
 def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-agnostic content dedup over the capture index — the classic
     web-archive dedup: captures sharing a payload DIGEST collapse to
@@ -12600,6 +12671,7 @@ def _init_queries() -> None:
         "q_npy_embed": q_npy_embed,
         "q_npz_mixed": q_npz_mixed,
         "q_gguf_meta": q_gguf_meta,
+        "q_webdataset": q_webdataset,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -12946,6 +13018,7 @@ def oracle_sql() -> dict[str, str]:
         "q_npy_embed": _SQL_NPY_EMBED,
         "q_npz_mixed": _SQL_NPZ_MIXED,
         "q_gguf_meta": _SQL_GGUF_META,
+        "q_webdataset": _SQL_WEBDATASET,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
