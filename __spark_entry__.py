@@ -4136,6 +4136,94 @@ FROM embeddings GROUP BY 1
 """
 
 
+def q_safetensors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file checkpoint index audit
+    (`sources/safetensors.py:safetensors_index_audit` — the HF
+    ``model.safetensors.index.json`` contract: weight_map tensor →
+    shard, metadata.total_size).  The audit full-outer-joins the
+    footer-sized index against distributed shard-header walks and
+    statuses every tensor; here all statuses must come back ``ok`` and
+    the byte sums must reproduce the declared total.  Oracle
+    closed-form on the shard arithmetic."""
+    from h2h_spark.sources.safetensors import safetensors_index_audit
+
+    w = _work("q_safetensors_index", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            import numpy as np
+
+            from h2h_spark.sources.safetensors import write_safetensors
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.doc_id) % 4, []).append(
+                    int(r.doc_id)
+                )
+            for shard, ids in by_shard.items():
+                ids.sort()
+                write_safetensors(
+                    os.path.join(
+                        src,
+                        f"model-{shard + 1:05d}-of-00004.safetensors",
+                    ),
+                    {
+                        f"layer.{d}.weight":
+                            np.zeros((8, d % 5 + 1), dtype="<f4")
+                        for d in ids
+                    },
+                )
+
+        docs.repartition(4, (F.col("doc_id") % 4)).foreachPartition(_write)
+        # the index is footer-sized: tensor -> shard file + total bytes
+        ids = [int(r.doc_id) for r in docs.collect()]
+        weight_map = {
+            f"layer.{d}.weight":
+                f"model-{d % 4 + 1:05d}-of-00004.safetensors"
+            for d in ids
+        }
+        total = sum(8 * (d % 5 + 1) * 4 for d in ids)
+        import json as _json
+
+        with open(os.path.join(
+            src, "model.safetensors.index.json"
+        ), "w") as f:
+            _json.dump({"metadata": {"total_size": total},
+                        "weight_map": weight_map}, f, sort_keys=True)
+        open(ready, "w").close()
+    audit = safetensors_index_audit(spark, src)
+    return (
+        audit.groupBy(
+            F.col("mapped_file").alias("shard_file"),
+        )
+        .agg(
+            F.count("*").alias("n_tensors"),
+            F.sum((F.col("status") == "ok").cast("bigint"))
+            .alias("n_ok"),
+            F.sum("nbytes").alias("bytes_sum"),
+            F.first("declared_total_size").alias("declared_total"),
+        )
+    )
+
+
+_SQL_SAFETENSORS_INDEX = """
+WITH t AS (
+  SELECT doc_id, doc_id % 4 AS shard, 8 * (doc_id % 5 + 1) * 4 AS nb
+  FROM documents)
+SELECT 'model-0000' || CAST(shard + 1 AS VARCHAR)
+           || '-of-00004.safetensors' AS shard_file,
+       COUNT(*) AS n_tensors,
+       COUNT(*) AS n_ok,
+       CAST(SUM(nb) AS BIGINT) AS bytes_sum,
+       (SELECT CAST(SUM(nb) AS BIGINT) FROM t) AS declared_total
+FROM t GROUP BY shard
+"""
+
+
 def q_gguf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GGUF model-file inventory (`sources/gguf.py:parse_gguf_meta` —
     ggml-org gguf.md v3 header walk: KV pairs, tensor infos, ggml-order
@@ -4587,6 +4675,211 @@ SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS text_bytes,
        md5(text) AS text_md5
 FROM documents
+"""
+
+
+def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style link-graph extraction — Common Crawl's metadata tier:
+    WARC ``metadata`` records whose JSON payload carries the page's
+    outlinks under ``Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata → Links``.  The query reads
+    the payloads (`sources/warc.py` include_payload), parses the
+    envelope with `F.from_json` (JVM-side, no Python UDF), explodes the
+    links, and aggregates the host-level INLINK graph — the first step
+    of a crawl-frontier / PageRank pipeline.  Oracle closed-form on the
+    link arithmetic."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from h2h_spark.sources.warc import read_warc
+
+    w = _work("q_wat_links", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n_docs = docs.count()
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.warc import write_warc_records
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = int(r.doc_id)
+                links = [
+                    {"path": "A@/href",
+                     "url": f"https://ex{(d * 7 + j) % n_docs % 20}.org"
+                            f"/p/{(d * 7 + j) % n_docs}"}
+                    for j in range(1, d % 4 + 2)
+                ]
+                envelope = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI":
+                                f"https://ex{d % 20}.org/p/{d}",
+                        },
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {"Links": links},
+                            },
+                        },
+                    },
+                }
+                recs.append((
+                    {
+                        "WARC-Type": "metadata",
+                        "WARC-Record-ID": f"<urn:wat:{d}>",
+                        "WARC-Target-URI": f"https://ex{d % 20}.org/p/{d}",
+                        "Content-Type": "application/json",
+                    },
+                    _json.dumps(envelope, sort_keys=True).encode(),
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+
+    links_t = ArrayType(StructType([
+        StructField("path", StringType()),
+        StructField("url", StringType()),
+    ]))
+    env_t = StructType([StructField("Envelope", StructType([
+        StructField("Payload-Metadata", StructType([
+            StructField("HTTP-Response-Metadata", StructType([
+                StructField("HTML-Metadata", StructType([
+                    StructField("Links", links_t),
+                ])),
+            ])),
+        ])),
+    ]))])
+    rec = read_warc(
+        spark, src,
+        max_partition_bytes=_split_bytes(src, floor=2048),
+        include_payload=True,
+    )
+    parsed = rec.filter(F.col("warc_type") == "metadata").select(
+        F.regexp_extract("record_id", r"<urn:wat:(\d+)>", 1)
+        .cast("bigint").alias("src_doc"),
+        F.from_json(F.col("payload").cast("string"), env_t).alias("j"),
+    )
+    links = parsed.select(
+        "src_doc",
+        F.explode(
+            F.col("j.Envelope.`Payload-Metadata`"
+                  ".`HTTP-Response-Metadata`.`HTML-Metadata`.Links")
+        ).alias("link"),
+    )
+    return (
+        links.select(
+            "src_doc",
+            F.regexp_extract("link.url", r"https://(ex\d+\.org)/", 1)
+            .alias("host"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct("src_doc").alias("n_sources"),
+        )
+    )
+
+
+_SQL_WAT_LINKS = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+links AS (
+  SELECT d.doc_id AS src_doc,
+         'ex' || CAST((d.doc_id * 7 + j.j) % n.n_docs % 20 AS VARCHAR)
+             || '.org' AS host
+  FROM documents d
+  CROSS JOIN n
+  JOIN (SELECT UNNEST(generate_series(1, 4)) AS j) j
+    ON j.j <= d.doc_id % 4 + 1)
+SELECT host, COUNT(*) AS n_inlinks,
+       COUNT(DISTINCT src_doc) AS n_sources
+FROM links GROUP BY host
+"""
+
+
+def q_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template flattening with loss-mask spans
+    (`operators/chat.py` — render role-tagged messages through a
+    template and fold out the 0-based character spans of ASSISTANT
+    content, all with built-in higher-order functions: zero Python in
+    the hot path).  The masked_md5 re-extracts the span substrings from
+    the flat string — one character of span drift breaks the hash.
+    Oracle rebuilds both strings closed-form."""
+    from h2h_spark.operators.chat import (
+        flatten_chat,
+        loss_spans,
+        masked_text,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    conv = docs.withColumn("msgs", F.expr("""
+        concat(
+          array(struct('system' as role,
+                       'You are helpful.' as content)),
+          flatten(transform(sequence(1, int(doc_id % 3 + 1)), t -> array(
+            struct('user' as role,
+                   concat('u', t, ' of ', doc_id) as content),
+            struct('assistant' as role,
+                   concat('a', t, ' reply ', (doc_id + t) % 7)
+                   as content)
+          ))))
+    """))
+    flat = conv.select(
+        "doc_id",
+        F.size("msgs").alias("n_msgs"),
+        flatten_chat("msgs").alias("flat"),
+        loss_spans("msgs").alias("spans"),
+    )
+    return flat.select(
+        "doc_id", "n_msgs",
+        F.length("flat").cast("bigint").alias("flat_len"),
+        F.md5("flat").alias("flat_md5"),
+        F.size("spans").alias("n_spans"),
+        F.expr("aggregate(spans, cast(0 as bigint), "
+               "(a, s) -> a + s.len)").alias("mask_chars"),
+        F.md5(masked_text("flat", "spans")).alias("masked_md5"),
+    )
+
+
+_SQL_CHAT_FLATTEN = """
+WITH c AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS n,
+         '<|system|>You are helpful.<|end|>' || array_to_string(
+           list_transform(generate_series(1, CAST(doc_id % 3 + 1
+                                               AS INTEGER)),
+             t -> '<|user|>u' || t || ' of ' || doc_id
+                  || '<|end|><|assistant|>a' || t || ' reply '
+                  || (doc_id + t) % 7 || '<|end|>'),
+           '') AS flat,
+         array_to_string(
+           list_transform(generate_series(1, CAST(doc_id % 3 + 1
+                                               AS INTEGER)),
+             t -> 'a' || t || ' reply ' || (doc_id + t) % 7),
+           '') AS masked
+  FROM documents)
+SELECT doc_id,
+       2 * n + 1 AS n_msgs,
+       CAST(strlen(flat) AS BIGINT) AS flat_len,
+       md5(flat) AS flat_md5,
+       n AS n_spans,
+       CAST(strlen(masked) AS BIGINT) AS mask_chars,
+       md5(masked) AS masked_md5
+FROM c
 """
 
 
@@ -12672,6 +12965,9 @@ def _init_queries() -> None:
         "q_npz_mixed": q_npz_mixed,
         "q_gguf_meta": q_gguf_meta,
         "q_webdataset": q_webdataset,
+        "q_wat_links": q_wat_links,
+        "q_chat_flatten": q_chat_flatten,
+        "q_safetensors_index": q_safetensors_index,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13019,6 +13315,9 @@ def oracle_sql() -> dict[str, str]:
         "q_npz_mixed": _SQL_NPZ_MIXED,
         "q_gguf_meta": _SQL_GGUF_META,
         "q_webdataset": _SQL_WEBDATASET,
+        "q_wat_links": _SQL_WAT_LINKS,
+        "q_chat_flatten": _SQL_CHAT_FLATTEN,
+        "q_safetensors_index": _SQL_SAFETENSORS_INDEX,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -58,6 +58,7 @@ from h2h_spark.sources.mbox import read_mbox
 from h2h_spark.sources.sqlitesrc import read_sqlite
 from h2h_spark.sources.safetensors import (
     read_safetensors,
+    safetensors_index_audit,
     safetensors_meta,
     write_safetensors,
 )
@@ -103,6 +104,7 @@ __all__ = [
     "read_mbox",
     "read_sqlite",
     "read_safetensors",
+    "safetensors_index_audit",
     "safetensors_meta",
     "write_safetensors",
     "read_npy",

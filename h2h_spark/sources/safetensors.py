@@ -299,6 +299,55 @@ class SafetensorsReader(DataSourceReader):
                 )
 
 
+def safetensors_index_audit(
+    spark: SparkSession,
+    path: str,
+    index_file: str = "model.safetensors.index.json",
+) -> DataFrame:
+    """Audit a multi-file checkpoint against its HF-style index
+    (``{"metadata": {"total_size": N}, "weight_map": {tensor:
+    shard_file}}``): one row per tensor with ``status`` ∈ ``ok`` /
+    ``wrong_shard`` (mapped to a different file than it lives in) /
+    ``missing_from_shard`` (mapped but absent) / ``not_in_index``
+    (present but unmapped), plus the declared ``total_size`` and each
+    tensor's actual ``nbytes`` so the caller can check the size claim.
+    The index is footer-sized (driver read); shard headers walk
+    distributed."""
+    import os as _os
+
+    idx_path = _os.path.join(strip_scheme(path), index_file)
+    if not _os.path.exists(idx_path):
+        raise ValueError(f"no {index_file} under {path}")
+    with open(idx_path) as f:
+        idx = json.load(f)
+    weight_map = idx.get("weight_map")
+    if not isinstance(weight_map, dict) or not weight_map:
+        raise ValueError(f"{idx_path}: missing/empty weight_map")
+    total_size = int(idx.get("metadata", {}).get("total_size", -1))
+
+    from pyspark.sql import functions as F
+
+    mapped = spark.createDataFrame(
+        [(t, f) for t, f in sorted(weight_map.items())],
+        "tensor string, mapped_file string",
+    )
+    actual = safetensors_meta(spark, path).select(
+        "tensor",
+        F.expr("reverse(split(file, '/'))[0]").alias("actual_file"),
+        "nbytes",
+    )
+    joined = mapped.join(actual, "tensor", "full_outer")
+    return joined.select(
+        "tensor", "mapped_file", "actual_file", "nbytes",
+        F.when(F.col("mapped_file").isNull(), "not_in_index")
+        .when(F.col("actual_file").isNull(), "missing_from_shard")
+        .when(F.col("mapped_file") != F.col("actual_file"),
+              "wrong_shard")
+        .otherwise("ok").alias("status"),
+        F.lit(total_size).cast("bigint").alias("declared_total_size"),
+    )
+
+
 def register_safetensors(spark: SparkSession) -> None:
     spark.dataSource.register(SafetensorsDataSource)
 

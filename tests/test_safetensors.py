@@ -126,3 +126,45 @@ def test_meta_distributed(spark, tmp_path):
            for r in meta}
     assert got[("m0.safetensors", "emb")] == ([20, 4], 320)
     assert got[("m1.safetensors", "ids")] == ([10, 1], 80)
+
+
+def test_index_audit_statuses(spark, tmp_path):
+    import json
+
+    from h2h_spark.sources.safetensors import safetensors_index_audit
+
+    write_safetensors(str(tmp_path / "model-1.safetensors"), {
+        "a.weight": np.zeros((2, 2), dtype="<f4"),
+        "b.weight": np.ones((1, 4), dtype="<f4"),
+        "stray.weight": np.zeros((1, 1), dtype="<f4"),
+    })
+    write_safetensors(str(tmp_path / "model-2.safetensors"), {
+        "c.weight": np.zeros((3, 2), dtype="<f4"),
+    })
+    idx = {
+        "metadata": {"total_size": 9999},
+        "weight_map": {
+            "a.weight": "model-1.safetensors",
+            "b.weight": "model-1.safetensors",
+            "c.weight": "model-1.safetensors",   # actually in model-2
+            "ghost.weight": "model-2.safetensors",  # nowhere
+        },
+    }
+    (tmp_path / "model.safetensors.index.json").write_text(
+        json.dumps(idx)
+    )
+    rows = safetensors_index_audit(spark, str(tmp_path)).collect()
+    st = {r.tensor: r.status for r in rows}
+    assert st == {
+        "a.weight": "ok",
+        "b.weight": "ok",
+        "c.weight": "wrong_shard",
+        "ghost.weight": "missing_from_shard",
+        "stray.weight": "not_in_index",
+    }
+    assert all(r.declared_total_size == 9999 for r in rows)
+    # missing index file is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="index"):
+        safetensors_index_audit(spark, str(tmp_path), "nope.json")
