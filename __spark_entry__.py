@@ -4224,6 +4224,80 @@ FROM t GROUP BY shard
 """
 
 
+def q_zarr_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 chunk-grid roundtrip (`sources/zarr.py` — the .zarray
+    descriptor IS the split plan: one tiny JSON maps every chunk file,
+    tasks own chunk-grid rows with O(chunk) memory; the SAME grid
+    partitions the distributed WRITE, tasks owning disjoint chunk rows
+    write disjoint files with zero coordination).  The embeddings table
+    exports to one zlib-compressed store (chunks 64×16, so each grid
+    row is 4 column chunks; edge chunks stored full-size, padded) and
+    reads back BIT-EXACT.  Oracle closed-form."""
+    from h2h_spark.sources.zarr import read_zarr, write_zarray
+
+    w = _work("q_zarr_embed", sf_dir)
+    store = os.path.join(w, "store.zarr")
+    ready = os.path.join(store, "_READY")
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    if not os.path.exists(ready):
+        stats = emb.agg(
+            F.count("*").alias("n"), F.max("vec_id").alias("mx")
+        ).collect()[0]
+        n = int(stats.n)
+        if n != int(stats.mx) + 1:
+            raise ValueError(
+                "q_zarr_embed fixture needs dense vec_id 0..n-1; got "
+                f"n={n}, max={stats.mx}"
+            )
+        write_zarray(store, (n, 64), (64, 16), "<f4",
+                     compressor="zlib")
+
+        def _write(rows):
+            import numpy as np
+
+            from h2h_spark.sources.zarr import write_zarr_chunk
+
+            by_chunk: dict[int, list] = {}
+            for r in rows:
+                by_chunk.setdefault(int(r.vec_id) // 64, []).append(
+                    (int(r.vec_id), r.embedding)
+                )
+            for ci, items in by_chunk.items():
+                items.sort()
+                block = np.zeros((64, 64), dtype="<f4")
+                for vid, v in items:
+                    block[vid - ci * 64] = v
+                for cj in range(4):
+                    write_zarr_chunk(
+                        store, ci, cj,
+                        block[:, cj * 16:(cj + 1) * 16],
+                        compressor="zlib",
+                    )
+
+        emb.repartition(8, (F.col("vec_id") / 64).cast("int")) \
+            .foreachPartition(_write)
+        open(ready, "w").close()
+    back = read_zarr(spark, store, chunk_rows_per_split=2)
+    cmp = back.join(
+        emb.select(F.col("vec_id").alias("row_idx"), "embedding"),
+        "row_idx",
+    )
+    return cmp.groupBy(
+        (F.col("row_idx") / 64).cast("bigint").alias("chunk_row")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("vec") == F.col("embedding")).cast("bigint"))
+        .alias("n_exact"),
+    )
+
+
+_SQL_ZARR_EMBED = """
+SELECT vec_id // 64 AS chunk_row, COUNT(*) AS n_rows,
+       COUNT(*) AS n_exact
+FROM embeddings GROUP BY 1
+"""
+
+
 def q_gguf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GGUF model-file inventory (`sources/gguf.py:parse_gguf_meta` —
     ggml-org gguf.md v3 header walk: KV pairs, tensor infos, ggml-order
@@ -12968,6 +13042,7 @@ def _init_queries() -> None:
         "q_wat_links": q_wat_links,
         "q_chat_flatten": q_chat_flatten,
         "q_safetensors_index": q_safetensors_index,
+        "q_zarr_embed": q_zarr_embed,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13318,6 +13393,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wat_links": _SQL_WAT_LINKS,
         "q_chat_flatten": _SQL_CHAT_FLATTEN,
         "q_safetensors_index": _SQL_SAFETENSORS_INDEX,
+        "q_zarr_embed": _SQL_ZARR_EMBED,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -64,6 +64,7 @@ from h2h_spark.sources.safetensors import (
 )
 from h2h_spark.sources.npy import read_npy, read_npz
 from h2h_spark.sources.gguf import gguf_meta, parse_gguf_meta, write_gguf
+from h2h_spark.sources.zarr import read_zarr
 
 __all__ = [
     "Layout",
@@ -112,6 +113,7 @@ __all__ = [
     "gguf_meta",
     "parse_gguf_meta",
     "write_gguf",
+    "read_zarr",
 ]
 
 __version__ = "0.1.0"
