@@ -5035,6 +5035,99 @@ FROM documents
 """
 
 
+def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wayback-style temporal navigation over the capture index: for
+    each SURT, the capture CLOSEST to a target ts14 (numeric distance
+    on the 14-digit timestamp, ties to the earlier capture — pywb's
+    closest-match lookup shape).  One keyed window over the index, no
+    WARC byte touched; at 100 TB this is the replay router's hot path.
+    Oracle via arg_min on the same key."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.sources.cdx import read_cdx
+
+    w = _work("q_cdx_closest", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.cdx import write_cdxj
+
+            pid = TaskContext.get().partitionId()
+            entries = []
+            for r in rows:
+                d = int(r.doc_id)
+                for m in range(1, d % 4 + 2):
+                    entries.append((
+                        f"org,ex)/{d}",
+                        f"2024{m:02d}15120000",
+                        {
+                            "url": f"https://ex.org/{d}",
+                            "filename": f"crawl-{d % 3}.warc.gz",
+                            "offset": d * 131 + m,
+                            "length": 400 + d % 50,
+                            "status": 200,
+                            "mime": "text/html",
+                            "digest": f"sha1:{d:08x}{m:02d}",
+                        },
+                    ))
+            if entries:
+                write_cdxj(
+                    os.path.join(src, f"part_{pid}.cdxj.gz"),
+                    entries, lines_per_member=16,
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    target = 20240301000000
+    idx = read_cdx(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    ranked = idx.withColumn(
+        "dist",
+        F.abs(F.col("ts").cast("bigint") - F.lit(target).cast("bigint")),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("surt").orderBy("dist", "ts")
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.regexp_extract("surt", r"\)/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("ts").alias("closest_ts"),
+        "dist", "warc_file", "offset", "length",
+    )
+
+
+_SQL_CDX_CLOSEST = """
+WITH caps AS (
+  SELECT d.doc_id,
+         '2024' || printf('%02d', m.m) || '15120000' AS ts,
+         abs(CAST('2024' || printf('%02d', m.m) || '15120000' AS BIGINT)
+             - 20240301000000) AS dist,
+         'crawl-' || CAST(d.doc_id % 3 AS VARCHAR) || '.warc.gz'
+             AS warc_file,
+         CAST(d.doc_id * 131 + m.m AS BIGINT) AS "offset",
+         CAST(400 + d.doc_id % 50 AS BIGINT) AS "length"
+  FROM documents d
+  JOIN (SELECT UNNEST(generate_series(1, 4)) AS m) m
+    ON m.m <= d.doc_id % 4 + 1)
+SELECT doc_id,
+       arg_min(ts, printf('%014d', dist) || ts) AS closest_ts,
+       arg_min(dist, printf('%014d', dist) || ts) AS dist,
+       arg_min(warc_file, printf('%014d', dist) || ts) AS warc_file,
+       arg_min("offset", printf('%014d', dist) || ts) AS "offset",
+       arg_min("length", printf('%014d', dist) || ts) AS "length"
+FROM caps GROUP BY doc_id
+"""
+
+
 def q_cdx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-driven random access into WARC (`sources/cdx.py:
     fetch_warc_by_location`) — the 100 TB pruning pattern: filter the
@@ -13043,6 +13136,7 @@ def _init_queries() -> None:
         "q_chat_flatten": q_chat_flatten,
         "q_safetensors_index": q_safetensors_index,
         "q_zarr_embed": q_zarr_embed,
+        "q_cdx_closest": q_cdx_closest,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13394,6 +13488,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chat_flatten": _SQL_CHAT_FLATTEN,
         "q_safetensors_index": _SQL_SAFETENSORS_INDEX,
         "q_zarr_embed": _SQL_ZARR_EMBED,
+        "q_cdx_closest": _SQL_CDX_CLOSEST,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
