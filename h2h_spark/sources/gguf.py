@@ -52,7 +52,7 @@ _GGML_TYPES = {
     14: ("Q6_K", None, None), 15: ("Q8_K", None, None),
     24: ("I8", None, None), 25: ("I16", None, None),
     26: ("I32", None, None), 27: ("I64", None, None),
-    28: ("F64", None, None), 30: ("BF16", None, None),
+    28: ("F64", None, None), 30: ("BF16", 1, 2),
 }
 
 

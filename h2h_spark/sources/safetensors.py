@@ -36,6 +36,7 @@ _DTYPES = {
     "F64": ("<f8", 8, "double"),
     "F32": ("<f4", 4, "float"),
     "F16": ("<f2", 2, "float"),   # widened to float32 on read
+    "BF16": ("<u2", 2, "float"),  # widened bit-exactly to float32
     "I64": ("<i8", 8, "bigint"),
     "I32": ("<i4", 4, "int"),
     "I16": ("<i2", 2, "smallint"),
@@ -44,13 +45,34 @@ _DTYPES = {
     "BOOL": ("<u1", 1, "boolean"),
 }
 
+
+def f32_to_bf16_bytes(arr) -> bytes:
+    """Encode a float32 array as raw little-endian bfloat16 (numpy has
+    no bf16 dtype): round-to-nearest-even on the dropped 16 mantissa
+    bits — the conversion ML frameworks use."""
+    import numpy as np
+
+    bits = np.ascontiguousarray(arr, dtype="<f4").view("<u4")
+    rounded = (bits + 0x7FFF + ((bits >> 16) & 1)).astype("<u4")
+    return (rounded >> 16).astype("<u2").tobytes()
+
+
+def bf16_to_f32(raw_u2):
+    """Widen raw bf16 (as little-endian uint16) to float32 — exact: a
+    bf16 IS the top half of an f32."""
+    import numpy as np
+
+    return (raw_u2.astype("<u4") << 16).view("<f4")
+
 _MAX_HEADER = 100 * 1024 * 1024  # spec: headers above 100 MB are invalid
 
 
 def write_safetensors(path: str, tensors: dict, metadata: dict | None = None,
-                      ) -> None:
+                      bf16: tuple = ()) -> None:
     """Fixture/interop writer: spec-conformant single file, tensors laid
-    out in the given dict order, offsets contiguous from 0."""
+    out in the given dict order, offsets contiguous from 0.  Tensor
+    names listed in ``bf16`` are float32 inputs stored as bfloat16
+    (numpy has no bf16 dtype; round-to-nearest-even conversion)."""
     import numpy as np
 
     header: dict[str, dict] = {}
@@ -63,6 +85,19 @@ def write_safetensors(path: str, tensors: dict, metadata: dict | None = None,
            "i4": "I32", "i2": "I16", "i1": "I8", "u1": "U8", "b1": "BOOL"}
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
+        if name in bf16:
+            if arr.dtype.kind != "f":
+                raise ValueError(f"tensor {name!r}: bf16 conversion "
+                                 "needs float input")
+            raw = f32_to_bf16_bytes(arr)
+            header[name] = {
+                "dtype": "BF16",
+                "shape": list(arr.shape),
+                "data_offsets": [off, off + len(raw)],
+            }
+            blobs.append(raw)
+            off += len(raw)
+            continue
         key = f"{arr.dtype.kind}{arr.dtype.itemsize}"
         if key not in rev:
             raise ValueError(f"tensor {name!r}: unsupported dtype {arr.dtype}")
@@ -280,6 +315,8 @@ class SafetensorsReader(DataSourceReader):
                 arr = np.frombuffer(raw, dtype=np_s).reshape(hi - lo, part.d)
                 if part.dtype == "F16":
                     arr = arr.astype("<f4")
+                elif part.dtype == "BF16":
+                    arr = bf16_to_f32(arr)
                 elif part.dtype == "U8":
                     arr = arr.astype("<i2")
                 pa_type = pa.from_numpy_dtype(arr.dtype)

@@ -69,7 +69,7 @@ def test_header_loud_failures(tmp_path):
     with pytest.raises(ValueError, match="past end"):
         read_header(str(p))
     # unsupported dtype
-    hdr = {"a": {"dtype": "BF16", "shape": [1, 2], "data_offsets": [0, 4]}}
+    hdr = {"a": {"dtype": "C64", "shape": [1, 2], "data_offsets": [0, 4]}}
     hj = json.dumps(hdr).encode()
     p.write_bytes(struct.pack("<Q", len(hj)) + hj + b"\x00" * 4)
     with pytest.raises(ValueError, match="dtype"):
@@ -168,3 +168,27 @@ def test_index_audit_statuses(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="index"):
         safetensors_index_audit(spark, str(tmp_path), "nope.json")
+
+
+def test_bf16_roundtrip_widening(spark, tmp_path):
+    from h2h_spark.sources.safetensors import bf16_to_f32, f32_to_bf16_bytes
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((24, 4)).astype("<f4")
+    p = tmp_path / "bf.safetensors"
+    write_safetensors(str(p), {"w": mat}, bf16=("w",))
+    header, _ = read_header(str(p))
+    assert header["w"]["dtype"] == "BF16"
+    assert header["w"]["data_offsets"] == [0, 24 * 4 * 2]
+    # expected: RNE-rounded bf16 widened back — exact by construction
+    expected = bf16_to_f32(
+        np.frombuffer(f32_to_bf16_bytes(mat), dtype="<u2")
+    ).reshape(24, 4)
+    df = read_safetensors(spark, str(tmp_path), "w", rows_per_split=10)
+    assert df.schema["vec"].dataType.simpleString() == "array<float>"
+    rows = {r.row_idx: r.vec for r in df.collect()}
+    got = np.array([rows[i] for i in range(24)], dtype="<f4")
+    assert (got == expected).all()
+    # bf16 really is the top half of f32: max error bounded by 1 ulp
+    # of an 8-bit mantissa
+    assert np.abs(got - mat).max() <= np.abs(mat).max() * 2 ** -8
