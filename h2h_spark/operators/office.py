@@ -401,28 +401,38 @@ def _decode_pdf_stream(dct: bytes, raw: bytes) -> bytes:
     return _png_unpredict(data, int(cm.group(1)) if cm else 1)
 
 
-def _read_pdf_stream_obj(data: bytes, off: int) -> tuple[bytes, bytes]:
+def _read_pdf_stream_obj(
+    data: bytes, off: int, resolve=None
+) -> tuple[bytes, bytes]:
     """Parse ``N G obj << dict >> stream ... endstream`` at ``off``;
-    returns ``(dict_bytes, raw_stream_bytes)``.  Indirect /Length is a
-    loud documented limit (resolving it needs the very table being
-    built)."""
+    returns ``(dict_bytes, raw_stream_bytes)``.  An indirect /Length is
+    resolved through ``resolve(obj_num) -> int`` when given (legal for
+    content/object streams); without a resolver it is a loud error —
+    and the SPEC requires the xref stream's own /Length to be direct,
+    so that call site never passes one."""
     import re as _re
 
     if not _re.match(rb"\d+\s+\d+\s+obj", data[off:off + 40]):
         raise ValueError(f"no indirect object at offset {off}")
     dct, p = _scan_pdf_dict(data, off)
-    if _re.search(rb"/Length\s+\d+\s+\d+\s+R", dct):
-        raise ValueError("indirect /Length in a stream dictionary is "
-                         "not supported")
-    lm = _re.search(rb"/Length\s+(\d+)", dct)
-    if not lm:
-        raise ValueError("stream dictionary missing /Length")
+    ind = _re.search(rb"/Length\s+(\d+)\s+\d+\s+R", dct)
+    if ind:
+        if resolve is None:
+            raise ValueError("indirect /Length in a stream dictionary "
+                             "is not supported here")
+        length = int(resolve(int(ind.group(1))))
+        lm = None
+    else:
+        lm = _re.search(rb"/Length\s+(\d+)", dct)
+        if not lm:
+            raise ValueError("stream dictionary missing /Length")
+        length = int(lm.group(1))
     sm = _re.compile(rb"stream(\r\n|\n|\r)").search(data, p)
     if not sm or sm.start() > p + 32:
         raise ValueError("no 'stream' keyword after dictionary")
     s0 = sm.end()
-    raw = data[s0:s0 + int(lm.group(1))]
-    if len(raw) < int(lm.group(1)):
+    raw = data[s0:s0 + length]
+    if len(raw) < length:
         raise ValueError("truncated stream body")
     return dct, raw
 
@@ -566,6 +576,20 @@ def parse_pdf_meta(data: bytes) -> dict:
         raise ValueError("trailer missing /Size or /Root")
     encrypted = b"/Encrypt" in trailer
 
+    def _resolve_int(num: int) -> int:
+        """Value of an integer object (for indirect /Length)."""
+        if num not in offsets:
+            raise ValueError(
+                f"/Length object {num} not in the xref data"
+            )
+        body = data[offsets[num]:data.index(b"endobj", offsets[num])]
+        m2 = _re.search(rb"obj\s*(\d+)", body)
+        if not m2:
+            raise ValueError(
+                f"object {num} referenced as /Length is not an integer"
+            )
+        return int(m2.group(1))
+
     def load(num: int) -> bytes:
         if num in offsets:
             off = offsets[num]
@@ -577,7 +601,9 @@ def parse_pdf_meta(data: bytes) -> dict:
                 raise ValueError(
                     f"object stream {stm_num} missing from the xref data"
                 )
-            sdct, raw = _read_pdf_stream_obj(data, offsets[stm_num])
+            sdct, raw = _read_pdf_stream_obj(
+                data, offsets[stm_num], resolve=_resolve_int
+            )
             if b"/ObjStm" not in sdct:
                 raise ValueError(
                     f"type-2 entry points at object {stm_num} which is "

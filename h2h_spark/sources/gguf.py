@@ -43,10 +43,12 @@ _GGML_TYPES = {
     0: ("F32", 1, 4),
     1: ("F16", 1, 2),
     2: ("Q4_0", 32, 18),
+    3: ("Q4_1", 32, 20),
+    6: ("Q5_0", 32, 22),
+    7: ("Q5_1", 32, 24),
     8: ("Q8_0", 32, 34),
     # known names without byte math (block layouts not implemented)
-    3: ("Q4_1", None, None), 6: ("Q5_0", None, None),
-    7: ("Q5_1", None, None), 9: ("Q8_1", None, None),
+    9: ("Q8_1", None, None),
     10: ("Q2_K", None, None), 11: ("Q3_K", None, None),
     12: ("Q4_K", None, None), 13: ("Q5_K", None, None),
     14: ("Q6_K", None, None), 15: ("Q8_K", None, None),
