@@ -4224,6 +4224,83 @@ FROM t GROUP BY shard
 """
 
 
+def q_spm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece model-file vocabulary walk
+    (`operators/spm.py:parse_spm_model` — ModelProto field-1 pieces via
+    the engine's protobuf wire machinery; unknown TrainerSpec /
+    NormalizerSpec fields skipped per the ignore-unknown contract;
+    piece id = file order, the invariant tokenizer runtimes rely on).
+    Each shard model carries the <unk>/<s>/</s> specials plus its
+    documents' pieces.  Oracle closed-form via shard-local rank."""
+    from h2h_spark.operators.spm import spm_vocab
+
+    w = _work("q_spm_vocab", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            from h2h_spark.operators.spm import encode_spm_model
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.doc_id) % 8, []).append(
+                    int(r.doc_id)
+                )
+            for shard, ids in by_shard.items():
+                ids.sort()
+                pieces = [
+                    ("<unk>", 0.0, "UNKNOWN"),
+                    ("<s>", 0.0, "CONTROL"),
+                    ("</s>", 0.0, "CONTROL"),
+                ] + [
+                    (
+                        f"▁tok{d}",
+                        -(d % 100) * 0.5,
+                        "CONTROL" if d % 50 == 0 else "NORMAL",
+                    )
+                    for d in ids
+                ]
+                with open(
+                    os.path.join(src, f"sp_{shard}.model"), "wb"
+                ) as f:
+                    f.write(encode_spm_model(pieces))
+
+        docs.repartition(8, (F.col("doc_id") % 8)).foreachPartition(_write)
+        open(ready, "w").close()
+    vocab = spm_vocab(spark, src)
+    return vocab.select(
+        F.regexp_extract("file", r"sp_(\d+)\.model$", 1).cast("bigint")
+        .alias("shard"),
+        "piece_id", "piece",
+        F.col("score").cast("double").alias("score"),
+        "ptype",
+    )
+
+
+_SQL_SPM_VOCAB = """
+WITH s AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+             - 1 AS rk
+  FROM documents)
+SELECT shard, CAST(rk + 3 AS BIGINT) AS piece_id,
+       chr(9601) || 'tok' || CAST(doc_id AS VARCHAR) AS piece,
+       CAST(-(doc_id % 100) * 0.5 AS DOUBLE) AS score,
+       CASE WHEN doc_id % 50 = 0 THEN 'CONTROL' ELSE 'NORMAL' END
+           AS ptype
+FROM s
+UNION ALL
+SELECT DISTINCT shard, sp.i, sp.p, CAST(0.0 AS DOUBLE) AS score,
+       sp.t
+FROM s, (VALUES (CAST(0 AS BIGINT), '<unk>', 'UNKNOWN'),
+                (CAST(1 AS BIGINT), '<s>', 'CONTROL'),
+                (CAST(2 AS BIGINT), '</s>', 'CONTROL')) sp(i, p, t)
+"""
+
+
 def q_zarr_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zarr v2 chunk-grid roundtrip (`sources/zarr.py` — the .zarray
     descriptor IS the split plan: one tiny JSON maps every chunk file,
@@ -13137,6 +13214,7 @@ def _init_queries() -> None:
         "q_safetensors_index": q_safetensors_index,
         "q_zarr_embed": q_zarr_embed,
         "q_cdx_closest": q_cdx_closest,
+        "q_spm_vocab": q_spm_vocab,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13489,6 +13567,7 @@ def oracle_sql() -> dict[str, str]:
         "q_safetensors_index": _SQL_SAFETENSORS_INDEX,
         "q_zarr_embed": _SQL_ZARR_EMBED,
         "q_cdx_closest": _SQL_CDX_CLOSEST,
+        "q_spm_vocab": _SQL_SPM_VOCAB,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
