@@ -4224,6 +4224,88 @@ FROM t GROUP BY shard
 """
 
 
+def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-harness token F1 (SQuAD-style): multiset overlap between
+    prediction and reference token bags — explode both sides, per-token
+    min(count, count), then precision/recall/F1 per example and
+    exact-match on the normalized strings.  Pure relational plan: two
+    token-level aggregates + one join, no Python.  Predictions are a
+    deterministic corruption of the reference (drop every 3rd token,
+    duplicate the first) so every F1 regime appears.  Oracle re-derives
+    the same bags in SQL."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    base = docs.withColumn(
+        "ref_toks",
+        F.slice(F.split(F.lower("text"), r"\s+"), 1, 12),
+    ).withColumn(
+        "pred_toks",
+        F.expr("""
+            concat(
+              slice(ref_toks, 1, 1),
+              filter(ref_toks, (t, i) -> (i + 1) % 3 != 0)
+            )
+        """),
+    ).select("doc_id", "ref_toks", "pred_toks")
+    base = base.withColumn("n_ref", F.size("ref_toks")) \
+               .withColumn("n_pred", F.size("pred_toks"))
+    ref_cnt = base.select(
+        "doc_id", F.explode("ref_toks").alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("rc"))
+    pred_cnt = base.select(
+        "doc_id", F.explode("pred_toks").alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("pc"))
+    same = ref_cnt.join(pred_cnt, ["doc_id", "tok"]).groupBy(
+        "doc_id"
+    ).agg(F.sum(F.least("rc", "pc")).alias("n_same"))
+    out = base.join(same, "doc_id", "left").fillna({"n_same": 0})
+    return out.select(
+        "doc_id", "n_ref", "n_pred",
+        F.col("n_same").cast("bigint").alias("n_same"),
+        F.round(
+            2.0 * F.col("n_same")
+            / (F.col("n_pred") + F.col("n_ref")), 6
+        ).alias("f1"),
+        (F.col("ref_toks") == F.col("pred_toks")).cast("int")
+        .alias("exact_match"),
+    )
+
+
+_SQL_EVAL_F1 = """
+WITH base AS (
+  SELECT doc_id,
+         list_slice(string_split_regex(lower(text), '\\s+'), 1, 12)
+             AS ref_toks
+  FROM documents),
+b2 AS (
+  SELECT doc_id, ref_toks,
+         list_concat(
+           ref_toks[1:1],
+           list_filter(ref_toks, (t, i) -> i % 3 != 0)
+         ) AS pred_toks
+  FROM base),
+rc AS (
+  SELECT doc_id, tok, COUNT(*) AS rc
+  FROM b2, UNNEST(ref_toks) AS u(tok) GROUP BY doc_id, tok),
+pc AS (
+  SELECT doc_id, tok, COUNT(*) AS pc
+  FROM b2, UNNEST(pred_toks) AS u(tok) GROUP BY doc_id, tok),
+same AS (
+  SELECT rc.doc_id, SUM(LEAST(rc.rc, pc.pc)) AS n_same
+  FROM rc JOIN pc ON rc.doc_id = pc.doc_id AND rc.tok = pc.tok
+  GROUP BY rc.doc_id)
+SELECT b2.doc_id,
+       CAST(len(ref_toks) AS INTEGER) AS n_ref,
+       CAST(len(pred_toks) AS INTEGER) AS n_pred,
+       CAST(COALESCE(n_same, 0) AS BIGINT) AS n_same,
+       ROUND(2.0 * COALESCE(n_same, 0)
+             / (len(pred_toks) + len(ref_toks)), 6) AS f1,
+       CAST(ref_toks = pred_toks AS INTEGER) AS exact_match
+FROM b2 LEFT JOIN same ON b2.doc_id = same.doc_id
+"""
+
+
 def q_spm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece model-file vocabulary walk
     (`operators/spm.py:parse_spm_model` — ModelProto field-1 pieces via
@@ -13215,6 +13297,7 @@ def _init_queries() -> None:
         "q_zarr_embed": q_zarr_embed,
         "q_cdx_closest": q_cdx_closest,
         "q_spm_vocab": q_spm_vocab,
+        "q_eval_f1": q_eval_f1,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13568,6 +13651,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zarr_embed": _SQL_ZARR_EMBED,
         "q_cdx_closest": _SQL_CDX_CLOSEST,
         "q_spm_vocab": _SQL_SPM_VOCAB,
+        "q_eval_f1": _SQL_EVAL_F1,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
