@@ -4224,6 +4224,116 @@ FROM t GROUP BY shard
 """
 
 
+def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-structured table state with time travel + zone pruning
+    (`operators/deltalog.py` — the Delta/Iceberg commit-log pattern:
+    JSON-line add/remove actions per version; live set = one window
+    fold, last action per path wins; gap-free sequence VERIFIED).  The
+    fixture commits 4 range-sharded parquet files, then a compaction
+    churn (remove+re-add) and a shard delete; the query reads three
+    snapshots — v0, latest, and latest zone-pruned to one file — and
+    accounts rows/keys/files for each.  Oracle closed-form."""
+    from h2h_spark.operators.deltalog import (
+        snapshot_files,
+        snapshot_scan,
+        write_commit,
+    )
+
+    w = _work("q_delta_snapshot", sf_dir)
+    tbl = os.path.join(w, "tbl")
+    ready = os.path.join(tbl, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("key"), "n_chars"
+    )
+    n = docs.count()
+    n4 = -(-n // 4)
+    if not os.path.exists(ready):
+        os.makedirs(tbl, exist_ok=True)
+        for i in range(4):
+            part = docs.filter(
+                (F.col("key") >= i * n4) & (F.col("key") < (i + 1) * n4)
+            )
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tbl, f"part-{i}")
+            )
+        write_commit(tbl, 0, [
+            {"add": {"path": f"part-{i}", "size": 1,
+                     "numRecords": min((i + 1) * n4, n) - i * n4,
+                     "minKey": i * n4,
+                     "maxKey": min((i + 1) * n4, n) - 1}}
+            for i in range(4)
+        ])
+        # compaction churn: rewrite shard 2 under a new path
+        spark.read.parquet(os.path.join(tbl, "part-2")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(tbl, "part-2r"))
+        write_commit(tbl, 1, [
+            {"remove": {"path": "part-2"}},
+            {"add": {"path": "part-2r", "size": 1,
+                     "numRecords": min(3 * n4, n) - 2 * n4,
+                     "minKey": 2 * n4,
+                     "maxKey": min(3 * n4, n) - 1}},
+        ])
+        # delete shard 3
+        write_commit(tbl, 2, [{"remove": {"path": "part-3"}}])
+        open(ready, "w").close()
+
+    def _account(name, df, files_df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("key").alias("sum_key"),
+        ).select(
+            F.lit(name).alias("snap"),
+            "n_rows", "sum_key",
+            F.lit(files_df.count()).cast("bigint").alias("n_files"),
+        )
+
+    v0 = _account(
+        "v0", snapshot_scan(spark, tbl, version=0),
+        snapshot_files(spark, tbl, 0),
+    )
+    latest = _account(
+        "latest", snapshot_scan(spark, tbl),
+        snapshot_files(spark, tbl),
+    )
+    pruned_files = snapshot_files(spark, tbl).filter(
+        (F.col("max_key") >= n4) & (F.col("min_key") <= n4 + 10)
+    )
+    pruned = _account(
+        "latest_pruned",
+        snapshot_scan(spark, tbl, key_between=(n4, n4 + 10))
+        .filter(F.col("key").between(n4, n4 + 10)),
+        pruned_files,
+    )
+    return v0.unionByName(latest).unionByName(pruned)
+
+
+_SQL_DELTA_SNAPSHOT = """
+WITH n AS (SELECT COUNT(*) AS n,
+                  CAST(CEIL(COUNT(*) / 4.0) AS BIGINT) AS n4
+           FROM documents)
+SELECT 'v0' AS snap, n.n AS n_rows,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents) AS sum_key,
+       CAST(4 AS BIGINT) AS n_files
+FROM n
+UNION ALL
+SELECT 'latest', (SELECT COUNT(*) FROM documents, n
+                  WHERE doc_id < 3 * n.n4),
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, n
+        WHERE doc_id < 3 * n.n4),
+       CAST(3 AS BIGINT)
+FROM n
+UNION ALL
+SELECT 'latest_pruned',
+       (SELECT COUNT(*) FROM documents, n
+        WHERE doc_id BETWEEN n.n4 AND n.n4 + 10),
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, n
+        WHERE doc_id BETWEEN n.n4 AND n.n4 + 10),
+       CAST(1 AS BIGINT)
+FROM n
+"""
+
+
 def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-harness token F1 (SQuAD-style): multiset overlap between
     prediction and reference token bags — explode both sides, per-token
@@ -13298,6 +13408,7 @@ def _init_queries() -> None:
         "q_cdx_closest": q_cdx_closest,
         "q_spm_vocab": q_spm_vocab,
         "q_eval_f1": q_eval_f1,
+        "q_delta_snapshot": q_delta_snapshot,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13652,6 +13763,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_closest": _SQL_CDX_CLOSEST,
         "q_spm_vocab": _SQL_SPM_VOCAB,
         "q_eval_f1": _SQL_EVAL_F1,
+        "q_delta_snapshot": _SQL_DELTA_SNAPSHOT,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
