@@ -620,3 +620,94 @@ def test_crc32c_vec_scalar_equivalence_property(data):
     from h2h_spark.sources.tfrecord import _crc_update, crc32c
 
     assert crc32c(data) == (~_crc_update(0xFFFFFFFF, data) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# model-artifact tier property tests (round 10, session 2)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 200), d=st.integers(1, 48),
+       seed=st.integers(0, 2**31 - 1),
+       dt=st.sampled_from(["<f4", "<f8", "<i8", "<i2", "<f2"]))
+def test_safetensors_header_roundtrip_property(tmp_path_factory, n, d,
+                                               seed, dt):
+    """write → read_header preserves dtype/shape/offsets for any 2-D
+    tensor; data bytes land exactly where the header says."""
+    import numpy as np
+
+    from h2h_spark.sources.safetensors import (
+        _DTYPES, read_header, write_safetensors,
+    )
+
+    tmp = tmp_path_factory.mktemp("st")
+    rng = np.random.default_rng(seed)
+    if dt[1] == "f":
+        arr = rng.standard_normal((n, d)).astype(dt)
+    else:
+        arr = rng.integers(-100, 100, size=(n, d)).astype(dt)
+    p = str(tmp / "t.safetensors")
+    write_safetensors(p, {"x": arr})
+    header, data_start = read_header(p)
+    info = header["x"]
+    assert info["shape"] == [n, d]
+    b0, b1 = info["data_offsets"]
+    np_s, itemsize, _ = _DTYPES[info["dtype"]]
+    assert b1 - b0 == n * d * itemsize
+    raw = open(p, "rb").read()[data_start + b0:data_start + b1]
+    back = np.frombuffer(raw, dtype=np_s).reshape(n, d)
+    assert back.tobytes() == arr.tobytes()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(n=st.integers(1, 120), d=st.integers(1, 20),
+       seed=st.integers(0, 2**31 - 1), v1=st.booleans())
+def test_npy_header_roundtrip_property(tmp_path_factory, n, d, seed, v1):
+    """np.save → parse_npy_header agrees with numpy's own reader for
+    arbitrary 2-D shapes."""
+    import numpy as np
+
+    from h2h_spark.sources.npy import parse_npy_header
+
+    tmp = tmp_path_factory.mktemp("npy")
+    rng = np.random.default_rng(seed)
+    arr = rng.standard_normal((n, d)).astype("<f4")
+    p = tmp / "a.npy"
+    np.save(p, arr)
+    raw = p.read_bytes()
+    descr, shape, fortran, off = parse_npy_header(raw, "t")
+    assert shape == (n, d) and not fortran
+    back = np.frombuffer(raw[off:], dtype=descr).reshape(shape)
+    assert (back == arr).all()
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1))
+def test_bf16_rne_matches_reference(seed):
+    """The vectorized RNE bf16 conversion matches the scalar reference
+    (truncate-with-round-to-nearest-even on bit 16)."""
+    import struct
+
+    import numpy as np
+
+    from h2h_spark.sources.safetensors import bf16_to_f32, f32_to_bf16_bytes
+
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate([
+        rng.standard_normal(64),
+        rng.uniform(-1e30, 1e30, 8),
+        np.array([0.0, -0.0, 1.0, 2.0**-126]),
+    ]).astype("<f4")
+    got = np.frombuffer(f32_to_bf16_bytes(vals), dtype="<u2")
+    for v, g in zip(vals, got):
+        bits = struct.unpack("<I", struct.pack("<f", v))[0]
+        ref = (bits + 0x7FFF + ((bits >> 16) & 1)) >> 16
+        assert g == (ref & 0xFFFF)
+    # widening really is exact top-half reconstruction
+    wide = bf16_to_f32(got)
+    assert (np.frombuffer(wide.tobytes(), dtype="<u4") >> 16
+            == got.astype("<u4")).all()
