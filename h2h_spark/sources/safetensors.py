@@ -246,13 +246,21 @@ class SafetensorsDataSource(DataSource):
         tensor = self.options.get("tensor")
         if not tensor:
             raise ValueError("option 'tensor' is required")
-        header, _ = read_header(files[0])
-        if tensor not in header:
-            raise ValueError(
-                f"{files[0]}: no tensor named {tensor!r} "
-                f"(has {sorted(k for k in header if k != '__metadata__')})"
-            )
-        return header[tensor]["dtype"]
+        skip = str(self.options.get("missingTensor", "error")) == "skip"
+        for f in sorted(files):
+            header, _ = read_header(f)
+            if tensor in header:
+                return header[tensor]["dtype"]
+            if not skip:
+                raise ValueError(
+                    f"{f}: no tensor named {tensor!r} (has "
+                    f"{sorted(k for k in header if k != '__metadata__')})"
+                    " — pass missing_tensor='skip' for per-shard tensors"
+                )
+        raise ValueError(
+            f"no file under {self.options['path']} holds tensor "
+            f"{tensor!r}"
+        )
 
     def schema(self) -> str:
         elem = _DTYPES[self._first_dtype()][2]
@@ -267,14 +275,21 @@ class SafetensorsReader(DataSourceReader):
         self.path = options["path"]
         self.tensor = options["tensor"]
         self.rows_per_split = int(options.get("rowsPerSplit", 65536))
+        self.skip_missing = (
+            str(options.get("missingTensor", "error")) == "skip"
+        )
 
     def partitions(self):
         parts = []
+        found = False
         for f in sorted(list_part_files(self.path,
                                         pattern="*.safetensors")):
             header, data_start = read_header(f)
             if self.tensor not in header:
+                if self.skip_missing:
+                    continue
                 raise ValueError(f"{f}: no tensor named {self.tensor!r}")
+            found = True
             info = header[self.tensor]
             shape = info["shape"]
             if len(shape) != 2:
@@ -289,8 +304,11 @@ class SafetensorsReader(DataSourceReader):
                     info["dtype"], d, lo, min(lo + self.rows_per_split, n),
                 ))
         if not parts:
+            if found:
+                return parts  # tensor exists but has zero rows
             raise FileNotFoundError(
-                f"no .safetensors files under {self.path}"
+                f"no .safetensors files under {self.path} hold tensor "
+                f"{self.tensor!r}"
             )
         return parts
 
@@ -394,12 +412,17 @@ def read_safetensors(
     path: str,
     tensor: str,
     rows_per_split: int = 65536,
+    missing_tensor: str = "error",
 ) -> DataFrame:
+    """``missing_tensor='skip'`` tolerates shards that don't hold the
+    tensor (the HF sharded-checkpoint layout: each tensor lives in
+    exactly one shard); it is still LOUD if no file holds it."""
     register_safetensors(spark)
     return (
         spark.read.format("h2h_safetensors")
         .option("path", path)
         .option("tensor", tensor)
         .option("rowsPerSplit", str(rows_per_split))
+        .option("missingTensor", missing_tensor)
         .load()
     )

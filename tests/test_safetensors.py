@@ -192,3 +192,24 @@ def test_bf16_roundtrip_widening(spark, tmp_path):
     # bf16 really is the top half of f32: max error bounded by 1 ulp
     # of an 8-bit mantissa
     assert np.abs(got - mat).max() <= np.abs(mat).max() * 2 ** -8
+
+
+def test_missing_tensor_skip_mode(spark, tmp_path):
+    # tensor-per-shard layout (the HF sharded-checkpoint shape)
+    write_safetensors(str(tmp_path / "s1.safetensors"),
+                      {"a": np.zeros((4, 2), dtype="<f4")})
+    write_safetensors(str(tmp_path / "s2.safetensors"),
+                      {"b": np.ones((3, 2), dtype="<f4")})
+    # default: loud on the shard that lacks the tensor
+    with pytest.raises(Exception, match="no tensor named"):
+        read_safetensors(spark, str(tmp_path), "a").collect()
+    # skip mode: reads only the shard that holds it
+    rows = read_safetensors(
+        spark, str(tmp_path), "b", missing_tensor="skip"
+    ).collect()
+    assert len(rows) == 3 and rows[0].vec == [1.0, 1.0]
+    # still loud when NO shard holds the tensor
+    with pytest.raises(Exception, match="hold tensor|holds tensor"):
+        read_safetensors(
+            spark, str(tmp_path), "zz", missing_tensor="skip"
+        ).collect()
