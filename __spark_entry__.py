@@ -4224,6 +4224,181 @@ FROM t GROUP BY shard
 """
 
 
+def q_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Avro OCF roundtrip (`sources/avro.py` — the codec now
+    covers records / arrays / string-keyed maps / bytes recursively,
+    the shapes real Avro data and Iceberg manifests use; deflate
+    blocks, sync-marker split realignment).  Fixture rows carry a
+    nested data_file record, an array, a bounds map, and a binary blob;
+    the read-back is flattened and graded field-by-field.  Oracle
+    closed-form."""
+    from h2h_spark.sources.avro import AvroDataSource, read_avro, write_avro
+
+    spark.dataSource.register(AvroDataSource)
+    w = _work("q_avro_nested", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        df = docs.select(
+            "doc_id",
+            F.struct(
+                F.concat(F.lit("part-"), F.col("doc_id") % 5)
+                .alias("file_path"),
+                (F.col("doc_id") * 3 + 1).alias("record_count"),
+                (F.col("doc_id") % 2 == 0).alias("valid"),
+            ).alias("data_file"),
+            F.sequence(F.lit(0), F.col("doc_id") % 4).alias("nums"),
+            F.create_map(
+                F.lit("lo"), F.col("doc_id"),
+                F.lit("hi"), F.col("doc_id") * 2,
+            ).alias("bounds"),
+            F.encode(F.concat(F.lit("blob-"), F.col("doc_id")), "utf-8")
+            .alias("blob"),
+        )
+        write_avro(df.repartition(4, "doc_id"), src, codec="deflate",
+                   rows_per_block=32)
+        open(ready, "w").close()
+    back = read_avro(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048)
+    )
+    return back.select(
+        "doc_id",
+        F.col("data_file.file_path").alias("file_path"),
+        F.col("data_file.record_count").alias("record_count"),
+        F.col("data_file.valid").cast("int").alias("valid"),
+        F.size("nums").alias("n_nums"),
+        F.aggregate("nums", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("sum_nums"),
+        F.element_at("bounds", "lo").alias("b_lo"),
+        F.element_at("bounds", "hi").alias("b_hi"),
+        F.md5("blob").alias("blob_md5"),
+    )
+
+
+_SQL_AVRO_NESTED = """
+SELECT doc_id,
+       'part-' || CAST(doc_id % 5 AS VARCHAR) AS file_path,
+       CAST(doc_id * 3 + 1 AS BIGINT) AS record_count,
+       CAST(doc_id % 2 = 0 AS INTEGER) AS valid,
+       CAST(doc_id % 4 + 1 AS INTEGER) AS n_nums,
+       CAST((doc_id % 4) * (doc_id % 4 + 1) // 2 AS BIGINT) AS sum_nums,
+       doc_id AS b_lo, doc_id * 2 AS b_hi,
+       md5('blob-' || CAST(doc_id AS VARCHAR)) AS blob_md5
+FROM documents
+"""
+
+
+def q_iceberg_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TWO-LEVEL metadata pruning, manifests in AVRO
+    (the real format): a manifest LIST names each manifest with its key
+    range; manifests name data files with per-column lower/upper bounds
+    (string-keyed maps, nested records — `sources/avro.py`'s nested
+    codec).  A key-range query prunes manifests first, then data files,
+    and scans ONLY survivors — at 100 TB both pruning levels are
+    metadata-sized reads and the saved IO is the whole point.  The
+    output accounts what was scanned at each level plus the exact
+    result.  Oracle closed-form."""
+    from h2h_spark.sources.avro import AvroDataSource, read_avro, write_avro
+
+    spark.dataSource.register(AvroDataSource)
+    w = _work("q_iceberg_prune", sf_dir)
+    tbl = os.path.join(w, "tbl")
+    ready = os.path.join(tbl, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("key"), "n_chars"
+    )
+    n = docs.count()
+    n8 = -(-n // 8)
+    if not os.path.exists(ready):
+        os.makedirs(tbl, exist_ok=True)
+        # data tier: 8 range-sharded parquet files
+        for i in range(8):
+            docs.filter(
+                (F.col("key") >= i * n8) & (F.col("key") < (i + 1) * n8)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tbl, f"data-{i}")
+            )
+        # manifest tier: 2 avro manifests, 4 data files each
+        for m in range(2):
+            entries = [
+                (1, {
+                    "file_path": f"data-{i}",
+                    "record_count": min((i + 1) * n8, n) - i * n8,
+                    "lower_bounds": {"key": i * n8},
+                    "upper_bounds": {"key": min((i + 1) * n8, n) - 1},
+                })
+                for i in range(m * 4, m * 4 + 4)
+            ]
+            mdf = spark.createDataFrame(
+                entries,
+                "status long, data_file struct<file_path:string, "
+                "record_count:long, lower_bounds:map<string,bigint>, "
+                "upper_bounds:map<string,bigint>>",
+            ).coalesce(1)
+            write_avro(mdf, os.path.join(tbl, f"manifest-{m}"))
+        # manifest list: 1 avro file naming both manifests
+        mldf = spark.createDataFrame(
+            [
+                (f"manifest-{m}", 4, m * 4 * n8,
+                 min((m * 4 + 4) * n8, n) - 1)
+                for m in range(2)
+            ],
+            "manifest_path string, added_files long, "
+            "lower bigint, upper bigint",
+        ).coalesce(1)
+        write_avro(mldf, os.path.join(tbl, "manifest-list"))
+        open(ready, "w").close()
+
+    lo, hi = n8, 2 * n8 + 10
+    mlist = read_avro(spark, os.path.join(tbl, "manifest-list"))
+    live_manifests = [
+        r.manifest_path
+        for r in mlist.filter(
+            (F.col("upper") >= lo) & (F.col("lower") <= hi)
+        ).collect()
+    ]
+    files = None
+    for mp in live_manifests:
+        mf = read_avro(spark, os.path.join(tbl, mp)).select(
+            F.col("data_file.file_path").alias("file_path"),
+            F.element_at("data_file.lower_bounds", "key").alias("f_lo"),
+            F.element_at("data_file.upper_bounds", "key").alias("f_hi"),
+        )
+        files = mf if files is None else files.unionByName(mf)
+    live_files = [
+        r.file_path
+        for r in files.filter(
+            (F.col("f_hi") >= lo) & (F.col("f_lo") <= hi)
+        ).collect()
+    ]
+    data = spark.read.parquet(
+        *[os.path.join(tbl, f) for f in sorted(live_files)]
+    ).filter(F.col("key").between(lo, hi))
+    return data.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("key").alias("sum_key"),
+    ).select(
+        F.lit(len(live_manifests)).cast("bigint")
+        .alias("manifests_scanned"),
+        F.lit(len(live_files)).cast("bigint").alias("files_scanned"),
+        "n_rows", "sum_key",
+    )
+
+
+_SQL_ICEBERG_PRUNE = """
+WITH n AS (SELECT CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS n8
+           FROM documents)
+SELECT CAST(1 AS BIGINT) AS manifests_scanned,
+       CAST(2 AS BIGINT) AS files_scanned,
+       (SELECT COUNT(*) FROM documents, n
+        WHERE doc_id BETWEEN n.n8 AND 2 * n.n8 + 10) AS n_rows,
+       (SELECT CAST(SUM(doc_id) AS BIGINT) FROM documents, n
+        WHERE doc_id BETWEEN n.n8 AND 2 * n.n8 + 10) AS sum_key
+FROM n
+"""
+
+
 def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-structured table state with time travel + zone pruning
     (`operators/deltalog.py` — the Delta/Iceberg commit-log pattern:
@@ -13409,6 +13584,8 @@ def _init_queries() -> None:
         "q_spm_vocab": q_spm_vocab,
         "q_eval_f1": q_eval_f1,
         "q_delta_snapshot": q_delta_snapshot,
+        "q_avro_nested": q_avro_nested,
+        "q_iceberg_prune": q_iceberg_prune,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13764,6 +13941,8 @@ def oracle_sql() -> dict[str, str]:
         "q_spm_vocab": _SQL_SPM_VOCAB,
         "q_eval_f1": _SQL_EVAL_F1,
         "q_delta_snapshot": _SQL_DELTA_SNAPSHOT,
+        "q_avro_nested": _SQL_AVRO_NESTED,
+        "q_iceberg_prune": _SQL_ICEBERG_PRUNE,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -95,50 +95,121 @@ _SPARK_TO_AVRO = {
     T.FloatType: "double",
     T.StringType: "string",
     T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
 }
+
+_PRIMITIVES = ("long", "double", "string", "boolean", "bytes")
+
+
+def _avro_type_for(dt: T.DataType, name: str) -> dict | str:
+    base = _SPARK_TO_AVRO.get(type(dt))
+    if base is not None:
+        return base
+    if isinstance(dt, T.ArrayType):
+        items = _avro_type_for(dt.elementType, name)
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(f"avro maps have string keys ({name!r})")
+        values = _avro_type_for(dt.valueType, name)
+        if dt.valueContainsNull:
+            values = ["null", values]
+        return {"type": "map", "values": values}
+    if isinstance(dt, T.StructType):
+        return avro_schema_for(dt, name=f"{name}_rec")
+    raise ValueError(
+        f"avro source supports long/double/string/boolean/bytes/"
+        f"array/map/record fields; got {dt} for {name!r}"
+    )
 
 
 def avro_schema_for(schema: T.StructType, name: str = "row") -> dict:
     fields = []
     for f in schema.fields:
-        base = _SPARK_TO_AVRO.get(type(f.dataType))
-        if base is None:
-            raise ValueError(
-                f"avro source supports long/double/string/boolean fields; "
-                f"got {f.dataType} for {f.name!r}"
-            )
+        t = _avro_type_for(f.dataType, f.name)
         fields.append(
-            {"name": f.name, "type": ["null", base] if f.nullable else base}
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
     return {"type": "record", "name": name, "fields": fields}
 
 
-def _field_plan(avro: dict) -> list[tuple[str, str, bool]]:
-    """[(name, base_type, nullable)] from an avro record schema; loud on
-    anything outside the supported subset."""
+# recursive plan representation:
+#   ("prim", base)                       primitive
+#   ("array", elem_plan)                 array<elem>
+#   ("map", value_plan)                  map<string, value>
+#   ("record", [(name, plan, nullable)]) nested record
+def _type_plan(t) -> tuple:
+    if isinstance(t, list):  # ["null", T] union (element/value position)
+        if len(t) != 2 or "null" not in t:
+            raise ValueError(f"unsupported union {t}")
+        return ("union", _type_plan([x for x in t if x != "null"][0]))
+    if isinstance(t, str):
+        base = {"int": "long", "float": "double"}.get(t, t)
+        if base not in _PRIMITIVES:
+            raise ValueError(f"unsupported avro type {t!r}")
+        return ("prim", base)
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "array":
+            return ("array", _type_plan(t["items"]))
+        if kind == "map":
+            return ("map", _type_plan(t["values"]))
+        if kind == "record":
+            return ("record", [
+                _plan_field(f) for f in t["fields"]
+            ])
+        if kind in _PRIMITIVES or kind in ("int", "float"):
+            return _type_plan(kind)
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _plan_field(f: dict) -> tuple[str, tuple, bool]:
+    t = f["type"]
+    nullable = False
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t:
+            raise ValueError(f"unsupported union {t} for {f['name']!r}")
+        nullable = True
+        t = [x for x in t if x != "null"][0]
+    return (f["name"], _type_plan(t), nullable)
+
+
+def _field_plan(avro: dict) -> list[tuple[str, tuple, bool]]:
+    """[(name, type_plan, nullable)] from an avro record schema; loud
+    on anything outside the supported subset."""
     if avro.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
-    plan = []
-    for f in avro["fields"]:
-        t = f["type"]
-        nullable = False
-        if isinstance(t, list):
-            if len(t) != 2 or "null" not in t:
-                raise ValueError(f"unsupported union {t} for {f['name']!r}")
-            nullable = True
-            t = [x for x in t if x != "null"][0]
-        if t not in ("long", "int", "double", "float", "string", "boolean"):
-            raise ValueError(f"unsupported avro type {t!r} for {f['name']!r}")
-        base = {"int": "long", "float": "double"}.get(t, t)
-        plan.append((f["name"], base, nullable))
-    return plan
+    return [_plan_field(f) for f in avro["fields"]]
 
 
-def _spark_schema(plan: list[tuple[str, str, bool]]) -> T.StructType:
-    m = {"long": T.LongType(), "double": T.DoubleType(), "string": T.StringType(),
-         "boolean": T.BooleanType()}
+def _spark_type(plan: tuple) -> T.DataType:
+    kind = plan[0]
+    if kind == "union":
+        return _spark_type(plan[1])
+    if kind == "prim":
+        return {
+            "long": T.LongType(), "double": T.DoubleType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(),
+        }[plan[1]]
+    if kind == "array":
+        return T.ArrayType(_spark_type(plan[1]),
+                           containsNull=plan[1][0] == "union")
+    if kind == "map":
+        return T.MapType(T.StringType(), _spark_type(plan[1]),
+                         valueContainsNull=plan[1][0] == "union")
+    return T.StructType([
+        T.StructField(n, _spark_type(p), nullable)
+        for n, p, nullable in plan[1]
+    ])
+
+
+def _spark_schema(plan: list[tuple[str, tuple, bool]]) -> T.StructType:
     return T.StructType(
-        [T.StructField(n, m[b], nullable) for n, b, nullable in plan]
+        [T.StructField(n, _spark_type(p), nullable)
+         for n, p, nullable in plan]
     )
 
 
@@ -147,49 +218,135 @@ def _spark_schema(plan: list[tuple[str, str, bool]]) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
-def _encode_rows(plan, cols, n_rows: int) -> bytes:
-    out = bytearray()
-    for i in range(n_rows):
-        for (name, base, nullable), col in zip(plan, cols):
-            v = col[i]
+def _encode_value(plan: tuple, v, out: bytearray) -> None:
+    kind = plan[0]
+    if kind == "union":
+        if v is None:
+            out += _zigzag_encode(0)
+            return
+        out += _zigzag_encode(1)
+        _encode_value(plan[1], v, out)
+        return
+    if kind == "prim":
+        base = plan[1]
+        if base == "long":
+            out += _zigzag_encode(int(v))
+        elif base == "double":
+            out += struct.pack("<d", float(v))
+        elif base == "string":
+            out += _enc_str(str(v))
+        elif base == "bytes":
+            out += _enc_bytes(bytes(v))
+        else:  # boolean
+            out.append(1 if v else 0)
+    elif kind == "array":
+        items = list(v)
+        if items:
+            out += _zigzag_encode(len(items))
+            for item in items:
+                _encode_value(plan[1], item, out)
+        out += _zigzag_encode(0)
+    elif kind == "map":
+        entries = v.items() if isinstance(v, dict) else list(v)
+        entries = sorted(entries)  # deterministic output
+        if entries:
+            out += _zigzag_encode(len(entries))
+            for mk, mv in entries:
+                out += _enc_str(str(mk))
+                _encode_value(plan[1], mv, out)
+        out += _zigzag_encode(0)
+    else:  # record
+        for name, fplan, nullable in plan[1]:
+            fv = v[name] if isinstance(v, dict) else getattr(v, name)
             if nullable:
-                if v is None:
-                    out += _zigzag_encode(0)  # union branch 0 = null
+                if fv is None:
+                    out += _zigzag_encode(0)
                     continue
                 out += _zigzag_encode(1)
-            if base == "long":
-                out += _zigzag_encode(int(v))
-            elif base == "double":
-                out += struct.pack("<d", float(v))
-            elif base == "string":
-                out += _enc_str(str(v))
-            else:  # boolean
-                out.append(1 if v else 0)
+            elif fv is None:
+                raise ValueError(
+                    f"null in non-nullable avro field {name!r}"
+                )
+            _encode_value(fplan, fv, out)
+
+
+def _encode_rows(plan, cols, n_rows: int) -> bytes:
+    out = bytearray()
+    row_plan = ("record", plan)
+    for i in range(n_rows):
+        _encode_value(row_plan, {n: col[i] for (n, _, _), col
+                                 in zip(plan, cols)}, out)
     return bytes(out)
+
+
+def _decode_value(plan: tuple, buf: bytes, pos: int):
+    kind = plan[0]
+    if kind == "union":
+        branch, pos = _zigzag_decode(buf, pos)
+        if branch == 0:
+            return None, pos
+        return _decode_value(plan[1], buf, pos)
+    if kind == "prim":
+        base = plan[1]
+        if base == "long":
+            return _zigzag_decode(buf, pos)
+        if base == "double":
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if base == "string":
+            ln, pos = _zigzag_decode(buf, pos)
+            return buf[pos:pos + ln].decode("utf-8"), pos + ln
+        if base == "bytes":
+            ln, pos = _zigzag_decode(buf, pos)
+            return bytes(buf[pos:pos + ln]), pos + ln
+        v = buf[pos] != 0
+        return v, pos + 1
+    if kind == "array":
+        items = []
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:  # block-size form
+                _, pos = _zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                v, pos = _decode_value(plan[1], buf, pos)
+                items.append(v)
+    if kind == "map":
+        entries = {}
+        while True:
+            count, pos = _zigzag_decode(buf, pos)
+            if count == 0:
+                return entries, pos
+            if count < 0:
+                _, pos = _zigzag_decode(buf, pos)
+                count = -count
+            for _ in range(count):
+                ln, pos = _zigzag_decode(buf, pos)
+                k = buf[pos:pos + ln].decode("utf-8")
+                pos += ln
+                v, pos = _decode_value(plan[1], buf, pos)
+                entries[k] = v
+    # record
+    rec = {}
+    for name, fplan, nullable in plan[1]:
+        if nullable:
+            branch, pos = _zigzag_decode(buf, pos)
+            if branch == 0:
+                rec[name] = None
+                continue
+        v, pos = _decode_value(fplan, buf, pos)
+        rec[name] = v
+    return rec, pos
 
 
 def _decode_rows(plan, buf: bytes, n_rows: int, pos: int = 0):
     cols: list[list] = [[] for _ in plan]
+    row_plan = ("record", plan)
     for _ in range(n_rows):
-        for k, (name, base, nullable) in enumerate(plan):
-            if nullable:
-                branch, pos = _zigzag_decode(buf, pos)
-                if branch == 0:
-                    cols[k].append(None)
-                    continue
-            if base == "long":
-                v, pos = _zigzag_decode(buf, pos)
-                cols[k].append(v)
-            elif base == "double":
-                cols[k].append(struct.unpack_from("<d", buf, pos)[0])
-                pos += 8
-            elif base == "string":
-                ln, pos = _zigzag_decode(buf, pos)
-                cols[k].append(buf[pos : pos + ln].decode("utf-8"))
-                pos += ln
-            else:
-                cols[k].append(buf[pos] != 0)
-                pos += 1
+        rec, pos = _decode_value(row_plan, buf, pos)
+        for k, (name, _, _) in enumerate(plan):
+            cols[k].append(rec[name])
     return cols, pos
 
 
@@ -353,10 +510,30 @@ class AvroDataSourceReader(DataSourceReader):
                 )
 
 
+def _arrow_type(plan: tuple) -> pa.DataType:
+    kind = plan[0]
+    if kind == "union":
+        return _arrow_type(plan[1])
+    if kind == "prim":
+        return {
+            "long": pa.int64(), "double": pa.float64(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "bytes": pa.binary(),
+        }[plan[1]]
+    if kind == "array":
+        return pa.list_(_arrow_type(plan[1]))
+    if kind == "map":
+        return pa.map_(pa.string(), _arrow_type(plan[1]))
+    return pa.struct([
+        pa.field(n, _arrow_type(p), nullable)
+        for n, p, nullable in plan[1]
+    ])
+
+
 def _arrow_schema(plan) -> pa.Schema:
-    m = {"long": pa.int64(), "double": pa.float64(), "string": pa.string(),
-         "boolean": pa.bool_()}
-    return pa.schema([pa.field(n, m[b], nullable) for n, b, nullable in plan])
+    return pa.schema([
+        pa.field(n, _arrow_type(p), nullable) for n, p, nullable in plan
+    ])
 
 
 class AvroDataSource(DataSource):

@@ -611,9 +611,16 @@ def test_avro_error_paths(spark, tmp_work):
 
     with pytest.raises(ValueError, match="not an Avro"):
         _parse_header(b"PAR1xxxxxxxxxxxxxxxxx")
-    df = spark.range(3).select(F.col("id"), F.array(F.lit(1)).alias("arr"))
+    # arrays/maps/records are supported now; decimals still are not
+    df = spark.range(3).select(
+        F.col("id"), F.col("id").cast("decimal(10,2)").alias("d")
+    )
     with pytest.raises(ValueError, match="supports long/double"):
         avro_schema_for(df.schema)
+    # an untyped (NullType) array element is loud, not guessed
+    df2 = spark.range(3).select(F.array(F.lit(None)).alias("arr"))
+    with pytest.raises(ValueError, match="NullType"):
+        avro_schema_for(df2.schema)
     with pytest.raises(ValueError, match="codec"):
         write_avro(spark.range(3), f"{tmp_work}/x", codec="snappy")
 
@@ -648,3 +655,63 @@ def test_avro_header_larger_than_probe(spark, tmp_work):
     assert len(back.columns) == 160
     got = sorted(r["extremely_verbose_column_name_0003"] for r in back.collect())
     assert got == [3, 4, 5, 6, 7, 8, 9]
+
+
+def test_avro_nested_roundtrip(spark, tmp_work):
+    """Nested records / arrays / string-keyed maps / bytes survive the
+    OCF roundtrip across multi-block, multi-split deflate reads."""
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.avro import AvroDataSource, read_avro, write_avro
+
+    spark.dataSource.register(AvroDataSource)
+    df = spark.range(50).select(
+        F.col("id"),
+        F.struct(
+            F.concat(F.lit("f"), F.col("id")).alias("file_path"),
+            (F.col("id") * 3).alias("record_count"),
+            (F.col("id") % 2 == 0).alias("valid"),
+        ).alias("data_file"),
+        F.sequence(F.lit(0), F.col("id") % 4).alias("nums"),
+        F.create_map(F.lit("lo"), F.col("id"),
+                     F.lit("hi"), F.col("id") * 2).alias("bounds"),
+        F.encode(F.concat(F.lit("b"), F.col("id")), "utf-8").alias("blob"),
+    )
+    path = f"{tmp_work}/avro_nested"
+    write_avro(df, path, codec="deflate", rows_per_block=7)
+    back = read_avro(spark, path, max_partition_bytes=512)
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 50
+    r = rows[9]
+    assert r.data_file.file_path == "f9"
+    assert r.data_file.record_count == 27 and r.data_file.valid is False
+    assert list(r.nums) == [0, 1]
+    assert dict(r.bounds) == {"lo": 9, "hi": 18}
+    assert bytes(r.blob) == b"b9"
+
+
+def test_avro_nullable_map_values_and_elements(spark, tmp_work):
+    """Spark's default map<_, nullable> / array<nullable> shapes encode
+    as ["null", T] unions and roundtrip with the nulls intact."""
+    from pyspark.sql import functions as F
+
+    from h2h_spark.sources.avro import AvroDataSource, read_avro, write_avro
+
+    spark.dataSource.register(AvroDataSource)
+    df = spark.range(6).select(
+        F.col("id"),
+        F.create_map(
+            F.lit("a"), F.col("id"),
+            F.lit("b"), F.when(F.col("id") % 2 == 0, F.col("id")),
+        ).alias("m"),
+        F.array(
+            F.col("id"), F.when(F.col("id") % 3 == 0, F.col("id"))
+        ).alias("arr"),
+    )
+    path = f"{tmp_work}/avro_null_vals"
+    write_avro(df, path)
+    back = {r.id: r for r in read_avro(spark, path).collect()}
+    assert dict(back[3].m) == {"a": 3, "b": None}
+    assert dict(back[4].m) == {"a": 4, "b": 4}
+    assert list(back[5].arr) == [5, None]
+    assert list(back[3].arr) == [3, 3]
