@@ -4224,6 +4224,62 @@ FROM t GROUP BY shard
 """
 
 
+def q_orc_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC tail walk (`sources/meta.py:parse_orc_meta` — hand-rolled
+    per the Apache ORC v1 spec: PostScript-last with self-length byte,
+    chunk-framed compressed Footer protobuf via the engine's wire
+    walker; ZLIB/SNAPPY/ZSTD/NONE codecs, LZO/LZ4 loud).  The
+    columnar-audit twin of q_parquet_rowgroups: stripe inventory from
+    O(files × footer) reads, no data pages touched.  Stripe layout is
+    writer-dependent, so grading is on the invariants: per-file row
+    totals, stripe-sum consistency, type-tree width.  Oracle
+    closed-form."""
+    from h2h_spark.sources.meta import orc_stripe_stats
+
+    w = _work("q_orc_stripes", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("key"), "n_chars"
+    )
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        for i, codec in enumerate(("zlib", "snappy", "zstd", "none")):
+            docs.filter(F.col("key") % 4 == i).coalesce(1) \
+                .write.mode("overwrite").option("compression", codec) \
+                .orc(os.path.join(src, f"shard_{i}"))
+            # move the part file up so the walker sees shard_i.orc
+            import glob as _glob
+            import shutil as _shutil
+
+            part = _glob.glob(os.path.join(src, f"shard_{i}", "*.orc"))[0]
+            _shutil.move(part, os.path.join(src, f"shard_{i}.orc"))
+            _shutil.rmtree(os.path.join(src, f"shard_{i}"))
+        open(ready, "w").close()
+    stats = orc_stripe_stats(spark, src)
+    return stats.groupBy(
+        F.regexp_extract("file", r"shard_(\d+)\.orc$", 1).cast("bigint")
+        .alias("shard"),
+        "codec",
+    ).agg(
+        F.first("file_rows").alias("file_rows"),
+        (F.sum("stripe_rows") == F.first("file_rows")).cast("int")
+        .alias("stripes_consistent"),
+        F.first("n_types").alias("n_types"),
+    )
+
+
+_SQL_ORC_STRIPES = """
+SELECT doc_id % 4 AS shard,
+       ['ZLIB', 'SNAPPY', 'ZSTD', 'NONE']
+           [CAST(doc_id % 4 + 1 AS INTEGER)] AS codec,
+       COUNT(*) AS file_rows,
+       1 AS stripes_consistent,
+       3 AS n_types
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested Avro OCF roundtrip (`sources/avro.py` — the codec now
     covers records / arrays / string-keyed maps / bytes recursively,
@@ -13586,6 +13642,7 @@ def _init_queries() -> None:
         "q_delta_snapshot": q_delta_snapshot,
         "q_avro_nested": q_avro_nested,
         "q_iceberg_prune": q_iceberg_prune,
+        "q_orc_stripes": q_orc_stripes,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13943,6 +14000,7 @@ def oracle_sql() -> dict[str, str]:
         "q_delta_snapshot": _SQL_DELTA_SNAPSHOT,
         "q_avro_nested": _SQL_AVRO_NESTED,
         "q_iceberg_prune": _SQL_ICEBERG_PRUNE,
+        "q_orc_stripes": _SQL_ORC_STRIPES,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

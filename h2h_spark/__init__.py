@@ -39,7 +39,11 @@ from h2h_spark.sources.csv import read_csv, write_csv
 from h2h_spark.sources.flat import read_flat, write_flat
 from h2h_spark.sources.xml import read_xml, write_xml
 from h2h_spark.sources.merge import merge_parts, write_single_file
-from h2h_spark.sources.meta import file_status, parquet_rowgroup_stats
+from h2h_spark.sources.meta import (
+    file_status,
+    orc_stripe_stats,
+    parquet_rowgroup_stats,
+)
 
 # crawl / container / training-shard sources (lazy-heavy deps kept out of
 # the hot import path are imported inside these modules as needed)
@@ -85,6 +89,7 @@ __all__ = [
     "merge_parts",
     "write_single_file",
     "file_status",
+    "orc_stripe_stats",
     "parquet_rowgroup_stats",
     "pipe_in",
     "pipe_out",

@@ -107,3 +107,197 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str):
         "file string, row_group bigint, n_rows bigint, "
         "stats_min string, stats_max string",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC tail walk — hand-rolled footer introspection (Apache ORC spec,
+# orc.apache.org/specification/ORCv1: the file ends PostScript-last,
+# whose final byte is its own length; the PostScript (uncompressed
+# protobuf) names the footer's compressed length and codec; the Footer
+# protobuf carries content length, row count, the type tree, and one
+# StripeInformation per stripe).  Compressed streams are framed in
+# chunks with a 3-byte little-endian header ``(len << 1) | isOriginal``.
+# The same role as parquet_rowgroup_stats: audit the columnar files the
+# engine writes with O(files x footer) reads, no data pages touched.
+# Protobuf decoding reuses operators/tfexample.py's wire walker.
+# ---------------------------------------------------------------------------
+
+_ORC_CODECS = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
+               5: "ZSTD"}
+
+
+def _orc_decompress(raw: bytes, codec: str, origin: str) -> bytes:
+    """Undo ORC chunk framing + codec for a metadata stream."""
+    import zlib as _zlib
+
+    if codec == "NONE":
+        return raw
+    out = bytearray()
+    pos = 0
+    while pos < len(raw):
+        if pos + 3 > len(raw):
+            raise ValueError(f"{origin}: truncated ORC chunk header")
+        head = int.from_bytes(raw[pos:pos + 3], "little")
+        pos += 3
+        ln = head >> 1
+        if pos + ln > len(raw):
+            raise ValueError(f"{origin}: ORC chunk extends past stream")
+        chunk = raw[pos:pos + ln]
+        pos += ln
+        if head & 1:  # isOriginal
+            out += chunk
+        elif codec == "ZLIB":
+            out += _zlib.decompress(chunk, wbits=-15)
+        elif codec == "SNAPPY":
+            import pyarrow as _pa
+
+            # raw snappy embeds the uncompressed length as a leading
+            # varint — pyarrow needs it passed explicitly
+            usize = 0
+            shift = 0
+            i = 0
+            while True:
+                b = chunk[i]
+                usize |= (b & 0x7F) << shift
+                i += 1
+                shift += 7
+                if not b & 0x80:
+                    break
+            out += _pa.decompress(chunk, codec="snappy", asbytes=True,
+                                  decompressed_size=usize)
+        elif codec == "ZSTD":
+            import pyarrow as _pa
+
+            stream = _pa.input_stream(
+                _pa.BufferReader(chunk), compression="zstd"
+            )
+            out += stream.read()
+        else:
+            # LZO has no stdlib/pyarrow decoder; ORC's LZ4 is the raw
+            # block format, which pyarrow's frame codec can't read
+            raise ValueError(f"{origin}: unsupported ORC codec {codec}")
+    return bytes(out)
+
+
+def parse_orc_meta(path: str) -> dict:
+    """Tail-only walk of one ORC file: returns ``{codec, n_rows,
+    content_length, n_types, stripes: [{offset, index_length,
+    data_length, footer_length, n_rows}]}``."""
+    import os as _os
+
+    from h2h_spark.operators.tfexample import _fields
+    from h2h_spark.sources.util import strip_scheme
+
+    p = strip_scheme(path)
+    size = _os.path.getsize(p)
+    with open(p, "rb") as f:
+        tail = f.read(3) if size < 3 else None
+        f.seek(max(0, size - 16384))
+        buf = f.read()
+    if len(buf) < 4 or not buf.rstrip(b"\x00"):
+        raise ValueError(f"{path}: not an ORC file (empty tail)")
+    ps_len = buf[-1]
+    if ps_len == 0 or ps_len + 1 > len(buf):
+        raise ValueError(f"{path}: implausible ORC postscript length "
+                         f"{ps_len}")
+    ps = buf[-1 - ps_len:-1]
+    footer_len = None
+    codec_id = 0
+    magic = None
+    try:
+        for field, wt, val in _fields(ps):
+            if field == 1 and wt == 0:
+                footer_len = val
+            elif field == 2 and wt == 0:
+                codec_id = val
+            elif field == 8000 and wt == 2:
+                magic = val
+    except (ValueError, IndexError) as e:
+        raise ValueError(
+            f"{path}: not an ORC file (postscript unparseable: {e})"
+        ) from None
+    if magic != b"ORC":
+        raise ValueError(f"{path}: ORC postscript magic missing "
+                         f"(got {magic!r})")
+    if footer_len is None:
+        raise ValueError(f"{path}: ORC postscript lacks footerLength")
+    codec = _ORC_CODECS.get(codec_id)
+    if codec is None:
+        raise ValueError(f"{path}: unknown ORC compression id {codec_id}")
+    foot_end = len(buf) - 1 - ps_len
+    if footer_len > foot_end:
+        raise ValueError(f"{path}: footer longer than available tail — "
+                         "re-read with a larger window")
+    footer = _orc_decompress(
+        buf[foot_end - footer_len:foot_end], codec, path
+    )
+    n_rows = None
+    content_length = None
+    n_types = 0
+    stripes = []
+    for field, wt, val in _fields(footer):
+        if field == 2 and wt == 0:
+            content_length = val
+        elif field == 6 and wt == 0:
+            n_rows = val
+        elif field == 4 and wt == 2:
+            n_types += 1
+        elif field == 3 and wt == 2:
+            si = {"offset": None, "index_length": None,
+                  "data_length": None, "footer_length": None,
+                  "n_rows": None}
+            keys = ["offset", "index_length", "data_length",
+                    "footer_length", "n_rows"]
+            for f2, w2, v2 in _fields(val):
+                if w2 == 0 and 1 <= f2 <= 5:
+                    si[keys[f2 - 1]] = v2
+            stripes.append(si)
+    if n_rows is None:
+        raise ValueError(f"{path}: ORC footer lacks numberOfRows")
+    return {"codec": codec, "n_rows": n_rows,
+            "content_length": content_length, "n_types": n_types,
+            "stripes": stripes}
+
+
+def orc_stripe_stats(spark: SparkSession, path: str):
+    """One row per stripe per ``.orc`` file under ``path``: ``(file,
+    codec, stripe, stripe_rows, data_length, file_rows, n_types)`` —
+    tail-only reads, one task per file batch."""
+    import glob as _glob
+    import os as _os
+
+    from h2h_spark.sources.util import strip_scheme
+
+    base = strip_scheme(path)
+    files = sorted(
+        _glob.glob(_os.path.join(base, "*.orc"))
+        if _os.path.isdir(base) else [base]
+    )
+    if not files:
+        raise ValueError(f"no orc files under {path}")
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 64))
+
+    def _walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                m = parse_orc_meta(f)
+                for i, s in enumerate(m["stripes"]):
+                    rows.append((
+                        f, m["codec"], i, s["n_rows"],
+                        s["data_length"], m["n_rows"], m["n_types"],
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "file", "codec", "stripe", "stripe_rows",
+                "data_length", "file_rows", "n_types",
+            ])
+
+    return fdf.mapInPandas(
+        _walk,
+        "file string, codec string, stripe int, stripe_rows bigint, "
+        "data_length bigint, file_rows bigint, n_types int",
+    )
