@@ -4224,6 +4224,75 @@ FROM t GROUP BY shard
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the release-gate companion to q_k_anonymity
+    (Machanavajjhala et al. 2007): for each quasi-identifier group
+    (lang, source) the number of DISTINCT sensitive values must reach
+    l; groups below the bar are the re-identification risk surface.
+    Sensitive attribute here is the n_chars quintile bucket.  Pure
+    integer relational plan — one grouped distinct-count, no floats.
+    Oracle closed-form."""
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "lang", "source",
+        (F.col("n_chars") % 5).alias("sensitive"),
+    )
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("sensitive").alias("l_distinct"),
+        )
+        .withColumn(
+            "l3_ok", (F.col("l_distinct") >= 3).cast("int")
+        )
+    )
+
+
+_SQL_L_DIVERSITY = """
+SELECT lang, source, COUNT(*) AS n,
+       COUNT(DISTINCT n_chars % 5) AS l_distinct,
+       CAST(COUNT(DISTINCT n_chars % 5) >= 3 AS INTEGER) AS l3_ok
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled corpus mixing — the multilingual-pretraining
+    allocation rule (sample share ∝ mass^α, α=0.7, the mT5/XLM-R
+    recipe): upweights low-resource sources relative to proportional
+    sampling without letting them dominate.  One aggregate + a
+    broadcast total; allocations graded to a fixed token budget.
+    Oracle closed-form."""
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    mass = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("mass")
+    )
+    w = mass.withColumn("w", F.pow("mass", F.lit(0.7)))
+    total = w.agg(F.sum("w").alias("tw"))
+    out = w.crossJoin(F.broadcast(total))
+    budget = 1_000_000
+    return out.select(
+        "lang",
+        F.col("mass").cast("bigint").alias("mass_chars"),
+        F.round(F.col("w") / F.col("tw"), 6).alias("share"),
+        F.round(F.col("w") / F.col("tw") * budget, 0).cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
+_SQL_MIX_TEMPERATURE = """
+WITH m AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY lang),
+w AS (SELECT lang, mass, POW(mass, 0.7) AS w FROM m),
+t AS (SELECT SUM(w) AS tw FROM w)
+SELECT lang, CAST(mass AS BIGINT) AS mass_chars,
+       ROUND(w / tw, 6) AS share,
+       CAST(ROUND(w / tw * 1000000, 0) AS BIGINT) AS alloc_tokens
+FROM w, t
+"""
+
+
 def q_orc_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC tail walk (`sources/meta.py:parse_orc_meta` — hand-rolled
     per the Apache ORC v1 spec: PostScript-last with self-length byte,
@@ -13643,6 +13712,8 @@ def _init_queries() -> None:
         "q_avro_nested": q_avro_nested,
         "q_iceberg_prune": q_iceberg_prune,
         "q_orc_stripes": q_orc_stripes,
+        "q_l_diversity": q_l_diversity,
+        "q_mix_temperature": q_mix_temperature,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -14001,6 +14072,8 @@ def oracle_sql() -> dict[str, str]:
         "q_avro_nested": _SQL_AVRO_NESTED,
         "q_iceberg_prune": _SQL_ICEBERG_PRUNE,
         "q_orc_stripes": _SQL_ORC_STRIPES,
+        "q_l_diversity": _SQL_L_DIVERSITY,
+        "q_mix_temperature": _SQL_MIX_TEMPERATURE,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,
