@@ -4224,6 +4224,195 @@ FROM t GROUP BY shard
 """
 
 
+def q_jsonl_zst_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven point fetch into seekable zstd corpus shards
+    (`sources/jsonl.py:fetch_zst_frames` — seek-table read + seek +
+    single-frame decode per location; the retrieval twin of the
+    planner's footer fast path, `fetch_warc_by_location`'s shape for
+    document shards).  Targets are ~1/37 of the corpus; only their
+    frames are ever decompressed.  The fetched lines are parsed back
+    and graded against the source rows.  Oracle closed-form on the
+    shard/rank arithmetic."""
+    from h2h_spark.sources.jsonl import fetch_zst_frames
+
+    w = _work("q_jsonl_zst_fetch", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            import json as _json
+
+            from h2h_spark.sources.jsonl import write_jsonl_zst_members
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.doc_id) % 4, []).append(
+                    (int(r.doc_id), r.text)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                write_jsonl_zst_members(
+                    os.path.join(src, f"shard_{shard}.jsonl.zst"),
+                    [_json.dumps({"doc_id": d, "text": t},
+                                 sort_keys=True)
+                     for d, t in items],
+                    lines_per_member=32,
+                    seekable=True,
+                )
+
+        docs.repartition(4, (F.col("doc_id") % 4)).foreachPartition(_write)
+        open(ready, "w").close()
+    # the "index": dense doc_id 0..n-1 means shard = d % 4 and the
+    # shard-local rank is (d - shard) / 4 — frame/line follow
+    targets = docs.filter(F.col("doc_id") % 37 == 3).select(
+        "doc_id",
+        F.concat(
+            F.lit(src + "/shard_"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".jsonl.zst"),
+        ).alias("file"),
+        ((F.col("doc_id") - F.col("doc_id") % 4) / 4 / 32)
+        .cast("bigint").alias("frame"),
+        (((F.col("doc_id") - F.col("doc_id") % 4) / 4).cast("bigint")
+         % 32).cast("int").alias("want_line"),
+    )
+    fetched = fetch_zst_frames(
+        spark, targets.select("file", "frame").distinct()
+    )
+    hit = targets.join(
+        fetched,
+        (targets.file == fetched.file)
+        & (targets.frame == fetched.frame)
+        & (targets.want_line == fetched.line_no),
+    ).select(
+        "doc_id",
+        F.get_json_object("line", "$.doc_id").cast("bigint")
+        .alias("fetched_id"),
+        F.md5(F.get_json_object("line", "$.text")).alias("text_md5"),
+        targets.frame.alias("frame"),
+    )
+    return hit.select(
+        "doc_id",
+        (F.col("fetched_id") == F.col("doc_id")).cast("int")
+        .alias("id_ok"),
+        "text_md5", "frame",
+    )
+
+
+_SQL_JSONL_ZST_FETCH = """
+SELECT doc_id, 1 AS id_ok, md5(text) AS text_md5,
+       CAST(doc_id // 4 // 32 AS BIGINT) AS frame
+FROM documents WHERE doc_id % 37 = 3
+"""
+
+
+def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT flatten → pretraining-style PACKING with loss-mask
+    bookkeeping: conversations are rendered (`operators/chat.py`),
+    concatenated in doc order, and cut into fixed 512-char training
+    chunks (the GPT concat-and-chunk shape — documents straddle
+    boundaries); every assistant loss span is remapped to GLOBAL
+    offsets and intersected with the chunk grid, so each chunk knows
+    exactly how many of its characters take loss and how many spans
+    touch it.  One global ordered window + an explode over the span/
+    chunk intersections — no Python.  Oracle re-derives the same
+    arithmetic."""
+    from pyspark.sql.window import Window
+
+    from h2h_spark.operators.chat import flatten_chat, loss_spans
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    conv = docs.withColumn("msgs", F.expr("""
+        concat(
+          array(struct('system' as role,
+                       'You are helpful.' as content)),
+          flatten(transform(sequence(1, int(doc_id % 3 + 1)), t -> array(
+            struct('user' as role,
+                   concat('u', t, ' of ', doc_id) as content),
+            struct('assistant' as role,
+                   concat('a', t, ' reply ', (doc_id + t) % 7)
+                   as content)
+          ))))
+    """))
+    per_doc = conv.select(
+        "doc_id",
+        F.length(flatten_chat("msgs")).cast("bigint").alias("flat_len"),
+        loss_spans("msgs").alias("spans"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = per_doc.withColumn(
+        "g0", F.sum("flat_len").over(w) - F.col("flat_len")
+    )
+    C = 512
+    sp = placed.select(
+        "doc_id", "g0", F.explode("spans").alias("s")
+    ).select(
+        (F.col("g0") + F.col("s.start")).alias("gs"),
+        (F.col("g0") + F.col("s.start") + F.col("s.len")).alias("ge"),
+    )
+    hits = sp.select(
+        "gs", "ge",
+        F.explode(
+            F.sequence(
+                (F.col("gs") / C).cast("bigint"),
+                ((F.col("ge") - 1) / C).cast("bigint"),
+            )
+        ).alias("chunk"),
+    )
+    return (
+        hits.select(
+            "chunk",
+            (F.least(F.col("ge"), (F.col("chunk") + 1) * C)
+             - F.greatest(F.col("gs"), F.col("chunk") * C))
+            .alias("contrib"),
+        )
+        .groupBy("chunk")
+        .agg(
+            F.sum("contrib").alias("mask_chars"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+
+
+_SQL_CHAT_PACK = """
+-- closed-form twin: with D = digits(doc_id), each exchange renders to
+-- 51 + D chars, the system preamble to 33, the assistant reply to 10;
+-- assistant span t starts at g0 + 67 + D + (t-1)*(51+D)
+WITH per_doc AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS nt,
+         strlen(CAST(doc_id AS VARCHAR)) AS d,
+         33 + (doc_id % 3 + 1)
+            * (51 + strlen(CAST(doc_id AS VARCHAR))) AS flat_len
+  FROM documents),
+placed AS (
+  SELECT doc_id, nt, d,
+         SUM(flat_len) OVER (ORDER BY doc_id) - flat_len AS g0
+  FROM per_doc),
+spans AS (
+  SELECT CAST(p.g0 + 67 + p.d + (t.t - 1) * (51 + p.d) AS BIGINT) AS gs,
+         CAST(10 AS BIGINT) AS ln
+  FROM placed p
+  JOIN (SELECT UNNEST(generate_series(1, 3)) AS t) t
+    ON t.t <= p.nt),
+hits AS (
+  SELECT gs, gs + ln AS ge,
+         UNNEST(generate_series(gs // 512, (gs + ln - 1) // 512))
+             AS chunk
+  FROM spans)
+SELECT chunk,
+       CAST(SUM(LEAST(ge, (chunk + 1) * 512)
+                - GREATEST(gs, chunk * 512)) AS BIGINT) AS mask_chars,
+       COUNT(*) AS n_spans
+FROM hits GROUP BY chunk
+"""
+
+
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit — the release-gate companion to q_k_anonymity
     (Machanavajjhala et al. 2007): for each quasi-identifier group
@@ -13714,6 +13903,8 @@ def _init_queries() -> None:
         "q_orc_stripes": q_orc_stripes,
         "q_l_diversity": q_l_diversity,
         "q_mix_temperature": q_mix_temperature,
+        "q_jsonl_zst_fetch": q_jsonl_zst_fetch,
+        "q_chat_pack": q_chat_pack,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -14074,6 +14265,8 @@ def oracle_sql() -> dict[str, str]:
         "q_orc_stripes": _SQL_ORC_STRIPES,
         "q_l_diversity": _SQL_L_DIVERSITY,
         "q_mix_temperature": _SQL_MIX_TEMPERATURE,
+        "q_jsonl_zst_fetch": _SQL_JSONL_ZST_FETCH,
+        "q_chat_pack": _SQL_CHAT_PACK,
         "q_tfrecord_gz": _SQL_TFRECORD_GZ,
         "q_warc_zst": _SQL_WARC_ZST,
         "q_tar_zst": _SQL_TAR_ZST,

@@ -385,3 +385,62 @@ def read_jsonl_gz(
         .option("codec", codec)
         .load()
     )
+
+
+def fetch_zst_frames(spark: SparkSession, locs: DataFrame) -> DataFrame:
+    """Index-driven POINT FETCH into seekable ``.jsonl.zst`` shards —
+    the retrieval half of the seekable-format story (the scan half is
+    the planner's footer fast path): given ``locs`` rows ``(file,
+    frame)``, each task reads its files' seek tables (one footer-sized
+    read per file), seeks to exactly the named frames, decompresses
+    ONLY those, and emits their lines as ``(file, frame, line_no,
+    line)``.
+
+    The 100 TB shape mirrors `fetch_warc_by_location`: selectivity
+    translates 1:1 into frames NOT read — retrieving K documents from
+    a corpus costs O(K × frame) bytes, not a scan.  Locations are
+    grouped per file per task and fetched in offset order for IO
+    locality.  An out-of-range frame index is a loud error (a silent
+    skip would make a stale index look like missing data)."""
+    from h2h_spark.sources.gzscan import _zst_decompress, zst_seek_table
+
+    def _run(batches):
+        import pandas as pd
+
+        from h2h_spark.sources.util import open_input
+
+        for pdf in batches:
+            by_file: dict[str, list[int]] = {}
+            for f, fr in zip(pdf["file"], pdf["frame"]):
+                by_file.setdefault(f, []).append(int(fr))
+            rows = []
+            for f, frames in sorted(by_file.items()):
+                tbl = zst_seek_table(f)
+                if tbl is None:
+                    raise ValueError(
+                        f"{f}: no seekable-format seek table — point "
+                        "fetch needs seekable shards (write with "
+                        "seekable=True)"
+                    )
+                with open_input(f) as fh:
+                    for fr in sorted(set(frames)):
+                        if fr < 0 or fr >= len(tbl):
+                            raise ValueError(
+                                f"{f}: frame {fr} out of range "
+                                f"(file has {len(tbl)} frames) — stale "
+                                "index?"
+                            )
+                        off, clen, dlen = tbl[fr]
+                        fh.seek(off)
+                        plain = _zst_decompress(fh.read(clen), dlen)
+                        for i, ln in enumerate(
+                            plain.decode("utf-8").splitlines()
+                        ):
+                            rows.append((f, fr, i, ln))
+            yield pd.DataFrame(
+                rows, columns=["file", "frame", "line_no", "line"]
+            )
+
+    return locs.select("file", "frame").repartition("file").mapInPandas(
+        _run, "file string, frame bigint, line_no int, line string"
+    )
