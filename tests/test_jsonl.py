@@ -446,3 +446,41 @@ def test_write_jsonl_shards_seekable_default(spark, tmp_work):
     back = read_jsonl_gz(spark, d, codec="zst")
     ids = sorted(json.loads(r["line"])["id"] for r in back.collect())
     assert ids == list(range(300))
+
+
+def test_fetch_zst_frames_point_lookup_and_guards(spark, tmp_work):
+    """Seekable point fetch: exact frames come back; non-seekable
+    shards and stale indexes fail loudly."""
+    import pytest
+
+    from h2h_spark.sources.jsonl import (
+        fetch_zst_frames,
+        write_jsonl_zst_members,
+    )
+
+    p = f"{tmp_work}/s.jsonl.zst"
+    lines = ['{"i": %d}' % i for i in range(50)]
+    write_jsonl_zst_members(p, lines, lines_per_member=8, seekable=True)
+    locs = spark.createDataFrame(
+        [(p, 0), (p, 3), (p, 6)], "file string, frame bigint"
+    )
+    rows = fetch_zst_frames(spark, locs).collect()
+    got = {(r.frame, r.line_no): r.line for r in rows}
+    # frame 3 holds lines 24-31; frame 6 holds the 2-line tail
+    assert got[(3, 0)] == '{"i": 24}'
+    assert got[(6, 1)] == '{"i": 49}'
+    assert len([k for k in got if k[0] == 0]) == 8
+    assert len([k for k in got if k[0] == 6]) == 2
+    # stale index: frame out of range is loud
+    bad = spark.createDataFrame([(p, 99)], "file string, frame bigint")
+    with pytest.raises(Exception, match="out of range"):
+        fetch_zst_frames(spark, bad).collect()
+    # non-seekable shard is loud
+    p2 = f"{tmp_work}/ns.jsonl.zst"
+    write_jsonl_zst_members(p2, lines, lines_per_member=8,
+                            seekable=False)
+    locs2 = spark.createDataFrame(
+        [(p2, 0)], "file string, frame bigint"
+    )
+    with pytest.raises(Exception, match="seek table"):
+        fetch_zst_frames(spark, locs2).collect()
