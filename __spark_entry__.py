@@ -13816,7 +13816,15 @@ def _init_queries() -> None:
     # green in r08/r09).  After this window grades green, ever-driver-
     # graded reaches the FULL registry — every query graded at least once.
     _QUERIES.update({
-        # ---- graded window, slots 1-8: SURVEY §2.2 contract queries ----
+        # Registration order matters: the driver's correctness gate grades
+        # the FIRST 50 entries.  Round-11 rotation (VERDICT r10 item 1):
+        # slots 1-8 keep the SURVEY §2.2 contract queries; slots 9-38 take
+        # the 30 never-driver-graded session-2 queries (model-artifact /
+        # lakehouse / crawl tier — sweep-attested 310/310 and independently
+        # re-verified by the r10 judge at sf0.01); slots 39-50 backfill with
+        # previously-green high-value entries.  Once this window grades
+        # green, ever-driver-graded = the FULL registry.
+        # ---- slots 1-8: SURVEY §2.2 contract queries ----
         "q_scan_project_filter": q_scan_project_filter,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_flat_roundtrip": q_flat_roundtrip,
@@ -13825,56 +13833,7 @@ def _init_queries() -> None:
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
-        # ---- slot 9: the r09 red, re-graded after the double cast ----
-        "q_variant_extract": q_variant_extract,
-        # ---- slots 10-21: the final 12 never-driver-graded entries
-        # (wave 19-20; sweep-attested at both SFs in ORACLE_SWEEP_r09) ----
-        "q_winnow_fp": q_winnow_fp,
-        "q_winnow_pairs": q_winnow_pairs,
-        "q_exif_meta": q_exif_meta,
-        "q_mp3_meta": q_mp3_meta,
-        "q_parquet_rowgroups": q_parquet_rowgroups,
-        "q_mbox_scan": q_mbox_scan,
-        "q_mbox_threads": q_mbox_threads,
-        "q_sqlite_scan": q_sqlite_scan,
-        "q_flac_meta": q_flac_meta,
-        "q_ogg_pages": q_ogg_pages,
-        "q_tiff_meta": q_tiff_meta,
-        "q_tar_zst": q_tar_zst,
-        # ---- slots 22-50: backfill — high-value relational / dedup /
-        # simsearch / streaming entries (all driver-graded green before);
-        # NEW round-10 queries are inserted here as they land ----
-        "q_length_batching": q_length_batching,
-        "q_image_dhash": q_image_dhash,
-        "q_audio_energy": q_audio_energy,
-        "q_image_neardup": q_image_neardup,
-        "q_srt_parse": q_srt_parse,
-        "q_mp4_samples": q_mp4_samples,
-        "q_stream_kmv": q_stream_kmv,
-        "q_bpe_apply_fast": q_bpe_apply_fast,
-        "q_kmv_distinct": q_kmv_distinct,
-        "q_resample_interp": q_resample_interp,
-        "q_psi_multi": q_psi_multi,
-        "q_tdigest_weighted": q_tdigest_weighted,
-        "q_kmv_jaccard": q_kmv_jaccard,
-        "q_ivfpq_persist": q_ivfpq_persist,
-        "q_label_prop_async": q_label_prop_async,
-        "q_recursive_cte": q_recursive_cte,
-        "q_ivfpq_upsert": q_ivfpq_upsert,
-        "q_kmv_dedup": q_kmv_dedup,
-        "q_leakage_safe_split": q_leakage_safe_split,
-        "q_stream_ann_ingest": q_stream_ann_ingest,
-        "q_langid_eval": q_langid_eval,
-        "q_warc_zst": q_warc_zst,
-        "q_jsonl_zst": q_jsonl_zst,
-        "q_jsonl_zst_seek": q_jsonl_zst_seek,
-        "q_webp_meta": q_webp_meta,
-        "q_adts_meta": q_adts_meta,
-        "q_webm_meta": q_webm_meta,
-        "q_cdx_scan": q_cdx_scan,
-        "q_cdx_locate": q_cdx_locate,
-        # ---- end of the 50-entry graded window (round-10 additions
-        # past this point queue for the NEXT rotation) ----
+        # ---- slots 9-38: the 30 never-driver-graded session-2 queries ----
         "q_avif_meta": q_avif_meta,
         "q_id3_tags": q_id3_tags,
         "q_wet_extract": q_wet_extract,
@@ -13905,6 +13864,53 @@ def _init_queries() -> None:
         "q_mix_temperature": q_mix_temperature,
         "q_jsonl_zst_fetch": q_jsonl_zst_fetch,
         "q_chat_pack": q_chat_pack,
+        # ---- slots 39-50: backfill (all driver-graded green r08-r10) ----
+        "q_variant_extract": q_variant_extract,
+        "q_winnow_fp": q_winnow_fp,
+        "q_image_neardup": q_image_neardup,
+        "q_ivfpq_persist": q_ivfpq_persist,
+        "q_stream_ann_ingest": q_stream_ann_ingest,
+        "q_langid_eval": q_langid_eval,
+        "q_kmv_jaccard": q_kmv_jaccard,
+        "q_entity_resolution": q_entity_resolution,
+        "q_recursive_cte": q_recursive_cte,
+        "q_length_batching": q_length_batching,
+        "q_bpe_apply_fast": q_bpe_apply_fast,
+        "q_leakage_safe_split": q_leakage_safe_split,
+        # ---- end of the 50-entry graded window; remainder in prior
+        # registration order (new queries append here and queue for the
+        # next rotation) ----
+        "q_winnow_pairs": q_winnow_pairs,
+        "q_exif_meta": q_exif_meta,
+        "q_mp3_meta": q_mp3_meta,
+        "q_parquet_rowgroups": q_parquet_rowgroups,
+        "q_mbox_scan": q_mbox_scan,
+        "q_mbox_threads": q_mbox_threads,
+        "q_sqlite_scan": q_sqlite_scan,
+        "q_flac_meta": q_flac_meta,
+        "q_ogg_pages": q_ogg_pages,
+        "q_tiff_meta": q_tiff_meta,
+        "q_tar_zst": q_tar_zst,
+        "q_image_dhash": q_image_dhash,
+        "q_audio_energy": q_audio_energy,
+        "q_srt_parse": q_srt_parse,
+        "q_mp4_samples": q_mp4_samples,
+        "q_stream_kmv": q_stream_kmv,
+        "q_kmv_distinct": q_kmv_distinct,
+        "q_resample_interp": q_resample_interp,
+        "q_psi_multi": q_psi_multi,
+        "q_tdigest_weighted": q_tdigest_weighted,
+        "q_label_prop_async": q_label_prop_async,
+        "q_ivfpq_upsert": q_ivfpq_upsert,
+        "q_kmv_dedup": q_kmv_dedup,
+        "q_warc_zst": q_warc_zst,
+        "q_jsonl_zst": q_jsonl_zst,
+        "q_jsonl_zst_seek": q_jsonl_zst_seek,
+        "q_webp_meta": q_webp_meta,
+        "q_adts_meta": q_adts_meta,
+        "q_webm_meta": q_webm_meta,
+        "q_cdx_scan": q_cdx_scan,
+        "q_cdx_locate": q_cdx_locate,
         "q_tfrecord": q_tfrecord,
         "q_crawl_corpus_e2e": q_crawl_corpus_e2e,
         "q_dup_spans": q_dup_spans,
@@ -13923,14 +13929,12 @@ def _init_queries() -> None:
         "q_tfrecord_gz": q_tfrecord_gz,
         "q_tf_example": q_tf_example,
         "q_jsonl_gz": q_jsonl_gz,
-        # Displaced from the r8 window (all graded green in r08):
         "q_robots_filter": q_robots_filter,
         "q_url_canon": q_url_canon,
         "q_dbscan": q_dbscan,
         "q_domain_cap": q_domain_cap,
         "q_html_extract": q_html_extract,
         "q_crawl_pipeline": q_crawl_pipeline,
-        "q_entity_resolution": q_entity_resolution,
         "q_spatial_join": q_spatial_join,
         "q_cdc_audit": q_cdc_audit,
         "q_skyline": q_skyline,
@@ -13953,7 +13957,6 @@ def _init_queries() -> None:
         "q_seq_regex": q_seq_regex,
         "q_feature_prop": q_feature_prop,
         "q_stream_quota": q_stream_quota,
-        # Ever-green in committed CORRECTNESS_r01-r07 rows:
         "q_unigram_train": q_unigram_train,
         "q_opq_encode": q_opq_encode,
         "q_bpe_batch": q_bpe_batch,

@@ -98,7 +98,12 @@ _SPARK_TO_AVRO = {
     T.BinaryType: "bytes",
 }
 
-_PRIMITIVES = ("long", "double", "string", "boolean", "bytes")
+# "float" appears only in DECODE plans built from an external writer
+# schema: it is 4 bytes on the wire (zigzag-varint "int" safely aliases
+# to "long", but float does NOT alias to double) and widens to DOUBLE
+# after decode.  The writer side never emits it (_avro_schema maps
+# FloatType to "double").
+_PRIMITIVES = ("long", "float", "double", "string", "boolean", "bytes")
 
 
 def _avro_type_for(dt: T.DataType, name: str) -> dict | str:
@@ -146,7 +151,7 @@ def _type_plan(t) -> tuple:
             raise ValueError(f"unsupported union {t}")
         return ("union", _type_plan([x for x in t if x != "null"][0]))
     if isinstance(t, str):
-        base = {"int": "long", "float": "double"}.get(t, t)
+        base = {"int": "long"}.get(t, t)
         if base not in _PRIMITIVES:
             raise ValueError(f"unsupported avro type {t!r}")
         return ("prim", base)
@@ -160,7 +165,7 @@ def _type_plan(t) -> tuple:
             return ("record", [
                 _plan_field(f) for f in t["fields"]
             ])
-        if kind in _PRIMITIVES or kind in ("int", "float"):
+        if kind in _PRIMITIVES or kind == "int":
             return _type_plan(kind)
     raise ValueError(f"unsupported avro type {t!r}")
 
@@ -191,6 +196,7 @@ def _spark_type(plan: tuple) -> T.DataType:
     if kind == "prim":
         return {
             "long": T.LongType(), "double": T.DoubleType(),
+            "float": T.DoubleType(),  # widened after the 4-byte decode
             "string": T.StringType(), "boolean": T.BooleanType(),
             "bytes": T.BinaryType(),
         }[plan[1]]
@@ -233,6 +239,8 @@ def _encode_value(plan: tuple, v, out: bytearray) -> None:
             out += _zigzag_encode(int(v))
         elif base == "double":
             out += struct.pack("<d", float(v))
+        elif base == "float":  # symmetric with decode: 4 bytes on wire
+            out += struct.pack("<f", float(v))
         elif base == "string":
             out += _enc_str(str(v))
         elif base == "bytes":
@@ -292,6 +300,8 @@ def _decode_value(plan: tuple, buf: bytes, pos: int):
             return _zigzag_decode(buf, pos)
         if base == "double":
             return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if base == "float":  # 4 bytes on the wire; widen to double
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
         if base == "string":
             ln, pos = _zigzag_decode(buf, pos)
             return buf[pos:pos + ln].decode("utf-8"), pos + ln
@@ -517,6 +527,7 @@ def _arrow_type(plan: tuple) -> pa.DataType:
     if kind == "prim":
         return {
             "long": pa.int64(), "double": pa.float64(),
+            "float": pa.float64(),  # widened after the 4-byte decode
             "string": pa.string(), "boolean": pa.bool_(),
             "bytes": pa.binary(),
         }[plan[1]]

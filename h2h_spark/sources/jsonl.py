@@ -433,10 +433,13 @@ def fetch_zst_frames(spark: SparkSession, locs: DataFrame) -> DataFrame:
                         off, clen, dlen = tbl[fr]
                         fh.seek(off)
                         plain = _zst_decompress(fh.read(clen), dlen)
-                        for i, ln in enumerate(
-                            plain.decode("utf-8").splitlines()
-                        ):
-                            rows.append((f, fr, i, ln))
+                        # Split as BYTES, matching the scan path: str
+                        # splitlines() also breaks on U+2028/U+2029/
+                        # U+0085, which are legal unescaped inside JSON
+                        # strings — splitting after decode would shift
+                        # every subsequent line_no off the scan's index.
+                        for i, ln in enumerate(plain.splitlines()):
+                            rows.append((f, fr, i, ln.decode("utf-8")))
             yield pd.DataFrame(
                 rows, columns=["file", "frame", "line_no", "line"]
             )

@@ -126,6 +126,64 @@ _ORC_CODECS = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
                5: "ZSTD"}
 
 
+def _lz4_block_decompress(chunk: bytes, origin: str) -> bytes:
+    """Raw LZ4 *block* format (lz4.org spec) — what ORC feeds through
+    its chunk framing.  pyarrow's codecs can't serve here: the "lz4"
+    codec expects frame format, and "lz4_raw" demands the exact
+    decompressed size up front, which ORC does not record per chunk.
+    Token = (literal_len << 4) | (match_len - 4), 15 escapes to
+    255-run extension bytes; offsets are 2-byte LE; matches may
+    self-overlap (RLE), so overlapped regions copy forward."""
+    out = bytearray()
+    pos = 0
+    n = len(chunk)
+    while pos < n:
+        token = chunk[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if pos >= n:
+                    raise ValueError(f"{origin}: truncated LZ4 block "
+                                     "(literal-length run)")
+                b = chunk[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        if pos + lit > n:
+            raise ValueError(f"{origin}: LZ4 literals past end of block")
+        out += chunk[pos:pos + lit]
+        pos += lit
+        if pos == n:
+            break  # last sequence: literals only, no match
+        if pos + 2 > n:
+            raise ValueError(f"{origin}: truncated LZ4 match offset")
+        off = chunk[pos] | (chunk[pos + 1] << 8)
+        pos += 2
+        if off == 0 or off > len(out):
+            raise ValueError(f"{origin}: invalid LZ4 match offset {off} "
+                             f"at output position {len(out)}")
+        mlen = (token & 0x0F) + 4
+        if mlen == 19:
+            while True:
+                if pos >= n:
+                    raise ValueError(f"{origin}: truncated LZ4 block "
+                                     "(match-length run)")
+                b = chunk[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - off
+        if off >= mlen:
+            out += out[start:start + mlen]
+        else:
+            for i in range(mlen):  # overlapping match: forward copy
+                out.append(out[start + i])
+    return bytes(out)
+
+
 def _orc_decompress(raw: bytes, codec: str, origin: str) -> bytes:
     """Undo ORC chunk framing + codec for a metadata stream."""
     import zlib as _zlib
@@ -172,9 +230,11 @@ def _orc_decompress(raw: bytes, codec: str, origin: str) -> bytes:
                 _pa.BufferReader(chunk), compression="zstd"
             )
             out += stream.read()
+        elif codec == "LZ4":
+            out += _lz4_block_decompress(chunk, origin)
         else:
-            # LZO has no stdlib/pyarrow decoder; ORC's LZ4 is the raw
-            # block format, which pyarrow's frame codec can't read
+            # LZO has no stdlib/pyarrow decoder and is a rare writer
+            # choice; fail loud rather than guess
             raise ValueError(f"{origin}: unsupported ORC codec {codec}")
     return bytes(out)
 
@@ -191,7 +251,6 @@ def parse_orc_meta(path: str) -> dict:
     p = strip_scheme(path)
     size = _os.path.getsize(p)
     with open(p, "rb") as f:
-        tail = f.read(3) if size < 3 else None
         f.seek(max(0, size - 16384))
         buf = f.read()
     if len(buf) < 4 or not buf.rstrip(b"\x00"):
@@ -226,8 +285,19 @@ def parse_orc_meta(path: str) -> dict:
         raise ValueError(f"{path}: unknown ORC compression id {codec_id}")
     foot_end = len(buf) - 1 - ps_len
     if footer_len > foot_end:
-        raise ValueError(f"{path}: footer longer than available tail — "
-                         "re-read with a larger window")
+        # Footer larger than the initial 16 KiB tail window (valid for
+        # files with many stripes / wide schemas): re-read a window
+        # sized from the postscript's own footerLength.
+        need = footer_len + ps_len + 1
+        if need > size:
+            raise ValueError(
+                f"{path}: ORC footerLength {footer_len} exceeds file "
+                f"size {size} — corrupt postscript"
+            )
+        with open(p, "rb") as f:
+            f.seek(size - need)
+            buf = f.read(need)
+        foot_end = len(buf) - 1 - ps_len
     footer = _orc_decompress(
         buf[foot_end - footer_len:foot_end], codec, path
     )

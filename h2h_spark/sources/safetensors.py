@@ -151,7 +151,21 @@ def read_header(path: str) -> tuple[dict, int]:
             raise ValueError(f"{path}: tensor {name!r} has unsupported "
                              f"dtype {dtype!r}")
         shape = info.get("shape")
-        b0, b1 = info.get("data_offsets", (None, None))
+        if not isinstance(shape, list) or not all(
+            isinstance(s, int) and s >= 0 for s in shape
+        ):
+            raise ValueError(
+                f"{path}: tensor {name!r} has missing or malformed "
+                f"'shape' {shape!r} (spec: list of non-negative ints)"
+            )
+        offs = info.get("data_offsets")
+        if (not isinstance(offs, (list, tuple)) or len(offs) != 2
+                or not all(isinstance(b, int) for b in offs)):
+            raise ValueError(
+                f"{path}: tensor {name!r} has missing or malformed "
+                f"'data_offsets' {offs!r} (spec: [begin, end] ints)"
+            )
+        b0, b1 = offs
         n = 1
         for s in shape:
             n *= s

@@ -138,8 +138,16 @@ class ZarrReader(DataSourceReader):
             for cj in range(n_chunk_cols):
                 cp = os.path.join(store, f"{ci}.{cj}")
                 if not os.path.exists(cp):
-                    # spec: absent chunk = all fill_value
-                    fill = z.get("fill_value") or 0
+                    # spec: absent chunk = all fill_value.  A null
+                    # fill_value means UNDEFINED (zarr v2 spec) — there
+                    # is no default, so fabricating zeros would invent
+                    # data the store never wrote.  Fail loud instead.
+                    fill = z.get("fill_value")
+                    if fill is None:
+                        raise ValueError(
+                            f"{cp}: chunk absent and .zarray fill_value "
+                            "is null (undefined) — cannot materialize"
+                        )
                     block = np.full((cn, cd), fill, dtype=dtype)
                 else:
                     raw = open(cp, "rb").read()

@@ -9,7 +9,7 @@ def test_orc_tail_walk_codecs(spark, tmp_work):
 
     from h2h_spark.sources.meta import parse_orc_meta
 
-    for codec in ("zlib", "snappy", "zstd", "none"):
+    for codec in ("zlib", "snappy", "zstd", "lz4", "none"):
         out = f"{tmp_work}/orc_{codec}"
         spark.range(5000).selectExpr(
             "id", "concat('s', id) as s"
