@@ -8362,6 +8362,74 @@ FROM c
 """
 
 
+def q_surt_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical SURT keys per the pywb / internetarchive-surt DEFAULT
+    ruleset (`sources/cdx.py: surt_key_canonical` — pure built-ins,
+    whole-stage codegen, zero shuffles: a map-only stage at any scale).
+    The fixture synthesizes eight URL shapes from doc_id arithmetic —
+    scheme case, scheme-relative, default vs non-default ports,
+    userinfo, fragments, ;jsessionid matrix segments, PHPSESSID query
+    params, unsorted/empty params, IPv4 hosts — and the oracle states
+    the expected canonical key CLOSED-FORM per shape (it never reruns
+    the rules), so a green row proves each documented rule lands
+    exactly.  Deliberately a SEPARATE function from surt_key: stored
+    CDX fixtures keep their byte-stable keys (see the docstring)."""
+    from h2h_spark.sources.cdx import surt_key_canonical
+
+    k = (F.col("doc_id") % 50).cast("string")
+    p = (F.col("doc_id") % 500).cast("string")
+    b = F.col("doc_id") % 8
+    url = (
+        F.when(b == 0, F.concat(F.lit("HTTP://WWW.Ex-"), k,
+                                F.lit(".ORG/Page/"), p))
+        .when(b == 1, F.concat(F.lit("https://ex-"), k,
+                               F.lit(".org:443/Page/"), p,
+                               F.lit("?b=2&a=1")))
+        .when(b == 2, F.concat(F.lit("//www2.EX-"), k,
+                               F.lit(".org/Page/"), p, F.lit("#frag")))
+        .when(b == 3, F.concat(F.lit("http://ex-"), k,
+                               F.lit(".org:8080/Page/"), p))
+        .when(b == 4, F.concat(F.lit("http://u:pw@ex-"), k,
+                               F.lit(".org/Page//"), p))
+        .when(b == 5, F.concat(F.lit("http://ex-"), k, F.lit(".org/Page/"),
+                               p, F.lit("?PHPSESSID=abc123def&z=9&a=")))
+        .when(b == 6, F.concat(F.lit("http://ex-"), k,
+                               F.lit(".org/Page;jsessionid=0123456789ABCDEF/"),
+                               p))
+        .otherwise(F.concat(F.lit("http://192.168.1."), k,
+                            F.lit("/x?")))
+    )
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    return docs.select(
+        "doc_id", surt_key_canonical(url).alias("surt")
+    )
+
+
+_SQL_SURT_CANONICAL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+         WHEN 1 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+                     || '?a=1&b=2'
+         WHEN 2 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+         WHEN 3 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ':8080)/page/' || CAST(doc_id % 500 AS VARCHAR)
+         WHEN 4 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+         WHEN 5 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+                     || '?a=&z=9'
+         WHEN 6 THEN 'org,ex-' || CAST(doc_id % 50 AS VARCHAR)
+                     || ')/page/' || CAST(doc_id % 500 AS VARCHAR)
+         ELSE '192.168.1.' || CAST(doc_id % 50 AS VARCHAR) || ')/x'
+       END AS surt
+FROM documents
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-diversity governance: cap each host's contribution to the
     corpus at 3 documents, selected by PORTABLE deterministic hash order
@@ -14140,6 +14208,7 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
+        "q_surt_canonical": q_surt_canonical,
     })
 
 
@@ -14462,4 +14531,5 @@ def oracle_sql() -> dict[str, str]:
         "q_bootstrap_means": _SQL_BOOTSTRAP,
         "q_assoc_rules": _SQL_ASSOC_RULES,
         "q_ab_test": _SQL_AB_TEST,
+        "q_surt_canonical": _SQL_SURT_CANONICAL,
     }

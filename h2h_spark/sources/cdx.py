@@ -75,6 +75,71 @@ def surt_key(url: Column | str) -> Column:
     )
 
 
+def surt_key_canonical(url: Column | str) -> Column:
+    """Canonical SURT key per the pywb / internetarchive-``surt``
+    DEFAULT ruleset (documented behavior, re-expressed as Spark
+    built-ins — stays inside whole-stage codegen, no UDF):
+
+    - fragment dropped; scheme-relative ``//host/p`` accepted;
+      ``user:pass@`` userinfo dropped;
+    - host lowercased, leading ``www\\d*.`` label stripped, DEFAULT
+      ports elided (80/443) while non-default ports stay in the key
+      (``com,example:8080)``); IPv4 literal hosts stay unreversed;
+    - path: ``;jsessionid=<hex>`` matrix segment stripped, runs of
+      ``//`` collapsed, then lowercased (pywb's canonicalize()
+      lowercases the whole key);
+    - query: session-id params stripped (``jsessionid``, ``phpsessid``,
+      ``sid``, ``aspsessionid*``, ``cfid``/``cftoken`` — the published
+      IAURLCanonicalizer strip set), empty params dropped, remaining
+      params BYTE-SORTED, empty ``?`` elided, then lowercased.
+
+    This intentionally diverges from :func:`surt_key` (which matches
+    the repo's STORED CDX fixtures: all ports stripped, fragments and
+    case kept).  Re-keying an existing CDX store with this function
+    WOULD change sort keys — it is the forward path for messy
+    real-crawl URLs, not a drop-in for already-written indexes."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")              # fragment
+    rest = F.regexp_replace(
+        u, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//", ""    # scheme or //
+    )
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    hostport = F.element_at(F.split(hostport, "@"), -1)  # userinfo
+    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    port = F.regexp_extract(F.lower(hostport), r":(\d+)$", 1)
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    host_no_www = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.when(is_ipv4, host).otherwise(
+        F.array_join(F.reverse(F.split(host_no_www, r"\.")), ",")
+    )
+    rev = F.when(keep_port, F.concat(rev, F.lit(":"), port)).otherwise(rev)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.when(
+        pathq.contains("?"),
+        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(
+        path, r"(?i);jsessionid=[0-9a-zA-Z]+(?=/|$)", ""
+    )
+    path = F.regexp_replace(path, r"//+", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(F.lower(path))
+    # session params out, empties out, byte-sort the rest
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(
+            r"(?i)^(?:jsessionid|phpsessid|sid|aspsessionid[a-zA-Z]*"
+            r"|cfid|cftoken)="
+        ),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        rev, F.lit(")"), path,
+        F.when(q == "", F.lit("")).otherwise(F.lower(F.concat(F.lit("?"), q))),
+    )
+
+
 def write_cdxj(
     path: str,
     entries: Sequence[tuple[str, str, dict]],
