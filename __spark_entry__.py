@@ -5644,6 +5644,196 @@ FROM links GROUP BY host
 """
 
 
+def q_wat_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT malformed-envelope hardening (`operators/watwet.py:
+    wat_links_status`): a fixture where every 7th record's JSON is
+    truncated mid-envelope, every (7k+1)th parses but has no
+    HTML-Metadata (a non-HTML page), and every (7k+2)th payload is raw
+    non-UTF-8 bytes.  The WARC FRAMING stays valid throughout — this is
+    the payload tier.  Every record is classified ok / no_links /
+    corrupt and the query returns per-status record counts + total
+    links, so nothing is silently dropped (the q_json_corrupt contract
+    applied to the crawl-metadata tier).  Oracle re-derives all three
+    counts and the link total closed-form from the doc_id arithmetic."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from h2h_spark.operators.watwet import wat_links_status
+    from h2h_spark.sources.warc import read_warc
+
+    w = _work("q_wat_quarantine", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.warc import write_warc_records
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = int(r.doc_id)
+                links = [
+                    {"path": "A@/href",
+                     "url": f"https://ex{(d + j) % 20}.org/p/{d}"}
+                    for j in range(1, d % 3 + 2)
+                ]
+                envelope = {"Envelope": {
+                    "Payload-Metadata": {"HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": links}}}}}
+                body = _json.dumps(envelope, sort_keys=True).encode()
+                if d % 7 == 0:      # truncated JSON (half the bytes)
+                    body = body[: len(body) // 2]
+                elif d % 7 == 1:    # valid envelope, no HTML-Metadata
+                    body = _json.dumps(
+                        {"Envelope": {"Payload-Metadata": {
+                            "Actual-Content-Type": "image/png"}}},
+                        sort_keys=True).encode()
+                elif d % 7 == 2:    # raw non-UTF-8 binary
+                    body = b"\xff\xfe\x00\x01" + bytes(
+                        (d * 31 + i) % 256 for i in range(16)
+                    )
+                recs.append((
+                    {"WARC-Type": "metadata",
+                     "WARC-Record-ID": f"<urn:watq:{d}>",
+                     "Content-Type": "application/json"},
+                    body,
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+
+    env_t = StructType([StructField("Envelope", StructType([
+        StructField("Payload-Metadata", StructType([
+            StructField("HTTP-Response-Metadata", StructType([
+                StructField("HTML-Metadata", StructType([
+                    StructField("Links", ArrayType(StructType([
+                        StructField("path", StringType()),
+                        StructField("url", StringType()),
+                    ]))),
+                ])),
+            ])),
+        ])),
+    ]))])
+    rec = read_warc(
+        spark, src,
+        max_partition_bytes=_split_bytes(src, floor=2048),
+        include_payload=True,
+    )
+    meta = rec.filter(F.col("warc_type") == "metadata")
+    classified = wat_links_status(meta, "payload", env_t)
+    return (
+        classified.groupBy(F.col("wat_status").alias("status"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.size("links")).cast("bigint").alias("n_links"),
+        )
+    )
+
+
+_SQL_WAT_QUARANTINE = """
+SELECT CASE WHEN doc_id % 7 IN (0, 2) THEN 'corrupt'
+            WHEN doc_id % 7 = 1 THEN 'no_links'
+            ELSE 'ok' END AS status,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN doc_id % 7 NOT IN (0, 1, 2)
+                     THEN doc_id % 3 + 1 ELSE 0 END) AS BIGINT) AS n_links
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_wet_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET binary-payload hardening (`operators/watwet.py:
+    wet_text_status`): every 5th conversion record's payload is raw
+    non-UTF-8 bytes (real WET shards carry mojibake/binary).  A bare
+    cast would silently substitute U+FFFD and desync every downstream
+    content hash; the JVM round-trip check (encode(decode(b)) == b)
+    quarantines instead — payload kept, status accounted, nothing
+    dropped.  Output: per-status record counts + byte totals; the
+    oracle re-derives both from the fixture arithmetic."""
+    from h2h_spark.operators.watwet import wet_text_status
+    from h2h_spark.sources.warc import read_warc
+
+    w = _work("q_wet_quarantine", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")) \
+        .select("doc_id", "text")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.warc import write_warc_records
+
+            pid = TaskContext.get().partitionId()
+            recs = []
+            for r in rows:
+                d = int(r.doc_id)
+                if d % 5 == 0:  # raw binary: invalid UTF-8 guaranteed
+                    body = b"\xc3\x28" + bytes(
+                        (d * 17 + i) % 256 for i in range(d % 9 + 1)
+                    )
+                else:
+                    body = r.text.encode("utf-8")
+                recs.append((
+                    {"WARC-Type": "conversion",
+                     "WARC-Record-ID": f"<urn:wetq:{d}>"},
+                    body,
+                ))
+            if recs:
+                write_warc_records(
+                    os.path.join(src, f"part_{pid}.warc"), recs
+                )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+
+    rec = read_warc(
+        spark, src,
+        max_partition_bytes=_split_bytes(src, floor=2048),
+        include_payload=True,
+    )
+    conv = rec.filter(F.col("warc_type") == "conversion")
+    return (
+        wet_text_status(conv, "payload")
+        .groupBy(F.col("wet_status").alias("status"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("content_length").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+_SQL_WET_QUARANTINE = """
+SELECT CASE WHEN doc_id % 5 = 0 THEN 'binary_quarantined'
+            ELSE 'ok' END AS status,
+       COUNT(*) AS n_records,
+       CAST(SUM(CASE WHEN doc_id % 5 = 0
+                     THEN doc_id % 9 + 3
+                     ELSE octet_length(CAST(text AS BLOB)) END)
+            AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT chat-template flattening with loss-mask spans
     (`operators/chat.py` — render role-tagged messages through a
@@ -14209,6 +14399,8 @@ def _init_queries() -> None:
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
         "q_surt_canonical": q_surt_canonical,
+        "q_wat_quarantine": q_wat_quarantine,
+        "q_wet_quarantine": q_wet_quarantine,
     })
 
 
@@ -14532,4 +14724,6 @@ def oracle_sql() -> dict[str, str]:
         "q_assoc_rules": _SQL_ASSOC_RULES,
         "q_ab_test": _SQL_AB_TEST,
         "q_surt_canonical": _SQL_SURT_CANONICAL,
+        "q_wat_quarantine": _SQL_WAT_QUARANTINE,
+        "q_wet_quarantine": _SQL_WET_QUARANTINE,
     }

@@ -351,3 +351,122 @@ def test_orc_lz4_chunked_metadata_stream():
     hdr2 = ((len(orig) << 1) | 1).to_bytes(3, "little")
     stream = hdr + comp + hdr2 + orig
     assert _orc_decompress(stream, "LZ4", "t") == part1 + orig
+
+
+# ---------------------------------------------------------------------------
+# WAT/WET malformed-record hardening (round-11: VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_warc_framing_loud_battery(tmp_work):
+    """WARC framing stays LOUD (never resyncs silently mid-file) for:
+    missing mandatory headers, non-numeric Content-Length, truncated
+    final record."""
+    from h2h_spark.sources.warc import _RangeScanner, write_warc_records
+
+    # missing Content-Length in record 2 of 3
+    p = f"{tmp_work}/missing_cl.warc"
+    good = ({"WARC-Type": "response", "WARC-Record-ID": "<a>",
+             }, b"payload-1")
+    with open(p, "wb") as f:
+        from h2h_spark.sources.warc import write_warc_records_to
+        write_warc_records_to(f, [good])
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(ValueError, match="malformed WARC record"):
+        list(_RangeScanner(p, 0, 10**9).records())
+
+    # non-numeric Content-Length
+    p2 = f"{tmp_work}/nan_cl.warc"
+    with open(p2, "wb") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: ten\r\n\r\n")
+    with pytest.raises(ValueError, match="malformed WARC record"):
+        list(_RangeScanner(p2, 0, 10**9).records())
+
+    # truncated envelope: declared 999 bytes, file ends early
+    p3 = f"{tmp_work}/trunc.warc"
+    with open(p3, "wb") as f:
+        write_warc_records_to(f, [good])
+        f.write(b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: 999\r\n\r\nxx")
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(_RangeScanner(p3, 0, 10**9).records())
+
+
+def test_utf8_valid_cases(spark):
+    from h2h_spark.operators.watwet import utf8_valid
+
+    cases = [
+        (b"plain ascii", True),
+        ("unicode ✓ über".encode("utf-8"), True),
+        (b"", True),
+        (b"\xc3\x28", False),           # bad continuation
+        (b"\xff\xfe\x00\x01", False),   # BOM-ish garbage
+        (b"ok then \x80 broken", False),  # bare continuation byte
+        (b"\xed\xa0\x80", False),       # UTF-8-encoded surrogate
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "i int, payload binary",
+    )
+    got = {r.i: r.ok for r in
+           df.select("i", utf8_valid("payload").alias("ok")).collect()}
+    for i, (b, want) in enumerate(cases):
+        assert got[i] == want, (i, b)
+
+
+def test_wat_links_status_classification(spark):
+    """ok / no_links / corrupt classification; links never NULL."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, StringType, StructField, StructType,
+    )
+
+    from h2h_spark.operators.watwet import wat_links_status
+
+    env_t = StructType([StructField("Envelope", StructType([
+        StructField("Payload-Metadata", StructType([
+            StructField("HTTP-Response-Metadata", StructType([
+                StructField("HTML-Metadata", StructType([
+                    StructField("Links", ArrayType(StructType([
+                        StructField("url", StringType()),
+                    ]))),
+                ])),
+            ])),
+        ])),
+    ]))])
+    good = _json.dumps({"Envelope": {"Payload-Metadata": {
+        "HTTP-Response-Metadata": {"HTML-Metadata": {"Links": [
+            {"url": "https://a.org"}, {"url": "https://b.org"},
+        ]}}}}}).encode()
+    nolinks = _json.dumps({"Envelope": {"Payload-Metadata": {
+        "Actual-Content-Type": "image/png"}}}).encode()
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(nolinks)),
+        (2, bytearray(good[: len(good) // 2])),   # truncated JSON
+        (3, bytearray(b"\xff\xfe not json")),     # non-UTF-8
+        (4, bytearray(b"[1, 2, 3]")),             # JSON, wrong shape
+    ]
+    df = spark.createDataFrame(rows, "i int, payload binary")
+    out = wat_links_status(df, "payload", env_t)
+    got = {r.i: (r.wat_status, len(r.links)) for r in out.collect()}
+    assert got[0] == ("ok", 2)
+    assert got[1] == ("no_links", 0)
+    assert got[2][0] == "corrupt" and got[2][1] == 0
+    assert got[3] == ("corrupt", 0)
+    assert got[4][0] in ("corrupt",)  # wrong shape parses to NULL struct
+    # NOTHING dropped: every input row classified
+    assert len(got) == len(rows)
+
+
+def test_wet_text_status_keeps_payload(spark):
+    from h2h_spark.operators.watwet import wet_text_status
+
+    rows = [(0, bytearray(b"good text")), (1, bytearray(b"\xc3\x28bin"))]
+    df = spark.createDataFrame(rows, "i int, payload binary")
+    got = {r.i: (r.wet_status, bytes(r.payload)) for r in
+           wet_text_status(df, "payload").collect()}
+    assert got[0] == ("ok", b"good text")
+    # quarantined rows keep their original bytes for audit/retry
+    assert got[1] == ("binary_quarantined", b"\xc3\x28bin")
