@@ -23,6 +23,7 @@ Memory per task is O(one member's plaintext + chunk), never O(range).
 
 from __future__ import annotations
 
+import struct
 import zlib
 from typing import Callable, Iterator
 
@@ -443,14 +444,6 @@ def zst_frame_info(f, pos: int, size: int) -> tuple[int, int | None, int]:
     return off - pos, content_size, dict_id
 
 
-def _need_zstandard(why: str):
-    raise ValueError(
-        f"{why} needs the 'zstandard' package (pyarrow's bundled zstd "
-        f"codec takes no dictionary) — install it or repack the data "
-        f"without a dictionary"
-    )
-
-
 def read_zst_dictionary(path: str) -> tuple[bytes | None, int | None]:
     """Parse a LEADING dictionary skippable frame (IIPC .warc.zst draft,
     magic 0x184D2A5D) and return ``(dict_bytes, dict_id)`` —
@@ -497,7 +490,14 @@ def _zst_decompress(
     except ImportError:
         pass
     if dict_bytes is not None:
-        _need_zstandard("decoding a dictionary-compressed zstd frame")
+        # No zstandard package: the from-spec pure-Python decoder
+        # (sources/zstd_py.py, RFC 8878 incl. dictionary entropy tables
+        # + window prefill) serves dictionary frames.  Slower than C,
+        # but dictionary frames are the point-fetch/member tier, not
+        # the bulk path — and the alternative was a hard failure.
+        from h2h_spark.sources.zstd_py import decompress as _py_decompress
+
+        return _py_decompress(frame, dict_data=dict_bytes)
     import pyarrow as pa
 
     if content_size is not None:
@@ -533,7 +533,17 @@ def _zst_probe_plain(
     except ImportError:
         pass
     if dict_bytes is not None:
-        _need_zstandard("probing a dictionary-compressed zstd frame")
+        # Pure-Python dictionary probe: decode the (possibly truncated)
+        # window; any format error just means "not enough bytes" — an
+        # empty probe, same contract as the zstandard branch.
+        from h2h_spark.sources.zstd_py import ZstdDict, ZstdFormatError
+        from h2h_spark.sources.zstd_py import decompress_frame as _py_frame
+
+        try:
+            plain, _ = _py_frame(frame_prefix, 0, ZstdDict(dict_bytes))
+            return plain[:probe_plain]
+        except (ZstdFormatError, IndexError, struct.error):
+            return b""
     import pyarrow as pa
 
     out = bytearray()

@@ -1,11 +1,12 @@
 """zstd dictionary frames (IIPC .warc.zst draft): extraction of the
 leading skippable dictionary frame, frame-header Dictionary_ID parsing,
-id cross-checks, and the loud zstandard-gated decode path.
+id cross-checks, and DECODE.
 
-The container has no ``zstandard`` package, so the DECODE itself is
-covered by an importorskip e2e test (runs wherever zstandard exists);
-everything structural — extraction, ids, loud errors — runs here.
-"""
+Since round 11 the decode no longer needs the optional ``zstandard``
+package: `sources/zstd_py.py` is a from-spec RFC 8878 decoder with
+dictionary support (window prefill + entropy tables + repcodes), so
+the dependency-free e2e below always runs; the importorskip e2e keeps
+cross-checking against the real library wherever it exists."""
 
 import io
 import os
@@ -97,20 +98,34 @@ def _scan_all(path):
     return list(sc.members())
 
 
-def test_scanner_dict_frame_without_zstandard_is_loud(tmp_work):
-    # file HAS a dictionary and the frame declares its id: decoding must
-    # raise the actionable install/repack error, never drop records
+def test_scanner_dict_frame_without_zstandard_decodes(tmp_work):
+    """Round 11: dictionary frames decode WITHOUT the zstandard package
+    via the pure-Python RFC 8878 decoder (sources/zstd_py.py).  A
+    raw-content dictionary (no structured magic) is a pure window
+    prefix; the raw-block frame decodes to its payload."""
+    p = f"{tmp_work}/need.zst"
+    open(p, "wb").write(
+        _skippable_dict(b"raw prefix dictionary")
+        + _raw_block_frame(b"x" * 16, dict_id=7)
+    )
+    got = _scan_all(p)
+    assert [plain for _, plain in got] == [b"x" * 16]
+
+
+def test_scanner_garbage_structured_dict_is_loud(tmp_work):
+    """A dictionary carrying the STRUCTURED magic but unparseable
+    entropy tables must fail loud at decode, never yield garbage."""
     try:
         import zstandard  # noqa: F401
 
-        pytest.skip("zstandard installed; covered by the e2e test")
+        pytest.skip("zstandard installed; its own error path applies")
     except ImportError:
         pass
-    p = f"{tmp_work}/need.zst"
+    p = f"{tmp_work}/badent.zst"
     open(p, "wb").write(
         _skippable_dict(_zdict(7)) + _raw_block_frame(b"x" * 16, dict_id=7)
     )
-    with pytest.raises(ValueError, match="zstandard"):
+    with pytest.raises(ValueError, match="Huffman|FSE|truncated"):
         _scan_all(p)
 
 
@@ -165,3 +180,49 @@ def test_warc_zst_dictionary_e2e():
         left = list(_ZstMemberScanner(p, 0, mid).records())
         right = list(_ZstMemberScanner(p, mid, size).records())
         assert len(left) + len(right) == 40
+
+
+def test_warc_zst_dictionary_e2e_pure_python(tmp_work):
+    """Full dictionary member scan WITHOUT zstandard: a hand-crafted
+    compressed frame whose one sequence match reaches into the
+    dictionary window (predefined FSE tables), preceded by the IIPC
+    skippable dictionary frame.  Complements the zstandard-gated e2e
+    with a dependency-free path that always runs."""
+    from h2h_spark.sources.zstd_py import (
+        _LL_DEFAULT_TABLE,
+        _ML_DEFAULT_TABLE,
+        _OF_DEFAULT_TABLE,
+    )
+
+    def back_bits(fields):
+        acc, total = 0, 0
+        for val, n in fields:
+            acc = (acc << n) | val
+            total += n
+        return ((1 << total) | acc).to_bytes(total // 8 + 1, "little")
+
+    def state_for(table, code):
+        return next(s for s, (sym, _, _) in enumerate(table) if sym == code)
+
+    dict_content = b"0123456789ABCDEF"
+    (ll_t, ll_al), (of_t, of_al), (ml_t, ml_al) = (
+        _LL_DEFAULT_TABLE, _OF_DEFAULT_TABLE, _ML_DEFAULT_TABLE
+    )
+    # literals "XY", then copy 8 bytes from offset 10 (reaches into the
+    # dictionary prefix): "89ABCDEF"
+    bits = back_bits([
+        (state_for(ll_t, 2), ll_al),
+        (state_for(of_t, 3), of_al),      # offset_value 13 = 8 + 5
+        (state_for(ml_t, 5), ml_al),      # match_len 8
+        (5, 3),                           # of extra bits
+    ])
+    content = bytes([2 << 3]) + b"XY" + bytes([1, 0x00]) + bits
+    bh = (len(content) << 3) | (2 << 1) | 1
+    # FHD 0x01: 1-byte Dictionary_ID (7) — the scanner threads the
+    # skippable dictionary only into frames that declare one
+    frame = (b"\x28\xb5\x2f\xfd" + bytes([0x01, 0x00, 7])
+             + bh.to_bytes(3, "little") + content)
+    p = f"{tmp_work}/dict_e2e.zst"
+    open(p, "wb").write(_skippable_dict(dict_content) + frame)
+    got = _scan_all(p)
+    assert [plain for _, plain in got] == [b"XY" + b"89ABCDEF"]
