@@ -203,3 +203,86 @@ def test_sqlite_text_column_with_blob_value(spark, tmp_work):
     con.close()
     rows = read_sqlite(spark, p, "t").collect()
     assert rows[0]["v"].startswith("hi\n")
+
+
+def test_sqlite_exact_split_multicluster_skew(spark, tmp_work):
+    """Round-11 stepped-seek exact planner: bounded tasks on a
+    three-cluster + sparse-tail keyspace, with only one single-row
+    query per boundary crossing the C/Python boundary."""
+    import sqlite3
+
+    from h2h_spark.sources.sqlitesrc import plan_sqlite_splits
+
+    p = f"{tmp_work}/hskew.sqlite"
+    write_sqlite(p, "t", [("id", "INTEGER")], [])
+    con = sqlite3.connect(p)
+    # three clusters across a 10^12 keyspace + a sparse tail
+    rows, rid = [], 0
+    for base in (1, 5_000_000, 1_000_000_000_000):
+        for i in range(300):
+            rows.append((base + i, rid))
+            rid += 1
+    for i in range(100):  # sparse stragglers
+        rows.append((7_000_000_000 + i * 9_999_991, rid))
+        rid += 1
+    con.executemany("INSERT INTO t (rowid, id) VALUES (?, ?)", rows)
+    con.commit()
+    con.close()
+
+    def _counts(mode):
+        parts = plan_sqlite_splits([p], "t", 100, mode)
+        c = sqlite3.connect(p)
+        try:
+            return [
+                c.execute(
+                    "SELECT COUNT(*) FROM t WHERE rowid >= ? AND rowid < ?",
+                    (q.lo, q.hi),
+                ).fetchone()[0]
+                for q in parts
+            ]
+        finally:
+            c.close()
+
+    hist = _counts("exact")
+    assert sum(hist) == 1000                  # full coverage, no overlap
+    assert max(hist) <= 100                   # per-task bound holds
+    rng = _counts("range")
+    assert max(rng) >= 300                    # range mode is lopsided here
+    # end-to-end read through the DataSource agrees
+    ids = sorted(
+        r["id"] for r in read_sqlite(
+            spark, p, "t", max_rows_per_task=100, split_mode="exact"
+        ).collect()
+    )
+    assert ids == list(range(1000))
+
+
+def test_sqlite_exact_split_dense_keyspace(tmp_work):
+    """Stepped-seek boundaries on a fully dense keyspace (the easy
+    case) still land exactly on equi-count edges."""
+    import sqlite3
+
+    from h2h_spark.sources.sqlitesrc import plan_sqlite_splits
+
+    p = f"{tmp_work}/dense.sqlite"
+    write_sqlite(p, "t", [("id", "INTEGER")], [])
+    con = sqlite3.connect(p)
+    con.executemany(
+        "INSERT INTO t (rowid, id) VALUES (?, ?)",
+        [(i + 1, i) for i in range(500)],   # fully dense
+    )
+    con.commit()
+    con.close()
+    parts = plan_sqlite_splits([p], "t", 50, "exact")
+    con = sqlite3.connect(p)
+    try:
+        counts = [
+            con.execute(
+                "SELECT COUNT(*) FROM t WHERE rowid >= ? AND rowid < ?",
+                (q.lo, q.hi),
+            ).fetchone()[0]
+            for q in parts
+        ]
+    finally:
+        con.close()
+    assert sum(counts) == 500 and max(counts) <= 50
