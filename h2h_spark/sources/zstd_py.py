@@ -543,6 +543,8 @@ def _parse_frame_header(data: bytes, pos: int):
         p += 1
     dict_id = 0
     if did_size:
+        if len(data) < p + did_size:
+            raise ZstdFormatError("truncated dictionary id field")
         dict_id = int.from_bytes(data[p:p + did_size], "little")
         p += did_size
     content_size = None
@@ -747,6 +749,8 @@ def decompress_frame(
 ) -> tuple[bytes, int]:
     """Decode ONE zstd frame starting at ``pos``; returns
     (plaintext, bytes_consumed)."""
+    if len(data) < pos + 4:
+        raise ZstdFormatError(f"truncated frame at offset {pos}")
     magic = struct.unpack_from("<I", data, pos)[0]
     if magic != ZSTD_MAGIC:
         raise ZstdFormatError(f"no zstd magic at offset {pos}")
@@ -800,7 +804,12 @@ def decompress_frame(
         elif btype == 2:
             if p + bsize > len(data):
                 raise ZstdFormatError("truncated compressed block")
-            _decode_block(memoryview(data)[p:p + bsize], out, state, 0)
+            try:
+                _decode_block(memoryview(data)[p:p + bsize], out, state, 0)
+            except IndexError:
+                raise ZstdFormatError(
+                    f"block at offset {p} ends mid-structure"
+                ) from None
             p += bsize
         else:
             raise ZstdFormatError("reserved block type 3")
@@ -836,6 +845,10 @@ def decompress(
         magic = struct.unpack_from("<I", data, pos)[0]
         if magic & 0xFFFFFFF0 == SKIP_MAGIC_LO:
             ln = struct.unpack_from("<I", data, pos + 4)[0]
+            if pos + 8 + ln > len(data):
+                raise ZstdFormatError(
+                    f"skippable frame at {pos} extends past the buffer"
+                )
             pos += 8 + ln
             continue
         plain, used = decompress_frame(data, pos, zdict, verify_checksum)

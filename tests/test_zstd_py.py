@@ -378,3 +378,37 @@ def test_skippable_frames_skipped():
     good = pa.Codec("zstd").compress(b"DATA", asbytes=True)
     skip = struct.pack("<II", 0x184D2A5D, 5) + b"dictX"
     assert decompress(skip + good) == b"DATA"
+
+
+def test_truncation_fuzz_always_loud_or_short():
+    """Every truncation of a real frame must raise ZstdFormatError —
+    never return wrong bytes silently."""
+    comp = pa.Codec("zstd", compression_level=3).compress(
+        b"structured " * 400, asbytes=True
+    )
+    full = decompress(comp)
+    for cut in range(1, len(comp)):
+        try:
+            got = decompress(comp[:cut])
+        except ZstdFormatError:
+            continue
+        raise AssertionError(f"truncation at {cut} returned {len(got)}B "
+                             f"instead of raising (full={len(full)}B)")
+
+
+def test_bitflip_fuzz_never_crashes_uncontrolled():
+    """Single-bit corruption anywhere: either a loud ZstdFormatError or
+    (rarely) a decode to different bytes that the checksum would catch;
+    never an uncontrolled exception type."""
+    payload = b"corpus line %d with shared structure\n" * 1
+    data = b"".join(payload % i for i in range(300))
+    comp = pa.Codec("zstd", compression_level=3).compress(data, asbytes=True)
+    random.seed(11)
+    for _ in range(300):
+        i = random.randrange(4, len(comp))   # keep the magic intact
+        bad = bytearray(comp)
+        bad[i] ^= 1 << random.randrange(8)
+        try:
+            decompress(bytes(bad))
+        except ZstdFormatError:
+            pass
