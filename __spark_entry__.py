@@ -3049,6 +3049,78 @@ GROUP BY doc_id % 9
 """
 
 
+def q_jsonl_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ4-frame JSONL scan (`sources/lz4frame.py`, round 11): the LZ4
+    twin of q_jsonl_zst — member-framed ``.jsonl.lz4`` shards (one LZ4
+    frame per line group) split into byte ranges via the structural
+    frame walker (header-checksum gate + block-size walk, NO
+    decompression at plan time) + JSON-line probe resync
+    (`Lz4MemberScanner`); single-frame shards stream as the documented
+    one-task-per-file cliff through pyarrow's lz4 codec.  Frame decode
+    is the repo's own round-tripped raw-block decoder with blockLinked
+    window threading.  Oracle closed-form on the same arithmetic."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_lz4", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import json as _json
+
+            import pyarrow as _pa
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.jsonl import write_jsonl_lz4_members
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 7,
+                     "toks": r.doc_id % 29 + 2},
+                    sort_keys=True,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            p = os.path.join(src, f"part_{pid}.jsonl.lz4")
+            if pid % 2 == 0:
+                write_jsonl_lz4_members(p, lines, lines_per_member=16)
+            else:
+                blob = "".join(ln + "\n" for ln in lines).encode()
+                with open(p, "wb") as f:
+                    f.write(_pa.Codec("lz4").compress(blob, asbytes=True))
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="lz4",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, toks bigint").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.toks").cast("bigint").alias("total_toks"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+_SQL_JSONL_LZ4 = """
+SELECT doc_id % 7 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 29 + 2) AS BIGINT) AS total_toks,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY doc_id % 7
+"""
+
+
 def q_jsonl_zst_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zstd SEEKABLE-format shard roundtrip (facebook/zstd
     contrib/seekable_format, public spec): EXPORT the documents table as
@@ -14401,6 +14473,7 @@ def _init_queries() -> None:
         "q_surt_canonical": q_surt_canonical,
         "q_wat_quarantine": q_wat_quarantine,
         "q_wet_quarantine": q_wet_quarantine,
+        "q_jsonl_lz4": q_jsonl_lz4,
     })
 
 
@@ -14726,4 +14799,5 @@ def oracle_sql() -> dict[str, str]:
         "q_surt_canonical": _SQL_SURT_CANONICAL,
         "q_wat_quarantine": _SQL_WAT_QUARANTINE,
         "q_wet_quarantine": _SQL_WET_QUARANTINE,
+        "q_jsonl_lz4": _SQL_JSONL_LZ4,
     }

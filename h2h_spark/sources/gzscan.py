@@ -213,7 +213,7 @@ class CodecStreamReader:
     each; parallelism across files still applies.  Memory O(chunk)."""
 
     def __init__(self, path: str, codec: str):
-        if codec not in ("bz2", "xz", "zst"):
+        if codec not in ("bz2", "xz", "zst", "lz4"):
             raise ValueError(f"unsupported stream codec {codec!r}")
         self.path = path
         self.codec = codec
@@ -229,6 +229,10 @@ class CodecStreamReader:
                 import lzma
 
                 f = lzma.LZMAFile(raw)
+            elif self.codec == "lz4":
+                import pyarrow as pa
+
+                f = pa.CompressedInputStream(raw, "lz4")
             else:
                 try:
                     import zstandard

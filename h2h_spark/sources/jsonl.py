@@ -140,12 +140,34 @@ def write_jsonl_zst_stream(path: str, lines: Sequence[str]) -> None:
         f.write(_zst_compress("".join(ln + "\n" for ln in lines).encode()))
 
 
+def write_jsonl_lz4_members(
+    path: str, lines: Sequence[str], lines_per_member: int = 16
+) -> None:
+    """Fixture/test writer for the splittable member-LZ4 framing: one
+    LZ4 FRAME per ``lines_per_member`` whole lines (concatenated
+    frames — the same shard shape as the member-zstd layout, resynced
+    by `lz4frame.Lz4MemberScanner`)."""
+    c = pa.Codec("lz4")
+    with open(path, "wb") as f:
+        for lo in range(0, len(lines), lines_per_member):
+            block = "".join(
+                ln + "\n" for ln in lines[lo:lo + lines_per_member]
+            ).encode()
+            f.write(c.compress(block, asbytes=True))
+
+
 def scan_jsonl_members(
     path: str, start: int, end: int, codec: str = "gz"
 ) -> Iterator[str]:
     """Member layout: lines of members whose compressed start lies in
-    [start, end).  ``codec`` picks the resync machinery (gz | zst)."""
-    scanner_cls = GzMemberScanner if codec == "gz" else ZstMemberScanner
+    [start, end).  ``codec`` picks the resync machinery
+    (gz | zst | lz4)."""
+    from h2h_spark.sources.lz4frame import Lz4MemberScanner
+
+    scanner_cls = {
+        "gz": GzMemberScanner, "zst": ZstMemberScanner,
+        "lz4": Lz4MemberScanner,
+    }[codec]
     scanner = scanner_cls(
         path, start, end, _validate_jsonl_plain, probe_plain=4096
     )
@@ -274,22 +296,25 @@ class JsonlGzReader(DataSourceReader):
                 f"layout must be auto|member|stream, got {self.layout!r}"
             )
         self.codec = options.get("codec", "gz")
-        if self.codec not in ("gz", "bz2", "xz", "zst"):
+        if self.codec not in ("gz", "bz2", "xz", "zst", "lz4"):
             raise ValueError(
-                f"codec must be gz|bz2|xz|zst, got {self.codec!r}"
+                f"codec must be gz|bz2|xz|zst|lz4, got {self.codec!r}"
             )
         if self.codec in ("bz2", "xz") and self.layout == "member":
             raise ValueError(
-                f"layout=member requires codec=gz|zst (no member-resync "
-                f"path for {self.codec})"
+                f"layout=member requires codec=gz|zst|lz4 (no "
+                f"member-resync path for {self.codec})"
             )
 
     def partitions(self):
         parts: list[_JsonlPartition] = []
         pattern = f"*.jsonl.{self.codec}"
+        from h2h_spark.sources.lz4frame import detect_lz4_member_layout
+
         detect = {
             "gz": detect_member_layout,
             "zst": detect_zst_member_layout,
+            "lz4": detect_lz4_member_layout,
         }.get(self.codec)
         for path in list_part_files(self.path, pattern=pattern):
             layout = (

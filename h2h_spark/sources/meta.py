@@ -126,15 +126,22 @@ _ORC_CODECS = {0: "NONE", 1: "ZLIB", 2: "SNAPPY", 3: "LZO", 4: "LZ4",
                5: "ZSTD"}
 
 
-def _lz4_block_decompress(chunk: bytes, origin: str) -> bytes:
+def _lz4_block_decompress(
+    chunk: bytes, origin: str, window: bytes = b""
+) -> bytes:
     """Raw LZ4 *block* format (lz4.org spec) — what ORC feeds through
     its chunk framing.  pyarrow's codecs can't serve here: the "lz4"
     codec expects frame format, and "lz4_raw" demands the exact
     decompressed size up front, which ORC does not record per chunk.
     Token = (literal_len << 4) | (match_len - 4), 15 escapes to
     255-run extension bytes; offsets are 2-byte LE; matches may
-    self-overlap (RLE), so overlapped regions copy forward."""
-    out = bytearray()
+    self-overlap (RLE), so overlapped regions copy forward.
+
+    ``window``: dictionary/linked-block prefix (LZ4 frame blockLinked
+    mode lets matches reach up to 64 KiB into PRIOR blocks' output) —
+    prepended to the match window, excluded from the return value."""
+    out = bytearray(window)
+    wlen = len(window)
     pos = 0
     n = len(chunk)
     while pos < n:
@@ -181,7 +188,7 @@ def _lz4_block_decompress(chunk: bytes, origin: str) -> bytes:
         else:
             for i in range(mlen):  # overlapping match: forward copy
                 out.append(out[start + i])
-    return bytes(out)
+    return bytes(out[wlen:]) if wlen else bytes(out)
 
 
 def _orc_decompress(raw: bytes, codec: str, origin: str) -> bytes:
