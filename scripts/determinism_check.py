@@ -14,10 +14,16 @@ from h2h_spark import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and not args[0].startswith("q_"):
+        sf_dir = args.pop(0)
+    only = set(args)  # optional query-name subset (mirrors oracle_check)
     spark = get_spark("determinism_check")
     bad = []
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         key = lambda r: tuple(map(repr, r))
         a = sorted(map(tuple, fn(spark, sf_dir).collect()), key=key)
         b = sorted(map(tuple, fn(spark, sf_dir).collect()), key=key)
