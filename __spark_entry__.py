@@ -5214,6 +5214,79 @@ FROM t
 """
 
 
+def q_gguf_dequant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGUF quantized tensor DATA reads (`sources/gguf.py:
+    read_gguf_rows`, round 11): Q8_0 and Q4_0 block dequantization over
+    header-planned row-stride byte ranges — the safetensors scan shape
+    applied to quantized checkpoints (driver reads the KiB header,
+    tasks read disjoint ranges, numpy-vectorized block decode, zero
+    per-element Python).  The fixture's blocks are built with EXACTLY
+    representable scales (powers of two in f16) and integer codes so
+    dequantization is lossless and the oracle states per-row sums
+    CLOSED-FORM from the generator arithmetic — one wrong nibble or a
+    swapped hi/lo half breaks the hash.  Block layouts per the public
+    ggml spec (llama.cpp wire format)."""
+    from h2h_spark.sources.gguf import quantize_rows, read_gguf_rows
+
+    w = _work("q_gguf_dequant", sf_dir)
+    path = os.path.join(w, "model.gguf")
+    marker = os.path.join(w, "_DONE")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    n = docs.count()
+    if not os.path.exists(marker):
+        import numpy as np
+
+        from h2h_spark.sources.gguf import write_gguf
+
+        r = np.arange(n, dtype=np.int64)
+        # Q8_0: both 32-blocks of row r share d = 2^-(r%5); codes
+        # q(r, c) = (r*7 + c*3) % 255 - 127
+        d8 = np.repeat(2.0 ** -(r % 5), 2)
+        c = np.arange(64, dtype=np.int64)
+        q8 = ((r[:, None] * 7 + c[None, :] * 3) % 255 - 127).reshape(-1, 32)
+        raw8 = quantize_rows("Q8_0", d8, q8)
+        # Q4_0: block b of row r has d = 2^-((r+b)%3); nibble codes
+        # n(r, c) = (r + c) % 16 (decoding to n-8)
+        b = np.repeat(r, 2)
+        blk = np.tile(np.arange(2, dtype=np.int64), n)
+        d4 = 2.0 ** -((b + blk) % 3)
+        n4 = ((r[:, None] + c[None, :]) % 16).reshape(-1, 32)
+        raw4 = quantize_rows("Q4_0", d4, n4)
+        write_gguf(path, {"general.architecture": "test"}, {
+            "emb_q8": (8, [64, n], raw8),
+            "emb_q4": (2, [64, n], raw4),
+        })
+        open(marker, "w").close()
+    out = []
+    for tname in ("emb_q8", "emb_q4"):
+        rows = read_gguf_rows(spark, path, tname, rows_per_split=512)
+        out.append(rows.select(
+            F.lit(tname).alias("tensor"),
+            "row_idx",
+            F.aggregate(
+                "vec", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ).alias("row_sum"),
+        ))
+    return out[0].unionAll(out[1])
+
+
+_SQL_GGUF_DEQUANT = """
+WITH c AS (SELECT UNNEST(generate_series(0, 63)) AS c)
+SELECT 'emb_q8' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 5))
+           * SUM(((d.doc_id * 7 + c.c * 3) % 255) - 127) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q4', d.doc_id,
+       SUM(POWER(2.0, -((d.doc_id + c.c // 32) % 3))
+           * (((d.doc_id + c.c) % 16) - 8)) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+"""
+
+
 def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset sample assembly (`operators/webdataset.py` — the
     tar-shard convention: a sample is the contiguous run of members
@@ -14474,6 +14547,7 @@ def _init_queries() -> None:
         "q_wat_quarantine": q_wat_quarantine,
         "q_wet_quarantine": q_wet_quarantine,
         "q_jsonl_lz4": q_jsonl_lz4,
+        "q_gguf_dequant": q_gguf_dequant,
     })
 
 
@@ -14800,4 +14874,5 @@ def oracle_sql() -> dict[str, str]:
         "q_wat_quarantine": _SQL_WAT_QUARANTINE,
         "q_wet_quarantine": _SQL_WET_QUARANTINE,
         "q_jsonl_lz4": _SQL_JSONL_LZ4,
+        "q_gguf_dequant": _SQL_GGUF_DEQUANT,
     }

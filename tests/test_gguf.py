@@ -81,3 +81,72 @@ def test_gguf_meta_distributed(spark, tmp_path):
     assert got[("a", "tok_embd.weight")] == (512, 2048, [8, 64])
     assert got[("b", "output_norm.weight")] == (16, 64, [16])
     assert all(r.architecture == "llama" and r.n_kv == 5 for r in rows)
+
+
+def test_dequant_quantize_roundtrip_exact():
+    import numpy as np
+
+    from h2h_spark.sources.gguf import dequant_rows, quantize_rows
+
+    d = np.array([0.5, 0.25, 1.0, 0.125], "<f2")
+    q = (np.arange(128).reshape(4, 32) % 255) - 64
+    x8 = dequant_rows("Q8_0", quantize_rows("Q8_0", d, q), 2, 64)
+    exp = (d.astype("f4")[:, None] * q.astype("f4")).reshape(2, 64)
+    assert (x8 == exp).all()
+    n = np.arange(128).reshape(4, 32) % 16
+    x4 = dequant_rows("Q4_0", quantize_rows("Q4_0", d, n), 4, 32)
+    exp4 = d.astype("f4")[:, None] * (n.astype("f4") - 8)
+    assert (x4 == exp4).all()
+    # nibble halves must not be swapped: elem j lives in the LOW nibble
+    raw = quantize_rows("Q4_0", d[:1], np.arange(32)[None, :] % 16)
+    assert raw[2] & 0x0F == 0 and raw[2] >> 4 == 0  # j=0 lo, j=16 hi... 
+    assert (raw[2 + 5] & 0x0F) == 5
+
+
+def test_dequant_loud_paths():
+    import pytest
+
+    from h2h_spark.sources.gguf import dequant_rows
+
+    with pytest.raises(ValueError, match="not implemented"):
+        dequant_rows("Q6_K", b"", 1, 32)
+    with pytest.raises(ValueError, match="multiple"):
+        dequant_rows("Q8_0", b"", 1, 33)
+    with pytest.raises(ValueError, match="bytes"):
+        dequant_rows("Q8_0", b"\x00" * 10, 1, 32)
+
+
+def test_read_gguf_rows_distributed(spark, tmp_work):
+    import numpy as np
+    import pytest
+
+    from h2h_spark.sources.gguf import (
+        quantize_rows,
+        read_gguf_rows,
+        write_gguf,
+    )
+
+    n, cols = 100, 32
+    d = (2.0 ** -(np.arange(n) % 4)).astype("<f2")
+    q = (np.arange(n * cols).reshape(n, cols) % 200) - 100
+    raw = quantize_rows("Q8_0", d, q)
+    p = f"{tmp_work}/m.gguf"
+    write_gguf(p, {"general.architecture": "t"},
+               {"w": (8, [cols, n], raw),
+                "f": np.arange(12, dtype="<f4").reshape(3, 4)})
+    df = read_gguf_rows(spark, p, "w", rows_per_split=7)
+    got = {r.row_idx: list(r.vec) for r in df.collect()}
+    assert len(got) == n
+    exp = d.astype("f4")[:, None] * q.astype("f4")
+    assert got[0] == list(exp[0]) and got[99] == list(exp[99])
+    # F32 tensors read through the same path
+    f32 = {r.row_idx: list(r.vec) for r in
+           read_gguf_rows(spark, p, "f").collect()}
+    assert f32[2] == [8.0, 9.0, 10.0, 11.0]
+    # loud: unknown tensor, 1-D tensor rejected
+    with pytest.raises(ValueError, match="no tensor named"):
+        read_gguf_rows(spark, p, "missing")
+    write_gguf(f"{tmp_work}/one.gguf", {},
+               {"v": np.arange(4, dtype="<f4")})
+    with pytest.raises(ValueError, match="2-D"):
+        read_gguf_rows(spark, f"{tmp_work}/one.gguf", "v")
