@@ -5231,13 +5231,15 @@ def q_gguf_dequant(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_gguf_dequant", sf_dir)
     path = os.path.join(w, "model.gguf")
     marker = os.path.join(w, "_DONE")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
-    n = docs.count()
     if not os.path.exists(marker):
         import numpy as np
 
         from h2h_spark.sources.gguf import write_gguf
 
+        n = (
+            spark.read.parquet(_t(sf_dir, "documents"))
+            .select("doc_id").count()
+        )
         r = np.arange(n, dtype=np.int64)
         # Q8_0: both 32-blocks of row r share d = 2^-(r%5); codes
         # q(r, c) = (r*7 + c*3) % 255 - 127
@@ -5282,6 +5284,99 @@ UNION ALL
 SELECT 'emb_q4', d.doc_id,
        SUM(POWER(2.0, -((d.doc_id + c.c // 32) % 3))
            * (((d.doc_id + c.c) % 16) - 8)) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+"""
+
+
+def q_gguf_kquant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGUF K-quant tensor DATA reads (round 12): Q6_K and Q4_K
+    256-element super-block dequantization (`sources/gguf.py:
+    dequant_rows`) over the same header-planned row-stride byte ranges
+    as `q_gguf_dequant` — modern llama.cpp checkpoints are K-quant, so
+    this closes the last dequant cliff.  One super-block per row; the
+    fixture packs EXACTLY representable power-of-two f16 scales and
+    deterministic integer codes via `pack_q6k`/`pack_q4k`, and the
+    oracle states the per-row sums closed-form from the generator
+    arithmetic INCLUDING the sub-block scale indexing (Q6_K: scale
+    8*(c//128) + 2*((c%128)//32) + (c%32)//16; Q4_K: scale/min pair
+    2*(c//64) + (c%64)//32) — one swapped nibble half or a wrong
+    scale walk breaks the hash.  Layouts per the public ggml spec
+    (llama.cpp ggml-quants.h block_q6_K / block_q4_K)."""
+    from h2h_spark.sources.gguf import (
+        pack_q4k,
+        pack_q6k,
+        read_gguf_rows,
+        write_gguf,
+    )
+
+    w = _work("q_gguf_kquant", sf_dir)
+    path = os.path.join(w, "model_k.gguf")
+    marker = os.path.join(w, "_DONE")
+    if not os.path.exists(marker):
+        import numpy as np
+
+        n = (
+            spark.read.parquet(_t(sf_dir, "documents"))
+            .select("doc_id").count()
+        )
+        r = np.arange(n, dtype=np.int64)
+        c = np.arange(256, dtype=np.int64)
+        # Q6_K row r: d = 2^-(r%4); sc[k] = ((r+k)%7)-3;
+        # code(r,c) = (r*5+c)%64
+        d6 = 2.0 ** -(r % 4)
+        k = np.arange(16, dtype=np.int64)
+        sc6 = ((r[:, None] + k[None, :]) % 7) - 3
+        c6 = (r[:, None] * 5 + c[None, :]) % 64
+        raw6 = pack_q6k(d6, sc6, c6)
+        # Q4_K row r: d = 2^-(r%3), dmin = 2^-((r+1)%3);
+        # sc[j] = (r+2j)%64, m[j] = (r+3j+1)%64; code(r,c) = (r+c)%16
+        d4 = 2.0 ** -(r % 3)
+        dm4 = 2.0 ** -((r + 1) % 3)
+        j = np.arange(8, dtype=np.int64)
+        sc4 = (r[:, None] + 2 * j[None, :]) % 64
+        mn4 = (r[:, None] + 3 * j[None, :] + 1) % 64
+        c4 = (r[:, None] + c[None, :]) % 16
+        raw4 = pack_q4k(d4, dm4, sc4, mn4, c4)
+        write_gguf(path, {"general.architecture": "test"}, {
+            "emb_q6k": (14, [256, n], raw6),
+            "emb_q4k": (12, [256, n], raw4),
+        })
+        open(marker, "w").close()
+    out = []
+    for tname in ("emb_q6k", "emb_q4k"):
+        rows = read_gguf_rows(spark, path, tname, rows_per_split=512)
+        out.append(rows.select(
+            F.lit(tname).alias("tensor"),
+            "row_idx",
+            F.aggregate(
+                "vec", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ).alias("row_sum"),
+        ))
+    return out[0].unionAll(out[1])
+
+
+_SQL_GGUF_KQUANT = """
+WITH c AS (SELECT UNNEST(generate_series(0, 255)) AS c)
+SELECT 'emb_q6k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 4))
+           * SUM((((d.doc_id
+                    + (8 * (c.c // 128) + 2 * ((c.c % 128) // 32)
+                       + (c.c % 32) // 16)) % 7) - 3)
+                 * (((d.doc_id * 5 + c.c) % 64) - 32)) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q4k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 3))
+           * SUM(((d.doc_id
+                   + 2 * (2 * (c.c // 64) + (c.c % 64) // 32)) % 64)
+                 * ((d.doc_id + c.c) % 16))
+       - POWER(2.0, -((d.doc_id + 1) % 3))
+           * SUM((d.doc_id
+                  + 3 * (2 * (c.c // 64) + (c.c % 64) // 32) + 1) % 64)
+           AS row_sum
 FROM documents d CROSS JOIN c
 GROUP BY d.doc_id
 """
@@ -14540,6 +14635,7 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
+        "q_gguf_kquant": q_gguf_kquant,
     })
 
 
@@ -14867,4 +14963,5 @@ def oracle_sql() -> dict[str, str]:
         "q_wet_quarantine": _SQL_WET_QUARANTINE,
         "q_jsonl_lz4": _SQL_JSONL_LZ4,
         "q_gguf_dequant": _SQL_GGUF_DEQUANT,
+        "q_gguf_kquant": _SQL_GGUF_KQUANT,
     }

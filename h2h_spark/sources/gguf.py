@@ -47,15 +47,25 @@ _GGML_TYPES = {
     6: ("Q5_0", 32, 22),
     7: ("Q5_1", 32, 24),
     8: ("Q8_0", 32, 34),
+    # K-quants: 256-element super-blocks (llama.cpp ggml-quants.h)
+    12: ("Q4_K", 256, 144),
+    14: ("Q6_K", 256, 210),
     # known names without byte math (block layouts not implemented)
     9: ("Q8_1", None, None),
     10: ("Q2_K", None, None), 11: ("Q3_K", None, None),
-    12: ("Q4_K", None, None), 13: ("Q5_K", None, None),
-    14: ("Q6_K", None, None), 15: ("Q8_K", None, None),
+    13: ("Q5_K", None, None), 15: ("Q8_K", None, None),
     24: ("I8", None, None), 25: ("I16", None, None),
     26: ("I32", None, None), 27: ("I64", None, None),
     28: ("F64", None, None), 30: ("BF16", 1, 2),
 }
+
+# types dequant_rows can decode — read_gguf_rows rejects anything else
+# at PLAN time (where type_name is already known), not inside tasks
+_DEQUANT_TYPES = frozenset({
+    "F32", "F16", "BF16",
+    "Q8_0", "Q4_0", "Q4_1", "Q5_0", "Q5_1",
+    "Q4_K", "Q6_K",
+})
 
 
 def _read_exact(f: BinaryIO, n: int, what: str) -> bytes:
@@ -285,15 +295,23 @@ def gguf_meta(spark: SparkSession, path: str) -> DataFrame:
 
 
 def dequant_rows(type_name: str, raw: bytes, n_rows: int, n_cols: int):
-    """Decode ``n_rows`` x ``n_cols`` elements of F32/Q8_0/Q4_0 row
-    data from ``raw`` into a float32 ndarray.  Loud on any other type
-    or a size mismatch — never guesses a block layout."""
+    """Decode ``n_rows`` x ``n_cols`` elements of row data from ``raw``
+    into a float32 ndarray.  Supported: the :data:`_DEQUANT_TYPES` set
+    (floats, the 32-element legacy quants, and the Q4_K/Q6_K 256-element
+    super-block K-quants).  Loud on any other type or a size mismatch —
+    never guesses a block layout."""
     import numpy as np
 
-    if n_cols % 32 and type_name in ("Q8_0", "Q4_0"):
+    if n_cols % 32 and type_name in ("Q8_0", "Q4_0", "Q4_1",
+                                     "Q5_0", "Q5_1"):
         raise ValueError(
             f"{type_name}: row length {n_cols} not a multiple of the "
             "32-element block"
+        )
+    if n_cols % 256 and type_name in ("Q4_K", "Q6_K"):
+        raise ValueError(
+            f"{type_name}: row length {n_cols} not a multiple of the "
+            "256-element super-block"
         )
     if type_name == "F32":
         want = n_rows * n_cols * 4
@@ -319,9 +337,121 @@ def dequant_rows(type_name: str, raw: bytes, n_rows: int, n_cols: int):
         elems = np.concatenate([lo, hi], axis=1).astype("<f4")
         x = blocks["d"].astype("<f4")[:, None] * elems
         return x.reshape(n_rows, n_cols)
+    if type_name == "F16":
+        want = n_rows * n_cols * 2
+        if len(raw) != want:
+            raise ValueError(f"F16: got {len(raw)} bytes, want {want}")
+        return np.frombuffer(raw, "<f2").astype("<f4").reshape(
+            n_rows, n_cols
+        )
+    if type_name == "BF16":
+        want = n_rows * n_cols * 2
+        if len(raw) != want:
+            raise ValueError(f"BF16: got {len(raw)} bytes, want {want}")
+        u = np.frombuffer(raw, "<u2").astype("<u4") << 16
+        return u.view("<f4").reshape(n_rows, n_cols)
+    if type_name == "Q4_1":
+        # per 32 elems: f16 d, f16 m, 16 nibble bytes; x = d*n + m
+        dt = np.dtype([("d", "<f2"), ("m", "<f2"), ("qs", "u1", (16,))])
+        want = n_rows * (n_cols // 32) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q4_1: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        lo = blocks["qs"] & 0x0F
+        hi = blocks["qs"] >> 4
+        elems = np.concatenate([lo, hi], axis=1).astype("<f4")
+        x = (blocks["d"].astype("<f4")[:, None] * elems
+             + blocks["m"].astype("<f4")[:, None])
+        return x.reshape(n_rows, n_cols)
+    if type_name in ("Q5_0", "Q5_1"):
+        # per 32 elems: f16 d (+ f16 m for Q5_1), u32 of high bits,
+        # 16 nibble bytes; elem j's 5th bit is qh bit j
+        if type_name == "Q5_0":
+            dt = np.dtype([("d", "<f2"), ("qh", "<u4"),
+                           ("qs", "u1", (16,))])
+        else:
+            dt = np.dtype([("d", "<f2"), ("m", "<f2"), ("qh", "<u4"),
+                           ("qs", "u1", (16,))])
+        want = n_rows * (n_cols // 32) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(
+                f"{type_name}: got {len(raw)} bytes, want {want}"
+            )
+        blocks = np.frombuffer(raw, dt)
+        j = np.arange(16)
+        qh = blocks["qh"][:, None]
+        lo = (blocks["qs"] & 0x0F) | (((qh >> j) & 1) << 4).astype("u1")
+        hi = (blocks["qs"] >> 4) | (((qh >> (j + 16)) & 1) << 4).astype(
+            "u1"
+        )
+        elems = np.concatenate([lo, hi], axis=1).astype("<f4")
+        d = blocks["d"].astype("<f4")[:, None]
+        if type_name == "Q5_0":
+            x = d * (elems - 16.0)
+        else:
+            x = d * elems + blocks["m"].astype("<f4")[:, None]
+        return x.reshape(n_rows, n_cols)
+    if type_name == "Q4_K":
+        # 256-elem super-block: f16 d, f16 dmin, 12 bytes of packed
+        # 6-bit scale/min pairs (8 each), 128 nibble bytes; sub-block
+        # j of 32 elems decodes x = d*sc[j]*n - dmin*m[j]
+        dt = np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                       ("scales", "u1", (12,)), ("qs", "u1", (128,))])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q4_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        nb = len(blocks)
+        s = blocks["scales"].astype("<u2")
+        sc = np.empty((nb, 8), "<f4")
+        mn = np.empty((nb, 8), "<f4")
+        sc[:, :4] = s[:, 0:4] & 63
+        mn[:, :4] = s[:, 4:8] & 63
+        sc[:, 4:] = (s[:, 8:12] & 0x0F) | ((s[:, 0:4] >> 6) << 4)
+        mn[:, 4:] = (s[:, 8:12] >> 4) | ((s[:, 4:8] >> 6) << 4)
+        dsc = blocks["d"].astype("<f4")[:, None] * sc
+        dmn = blocks["dmin"].astype("<f4")[:, None] * mn
+        qs = blocks["qs"].reshape(nb, 4, 32)
+        lo = (qs & 0x0F).astype("<f4")
+        hi = (qs >> 4).astype("<f4")
+        y = np.empty((nb, 4, 64), "<f4")
+        y[..., :32] = dsc[:, 0::2, None] * lo - dmn[:, 0::2, None]
+        y[..., 32:] = dsc[:, 1::2, None] * hi - dmn[:, 1::2, None]
+        return y.reshape(n_rows, n_cols)
+    if type_name == "Q6_K":
+        # 256-elem super-block: 128 bytes of low nibbles, 64 bytes of
+        # high 2-bit pairs, 16 int8 sub-block scales, f16 d; 6-bit
+        # code n decodes x = d*sc[..]*(n-32); the (ql,qh,sc) walk is
+        # per 128-element half
+        dt = np.dtype([("ql", "u1", (128,)), ("qh", "u1", (64,)),
+                       ("sc", "i1", (16,)), ("d", "<f2")])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q6_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        nb = len(blocks)
+        ql = blocks["ql"].reshape(nb, 2, 64)
+        qh = blocks["qh"].reshape(nb, 2, 32)
+        scs = blocks["sc"].reshape(nb, 2, 8).astype("<f4")
+        q1 = ((ql[..., :32] & 0x0F) | (((qh >> 0) & 3) << 4)).astype(
+            "<i2") - 32
+        q2 = ((ql[..., 32:] & 0x0F) | (((qh >> 2) & 3) << 4)).astype(
+            "<i2") - 32
+        q3 = ((ql[..., :32] >> 4) | (((qh >> 4) & 3) << 4)).astype(
+            "<i2") - 32
+        q4 = ((ql[..., 32:] >> 4) | (((qh >> 6) & 3) << 4)).astype(
+            "<i2") - 32
+        parts = []
+        for k, qk in enumerate((q1, q2, q3, q4)):
+            # y[32k + l] scales with sc[2k + l//16] within the half
+            s_k = np.repeat(scs[..., 2 * k:2 * k + 2], 16, axis=-1)
+            parts.append(s_k * qk.astype("<f4"))
+        y = np.concatenate(parts, axis=-1)
+        y *= blocks["d"].astype("<f4")[:, None, None]
+        return y.reshape(n_rows, n_cols)
     raise ValueError(
         f"dequant for ggml type {type_name!r} not implemented "
-        "(supported: F32, Q8_0, Q4_0)"
+        f"(supported: {', '.join(sorted(_DEQUANT_TYPES))})"
     )
 
 
@@ -351,6 +481,68 @@ def quantize_rows(type_name: str, d_scales, q_ints) -> bytes:
     raise ValueError(f"quantize for {type_name!r} not implemented")
 
 
+def pack_q4k(d_scales, dmin_scales, scales, mins, codes) -> bytes:
+    """Fixture/interop ENCODER for Q4_K super-blocks: f16 ``d_scales``
+    / ``dmin_scales`` (shape [n_sb]), 6-bit ``scales`` / ``mins``
+    (shape [n_sb, 8], values 0..63) and nibble ``codes`` (shape
+    [n_sb, 256], values 0..15, in DECODED element order).  Inverse of
+    the Q4_K branch of :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f2")
+    dm = np.asarray(dmin_scales, "<f2")
+    sc = np.asarray(scales).astype("<u2")
+    mn = np.asarray(mins).astype("<u2")
+    if (sc > 63).any() or (mn > 63).any():
+        raise ValueError("Q4_K scales/mins are 6-bit (0..63)")
+    nb = len(d)
+    s = np.empty((nb, 12), "u1")
+    s[:, 0:4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    s[:, 4:8] = (mn[:, :4] & 63) | ((mn[:, 4:] >> 4) << 6)
+    s[:, 8:12] = (sc[:, 4:] & 0x0F) | ((mn[:, 4:] & 0x0F) << 4)
+    c = np.asarray(codes).astype("u1").reshape(nb, 4, 64)
+    if (c > 15).any():
+        raise ValueError("Q4_K codes are nibbles (0..15)")
+    qs = (c[..., :32] | (c[..., 32:] << 4)).reshape(nb, 128)
+    dt = np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                   ("scales", "u1", (12,)), ("qs", "u1", (128,))])
+    out = np.zeros(nb, dt)
+    out["d"] = d
+    out["dmin"] = dm
+    out["scales"] = s
+    out["qs"] = qs
+    return out.tobytes()
+
+
+def pack_q6k(d_scales, scales, codes) -> bytes:
+    """Fixture/interop ENCODER for Q6_K super-blocks: f16 ``d_scales``
+    (shape [n_sb]), int8 ``scales`` (shape [n_sb, 16]) and 6-bit
+    ``codes`` (shape [n_sb, 256], values 0..63, in DECODED element
+    order).  Inverse of the Q6_K branch of :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f2")
+    sc = np.asarray(scales).astype("i1")
+    nb = len(d)
+    c = np.asarray(codes).astype("u1").reshape(nb, 2, 4, 32)
+    if (c > 63).any():
+        raise ValueError("Q6_K codes are 6-bit (0..63)")
+    q1, q2, q3, q4 = c[:, :, 0], c[:, :, 1], c[:, :, 2], c[:, :, 3]
+    ql = np.empty((nb, 2, 64), "u1")
+    ql[..., :32] = (q1 & 0x0F) | ((q3 & 0x0F) << 4)
+    ql[..., 32:] = (q2 & 0x0F) | ((q4 & 0x0F) << 4)
+    qh = ((q1 >> 4) | ((q2 >> 4) << 2)
+          | ((q3 >> 4) << 4) | ((q4 >> 4) << 6)).astype("u1")
+    dt = np.dtype([("ql", "u1", (128,)), ("qh", "u1", (64,)),
+                   ("sc", "i1", (16,)), ("d", "<f2")])
+    out = np.zeros(nb, dt)
+    out["ql"] = ql.reshape(nb, 128)
+    out["qh"] = qh.reshape(nb, 64)
+    out["sc"] = sc
+    out["d"] = d
+    return out.tobytes()
+
+
 def read_gguf_rows(
     spark: SparkSession, path: str, tensor: str,
     rows_per_split: int = 2048,
@@ -365,16 +557,31 @@ def read_gguf_rows(
 
     p = strip_scheme(path)
     m = parse_gguf_meta(p)
-    [t] = [t for t in m["tensors"] if t["name"] == tensor] or [None]
-    if t is None:
+    matches = [t for t in m["tensors"] if t["name"] == tensor]
+    if not matches:
         raise ValueError(f"{path}: no tensor named {tensor!r}")
+    if len(matches) > 1:
+        raise ValueError(
+            f"{path}: {len(matches)} tensors named {tensor!r} — "
+            "ambiguous header"
+        )
+    t = matches[0]
     if len(t["dims"]) != 2:
         raise ValueError(f"{tensor!r}: need a 2-D tensor, got {t['dims']}")
     n_cols, n_rows = t["dims"]  # ggml order: fastest-varying first
     type_name = t["type_name"]
+    # reject unsupported dtypes at PLAN time, not inside tasks
+    if type_name not in _DEQUANT_TYPES:
+        raise ValueError(
+            f"{tensor!r}: no dequant for ggml type {type_name!r} "
+            f"(supported: {', '.join(sorted(_DEQUANT_TYPES))})"
+        )
     _, belems, bbytes = {v[0]: v for v in _GGML_TYPES.values()}[type_name]
-    if belems is None:
-        raise ValueError(f"{tensor!r}: no byte math for {type_name}")
+    if belems > 1 and n_cols % belems:
+        raise ValueError(
+            f"{tensor!r}: row length {n_cols} not a multiple of the "
+            f"{belems}-element {type_name} block"
+        )
     row_bytes = n_cols // belems * bbytes if belems > 1 else n_cols * bbytes
     base = m["data_start"] + t["offset"]
     n_splits = max(1, math.ceil(n_rows / rows_per_split))

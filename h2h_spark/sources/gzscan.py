@@ -35,6 +35,22 @@ _CHUNK = 1 << 20  # 1 MiB streaming read unit
 _PROBE_COMPRESSED_CAP = 64 * 1024  # bound on compressed bytes per probe
 
 
+def _have_zstandard() -> bool:
+    """True when the C ``zstandard`` package is importable (cached)."""
+    global _HAVE_ZSTANDARD
+    if _HAVE_ZSTANDARD is None:
+        try:
+            import zstandard  # noqa: F401
+
+            _HAVE_ZSTANDARD = True
+        except ImportError:
+            _HAVE_ZSTANDARD = False
+    return _HAVE_ZSTANDARD
+
+
+_HAVE_ZSTANDARD: bool | None = None
+
+
 class GzMemberScanner:
     """Stream ``(offset, plaintext)`` for every gzip member whose
     compressed start lies in ``[start, end)``.
@@ -520,9 +536,13 @@ def _zst_probe_plain(
 ) -> bytes:
     """Best-effort decompress of up to ``probe_plain`` plaintext bytes
     from a (possibly truncated) compressed window at a frame start.
-    With a dictionary the probe must not fail SILENTLY when
-    ``zstandard`` is absent (a rejected candidate is dropped data) —
-    it raises the loud install/repack error instead."""
+    An empty return means "reject the candidate".  With a dictionary
+    and no ``zstandard`` package, the pure-Python decoder
+    (``zstd_py.decompress_frame``) needs the COMPLETE frame — it has
+    no streaming mode — so callers must pass the full frame bytes in
+    that configuration (``ZstMemberScanner._validate`` un-caps the
+    prefix read for exactly this case); a truncated window then maps
+    to an empty probe, same contract as the zstandard branch."""
     try:
         import zstandard
 
@@ -635,7 +655,17 @@ class ZstMemberScanner:
             # authoritative members() walk stays loud on real frames
             return None
         f.seek(pos)
-        prefix = f.read(min(flen, _PROBE_COMPRESSED_CAP))
+        cap = min(flen, _PROBE_COMPRESSED_CAP)
+        if dict_bytes is not None and flen > cap and not _have_zstandard():
+            # The pure-Python dictionary decoder needs the COMPLETE
+            # frame (zstd_py has no streaming mode); a capped prefix
+            # would map every genuine dictionary member larger than
+            # the cap to an empty probe and silently DROP it at
+            # resync.  flen is already known from the structural walk,
+            # so read the whole frame — same bytes members() reads
+            # moments later for the accepted candidate.
+            cap = flen
+        prefix = f.read(cap)
         plain = _zst_probe_plain(prefix, self.probe_plain, dict_bytes)
         if plain and self.validate(plain):
             return flen

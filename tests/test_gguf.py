@@ -109,9 +109,11 @@ def test_dequant_loud_paths():
     from h2h_spark.sources.gguf import dequant_rows
 
     with pytest.raises(ValueError, match="not implemented"):
-        dequant_rows("Q6_K", b"", 1, 32)
+        dequant_rows("Q3_K", b"", 1, 256)
     with pytest.raises(ValueError, match="multiple"):
         dequant_rows("Q8_0", b"", 1, 33)
+    with pytest.raises(ValueError, match="256-element super-block"):
+        dequant_rows("Q6_K", b"", 1, 32)
     with pytest.raises(ValueError, match="bytes"):
         dequant_rows("Q8_0", b"\x00" * 10, 1, 32)
 

@@ -112,6 +112,39 @@ def test_scanner_dict_frame_without_zstandard_decodes(tmp_work):
     assert [plain for _, plain in got] == [b"x" * 16]
 
 
+def test_scanner_large_dict_frame_resync_pure_python(tmp_work):
+    """Regression (round-12 ADVICE): the pure-Python dictionary probe
+    needs the COMPLETE frame; validating a >_PROBE_COMPRESSED_CAP
+    dictionary member against a capped prefix returned b'' and the
+    member was silently DROPPED at split resync.  A mid-file split
+    whose alignment scan lands on the big frame must accept it."""
+    from h2h_spark.sources.gzscan import _PROBE_COMPRESSED_CAP
+
+    big = b"B" * (_PROBE_COMPRESSED_CAP + 4096)
+    parts = [
+        _skippable_dict(b"raw prefix dictionary"),
+        _raw_block_frame(b"a" * 32, dict_id=7),
+        _raw_block_frame(big, dict_id=7),
+        _raw_block_frame(b"c" * 32, dict_id=7),
+    ]
+    p = f"{tmp_work}/bigdict.zst"
+    open(p, "wb").write(b"".join(parts))
+    size = os.path.getsize(p)
+    big_off = len(parts[0]) + len(parts[1])
+    # split boundary just before the big frame: split 2's _align must
+    # validate (and accept) the >cap dictionary member
+    left = list(
+        ZstMemberScanner(p, 0, big_off - 1, validate=lambda b: True).members()
+    )
+    right = list(
+        ZstMemberScanner(
+            p, big_off - 1, size, validate=lambda b: True
+        ).members()
+    )
+    plains = [pl for _, pl in left] + [pl for _, pl in right]
+    assert plains == [b"a" * 32, big, b"c" * 32]
+
+
 def test_scanner_garbage_structured_dict_is_loud(tmp_work):
     """A dictionary carrying the STRUCTURED magic but unparseable
     entropy tables must fail loud at decode, never yield garbage."""
