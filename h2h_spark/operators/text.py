@@ -672,6 +672,7 @@ def fuzzy_join(
     right_name: str,
     max_edit: int = 1,
     block: "F.Column | None" = None,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Fuzzy string match (entity resolution): equi-join on a cheap
     blocking key, then verify candidates with edit distance.
@@ -688,29 +689,56 @@ def fuzzy_join(
     expected typo distribution (swap in a phonetic key / q-gram key for
     other error models).  Output: all left columns + all right columns +
     ``edit_dist``.
+
+    ``max_block`` is the quadratic-bomb guard, mirroring the dedup
+    family's ``max_bucket`` (`dedup.py:_bucket_candidates`): a blocking
+    key held by more than ``max_block`` rows on EITHER side is excluded
+    from matching entirely.  At corpus scale a key that common (think a
+    last token of ``"inc"``) is a failed discriminator — its block
+    contributes |L_k|x|R_k| candidate pairs that no task-level skew
+    split can absorb — so the bounded-recall contract is the same one
+    the LSH banding makes.  The hot-key sets are found with one tiny
+    per-side key-count aggregate and removed via a broadcast anti-join
+    (<= |rows|/max_block keys by construction); pass ``None`` to
+    disable the guard and keep exact block semantics.
     """
     blk = block if block is not None else (
         lambda c: F.substring_index(c, " ", -1)
     )
+    # plan aliases make the sides unambiguous both when the two name
+    # columns are spelled the same AND when left/right share lineage
+    # (probe set derived from the catalog itself — a self-join)
     lb = left.withColumn("__blk", blk(F.col(left_name)))
     rb = right.withColumn("__blk", blk(F.col(right_name)))
+    if max_block is not None:
+        hot = (
+            lb.groupBy("__blk").count()
+            .unionByName(rb.groupBy("__blk").count())
+            .groupBy("__blk").agg(F.max("count").alias("n"))
+            .filter(F.col("n") > max_block)
+            .select("__blk")
+        )
+        # dropping the key from ONE side suppresses the whole block;
+        # the anti-join build side is tiny by construction
+        lb = lb.join(F.broadcast(hot), "__blk", "left_anti")
     # Candidates whose lengths differ by more than max_edit can't match:
     # the length test is a few-cycle predicate that runs as an extra join
     # condition (inside the hash-join probe), so the O(len²) levenshtein
     # only ever evaluates on survivors.
+    lb = lb.alias("__fzl")
+    rb = rb.alias("__fzr")
+    ln = F.col(f"__fzl.{left_name}")
+    rn = F.col(f"__fzr.{right_name}")
     return (
         lb.join(
             rb,
-            (lb["__blk"] == rb["__blk"])
-            & (
-                F.abs(F.length(lb[left_name]) - F.length(rb[right_name]))
-                <= max_edit
-            ),
+            (F.col("__fzl.__blk") == F.col("__fzr.__blk"))
+            & (F.abs(F.length(ln) - F.length(rn)) <= max_edit),
         )
-        .drop(rb["__blk"])
-        .withColumn("edit_dist", F.levenshtein(F.col(left_name), F.col(right_name)))
+        .withColumn("edit_dist", F.levenshtein(ln, rn))
         .filter(F.col("edit_dist") <= max_edit)
-        .drop("__blk")
+        .drop(F.col("__fzl.__blk"))
+        .drop(F.col("__fzr.__blk"))
     )
 
 

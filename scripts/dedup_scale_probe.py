@@ -42,10 +42,52 @@ def generate(spark, n: int) -> None:
     spark.createDataFrame(pdf).repartition(32).write.parquet(PATH)
 
 
+def fuzzy_skew_probe(spark, n: int = 60_000, hot_frac: float = 0.5) -> None:
+    """fuzzy_join under a HOT blocking key (round 12): ``hot_frac`` of
+    all names share the last token ``inc`` — without the ``max_block``
+    guard that one block alone is (n*hot_frac)² candidate pairs and the
+    probe never finishes at scale; with it the hot key is excluded and
+    wall time tracks the well-blocked remainder."""
+    import pandas as pd
+
+    from h2h_spark.operators.text import fuzzy_join
+
+    rng = np.random.default_rng(7)
+    n_hot = int(n * hot_frac)
+    last = np.where(
+        np.arange(n) < n_hot,
+        "inc",
+        rng.choice(_WORDS, size=n),
+    )
+    first = rng.choice(_WORDS, size=n)
+    names = pd.DataFrame({
+        "id": np.arange(n),
+        "name": [f"{a} {b}" for a, b in zip(first, last)],
+    })
+    left = spark.createDataFrame(names).repartition(32)
+    right = spark.createDataFrame(
+        names.assign(id=names["id"] + n)
+    ).repartition(32)
+    t0 = time.time()
+    matched = fuzzy_join(
+        left, right, "name", "name", max_edit=1, max_block=5_000
+    ).count()
+    dt = time.time() - t0
+    print(
+        f"fuzzy_join skew probe: {n} x {n} names, {n_hot} sharing one "
+        f"blocking key, max_block=5000: {matched} matches in {dt:.1f}s "
+        f"(hot block excluded; uncapped would verify "
+        f"{n_hot * n_hot / 1e9:.1f}B candidate pairs)"
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_spark("dedup_probe")
     spark.range(10).mapInArrow(lambda it: it, "id long").collect()
+    if len(sys.argv) > 2 and sys.argv[2] == "fuzzy":
+        fuzzy_skew_probe(spark, n)
+        return
     generate(spark, n)
     docs = spark.read.parquet(PATH)
     n_docs = docs.count()

@@ -160,6 +160,28 @@ def test_float16_paths():
     )
 
 
+def test_fuzzy_join_max_block_guard(spark):
+    from h2h_spark.operators.text import fuzzy_join
+
+    rows = [(i, f"w{i:03d} inc") for i in range(40)]  # hot key "inc"
+    rows += [(100, "alpha corp"), (101, "betas corp")]
+    left = spark.createDataFrame(rows, "id int, name string")
+    right = spark.createDataFrame(
+        [(200, "alphq corp"), (201, "w001 inc")], "id int, name string"
+    )
+    # guard off: the hot block matches too ("w001 inc" is within one
+    # edit of 13 of the "wXYZ inc" names, plus alpha~alphq)
+    full = fuzzy_join(left, right, "name", "name", max_block=None)
+    assert full.count() == 14
+    # guard on with a cap below the hot block: "inc" block excluded on
+    # either side's count, the well-blocked match survives; columns are
+    # left(id, name) + right(id, name) + edit_dist
+    rows = fuzzy_join(left, right, "name", "name", max_block=10).collect()
+    assert [tuple(r) for r in rows] == [
+        (100, "alpha corp", 200, "alphq corp", 1)
+    ]
+
+
 def test_read_gguf_rows_plan_time_loudness(spark, tmp_work):
     # unsupported dtype rejected at PLAN time (F64 has no dequant)
     n, cols = 4, 256
