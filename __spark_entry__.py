@@ -81,6 +81,20 @@ def _prepare(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass
+    # tmpfs streaming checkpoints (driver-provided sessions too): the
+    # bounded-drain stream queries pay per-micro-batch offset/commit
+    # fsyncs; on /dev/shm those are memory-speed.
+    from h2h_spark.session import streaming_checkpoint_base
+
+    for k, v in (
+        ("spark.sql.streaming.checkpointLocation",
+         streaming_checkpoint_base()),
+        ("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
@@ -1153,40 +1167,52 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key state machine via applyInPandasWithState — the
     capability beyond running totals: a two-state hysteresis alarm
     (enter >80, exit <20, hold in between) whose mode depends on the
-    ENTIRE per-key history.  The fixture time-slices events into 4 files
-    replayed one micro-batch each (mtime-ordered), so the machine's
-    state must survive micro-batch boundaries in the state store; the
-    oracle re-derives every transition with a last-non-null window fold
-    over the same global sequence."""
+    ENTIRE per-key history.  The sequence is PER KEY (row_number
+    partitioned by user_id — the machine is per-key, so a global
+    interleaving adds nothing but a partitionless window in prep), and
+    the fixture splits each key's history into per-key halves replayed
+    one micro-batch each (mtime-ordered), so the machine's state must
+    survive the micro-batch boundary in the state store — continuity
+    needs >=2 batches, and 2 halves the fixed per-batch cost of 4; the
+    oracle re-derives every transition with a last-non-null window
+    fold over the same per-key sequence."""
     from pyspark.sql.window import Window as W
 
     from h2h_spark.streaming.stateful import hysteresis_alarm_stream
 
     work = _work("q_stream_custom_state", sf_dir)
-    src = os.path.join(work, f"src_{_src_sig(sf_dir, 'events')}")
+    src = os.path.join(work, f"srcv2_{_src_sig(sf_dir, 'events')}")
     marker = os.path.join(src, "_READY")
     if not os.path.exists(marker):
         import glob as _g
         import shutil
 
+        n_batches = 2
         ev = _norm_ts(spark.read.parquet(_t(sf_dir, "events")))
+        wk = W.partitionBy("user_id").orderBy("ts", "event_id")
         seqd = ev.select(
             "user_id",
             "value",
-            F.row_number().over(W.orderBy("ts", "event_id")).alias("seq"),
+            F.row_number().over(wk).alias("seq"),
+            F.count("*").over(W.partitionBy("user_id")).alias("__cnt"),
+        ).withColumn(
+            # per-key half: every key's history crosses the batch
+            # boundary (keys with >=2 events), which is the property
+            # under test
+            "__b",
+            F.floor((F.col("seq") - 1) * n_batches / F.col("__cnt"))
+            .cast("int"),
         )
-        n = seqd.count()
         os.makedirs(src, exist_ok=True)
-        for k in range(4):
-            lo_s, hi_s = k * n // 4 + 1, (k + 1) * n // 4
+        for k in range(n_batches):
             tmp = os.path.join(work, f"tmp_{k}")
-            seqd.filter(
-                (F.col("seq") >= lo_s) & (F.col("seq") <= hi_s)
-            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            seqd.filter(F.col("__b") == k).drop("__cnt", "__b").coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
             dst = os.path.join(src, f"b{k}.parquet")
             shutil.move(_g.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
             # strictly increasing mtimes: the file source orders batches
-            # by modification time, and batch order IS event order here
+            # by modification time, and batch order IS per-key seq order
             os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
             shutil.rmtree(tmp)
         open(marker, "w").close()
@@ -1200,7 +1226,8 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STREAM_CUSTOM_STATE = """
 WITH e AS (
   SELECT user_id, value,
-         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS seq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS seq,
          CASE WHEN value > 80.0 THEN 1 WHEN value < 20.0 THEN 0 END AS sig
   FROM events),
 m AS (

@@ -13,6 +13,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def streaming_checkpoint_base() -> str:
+    """Base directory for streaming checkpoints: tmpfs when available.
+
+    The bounded-drain streaming queries (memory/foreachBatch sinks)
+    never recover from a checkpoint, but Structured Streaming still
+    fsyncs offset/commit logs per micro-batch — on disk that dominates
+    the fixed cost of small test streams.  /dev/shm makes those writes
+    memory-speed; each query still gets its own UUID subdirectory, and
+    the per-process base is removed at exit.  Override with
+    ``H2H_SPARK_CKPT_BASE``; falls back to the system tmpdir when no
+    tmpfs exists (then this is purely the stock temp-checkpoint
+    behavior, relocated)."""
+    base = os.environ.get("H2H_SPARK_CKPT_BASE")
+    if not base:
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        if root is None:
+            import tempfile
+
+            root = tempfile.gettempdir()
+        base = os.path.join(root, f"h2h_ckpt_{os.getpid()}")
+    if not getattr(streaming_checkpoint_base, "_registered", False):
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        streaming_checkpoint_base._registered = True
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSession:
     """Return (or create) the tuned SparkSession.
 
@@ -50,6 +80,16 @@ def get_spark(app_name: str = "h2h_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.warehouse.dir", "/tmp/h2h_spark_warehouse")
+        # tmpfs checkpoints for the bounded-drain streaming queries:
+        # per-micro-batch offset/commit log fsyncs at memory speed
+        .config(
+            "spark.sql.streaming.checkpointLocation",
+            streaming_checkpoint_base(),
+        )
+        .config(
+            "spark.sql.streaming.forceDeleteTempCheckpointLocation",
+            "true",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
