@@ -33,10 +33,38 @@ def _cpu_probe() -> float:
     return round(time.time() - t0, 3)
 
 
+def _probe_worker(_i: int) -> int:
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
+
+
+def _parallel_probe(nprocs: int = 16) -> float:
+    """The same fixed loop run in ``nprocs`` concurrent PROCESSES,
+    wall-clock timed.  Round-11 showed the single-core probe cannot
+    detect NEIGHBOR load: a box whose free cores are eaten by another
+    tenant runs 1-thread code at full speed while 32-way Spark stages
+    run 3-5x slower.  On this 32-thread box the quiet figure is
+    ~1.0-1.3x the single-core probe (16 procs on 32 threads); under
+    neighbor load it elongates with core contention — the band the
+    task-parallel queries move in — while the single-core probe can
+    stay flat."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")  # no JVM/fd state inherited
+    with ctx.Pool(nprocs) as pool:
+        pool.map(_probe_worker, range(nprocs))  # warm the interpreters
+        t0 = time.time()
+        pool.map(_probe_worker, range(nprocs))
+        return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     probe_before = _cpu_probe()
+    par_probe_before = _parallel_probe()
     spark = get_spark("h2h_spark_bench")
 
     # Warm the JVM + Python worker pool so q1 doesn't pay startup; the
@@ -89,6 +117,7 @@ def main() -> None:
         "runs": runs,
         "sf": sf_val,
         "cpu_probe_sec": [probe_before, _cpu_probe()],
+        "parallel_probe_sec": [par_probe_before, _parallel_probe()],
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
@@ -108,6 +137,9 @@ def main() -> None:
         "runs": runs,
         "nq": len(timings),
         "detail": "bench_detail.json",
+        # load calibration: single-core and 16-process probe seconds
+        # (before-run values; quiet ~2.0/~2.0 — see BASELINE.md bands)
+        "probe": [probe_before, par_probe_before],
         "queries": {},
     }
     ranked = sorted(timings, key=lambda n: (timings[n] >= 0, -timings[n]))
