@@ -4637,6 +4637,59 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_orc_lzo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC LZO codec (round 12 — the last ORC codec cliff): stripe
+    inventory over files whose chunk-framed footers are LZO1X-
+    compressed, decoded by the from-spec pure-Python implementation
+    (`sources/lzo1x.py`, written from the public bitstream
+    documentation in the liblzo2 / Linux `Documentation/lzo.txt`
+    description).  The fixture is written by Spark's own Java ORC
+    writer (aircompressor LZO) — a REAL independent encoder, so the
+    decoder is validated against reference-produced streams, not just
+    its own inverse.  Oracle closed-form on the audit invariants."""
+    from h2h_spark.sources.meta import orc_stripe_stats
+
+    w = _work("q_orc_lzo", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        F.col("doc_id").alias("key"), "n_chars"
+    )
+    if not os.path.exists(ready):
+        import glob as _glob
+        import shutil as _shutil
+
+        os.makedirs(src, exist_ok=True)
+        for i in range(3):
+            docs.filter(F.col("key") % 3 == i).coalesce(1) \
+                .write.mode("overwrite").option("compression", "lzo") \
+                .orc(os.path.join(src, f"shard_{i}"))
+            part = _glob.glob(os.path.join(src, f"shard_{i}", "*.orc"))[0]
+            _shutil.move(part, os.path.join(src, f"shard_{i}.orc"))
+            _shutil.rmtree(os.path.join(src, f"shard_{i}"))
+        open(ready, "w").close()
+    stats = orc_stripe_stats(spark, src)
+    return stats.groupBy(
+        F.regexp_extract("file", r"shard_(\d+)\.orc$", 1).cast("bigint")
+        .alias("shard"),
+        "codec",
+    ).agg(
+        F.first("file_rows").alias("file_rows"),
+        (F.sum("stripe_rows") == F.first("file_rows")).cast("int")
+        .alias("stripes_consistent"),
+        F.first("n_types").alias("n_types"),
+    )
+
+
+_SQL_ORC_LZO = """
+SELECT doc_id % 3 AS shard, 'LZO' AS codec,
+       COUNT(*) AS file_rows,
+       1 AS stripes_consistent,
+       3 AS n_types
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested Avro OCF roundtrip (`sources/avro.py` — the codec now
     covers records / arrays / string-keyed maps / bytes recursively,
@@ -14663,6 +14716,7 @@ def _init_queries() -> None:
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
         "q_gguf_kquant": q_gguf_kquant,
+        "q_orc_lzo": q_orc_lzo,
     })
 
 
@@ -14991,4 +15045,5 @@ def oracle_sql() -> dict[str, str]:
         "q_jsonl_lz4": _SQL_JSONL_LZ4,
         "q_gguf_dequant": _SQL_GGUF_DEQUANT,
         "q_gguf_kquant": _SQL_GGUF_KQUANT,
+        "q_orc_lzo": _SQL_ORC_LZO,
     }

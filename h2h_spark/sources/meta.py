@@ -239,9 +239,14 @@ def _orc_decompress(raw: bytes, codec: str, origin: str) -> bytes:
             out += stream.read()
         elif codec == "LZ4":
             out += _lz4_block_decompress(chunk, origin)
+        elif codec == "LZO":
+            # no stdlib/pyarrow decoder exists; the from-spec LZO1X
+            # implementation (sources/lzo1x.py) closes the last ORC
+            # codec cliff (round 12)
+            from h2h_spark.sources.lzo1x import lzo1x_decompress
+
+            out += lzo1x_decompress(chunk, origin)
         else:
-            # LZO has no stdlib/pyarrow decoder and is a rare writer
-            # choice; fail loud rather than guess
             raise ValueError(f"{origin}: unsupported ORC codec {codec}")
     return bytes(out)
 

@@ -160,6 +160,28 @@ def test_float16_paths():
     )
 
 
+def test_orc_lzo_footer_decode_real_writer(spark, tmp_work):
+    """The from-spec LZO1X decoder (`sources/lzo1x.py`) must read ORC
+    footers produced by a REAL independent encoder — Spark's Java ORC
+    writer (aircompressor LZO)."""
+    import glob
+
+    from h2h_spark.sources.meta import parse_orc_meta
+
+    df = spark.range(5000).selectExpr(
+        "id AS key", "repeat('abc', CAST(id % 7 AS INT)) AS s"
+    )
+    out = f"{tmp_work}/lzo_orc"
+    df.coalesce(1).write.mode("overwrite").option(
+        "compression", "lzo"
+    ).orc(out)
+    p = glob.glob(f"{out}/*.orc")[0]
+    m = parse_orc_meta(p)
+    assert m["codec"] == "LZO"
+    assert m["n_rows"] == 5000
+    assert sum(s["n_rows"] for s in m["stripes"]) == 5000
+
+
 def test_fuzzy_join_max_block_guard(spark):
     from h2h_spark.operators.text import fuzzy_join
 
