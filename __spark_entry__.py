@@ -3076,6 +3076,82 @@ GROUP BY doc_id % 9
 """
 
 
+def q_jsonl_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-parallel ``.jsonl.xz`` scan (`sources/xzblocks.py`, round
+    12): the xz container's own footer INDEX plans exact block-run
+    splits (the layout ``xz -T`` exists to produce) — one tail read
+    per file, no resync scan, stdlib-lzma raw-LZMA2 block decode, and
+    Hadoop text-split line realignment across block boundaries (the
+    fixture cuts blocks at ARBITRARY byte offsets, so lines straddle
+    blocks and a wrong first-line-drop / read-past-end contract
+    double-counts or loses rows).  Shards are written by the repo's
+    own from-spec multi-block writer and cross-checked against stdlib
+    ``lzma.decompress`` + real ``xz -T`` output in tests.  Oracle
+    closed-form on the same arithmetic."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_xz", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.xzblocks import write_xz_blocks
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 11,
+                     "toks": r.doc_id % 23 + 3},
+                    sort_keys=True,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            payload = ("\n".join(lines) + "\n").encode()
+            # cut into ~8 KiB blocks at raw byte offsets — NOT line
+            # aligned, so the split realignment is actually exercised
+            step = 8192
+            chunks = [
+                payload[i:i + step] for i in range(0, len(payload), step)
+            ]
+            write_xz_blocks(
+                os.path.join(src, f"part_{pid}.jsonl.xz"), chunks
+            )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="xz",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, toks bigint").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.toks").cast("bigint").alias("total_toks"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+_SQL_JSONL_XZ = """
+SELECT doc_id % 11 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 23 + 3) AS BIGINT) AS total_toks,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY doc_id % 11
+"""
+
+
 def q_jsonl_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LZ4-frame JSONL scan (`sources/lz4frame.py`, round 11): the LZ4
     twin of q_jsonl_zst — member-framed ``.jsonl.lz4`` shards (one LZ4
@@ -14717,6 +14793,7 @@ def _init_queries() -> None:
         "q_fingerprint": q_fingerprint,
         "q_gguf_kquant": q_gguf_kquant,
         "q_orc_lzo": q_orc_lzo,
+        "q_jsonl_xz": q_jsonl_xz,
     })
 
 
@@ -15046,4 +15123,5 @@ def oracle_sql() -> dict[str, str]:
         "q_gguf_dequant": _SQL_GGUF_DEQUANT,
         "q_gguf_kquant": _SQL_GGUF_KQUANT,
         "q_orc_lzo": _SQL_ORC_LZO,
+        "q_jsonl_xz": _SQL_JSONL_XZ,
     }

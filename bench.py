@@ -84,8 +84,14 @@ def main() -> None:
         warmup(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=qa,qb,... measures a subset (quiet-median
+    # artifacts for specific movers; the driver never sets this)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        if only_set is not None and name not in only_set:
+            continue
         vals: list[float] = []
         for _ in range(runs):
             # Each run measured standalone: drop tables persisted by

@@ -25,8 +25,11 @@ probe predicate (`gzscan.ZstMemberScanner`).
 
 ``layout="stream"`` (or auto-detection) falls back to one
 whole-file task per single-stream shard — same cliff contract as the
-tar source, parallelism across shards still applies.  ``bz2``/``xz``
-(stdlib) are stream-only codecs.
+tar source, parallelism across shards still applies.  ``bz2``
+(stdlib) is stream-only; ``xz`` splits by BLOCK via the container's
+own footer index (`sources/xzblocks.py` — the layout ``xz -T``
+produces), with Hadoop text-split line realignment across block
+boundaries.
 
 Output: ``(line string)`` raw JSON lines — parse with
 ``F.from_json``/``get_json_object`` downstream so Catalyst sees the
@@ -300,10 +303,10 @@ class JsonlGzReader(DataSourceReader):
             raise ValueError(
                 f"codec must be gz|bz2|xz|zst|lz4, got {self.codec!r}"
             )
-        if self.codec in ("bz2", "xz") and self.layout == "member":
+        if self.codec == "bz2" and self.layout == "member":
             raise ValueError(
-                f"layout=member requires codec=gz|zst|lz4 (no "
-                f"member-resync path for {self.codec})"
+                "layout=member requires codec=gz|zst|lz4|xz (no "
+                "member-resync path for bz2)"
             )
 
     def partitions(self):
@@ -317,6 +320,32 @@ class JsonlGzReader(DataSourceReader):
             "lz4": detect_lz4_member_layout,
         }.get(self.codec)
         for path in list_part_files(self.path, pattern=pattern):
+            size = file_size(path)
+            if size == 0:
+                continue
+            if self.codec == "xz" and self.layout != "stream":
+                # xz is block-splittable by DESIGN: the footer index
+                # records every block's compressed/uncompressed size
+                # (what `xz -T` exists for), so splits are exact block
+                # runs planned from one tail read — no resync scan.
+                from h2h_spark.sources.xzblocks import parse_xz_blocks
+
+                blks = parse_xz_blocks(path)
+                if not blks:
+                    continue
+                run_lo, run_bytes = 0, 0
+                for bi, blk in enumerate(blks):
+                    csize = (blk.unpadded + 3) & ~3
+                    if run_bytes and run_bytes + csize > self.max_bytes:
+                        parts.append(_JsonlPartition(
+                            path, run_lo, bi, "xzblocks"
+                        ))
+                        run_lo, run_bytes = bi, 0
+                    run_bytes += csize
+                parts.append(_JsonlPartition(
+                    path, run_lo, len(blks), "xzblocks"
+                ))
+                continue
             layout = (
                 "stream"
                 if detect is None
@@ -324,9 +353,6 @@ class JsonlGzReader(DataSourceReader):
                 if self.layout == "auto"
                 else self.layout
             )
-            size = file_size(path)
-            if size == 0:
-                continue
             if layout == "stream":
                 parts.append(_JsonlPartition(path, 0, size, "stream"))
                 continue
@@ -373,13 +399,21 @@ class JsonlGzReader(DataSourceReader):
 
         lines: list[str] = []
         if part.path:
-            it = (
-                scan_jsonl_stream(part.path, self.codec)
-                if part.mode == "stream"
-                else scan_jsonl_members(
+            if part.mode == "xzblocks":
+                from h2h_spark.sources.xzblocks import xz_block_lines
+
+                it = (
+                    raw.decode("utf-8")
+                    for raw in xz_block_lines(
+                        part.path, part.start, part.end
+                    )
+                )
+            elif part.mode == "stream":
+                it = scan_jsonl_stream(part.path, self.codec)
+            else:
+                it = scan_jsonl_members(
                     part.path, part.start, part.end, self.codec
                 )
-            )
             for ln in it:
                 if not ln:
                     continue

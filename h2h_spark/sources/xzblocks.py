@@ -1,0 +1,472 @@
+"""Block-parallel ``.xz`` reads — from-spec container walk + stdlib
+``lzma`` raw-LZMA2 block decode.
+
+The xz container (public spec: tukaani.org xz-file-format) is built
+for exactly this: ``xz -T`` cuts the payload into independently
+compressed BLOCKS and records every block's unpadded/uncompressed
+size in an INDEX before the stream footer.  So the scale shape is the
+engine's usual one — plan from KiB (footer + index reads), fan out
+disjoint block ranges, decode in parallel with no resync scan, since
+the index is authoritative.  Python's stdlib ``lzma`` cannot split a
+stream, but it CAN decode one block's LZMA2 payload via
+``FORMAT_RAW`` once this module parses the block header's filter
+chain — no new dependency.
+
+Line-oriented consumption (``.jsonl.xz``) uses Hadoop text-split
+semantics on the DECODED byte stream: a task owning blocks
+``[lo, hi)`` skips through the first newline when ``lo > 0``, then
+emits every line whose first byte position is <= the uncompressed
+offset of block ``hi``, lazily decoding past-range blocks only to
+finish the final line.  Every line is emitted exactly once across
+tasks.
+
+Supported filters: LZMA2 (mandatory last filter) with an optional
+DELTA prefilter; the branch/call/jump filters raise loudly.  Block
+checks (CRC32 / CRC64 / SHA-256) are verified for fully decoded
+blocks; a past-range partial decode cannot be check-verified and is
+not (the owning task verifies that block in full).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import lzma
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+
+XZ_MAGIC = b"\xfd7zXZ\x00"
+XZ_FOOTER_MAGIC = b"YZ"
+_CHECK_SIZES = {0: 0, 1: 4, 4: 8, 10: 32}
+_CHECK_NAMES = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
+
+
+class XzFormatError(ValueError):
+    """Malformed xz container (always loud)."""
+
+
+def _ceil4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+def _read_varint(buf: bytes, pos: int, what: str) -> tuple[int, int]:
+    v = 0
+    for i in range(9):
+        if pos >= len(buf):
+            raise XzFormatError(f"truncated xz varint in {what}")
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not b & 0x80:
+            if b == 0 and i > 0:
+                raise XzFormatError(f"non-minimal xz varint in {what}")
+            return v, pos
+    raise XzFormatError(f"xz varint over 63 bits in {what}")
+
+
+def _write_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+# CRC64-ECMA (the xz check id 4): reflected poly 0xC96C5795D7870F42
+_CRC64_TABLE: list[int] | None = None
+
+
+def _crc64(data: bytes) -> int:
+    global _CRC64_TABLE
+    if _CRC64_TABLE is None:
+        poly = 0xC96C5795D7870F42
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC64_TABLE = tbl
+    crc = 0xFFFFFFFFFFFFFFFF
+    for b in data:
+        crc = _CRC64_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFFFFFFFFFF
+
+
+@dataclass
+class XzBlock:
+    offset: int            # compressed byte offset of the block header
+    unpadded: int          # index-recorded unpadded size
+    usize: int             # uncompressed size
+    uoffset: int           # uncompressed offset in the logical stream
+    check_type: int        # stream-flags check id
+
+
+def parse_xz_blocks(path: str) -> list[XzBlock]:
+    """Footer-first container walk: every stream's index is read from
+    the tail (multi-stream concatenation + stream padding supported)
+    and flattened into one ordered block list with compressed AND
+    uncompressed offsets — O(index) bytes read, no data touched."""
+    import os as _os
+
+    from h2h_spark.sources.util import open_input, strip_scheme
+
+    p = strip_scheme(path)
+    size = _os.path.getsize(p)
+    streams: list[tuple[int, int, list[tuple[int, int]]]] = []
+    with open_input(p) as f:
+        end = size
+        while end > 0:
+            # stream padding: 4-byte null groups between streams
+            while end >= 4:
+                f.seek(end - 4)
+                if f.read(4) != b"\x00\x00\x00\x00":
+                    break
+                end -= 4
+            if end == 0:
+                break
+            if end < 32:  # header 12 + one empty index 8 + footer 12
+                raise XzFormatError(f"{path}: xz tail too short ({end})")
+            f.seek(end - 12)
+            footer = f.read(12)
+            if footer[10:12] != XZ_FOOTER_MAGIC:
+                raise XzFormatError(
+                    f"{path}: xz footer magic missing at {end - 2}"
+                )
+            (f_crc,) = struct.unpack("<I", footer[0:4])
+            if zlib.crc32(footer[4:10]) != f_crc:
+                raise XzFormatError(f"{path}: xz footer CRC mismatch")
+            (bw,) = struct.unpack("<I", footer[4:8])
+            check_type = footer[9] & 0x0F
+            if check_type not in _CHECK_SIZES:
+                raise XzFormatError(
+                    f"{path}: unsupported xz check id {check_type}"
+                )
+            index_size = (bw + 1) * 4
+            idx_start = end - 12 - index_size
+            if idx_start < 12:
+                raise XzFormatError(f"{path}: xz index overruns header")
+            f.seek(idx_start)
+            idx = f.read(index_size)
+            if idx[:1] != b"\x00":
+                raise XzFormatError(
+                    f"{path}: xz index indicator missing at {idx_start}"
+                )
+            (i_crc,) = struct.unpack("<I", idx[-4:])
+            if zlib.crc32(idx[:-4]) != i_crc:
+                raise XzFormatError(f"{path}: xz index CRC mismatch")
+            n, pos = _read_varint(idx, 1, "index count")
+            recs: list[tuple[int, int]] = []
+            for _ in range(n):
+                unp, pos = _read_varint(idx, pos, "index unpadded size")
+                usz, pos = _read_varint(idx, pos, "index uncompressed size")
+                recs.append((unp, usz))
+            blocks_size = sum(_ceil4(u) for u, _ in recs)
+            hdr_start = idx_start - blocks_size - 12
+            if hdr_start < 0:
+                raise XzFormatError(
+                    f"{path}: xz blocks overrun file start"
+                )
+            f.seek(hdr_start)
+            hdr = f.read(12)
+            if hdr[:6] != XZ_MAGIC:
+                raise XzFormatError(
+                    f"{path}: xz stream header magic missing at "
+                    f"{hdr_start}"
+                )
+            if hdr[6:8] != footer[8:10]:
+                raise XzFormatError(
+                    f"{path}: xz stream flags differ between header "
+                    "and footer"
+                )
+            streams.append((hdr_start, check_type, recs))
+            end = hdr_start
+    blocks: list[XzBlock] = []
+    uoff = 0
+    for hdr_start, check_type, recs in reversed(streams):
+        coff = hdr_start + 12
+        for unp, usz in recs:
+            blocks.append(XzBlock(coff, unp, usz, uoff, check_type))
+            coff += _ceil4(unp)
+            uoff += usz
+    return blocks
+
+
+def _parse_block_header(
+    raw: bytes, origin: str
+) -> tuple[int, list[dict]]:
+    """Return (header_size, lzma-raw filter chain) for one block."""
+    if not raw:
+        raise XzFormatError(f"{origin}: empty xz block header")
+    hsize = (raw[0] + 1) * 4
+    if raw[0] == 0:
+        raise XzFormatError(
+            f"{origin}: index indicator where a block was expected"
+        )
+    if len(raw) < hsize:
+        raise XzFormatError(f"{origin}: truncated xz block header")
+    (h_crc,) = struct.unpack("<I", raw[hsize - 4:hsize])
+    if zlib.crc32(raw[:hsize - 4]) != h_crc:
+        raise XzFormatError(f"{origin}: xz block header CRC mismatch")
+    flags = raw[1]
+    if flags & 0x3C:
+        raise XzFormatError(
+            f"{origin}: reserved xz block flags set ({flags:#x})"
+        )
+    n_filters = (flags & 3) + 1
+    pos = 2
+    if flags & 0x40:  # compressed size present
+        _, pos = _read_varint(raw, pos, "block compressed size")
+    if flags & 0x80:  # uncompressed size present
+        _, pos = _read_varint(raw, pos, "block uncompressed size")
+    chain: list[dict] = []
+    for _ in range(n_filters):
+        fid, pos = _read_varint(raw, pos, "filter id")
+        plen, pos = _read_varint(raw, pos, "filter props size")
+        props = raw[pos:pos + plen]
+        pos += plen
+        if fid == 0x21:  # LZMA2
+            if plen != 1 or props[0] & 0xC0:
+                raise XzFormatError(
+                    f"{origin}: bad LZMA2 props {props!r}"
+                )
+            v = props[0] & 0x3F
+            if v > 40:
+                raise XzFormatError(
+                    f"{origin}: LZMA2 dict-size code {v} out of range"
+                )
+            dict_size = (
+                0xFFFFFFFF if v == 40
+                else (2 | (v & 1)) << (v // 2 + 11)
+            )
+            chain.append({"id": lzma.FILTER_LZMA2,
+                          "dict_size": dict_size})
+        elif fid == 0x03:  # DELTA
+            if plen != 1:
+                raise XzFormatError(f"{origin}: bad DELTA props")
+            chain.append({"id": lzma.FILTER_DELTA,
+                          "dist": props[0] + 1})
+        else:
+            raise XzFormatError(
+                f"{origin}: unsupported xz filter id {fid:#x} "
+                "(LZMA2 and DELTA are implemented; BCJ filters are "
+                "not)"
+            )
+    if not chain or chain[-1]["id"] != lzma.FILTER_LZMA2:
+        raise XzFormatError(
+            f"{origin}: xz filter chain must end with LZMA2"
+        )
+    return hsize, chain
+
+
+def iter_xz_block_bytes(
+    f: BinaryIO,
+    blk: XzBlock,
+    origin: str,
+    *,
+    chunk: int = 1 << 20,
+    verify: bool = True,
+) -> Iterator[bytes]:
+    """Decode ONE block, yielding uncompressed chunks.  Consumers that
+    stop early (read-past-range line finishing) skip the check — the
+    owning task decodes the block in full and verifies."""
+    f.seek(blk.offset)
+    head = f.read(min(_ceil4(blk.unpadded), 1024 + 4))
+    hsize, chain = _parse_block_header(head, origin)
+    comp_end = blk.offset + blk.unpadded - _CHECK_SIZES[blk.check_type]
+    d = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=chain)
+    f.seek(blk.offset + hsize)
+    remaining = comp_end - (blk.offset + hsize)
+    if remaining < 0:
+        raise XzFormatError(f"{origin}: xz block sizes inconsistent")
+    hasher = None
+    if verify:
+        if blk.check_type == 1:
+            hasher = ["crc32", 0]
+        elif blk.check_type == 4:
+            hasher = ["crc64", bytearray()]
+        elif blk.check_type == 10:
+            hasher = ["sha256", hashlib.sha256()]
+    total = 0
+    while remaining > 0 or not d.eof:
+        if d.needs_input:
+            if remaining <= 0:
+                raise XzFormatError(
+                    f"{origin}: xz block data ended before LZMA2 "
+                    "end marker"
+                )
+            data = f.read(min(chunk, remaining))
+            if not data:
+                raise XzFormatError(f"{origin}: xz block truncated")
+            remaining -= len(data)
+        else:
+            data = b""
+        try:
+            out = d.decompress(data, max_length=chunk)
+        except lzma.LZMAError as e:
+            raise XzFormatError(
+                f"{origin}: LZMA2 decode failed: {e}"
+            ) from None
+        while True:
+            if out:
+                total += len(out)
+                if hasher is not None:
+                    if hasher[0] == "crc32":
+                        hasher[1] = zlib.crc32(out, hasher[1])
+                    elif hasher[0] == "crc64":
+                        hasher[1] += out
+                    else:
+                        hasher[1].update(out)
+                yield out
+            if d.eof or d.needs_input:
+                break
+            out = d.decompress(b"", max_length=chunk)
+        if d.eof:
+            break
+    if total != blk.usize:
+        raise XzFormatError(
+            f"{origin}: xz block decoded {total} bytes, index says "
+            f"{blk.usize}"
+        )
+    if hasher is not None and blk.check_type:
+        # block padding (0-3 nulls) sits BETWEEN compressed data and
+        # the check field; header and check sizes are 4-aligned
+        comp_len = comp_end - (blk.offset + hsize)
+        f.seek(blk.offset + hsize + _ceil4(comp_len))
+        stored = f.read(_CHECK_SIZES[blk.check_type])
+        if blk.check_type == 1:
+            ok = struct.pack("<I", hasher[1] & 0xFFFFFFFF) == stored
+        elif blk.check_type == 4:
+            ok = struct.pack("<Q", _crc64(bytes(hasher[1]))) == stored
+        else:
+            ok = hasher[1].digest() == stored
+        if not ok:
+            raise XzFormatError(
+                f"{origin}: xz block check "
+                f"({_CHECK_NAMES[blk.check_type]}) mismatch"
+            )
+
+
+def xz_block_lines(
+    path: str, blk_lo: int, blk_hi: int,
+    blocks: list[XzBlock] | None = None,
+) -> Iterator[bytes]:
+    """Lines whose FIRST byte lies in blocks ``[blk_lo, blk_hi)`` of
+    the decoded stream, Hadoop text-split semantics (see module
+    docstring).  Yields raw line bytes without the newline."""
+    from h2h_spark.sources.util import open_input, strip_scheme
+
+    meta = blocks if blocks is not None else parse_xz_blocks(path)
+    if not meta or blk_lo >= len(meta):
+        return
+    blk_hi = min(blk_hi, len(meta))
+    end_uoff = (
+        meta[blk_hi].uoffset if blk_hi < len(meta)
+        else meta[-1].uoffset + meta[-1].usize
+    )
+    with open_input(strip_scheme(path)) as f:
+
+        def gen() -> Iterator[bytes]:
+            for b in range(blk_lo, len(meta)):
+                # owned blocks verify their check; past-range blocks
+                # are partially decoded at most, so skip verification
+                yield from iter_xz_block_bytes(
+                    f, meta[b], path, verify=b < blk_hi
+                )
+
+        chunks = gen()
+        buf = b""
+        pos = meta[blk_lo].uoffset
+        if blk_lo > 0:
+            # skip through the first newline: those bytes belong to
+            # the previous task, which reads one line past its range.
+            # pos always tracks the decoded-stream position of buf[0].
+            while True:
+                nl = buf.find(b"\n")
+                if nl >= 0:
+                    pos += nl + 1
+                    buf = buf[nl + 1:]
+                    break
+                pos += len(buf)
+                nxt = next(chunks, None)
+                if nxt is None:
+                    return
+                buf = nxt
+        while True:
+            line_start = pos
+            if line_start > end_uoff:
+                return
+            while True:
+                nl = buf.find(b"\n")
+                if nl >= 0:
+                    break
+                nxt = next(chunks, None)
+                if nxt is None:
+                    if buf:
+                        yield buf
+                    return
+                buf += nxt
+            line, buf = buf[:nl], buf[nl + 1:]
+            pos = line_start + nl + 1
+            yield line
+
+
+# ---------------------------------------------------------------------------
+# fixture/interop writer
+# ---------------------------------------------------------------------------
+
+
+def write_xz_blocks(
+    path: str, chunks: list[bytes], *, preset: int = 6,
+    check: str = "crc32",
+) -> None:
+    """Multi-block single-stream ``.xz`` writer (the layout
+    ``xz -T/--block-size`` produces): each chunk becomes one
+    independently decodable block, sizes recorded in the index.
+    Stdlib ``lzma`` alone cannot produce multi-block files, so the
+    container framing is assembled here from the same spec the reader
+    implements; payloads are raw LZMA2 from the stdlib compressor."""
+    check_id = {"none": 0, "crc32": 1, "crc64": 4, "sha256": 10}[check]
+    flags = bytes([0x00, check_id])
+    # preset 6 dict size is 8 MiB -> LZMA2 props code 22
+    dict_size_code = 22
+    filt = [{"id": lzma.FILTER_LZMA2, "preset": preset}]
+    out = bytearray()
+    out += XZ_MAGIC + flags + struct.pack("<I", zlib.crc32(flags))
+    recs: list[tuple[int, int]] = []
+    for chunk in chunks:
+        comp = lzma.compress(chunk, format=lzma.FORMAT_RAW, filters=filt)
+        # block header: size byte + flags + LZMA2 filter flags + pad + CRC
+        body = bytes([0x00]) + bytes([0x21, 0x01, dict_size_code])
+        hsize = _ceil4(1 + len(body) + 4)
+        pad = hsize - 4 - 1 - len(body)
+        hdr_wo_crc = bytes([hsize // 4 - 1]) + body + b"\x00" * pad
+        hdr = hdr_wo_crc + struct.pack("<I", zlib.crc32(hdr_wo_crc))
+        if check_id == 0:
+            chk = b""
+        elif check_id == 1:
+            chk = struct.pack("<I", zlib.crc32(chunk))
+        elif check_id == 4:
+            chk = struct.pack("<Q", _crc64(chunk))
+        else:
+            chk = hashlib.sha256(chunk).digest()
+        unpadded = len(hdr) + len(comp) + len(chk)
+        out += hdr + comp + b"\x00" * (_ceil4(len(comp)) - len(comp)) + chk
+        # NOTE: padding goes between compressed data and the check
+        recs.append((unpadded, len(chunk)))
+    idx = bytearray(b"\x00") + _write_varint(len(recs))
+    for unp, usz in recs:
+        idx += _write_varint(unp) + _write_varint(usz)
+    idx += b"\x00" * (_ceil4(len(idx)) - len(idx))
+    idx += struct.pack("<I", zlib.crc32(idx))
+    bw = struct.pack("<I", len(idx) // 4 - 1)
+    out += idx
+    out += struct.pack("<I", zlib.crc32(bw + flags)) + bw + flags
+    out += XZ_FOOTER_MAGIC
+    with open(path, "wb") as f:
+        f.write(bytes(out))
