@@ -3235,6 +3235,83 @@ GROUP BY doc_id % 11
 """
 
 
+def q_jsonl_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLITTABLE bzip2 JSONL scan (`sources/bz2blocks.py`, round 12):
+    bzip2 has no index, so splits are plain byte ranges and tasks
+    resync on the 48-bit block magic at ARBITRARY BIT offsets (the
+    Hadoop/commons-compress discipline); each block decodes through
+    the stdlib by REFRAMING it as a one-block stream whose combined
+    CRC is the block's own CRC — so resync false positives fail the
+    CRC and are retried, never emitted.  Fixture shards are written by
+    the stdlib compressor at level 1 (100 kB blocks → real multi-block
+    streams); one shard is a 2-stream concatenation (the pbzip2
+    layout).  Hadoop text-split line realignment across block
+    boundaries; per-task IO is its byte range + bounded read-past.
+    The last stream-only codec cliff is gone.  Oracle closed-form."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_bz2", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import bz2 as _bz2
+            import json as _json
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 13,
+                     "toks": r.doc_id % 19 + 5},
+                    sort_keys=True,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            payload = ("\n".join(lines) + "\n").encode()
+            p = os.path.join(src, f"part_{pid}.jsonl.bz2")
+            if pid % 4 == 0 and len(payload) > 2:
+                # pbzip2-style multi-stream concatenation
+                mid = len(payload) // 2
+                blob = (_bz2.compress(payload[:mid], 1)
+                        + _bz2.compress(payload[mid:], 1))
+            else:
+                blob = _bz2.compress(payload, 1)
+            with open(p, "wb") as f:
+                f.write(blob)
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="bz2",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, toks bigint").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("j.toks").cast("bigint").alias("total_toks"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+_SQL_JSONL_BZ2 = """
+SELECT doc_id % 13 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 19 + 5) AS BIGINT) AS total_toks,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY doc_id % 13
+"""
+
+
 def q_jsonl_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LZ4-frame JSONL scan (`sources/lz4frame.py`, round 11): the LZ4
     twin of q_jsonl_zst — member-framed ``.jsonl.lz4`` shards (one LZ4
@@ -14878,6 +14955,7 @@ def _init_queries() -> None:
         "q_orc_lzo": q_orc_lzo,
         "q_jsonl_xz": q_jsonl_xz,
         "q_stream_dedup_index": q_stream_dedup_index,
+        "q_jsonl_bz2": q_jsonl_bz2,
     })
 
 
@@ -15214,4 +15292,5 @@ def oracle_sql() -> dict[str, str]:
         "q_gguf_kquant": _SQL_GGUF_KQUANT,
         "q_orc_lzo": _SQL_ORC_LZO,
         "q_jsonl_xz": _SQL_JSONL_XZ,
+        "q_jsonl_bz2": _SQL_JSONL_BZ2,
     }

@@ -303,11 +303,6 @@ class JsonlGzReader(DataSourceReader):
             raise ValueError(
                 f"codec must be gz|bz2|xz|zst|lz4, got {self.codec!r}"
             )
-        if self.codec == "bz2" and self.layout == "member":
-            raise ValueError(
-                "layout=member requires codec=gz|zst|lz4|xz (no "
-                "member-resync path for bz2)"
-            )
 
     def partitions(self):
         parts: list[_JsonlPartition] = []
@@ -322,6 +317,20 @@ class JsonlGzReader(DataSourceReader):
         for path in list_part_files(self.path, pattern=pattern):
             size = file_size(path)
             if size == 0:
+                continue
+            if self.codec == "bz2" and self.layout != "stream":
+                # bzip2 splits by byte range over the bit-aligned
+                # block magics (sources/bz2blocks.py) — plain Hadoop
+                # byte splits; ownership = magic bit offset in range
+                n = max(1, math.ceil(size / self.max_bytes))
+                base, rem = divmod(size, n)
+                off = 0
+                for i in range(n):
+                    ln = base + (1 if i < rem else 0)
+                    parts.append(_JsonlPartition(
+                        path, off, off + ln, "bz2blocks"
+                    ))
+                    off += ln
                 continue
             if self.codec == "xz" and self.layout != "stream":
                 # xz is block-splittable by DESIGN: the footer index
@@ -405,6 +414,15 @@ class JsonlGzReader(DataSourceReader):
                 it = (
                     raw.decode("utf-8")
                     for raw in xz_block_lines(
+                        part.path, part.start, part.end
+                    )
+                )
+            elif part.mode == "bz2blocks":
+                from h2h_spark.sources.bz2blocks import bz2_block_lines
+
+                it = (
+                    raw.decode("utf-8")
+                    for raw in bz2_block_lines(
                         part.path, part.start, part.end
                     )
                 )
