@@ -4645,6 +4645,94 @@ FROM documents WHERE doc_id % 37 = 3
 """
 
 
+def q_jsonl_xz_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven point fetch into block-structured xz shards
+    (`sources/xzblocks.py:fetch_xz_blocks`, round 12 — the xz twin of
+    q_jsonl_zst_fetch): the container's own footer index replaces the
+    zstd seek table, one tail read locates the named blocks, and only
+    those decode.  Shards are written with LINE-ALIGNED 32-line
+    blocks, so block/line placement is closed-form from the dense id
+    arithmetic.  Targets are ~1/41 of the corpus.  Oracle
+    closed-form."""
+    from h2h_spark.sources.xzblocks import fetch_xz_blocks
+
+    w = _work("q_jsonl_xz_fetch", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+
+        def _write(rows):
+            import json as _json
+
+            from h2h_spark.sources.xzblocks import write_xz_blocks
+
+            by_shard: dict[int, list] = {}
+            for r in rows:
+                by_shard.setdefault(int(r.doc_id) % 4, []).append(
+                    (int(r.doc_id), r.text)
+                )
+            for shard, items in by_shard.items():
+                items.sort()
+                lines = [
+                    _json.dumps({"doc_id": d, "text": t}, sort_keys=True)
+                    for d, t in items
+                ]
+                chunks = [
+                    ("\n".join(lines[i:i + 32]) + "\n").encode()
+                    for i in range(0, len(lines), 32)
+                ]
+                write_xz_blocks(
+                    os.path.join(src, f"shard_{shard}.jsonl.xz"), chunks
+                )
+
+        docs.repartition(4, (F.col("doc_id") % 4)).foreachPartition(_write)
+        open(ready, "w").close()
+    targets = docs.filter(F.col("doc_id") % 41 == 5).select(
+        "doc_id",
+        F.concat(
+            F.lit(src + "/shard_"), (F.col("doc_id") % 4).cast("string"),
+            F.lit(".jsonl.xz"),
+        ).alias("file"),
+        ((F.col("doc_id") - F.col("doc_id") % 4) / 4 / 32)
+        .cast("int").alias("block"),
+        (((F.col("doc_id") - F.col("doc_id") % 4) / 4).cast("bigint")
+         % 32).cast("int").alias("want_line"),
+    )
+    fetched = fetch_xz_blocks(
+        spark, targets.select("file", "block").distinct()
+    )
+    hit = targets.join(
+        fetched,
+        (targets.file == fetched.file)
+        & (targets.block == fetched.block)
+        & (targets.want_line == fetched.line_no),
+    ).select(
+        "doc_id",
+        F.get_json_object("line", "$.doc_id").cast("bigint")
+        .alias("fetched_id"),
+        F.md5(F.get_json_object("line", "$.text")).alias("text_md5"),
+        targets.block.alias("block"),
+    )
+    return hit.select(
+        "doc_id",
+        (F.col("fetched_id") == F.col("doc_id")).cast("int")
+        .alias("id_ok"),
+        "text_md5",
+        F.col("block").cast("bigint").alias("block"),
+    )
+
+
+_SQL_JSONL_XZ_FETCH = """
+SELECT doc_id, 1 AS id_ok, md5(text) AS text_md5,
+       CAST(doc_id // 4 // 32 AS BIGINT) AS block
+FROM documents WHERE doc_id % 41 = 5
+"""
+
+
 def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT flatten → pretraining-style PACKING with loss-mask
     bookkeeping: conversations are rendered (`operators/chat.py`),
@@ -14956,6 +15044,7 @@ def _init_queries() -> None:
         "q_jsonl_xz": q_jsonl_xz,
         "q_stream_dedup_index": q_stream_dedup_index,
         "q_jsonl_bz2": q_jsonl_bz2,
+        "q_jsonl_xz_fetch": q_jsonl_xz_fetch,
     })
 
 
@@ -15293,4 +15382,5 @@ def oracle_sql() -> dict[str, str]:
         "q_orc_lzo": _SQL_ORC_LZO,
         "q_jsonl_xz": _SQL_JSONL_XZ,
         "q_jsonl_bz2": _SQL_JSONL_BZ2,
+        "q_jsonl_xz_fetch": _SQL_JSONL_XZ_FETCH,
     }

@@ -416,6 +416,58 @@ def xz_block_lines(
             yield line
 
 
+def fetch_xz_blocks(spark, locs) -> "object":
+    """Index-driven POINT FETCH into block-structured ``.xz`` shards —
+    the xz twin of ``jsonl.fetch_zst_frames``: given ``locs`` rows
+    ``(file, block)``, each task reads its files' footer indexes (one
+    tail read per file), decodes ONLY the named blocks, and emits
+    their lines as ``(file, block, line_no, line)``.  Retrieving K
+    documents costs O(K x block) bytes, never a scan.  Locations are
+    grouped per file and fetched in block order for IO locality; an
+    out-of-range block index is a loud error (a silent skip would
+    make a stale index look like missing data).  Assumes line-aligned
+    blocks (the writer's contract when chunks end on newlines)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def _run(batches):
+        import pandas as pd
+
+        from h2h_spark.sources.util import open_input, strip_scheme
+
+        for pdf in batches:
+            by_file: dict[str, list[int]] = {}
+            for fpath, b in zip(pdf["file"], pdf["block"]):
+                by_file.setdefault(fpath, []).append(int(b))
+            rows = []
+            for fpath, blks in sorted(by_file.items()):
+                meta = parse_xz_blocks(fpath)
+                with open_input(strip_scheme(fpath)) as fh:
+                    for b in sorted(set(blks)):
+                        if b < 0 or b >= len(meta):
+                            raise XzFormatError(
+                                f"{fpath}: block {b} out of range "
+                                f"(file has {len(meta)} blocks) — "
+                                "stale index?"
+                            )
+                        plain = b"".join(
+                            iter_xz_block_bytes(fh, meta[b], fpath)
+                        )
+                        for i, ln in enumerate(
+                            plain.split(b"\n")
+                        ):
+                            if ln:
+                                rows.append(
+                                    (fpath, b, i, ln.decode("utf-8"))
+                                )
+            yield pd.DataFrame(
+                rows, columns=["file", "block", "line_no", "line"]
+            )
+
+    return locs.repartition("file").mapInPandas(
+        _run, "file string, block int, line_no int, line string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # fixture/interop writer
 # ---------------------------------------------------------------------------

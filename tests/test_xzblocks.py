@@ -169,6 +169,33 @@ def test_jsonl_xz_datasource_end_to_end(spark, tmp_work):
     assert (row.n, row.s, row.m) == (4000, 3 * sum(range(4000)), 3999)
 
 
+def test_fetch_xz_blocks_point_reads(spark, tmp_work):
+    import json
+    import os
+
+    from h2h_spark.sources.xzblocks import fetch_xz_blocks
+
+    src = f"{tmp_work}/shards"
+    os.makedirs(src)
+    lines = [json.dumps({"i": i}) for i in range(320)]
+    chunks = [("\n".join(lines[i:i + 32]) + "\n").encode()
+              for i in range(0, 320, 32)]
+    p = f"{src}/s.jsonl.xz"
+    write_xz_blocks(p, chunks)
+    locs = spark.createDataFrame(
+        [(p, 2), (p, 7)], "file string, block int"
+    )
+    got = fetch_xz_blocks(spark, locs).collect()
+    assert len(got) == 64
+    ids = sorted(json.loads(r.line)["i"] for r in got)
+    assert ids == list(range(64, 96)) + list(range(224, 256))
+    assert all(r.line_no == json.loads(r.line)["i"] % 32 for r in got)
+    # out-of-range block is loud
+    bad = spark.createDataFrame([(p, 99)], "file string, block int")
+    with pytest.raises(Exception, match="out of range"):
+        fetch_xz_blocks(spark, bad).collect()
+
+
 def test_writer_check_variants_roundtrip(tmp_work):
     for check in ("none", "crc32", "crc64", "sha256"):
         p = f"{tmp_work}/c_{check}.xz"
