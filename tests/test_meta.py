@@ -9,7 +9,7 @@ def test_orc_tail_walk_codecs(spark, tmp_work):
 
     from h2h_spark.sources.meta import parse_orc_meta
 
-    for codec in ("zlib", "snappy", "zstd", "lz4", "none"):
+    for codec in ("zlib", "snappy", "zstd", "lz4", "lzo", "none"):
         out = f"{tmp_work}/orc_{codec}"
         spark.range(5000).selectExpr(
             "id", "concat('s', id) as s"
@@ -32,5 +32,10 @@ def test_orc_tail_walk_codecs(spark, tmp_work):
     # assert via the decompress helper directly instead
     from h2h_spark.sources.meta import _orc_decompress
 
-    with pytest.raises(ValueError, match="unsupported ORC codec"):
+    # LZO is decoded from-spec since round 12 (sources/lzo1x.py) — a
+    # garbage chunk must fail ITS loud path, not silently pass
+    with pytest.raises(ValueError, match="LZO1X|lzo1x|stream end"):
         _orc_decompress(b"\x06\x00\x00abc", "LZO", "t")
+    # a genuinely unknown codec id stays loud at the table
+    with pytest.raises(ValueError, match="unsupported ORC codec"):
+        _orc_decompress(b"\x06\x00\x00abc", "BROTLI", "t")
