@@ -1783,18 +1783,32 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # shingle the batch ONCE: materialize its entries/sets straight
+        # into per-batch staging dirs, compute the pairs FROM those
+        # parquet tables, then publish the staged files into the live
+        # index by rename (a parquet dir is its part files) — the
+        # batch is never re-shingled for the append
+        stage_e = os.path.join(work, f"stage_e_{batch_id}")
+        stage_s = os.path.join(work, f"stage_s_{batch_id}")
+        de, ds = D.minhash_index(batch_df, "doc_id", "text",
+                                 base_hash="md5")
+        de.write.mode("overwrite").parquet(stage_e)
+        ds.write.mode("overwrite").parquet(stage_s)
         e = spark.read.parquet(live_e)
         s = spark.read.parquet(live_s)
-        pairs = D.minhash_dedup_against_index(
-            batch_df, e, s, "doc_id", "text",
-            jaccard_threshold=0.5, base_hash="md5",
+        pairs = D.minhash_pairs_from_tables(
+            spark.read.parquet(stage_e), spark.read.parquet(stage_s),
+            e, s, jaccard_threshold=0.5,
         )
         pairs.write.mode("append").parquet(pairs_dir)
-        de, ds = D.minhash_index(
-            batch_df, "doc_id", "text", base_hash="md5"
-        )
-        de.write.mode("append").parquet(live_e)
-        ds.write.mode("append").parquet(live_s)
+        import glob as _gg
+
+        for stage, live in ((stage_e, live_e), (stage_s, live_s)):
+            for pf in _gg.glob(os.path.join(stage, "part-*.parquet")):
+                shutil.move(
+                    pf, os.path.join(live, os.path.basename(pf))
+                )
+            shutil.rmtree(stage)
 
     schema = spark.read.parquet(src).schema
     q = (

@@ -479,6 +479,26 @@ def minhash_dedup_against_index(
         delta, id_col, text_col, num_hashes=num_hashes, bands=bands,
         shingle_k=shingle_k, seed=seed, base_hash=base_hash,
     )
+    return minhash_pairs_from_tables(
+        d_entries, d_sets, index_entries, index_sets,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+    )
+
+
+def minhash_pairs_from_tables(
+    d_entries: DataFrame,
+    d_sets: DataFrame,
+    index_entries: DataFrame,
+    index_sets: DataFrame,
+    *,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Table-level core of :func:`minhash_dedup_against_index`: the
+    delta's band entries + shingle sets are ALREADY computed (e.g. a
+    streaming ingest that materializes them once for both the pair
+    computation and the index append — shingling a batch twice is the
+    cost this split removes)."""
     all_entries = index_entries.unionByName(d_entries)
     # Hub guard as a broadcast ANTI-join against the VIOLATING buckets
     # only: violators are rare by definition (that's what makes them
