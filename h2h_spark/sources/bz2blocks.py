@@ -360,21 +360,23 @@ def bz2_block_lines(
             pos += len(chunk)
     # emit lines while they START at or before the owned boundary —
     # the line starting exactly at the boundary is ours, and the next
-    # task's first-newline drop skips exactly that line
+    # task's first-newline drop skips exactly that line.  Chunk-batched
+    # splitting: one split() per decoded block, never a per-line
+    # re-slice (quadratic in block size).
+    leftover = buf
     while True:
+        parts = leftover.split(b"\n")
+        leftover = parts.pop()
+        for ln in parts:
+            if boundary_final and pos > boundary:
+                return
+            yield ln
+            pos += len(ln) + 1
         if boundary_final and pos > boundary:
             return
-        nl = buf.find(b"\n")
-        if nl < 0:
-            chunk = pull()
-            if chunk is None:
-                if buf and pos <= boundary:
-                    yield buf
-                return
-            buf += chunk
-            continue
-        if pos > boundary:  # boundary grew final mid-build
+        chunk = pull()
+        if chunk is None:
+            if leftover and pos <= boundary:
+                yield leftover
             return
-        line, buf = buf[:nl], buf[nl + 1:]
-        pos += nl + 1
-        yield line
+        leftover += chunk

@@ -77,11 +77,43 @@ def _write_varint(v: int) -> bytes:
             return bytes(out)
 
 
-# CRC64-ECMA (the xz check id 4): reflected poly 0xC96C5795D7870F42
+# CRC64-ECMA (the xz check id 4): reflected poly 0xC96C5795D7870F42.
+# Real xz output defaults to CRC64, so this runs over every decoded
+# byte — liblzma's own C lzma_crc64 is used when loadable (the lzma
+# stdlib module guarantees the library is present), with the
+# table-driven Python loop as the portable fallback.
 _CRC64_TABLE: list[int] | None = None
+_LZMA_CRC64 = None  # resolved lazily; False = unavailable
 
 
-def _crc64(data: bytes) -> int:
+def _crc64_c():
+    global _LZMA_CRC64
+    if _LZMA_CRC64 is None:
+        try:
+            import ctypes
+            import ctypes.util
+
+            name = ctypes.util.find_library("lzma")
+            lib = ctypes.CDLL(name) if name else None
+            fn = lib.lzma_crc64 if lib else None
+            if fn is not None:
+                fn.restype = ctypes.c_uint64
+                fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                               ctypes.c_uint64]
+                # sanity vector: CRC64-ECMA("123456789")
+                if fn(b"123456789", 9, 0) != 0x995DC9BBDF1939FA:
+                    fn = None
+            _LZMA_CRC64 = fn if fn is not None else False
+        except Exception:
+            _LZMA_CRC64 = False
+    return _LZMA_CRC64
+
+
+def _crc64(data: bytes, crc: int = 0) -> int:
+    """Streaming CRC64: ``crc`` is the running value (0 to start)."""
+    fn = _crc64_c()
+    if fn:
+        return fn(data, len(data), crc)
     global _CRC64_TABLE
     if _CRC64_TABLE is None:
         poly = 0xC96C5795D7870F42
@@ -92,7 +124,7 @@ def _crc64(data: bytes) -> int:
                 c = (c >> 1) ^ poly if c & 1 else c >> 1
             tbl.append(c)
         _CRC64_TABLE = tbl
-    crc = 0xFFFFFFFFFFFFFFFF
+    crc ^= 0xFFFFFFFFFFFFFFFF
     for b in data:
         crc = _CRC64_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFFFFFFFFFF
@@ -289,7 +321,7 @@ def iter_xz_block_bytes(
         if blk.check_type == 1:
             hasher = ["crc32", 0]
         elif blk.check_type == 4:
-            hasher = ["crc64", bytearray()]
+            hasher = ["crc64", 0]
         elif blk.check_type == 10:
             hasher = ["sha256", hashlib.sha256()]
     total = 0
@@ -319,7 +351,7 @@ def iter_xz_block_bytes(
                     if hasher[0] == "crc32":
                         hasher[1] = zlib.crc32(out, hasher[1])
                     elif hasher[0] == "crc64":
-                        hasher[1] += out
+                        hasher[1] = _crc64(out, hasher[1])
                     else:
                         hasher[1].update(out)
                 yield out
@@ -342,7 +374,7 @@ def iter_xz_block_bytes(
         if blk.check_type == 1:
             ok = struct.pack("<I", hasher[1] & 0xFFFFFFFF) == stored
         elif blk.check_type == 4:
-            ok = struct.pack("<Q", _crc64(bytes(hasher[1]))) == stored
+            ok = struct.pack("<Q", hasher[1]) == stored
         else:
             ok = hasher[1].digest() == stored
         if not ok:
@@ -397,23 +429,27 @@ def xz_block_lines(
                 if nxt is None:
                     return
                 buf = nxt
+        # chunk-batched line splitting: one split() per decoded chunk,
+        # never a per-line re-slice of the buffer (that is quadratic
+        # in block size and was measured 5x slower than the stream
+        # path before round 12 fixed it)
+        leftover = buf
         while True:
-            line_start = pos
-            if line_start > end_uoff:
-                return
-            while True:
-                nl = buf.find(b"\n")
-                if nl >= 0:
-                    break
-                nxt = next(chunks, None)
-                if nxt is None:
-                    if buf:
-                        yield buf
+            parts = leftover.split(b"\n")
+            leftover = parts.pop()
+            for ln in parts:
+                if pos > end_uoff:
                     return
-                buf += nxt
-            line, buf = buf[:nl], buf[nl + 1:]
-            pos = line_start + nl + 1
-            yield line
+                yield ln
+                pos += len(ln) + 1
+            if pos > end_uoff:
+                return
+            nxt = next(chunks, None)
+            if nxt is None:
+                if leftover:
+                    yield leftover
+                return
+            leftover += nxt
 
 
 def fetch_xz_blocks(spark, locs) -> "object":
