@@ -7,14 +7,24 @@ the stream ends with a 48-bit end marker (``0x177245385090``, sqrt
 pi) — the public format every splittable-bzip2 reader (Hadoop,
 commons-compress, indexed_bzip2) resyncs on.  Python's ``bz2`` can
 only decode whole streams, so each block is decoded by REFRAMING it
-as a one-block stream: ``BZh<level>`` header + the block's bits
-(shifted to byte alignment) + the end marker + the stream-combined
-CRC, which for a single block equals the block's own CRC (the 32 bits
-right after its magic).  The stdlib decoder then verifies that CRC —
-so a resync false positive (a magic pattern inside compressed data,
-2^-48 per bit) is caught by decode failure and the scanner retries
-with the extent widened to the next candidate, never emitting
-garbage.
+as a one-block stream: ``BZh9`` header + the block's bits (shifted to
+byte alignment) + the end marker + the stream-combined CRC, which for
+a single block equals the block's own CRC (the 32 bits right after
+its magic).  The header level byte is ALWAYS ``9``: it only declares
+the decoder's maximum block size (level × 100 kB), so the maximum
+accepts blocks from a stream written at any level — which makes
+multi-stream concatenations with mixed levels (``cat a.bz2 b.bz2``,
+pbzip2 output) decode correctly without tracking per-stream headers
+(verified by ``test_bz2blocks.py::test_multistream_mixed_levels``).
+The stdlib decoder then verifies the CRC — so a resync false positive
+(a magic pattern inside compressed data, 2^-48 per bit) is caught by
+decode failure and the scanner retries with the extent widened to the
+next candidate, never emitting garbage.  A start candidate that is
+bit-contiguous with a previously VERIFIED block end (or that starts
+the stream following a verified end-of-stream marker) is guaranteed
+real, so decode failure there is corruption and raises
+``Bz2FormatError`` loudly instead of being skipped as a false
+positive.
 
 Split ownership follows the engine's byte-range contract: a task owns
 the blocks whose magic's BIT offset lies inside its compressed byte
@@ -104,14 +114,14 @@ def parse_bz2_data(data: bytes, origin: str) -> tuple[int, list[int], list[int]]
     return data[3], starts, ends
 
 
-def _reframe_block(
-    data: bytes, level: int, start_bit: int, end_bit: int
-) -> bytes:
+def _reframe_block(data: bytes, start_bit: int, end_bit: int) -> bytes:
     """A valid one-block bzip2 stream from block bits
-    ``[start_bit, end_bit)`` — header + bits + EOS + combined CRC."""
+    ``[start_bit, end_bit)`` — ``BZh9`` header + bits + EOS + combined
+    CRC.  Level 9 (the maximum declared block size) accepts blocks
+    written at any level — see module docstring."""
     blk, nbits = _bits_range(data, start_bit, end_bit)
     crc, _ = _bits_range(data, start_bit + 48, start_bit + 80)
-    acc = int.from_bytes(b"BZh" + bytes([level]), "big")
+    acc = int.from_bytes(b"BZh9", "big")
     bits = 32
     acc = (acc << nbits) | blk
     bits += nbits
@@ -129,14 +139,15 @@ import bisect
 
 
 def iter_bz2_block_bytes(
-    data: bytes, level: int, starts: list[int], ends: list[int],
+    data: bytes, starts: list[int], ends: list[int],
     idx: int, origin: str,
-) -> tuple[bytes, int]:
+) -> tuple[bytes, int, int]:
     """Decode the block starting at ``starts[idx]``; returns
-    ``(plaintext, next_idx)`` — the index of the next real block's
-    start candidate.  A false-positive END candidate inside this
-    block's data makes the truncated decode fail its CRC; the extent
-    is then widened to the following candidate and retried."""
+    ``(plaintext, next_idx, end_bit)`` — the index of the next real
+    block's start candidate and this block's verified end bit.  A
+    false-positive END candidate inside this block's data makes the
+    truncated decode fail its CRC; the extent is then widened to the
+    following candidate and retried."""
     import bz2 as _bz2
 
     start = starts[idx]
@@ -149,10 +160,8 @@ def iter_bz2_block_bytes(
             )
         end = ends[j]
         try:
-            out = _bz2.decompress(
-                _reframe_block(data, level, start, end)
-            )
-            return out, bisect.bisect_left(starts, end)
+            out = _bz2.decompress(_reframe_block(data, start, end))
+            return out, bisect.bisect_left(starts, end), end
         except OSError:
             j += 1  # candidate was a false positive inside this block
 
@@ -240,12 +249,11 @@ class _Bz2Window:
         self._f.close()
 
 
-def _decode_block(
-    win: _Bz2Window, level: int, idx: int
-) -> tuple[bytes, int]:
+def _decode_block(win: _Bz2Window, idx: int) -> tuple[bytes, int, int]:
     """Decode the real block at ``win.starts[idx]``, growing the
     window when the extent runs off its tail; returns
-    ``(plaintext, next_idx)``."""
+    ``(plaintext, next_idx, end_bit)`` where ``end_bit`` is the
+    VERIFIED end of this block (the next real block magic or EOS)."""
     import bz2 as _bz2
 
     start = win.starts[idx]
@@ -265,7 +273,7 @@ def _decode_block(
         end = win.ends[j]
         blk, nbits = win.bits(start, end)
         crc, _ = win.bits(start + 48, start + 80)
-        acc = int.from_bytes(b"BZh" + bytes([level]), "big")
+        acc = int.from_bytes(b"BZh9", "big")
         acc = (((acc << nbits) | blk) << 48) | BZ2_EOS_MAGIC
         acc = (acc << 32) | crc
         bits = 32 + nbits + 48 + 32
@@ -273,7 +281,7 @@ def _decode_block(
         framed = acc.to_bytes((bits + (-bits % 8)) // 8, "big")
         try:
             out = _bz2.decompress(framed)
-            return out, bisect.bisect_left(win.starts, end)
+            return out, bisect.bisect_left(win.starts, end), end
         except OSError:
             j += 1  # false-positive end candidate inside the block
 
@@ -293,7 +301,6 @@ def bz2_block_lines(
         head = f.read(4)
     if head[:3] != b"BZh" or not (0x31 <= head[3] <= 0x39):
         raise Bz2FormatError(f"{path}: not a bzip2 stream")
-    level = head[3]
     win = _Bz2Window(path, start_byte, end_byte + _WINDOW_PAD)
     lo_bit, hi_bit = start_byte * 8, end_byte * 8
     first = None
@@ -308,19 +315,37 @@ def bz2_block_lines(
     def real_blocks(i0: int) -> Iterator[tuple[int, bytes]]:
         """(start_bit, plaintext) for REAL blocks from candidate i0 on;
         a candidate that decodes against no extent is a false positive
-        (2^-48 per bit) and is skipped — unless it is the file's first
-        block, which is guaranteed real, so failure there is corrupt
-        data and stays loud."""
+        (2^-48 per bit) and is skipped — unless it is GUARANTEED real:
+        the file's first block (bit 32), a candidate bit-contiguous
+        with a previously verified block end, or the first block of a
+        stream whose ``BZh`` header directly follows a verified
+        end-of-stream marker.  Failure on a guaranteed-real block is
+        corruption and stays loud."""
+        guaranteed: set[int] = set()
         i = i0
         while i < len(win.starts):
+            start = win.starts[i]
             try:
-                out, nxt = _decode_block(win, level, i)
+                out, nxt, end = _decode_block(win, i)
             except Bz2FormatError:
-                if win.starts[i] == 32:
+                if start == 32 or start in guaranteed:
                     raise
                 i += 1
                 continue
-            yield win.starts[i], out
+            # the thing at the verified end is real: either the next
+            # block's magic (contiguous), or an EOS — in which case the
+            # next stream's first block (header byte-aligned after
+            # EOS + 32-bit stream CRC + padding) is real if present.
+            if nxt < len(win.starts) and win.starts[nxt] == end:
+                guaranteed.add(end)
+            else:
+                hdr_byte = (end + 80 + 7) // 8
+                rel = hdr_byte - win.base
+                if (0 <= rel and rel + 4 <= len(win.buf)
+                        and win.buf[rel:rel + 3] == b"BZh"
+                        and 0x31 <= win.buf[rel + 3] <= 0x39):
+                    guaranteed.add(hdr_byte * 8 + 32)
+            yield start, out
             i = nxt
             if i >= len(win.starts) and not win.at_eof():
                 win.grow()

@@ -70,6 +70,61 @@ def test_multi_stream_concatenation(tmp_work):
     assert [ln.decode() for ln in got] == LINES
 
 
+def test_multistream_mixed_levels(tmp_work):
+    """ADVICE r12 (high): `cat a.bz2 b.bz2` with DIFFERENT levels
+    (1 + 9).  Reframing with the first stream's level made every
+    >100 kB block of the level-9 stream fail decode and be skipped
+    silently (10000-line file read back 2000 lines).  Reframing with
+    the always-valid maximum level must read every line."""
+    import os
+
+    p = f"{tmp_work}/mixed.bz2"
+    blob = (bz2.compress(PAYLOAD[:50_000], 1)
+            + bz2.compress(PAYLOAD[50_000:], 9))
+    open(p, "wb").write(blob)
+    got = list(bz2_block_lines(p, 0, os.path.getsize(p)))
+    assert [ln.decode() for ln in got] == LINES
+    # and split-invariant across the stream boundary
+    mid = len(blob) // 2
+    got2 = (list(bz2_block_lines(p, 0, mid))
+            + list(bz2_block_lines(p, mid, len(blob))))
+    assert got2 == got
+
+
+def test_corrupt_middle_block_is_loud(tmp_work):
+    """A corrupt NON-first block is bit-contiguous with the verified
+    end of the block before it — guaranteed real, so decode failure
+    must raise, not be skipped as a resync false positive."""
+    import os
+
+    p = _fixture(tmp_work)
+    raw = bytearray(open(p, "rb").read())
+    level, starts, _ = parse_bz2_blocks(p)
+    assert len(starts) >= 4
+    raw[(starts[2] // 8) + 200] ^= 0xFF  # inside the third block
+    bad = f"{tmp_work}/badmid.bz2"
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(Bz2FormatError, match="does not decode"):
+        list(bz2_block_lines(bad, 0, os.path.getsize(bad)))
+
+
+def test_corrupt_second_stream_is_loud(tmp_work):
+    """First block of a stream whose header follows a verified EOS is
+    guaranteed real — corruption there must raise, not truncate."""
+    import os
+
+    a = bz2.compress(PAYLOAD[:50_000], 1)
+    b = bz2.compress(PAYLOAD[50_000:], 9)
+    raw = bytearray(a + b)
+    # corrupt inside the second stream's first block (past its
+    # 4-byte header + 6-byte magic + 4-byte CRC)
+    raw[len(a) + 40] ^= 0xFF
+    bad = f"{tmp_work}/badstream.bz2"
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(Bz2FormatError, match="does not decode"):
+        list(bz2_block_lines(bad, 0, os.path.getsize(bad)))
+
+
 def test_window_growth_path(tmp_work, monkeypatch):
     import os
 
