@@ -697,10 +697,13 @@ def fuzzy_join(
     last token of ``"inc"``) is a failed discriminator — its block
     contributes |L_k|x|R_k| candidate pairs that no task-level skew
     split can absorb — so the bounded-recall contract is the same one
-    the LSH banding makes.  The hot-key sets are found with one tiny
-    per-side key-count aggregate and removed via a broadcast anti-join
-    (<= |rows|/max_block keys by construction); pass ``None`` to
-    disable the guard and keep exact block semantics.
+    the LSH banding makes.  The hot-key set is found EAGERLY (one tiny
+    per-side key-count aggregate at call time, <= |rows|/max_block
+    keys by construction): when it is empty the returned plan is
+    byte-identical to the unguarded one, and when keys ARE excluded a
+    ``UserWarning`` names them (ADVICE r12 — bounded recall must never
+    be silent).  Pass ``None`` to disable the guard, keep exact block
+    semantics, and stay fully lazy.
     """
     blk = block if block is not None else (
         lambda c: F.substring_index(c, " ", -1)
@@ -711,16 +714,39 @@ def fuzzy_join(
     lb = left.withColumn("__blk", blk(F.col(left_name)))
     rb = right.withColumn("__blk", blk(F.col(right_name)))
     if max_block is not None:
-        hot = (
+        hot_keys = [r[0] for r in (
             lb.groupBy("__blk").count()
             .unionByName(rb.groupBy("__blk").count())
             .groupBy("__blk").agg(F.max("count").alias("n"))
             .filter(F.col("n") > max_block)
             .select("__blk")
-        )
-        # dropping the key from ONE side suppresses the whole block;
-        # the anti-join build side is tiny by construction
-        lb = lb.join(F.broadcast(hot), "__blk", "left_anti")
+            .collect()
+        )]
+        if hot_keys:
+            import warnings
+
+            shown = ", ".join(repr(k) for k in sorted(
+                hot_keys, key=lambda k: (k is None, k))[:5])
+            warnings.warn(
+                f"fuzzy_join: {len(hot_keys)} blocking key(s) exceed "
+                f"max_block={max_block} rows and are excluded from "
+                f"matching (bounded recall): {shown}"
+                f"{', ...' if len(hot_keys) > 5 else ''} — pass "
+                "max_block=None for exact block semantics",
+                UserWarning,
+                stacklevel=2,
+            )
+            # a literal NOT-IN filter on ONE side suppresses the whole
+            # block and pushes down to the scan (cheaper than the
+            # anti-join shape — the key list is tiny by construction)
+            lb = lb.filter(
+                ~F.col("__blk").isin([k for k in hot_keys
+                                      if k is not None])
+                if None not in hot_keys
+                else (F.col("__blk").isNotNull()
+                      & ~F.col("__blk").isin(
+                          [k for k in hot_keys if k is not None]))
+            )
     # Candidates whose lengths differ by more than max_edit can't match:
     # the length test is a few-cycle predicate that runs as an extra join
     # condition (inside the hash-join probe), so the O(len²) levenshtein

@@ -33,12 +33,16 @@ def streaming_checkpoint_base() -> str:
 
             root = tempfile.gettempdir()
         base = os.path.join(root, f"h2h_ckpt_{os.getpid()}")
-    if not getattr(streaming_checkpoint_base, "_registered", False):
-        import atexit
-        import shutil
+        # Clean up at exit ONLY for the internally derived ephemeral
+        # path.  A user-supplied H2H_SPARK_CKPT_BASE may point at a
+        # durable directory (that is what the override is for) and must
+        # never be deleted by us (ADVICE r12).
+        if not getattr(streaming_checkpoint_base, "_registered", False):
+            import atexit
+            import shutil
 
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-        streaming_checkpoint_base._registered = True
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+            streaming_checkpoint_base._registered = True
     os.makedirs(base, exist_ok=True)
     return base
 

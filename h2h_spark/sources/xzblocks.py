@@ -521,8 +521,19 @@ def write_xz_blocks(
     implements; payloads are raw LZMA2 from the stdlib compressor."""
     check_id = {"none": 0, "crc32": 1, "crc64": 4, "sha256": 10}[check]
     flags = bytes([0x00, check_id])
-    # preset 6 dict size is 8 MiB -> LZMA2 props code 22
-    dict_size_code = 22
+    # LZMA2 props byte = dict-size code: size = (2 | (v & 1)) << (v//2
+    # + 11).  The header must declare AT LEAST the dictionary the
+    # compressor used, or strict decoders reject/misdecode match
+    # distances beyond the declared window (ADVICE r12) — derive it
+    # from the preset's liblzma dict size (xz(1) -0..-9:
+    # 256Ki,1Mi,2Mi,4Mi,4Mi,8Mi,8Mi,16Mi,32Mi,64Mi).
+    preset_dict = {
+        0: 1 << 18, 1: 1 << 20, 2: 1 << 21, 3: 1 << 22, 4: 1 << 22,
+        5: 1 << 23, 6: 1 << 23, 7: 1 << 24, 8: 1 << 25, 9: 1 << 26,
+    }[preset & 0x1F]  # mask off EXTREME flag: same dict sizes
+    dict_size_code = 2 * (preset_dict.bit_length() - 1) - 24
+    assert (2 | (dict_size_code & 1)) << (dict_size_code // 2 + 11) \
+        == preset_dict
     filt = [{"id": lzma.FILTER_LZMA2, "preset": preset}]
     out = bytearray()
     out += XZ_MAGIC + flags + struct.pack("<I", zlib.crc32(flags))

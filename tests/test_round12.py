@@ -197,11 +197,26 @@ def test_fuzzy_join_max_block_guard(spark):
     assert full.count() == 14
     # guard on with a cap below the hot block: "inc" block excluded on
     # either side's count, the well-blocked match survives; columns are
-    # left(id, name) + right(id, name) + edit_dist
-    rows = fuzzy_join(left, right, "name", "name", max_block=10).collect()
+    # left(id, name) + right(id, name) + edit_dist.  Exclusion is never
+    # silent (ADVICE r12): a UserWarning names the excluded key(s).
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        guarded = fuzzy_join(left, right, "name", "name", max_block=10)
+    msgs = [str(c.message) for c in caught
+            if issubclass(c.category, UserWarning)]
+    assert any("'inc'" in m and "max_block=10" in m for m in msgs), msgs
+    rows = guarded.collect()
     assert [tuple(r) for r in rows] == [
         (100, "alpha corp", 200, "alphq corp", 1)
     ]
+    # no hot keys -> no warning, plan identical to the unguarded one
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        quiet = fuzzy_join(left, right, "name", "name", max_block=100)
+    assert not [c for c in caught if issubclass(c.category, UserWarning)]
+    assert quiet.count() == 14
 
 
 def test_read_gguf_rows_plan_time_loudness(spark, tmp_work):

@@ -208,3 +208,24 @@ def test_writer_check_variants_roundtrip(tmp_work):
                 b"".join(iter_xz_block_bytes(f, b, p)) for b in bl
             )
         assert got == PAYLOAD[:7000]
+
+
+def test_writer_dict_size_tracks_preset(tmp_work):
+    """ADVICE r12: the block header must declare at least the
+    dictionary the compressor used.  A preset-9 chunk with a match
+    distance beyond preset-6's 8 MiB dict must still round-trip —
+    through our reader AND the strict stdlib decoder."""
+    import os as _os
+
+    blockA = _os.urandom(6 << 20)
+    chunk = blockA + _os.urandom(6 << 20) + blockA + b"tail\n"
+    p = f"{tmp_work}/p9.xz"
+    write_xz_blocks(p, [chunk], preset=9)
+    # header props byte is the 64 MiB dict code (28), not 8 MiB (22)
+    raw = open(p, "rb").read()
+    at = raw.find(b"\x21\x01")  # LZMA2 filter id + 1-byte props
+    assert raw[at + 2] == 28
+    assert lzma.decompress(raw) == chunk
+    bl = parse_xz_blocks(p)
+    with open(p, "rb") as f:
+        assert b"".join(iter_xz_block_bytes(f, bl[0], p)) == chunk
