@@ -5708,29 +5708,35 @@ GROUP BY d.doc_id
 
 
 def q_gguf_kquant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GGUF K-quant tensor DATA reads (round 12): Q6_K and Q4_K
-    256-element super-block dequantization (`sources/gguf.py:
-    dequant_rows`) over the same header-planned row-stride byte ranges
-    as `q_gguf_dequant` — modern llama.cpp checkpoints are K-quant, so
-    this closes the last dequant cliff.  One super-block per row; the
-    fixture packs EXACTLY representable power-of-two f16 scales and
-    deterministic integer codes via `pack_q6k`/`pack_q4k`, and the
-    oracle states the per-row sums closed-form from the generator
-    arithmetic INCLUDING the sub-block scale indexing (Q6_K: scale
-    8*(c//128) + 2*((c%128)//32) + (c%32)//16; Q4_K: scale/min pair
-    2*(c//64) + (c%64)//32) — one swapped nibble half or a wrong
-    scale walk breaks the hash.  Layouts per the public ggml spec
-    (llama.cpp ggml-quants.h block_q6_K / block_q4_K)."""
+    """GGUF K-quant tensor DATA reads (round 12, extended round 13):
+    ALL SIX K-quant super-block layouts — Q2_K/Q3_K/Q4_K/Q5_K/Q6_K/
+    Q8_K (`sources/gguf.py:dequant_rows`) — over the same
+    header-planned row-stride byte ranges as `q_gguf_dequant`; modern
+    llama.cpp checkpoints are K-quant (Q5_K_M especially common), so
+    this closes the dequant surface entirely.  One super-block per
+    row; the fixture packs EXACTLY representable power-of-two scales
+    and deterministic integer codes via the `pack_q*k` encoders, and
+    the oracle states the per-row sums closed-form from the generator
+    arithmetic INCLUDING each layout's sub-block scale indexing
+    (Q6_K: scale 8*(c//128) + 2*((c%128)//32) + (c%32)//16; Q4_K/
+    Q5_K: scale/min pair 2*(c//64) + (c%64)//32; Q2_K/Q3_K: per-16
+    scale c//16) — one swapped nibble half or a wrong scale walk
+    breaks the hash.  Layouts per the public ggml spec (llama.cpp
+    ggml-quants.h block_q2_K..block_q8_K)."""
     from h2h_spark.sources.gguf import (
+        pack_q2k,
+        pack_q3k,
         pack_q4k,
+        pack_q5k,
         pack_q6k,
+        pack_q8k,
         read_gguf_rows,
         write_gguf,
     )
 
     w = _work("q_gguf_kquant", sf_dir)
     path = os.path.join(w, "model_k.gguf")
-    marker = os.path.join(w, "_DONE")
+    marker = os.path.join(w, "_DONE_r13")
     if not os.path.exists(marker):
         import numpy as np
 
@@ -5756,23 +5762,53 @@ def q_gguf_kquant(spark: SparkSession, sf_dir: str) -> DataFrame:
         mn4 = (r[:, None] + 3 * j[None, :] + 1) % 64
         c4 = (r[:, None] + c[None, :]) % 16
         raw4 = pack_q4k(d4, dm4, sc4, mn4, c4)
+        # Q5_K row r: d = 2^-(r%3), dmin = 2^-((r+2)%3);
+        # sc[j] = (r+5j)%64, m[j] = (r+7j+2)%64; code(r,c) = (r*3+c)%32
+        d5 = 2.0 ** -(r % 3)
+        dm5 = 2.0 ** -((r + 2) % 3)
+        sc5 = (r[:, None] + 5 * j[None, :]) % 64
+        mn5 = (r[:, None] + 7 * j[None, :] + 2) % 64
+        c5 = (r[:, None] * 3 + c[None, :]) % 32
+        raw5 = pack_q5k(d5, dm5, sc5, mn5, c5)
+        # Q2_K row r: d = 2^-(r%3), dmin = 2^-((r+1)%3); per-16
+        # sc[i] = (r+i)%16, m[i] = (r+2i+1)%16; code(r,c) = (r+c)%4
+        i16 = np.arange(16, dtype=np.int64)
+        sc2 = (r[:, None] + i16[None, :]) % 16
+        mn2 = (r[:, None] + 2 * i16[None, :] + 1) % 16
+        c2 = (r[:, None] + c[None, :]) % 4
+        raw2 = pack_q2k(d4, dm4, sc2, mn2, c2)
+        # Q3_K row r: d = 2^-(r%4); stored per-16 sc[i] = (r+3i)%64
+        # (decode subtracts 32); code(r,c) = (r*7+c)%8 (value code-4)
+        sc3 = (r[:, None] + 3 * i16[None, :]) % 64
+        c3 = (r[:, None] * 7 + c[None, :]) % 8
+        raw3 = pack_q3k(d6, sc3, c3)
+        # Q8_K row r: f32 d = 2^-(r%5); code(r,c) = ((r+c)%255)-127
+        d8 = (2.0 ** -(r % 5)).astype("f4")
+        c8 = (r[:, None] + c[None, :]) % 255 - 127
+        raw8 = pack_q8k(d8, c8)
         write_gguf(path, {"general.architecture": "test"}, {
             "emb_q6k": (14, [256, n], raw6),
             "emb_q4k": (12, [256, n], raw4),
+            "emb_q5k": (13, [256, n], raw5),
+            "emb_q2k": (10, [256, n], raw2),
+            "emb_q3k": (11, [256, n], raw3),
+            "emb_q8k": (15, [256, n], raw8),
         })
         open(marker, "w").close()
-    out = []
-    for tname in ("emb_q6k", "emb_q4k"):
+    out = None
+    for tname in ("emb_q6k", "emb_q4k", "emb_q5k", "emb_q2k",
+                  "emb_q3k", "emb_q8k"):
         rows = read_gguf_rows(spark, path, tname, rows_per_split=512)
-        out.append(rows.select(
+        part = rows.select(
             F.lit(tname).alias("tensor"),
             "row_idx",
             F.aggregate(
                 "vec", F.lit(0.0),
                 lambda acc, x: acc + x.cast("double"),
             ).alias("row_sum"),
-        ))
-    return out[0].unionAll(out[1])
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 _SQL_GGUF_KQUANT = """
@@ -5795,6 +5831,40 @@ SELECT 'emb_q4k' AS tensor, d.doc_id AS row_idx,
            * SUM((d.doc_id
                   + 3 * (2 * (c.c // 64) + (c.c % 64) // 32) + 1) % 64)
            AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q5k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 3))
+           * SUM(((d.doc_id
+                   + 5 * (2 * (c.c // 64) + (c.c % 64) // 32)) % 64)
+                 * ((d.doc_id * 3 + c.c) % 32))
+       - POWER(2.0, -((d.doc_id + 2) % 3))
+           * SUM((d.doc_id
+                  + 7 * (2 * (c.c // 64) + (c.c % 64) // 32) + 2) % 64)
+           AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q2k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 3))
+           * SUM(((d.doc_id + c.c // 16) % 16)
+                 * ((d.doc_id + c.c) % 4))
+       - POWER(2.0, -((d.doc_id + 1) % 3))
+           * SUM((d.doc_id + 2 * (c.c // 16) + 1) % 16) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q3k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 4))
+           * SUM((((d.doc_id + 3 * (c.c // 16)) % 64) - 32)
+                 * (((d.doc_id * 7 + c.c) % 8) - 4)) AS row_sum
+FROM documents d CROSS JOIN c
+GROUP BY d.doc_id
+UNION ALL
+SELECT 'emb_q8k' AS tensor, d.doc_id AS row_idx,
+       POWER(2.0, -(d.doc_id % 5))
+           * SUM(((d.doc_id + c.c) % 255) - 127) AS row_sum
 FROM documents d CROSS JOIN c
 GROUP BY d.doc_id
 """

@@ -48,12 +48,14 @@ _GGML_TYPES = {
     7: ("Q5_1", 32, 24),
     8: ("Q8_0", 32, 34),
     # K-quants: 256-element super-blocks (llama.cpp ggml-quants.h)
+    10: ("Q2_K", 256, 84),
+    11: ("Q3_K", 256, 110),
     12: ("Q4_K", 256, 144),
+    13: ("Q5_K", 256, 176),
     14: ("Q6_K", 256, 210),
+    15: ("Q8_K", 256, 292),
     # known names without byte math (block layouts not implemented)
     9: ("Q8_1", None, None),
-    10: ("Q2_K", None, None), 11: ("Q3_K", None, None),
-    13: ("Q5_K", None, None), 15: ("Q8_K", None, None),
     24: ("I8", None, None), 25: ("I16", None, None),
     26: ("I32", None, None), 27: ("I64", None, None),
     28: ("F64", None, None), 30: ("BF16", 1, 2),
@@ -64,7 +66,7 @@ _GGML_TYPES = {
 _DEQUANT_TYPES = frozenset({
     "F32", "F16", "BF16",
     "Q8_0", "Q4_0", "Q4_1", "Q5_0", "Q5_1",
-    "Q4_K", "Q6_K",
+    "Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K", "Q8_K",
 })
 
 
@@ -308,7 +310,8 @@ def dequant_rows(type_name: str, raw: bytes, n_rows: int, n_cols: int):
             f"{type_name}: row length {n_cols} not a multiple of the "
             "32-element block"
         )
-    if n_cols % 256 and type_name in ("Q4_K", "Q6_K"):
+    if n_cols % 256 and type_name in ("Q2_K", "Q3_K", "Q4_K",
+                                      "Q5_K", "Q6_K", "Q8_K"):
         raise ValueError(
             f"{type_name}: row length {n_cols} not a multiple of the "
             "256-element super-block"
@@ -449,6 +452,111 @@ def dequant_rows(type_name: str, raw: bytes, n_rows: int, n_cols: int):
         y = np.concatenate(parts, axis=-1)
         y *= blocks["d"].astype("<f4")[:, None, None]
         return y.reshape(n_rows, n_cols)
+    if type_name == "Q5_K":
+        # 256-elem super-block (llama.cpp dequantize_row_q5_K): f16 d,
+        # f16 dmin, the same 12-byte packed 6-bit scale/min pairs as
+        # Q4_K, 32 bytes of 5th bits, 128 nibble bytes.  Chunk c of 64
+        # elems reads nibble bytes [32c,32c+32): low nibbles are elems
+        # [64c,64c+32) with 5th bit 2c of qh, high nibbles the next 32
+        # with 5th bit 2c+1; x = d*sc*q5 - dmin*m.
+        dt = np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                       ("scales", "u1", (12,)), ("qh", "u1", (32,)),
+                       ("qs", "u1", (128,))])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q5_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        nb = len(blocks)
+        s = blocks["scales"].astype("<u2")
+        sc = np.empty((nb, 8), "<f4")
+        mn = np.empty((nb, 8), "<f4")
+        sc[:, :4] = s[:, 0:4] & 63
+        mn[:, :4] = s[:, 4:8] & 63
+        sc[:, 4:] = (s[:, 8:12] & 0x0F) | ((s[:, 0:4] >> 6) << 4)
+        mn[:, 4:] = (s[:, 8:12] >> 4) | ((s[:, 4:8] >> 6) << 4)
+        dsc = blocks["d"].astype("<f4")[:, None] * sc
+        dmn = blocks["dmin"].astype("<f4")[:, None] * mn
+        qs = blocks["qs"].reshape(nb, 4, 32)
+        shift = (2 * np.arange(4))[None, :, None]
+        qh = blocks["qh"][:, None, :]
+        lo = ((qs & 0x0F)
+              | (((qh >> shift) & 1) << 4).astype("u1")).astype("<f4")
+        hi = ((qs >> 4)
+              | (((qh >> (shift + 1)) & 1) << 4).astype("u1")).astype(
+            "<f4")
+        y = np.empty((nb, 4, 64), "<f4")
+        y[..., :32] = dsc[:, 0::2, None] * lo - dmn[:, 0::2, None]
+        y[..., 32:] = dsc[:, 1::2, None] * hi - dmn[:, 1::2, None]
+        return y.reshape(n_rows, n_cols)
+    if type_name == "Q2_K":
+        # 256-elem super-block (dequantize_row_q2_K): 16 scale bytes
+        # (low nibble 4-bit scale, high nibble 4-bit min, one per 16
+        # elems), 64 bytes of 2-bit codes, f16 d, f16 dmin.  Half h of
+        # 128 elems reads code bytes [32h,32h+32); within a half,
+        # shift 2j extracts group j of 32 elems, split into two
+        # 16-elem runs each with its own scale byte (index
+        # 8h + 2j + run); x = d*sc*q2 - dmin*m.
+        dt = np.dtype([("scales", "u1", (16,)), ("qs", "u1", (64,)),
+                       ("d", "<f2"), ("dmin", "<f2")])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q2_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        nb = len(blocks)
+        q = blocks["qs"].reshape(nb, 2, 1, 32)
+        shift = (2 * np.arange(4))[None, None, :, None]
+        codes = ((q >> shift) & 3).reshape(nb, 2, 4, 2, 16).astype(
+            "<f4")
+        sb = blocks["scales"].reshape(nb, 2, 4, 2)
+        dl = (blocks["d"].astype("<f4")[:, None, None, None]
+              * (sb & 0x0F))
+        ml = (blocks["dmin"].astype("<f4")[:, None, None, None]
+              * (sb >> 4))
+        y = dl[..., None] * codes - ml[..., None]
+        return y.reshape(n_rows, n_cols)
+    if type_name == "Q3_K":
+        # 256-elem super-block (dequantize_row_q3_K): 32 bytes of
+        # high-bit masks, 64 bytes of 2-bit codes, 12 bytes packing
+        # sixteen 6-bit signed-after-offset scales (kmask layout), f16
+        # d.  Group g = 4*half + j uses shift 2j of code bytes
+        # [32*half, ...) and hmask bit g; a CLEAR high bit subtracts 4
+        # (x = d*(sc-32)*((q2) - (hbit ? 0 : 4))); scale index
+        # 8*half + 2j + run as in Q2_K.
+        dt = np.dtype([("hmask", "u1", (32,)), ("qs", "u1", (64,)),
+                       ("scales", "u1", (12,)), ("d", "<f2")])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q3_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        nb = len(blocks)
+        s = blocks["scales"].astype("<u2")
+        sc = np.empty((nb, 16), "<i2")
+        sc[:, 0:4] = (s[:, 0:4] & 0x0F) | (((s[:, 8:12] >> 0) & 3) << 4)
+        sc[:, 4:8] = (s[:, 4:8] & 0x0F) | (((s[:, 8:12] >> 2) & 3) << 4)
+        sc[:, 8:12] = (s[:, 0:4] >> 4) | (((s[:, 8:12] >> 4) & 3) << 4)
+        sc[:, 12:16] = (s[:, 4:8] >> 4) | (((s[:, 8:12] >> 6) & 3) << 4)
+        q = blocks["qs"].reshape(nb, 2, 1, 32)
+        shift = (2 * np.arange(4))[None, None, :, None]
+        q2 = ((q >> shift) & 3).astype("<i2")            # (nb,2,4,32)
+        g = np.arange(8).reshape(1, 2, 4, 1)
+        hbit = (blocks["hmask"][:, None, None, :] >> g) & 1
+        vals = (q2 - 4 * (1 - hbit)).reshape(nb, 2, 4, 2, 16).astype(
+            "<f4")
+        dl = (blocks["d"].astype("<f4")[:, None]
+              * (sc.astype("<f4") - 32.0)).reshape(nb, 2, 4, 2)
+        y = dl[..., None] * vals
+        return y.reshape(n_rows, n_cols)
+    if type_name == "Q8_K":
+        # 256-elem super-block (block_q8_K): f32 d, 256 int8 codes,
+        # 16 int16 partial sums (ignored on decode); x = d * q.
+        dt = np.dtype([("d", "<f4"), ("qs", "i1", (256,)),
+                       ("bsums", "<i2", (16,))])
+        want = n_rows * (n_cols // 256) * dt.itemsize
+        if len(raw) != want:
+            raise ValueError(f"Q8_K: got {len(raw)} bytes, want {want}")
+        blocks = np.frombuffer(raw, dt)
+        x = blocks["d"][:, None] * blocks["qs"].astype("<f4")
+        return x.reshape(n_rows, n_cols)
     raise ValueError(
         f"dequant for ggml type {type_name!r} not implemented "
         f"(supported: {', '.join(sorted(_DEQUANT_TYPES))})"
@@ -540,6 +648,137 @@ def pack_q6k(d_scales, scales, codes) -> bytes:
     out["qh"] = qh.reshape(nb, 64)
     out["sc"] = sc
     out["d"] = d
+    return out.tobytes()
+
+
+def pack_q5k(d_scales, dmin_scales, scales, mins, codes) -> bytes:
+    """Fixture/interop ENCODER for Q5_K super-blocks: f16 ``d_scales``
+    / ``dmin_scales`` (shape [n_sb]), 6-bit ``scales`` / ``mins``
+    (shape [n_sb, 8], values 0..63) and 5-bit ``codes`` (shape
+    [n_sb, 256], values 0..31, in DECODED element order).  Inverse of
+    the Q5_K branch of :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f2")
+    dm = np.asarray(dmin_scales, "<f2")
+    sc = np.asarray(scales).astype("<u2")
+    mn = np.asarray(mins).astype("<u2")
+    if (sc > 63).any() or (mn > 63).any():
+        raise ValueError("Q5_K scales/mins are 6-bit (0..63)")
+    nb = len(d)
+    s = np.empty((nb, 12), "u1")
+    s[:, 0:4] = (sc[:, :4] & 63) | ((sc[:, 4:] >> 4) << 6)
+    s[:, 4:8] = (mn[:, :4] & 63) | ((mn[:, 4:] >> 4) << 6)
+    s[:, 8:12] = (sc[:, 4:] & 0x0F) | ((mn[:, 4:] & 0x0F) << 4)
+    c = np.asarray(codes).astype("u1").reshape(nb, 4, 64)
+    if (c > 31).any():
+        raise ValueError("Q5_K codes are 5-bit (0..31)")
+    lo, hi = c[..., :32], c[..., 32:]
+    qs = ((lo & 0x0F) | ((hi & 0x0F) << 4)).reshape(nb, 128)
+    qh = np.zeros((nb, 32), "u1")
+    for ch in range(4):
+        qh |= ((lo[:, ch, :] >> 4) << (2 * ch)).astype("u1")
+        qh |= ((hi[:, ch, :] >> 4) << (2 * ch + 1)).astype("u1")
+    dt = np.dtype([("d", "<f2"), ("dmin", "<f2"),
+                   ("scales", "u1", (12,)), ("qh", "u1", (32,)),
+                   ("qs", "u1", (128,))])
+    out = np.zeros(nb, dt)
+    out["d"] = d
+    out["dmin"] = dm
+    out["scales"] = s
+    out["qh"] = qh
+    out["qs"] = qs
+    return out.tobytes()
+
+
+def pack_q2k(d_scales, dmin_scales, scales, mins, codes) -> bytes:
+    """Fixture/interop ENCODER for Q2_K super-blocks: f16 ``d_scales``
+    / ``dmin_scales`` (shape [n_sb]), 4-bit ``scales`` / ``mins``
+    (shape [n_sb, 16], one per 16 elems, values 0..15) and 2-bit
+    ``codes`` (shape [n_sb, 256], values 0..3, in DECODED element
+    order).  Inverse of the Q2_K branch of :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f2")
+    dm = np.asarray(dmin_scales, "<f2")
+    sc = np.asarray(scales).astype("u1")
+    mn = np.asarray(mins).astype("u1")
+    if (sc > 15).any() or (mn > 15).any():
+        raise ValueError("Q2_K scales/mins are 4-bit (0..15)")
+    nb = len(d)
+    c = np.asarray(codes).astype("u1").reshape(nb, 2, 4, 32)
+    if (c > 3).any():
+        raise ValueError("Q2_K codes are 2-bit (0..3)")
+    q = np.zeros((nb, 2, 32), "u1")
+    for j in range(4):
+        q |= (c[:, :, j, :] << (2 * j)).astype("u1")
+    dt = np.dtype([("scales", "u1", (16,)), ("qs", "u1", (64,)),
+                   ("d", "<f2"), ("dmin", "<f2")])
+    out = np.zeros(nb, dt)
+    out["scales"] = (sc & 0x0F) | (mn << 4)
+    out["qs"] = q.reshape(nb, 64)
+    out["d"] = d
+    out["dmin"] = dm
+    return out.tobytes()
+
+
+def pack_q3k(d_scales, scales, codes) -> bytes:
+    """Fixture/interop ENCODER for Q3_K super-blocks: f16 ``d_scales``
+    (shape [n_sb]), stored 6-bit ``scales`` (shape [n_sb, 16], values
+    0..63; decode subtracts 32) and offset 3-bit ``codes`` (shape
+    [n_sb, 256], values 0..7 decoding to ``code - 4``, in DECODED
+    element order).  Inverse of the Q3_K branch of
+    :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f2")
+    sc = np.asarray(scales).astype("<u2")
+    if (sc > 63).any():
+        raise ValueError("Q3_K stored scales are 6-bit (0..63)")
+    nb = len(d)
+    s = np.empty((nb, 12), "u1")
+    s[:, 0:4] = (sc[:, 0:4] & 0x0F) | ((sc[:, 8:12] & 0x0F) << 4)
+    s[:, 4:8] = (sc[:, 4:8] & 0x0F) | ((sc[:, 12:16] & 0x0F) << 4)
+    s[:, 8:12] = (((sc[:, 0:4] >> 4) & 3)
+                  | (((sc[:, 4:8] >> 4) & 3) << 2)
+                  | (((sc[:, 8:12] >> 4) & 3) << 4)
+                  | (((sc[:, 12:16] >> 4) & 3) << 6))
+    c = np.asarray(codes).astype("u1").reshape(nb, 2, 4, 32)
+    if (c > 7).any():
+        raise ValueError("Q3_K codes are 3-bit (0..7, value = code-4)")
+    q = np.zeros((nb, 2, 32), "u1")
+    hm = np.zeros((nb, 32), "u1")
+    for half in range(2):
+        for j in range(4):
+            q[:, half, :] |= ((c[:, half, j, :] & 3) << (2 * j)).astype(
+                "u1")
+            hm |= ((c[:, half, j, :] >> 2) << (4 * half + j)).astype(
+                "u1")
+    dt = np.dtype([("hmask", "u1", (32,)), ("qs", "u1", (64,)),
+                   ("scales", "u1", (12,)), ("d", "<f2")])
+    out = np.zeros(nb, dt)
+    out["hmask"] = hm
+    out["qs"] = q.reshape(nb, 64)
+    out["scales"] = s
+    out["d"] = d
+    return out.tobytes()
+
+
+def pack_q8k(d_scales, codes) -> bytes:
+    """Fixture/interop ENCODER for Q8_K super-blocks: f32 ``d_scales``
+    (shape [n_sb]) and int8 ``codes`` (shape [n_sb, 256]); the 16
+    per-16-element partial sums are computed.  Inverse of the Q8_K
+    branch of :func:`dequant_rows`."""
+    import numpy as np
+
+    d = np.asarray(d_scales, "<f4")
+    c = np.asarray(codes).astype("<i2").reshape(len(d), 16, 16)
+    dt = np.dtype([("d", "<f4"), ("qs", "i1", (256,)),
+                   ("bsums", "<i2", (16,))])
+    out = np.zeros(len(d), dt)
+    out["d"] = d
+    out["qs"] = c.reshape(len(d), 256).astype("i1")
+    out["bsums"] = c.sum(axis=2).astype("<i2")
     return out.tobytes()
 
 
