@@ -118,6 +118,25 @@ def _work(query: str, sf_dir: str) -> str:
     return d
 
 
+def _clone_tree(src: str, dst: str) -> None:
+    """Per-run live clone of a cached fixture store: HARDLINK clone
+    (VERDICT r12 item 3 — byte-copying fixture stores charged real IO
+    to the measured region).  Safe because every mutation the cloned
+    stores see is file-granular — appends stage new part files and
+    rename them in, dynamic partition overwrite unlinks old parts and
+    writes new inodes — never an in-place write to a linked file.
+    Falls back to a byte copy across devices."""
+    import shutil
+
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+
+
 def _split_bytes(src: str, target_tasks: int = 32, floor: int = 4096) -> int:
     """Scale-aware split size for the container-source fixtures: aim at
     ~``target_tasks`` byte-range tasks over the directory (the fixed
@@ -1769,16 +1788,19 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
             shutil.rmtree(tmp)
         open(marker, "w").close()
-    # live copies so per-run appends never touch the shared artifact
+    # live clones so per-run appends never touch the shared artifact.
+    # HARDLINK clones, not byte copies (VERDICT r12 item 3): the sink
+    # only ADDS new part files to the live dirs (staged + renamed) and
+    # never rewrites an existing one, so linking is isolation-safe and
+    # drops the per-run fixture IO from the measured region.
     base = _work("minhash_index", sf_dir)
     live_e = os.path.join(work, "live_entries")
     live_s = os.path.join(work, "live_sets")
     pairs_dir = os.path.join(work, "pairs")
-    for d in (live_e, live_s, pairs_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
-    shutil.copytree(os.path.join(base, f"entries_{sig}"), live_e)
-    shutil.copytree(os.path.join(base, f"sets_{sig}"), live_s)
+    if os.path.exists(pairs_dir):
+        shutil.rmtree(pairs_dir)
+    _clone_tree(os.path.join(base, f"entries_{sig}"), live_e)
+    _clone_tree(os.path.join(base, f"sets_{sig}"), live_s)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1824,7 +1846,10 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.read.parquet(pairs_dir)
-    # materialize: the backing dir is wiped at the next run
+    # materialize: the backing dir is wiped at the next run.  Bounded
+    # collect: near-dup pairs of a 2-batch delta vs the small fixture
+    # corpus (hundreds of rows at sf0.1).  If this fixture ever scales,
+    # return a persisted copy of the parquet instead of collecting.
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema).select(
         "id_a", "id_b", "jaccard"
@@ -14202,13 +14227,12 @@ def q_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _books = _pq_seed_books(spark, sf_dir)
     delta = emb.filter(F.col("vec_id") % 7 == 0)
     base_p = _ivfpq_base_store(spark, sf_dir)
-    # the upsert MUTATES its store, so each run works on a fresh file
-    # copy of the cached base build (fixture prep, not operator cost);
-    # the measured region is encode-assign + delta merge + probe
+    # the upsert MUTATES its store (file-granular: dynamic partition
+    # overwrite), so each run works on a fresh HARDLINK clone of the
+    # cached base build (fixture prep, not operator cost); the
+    # measured region is encode-assign + delta merge + probe
     p = f"{_work('ivfpq_upsert', sf_dir)}/live_{_src_sig(sf_dir, 'embeddings')}"
-    if os.path.exists(p):
-        shutil.rmtree(p)
-    shutil.copytree(base_p, p)
+    _clone_tree(base_p, p)
     delta_codes = ivfpq_encode_assign(
         spark, p, delta, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM
     )
@@ -14260,9 +14284,7 @@ def q_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
         open(marker, "w").close()
     p = f"{work}/live_{sig}"
-    if os.path.exists(p):
-        shutil.rmtree(p)
-    shutil.copytree(base_p, p)
+    _clone_tree(base_p, p)
     schema = spark.read.parquet(src).schema
     stream_ann_ingest(
         spark, src, schema, p, "vec_id", "embedding", m=_PQ_M, dim=_PQ_DIM
