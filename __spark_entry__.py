@@ -3274,6 +3274,83 @@ GROUP BY doc_id % 11
 """
 
 
+def q_jsonl_xz_bcj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-parallel ``.jsonl.xz`` scan through an x86 BCJ + LZMA2
+    filter chain (round 13, VERDICT r12 item 4): the
+    branch/call/jump prefilters are what ``xz --x86`` applies to
+    compiled-binary archives, and the block reader must parse the
+    2-filter chain from each block header and decode through the
+    stdlib's liblzma raw chain.  The fixture's text embeds CJK UTF-8
+    (0xE8 lead bytes = the x86 CALL opcode) so the filter genuinely
+    transforms bytes rather than passing through; blocks are cut at
+    arbitrary byte offsets as in `q_jsonl_xz`, so BCJ decode and
+    Hadoop line realignment compose.  Writer interop is test-verified
+    against strict ``xz -t`` and stdlib decode
+    (`test_xzblocks.py::test_writer_bcj_x86_roundtrip`); oracle
+    closed-form on the same arithmetic."""
+    from h2h_spark.sources.jsonl import read_jsonl_gz
+
+    w = _work("q_jsonl_xz_bcj", sf_dir)
+    src = os.path.join(w, "src")
+    ready = os.path.join(src, "_READY")
+    if not os.path.exists(ready):
+        os.makedirs(src, exist_ok=True)
+        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+        def _write(rows):
+            import json as _json
+
+            from pyspark import TaskContext
+
+            from h2h_spark.sources.xzblocks import write_xz_blocks
+
+            pid = TaskContext.get().partitionId()
+            lines = [
+                _json.dumps(
+                    {"id": r.doc_id, "grp": r.doc_id % 13,
+                     "s": "耀" * (r.doc_id % 7 + 1)},
+                    sort_keys=True, ensure_ascii=False,
+                )
+                for r in rows
+            ]
+            if not lines:
+                return
+            payload = ("\n".join(lines) + "\n").encode()
+            step = 8192
+            chunks = [
+                payload[i:i + step] for i in range(0, len(payload), step)
+            ]
+            write_xz_blocks(
+                os.path.join(src, f"part_{pid}.jsonl.xz"), chunks,
+                bcj="x86",
+            )
+
+        docs.repartition(8, "doc_id").foreachPartition(_write)
+        open(ready, "w").close()
+    raw = read_jsonl_gz(
+        spark, src, max_partition_bytes=_split_bytes(src, floor=2048),
+        codec="xz",
+    )
+    j = raw.select(
+        F.from_json("line", "id bigint, grp bigint, s string").alias("j")
+    )
+    return j.groupBy(F.col("j.grp").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("j.s")).cast("bigint").alias("total_chars"),
+        F.max("j.id").cast("bigint").alias("max_id"),
+    )
+
+
+_SQL_JSONL_XZ_BCJ = """
+SELECT doc_id % 13 AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id % 7 + 1) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY doc_id % 13
+"""
+
+
 def q_jsonl_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLITTABLE bzip2 JSONL scan (`sources/bz2blocks.py`, round 12):
     bzip2 has no index, so splits are plain byte ranges and tasks
@@ -15152,6 +15229,8 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
+        # ---- round-13 additions (queue for the r14 rotation) ----
+        "q_jsonl_xz_bcj": q_jsonl_xz_bcj,
     })
 
 
@@ -15488,6 +15567,7 @@ def oracle_sql() -> dict[str, str]:
         "q_gguf_kquant": _SQL_GGUF_KQUANT,
         "q_orc_lzo": _SQL_ORC_LZO,
         "q_jsonl_xz": _SQL_JSONL_XZ,
+        "q_jsonl_xz_bcj": _SQL_JSONL_XZ_BCJ,
         "q_jsonl_bz2": _SQL_JSONL_BZ2,
         "q_jsonl_xz_fetch": _SQL_JSONL_XZ_FETCH,
     }

@@ -20,8 +20,11 @@ offset of block ``hi``, lazily decoding past-range blocks only to
 finish the final line.  Every line is emitted exactly once across
 tasks.
 
-Supported filters: LZMA2 (mandatory last filter) with an optional
-DELTA prefilter; the branch/call/jump filters raise loudly.  Block
+Supported filters: LZMA2 (mandatory last filter) with optional DELTA
+and branch/call/jump prefilters (x86/PowerPC/IA64/ARM/ARM-Thumb/
+SPARC via the stdlib's liblzma raw chains — the shape a ``.tar.xz``
+of compiled binaries uses; ARM64/RISC-V raise loudly where this
+Python's liblzma lacks them).  Block
 checks (CRC32 / CRC64 / SHA-256) are verified for fully decoded
 blocks; a past-range partial decode cannot be check-verified and is
 not (the owning task verifies that block in full).
@@ -44,6 +47,20 @@ _CHECK_NAMES = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
 
 class XzFormatError(ValueError):
     """Malformed xz container (always loud)."""
+
+
+# xz filter id -> (name, stdlib lzma filter id or None if this build
+# lacks it — ARM64/RISC-V are newer than some liblzma versions)
+_BCJ_FILTERS = {
+    0x04: ("x86", getattr(lzma, "FILTER_X86", None)),
+    0x05: ("PowerPC", getattr(lzma, "FILTER_POWERPC", None)),
+    0x06: ("IA64", getattr(lzma, "FILTER_IA64", None)),
+    0x07: ("ARM", getattr(lzma, "FILTER_ARM", None)),
+    0x08: ("ARM-Thumb", getattr(lzma, "FILTER_ARMTHUMB", None)),
+    0x09: ("SPARC", getattr(lzma, "FILTER_SPARC", None)),
+    0x0A: ("ARM64", getattr(lzma, "FILTER_ARM64", None)),
+    0x0B: ("RISC-V", getattr(lzma, "FILTER_RISCV", None)),
+}
 
 
 def _ceil4(n: int) -> int:
@@ -283,11 +300,29 @@ def _parse_block_header(
                 raise XzFormatError(f"{origin}: bad DELTA props")
             chain.append({"id": lzma.FILTER_DELTA,
                           "dist": props[0] + 1})
+        elif fid in _BCJ_FILTERS:
+            # branch/call/jump prefilter (x86 the common case for
+            # .tar.xz of compiled binaries).  Props are empty or a
+            # 4-byte little-endian start offset (xz-file-format §5.3.2)
+            name, stdlib_id = _BCJ_FILTERS[fid]
+            if stdlib_id is None:
+                raise XzFormatError(
+                    f"{origin}: xz BCJ filter {name} not supported by "
+                    "this Python's liblzma build"
+                )
+            if plen == 0:
+                chain.append({"id": stdlib_id})
+            elif plen == 4:
+                (start,) = struct.unpack("<I", props)
+                chain.append({"id": stdlib_id, "start_offset": start})
+            else:
+                raise XzFormatError(
+                    f"{origin}: bad {name} props length {plen}"
+                )
         else:
             raise XzFormatError(
                 f"{origin}: unsupported xz filter id {fid:#x} "
-                "(LZMA2 and DELTA are implemented; BCJ filters are "
-                "not)"
+                "(LZMA2, DELTA and the BCJ set are implemented)"
             )
     if not chain or chain[-1]["id"] != lzma.FILTER_LZMA2:
         raise XzFormatError(
@@ -511,16 +546,32 @@ def fetch_xz_blocks(spark, locs) -> "object":
 
 def write_xz_blocks(
     path: str, chunks: list[bytes], *, preset: int = 6,
-    check: str = "crc32",
+    check: str = "crc32", bcj: str | None = None,
 ) -> None:
     """Multi-block single-stream ``.xz`` writer (the layout
     ``xz -T/--block-size`` produces): each chunk becomes one
     independently decodable block, sizes recorded in the index.
     Stdlib ``lzma`` alone cannot produce multi-block files, so the
     container framing is assembled here from the same spec the reader
-    implements; payloads are raw LZMA2 from the stdlib compressor."""
+    implements; payloads are raw LZMA2 from the stdlib compressor.
+    ``bcj`` prepends a branch/call/jump prefilter (``"x86"``,
+    ``"powerpc"``, ``"ia64"``, ``"arm"``, ``"armthumb"``,
+    ``"sparc"``) to every block's chain — the ``xz --x86`` shape."""
     check_id = {"none": 0, "crc32": 1, "crc64": 4, "sha256": 10}[check]
     flags = bytes([0x00, check_id])
+    bcj_hdr = b""
+    bcj_filt: list[dict] = []
+    if bcj is not None:
+        xz_id = {"x86": 0x04, "powerpc": 0x05, "ia64": 0x06,
+                 "arm": 0x07, "armthumb": 0x08, "sparc": 0x09}[bcj]
+        name, stdlib_id = _BCJ_FILTERS[xz_id]
+        if stdlib_id is None:
+            raise XzFormatError(
+                f"BCJ filter {name} not supported by this Python's "
+                "liblzma build"
+            )
+        bcj_hdr = bytes([xz_id, 0x00])  # filter id + empty props
+        bcj_filt = [{"id": stdlib_id}]
     # LZMA2 props byte = dict-size code: size = (2 | (v & 1)) << (v//2
     # + 11).  The header must declare AT LEAST the dictionary the
     # compressor used, or strict decoders reject/misdecode match
@@ -534,14 +585,16 @@ def write_xz_blocks(
     dict_size_code = 2 * (preset_dict.bit_length() - 1) - 24
     assert (2 | (dict_size_code & 1)) << (dict_size_code // 2 + 11) \
         == preset_dict
-    filt = [{"id": lzma.FILTER_LZMA2, "preset": preset}]
+    filt = bcj_filt + [{"id": lzma.FILTER_LZMA2, "preset": preset}]
     out = bytearray()
     out += XZ_MAGIC + flags + struct.pack("<I", zlib.crc32(flags))
     recs: list[tuple[int, int]] = []
     for chunk in chunks:
         comp = lzma.compress(chunk, format=lzma.FORMAT_RAW, filters=filt)
-        # block header: size byte + flags + LZMA2 filter flags + pad + CRC
-        body = bytes([0x00]) + bytes([0x21, 0x01, dict_size_code])
+        # block header: size byte + flags (low bits = n_filters-1) +
+        # optional BCJ filter entry + LZMA2 filter flags + pad + CRC
+        body = (bytes([0x01 if bcj_filt else 0x00]) + bcj_hdr
+                + bytes([0x21, 0x01, dict_size_code]))
         hsize = _ceil4(1 + len(body) + 4)
         pad = hsize - 4 - 1 - len(body)
         hdr_wo_crc = bytes([hsize // 4 - 1]) + body + b"\x00" * pad

@@ -229,3 +229,89 @@ def test_writer_dict_size_tracks_preset(tmp_work):
     bl = parse_xz_blocks(p)
     with open(p, "rb") as f:
         assert b"".join(iter_xz_block_bytes(f, bl[0], p)) == chunk
+
+
+def test_bcj_x86_filter_real_cli(tmp_work):
+    """VERDICT r12 item 4: a multi-block .xz with the x86 BCJ
+    prefilter (the `.tar.xz`-of-binaries shape) must decode through
+    the block reader with split invariance."""
+    if shutil.which("xz") is None:
+        pytest.skip("xz CLI not installed")
+    src = f"{tmp_work}/bin.dat"
+    # call-opcode-dense payload so the x86 filter actually transforms
+    rows = []
+    for i in range(30000):
+        rows.append(b"fn%05d \xe8" % i + struct.pack(
+            "<i", (i * 2654435761) % (1 << 24)) + b" ret")
+    with open(src, "wb") as f:
+        f.write(b"\n".join(rows) + b"\n")
+    subprocess.run(
+        ["xz", "--x86", "--lzma2=preset=4", "-T4", "--block-size=65536",
+         "-k", "-f", src],
+        check=True,
+    )
+    p = src + ".xz"
+    bl = parse_xz_blocks(p)
+    assert len(bl) > 1
+    with open(p, "rb") as f:
+        got = b"".join(
+            b"".join(iter_xz_block_bytes(f, blk, p)) for blk in bl
+        )
+    assert got == open(src, "rb").read()
+    # per-block line reads agree with the full read
+    full = list(xz_block_lines(p, 0, len(bl), bl))
+    split = []
+    for i in range(len(bl)):
+        split += list(xz_block_lines(p, i, i + 1, bl))
+    assert split == full == open(src, "rb").read().split(b"\n")[:-1]
+
+
+def test_bcj_delta_chain_and_unknown_filter_loud(tmp_work):
+    # stdlib-written x86-filtered single-block stream reads fine
+    data = (b"\xe8\x12\x34\x56\x00 call-ish " * 4000)
+    p = f"{tmp_work}/x86.xz"
+    open(p, "wb").write(lzma.compress(
+        data,
+        filters=[{"id": lzma.FILTER_X86},
+                 {"id": lzma.FILTER_LZMA2, "preset": 2}],
+    ))
+    bl = parse_xz_blocks(p)
+    with open(p, "rb") as f:
+        assert b"".join(iter_xz_block_bytes(f, bl[0], p)) == data
+    # unknown filter ids still raise loudly; known-but-unbuilt BCJ
+    # variants (ARM64 id 0x0a on this liblzma) get the clearer message
+    from h2h_spark.sources.xzblocks import _parse_block_header
+    import zlib as _z
+
+    def forged(fid):
+        body = bytes([0x01]) + bytes([fid, 0x00]) + bytes([0x21, 0x01, 22])
+        hsize = ((1 + len(body) + 4) + 3) & ~3
+        pad = hsize - 4 - 1 - len(body)
+        hdr = bytes([hsize // 4 - 1]) + body + b"\x00" * pad
+        return hdr + struct.pack("<I", _z.crc32(hdr))
+
+    with pytest.raises(XzFormatError, match="unsupported xz filter"):
+        _parse_block_header(forged(0x20), "forged")
+    if getattr(lzma, "FILTER_ARM64", None) is None:
+        with pytest.raises(XzFormatError, match="ARM64 not supported"):
+            _parse_block_header(forged(0x0A), "forged")
+
+
+def test_writer_bcj_x86_roundtrip(tmp_work):
+    """write_xz_blocks(bcj='x86') interops with strict decoders and
+    with the block reader (0xE8-dense payload so the filter fires)."""
+    payload = ("\n".join(
+        f"row {i} 耀耀耀{'好' * (i % 5)}" for i in range(8000)
+    ) + "\n").encode()
+    chunks = [payload[i:i + 8192] for i in range(0, len(payload), 8192)]
+    p = f"{tmp_work}/bcj.xz"
+    write_xz_blocks(p, chunks, bcj="x86")
+    assert lzma.decompress(open(p, "rb").read()) == payload
+    bl = parse_xz_blocks(p)
+    assert len(bl) == len(chunks)
+    got = []
+    for i in range(len(bl)):
+        got += list(xz_block_lines(p, i, i + 1, bl))
+    assert got == payload.split(b"\n")[:-1]
+    if shutil.which("xz"):
+        subprocess.run(["xz", "-t", p], check=True)
