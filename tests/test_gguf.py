@@ -108,7 +108,11 @@ def test_dequant_loud_paths():
 
     from h2h_spark.sources.gguf import dequant_rows
 
+    # Q8_1 remains outside the dequant set (round 13 closed all the
+    # K-quants, so the loud-path probe moved off Q3_K)
     with pytest.raises(ValueError, match="not implemented"):
+        dequant_rows("Q8_1", b"", 1, 256)
+    with pytest.raises(ValueError, match="bytes"):
         dequant_rows("Q3_K", b"", 1, 256)
     with pytest.raises(ValueError, match="multiple"):
         dequant_rows("Q8_0", b"", 1, 33)
