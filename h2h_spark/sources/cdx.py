@@ -75,6 +75,57 @@ def surt_key(url: Column | str) -> Column:
     )
 
 
+def _ipv4_normalize(host: Column) -> Column:
+    """Safe-Browsing IPv4 normalization as pure built-ins (no UDF):
+    a hostname of 1-4 dot-separated numeric components — decimal,
+    octal (leading ``0``) or hex (``0x``) — is an IP address whose
+    LAST component fills the remaining bytes; normalize it to dotted
+    decimal (``0x7f.0x00.0x00.0x01`` → ``127.0.0.1``, ``012.0.0.1``
+    → ``10.0.0.1``, ``2130706433`` → ``127.0.0.1``).  Non-last
+    components must fit one byte and the whole value 32 bits;
+    anything else returns the host unchanged (a regular hostname)."""
+
+    def comp_val(c: Column) -> Column:
+        return (
+            F.when(c.rlike("^0[x][0-9a-f]+$"),
+                   F.conv(F.substring(c, 3, 1 << 20), 16, 10)
+                   .cast("long"))
+            .when(c.rlike("^0[0-7]+$"), F.conv(c, 8, 10).cast("long"))
+            .when(c.rlike("^(0|[1-9][0-9]*)$"), c.cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+        )
+
+    comps = F.split(host, r"\.")
+    vals = F.transform(comps, comp_val)
+    nc = F.size(comps)
+    v = [F.element_at(vals, i + 1) for i in range(4)]
+    # per-position caps: non-last <= 255, last < 256^(5-nc)
+    last_cap = F.lit(2).cast("long") ** ((F.lit(5) - nc) * 8)
+    valid = (host != "") & (nc <= 4) & ~F.exists(
+        vals, lambda x: x.isNull()
+    )
+    valid = valid & (F.element_at(vals, nc) < last_cap)
+    for i in range(3):
+        valid = valid & ((nc <= i + 1)
+                         | (F.element_at(vals, F.lit(i + 1)) <= 255))
+    total = F.when(nc == 1, v[0]).when(
+        nc == 2, v[0] * F.lit(16777216) + v[1]
+    ).when(
+        nc == 3, v[0] * F.lit(16777216) + v[1] * F.lit(65536) + v[2]
+    ).otherwise(
+        v[0] * F.lit(16777216) + v[1] * F.lit(65536)
+        + v[2] * F.lit(256) + v[3]
+    )
+    dotted = F.concat_ws(
+        ".",
+        F.shiftright(total, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(total, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(total, 8).bitwiseAND(F.lit(255)).cast("string"),
+        total.bitwiseAND(F.lit(255)).cast("string"),
+    )
+    return F.when(valid, dotted).otherwise(host)
+
+
 def surt_key_canonical(url: Column | str) -> Column:
     """Canonical SURT key per the pywb / internetarchive-``surt``
     DEFAULT ruleset (documented behavior, re-expressed as Spark
@@ -85,10 +136,12 @@ def surt_key_canonical(url: Column | str) -> Column:
       applies first); fragment dropped; scheme-relative ``//host/p``
       accepted; ``user:pass@`` userinfo dropped;
     - host lowercased, leading/trailing dots stripped and dot runs
-      collapsed (``example.com.`` == ``example.com``), leading
-      ``www\\d*.`` label stripped, DEFAULT ports elided (80/443)
-      while non-default ports stay in the key (``com,example:8080)``);
-      IPv4 literal hosts stay unreversed;
+      collapsed (``example.com.`` == ``example.com``), hex/octal/
+      integer IPv4 literals normalized to dotted decimal
+      (:func:`_ipv4_normalize` — ``0x7f.0x00.0x00.0x01`` →
+      ``127.0.0.1``), leading ``www\\d*.`` label stripped, DEFAULT
+      ports elided (80/443) while non-default ports stay in the key
+      (``com,example:8080)``); IPv4 literal hosts stay unreversed;
     - path: ``;jsessionid=<hex>`` matrix segment stripped, runs of
       ``//`` collapsed, one trailing slash stripped unless the path
       is just ``/`` (the surt README vector:
@@ -104,9 +157,10 @@ def surt_key_canonical(url: Column | str) -> Column:
     golden vectors in `tests/test_surt_edges.py` — each omission
     requires decoding loops or codec tables that would force a UDF
     out of whole-stage codegen, and none occurs in the graded
-    fixtures): repeated percent-decode + re-encode normalization,
-    hex/octal/integer IPv4 literal normalization, and IDN→punycode
-    host encoding.
+    fixtures): repeated percent-decode + re-encode normalization and
+    IDN→punycode host encoding.  (IPv4 radix normalization WAS an
+    omission until round 13 — it turned out to be expressible with
+    ``split``/``transform``/``conv`` built-ins.)
 
     This intentionally diverges from :func:`surt_key` (which matches
     the repo's STORED CDX fixtures: all ports stripped, fragments and
@@ -125,9 +179,11 @@ def surt_key_canonical(url: Column | str) -> Column:
     hostport = F.element_at(F.split(hostport, "@"), -1)  # userinfo
     host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
     # leading/trailing dots off, dot runs collapsed (Safe-Browsing
-    # hostname rules)
+    # hostname rules), then hex/octal/integer IP literals to dotted
+    # decimal (round 13 — closes the ipv4-radix omission)
     host = F.regexp_replace(host, r"^\.+|\.+$", "")
     host = F.regexp_replace(host, r"\.\.+", ".")
+    host = _ipv4_normalize(host)
     port = F.regexp_extract(F.lower(hostport), r":(\d+)$", 1)
     keep_port = (port != "") & (port != "80") & (port != "443")
     is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
