@@ -75,6 +75,19 @@ def surt_key(url: Column | str) -> Column:
     )
 
 
+def _let(val: Column, body) -> Column:
+    """Bind ``val`` ONCE and let ``body`` reference it many times without
+    duplicating its expression tree: the single-element ``transform``
+    lambda variable is evaluated once per row and every reference is a
+    cheap variable lookup.  Without this, a Column helper that uses an
+    intermediate n times inlines the intermediate's whole subtree n
+    times — for the deep regexp chains below that blew the analyzed
+    tree up combinatorially (round-13 measurement: q_surt_canonical
+    0.6 s → 6.0 s after _ipv4_normalize landed un-bound; see
+    OPTIMIZATION_r13.md)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def _ipv4_normalize(host: Column) -> Column:
     """Safe-Browsing IPv4 normalization as pure built-ins (no UDF):
     a hostname of 1-4 dot-separated numeric components — decimal,
@@ -95,35 +108,42 @@ def _ipv4_normalize(host: Column) -> Column:
             .otherwise(F.lit(None).cast("long"))
         )
 
-    comps = F.split(host, r"\.")
-    vals = F.transform(comps, comp_val)
-    nc = F.size(comps)
-    v = [F.element_at(vals, i + 1) for i in range(4)]
-    # per-position caps: non-last <= 255, last < 256^(5-nc)
-    last_cap = F.lit(2).cast("long") ** ((F.lit(5) - nc) * 8)
-    valid = (host != "") & (nc <= 4) & ~F.exists(
-        vals, lambda x: x.isNull()
-    )
-    valid = valid & (F.element_at(vals, nc) < last_cap)
-    for i in range(3):
-        valid = valid & ((nc <= i + 1)
-                         | (F.element_at(vals, F.lit(i + 1)) <= 255))
-    total = F.when(nc == 1, v[0]).when(
-        nc == 2, v[0] * F.lit(16777216) + v[1]
-    ).when(
-        nc == 3, v[0] * F.lit(16777216) + v[1] * F.lit(65536) + v[2]
-    ).otherwise(
-        v[0] * F.lit(16777216) + v[1] * F.lit(65536)
-        + v[2] * F.lit(256) + v[3]
-    )
-    dotted = F.concat_ws(
-        ".",
-        F.shiftright(total, 24).bitwiseAND(F.lit(255)).cast("string"),
-        F.shiftright(total, 16).bitwiseAND(F.lit(255)).cast("string"),
-        F.shiftright(total, 8).bitwiseAND(F.lit(255)).cast("string"),
-        total.bitwiseAND(F.lit(255)).cast("string"),
-    )
-    return F.when(valid, dotted).otherwise(host)
+    def with_host(h: Column) -> Column:
+        def with_vals(vals: Column) -> Column:
+            nc = F.size(vals)
+            v = [F.element_at(vals, i + 1) for i in range(4)]
+            # per-position caps: non-last <= 255, last < 256^(5-nc)
+            last_cap = F.lit(2).cast("long") ** ((F.lit(5) - nc) * 8)
+            valid = (h != "") & (nc <= 4) & ~F.exists(
+                vals, lambda x: x.isNull()
+            )
+            valid = valid & (F.element_at(vals, nc) < last_cap)
+            for i in range(3):
+                valid = valid & ((nc <= i + 1)
+                                 | (F.element_at(vals, F.lit(i + 1)) <= 255))
+            total = F.when(nc == 1, v[0]).when(
+                nc == 2, v[0] * F.lit(16777216) + v[1]
+            ).when(
+                nc == 3, v[0] * F.lit(16777216) + v[1] * F.lit(65536) + v[2]
+            ).otherwise(
+                v[0] * F.lit(16777216) + v[1] * F.lit(65536)
+                + v[2] * F.lit(256) + v[3]
+            )
+
+            def with_total(t: Column) -> Column:
+                return F.concat_ws(
+                    ".",
+                    F.shiftright(t, 24).bitwiseAND(F.lit(255)).cast("string"),
+                    F.shiftright(t, 16).bitwiseAND(F.lit(255)).cast("string"),
+                    F.shiftright(t, 8).bitwiseAND(F.lit(255)).cast("string"),
+                    t.bitwiseAND(F.lit(255)).cast("string"),
+                )
+
+            return F.when(valid, _let(total, with_total)).otherwise(h)
+
+        return _let(F.transform(F.split(h, r"\."), comp_val), with_vals)
+
+    return _let(host, with_host)
 
 
 def surt_key_canonical(url: Column | str) -> Column:
@@ -167,57 +187,103 @@ def surt_key_canonical(url: Column | str) -> Column:
     case kept).  Re-keying an existing CDX store with this function
     WOULD change sort keys — it is the forward path for messy
     real-crawl URLs, not a drop-in for already-written indexes."""
-    u = F.col(url) if isinstance(url, str) else url
-    u = F.regexp_replace(u, r"^\s+|\s+$", "")         # trim whitespace
-    u = F.regexp_replace(u, r"[\t\r\n]", "")          # embedded TAB/CR/LF
-    u = F.regexp_replace(u, r"#.*$", "")              # fragment
-    rest = F.regexp_replace(
-        u, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//", ""    # scheme or //
+    u0 = F.col(url) if isinstance(url, str) else url
+    u0 = F.regexp_replace(u0, r"^\s+|\s+$", "")       # trim whitespace
+    u0 = F.regexp_replace(u0, r"[\t\r\n]", "")        # embedded TAB/CR/LF
+    u0 = F.regexp_replace(u0, r"#.*$", "")            # fragment
+    rest0 = F.regexp_replace(
+        u0, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//", ""   # scheme or //
     )
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
-    hostport = F.element_at(F.split(hostport, "@"), -1)  # userinfo
-    host = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
-    # leading/trailing dots off, dot runs collapsed (Safe-Browsing
-    # hostname rules), then hex/octal/integer IP literals to dotted
-    # decimal (round 13 — closes the ipv4-radix omission)
-    host = F.regexp_replace(host, r"^\.+|\.+$", "")
-    host = F.regexp_replace(host, r"\.\.+", ".")
-    host = _ipv4_normalize(host)
-    port = F.regexp_extract(F.lower(hostport), r":(\d+)$", 1)
-    keep_port = (port != "") & (port != "80") & (port != "443")
-    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    host_no_www = F.regexp_replace(host, r"^www\d*\.", "")
-    rev = F.when(is_ipv4, host).otherwise(
-        F.array_join(F.reverse(F.split(host_no_www, r"\.")), ",")
-    )
-    rev = F.when(keep_port, F.concat(rev, F.lit(":"), port)).otherwise(rev)
-    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
-    query = F.when(
-        pathq.contains("?"),
-        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
-    ).otherwise(F.lit(""))
-    path = F.regexp_replace(
-        path, r"(?i);jsessionid=[0-9a-zA-Z]+(?=/|$)", ""
-    )
-    path = F.regexp_replace(path, r"//+", "/")
-    path = F.when(path == "", F.lit("/")).otherwise(F.lower(path))
-    # one trailing slash off unless the path is exactly "/" (the
-    # "(.)/$" form leaves a lone "/" untouched)
-    path = F.regexp_replace(path, r"(.)/$", "$1")
-    # session params out, empties out, byte-sort the rest
-    params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(
-            r"(?i)^(?:jsessionid|phpsessid|sid|aspsessionid[a-zA-Z]*"
-            r"|cfid|cftoken)="
-        ),
-    )
-    q = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        rev, F.lit(")"), path,
-        F.when(q == "", F.lit("")).otherwise(F.lower(F.concat(F.lit("?"), q))),
-    )
+
+    # every intermediate below is _let-bound: referencing it costs a
+    # variable lookup, not a re-inlined copy of its whole subtree
+    # (see _let — this function's tree was the round-13 blowup)
+    def with_rest(rest: Column) -> Column:
+        raw_hp = F.regexp_extract(rest, r"^([^/?]*)", 1)
+
+        def with_raw_hp(raw: Column) -> Column:
+            pathq0 = F.substring(rest, F.length(raw) + 1, F.lit(1 << 30))
+            hp = F.element_at(F.split(raw, "@"), -1)  # userinfo
+
+            def with_hostport(hostport: Column) -> Column:
+                h0 = F.lower(F.regexp_replace(hostport, r":\d+$", ""))
+                # leading/trailing dots off, dot runs collapsed
+                # (Safe-Browsing hostname rules), then hex/octal/
+                # integer IP literals to dotted decimal (round 13)
+                h0 = F.regexp_replace(h0, r"^\.+|\.+$", "")
+                h0 = F.regexp_replace(h0, r"\.\.+", ".")
+                h0 = _ipv4_normalize(h0)
+                port0 = F.regexp_extract(
+                    F.lower(hostport), r":(\d+)$", 1
+                )
+
+                def with_host(host: Column) -> Column:
+                    def with_port(port: Column) -> Column:
+                        keep_port = (
+                            (port != "") & (port != "80") & (port != "443")
+                        )
+                        is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+                        host_no_www = F.regexp_replace(
+                            host, r"^www\d*\.", ""
+                        )
+                        rev = F.when(is_ipv4, host).otherwise(
+                            F.array_join(
+                                F.reverse(F.split(host_no_www, r"\.")), ","
+                            )
+                        )
+                        rev = F.when(
+                            keep_port, F.concat(rev, F.lit(":"), port)
+                        ).otherwise(rev)
+                        return _let(
+                            pathq0, lambda pathq: with_pathq(rev, pathq)
+                        )
+
+                    return _let(port0, with_port)
+
+                return _let(h0, with_host)
+
+            return _let(hp, with_hostport)
+
+        return _let(raw_hp, with_raw_hp)
+
+    def with_pathq(rev: Column, pathq: Column) -> Column:
+        rawpath = F.regexp_extract(pathq, r"^([^?]*)", 1)
+
+        def with_rawpath(rp: Column) -> Column:
+            query = F.when(
+                pathq.contains("?"),
+                F.substring(pathq, F.length(rp) + 2, F.lit(1 << 30)),
+            ).otherwise(F.lit(""))
+            p = F.regexp_replace(
+                rp, r"(?i);jsessionid=[0-9a-zA-Z]+(?=/|$)", ""
+            )
+            p = F.regexp_replace(p, r"//+", "/")
+            p = F.when(p == "", F.lit("/")).otherwise(F.lower(p))
+            # one trailing slash off unless the path is exactly "/"
+            # (the "(.)/$" form leaves a lone "/" untouched)
+            p = F.regexp_replace(p, r"(.)/$", "$1")
+            # session params out, empties out, byte-sort the rest
+            params = F.filter(
+                F.split(query, "&"),
+                lambda pp: (pp != "") & ~pp.rlike(
+                    r"(?i)^(?:jsessionid|phpsessid|sid|aspsessionid"
+                    r"[a-zA-Z]*|cfid|cftoken)="
+                ),
+            )
+            q0 = F.array_join(F.array_sort(params), "&")
+            return _let(
+                q0,
+                lambda q: F.concat(
+                    rev, F.lit(")"), p,
+                    F.when(q == "", F.lit("")).otherwise(
+                        F.lower(F.concat(F.lit("?"), q))
+                    ),
+                ),
+            )
+
+        return _let(rawpath, with_rawpath)
+
+    return _let(rest0, with_rest)
 
 
 def write_cdxj(
