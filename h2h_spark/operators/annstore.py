@@ -87,6 +87,17 @@ def ivfpq_load_books(
     }
 
 
+def ivfpq_load_cents(
+    spark: SparkSession, path: str
+) -> list[tuple[int, list[float]]]:
+    """Centroid sidecar as driver rows (bounded: cells×dim doubles),
+    cell-ordered so literal argmin arrays are deterministic."""
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(_cents_dir(path)).collect()
+    )
+
+
 def ivfpq_probe_cells(
     spark: SparkSession, path: str, query: Sequence[float], n_probe: int
 ) -> list[int]:
@@ -113,24 +124,29 @@ def ivfpq_encode_assign(
     *,
     m: int,
     dim: int,
+    _books: dict[tuple[int, int], list[float]] | None = None,
+    _cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Prepare a DELTA batch for :func:`ivfpq_upsert`: assign each new
     vector to its coarse cell using the STORED centroids (the frozen
     day-0 quantizer — standard IVF maintenance never re-trains the
     coarse quantizer on ingest) and PQ-encode it against the STORED
-    codebooks.  Returns (id, cell int, j, code) rows ready to merge."""
-    from h2h_spark.operators.cluster import centroid_assign
-    from h2h_spark.operators.pq import pq_encode
+    codebooks.  Returns (id, j, code, cell int) rows ready to merge.
 
-    cents = spark.read.parquet(_cents_dir(path))
-    books = ivfpq_load_books(spark, path)
-    assigned = centroid_assign(delta, id_col, vec_col, cents, "cell", "cvec")
-    codes = pq_encode(delta, id_col, vec_col, books, m=m, dim=dim)
-    return codes.join(
-        assigned.select(
-            F.col(id_col).alias("id"), F.col("assigned").cast("int").alias("cell")
-        ),
-        "id",
+    Both sidecars are kilobyte-scale frozen state, so the encode runs
+    as ONE narrow per-row projection (:func:`~h2h_spark.operators.pq.
+    pq_encode_assign_inrow`) — no crossJoin/groupBy shuffles, no
+    codes×assignment re-join (round 13; bit-identical argmins).
+    ``_books``/``_cents`` let a caller that encodes many batches load
+    the sidecars once (see :func:`stream_ann_ingest`)."""
+    from h2h_spark.operators.pq import pq_encode_assign_inrow
+
+    if _books is None:
+        _books = ivfpq_load_books(spark, path)
+    if _cents is None:
+        _cents = ivfpq_load_cents(spark, path)
+    return pq_encode_assign_inrow(
+        delta, id_col, vec_col, _books, _cents, m=m, dim=dim
     )
 
 
@@ -199,11 +215,17 @@ def stream_ann_ingest(
     dynamic partition overwrite of touched cells, readers see each
     cell file atomically."""
 
+    # the coarse quantizer and codebooks are FROZEN for the life of the
+    # ingest loop — load the kilobyte sidecars once, not once per batch
+    books = ivfpq_load_books(spark, store_path)
+    cents = ivfpq_load_cents(spark, store_path)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         delta = ivfpq_encode_assign(
-            spark, store_path, batch_df, id_col, vec_col, m=m, dim=dim
+            spark, store_path, batch_df, id_col, vec_col, m=m, dim=dim,
+            _books=books, _cents=cents,
         )
         ivfpq_upsert(spark, store_path, delta)
 

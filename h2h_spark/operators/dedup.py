@@ -198,7 +198,7 @@ def portable_hash60(col: Column | str) -> Column:
     )
 
 
-def _base_hash(col: str, base_hash: str) -> Column:
+def _base_hash(col: "str | Column", base_hash: str) -> Column:
     if base_hash == "md5":
         return portable_hash60(col)
     if base_hash == "xxhash64":
@@ -234,29 +234,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: ``(id, sig array<bigint>)``.
 
-    One explode + one groupBy (single shuffle keyed by id); the k hash
-    functions are universal hashes ``(a*h + b) mod 2^31-1`` over a base
-    hash — all JVM-side, and the modulus keeps products inside signed-64
-    range so the plan is ANSI-safe.  ``base_hash='md5'`` swaps the base to
+    Computed IN-ARRAY, shuffle-free (round 13 — was explode + groupBy,
+    one full shuffle keyed by id): a document's shingles are already one
+    array row, so the per-hash minimum is ``array_min`` over a ``transform``
+    of the base-hashed shingle array — a narrow per-row map.  The base
+    hash is projected ONCE into ``__hs`` so the k universal hashes
+    ``(a*h + b) mod 2^31-1`` each traverse cheap longs, not k re-inlined
+    md5 chains; the modulus keeps products inside signed-64 range so the
+    plan is ANSI-safe.  ``base_hash='md5'`` swaps the base to
     :func:`portable_hash60` so the signatures are engine-portable
     (reproducible in DuckDB SQL — the oracle twin in ``__spark_entry__``
-    re-derives them bit-for-bit).
+    re-derives them bit-for-bit).  Assumes one row per document id (the
+    shape :func:`shingle_sets` emits); values are bit-identical to the
+    exploded formulation — min over the same distinct-shingle set.
     """
     params = _hash_params(num_hashes, seed)
     sets = _sets if _sets is not None else shingle_sets(df, id_col, text_col, shingle_k)
-    sh = sets.select(
-        F.col("id").alias(id_col), F.explode("sh").alias("shingle")
-    ).select(id_col, F.pmod(_base_hash("shingle", base_hash), F.lit(_MERSENNE)).alias("__h"))
-    aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"h{i}"
-        )
-        for i, (a, b) in enumerate(params)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    hs = sets.select(
+        F.col("id").alias(id_col),
+        F.transform(
+            "sh",
+            lambda s: F.pmod(_base_hash(s, base_hash), F.lit(_MERSENNE)),
+        ).alias("__hs"),
     )
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    mins = [
+        F.array_min(F.transform("__hs", _perm(a, b))) for (a, b) in params
+    ]
+    return hs.select(id_col, F.array(*mins).alias("sig"))
 
 
 def minhash_near_duplicates(

@@ -195,3 +195,79 @@ def adc_topk(
         total = total + F.col(f"p{j}")
     scored = parts.select("id", F.round(total, round_digits).alias("adc"))
     return scored.orderBy(F.col("adc").asc(), F.col("id")).limit(top)
+
+def pq_encode_assign_inrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: dict[tuple[int, int], list[float]],
+    cents: Sequence[tuple[int, Sequence[float]]],
+    *,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """``(id, j, code, cell)`` in ONE narrow projection — the ingest-path
+    encode (round 13).
+
+    On the ingest path the codebooks and coarse centroids are FROZEN
+    kilobyte-scale sidecars (driver state by construction), so both
+    argmins run per row over literal arrays — ``array_min`` over
+    ``struct(dist, label)`` — instead of the generic broadcast-crossJoin
+    + groupBy-min shape of :func:`pq_encode` / ``centroid_assign`` (two
+    shuffles and a re-join per micro-batch that pure per-row math never
+    needed).  Distances use the same strict left-to-right ``_l2_sq``
+    fold over the same subvector slices, and min-struct ties resolve to
+    the lowest label in both shapes, so codes and cells are
+    bit-identical to the join formulation.
+    """
+    sd = dim // m
+    if sd * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ks = sorted({c for (_, c) in books})
+
+    # The argmin trees carry hundreds of double literals; building them
+    # Column-by-Column costs one py4j round trip per literal (~1 ms each
+    # — measured 2 s/call, dwarfing the encode itself), so the whole
+    # expression is emitted as SQL TEXT and parsed JVM-side in one call.
+    # The distance text replicates cluster._l2_sq exactly (zip_with +
+    # power(Δ,2) + strict left-to-right aggregate) and double literals
+    # use shortest-roundtrip repr, so values stay bit-identical.
+    def _dd(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    def _l2_sql(a_sql: str, lit_vec) -> str:
+        arr = "array(" + ",".join(_dd(x) for x in lit_vec) + ")"
+        return (
+            f"aggregate(zip_with({a_sql}, {arr}, (x, y) -> "
+            "power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    v = f"`{vec_col}`"
+    cell_sql = (
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {_l2_sql(v, cvec)}, 'l', {int(cell)})"
+            for cell, cvec in cents
+        )
+        + ")).l"
+    )
+    code_sqls = [
+        "array_min(array("
+        + ",".join(
+            "named_struct('d', "
+            + _l2_sql(f"slice({v}, {j * sd + 1}, {sd})", books[(j, c)])
+            + f", 'c', {int(c)})"
+            for c in ks
+        )
+        + ")).c"
+        for j in range(m)
+    ]
+    enc = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(cell_sql).cast("int").alias("cell"),
+        F.expr("array(" + ",".join(code_sqls) + ")").alias("__codes"),
+    )
+    return enc.select(
+        "id", F.posexplode("__codes").alias("j", "code"), "cell"
+    ).select("id", "j", "code", "cell")
