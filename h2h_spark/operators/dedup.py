@@ -563,6 +563,10 @@ def connected_components(
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        # a-hash layout: every propagation hop joins labels on "a", so
+        # the cached edge list is never re-shuffled across rounds
+        # (round 13, same shape as the graph-operator edge caches)
+        .repartition(F.col("a"))
         .persist()
     )
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn(

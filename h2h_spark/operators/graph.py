@@ -67,6 +67,10 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # every round's dangling-mass left join re-reads the node set;
+        # without the persist the whole upstream edge derivation (often
+        # a join) replays per round through nodes' lineage (round 13)
+        .persist()
     )
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     # (src, dst, d) computed once; every round re-joins only the rank.
@@ -100,6 +104,7 @@ def pagerank(
     # checkpoint also detaches the result from the cache lineage).
     ranks = ranks.localCheckpoint(eager=True)
     ew.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -182,11 +187,16 @@ def bfs_distances(
     round deep at any depth.
     """
     # the edge list is re-joined every round — materialize it once, or
-    # each round re-runs the upstream build (scan + distinct).
+    # each round re-runs the upstream build (scan + distinct).  persist
+    # keeps size stats + s-hash partitioning visible (a checkpointed RDD
+    # is UnknownPartitioning / unknown size, which forced a sort-merge
+    # re-shuffle of the full edge list every round — round 13); the
+    # frontier side is the only thing that moves per round.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(F.col("s"))
+        .persist()
     )
     settled = sources.select(F.col(node).alias("id")).distinct().withColumn(
         "dist", F.lit(0).cast("bigint")
@@ -194,7 +204,11 @@ def bfs_distances(
     frontier = settled
     for depth in range(1, max_depth + 1):
         nxt = (
-            frontier.join(e, frontier.id == e.s)
+            # shuffle-hash: only the frontier moves (e keeps its cached
+            # s-hash layout); without the hint the planner broadcasts
+            # the edge cache per ROUND-JOB — broadcasts don't reuse
+            # across jobs, so that re-ships |E| every round (round 13)
+            frontier.hint("shuffle_hash").join(e, frontier.id == e.s)
             .select(F.col("t").alias("id"))
             .distinct()
             .join(settled.select("id"), "id", "left_anti")
@@ -237,7 +251,16 @@ def label_propagation(
     # materialize the symmetrized edge list ONCE: every round (and the
     # node-set init) re-reads it, and without this the upstream edge
     # derivation (often a join) replays per round through lineage —
-    # the same fix hierarchy.resolve_tree needed
+    # the same fix hierarchy.resolve_tree needed.  persist (not
+    # localCheckpoint) keeps plan stats + partitioning visible to the
+    # planner: a checkpointed RDD scans back as UnknownPartitioning with
+    # no size estimate, which planned every round's label join as a
+    # sort-merge with a full edge re-shuffle (round 13, measured 2x).
+    # src-hash partitioning makes every downstream (src, label) / (src)
+    # aggregate exchange-free (hash(src) satisfies both clusterings),
+    # and the known cache size lets the planner broadcast whichever
+    # join side actually fits — at corpus scale where neither fits it
+    # degrades to the same sort-merge this replaced, nothing worse.
     sym = (
         edges.select(src, dst)
         .union(
@@ -246,7 +269,8 @@ def label_propagation(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(F.col(src))
+        .persist()
     )
     labels = (
         sym.select(F.col(src).alias("node"))
@@ -303,13 +327,17 @@ def label_propagation_semisync(
     pass through a union.  State stays the |V|-row label table;
     lineage is truncated once per round like pagerank's deep-run
     guidance."""
+    # same persist shape as label_propagation (round 13): stats +
+    # src-partitioning beat a checkpointed-RDD scan for the per-substep
+    # join + aggregates.
     sym = (
         edges.select(src, dst)
         .union(
             edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(F.col(src))
+        .persist()
     )
     labels = (
         sym.select(F.col(src).alias("node"))
@@ -378,7 +406,11 @@ def sssp_bounded(
         )
         .groupBy("s", "t")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the cheapest
-        .localCheckpoint(eager=True)
+        # persist, not checkpoint: stats + s-partitioning let each
+        # round's frontier relaxation join reuse the edge layout
+        # instead of re-shuffling it (round 13, same as bfs_distances)
+        .repartition(F.col("s"))
+        .persist()
     )
     settled = (
         sources.select(F.col(node).alias("id"))
@@ -389,7 +421,9 @@ def sssp_bounded(
     frontier = settled
     for _ in range(max_iter):
         cand = (
-            frontier.join(e, frontier.id == e.s)
+            # shuffle-hash for the same reason as bfs_distances: keep
+            # the cached edge layout in place, move only the frontier
+            frontier.hint("shuffle_hash").join(e, frontier.id == e.s)
             .select(F.col("t").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
             .filter(F.col("nd") < F.lit(float(max_dist)))
             .groupBy("id")
@@ -495,7 +529,10 @@ def feature_propagation(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .unionAll(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # persist, not checkpoint: stats + s-partitioning for the
+        # per-round message join (round 13, same as bfs_distances)
+        .repartition(F.col("s"))
+        .persist()
     )
     cur = features.select(F.col(node).alias("n"), F.col(feat).cast("bigint").alias("f"))
     for _ in range(rounds):
