@@ -37,14 +37,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .pq import _assign, _codebook_df, _subvectors, seed_codebooks
+from .pq import (
+    pq_assign_inrow,
+    pq_reconstruct_inrow,
+    seed_codebooks,
+)
 
 
 def rotate_vectors(
-    df: DataFrame, id_col: str, vec_col: str, R, *, out_col: str = "rvec"
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    R,
+    *,
+    out_col: str = "rvec",
+    carry: bool = False,
 ) -> DataFrame:
-    """``(id, out_col)`` with ``out_col = R @ vec`` — Arrow-batched numpy
-    GEMM per batch, never per-row Python."""
+    """``(id, out_col[, x])`` with ``out_col = R @ vec`` — Arrow-batched
+    numpy GEMM per batch, never per-row Python.  ``carry=True`` passes
+    the original vector through as ``x`` so downstream consumers (the
+    scatter-matrix pass) need no re-join on id."""
     import numpy as np
 
     Rm = np.asarray(R, dtype=np.float64)
@@ -57,23 +69,16 @@ def rotate_vectors(
         for pdf in batches:
             X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             out = X @ Rv.T  # row-vectors: (R @ x)ᵀ = xᵀ Rᵀ
-            yield pd.DataFrame({"id": pdf["id"], out_col: list(out)})
+            cols = {"id": pdf["id"], out_col: list(out)}
+            if carry:
+                cols["x"] = pdf["v"]
+            yield pd.DataFrame(cols)
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return src.mapInPandas(_rot, f"id long, {out_col} array<double>")
-
-
-def _reconstruction(codes: DataFrame, books_df: DataFrame, m: int) -> DataFrame:
-    """``(id, xhat)``: assemble each vector's reconstruction by joining
-    codes to centroids and concatenating subvectors in subspace order."""
-    joined = codes.join(F.broadcast(books_df), ["j", "c"]).select(
-        "id", F.struct("j", "cvec").alias("s")
-    )
-    return joined.groupBy("id").agg(
-        F.flatten(F.expr("transform(array_sort(collect_list(s)), e -> e.cvec)")).alias(
-            "xhat"
-        )
-    )
+    schema = f"id long, {out_col} array<double>"
+    if carry:
+        schema += ", x array<double>"
+    return src.mapInPandas(_rot, schema)
 
 
 def _scatter_matrix(pairs: DataFrame, dim: int):
@@ -131,9 +136,17 @@ def opq_train(
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("x"))
     err0 = None
     for rnd in range(rounds):
-        rot = rotate_vectors(src, "id", "x", R).persist()
-        sub = _subvectors(rot, "id", "rvec", m, dim)
-        assigned_full = _assign(sub, _codebook_df(spark, books))
+        # one Arrow GEMM pass, original vector carried through — every
+        # downstream step of the round is a narrow per-row projection
+        # over this cache (round 13: the explode→broadcast-join→groupBy
+        # E-step, the M-step's sub⋈assigned re-join and the
+        # reconstruction's codes⋈books + collect_list regroup were 4
+        # shuffles + 3 joins per round of pure literal math — the
+        # codebooks are k·dim driver floats by construction)
+        rot = rotate_vectors(src, "id", "x", R, carry=True).persist()
+        assigned_full = pq_assign_inrow(
+            rot, "id", "rvec", books, m=m, dim=dim, with_sv=True
+        )
         if rnd == 0 and return_initial_error:
             err0 = float(
                 assigned_full.agg(
@@ -142,11 +155,12 @@ def opq_train(
                     ).alias("e")
                 ).collect()[0]["e"]
             )
-        assigned = assigned_full.select("id", "j", F.col("code").alias("c"))
         # Lloyd M-step: per-(subspace, code) means over the rotated data
+        # — the subvector rides along in-row, so no re-join
         means = (
-            sub.join(assigned, ["id", "j"])
-            .select("j", "c", F.posexplode("sv").alias("i", "v"))
+            assigned_full.select(
+                "j", F.col("code").alias("c"), F.posexplode("sv").alias("i", "v")
+            )
             .groupBy("j", "c", "i")
             .agg(F.avg(F.col("v").cast("double")).alias("mu"))
             .collect()
@@ -155,13 +169,12 @@ def opq_train(
         for r in means:
             upd.setdefault((r["j"], r["c"]), [0.0] * sd)[r["i"]] = r["mu"]
         books = {key: upd.get(key, books[key]) for key in books}
-        # rotation update (Procrustes): re-assign against the NEW books,
-        # reconstruct, accumulate M = Σ x̂·xᵀ, SVD driver-side
-        assigned2 = _assign(sub, _codebook_df(spark, books)).select(
-            "id", "j", F.col("code").alias("c")
-        )
-        xhat = _reconstruction(assigned2, _codebook_df(spark, books), m)
-        pairs = src.join(xhat, "id").select("x", "xhat")
+        # rotation update (Procrustes): re-assign against the NEW books
+        # and reconstruct in the same per-row projection, accumulate
+        # M = Σ x̂·xᵀ, SVD driver-side
+        pairs = pq_reconstruct_inrow(
+            rot, "id", "rvec", books, m=m, dim=dim, keep=("x",)
+        ).select("x", "xhat")
         M = _scatter_matrix(pairs, dim)
         rot.unpersist()
         U, _s, Vt = np.linalg.svd(M)
@@ -184,10 +197,8 @@ def opq_reconstruction_error(
     """Total squared reconstruction error ``Σ ||R·x - x̂||²`` with the
     per-(id, subspace) distances rounded then summed as DECIMAL — an
     order-independent (hence engine-portable) total."""
-    spark = df.sparkSession
     rot = rotate_vectors(df, id_col, vec_col, R)
-    sub = _subvectors(rot, "id", "rvec", m, dim)
-    assigned = _assign(sub, _codebook_df(spark, books))
+    assigned = pq_assign_inrow(rot, "id", "rvec", books, m=m, dim=dim)
     total = assigned.agg(
         F.sum(F.round(F.col("dist_sq"), 6).cast("decimal(30,6)")).alias("e")
     ).collect()[0]["e"]

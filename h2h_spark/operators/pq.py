@@ -128,15 +128,23 @@ def pq_encode(
     m: int,
     dim: int,
 ) -> DataFrame:
-    """(id, j, code): the PQ code table — narrow, shuffle-once, what a
-    100 TB ANN index actually persists."""
-    books_df = (
-        books
-        if isinstance(books, DataFrame)
-        else _codebook_df(df.sparkSession, books)
+    """(id, j, code): the PQ code table — narrow, what a 100 TB ANN
+    index actually persists.
+
+    Codebooks are k·dim driver floats by construction, so the encode is
+    ONE narrow per-row projection (:func:`pq_assign_inrow`, round 13 —
+    was explode → broadcast-join → m·k-row groupBy argmin shuffle per
+    vector); codes are bit-identical (same ``_l2_sq`` fold, same
+    lowest-code tie rule).  A ``books`` DataFrame is collected first —
+    it is only ever the k·m-row codebook table."""
+    if isinstance(books, DataFrame):
+        books = {
+            (int(r["j"]), int(r["c"])): [float(x) for x in r["cvec"]]
+            for r in books.collect()
+        }
+    return pq_assign_inrow(df, id_col, vec_col, books, m=m, dim=dim).select(
+        "id", "j", "code"
     )
-    sub = _subvectors(df, id_col, vec_col, m, dim)
-    return _assign(sub, books_df).select("id", "j", "code")
 
 
 def adc_topk(
@@ -196,6 +204,140 @@ def adc_topk(
     scored = parts.select("id", F.round(total, round_digits).alias("adc"))
     return scored.orderBy(F.col("adc").asc(), F.col("id")).limit(top)
 
+def _dd(x: float) -> str:
+    """Double literal as SQL text, shortest-roundtrip repr (exact)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _l2_sql(a_sql: str, lit_vec) -> str:
+    """SQL text replicating :func:`cluster._l2_sq` exactly (zip_with +
+    power(Δ,2) + strict left-to-right aggregate) against a literal
+    vector.  Emitted as TEXT because building these argmin trees
+    Column-by-Column costs one py4j round trip per literal (~1 ms each
+    — measured 2 s/call, dwarfing the encode itself); one ``F.expr``
+    parse keeps it JVM-side, and the fold order keeps values
+    bit-identical to the join formulation."""
+    arr = "array(" + ",".join(_dd(x) for x in lit_vec) + ")"
+    return (
+        f"aggregate(zip_with({a_sql}, {arr}, (x, y) -> "
+        "power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _best_sql(sv_sql: str, books, ks, j: int) -> str:
+    """``named_struct('d', dist, 'c', code)`` argmin over codebook ``j``
+    — min-struct compares (d, c), so ties resolve to the lowest code,
+    same as :func:`_assign`'s ``F.min(struct(d, c))``."""
+    return (
+        "array_min(array("
+        + ",".join(
+            f"named_struct('d', {_l2_sql(sv_sql, books[(j, c)])}, 'c', {int(c)})"
+            for c in ks
+        )
+        + "))"
+    )
+
+
+def pq_assign_inrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: dict[tuple[int, int], list[float]],
+    *,
+    m: int,
+    dim: int,
+    with_sv: bool = False,
+) -> DataFrame:
+    """``(id, j, code, dist_sq[, sv])`` — the :func:`_assign` E-step as
+    ONE narrow per-row projection (round 13).
+
+    ``_assign`` explodes each vector into m subvector rows, broadcast-
+    joins k codebook rows onto each, and shuffles m·k scored rows per
+    vector back through a groupBy argmin.  When the codebooks are
+    driver-resident (always: they are k·dim floats by construction),
+    the argmin is pure per-row math over literals — no explode-join, no
+    shuffle.  Distances replicate the ``_l2_sq`` fold and ties resolve
+    to the lowest code, so (code, dist_sq) is bit-identical to
+    ``_assign``.  ``with_sv=True`` additionally carries each subspace
+    slice, which lets Lloyd M-steps run without re-joining assignments
+    back onto the subvector table."""
+    sd = dim // m
+    if sd * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ks = sorted({c for (_, c) in books})
+    v = f"`{vec_col}`"
+    entries = []
+    for j in range(m):
+        sv_sql = f"slice({v}, {j * sd + 1}, {sd})"
+        fields = f"'b', {_best_sql(sv_sql, books, ks, j)}"
+        if with_sv:
+            fields += f", 'sv', {sv_sql}"
+        entries.append(f"named_struct({fields})")
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr("array(" + ",".join(entries) + ")")).alias(
+            "j", "e"
+        ),
+    )
+    cols = [
+        "id",
+        "j",
+        F.col("e.b.c").alias("code"),
+        F.col("e.b.d").alias("dist_sq"),
+    ]
+    if with_sv:
+        cols.append(F.col("e.sv").alias("sv"))
+    return out.select(*cols)
+
+
+def pq_reconstruct_inrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: dict[tuple[int, int], list[float]],
+    *,
+    m: int,
+    dim: int,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """``(id, xhat, *keep)``: assign-and-reconstruct in ONE per-row
+    projection — each subspace picks its argmin code (same ``_best_sql``
+    argmin as :func:`pq_assign_inrow`) and looks the centroid back up in
+    the literal codebook array; ``flatten`` concatenates the m centroids
+    in subspace order.  Replaces the codes⋈codebooks join + per-id
+    collect_list/sort regroup of the join formulation (`_reconstruction`)
+    with zero shuffles; the reconstruction bytes are identical (same
+    codes, same centroid lists)."""
+    sd = dim // m
+    if sd * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ks = sorted({c for (_, c) in books})
+    v = f"`{vec_col}`"
+    parts = []
+    for j in range(m):
+        sv_sql = f"slice({v}, {j * sd + 1}, {sd})"
+        lut = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_dd(x) for x in books[(j, c)]) + ")"
+                for c in ks
+            )
+            + ")"
+        )
+        # ks is dense 0..k-1 by construction (seed_codebooks); the +1 is
+        # SQL's 1-based element_at
+        parts.append(
+            f"element_at({lut}, 1 + {_best_sql(sv_sql, books, ks, j)}.c)"
+        )
+    xhat = "flatten(array(" + ",".join(parts) + "))"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(xhat).alias("xhat"),
+        *[F.col(c) for c in keep],
+    )
+
+
 def pq_encode_assign_inrow(
     df: DataFrame,
     id_col: str,
@@ -224,25 +366,6 @@ def pq_encode_assign_inrow(
     if sd * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     ks = sorted({c for (_, c) in books})
-
-    # The argmin trees carry hundreds of double literals; building them
-    # Column-by-Column costs one py4j round trip per literal (~1 ms each
-    # — measured 2 s/call, dwarfing the encode itself), so the whole
-    # expression is emitted as SQL TEXT and parsed JVM-side in one call.
-    # The distance text replicates cluster._l2_sq exactly (zip_with +
-    # power(Δ,2) + strict left-to-right aggregate) and double literals
-    # use shortest-roundtrip repr, so values stay bit-identical.
-    def _dd(x: float) -> str:
-        return f"CAST('{float(x)!r}' AS DOUBLE)"
-
-    def _l2_sql(a_sql: str, lit_vec) -> str:
-        arr = "array(" + ",".join(_dd(x) for x in lit_vec) + ")"
-        return (
-            f"aggregate(zip_with({a_sql}, {arr}, (x, y) -> "
-            "power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
     v = f"`{vec_col}`"
     cell_sql = (
         "array_min(array("
@@ -253,14 +376,7 @@ def pq_encode_assign_inrow(
         + ")).l"
     )
     code_sqls = [
-        "array_min(array("
-        + ",".join(
-            "named_struct('d', "
-            + _l2_sql(f"slice({v}, {j * sd + 1}, {sd})", books[(j, c)])
-            + f", 'c', {int(c)})"
-            for c in ks
-        )
-        + ")).c"
+        _best_sql(f"slice({v}, {j * sd + 1}, {sd})", books, ks, j) + ".c"
         for j in range(m)
     ]
     enc = df.select(
