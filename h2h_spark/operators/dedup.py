@@ -257,13 +257,17 @@ def minhash_signatures(
             lambda s: F.pmod(_base_hash(s, base_hash), F.lit(_MERSENNE)),
         ).alias("__hs"),
     )
-    def _perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-
-    mins = [
-        F.array_min(F.transform("__hs", _perm(a, b))) for (a, b) in params
-    ]
-    return hs.select(id_col, F.array(*mins).alias("sig"))
+    # One SQL-text parse for the k permutation minima: building them
+    # Column-by-Column costs ~5 py4j round trips per hash (~0.8 s of
+    # driver latency per call at k=64 — charged per streaming micro-
+    # batch).  Literals are plain INT text, matching F.lit's
+    # IntegerType, so the bigint arithmetic — and the values — are
+    # identical to the Column formulation.
+    mins = ",".join(
+        f"array_min(transform(__hs, h -> pmod(h * {a} + {b}, {_MERSENNE})))"
+        for (a, b) in params
+    )
+    return hs.select(id_col, F.expr(f"array({mins})").alias("sig"))
 
 
 def minhash_near_duplicates(
@@ -432,25 +436,23 @@ def minhash_index(
         df, "id", text_col, num_hashes, shingle_k, seed, base_hash, _sets=sets
     )
 
-    def _band_bucket(j: int) -> Column:
-        joined = F.array_join(
-            F.transform(
-                F.slice("sig", j * rows + 1, rows), lambda x: x.cast("string")
-            ),
-            "_",
+    # band buckets as one SQL-text parse (same py4j-latency motive as
+    # the signature minima above); text replicates the Column chain
+    # exactly: array_join of stringified slice, xxhash64'd unless the
+    # portable md5 base keeps the joined string itself.
+    def _band_bucket(j: int) -> str:
+        joined = (
+            f"array_join(transform(slice(sig, {j * rows + 1}, {rows}), "
+            "x -> cast(x as string)), '_')"
         )
-        return joined if base_hash == "md5" else F.xxhash64(joined).cast("string")
+        return joined if base_hash == "md5" else f"cast(xxhash64({joined}) as string)"
 
+    bb = ",".join(
+        f"named_struct('band', {j}, 'bucket', {_band_bucket(j)})"
+        for j in range(bands)
+    )
     entries = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), _band_bucket(j).alias("bucket"))
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.explode(F.expr(f"array({bb})")).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     return entries, sets
 
