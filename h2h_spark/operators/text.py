@@ -761,8 +761,15 @@ def fuzzy_join(
             (F.col("__fzl.__blk") == F.col("__fzr.__blk"))
             & (F.abs(F.length(ln) - F.length(rn)) <= max_edit),
         )
-        .withColumn("edit_dist", F.levenshtein(ln, rn))
-        .filter(F.col("edit_dist") <= max_edit)
+        # bounded levenshtein (Spark 3.5+): abandons a row's DP once the
+        # distance provably exceeds max_edit — O(len·k) per candidate
+        # instead of O(len²).  Returns -1 above the bound, so the filter
+        # must be >= 0, not just <= max_edit; surviving rows carry the
+        # exact distance, identical to the unbounded call.
+        .withColumn("edit_dist", F.levenshtein(ln, rn, max_edit))
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_edit)
+        )
         .drop(F.col("__fzl.__blk"))
         .drop(F.col("__fzr.__blk"))
     )
