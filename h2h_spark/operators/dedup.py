@@ -596,9 +596,13 @@ def connected_components(
         # label plan grows by two joins per round (hundreds of nodes by
         # convergence), which is the classic iterative-Spark driver hazard:
         # planning cost and driver memory scale with rounds, not data.
-        # Tradeoff (documented): local checkpoints don't survive executor
-        # loss; swap for reliable checkpoint(dir) on long production runs.
-        updated = _propagate(hop1).localCheckpoint()
+        # LAZY + full count: the changed-count job computes every
+        # partition (the filter is row-level), materializing the
+        # checkpoint in the same job — eager paid two jobs per round
+        # (round 13).  Tradeoff (documented): local checkpoints don't
+        # survive executor loss; swap for reliable checkpoint(dir) on
+        # long production runs.
+        updated = _propagate(hop1).localCheckpoint(eager=False)
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:

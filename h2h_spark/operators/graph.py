@@ -214,10 +214,15 @@ def bfs_distances(
             .join(settled.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(depth).cast("bigint"))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        # LAZY checkpoint + full count: the count job computes every
+        # partition, materializing the checkpoint as a side effect —
+        # one job per round where eager-checkpoint-then-probe paid
+        # three (round 13).  settled stays an un-checkpointed union of
+        # materialized frontiers: depth <= max_depth, every leaf cached.
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        settled = settled.unionByName(nxt)
         frontier = nxt
     return settled.select(F.col("id").alias(node), "dist")
 
@@ -367,7 +372,10 @@ def label_propagation_semisync(
                 .select("node", F.col("b.l").alias("label"))
             )
             labels = labels.filter(F.col("node") % substeps != s).unionByName(upd)
-        labels = labels.localCheckpoint(eager=True)
+        # lazy: lineage still truncates per round, but materialization
+        # rides the consumer's first action instead of a per-round job
+        # (round 13 — the schedule is bounded, so analyzer depth is too)
+        labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -430,18 +438,23 @@ def sssp_bounded(
             .agg(F.min("nd").alias("nd"))
         )
         old = settled.select("id", F.col("dist").alias("od"))
+        # LAZY checkpoints, one job per round (round 13): the full
+        # count materializes `improved`, and the NEXT round's count —
+        # whose cand⋈old side scans settled completely — materializes
+        # the settled checkpoint; eager checkpointing paid three jobs
+        # per round for the same coverage.
         improved = (
             cand.join(old, "id", "left")
             .filter(F.col("od").isNull() | (F.col("nd") < F.col("od")))
             .select("id", F.col("nd").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.limit(1).count() == 0:
+        if improved.count() == 0:
             return settled.select(F.col("id").alias(node), "dist")
         settled = (
             settled.join(improved.select("id"), "id", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     raise RuntimeError(
@@ -495,7 +508,9 @@ def kcore_peel(
         e = (
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            # lazy (round 13): four bounded rounds — one consumer job
+            # instead of a materialization job per round
+            .localCheckpoint(eager=False)
         )
     return (
         e.select(F.col("u").alias("node"))
@@ -546,6 +561,8 @@ def feature_propagation(
         cur = (
             cur.join(msg, "n", "left")
             .select("n", F.coalesce("__nf", "f").alias("f"))
-            .localCheckpoint(eager=True)
+            # lazy (round 13): bounded rounds — materialize on the
+            # consumer's action, not one job per round
+            .localCheckpoint(eager=False)
         )
     return cur.select(F.col("n").alias(node), F.col("f").alias(feat))

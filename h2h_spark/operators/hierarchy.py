@@ -76,7 +76,10 @@ def resolve_tree(
                 .alias("d"),
                 F.col("__hanc").isNotNull().alias("__moved"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (round 13): the convergence aggregate below computes
+            # every partition, materializing the checkpoint in the same
+            # job — eager paid two jobs per doubling round
+            .localCheckpoint(eager=False)
         )
         if not checked:
             # forest assertion rides round 1's convergence aggregate
