@@ -792,6 +792,18 @@ def connected_components_star(
             .distinct()
         )
 
+    def _edge_sig(d: DataFrame) -> tuple:
+        """(row count, xxhash64 xor-fold): an order-independent edge-set
+        signature whose inequality proves set inequality (xor, not sum:
+        ANSI mode rejects the overflowing long sum; sets are distinct so
+        no pair cancels itself)."""
+        r = d.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    sig_e = _edge_sig(e)
     for it in range(max_iter):
         # large-star: every strictly-larger neighbor of u rewires to
         # m(u) = min(Γ(u) ∪ {u}); the (u,v) v<u orientation of each
@@ -802,7 +814,13 @@ def connected_components_star(
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e1 = _sym(ls).localCheckpoint(eager=True)
+        # LAZY checkpoints + ONE job per round (round 13): the
+        # signature aggregate below computes every partition of e1
+        # (ancestor) and e2, materializing both checkpoints — the
+        # eager-checkpoint + two-limit-probe shape paid five jobs per
+        # round, which on small contraction graphs WAS the cc_star
+        # runtime.
+        e1 = _sym(ls).localCheckpoint(eager=False)
         # small-star: every smaller-or-equal neighbor AND u itself
         # rewires to m(u).
         mins1 = _mins(e1)
@@ -812,14 +830,21 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         centers = mins1.select(F.col("u"), F.col("m").alias("v"))
-        e2 = _sym(ss.unionByName(centers)).localCheckpoint(eager=True)
-        if (
-            e2.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(e2).limit(1).count() == 0
-        ):
-            e = e2
-            break
+        e2 = _sym(ss.unionByName(centers)).localCheckpoint(eager=False)
+        # Fixed-point test, exactness preserved: differing (count,
+        # hash-sum) signatures PROVE the edge sets differ, so the
+        # expensive two-sided exceptAll comparison only runs when the
+        # signatures collide — i.e. once, on the terminating round
+        # (or on an astronomically unlikely hash collision, where it
+        # correctly reports "not equal yet" and the loop continues).
+        sig2 = _edge_sig(e2)
+        if sig2 == sig_e:
+            ndiff = e2.exceptAll(e).unionAll(e.exceptAll(e2)).count()
+            if ndiff == 0:
+                e = e2
+                break
         e = e2
+        sig_e = sig2
     else:
         raise ValueError(
             f"connected_components_star: no fixed point in {max_iter} rounds"
