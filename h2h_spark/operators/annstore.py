@@ -165,8 +165,10 @@ def ivfpq_upsert(spark: SparkSession, path: str, delta_codes: DataFrame) -> None
     Compaction is preserved: one file per rewritten cell."""
     # materialize the (small) delta ONCE up front: everything below —
     # the touched-cell collect, the anti-join, the union — would
-    # otherwise re-evaluate the whole encode/assign pipeline per use
-    delta_codes = delta_codes.localCheckpoint(eager=True)
+    # otherwise re-evaluate the whole encode/assign pipeline per use.
+    # LAZY: the touched-cell distinct-collect computes every partition,
+    # materializing the checkpoint in the same job (round 13).
+    delta_codes = delta_codes.localCheckpoint(eager=False)
     cells = [int(r["cell"]) for r in delta_codes.select("cell").distinct().collect()]
     existing = spark.read.parquet(_codes_dir(path)).filter(
         F.col("cell").isin(cells)

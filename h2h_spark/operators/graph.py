@@ -261,11 +261,10 @@ def label_propagation(
     # planner: a checkpointed RDD scans back as UnknownPartitioning with
     # no size estimate, which planned every round's label join as a
     # sort-merge with a full edge re-shuffle (round 13, measured 2x).
-    # src-hash partitioning makes every downstream (src, label) / (src)
-    # aggregate exchange-free (hash(src) satisfies both clusterings),
-    # and the known cache size lets the planner broadcast whichever
-    # join side actually fits — at corpus scale where neither fits it
-    # degrades to the same sort-merge this replaced, nothing worse.
+    # src-hash partitioning: the (src, label) count aggregate after the
+    # join is the layout consumer; an interleaved A/B (round 13, 4 reps
+    # per variant) measured src ~= dst+hint and dst-without-hint worst,
+    # so the original layout stands.
     sym = (
         edges.select(src, dst)
         .union(
@@ -284,8 +283,12 @@ def label_propagation(
     )
     for _ in range(iterations):
         cnt = (
+            # shuffle-hash on the label side: avoids the per-round SORT
+            # of the 2|E|-row joined side a sort-merge join would add
+            # (the label table is the hash-build side; measured best of
+            # four layout/hint variants in the round-13 interleaved A/B)
             sym.join(
-                labels.withColumnRenamed("node", "__n"),
+                labels.withColumnRenamed("node", "__n").hint("shuffle_hash"),
                 F.col(dst) == F.col("__n"),
             )
             .groupBy(F.col(src).alias("node"), "label")
@@ -334,7 +337,7 @@ def label_propagation_semisync(
     guidance."""
     # same persist shape as label_propagation (round 13): stats +
     # src-partitioning beat a checkpointed-RDD scan for the per-substep
-    # join + aggregates.
+    # join + aggregates (layout A/B'd alongside the sync variant).
     sym = (
         edges.select(src, dst)
         .union(
