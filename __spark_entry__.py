@@ -14010,6 +14010,11 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select(F.col("user_id").alias("parent"), F.col("r").alias("pr")),
         "pr",
     ).select("child", "parent")
+    # persist: the recursion references this view once per ROUND (the
+    # per-round broadcast rebuild) plus the seed and roots branches —
+    # without the cache each reference re-runs the global_rank + join
+    # derivation (round 13: warm median 4.45 s -> 2.00 s with it)
+    edges = edges.persist()
     edges.createOrReplaceTempView("__rcte_edges")
     return spark.sql("""
 WITH RECURSIVE walk(id, anc, d) AS (
