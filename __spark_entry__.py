@@ -7119,7 +7119,8 @@ def q_mbox_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.regexp_extract("msg_id", r"<m(\d+)@", 1).cast("bigint").alias("id"),
         F.regexp_extract("in_reply_to", r"<m(\d+)@", 1).alias("parent_s"),
-    )
+    ).persist()  # edge build + singleton anti-join both read it: one
+    #              Python-source mbox parse instead of two (round 13)
     edges = rec.filter(F.col("parent_s") != "").select(
         F.col("id").alias("id_a"), F.col("parent_s").cast("bigint").alias("id_b")
     )
