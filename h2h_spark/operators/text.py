@@ -1104,51 +1104,56 @@ def winnow_fingerprints(
     (:func:`fingerprint`) and doc-level MinHash both miss contained
     copies.
 
-    Built-ins only: the gram hash is the engine's portable
-    md5-of-joined-tokens (the :func:`duplicate_spans` twin) and the
-    window minimum is one per-doc window function ordered by position
-    with a ``(hash ASC, pos DESC)`` struct min — no UDF, no shuffle
-    beyond the per-doc window.  Output: ``(id, pos, fp)``, 1-based gram
-    positions of selected fingerprints."""
-    from pyspark.sql.window import Window
-
+    Built-ins only, fully IN-ROW (round 13): the gram hash is the
+    engine's portable md5-of-joined-tokens (the :func:`duplicate_spans`
+    twin) and the window minimum is an ``array_min`` over each sliding
+    window of the row-local gram-hash array with a ``(hash ASC, pos
+    DESC)`` struct min — no UDF, and NO shuffle at all (the previous
+    formulation exploded every gram and ran a per-doc window function:
+    one id-keyed Exchange + Sort + Window over |grams| rows; a
+    document's grams are one array row, so the window min never needed
+    to leave the row).  The gram-hash array is let-bound so the m
+    window references don't each re-inline the m md5 calls.  Output and
+    selection rule identical: ``(id, pos, fp)``, 1-based gram positions,
+    rightmost-on-ties, consecutive-duplicate windows collapsed
+    (in-row ``array_distinct`` — cross-row duplicates are impossible,
+    the id differs).  Verified bit-identical (two-sided exceptAll = 0)
+    against the window formulation at sf0.1."""
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
     base = base.filter(F.size("__t") >= k + window - 1)
     n = F.size("__t")
-    grams = base.select(
-        "id",
-        (n - k + 1).cast("int").alias("m"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda p: F.struct(
-                    p.cast("int").alias("pos"),
-                    F.md5(
-                        F.array_join(F.slice("__t", p, k), " ")
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select("id", "m", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    ghs = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda p: F.md5(F.array_join(F.slice("__t", p, k), " ")),
     )
-    sel = (
-        grams.withColumn(
-            "__sel",
-            F.min(F.struct(F.col("gh"), (-F.col("pos")).alias("np"))).over(w),
-        )
-        .filter(F.col("pos") <= F.col("m") - (window - 1))
+    sel = F.element_at(
+        F.transform(
+            F.array(ghs),
+            lambda gha: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(gha) - (window - 1)),
+                    lambda p: F.array_min(
+                        F.transform(
+                            F.sequence(p, p + window - 1),
+                            lambda q: F.struct(
+                                F.element_at(gha, q).alias("gh"),
+                                (-q).cast("int").alias("np"),
+                            ),
+                        )
+                    ),
+                )
+            ),
+        ),
+        1,
+    )
+    return (
+        base.select("id", F.explode(sel).alias("s"))
         .select(
             F.col("id").alias(id_col),
-            (-F.col("__sel.np")).cast("bigint").alias("pos"),
-            F.col("__sel.gh").alias("fp"),
+            (-F.col("s.np")).cast("bigint").alias("pos"),
+            F.col("s.gh").alias("fp"),
         )
-        .distinct()
     )
-    return sel
 
 
 def winnow_overlap(
