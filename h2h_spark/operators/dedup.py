@@ -649,25 +649,45 @@ def simhash64(
     ``base_hash='md5'`` uses the 60-bit :func:`portable_hash60` so the
     fingerprint is engine-portable (DuckDB oracle twin re-derives it)."""
     nbits = 60 if base_hash == "md5" else 63
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
-        id_col, _base_hash("tok", base_hash).alias("__h")
+    if base_hash == "md5":
+        h_sql = (
+            "cast(conv(substring(md5(encode(t, 'UTF-8')), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+    elif base_hash == "xxhash64":
+        h_sql = "xxhash64(t)"
+    else:
+        raise ValueError(
+            f"base_hash must be 'xxhash64' or 'md5', got {base_hash!r}"
+        )
+    # Fully IN-ROW (round 13): a document's tokens are already one array
+    # row, so the per-bit ±1 sums never needed the explode + groupBy
+    # collect_list shuffle the previous formulation paid — and integer
+    # sums are order-independent, so the bits are identical to the
+    # shuffled collect_list order.  The hash array is LET-BOUND (the 60
+    # per-bit aggregates each reference it; inlined, the tokenize+hash
+    # transform would re-run per bit).  Token-less and null-text
+    # documents are filtered out, matching the explode formulation
+    # (which simply produced no rows to group).  One array expression
+    # instead of ~60 aggregate columns: a fraction of the generated
+    # code — measured 2-3× faster cold (codegen compile) AND warm.  The
+    # SQL form is used because the Python shiftright/shiftleft wrappers
+    # reject column shift amounts.
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+        F.size("__toks") >= 1
     )
-    hs = tok.groupBy(id_col).agg(F.collect_list("__h").alias("hs"))
-    # One array expression instead of ~60 aggregate columns: identical
-    # bits, but a fraction of the generated code — measured 2-3× faster
-    # cold (codegen compile) AND warm.  The SQL form is used because the
-    # Python shiftright/shiftleft wrappers reject column shift amounts.
-    return hs.selectExpr(
+    return toks.selectExpr(
         id_col,
         f"""
-        aggregate(
-          zip_with(
-            transform(sequence(0, {nbits - 1}), j ->
-              aggregate(hs, 0L, (acc, h) ->
-                acc + (CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1))),
-            sequence(0, {nbits - 1}),
-            (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),
-          0L, (acc, x) -> acc + x) AS simhash
+        element_at(transform(array(transform(__toks, t -> {h_sql})), hs ->
+          aggregate(
+            zip_with(
+              transform(sequence(0, {nbits - 1}), j ->
+                aggregate(hs, 0L, (acc, h) ->
+                  acc + (CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1))),
+              sequence(0, {nbits - 1}),
+              (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),
+            0L, (acc, x) -> acc + x)), 1) AS simhash
         """,
     )
 
