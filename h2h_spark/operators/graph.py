@@ -374,7 +374,20 @@ def label_propagation_semisync(
                 )
                 .select("node", F.col("b.l").alias("label"))
             )
-            labels = labels.filter(F.col("node") % substeps != s).unionByName(upd)
+            # persist per substep (round 13, interleaved A/B: median
+            # 5.97 vs 7.04 s per-round-checkpoint-only): the NEXT
+            # substep references this table TWICE (pass-through filter
+            # + neighbor join), and unmaterialized that re-executes
+            # this substep's join per reference.  The cache is |V|
+            # rows; the per-round checkpoint below still truncates
+            # lineage for deep schedules.  (A shuffle_hash hint on the
+            # label side — the sync variant's win — measured neutral
+            # here and is deliberately absent.)
+            labels = (
+                labels.filter(F.col("node") % substeps != s)
+                .unionByName(upd)
+                .persist()
+            )
         # lazy: lineage still truncates per round, but materialization
         # rides the consumer's first action instead of a per-round job
         # (round 13 — the schedule is bounded, so analyzer depth is too)
