@@ -14916,13 +14916,20 @@ def _init_queries() -> None:
         "q_part_layout": q_part_layout,
         "q_meta_status": q_meta_status,
         # ---- slots 9-14: the 6 never-driver-graded round-12 queries ----
+        # (driver-graded green in r13; kept so the r14 window diff stays
+        # minimal — only slot 15 rotates this round)
         "q_gguf_kquant": q_gguf_kquant,
         "q_orc_lzo": q_orc_lzo,
         "q_jsonl_xz": q_jsonl_xz,
         "q_jsonl_bz2": q_jsonl_bz2,
         "q_jsonl_xz_fetch": q_jsonl_xz_fetch,
         "q_stream_dedup_index": q_stream_dedup_index,
-        # ---- slots 15-50: backfill (all driver-graded green) ----
+        # ---- slot 15: r14 rotation (VERDICT r13 item 2) — the one query
+        # never driver-graded (added by the r13 build session,
+        # sweep-attested 322/322 at both SFs); once green,
+        # ever-driver-graded = the full registry ----
+        "q_jsonl_xz_bcj": q_jsonl_xz_bcj,
+        # ---- slots 16-50: backfill (all driver-graded green) ----
         "q_avif_meta": q_avif_meta,
         "q_id3_tags": q_id3_tags,
         "q_wet_extract": q_wet_extract,
@@ -14959,15 +14966,18 @@ def _init_queries() -> None:
         "q_image_neardup": q_image_neardup,
         "q_ivfpq_persist": q_ivfpq_persist,
         "q_stream_ann_ingest": q_stream_ann_ingest,
+        # ---- end of the 50-entry graded window (q_stream_ann_ingest is
+        # slot 50; CORRECTNESS_r13's last graded entry was q_langid_eval,
+        # which q_jsonl_xz_bcj's slot-15 insertion slid to 51 — it was
+        # driver-graded green in r13, so nothing ever-graded is lost).
+        # Remainder in prior registration order; new queries append at
+        # the end and queue for the next rotation. ----
         "q_langid_eval": q_langid_eval,
         "q_kmv_jaccard": q_kmv_jaccard,
         "q_entity_resolution": q_entity_resolution,
         "q_recursive_cte": q_recursive_cte,
         "q_length_batching": q_length_batching,
         "q_bpe_apply_fast": q_bpe_apply_fast,
-        # ---- end of the 50-entry graded window; remainder in prior
-        # registration order (new queries append here and queue for the
-        # next rotation) ----
         # rotated out of the window (driver-graded green r12):
         "q_surt_canonical": q_surt_canonical,
         "q_wat_quarantine": q_wat_quarantine,
@@ -15235,8 +15245,7 @@ def _init_queries() -> None:
         "q_ann_topk": q_ann_topk,
         "q_embed_near_pairs": q_embed_near_pairs,
         "q_fingerprint": q_fingerprint,
-        # ---- round-13 additions (queue for the r14 rotation) ----
-        "q_jsonl_xz_bcj": q_jsonl_xz_bcj,
+        # (q_jsonl_xz_bcj moved into graded-window slot 15 — r14 rotation)
     })
 
 

@@ -572,9 +572,10 @@ def connected_components(
         .repartition(F.col("a"))
         .persist()
     )
-    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+    labels0 = edges.select(F.col("a").alias("id")).distinct().withColumn(
         "lab", F.col("id")
     ).persist()
+    labels = labels0
 
     def _propagate(lab_df: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -614,12 +615,17 @@ def connected_components(
         # exceeds 2*max_iter — use connected_components_star (O(log n)
         # rounds) for high-diameter graphs.
         edges.unpersist()
+        labels0.unpersist()
         raise ValueError(
             f"connected_components: labels still changing after "
             f"{max_iter} rounds (graph diameter > {2 * max_iter}); "
             "use connected_components_star for high-diameter graphs"
         )
     edges.unpersist()
+    # the round-1 label cache is superseded by the checkpointed rounds
+    # (each materialized by its changed-count job) — release it too
+    # (round 14; §5)
+    labels0.unpersist()
     return labels.select("id", F.col("lab").alias("rep"))
 
 
@@ -674,7 +680,14 @@ def simhash64(
     # code — measured 2-3× faster cold (codegen compile) AND warm.  The
     # SQL form is used because the Python shiftright/shiftleft wrappers
     # reject column shift amounts.
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
+    # Scale the heavy fold out first (round 14): a small corpus arrives
+    # as O(1) scan splits and the per-document 60-pass aggregate would
+    # run nearly single-task — the r13 driver-bench regression.  No-op
+    # whenever the scan already has >= cores partitions (any real scale).
+    from h2h_spark.operators import scale_out
+
+    src = scale_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+    toks = src.select(F.col(id_col), tokens(text_col).alias("__toks")).filter(
         F.size("__toks") >= 1
     )
     return toks.selectExpr(
@@ -762,11 +775,17 @@ def simhash_near_duplicates(
         .distinct()
     )
     dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    out = (
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        # materialize (the output is the near-dup pair list — tiny next
+        # to the corpus by construction) so the fingerprint cache can be
+        # released instead of leaking into the session (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    fps.unpersist()
+    return out
 
 
 def connected_components_star(
@@ -806,8 +825,15 @@ def connected_components_star(
         half-round, where the previous groupBy(u)+join-on-u formulation
         paid two of each (round 13, interleaved A/B: q_components_star
         2.89→2.26 s, q_dbscan 6.64→5.57 s medians, output identical).
-        Skew posture is unchanged: a hot u lands on one partition under
-        either formulation (the join keyed on u did too)."""
+        Skew caveat (ADVICE r13): the window adds a per-group sort and
+        loses the groupBy's map-side partial aggregation, so an
+        extreme-degree vertex funnels ALL its edge rows through one
+        task (WindowExec buffers/spills per group) where the aggregate
+        shipped one partial row per map task and AQE could broadcast
+        the mins table.  Benchmarks (incl. cc_skew_bench.py) favor the
+        window at the degree distributions star contraction produces;
+        for adversarial hub graphs the groupBy form is the safer
+        worst-case."""
         return edges.withColumn(
             "m",
             F.least(F.min("v").over(PsWindow.partitionBy("u")), F.col("u")),

@@ -83,30 +83,36 @@ def read_log(spark: SparkSession, table_dir: str) -> DataFrame:
     # in-row assertion instead of a dedicated probe job per read_log
     # call (round 13: snapshot accounting reads the log ~6x per query,
     # and the probe job was most of each read's cost).  Still loud —
-    # any action that touches op or path (every snapshot consumer does)
-    # raises with the same message; the check now covers every row read
-    # rather than stopping at the first bad line.
+    # EVERY projected column carries the assertion (round 14: a
+    # size-only or stats-only consumer must raise too, not silently
+    # skip validation because it never evaluated op/path), so any
+    # action over any subset of read_log's columns raises with the same
+    # message, covering every row read rather than stopping at the
+    # first bad line.  (`version` alone is un-guarded by construction:
+    # it comes from the file name, not the action line, so a
+    # version-only projection carries no per-row claim to validate.)
     valid = F.col("a").isNotNull() & (
         F.col("a.add").isNotNull() | F.col("a.remove").isNotNull()
     )
     chk = F.assert_true(
         valid, F.lit(f"{table_dir}: malformed action line in the log")
     )
+
+    def _guard(col):
+        return F.when(chk.isNull(), col)
+
     return parsed.select(
         "version",
-        F.when(
-            chk.isNull(),
+        _guard(
             F.when(F.col("a.add").isNotNull(), F.lit("add")).otherwise(
                 F.lit("remove")
-            ),
+            )
         ).alias("op"),
-        F.when(chk.isNull(), F.coalesce("a.add.path", "a.remove.path")).alias(
-            "path"
-        ),
-        F.col("a.add.size").alias("size"),
-        F.col("a.add.numRecords").alias("num_records"),
-        F.col("a.add.minKey").alias("min_key"),
-        F.col("a.add.maxKey").alias("max_key"),
+        _guard(F.coalesce("a.add.path", "a.remove.path")).alias("path"),
+        _guard(F.col("a.add.size")).alias("size"),
+        _guard(F.col("a.add.numRecords")).alias("num_records"),
+        _guard(F.col("a.add.minKey")).alias("min_key"),
+        _guard(F.col("a.add.maxKey")).alias("max_key"),
     )
 
 

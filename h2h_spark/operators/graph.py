@@ -224,6 +224,11 @@ def bfs_distances(
             break
         settled = settled.unionByName(nxt)
         frontier = nxt
+    # every settled leaf is a materialized checkpoint (the per-round
+    # count computes all partitions), so the edge cache is no longer
+    # referenced — release it instead of leaking an |E|-sized cache
+    # into the session (round 14; §5)
+    e.unpersist()
     return settled.select(F.col("id").alias(node), "dist")
 
 
@@ -305,6 +310,11 @@ def label_propagation(
             )
             .select("node", F.col("b.l").alias("label"))
         )
+    # materialize before releasing the edge cache (pagerank's cleanup
+    # discipline, round 14): the consumer reads the checkpointed result
+    # and the |2E|-row sym cache does not outlive the operator (§5)
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
     return labels
 
 
@@ -352,6 +362,7 @@ def label_propagation_semisync(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    cached: list[DataFrame] = []  # superseded substep caches (round 14)
     for r in range(rounds):
         for s in range(substeps):
             cnt = (
@@ -388,10 +399,19 @@ def label_propagation_semisync(
                 .unionByName(upd)
                 .persist()
             )
+            cached.append(labels)
         # lazy: lineage still truncates per round, but materialization
         # rides the consumer's first action instead of a per-round job
         # (round 13 — the schedule is bounded, so analyzer depth is too)
         labels = labels.localCheckpoint(eager=False)
+    # one materialization job at the end (not per round — the lazy
+    # checkpoints above still ride it), then release every superseded
+    # substep cache and the sym cache: rounds×substeps |V|-row persists
+    # must not stay pinned for the session lifetime (ADVICE r13; §5)
+    labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    for h in cached:
+        h.unpersist()
     return labels
 
 
@@ -466,6 +486,10 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
         if improved.count() == 0:
+            # the count just scanned settled completely (cand⋈old), so
+            # its checkpoint is materialized — the edge cache can go
+            # (round 14; §5)
+            e.unpersist()
             return settled.select(F.col("id").alias(node), "dist")
         settled = (
             settled.join(improved.select("id"), "id", "left_anti")
@@ -473,6 +497,7 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
         frontier = improved
+    e.unpersist()
     raise RuntimeError(
         f"sssp_bounded: no fixpoint after {max_iter} rounds — "
         "non-positive edge weights or max_iter too small for the radius"
@@ -581,4 +606,8 @@ def feature_propagation(
             # consumer's action, not one job per round
             .localCheckpoint(eager=False)
         )
+    # materialize (one job, riding through the lazy round checkpoints)
+    # so the und cache can be released instead of leaking (round 14; §5)
+    cur = cur.localCheckpoint(eager=True)
+    und.unpersist()
     return cur.select(F.col("n").alias(node), F.col("f").alias(feat))

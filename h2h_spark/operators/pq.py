@@ -225,6 +225,25 @@ def _l2_sql(a_sql: str, lit_vec) -> str:
     )
 
 
+#: Size guard for the literal-SQL in-row paths (round 14, VERDICT r13):
+#: one double literal is ~25 chars of SQL text, so 2^18 doubles is ~6 MB
+#: of expression text — past that, parse time and Catalyst tree size stop
+#: being "free" and the one-parse trick inverts.  The fixture codebooks
+#: are k=16-256 × dim<=64 (kilobytes); a k=65536 codebook would blow the
+#: cap and silently degrade, so oversize codebooks fall back to the
+#: broadcast-join formulation, which computes bit-identical values (same
+#: ``_l2_sq`` fold, same lowest-code min-struct tie rule — the round-13
+#: equivalence proof ran both shapes against the oracle).
+_INROW_MAX_LITERALS = 1 << 18
+
+
+def _inrow_literal_count(books, cents=None) -> int:
+    n = sum(len(v) for v in books.values())
+    if cents is not None:
+        n += sum(len(cv) for _, cv in cents)
+    return n
+
+
 def _best_sql(sv_sql: str, books, ks, j: int) -> str:
     """``named_struct('d', dist, 'c', code)`` argmin over codebook ``j``
     — min-struct compares (d, c), so ties resolve to the lowest code,
@@ -265,6 +284,16 @@ def pq_assign_inrow(
     sd = dim // m
     if sd * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if _inrow_literal_count(books) > _INROW_MAX_LITERALS:
+        # codebook too big to inline as SQL text: broadcast-join E-step
+        # (the pre-r13 shape; bit-identical values, see _INROW_MAX_LITERALS)
+        sub = _subvectors(df, id_col, vec_col, m, dim)
+        out = _assign(sub, _codebook_df(df.sparkSession, books))
+        if with_sv:
+            out = out.join(sub, ["id", "j"])
+        return out.select(
+            "id", "j", "code", "dist_sq", *(["sv"] if with_sv else [])
+        )
     ks = sorted({c for (_, c) in books})
     v = f"`{vec_col}`"
     entries = []
@@ -312,6 +341,39 @@ def pq_reconstruct_inrow(
     sd = dim // m
     if sd * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if _inrow_literal_count(books) > _INROW_MAX_LITERALS:
+        # oversize codebook: assign via broadcast join, look centroids
+        # back up in the codebook table, regroup per id in subspace
+        # order (the pre-r13 shape; identical bytes — same codes, same
+        # centroid lists)
+        spark = df.sparkSession
+        asg = _assign(
+            _subvectors(df, id_col, vec_col, m, dim),
+            _codebook_df(spark, books),
+        ).alias("a")
+        cb = F.broadcast(_codebook_df(spark, books)).alias("b")
+        xh = (
+            asg.join(
+                cb,
+                (F.col("a.j") == F.col("b.j"))
+                & (F.col("a.code") == F.col("b.c")),
+            )
+            .select(F.col("a.id").alias("id"), F.col("a.j").alias("j"),
+                    F.col("b.cvec").alias("cvec"))
+            .groupBy("id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "cvec"))),
+                        lambda s: s["cvec"],
+                    )
+                ).alias("xhat")
+            )
+        )
+        base = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep])
+        return base.join(xh, "id").select(
+            "id", "xhat", *[F.col(c) for c in keep]
+        )
     ks = sorted({c for (_, c) in books})
     v = f"`{vec_col}`"
     parts = []
@@ -365,6 +427,25 @@ def pq_encode_assign_inrow(
     sd = dim // m
     if sd * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if _inrow_literal_count(books, cents) > _INROW_MAX_LITERALS:
+        # oversize sidecars: the generic broadcast-join shapes (pre-r13;
+        # bit-identical codes and cells, see _INROW_MAX_LITERALS)
+        from .cluster import centroid_assign
+
+        spark = df.sparkSession
+        cdf = spark.createDataFrame(
+            [(int(cell), [float(x) for x in cvec]) for cell, cvec in cents],
+            "l int, cvec array<double>",
+        )
+        cells = centroid_assign(df, id_col, vec_col, cdf, "l", "cvec").select(
+            F.col(id_col).alias("id"),
+            F.col("assigned").cast("int").alias("cell"),
+        )
+        codes = _assign(
+            _subvectors(df, id_col, vec_col, m, dim),
+            _codebook_df(spark, books),
+        ).select("id", "j", "code")
+        return codes.join(cells, "id").select("id", "j", "code", "cell")
     ks = sorted({c for (_, c) in books})
     v = f"`{vec_col}`"
     cell_sql = (

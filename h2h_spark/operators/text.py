@@ -1118,8 +1118,16 @@ def winnow_fingerprints(
     rightmost-on-ties, consecutive-duplicate windows collapsed
     (in-row ``array_distinct`` — cross-row duplicates are impossible,
     the id differs).  Verified bit-identical (two-sided exceptAll = 0)
-    against the window formulation at sf0.1."""
-    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    against the window formulation at sf0.1.
+
+    Round 14: the input is scale_out-rescaled first — a small corpus is
+    O(1) scan splits and the per-document md5+window fold would run
+    nearly single-task (the r13 q_winnow_pairs bench regression);
+    a no-op whenever the scan already has >= cores partitions."""
+    from h2h_spark.operators import scale_out
+
+    src = scale_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+    base = src.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
     base = base.filter(F.size("__t") >= k + window - 1)
     n = F.size("__t")
     ghs = F.transform(

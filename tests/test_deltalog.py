@@ -73,6 +73,13 @@ def test_loud_failures(spark, tmp_path):
         f.write('{"neither": {}}\n')
     with pytest.raises(Exception, match="malformed"):
         read_log(spark, tbl).collect()
+    # round 14: EVERY projected column carries the assertion — a
+    # consumer that reads only size/stats (never op or path) must still
+    # raise instead of silently folding over the bad line
+    with pytest.raises(Exception, match="malformed"):
+        read_log(spark, tbl).select("size").collect()
+    with pytest.raises(Exception, match="malformed"):
+        read_log(spark, tbl).select("num_records", "min_key").collect()
     os.unlink(os.path.join(tbl, "_log", "0000000002.json"))
     # add/remove in one action is rejected at write time
     with pytest.raises(ValueError, match="exactly one"):
