@@ -111,6 +111,22 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _doc_ids_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_id`` column of documents, rescaled to the session's cores
+    (round 14).  The callers feed per-row Python synth+parse work
+    (mapInPandas); a small corpus arrives as ONE scan split, so without
+    the rescale all of that Python ran on a single task while the rest
+    of the box idled.  ``scale_out`` is a no-op whenever the scan
+    already carries >= defaultParallelism partitions (any real scale) —
+    data-adaptive, not core-count-tuned."""
+    from h2h_spark.operators import scale_out
+
+    return scale_out(
+        spark.read.parquet(_t(sf_dir, "documents")).select("doc_id"),
+        "doc_id",
+    )
+
+
 def _work(query: str, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = os.path.join(WORK_ROOT, f"{query}_{tag}")
@@ -3668,7 +3684,7 @@ def q_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode; Arrow-batched; oracle closed-form."""
     from h2h_spark.operators.multimodal import exif_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -3725,7 +3741,7 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form."""
     from h2h_spark.operators.multimodal import mp3_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -3822,7 +3838,7 @@ def q_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     read; integer-exact duration.  Arrow-batched; oracle closed-form."""
     from h2h_spark.operators.multimodal import flac_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -3876,7 +3892,7 @@ def q_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes chosen so lacing arithmetic is exact in SQL)."""
     from h2h_spark.operators.multimodal import ogg_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -3989,7 +4005,7 @@ def q_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form."""
     from h2h_spark.operators.multimodal import tiff_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -4034,7 +4050,7 @@ def q_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture flavors rotate by id.  Oracle closed-form."""
     from h2h_spark.operators.multimodal import webp_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -4083,7 +4099,7 @@ def q_adts_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency table."""
     from h2h_spark.operators.multimodal import adts_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -4239,7 +4255,7 @@ def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form."""
     from h2h_spark.operators.office import pdf_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -4285,7 +4301,7 @@ def q_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle closed-form on the same seed arithmetic."""
     from h2h_spark.operators.office import pdf_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -6183,7 +6199,7 @@ def q_avif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     image format next to WebP.  Oracle closed-form."""
     from h2h_spark.operators.multimodal import avif_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -6230,7 +6246,7 @@ def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio walk begins.  Oracle closed-form."""
     from h2h_spark.operators.multimodal import id3_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd
@@ -7004,7 +7020,7 @@ def q_webm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio-only / muxed).  Oracle closed-form."""
     from h2h_spark.operators.multimodal import webm_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _doc_ids_scaled(spark, sf_dir)
 
     def _synth(batches):
         import pandas as pd

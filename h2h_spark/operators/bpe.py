@@ -276,7 +276,14 @@ def bpe_apply(df: DataFrame, text_col: str, rules: list[tuple[str, str]]) -> Dat
     single-element ``transform`` lambda): referenced directly inside the
     per-occurrence ``aggregate`` lambda, Catalyst re-inlines — and
     re-evaluates — the whole fold chain per occurrence, which measured
-    16× SLOWER than the per-occurrence fold it was meant to replace."""
+    16× SLOWER than the per-occurrence fold it was meant to replace.
+
+    Round 14: the input is scale_out-rescaled first (keyed by the text
+    hash) — the fold chain is heavy per-row compute and a small corpus
+    arrives as one scan split; no-op at >= cores input partitions."""
+    from h2h_spark.operators import scale_out
+
+    df = scale_out(df, text_col)
     out = df.withColumn(
         "__words", tokens(text_col)
     ).withColumn(
@@ -354,7 +361,11 @@ def bpe_apply_ranked(
         cache[word] = len(syms)
         return len(syms)
 
-    tokenized = df.withColumn("__words", tokens(text_col))
+    # round 14: rescale before the per-row Python merge loop (same
+    # single-scan-split starvation rescue as bpe_apply; no-op at scale)
+    from h2h_spark.operators import scale_out
+
+    tokenized = scale_out(df, text_col).withColumn("__words", tokens(text_col))
 
     def _run(batches):
         rk = b_ranks.value

@@ -82,11 +82,30 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4, persist: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    persist: bool = False,
+    scale: bool = True,
 ) -> DataFrame:
     """``(id, sh array<string>)``.  ``persist=True`` for multi-consumer
-    pipelines (candidates + verification) — one tokenizer pass total."""
-    out = df.select(
+    pipelines (candidates + verification) — one tokenizer pass total.
+
+    Round 14: the input is scale_out-rescaled first — the tokenizer,
+    the shingle transform AND every downstream per-row aggregate over
+    ``sh`` (the in-array MinHash permutations, Jaccard verifies)
+    inherit this partitioning, and a small corpus is one scan split.
+    No-op at >= cores input partitions.  ``scale=False`` opts out for
+    consumers whose pipeline immediately reshuffles (explode → join →
+    groupBy) and saw no win in the interleaved A/B
+    (:func:`prefix_filter_pairs`)."""
+    from h2h_spark.operators import scale_out
+
+    src = df.select(F.col(id_col), F.col(text_col))
+    if scale:
+        src = scale_out(src, id_col)
+    out = src.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
     ).select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
     return out.persist() if persist else out
@@ -355,7 +374,11 @@ def jaccard_pairs(
     sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
     exploded = sets.select("id", F.explode("sh").alias("shingle"))
     cand = _bucket_candidates(exploded, ["shingle"], "id", max_doc_freq)
-    return _verify_jaccard(cand, sets, threshold)
+    # materialize the (tiny) verified pair list, then release the
+    # shingle cache instead of leaking it into the session (round 14; §5)
+    out = _verify_jaccard(cand, sets, threshold).localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 def prefix_filter_pairs(
@@ -389,7 +412,13 @@ def prefix_filter_pairs(
     ``threshold`` must be exactly representable in binary (0.5, 0.25,
     0.75…) so ``ceil(t·n)`` is bit-identical in any engine.
     """
-    sets = shingle_sets(df, id_col, text_col, shingle_k, persist=True)
+    # scale=False: this pipeline explodes and reshuffles immediately
+    # (doc-freq groupBy, id-keyed regroup), so the input rescale buys no
+    # parallelism and measured SLOWER end-to-end (r14 interleaved A/B:
+    # 2.49 -> 3.90 s medians with it on)
+    sets = shingle_sets(
+        df, id_col, text_col, shingle_k, persist=True, scale=False
+    )
     ex = sets.select("id", F.explode("sh").alias("shingle"))
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
@@ -409,7 +438,11 @@ def prefix_filter_pairs(
     cand = _bucket_candidates(
         prefix_entries, ["shingle"], "id", max_bucket=1 << 31
     )
-    return _verify_jaccard(cand, sets, threshold)
+    # materialize the (tiny) verified pair list, then release the
+    # shingle cache instead of leaking it into the session (round 14; §5)
+    out = _verify_jaccard(cand, sets, threshold).localCheckpoint(eager=True)
+    sets.unpersist()
+    return out
 
 
 def minhash_index(
@@ -428,6 +461,12 @@ def minhash_index(
     production these are WRITTEN OUT (parquet, partitioned by band/bucket)
     once per corpus version; a daily delta then dedups against them
     without re-shingling the 100 TB corpus (:func:`minhash_dedup_against_index`).
+
+    Cache ownership: the returned ``shingle_sets`` table is persisted —
+    it is one of the two index tables the CALLER consumes (and usually
+    writes out); release it with ``unpersist()`` when done.  The other
+    persists in this module are operator-internal and released before
+    return (round 14).
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")

@@ -404,10 +404,17 @@ def duplicate_spans(
     text itself); the n-gram frequency aggregates map-side; the merge
     is one per-doc window over only the DUPLICATED positions.  Output:
     ``(id, span_idx, start_tok, end_tok)``, 1-based inclusive token
-    positions per maximal span."""
+    positions per maximal span.
+
+    Round 14: the input is scale_out-rescaled first — the gram md5s run
+    inside the explode's source task, and a small corpus is one scan
+    split (no-op at >= cores input partitions)."""
     from pyspark.sql.window import Window
 
-    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    from h2h_spark.operators import scale_out
+
+    src = scale_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+    base = src.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
     base = base.filter(F.size("__t") >= window)
     n = F.size("__t")
     grams = base.select(
