@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 
 def scale_out(
-    df: DataFrame, key: str, *, min_partitions: int | None = None
+    df: DataFrame, key: str | None, *, min_partitions: int | None = None
 ) -> DataFrame:
     """Rescale a SMALL input before heavy per-row compute (round 14).
 
@@ -26,12 +26,15 @@ def scale_out(
     >= defaultParallelism partitions — any at-scale table — this is a
     no-op costing one physical-plan compile; below that it pays one
     narrow hash shuffle of the input rows (deterministic placement, no
-    sort-before-repartition — the round-robin form would pay one) to
-    spread the compute.  Shuffling the small input is cheap by
-    definition (it is small); the guard exists so the at-scale path
-    never shuffles at all.
+    sort-before-repartition — the round-robin form pays one) to spread
+    the compute.  Shuffling the small input is cheap by definition (it
+    is small); the guard exists so the at-scale path never shuffles at
+    all.  ``key=None`` uses round-robin instead — for inputs with no
+    natural unique key, where hashing an arbitrary column could send
+    duplicate values to one task (sort-before-repartition keeps the
+    placement deterministic under retries).
     """
     par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        return df.repartition(par, F.col(key))
+        return df.repartition(par, F.col(key)) if key else df.repartition(par)
     return df

@@ -151,6 +151,14 @@ def tdigest_partial(
     # squash: the vectorized compress makes bigger buffers pure win
     buf_limit = int(50 * compression)
     sel = [*group_cols, value_col] + ([weight_col] if weight_col else [])
+    # NOT scale_out-rescaled (round 14, measured): an isolated
+    # partial+merge probe halved with a round-robin rescale, but the
+    # interleaved end-to-end A/B went the other way
+    # (q_stream_weighted_median 3.65 -> 4.61 s, q_tdigest_weighted
+    # 0.99 -> 1.49 s medians with it on) — the sort-before-repartition
+    # pass over the raw rows plus the extra shuffle stage per fold job
+    # outweigh the parallel pandas fold at any small size, and at scale
+    # the input already has enough partitions.
     in_schema = df.select(*sel).schema
     out_schema = StructType(
         [in_schema[g] for g in group_cols]

@@ -38,17 +38,20 @@ def stream_fold_agg(
     ``state_root``; returns the final state."""
     from h2h_spark.operators.incremental import agg_state, merge_agg_state
 
-    cur = {"path": None, "v": 0}
+    cur = {"path": None, "v": 0, "schema": None}
 
     def fold(batch: DataFrame, _bid: int) -> None:
         part = agg_state(batch, keys, measures)
         if cur["path"] is not None:
-            prev = spark.read.parquet(cur["path"])
+            # pinned state schema: skips a per-batch parquet footer-
+            # inference pass (round 14)
+            prev = spark.read.schema(cur["schema"]).parquet(cur["path"])
             part = merge_agg_state(prev, part, keys)
         cur["v"] += 1
         path = os.path.join(state_root, f"v{cur['v']}")
         part.write.mode("overwrite").parquet(path)
         cur["path"] = path
+        cur["schema"] = part.schema
 
     stream = (
         spark.readStream.schema(schema)
@@ -220,20 +223,23 @@ def stream_tdigest_agg(
         tdigest_partial,
     )
 
-    cur = {"path": None, "v": 0}
+    cur = {"path": None, "v": 0, "schema": None}
 
     def fold(batch: DataFrame, _bid: int) -> None:
         part = tdigest_partial(
             batch, value_col, group_cols, compression, weight_col
         )
         if cur["path"] is not None:
-            prev = spark.read.parquet(cur["path"])
+            # state schema is known after the first fold — pinning it
+            # skips a per-batch parquet footer-inference pass (round 14)
+            prev = spark.read.schema(cur["schema"]).parquet(cur["path"])
             part = prev.unionByName(part)
         merged = tdigest_merge_centroids(part, group_cols, compression)
         cur["v"] += 1
         path = os.path.join(state_root, f"v{cur['v']}")
         merged.write.mode("overwrite").parquet(path)
         cur["path"] = path
+        cur["schema"] = merged.schema
 
     stream = (
         spark.readStream.schema(schema)
