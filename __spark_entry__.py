@@ -111,6 +111,26 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+#: (path -> StructType): inferred ONCE per session per base table.
+#: `spark.read.parquet(p)` re-reads parquet footers on every call (~0.1 s
+#: of driver+task latency even after the bench warmup touched .schema) —
+#: with ~350 base-table reads across the registry that inference was the
+#: single biggest slice of the median tier's plan-construction floor
+#: (round 14; guide §1.2 driver-side cost).  This caches METADATA only —
+#: exactly what a catalog/metastore table provides; every query still
+#: computes its values from the parquet data on every run.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    p = _t(sf_dir, name)
+    s = _SCHEMA_CACHE.get(p)
+    if s is None:
+        s = spark.read.parquet(p).schema
+        _SCHEMA_CACHE[p] = s
+    return spark.read.schema(s).parquet(p)
+
+
 def _doc_ids_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_id`` column of documents, rescaled to the session's cores
     (round 14).  The callers feed per-row Python synth+parse work
@@ -122,7 +142,7 @@ def _doc_ids_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.operators import scale_out
 
     return scale_out(
-        spark.read.parquet(_t(sf_dir, "documents")).select("doc_id"),
+        _read_table(spark, sf_dir, "documents").select("doc_id"),
         "doc_id",
     )
 
@@ -227,7 +247,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -268,7 +288,7 @@ GROUP BY l_returnflag, l_linestatus
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3+O5+O8: customer → ECL CSV (sep '|', quote ') → engine read."""
     w = _work("q_csv_roundtrip", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     write_csv(cust, f"{w}/customer_csv", sep="|", quote="'")
     return read_csv(spark, f"{w}/customer_csv", CUSTOMER_LAYOUT, sep="|", quote="'")
 
@@ -283,7 +303,7 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.sources.avro import read_avro, write_avro
 
     w = _work("q_avro_roundtrip", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     write_avro(cust, f"{w}/customer_avro", codec="deflate", rows_per_block=64)
     back = read_avro(spark, f"{w}/customer_avro", max_partition_bytes=8 * 1024)
     return back.withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
@@ -293,7 +313,7 @@ def q_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2+O5: customer → fixed-width FLAT (64 B records) → engine read
     with forced small splits (boundary-aligned split planning)."""
     w = _work("q_flat_roundtrip", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     write_flat(cust, f"{w}/customer_flat", CUSTOMER_LAYOUT)
     return read_flat(
         spark, f"{w}/customer_flat", CUSTOMER_LAYOUT, max_partition_bytes=256 * 1024
@@ -304,7 +324,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4+O9: supplier → row-tag XML single file → partitioned scan with
     8 KiB splits (records straddling every split edge)."""
     w = _work("q_xml_roundtrip", sf_dir)
-    sup = spark.read.parquet(_t(sf_dir, "supplier"))
+    sup = _read_table(spark, sf_dir, "supplier")
     target = f"{w}/supplier.xml"
     write_single_file(
         sup, target, lambda d, p: write_xml(d, p, row_path="Dataset/Row")
@@ -327,7 +347,7 @@ def q_csv_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     input splits so records straddle split boundaries; aggregate must
     still be exact."""
     w = _work("q_csv_boundary", sf_dir)
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
     write_csv(li, f"{w}/li_csv", sep=",", terminator="~~", quote="'")
@@ -369,7 +389,7 @@ def q_flat_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_returnflag", String(1)),
         ]
     )
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(*lay.names())
+    li = _read_table(spark, sf_dir, "lineitem").select(*lay.names())
     write_flat(li, f"{w}/li_flat", lay)
     back = read_flat(spark, f"{w}/li_flat", lay)
     return (
@@ -392,7 +412,7 @@ FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source matrix: JSON-lines write→schema-bound read (no inference)."""
     w = _work("q_json_roundtrip", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     cust.write.mode("overwrite").json(f"{w}/cust_json")
     return spark.read.schema(cust.schema).json(f"{w}/cust_json")
 
@@ -400,7 +420,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source matrix: ORC columnar write→read."""
     w = _work("q_orc_roundtrip", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     cust.write.mode("overwrite").orc(f"{w}/cust_orc")
     return spark.read.orc(f"{w}/cust_orc")
 
@@ -409,7 +429,7 @@ def q_merge_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6+O7: partitioned CSV write → merge (part-index order) → re-read
     the single file → aggregate."""
     w = _work("q_merge_single", sf_dir)
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
     write_csv(li, f"{w}/li_parts", sep=",", quote="'")
@@ -433,7 +453,7 @@ FROM lineitem GROUP BY l_returnflag
 def q_part_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10: the getRecordCount balancing rule (libhdfsconnector.cpp:76-96)
     — 8 parts over customer, remainder spread to low part ids."""
-    total = spark.read.parquet(_t(sf_dir, "customer")).count()
+    total = _read_table(spark, sf_dir, "customer").count()
     rows = [(int(i), int(n)) for i, n in part_layout(total, 8)]
     return spark.createDataFrame(rows, "part_id int, n_rows bigint")
 
@@ -449,7 +469,7 @@ def q_meta_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11: HdfsFileStatus surface — merged FLAT file length must equal
     rows × record_length."""
     w = _work("q_meta_status", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     write_flat(cust, f"{w}/cust_flat", CUSTOMER_LAYOUT)
     merge_parts(f"{w}/cust_flat", f"{w}/cust_merged.flat")
     st = file_status(spark, f"{w}/cust_merged.flat")
@@ -470,10 +490,10 @@ _SQL_META_STATUS = (
 
 def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation: 3-way join + broadcast dim + decimal-exact agg."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = _read_table(spark, sf_dir, "customer")
+    orders = _read_table(spark, sf_dir, "orders")
+    li = _read_table(spark, sf_dir, "lineitem")
+    nation = _read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -505,13 +525,13 @@ GROUP BY n_name
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, date filters on both sides, revenue
     ranking with deterministic top-10."""
-    cust = spark.read.parquet(_t(sf_dir, "customer")).filter(
+    cust = _read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+    orders = _read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+    li = _read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-01-01").cast("timestamp")
     )
     return (
@@ -545,8 +565,8 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
     semi-join back to the fact tables."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
@@ -573,7 +593,7 @@ WHERE o_orderkey IN (
 
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -590,7 +610,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -611,7 +631,7 @@ WHERE rn <= 2
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"), _dsum(F.col("l_quantity"), 2).alias("sum_qty")
     )
@@ -625,8 +645,8 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = _read_table(spark, sf_dir, "customer")
+    orders = _read_table(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -665,7 +685,7 @@ def _norm_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table with `ts` normalized to TIMESTAMP."""
-    return _norm_ts(spark.read.parquet(_t(sf_dir, "events")))
+    return _norm_ts(_read_table(spark, sf_dir, "events"))
 
 
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -678,11 +698,11 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     t_orders, t_li = f"borders_{tag}", f"bli_{tag}"
     if not spark.catalog.tableExists(t_orders):
         write_bucketed(
-            spark.read.parquet(_t(sf_dir, "orders")), t_orders, "o_orderkey", 8
+            _read_table(spark, sf_dir, "orders"), t_orders, "o_orderkey", 8
         )
     if not spark.catalog.tableExists(t_li):
         write_bucketed(
-            spark.read.parquet(_t(sf_dir, "lineitem")).withColumnRenamed(
+            _read_table(spark, sf_dir, "lineitem").withColumnRenamed(
                 "l_orderkey", "o_orderkey"
             ),
             t_li,
@@ -697,7 +717,7 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     table — a stored artifact like the bucketed tables."""
     path = os.path.join(_work("ann_index", sf_dir), "emb_by_bucket")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        emb = _read_table(spark, sf_dir, "embeddings")
         S.ann_index_write(emb, path, "vec_id", "embedding", dim=64, nbits=8)
     return path
 
@@ -773,7 +793,7 @@ GROUP BY 1, 2
 
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
@@ -789,8 +809,8 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS via left-semi: customers having at least one high-value order."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+    cust = _read_table(spark, sf_dir, "customer")
+    orders = _read_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 200000
     )
     return (
@@ -810,10 +830,10 @@ GROUP BY c_mktsegment
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT: nations having customers but no suppliers."""
-    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+    cust = _read_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    sup = spark.read.parquet(_t(sf_dir, "supplier")).select(
+    sup = _read_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.exceptAll(sup).distinct().unionByName(
@@ -837,7 +857,7 @@ UNION ALL
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function surface: regexp extraction, substring, case,
     length, concat — over part names/types."""
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    part = _read_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
         F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
@@ -859,7 +879,7 @@ FROM part
 
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal extraction + aggregate: orders per (year, quarter)."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     return (
         orders.select(
             F.year("o_orderdate").cast("int").alias("y"),
@@ -908,7 +928,7 @@ FROM events GROUP BY 1, 2
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same windowed count, but executed by the Structured Streaming engine
     (file stream → complete-mode memory sink)."""
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     # The streaming file source wants a directory; expose the single
     # events.parquet through a work-dir symlink.
     stream_dir = _work("q_stream_window", sf_dir)
@@ -935,7 +955,7 @@ FROM events GROUP BY 1, 2
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
@@ -957,7 +977,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_rows"),
         _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
@@ -974,7 +994,7 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -1005,7 +1025,7 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak by key)."""
     from pyspark.sql.window import Window
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
@@ -1033,7 +1053,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
@@ -1080,7 +1100,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks — union-sort-window construction):
     each event gets the user's most recent order date at event time."""
     ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+    orders = _read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate"
     )
     joined = AS.asof_join(
@@ -1109,7 +1129,7 @@ ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 
 def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-NN of the first 50 vectors against the whole corpus."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 50)
     return S.knn_join(probes, emb, "vec_id", "embedding", k=3, round_digits=3)
 
@@ -1133,7 +1153,7 @@ def q_csv_embedded_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminator survive a write→read round trip (multiLine mode — note the
     documented scale cliff: one task per file)."""
     w = _work("q_csv_embedded_newlines", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer")).withColumn(
+    cust = _read_table(spark, sf_dir, "customer").withColumn(
         "c_name", F.regexp_replace("c_name", "#", "#\n")
     )
     write_csv(cust, f"{w}/cust_ml", sep=",", quote="'")
@@ -1163,7 +1183,7 @@ def q_csv_quoted_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.sources.csv_split import read_csv_quoted_splits
 
     w = _work("q_csv_quoted_splits", sf_dir)
-    cust = spark.read.parquet(_t(sf_dir, "customer")).withColumn(
+    cust = _read_table(spark, sf_dir, "customer").withColumn(
         "c_name", F.regexp_replace("c_name", "#", "#\n")
     )
     write_csv(cust, f"{w}/cust_q", sep=",", quote="'")
@@ -1181,7 +1201,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-key
     running totals.  A bounded input drains in one batch, so the final
     state equals the batch aggregate — oracle-checkable."""
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_stateful", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -1223,7 +1243,7 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         n_batches = 2
-        ev = _norm_ts(spark.read.parquet(_t(sf_dir, "events")))
+        ev = _norm_ts(_read_table(spark, sf_dir, "events"))
         wk = W.partitionBy("user_id").orderBy("ts", "event_id")
         seqd = ev.select(
             "user_id",
@@ -1287,7 +1307,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 digits under the ppl-query float contract."""
     from h2h_spark.operators.quality import psi_drift
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _read_table(spark, sf_dir, "events")
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
     return psi_drift(ref, cur, "value", n_bins=10, width=50.0)
@@ -1320,7 +1340,7 @@ def q_psi_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed 6-digit contract as q_psi_drift, one row per feature-bin."""
     from h2h_spark.operators.quality import psi_drift_multi
 
-    o = spark.read.parquet(_t(sf_dir, "orders"))
+    o = _read_table(spark, sf_dir, "orders")
     ref = o.filter(F.col("o_orderkey") % 2 == 0)
     cur = o.filter(F.col("o_orderkey") % 2 == 1)
     return psi_drift_multi(
@@ -1367,7 +1387,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count itself proves the dedup: no .distinct() is applied on top)."""
     from h2h_spark.streaming.dedup import dedup_stream
 
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_dedup", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -1392,7 +1412,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     as one batch, so the result equals the batch join oracle."""
     from h2h_spark.streaming.joins import windowed_stream_join
 
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_join", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -1461,7 +1481,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as decimal(12,2) and aggregate exactly, so the oracle grades
     against a pure relational recompute — any parse/encode/cast drift
     mismatches."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     js = F.to_json(
         F.struct(
             F.col("o_orderstatus").alias("status"),
@@ -1501,7 +1521,7 @@ FROM orders GROUP BY 1, 2
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.quality_score(docs, "doc_id", "text")
 
 
@@ -1533,7 +1553,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling.  Oracle-checked: the synthetic corpus is ASCII, so the
     DuckDB twin re-derives every frame md5 with substring arithmetic
     (char slicing == byte slicing)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     binary = MM.with_binary_payload(docs, "doc_id", "text")
     return MM.frame_sample(binary, "doc_id", frame_bytes=64, stride=2)
 
@@ -1551,7 +1571,7 @@ FROM i
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return D.exact_dedup(docs, ["text"], "doc_id").select(
         F.col("doc_id").alias("rep_id"), F.col("n_copies")
     )
@@ -1563,7 +1583,7 @@ SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(
         docs, "doc_id", "text", shingle_k=4, threshold=0.5, max_doc_freq=20
     )
@@ -1602,7 +1622,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64 universal-hash permutations, 16-band banding, bucket caps, and
     exact-Jaccard verification — bit-for-bit in DuckDB SQL.  Exact-oracle
     coverage of the full LSH algorithm, not a rows-only smoke check."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return D.minhash_near_duplicates(
         docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5,
         base_hash="md5",
@@ -1691,7 +1711,7 @@ def _jaccard_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("jaccard_pairs", sf_dir)
     p = f"{w}/pairs_{_src_sig(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _read_table(spark, sf_dir, "documents")
         D.jaccard_pairs(
             docs, "doc_id", "text", shingle_k=4, threshold=0.5, max_doc_freq=20
         ).write.mode("overwrite").parquet(p)
@@ -1709,7 +1729,7 @@ def _kmv_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("kmv_sketches", sf_dir)
     p = f"{w}/sk_{_src_sig(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _read_table(spark, sf_dir, "documents")
         kmv_doc_sketches(
             docs, "doc_id", "text", k=128, shingle_k=4
         ).write.mode("overwrite").parquet(p)
@@ -1726,7 +1746,7 @@ def _kmv_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("kmv_pairs", sf_dir)
     p = f"{w}/pairs_{_src_sig(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _read_table(spark, sf_dir, "documents")
         kmv_jaccard_pairs(
             docs, "doc_id", "text", k=128, threshold=0.4, shingle_k=4,
             max_hash_freq=64,
@@ -1738,7 +1758,7 @@ def _minhash_index_tables(spark: SparkSession, sf_dir: str):
     """The STORED corpus dedup index: band entries + shingle sets written
     to parquet once (the production artifact incremental dedup reads),
     then scanned per ingest — never re-derived from the corpus text."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     # delta = the last 20% of ids; the oracle twin derives the same
     # boundary from COUNT(*) so the contract holds at every sf
     boundary = int(docs.count() * 0.8)
@@ -1760,7 +1780,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index parquet builds once (guarded), exactly like a production
     pipeline's stored artifact.  Oracle: the identical full-pipeline SQL
     restricted to delta-touching pairs."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     entries, sets, boundary = _minhash_index_tables(spark, sf_dir)
     delta = docs.filter(F.col("doc_id") >= boundary)
     return D.minhash_dedup_against_index(
@@ -1784,7 +1804,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _g
     import shutil
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     _, _, boundary = _minhash_index_tables(spark, sf_dir)
     work = _work("q_stream_dedup_index", sf_dir)
     sig = _src_sig(sf_dir, "documents")
@@ -1877,7 +1897,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks): the oracle twin re-derives per-token hashes, the 60 bit-sums,
     the chunk banding with the hub guard, and the Hamming verification in
     DuckDB SQL — exact-oracle coverage of the full algorithm."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     out = D.simhash_near_duplicates(
         docs, "doc_id", "text", max_hamming=3, chunks=6, base_hash="md5"
     )
@@ -1930,7 +1950,7 @@ WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
 
 
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     query = (
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     )
@@ -1995,7 +2015,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 probes vs the exact k-NN twin, per-probe recall floor asserted by
     the oracle (the strongest SQL-expressible claim for a probabilistic
     index on this corpus — see _ANN_RECALL_FLOOR note)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _N_RECALL_PROBES)
     approx = S.ann_knn_join(
         probes, emb, "vec_id", "embedding", k=10, nbits=8, n_buckets=64,
@@ -2017,7 +2037,7 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall as q_ann_topk, but the corpus side is a pruned partition
     read — unprobed bucket directories are skipped at the source (DPP
     through the broadcast bucket join; pruning asserted in tests)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     path = _ensure_ann_index(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < _N_RECALL_PROBES)
     approx = S.ann_knn_join_indexed(
@@ -2034,7 +2054,7 @@ _SQL_ANN_INDEXED = _SQL_ANN_TOPK
 def q_embed_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, SQL-expressible baseline;
     the scale path swaps the cross join for LSH blocking)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     return S.cosine_near_pairs(
         emb, "vec_id", "embedding", threshold=0.4, probe_max_id=300
     )
@@ -2057,7 +2077,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales — so the LSH path must reproduce the exact pair set.  At real
     dedup thresholds (cos >= 0.9) the same operator prunes far harder with
     wider bands (see operator docstring)."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     return S.embedding_near_duplicates(
         emb, "vec_id", "embedding", threshold=0.4, nbits=3, bands=16,
         probe_max_id=300, round_digits=3,
@@ -2074,7 +2094,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> "S.IVFIndex":
     key = (id(spark.sparkContext), sf_dir)
     idx = _IVF_INDEX_CACHE.get(key)
     if idx is None:
-        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        emb = _read_table(spark, sf_dir, "embeddings")
         idx = S.ivf_build(emb, "vec_id", "embedding", n_centroids=16)
         _IVF_INDEX_CACHE[key] = idx
     elif not idx.assigned.storageLevel.useMemory:
@@ -2087,7 +2107,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index (built once, cached), 6-probe cells, batch top-10 for 20 probes
     vs the exact k-NN twin, per-probe recall floor asserted by the
     oracle."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _N_RECALL_PROBES)
     idx = _ivf_index(spark, sf_dir)
     approx = S.ivf_knn_join(probes, idx, k=10, n_probe=6, round_digits=3)
@@ -2131,7 +2151,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → drop non-canonical group members.  The capstone query the
     pair finders feed, reading the STORED pair artifact (one pair-base
     computation serves the whole family)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     pairs = _jaccard_pairs_table(spark, sf_dir)
     return D.dedup_corpus(docs, "doc_id", pairs).select("doc_id")
 
@@ -2162,7 +2182,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive closure, and the md5 bucket arithmetic exactly."""
     from h2h_spark.operators.sampling import cluster_safe_split
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     pairs = _jaccard_pairs_table(spark, sf_dir)
     return cluster_safe_split(
         docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -2196,7 +2216,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stable under repartition and appends, unlike randomSplit)."""
     from h2h_spark.operators.sampling import hash_split
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
         "doc_id", "split"
     )
@@ -2219,7 +2239,7 @@ def q_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     not head-of-file bias."""
     from h2h_spark.operators.sampling import group_cap_sample
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return group_cap_sample(docs, ["lang", "source"], "doc_id", cap=30).select(
         "doc_id", "lang", "source"
     )
@@ -2241,7 +2261,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace/alnum tokens and the BPE-ish
     pretokenizer regex (a deterministic proxy for BPE token cost,
     computable at scan speed on both engines)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.token_count("text").cast("bigint").alias("n_ws_tokens"),
@@ -2265,7 +2285,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs it."""
     from h2h_spark.operators.packing import pack_sequences
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
     )
@@ -2293,12 +2313,12 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     →lineitem) with same-nation customer-supplier restriction, decimal-
     exact revenue per nation.  Catalyst owns the join order; the dims
     broadcast."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
-    region = spark.read.parquet(_t(sf_dir, "region"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    cust = _read_table(spark, sf_dir, "customer")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
+    region = _read_table(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -2342,7 +2362,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (emails/IPv4/phones → placeholder tokens) with
     per-kind counts; the oracle applies the identical RE2-safe patterns in
     the identical order and compares the scrubbed text md5."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     out = TX.scrub_pii(docs, "doc_id", "text")
     return out.select(
         "doc_id", "n_email", "n_ipv4", "n_phone",
@@ -2374,7 +2394,7 @@ def _pii_oracle_sql() -> str:
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-n-gram ratio — the boilerplate/degenerate-text quality
     signal (1 - distinct/total word trigrams)."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.repetition_score(docs, "doc_id", "text", k=3)
 
 
@@ -2400,7 +2420,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with id >= 20 sharing any distinct
     8-gram with the 'eval set' (docs 0-19).  The eval shingle set
     broadcasts — the corpus scan shuffles only matches."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") < 20)
     train = docs.filter(F.col("doc_id") >= 20)
     return TX.decontaminate(train, eval_set, "doc_id", "text", ngram=8)
@@ -2429,7 +2449,7 @@ HAVING COUNT(DISTINCT tr.shingle) >= 1
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.token_stats(docs, "doc_id", "text")
 
 
@@ -2449,12 +2469,12 @@ FROM t
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.lang_id(docs, "doc_id", "text")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.fingerprint(docs, "doc_id", "text")
 
 
@@ -2468,7 +2488,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column → Arrow-batched decode stage (mapInPandas);
     deterministic features (n_bytes, md5) oracle-checked, stub decode
     fields dropped for the compare."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     binary = MM.with_binary_payload(docs, "doc_id", "text")
     feats = MM.decode_features(binary, "doc_id")
     return feats.select("doc_id", "n_bytes", "payload_md5")
@@ -2489,7 +2509,7 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs must always be digested before grading (q_multimodal_meta
     pattern).  Stub = deterministic truncation; the ASCII corpus makes it
     SQL-expressible."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     binary = MM.with_binary_payload(docs, "doc_id", "text")
     resized = MM.resize_images(binary, "doc_id", width=32, height=32)
     return resized.select(
@@ -2513,7 +2533,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     green row proves signature checks, chunk/marker walks, and endianness
     handling — not a stubbed passthrough.  Blobs live and die inside one
     Arrow task; only typed metadata leaves."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return MM.media_meta(docs.select("doc_id"), "doc_id")
 
 
@@ -2564,7 +2584,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-sessionization, which is exactly what the oracle computes."""
     from h2h_spark.streaming.windows import run_session_counts
 
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_session", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -2607,7 +2627,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership stable under corpus growth and engine changes."""
     from h2h_spark.operators.sampling import stratified_sample
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     rates = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1, "zh": 0.05}
     return stratified_sample(docs, "lang", "doc_id", rates).select(
         "doc_id", "lang"
@@ -2631,7 +2651,7 @@ def q_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional-to-length WITHIN each language bucket."""
     from h2h_spark.operators.sampling import weighted_sample_per_group
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return weighted_sample_per_group(
         docs, "lang", "doc_id", F.length("text") + F.lit(1), 10
     ).select(F.col("grp").alias("lang"), F.col("id").alias("doc_id"),
@@ -2659,8 +2679,8 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, the top-2 customers by (acctbal desc, custkey).  Catalyst
     de-correlates it — no per-nation re-scan; the oracle runs the
     identical SQL text in DuckDB."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    cust = _read_table(spark, sf_dir, "customer")
+    nation = _read_table(spark, sf_dir, "nation")
     cust.createOrReplaceTempView("lat_customer")
     nation.createOrReplaceTempView("lat_nation")
     return spark.sql("""
@@ -2699,7 +2719,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence cannot flip the cut."""
     from h2h_spark.operators.sampling import weighted_sample
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return weighted_sample(
         docs, "doc_id", F.length("text") + F.lit(1), 50
     ).select(F.col("id").alias("doc_id"), "weight", "es_key")
@@ -2724,8 +2744,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle asserts."""
     from h2h_spark.plans.skew import salted_join
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    orders = _read_table(spark, sf_dir, "orders")
+    cust = _read_table(spark, sf_dir, "customer")
     joined = salted_join(
         orders.withColumnRenamed("o_custkey", "custkey"),
         cust.withColumnRenamed("c_custkey", "custkey"),
@@ -2755,7 +2775,7 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct the oracle runs."""
     from h2h_spark.plans.skew import two_phase_distinct_count
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _read_table(spark, sf_dir, "events")
     return two_phase_distinct_count(ev, "event_type", "user_id").select(
         "event_type", F.col("n_distinct_user_id").cast("bigint").alias("n_users")
     )
@@ -2773,7 +2793,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     date within 7 days — same union-sort-window construction as backward,
     timestamp order reversed, out-of-tolerance matches nulled."""
     ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+    orders = _read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate"
     )
     joined = AS.asof_join(
@@ -2904,7 +2924,7 @@ def q_rolling_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order can't drift the sum."""
     from h2h_spark.operators.timeseries import rolling_time_sum
 
-    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+    orders = _read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     out = rolling_time_sum(
@@ -2930,7 +2950,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span scoring (boilerplate signal):
     8-token non-overlapping spans, md5-keyed frequency join, per-doc
     duplicated fraction."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.span_duplication(docs, "doc_id", "text", span=8, min_docs=2)
 
 
@@ -2976,7 +2996,7 @@ def q_tfrecord(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -3029,7 +3049,7 @@ def q_tfrecord_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -3091,7 +3111,7 @@ def q_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import json as _json
@@ -3160,7 +3180,7 @@ def q_jsonl_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import json as _json
@@ -3233,7 +3253,7 @@ def q_jsonl_xz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import json as _json
@@ -3311,7 +3331,7 @@ def q_jsonl_xz_bcj(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import json as _json
@@ -3387,7 +3407,7 @@ def q_jsonl_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import bz2 as _bz2
@@ -3461,7 +3481,7 @@ def q_jsonl_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import json as _json
@@ -3533,7 +3553,7 @@ def q_jsonl_zst_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _read_table(spark, sf_dir, "documents")
         lines = docs.select(
             F.to_json(F.struct(
                 F.col("doc_id").alias("id"),
@@ -3586,7 +3606,7 @@ def q_tf_example(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
         feats = docs.select(
             F.col("doc_id").alias("id"),
             F.sequence(F.lit(0), (F.col("doc_id") % 5).cast("int"))
@@ -3633,7 +3653,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds — the excise list substring dedup consumes.  The oracle
     re-derives every position: same tokenizer, same md5 n-gram keys,
     same gaps-and-islands merge."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
 
 
@@ -3807,7 +3827,7 @@ def q_parquet_rowgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ids = [
             r.doc_id
-            for r in spark.read.parquet(_t(sf_dir, "documents"))
+            for r in _read_table(spark, sf_dir, "documents")
             .select("doc_id").orderBy("doc_id").collect()
         ]
         pq.write_table(
@@ -3945,7 +3965,7 @@ def q_mbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -4153,7 +4173,7 @@ def q_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle closed-form."""
     w = _work("q_sitemap", sf_dir)
     src = f"{w}/sitemap.xml"
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     urls = docs.select(
         F.concat(F.lit("https://ex.org/p/"), F.col("doc_id")).alias("loc"),
         F.concat(
@@ -4206,7 +4226,7 @@ def q_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from h2h_spark.operators.office import write_docx
@@ -4347,7 +4367,7 @@ def _safetensors_fixture(spark: SparkSession, sf_dir: str) -> str:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        emb = _read_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", (F.col("vec_id") % 8).alias("shard")
         )
 
@@ -4431,7 +4451,7 @@ def q_safetensors_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file", "row_idx", F.element_at("vec", 1).alias("vec_id")
     )
     joined = vecs.join(ids, ["file", "row_idx"])
-    ref = spark.read.parquet(_t(sf_dir, "embeddings"))
+    ref = _read_table(spark, sf_dir, "embeddings")
     cmp = joined.join(ref, "vec_id")
     return (
         cmp.groupBy((F.col("vec_id") % 8).alias("shard"))
@@ -4465,7 +4485,7 @@ def q_npy_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        emb = _read_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", (F.col("vec_id") % 6).alias("shard")
         )
 
@@ -4491,7 +4511,7 @@ def q_npy_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shard"),
         "row_idx", "vec",
     )
-    ref = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+    ref = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") % 6).alias("shard")
     ).withColumn(
         "row_idx",
@@ -4529,7 +4549,7 @@ def q_npz_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        emb = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+        emb = _read_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", (F.col("vec_id") % 4).alias("shard")
         )
 
@@ -4576,7 +4596,7 @@ def q_npz_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deflated = _shardify(
         read_npz(spark, src, "emb_z", rows_per_split=64)
     ).withColumnRenamed("vec", "vec_z")
-    ref = spark.read.parquet(_t(sf_dir, "embeddings")).select(
+    ref = _read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", (F.col("vec_id") % 4).alias("shard")
     ).withColumn(
         "row_idx",
@@ -4617,7 +4637,7 @@ def q_safetensors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_safetensors_index", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
 
@@ -4705,7 +4725,7 @@ def q_jsonl_zst_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_jsonl_zst_fetch", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     if not os.path.exists(ready):
@@ -4791,7 +4811,7 @@ def q_jsonl_xz_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_jsonl_xz_fetch", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     if not os.path.exists(ready):
@@ -4880,7 +4900,7 @@ def q_chat_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from h2h_spark.operators.chat import flatten_chat, loss_spans
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     conv = docs.withColumn("msgs", F.expr("""
         concat(
           array(struct('system' as role,
@@ -4976,7 +4996,7 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sensitive attribute here is the n_chars quintile bucket.  Pure
     integer relational plan — one grouped distinct-count, no floats.
     Oracle closed-form."""
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
         (F.col("n_chars") % 5).alias("sensitive"),
     )
@@ -5007,7 +5027,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling without letting them dominate.  One aggregate + a
     broadcast total; allocations graded to a fixed token budget.
     Oracle closed-form."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     mass = docs.groupBy("lang").agg(
         F.sum("n_chars").cast("double").alias("mass")
     )
@@ -5052,7 +5072,7 @@ def q_orc_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_orc_stripes", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("key"), "n_chars"
     )
     if not os.path.exists(ready):
@@ -5108,7 +5128,7 @@ def q_orc_lzo(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_orc_lzo", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("key"), "n_chars"
     )
     if not os.path.exists(ready):
@@ -5161,7 +5181,7 @@ def q_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
         df = docs.select(
             "doc_id",
             F.struct(
@@ -5227,7 +5247,7 @@ def q_iceberg_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_iceberg_prune", sf_dir)
     tbl = os.path.join(w, "tbl")
     ready = os.path.join(tbl, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("key"), "n_chars"
     )
     n = docs.count()
@@ -5339,7 +5359,7 @@ def q_delta_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_delta_snapshot", sf_dir)
     tbl = os.path.join(w, "tbl")
     ready = os.path.join(tbl, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("key"), "n_chars"
     )
     n = docs.count()
@@ -5440,7 +5460,7 @@ def q_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic corruption of the reference (drop every 3rd token,
     duplicate the first) so every F1 regime appears.  Oracle re-derives
     the same bags in SQL."""
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+    docs = _read_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     base = docs.withColumn(
@@ -5528,7 +5548,7 @@ def q_spm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from h2h_spark.operators.spm import encode_spm_model
@@ -5604,7 +5624,7 @@ def q_zarr_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_zarr_embed", sf_dir)
     store = os.path.join(w, "store.zarr")
     ready = os.path.join(store, "_READY")
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     if not os.path.exists(ready):
         stats = emb.agg(
             F.count("*").alias("n"), F.max("vec_id").alias("mx")
@@ -5678,7 +5698,7 @@ def q_gguf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             import numpy as np
@@ -5773,7 +5793,7 @@ def q_gguf_dequant(spark: SparkSession, sf_dir: str) -> DataFrame:
         from h2h_spark.sources.gguf import write_gguf
 
         n = (
-            spark.read.parquet(_t(sf_dir, "documents"))
+            _read_table(spark, sf_dir, "documents")
             .select("doc_id").count()
         )
         r = np.arange(n, dtype=np.int64)
@@ -5859,7 +5879,7 @@ def q_gguf_kquant(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         n = (
-            spark.read.parquet(_t(sf_dir, "documents"))
+            _read_table(spark, sf_dir, "documents")
             .select("doc_id").count()
         )
         r = np.arange(n, dtype=np.int64)
@@ -6003,7 +6023,7 @@ def q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select(
+        docs = _read_table(spark, sf_dir, "documents").select(
             "doc_id", "text", (F.col("doc_id") % 6).alias("shard")
         )
 
@@ -6072,7 +6092,7 @@ def q_cdx_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -6146,7 +6166,7 @@ def q_cdx_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(w, "idx")
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
         d = F.col("doc_id")
         url = F.concat(
             F.lit("https://www.ex"), (d % 20).cast("string"),
@@ -6305,7 +6325,7 @@ def q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")) \
+        docs = _read_table(spark, sf_dir, "documents") \
             .select("doc_id", "text")
 
         def _write(rows):
@@ -6378,7 +6398,7 @@ def q_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_wat_links", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
@@ -6514,7 +6534,7 @@ def q_wat_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_wat_quarantine", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
 
@@ -6618,7 +6638,7 @@ def q_wet_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_wet_quarantine", sf_dir)
     src = os.path.join(w, "src")
     ready = os.path.join(src, "_READY")
-    docs = spark.read.parquet(_t(sf_dir, "documents")) \
+    docs = _read_table(spark, sf_dir, "documents") \
         .select("doc_id", "text")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
@@ -6694,7 +6714,7 @@ def q_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked_text,
     )
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     conv = docs.withColumn("msgs", F.expr("""
         concat(
           array(struct('system' as role,
@@ -6766,7 +6786,7 @@ def q_cdx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -6845,7 +6865,7 @@ def q_cdx_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -6938,7 +6958,7 @@ def q_cdx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -7102,7 +7122,7 @@ def q_mbox_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -7175,7 +7195,7 @@ def q_sqlite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -7231,7 +7251,7 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-minimum selection in SQL (struct-min window frame)."""
     from h2h_spark.operators.text import winnow_fingerprints
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fps"),
@@ -7293,7 +7313,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored in the oracle."""
     from h2h_spark.operators.text import winnow_fingerprints, winnow_overlap
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
     return winnow_overlap(
         fps, "doc_id", min_shared=3, max_docs_per_fp=64
@@ -7344,7 +7364,7 @@ def q_dup_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram.  Per doc: total / duplicated / excised / retained token
     counts — the post-dedup corpus-size budget.  Oracle re-derives
     ownership and every span bound."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.excise_duplicate_spans(docs, "doc_id", "text", window=8, min_docs=2)
 
 
@@ -7407,7 +7427,7 @@ def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the compare certifies compaction loses/duplicates nothing."""
     from h2h_spark.sources.compact import compact
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     work = _work("q_compact", sf_dir)
     small = os.path.join(work, "small")
     packed = os.path.join(work, "packed")
@@ -7432,7 +7452,7 @@ FROM documents
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (smoothed sklearn idf): two
     count shuffles + a doc-frequency join; N via broadcast aggregate."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.tfidf_keywords(docs, "doc_id", "text", top_k=3)
 
 
@@ -7465,7 +7485,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     elementwise mean over an array column — posexplode to (label, dim)
     partial averages in ONE map-side-combined shuffle; no UDF, no
     full-vector collect."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
@@ -7496,7 +7516,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.operators.interval import point_interval_join
 
     ev = _load_events(spark, sf_dir).select("event_id", "user_id", "ts")
-    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+    orders = _read_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
     )
     pairs = point_interval_join(
@@ -7527,7 +7547,7 @@ GROUP BY o.o_orderkey
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit: top-100 induced vocab (broadcast),
     per-doc OOV rate — corpus side never re-shuffles."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.vocab_coverage(docs, "doc_id", "text", vocab_size=100)
 
 
@@ -7555,7 +7575,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM perplexity per document (CCNet-style
     quality signal): two bounded-size count shuffles to train, model-join
     to score, vocab as a broadcast one-row aggregate — no driver action."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return LM.perplexity(docs, "doc_id", "text")
 
 
@@ -7584,7 +7604,7 @@ FROM sc GROUP BY doc_id
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.gopher_rules(docs, "doc_id", "text")
 
 
@@ -7623,7 +7643,7 @@ FROM m
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams — one explode + one map-side-combined
     groupBy + TakeOrdered; deterministic gram-asc tiebreak."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.top_ngrams(docs, "text", n=2, k=20)
 
 
@@ -7643,7 +7663,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (window=64, stride=48) — the
     context-length prep stage; integer-arithmetic chunk count keeps the
     oracle exact."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return TX.chunk_documents(docs, "doc_id", "text", window=64, stride=48)
 
 
@@ -7668,7 +7688,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column with
     reconstruction-error audit — element-local JVM ops, zero shuffle; the
     oracle reproduces the md5'd code stream bit-for-bit."""
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     return S.quantize_embeddings(emb, "vec_id", "embedding")
 
 
@@ -7693,7 +7713,7 @@ FROM q
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY GROUPING SETS — the generalized multi-aggregate (rollup
     and cube are its special cases); one Expand + one exchange in Spark."""
-    spark.read.parquet(_t(sf_dir, "events")).createOrReplaceTempView("ev_gs")
+    _read_table(spark, sf_dir, "events").createOrReplaceTempView("ev_gs")
     return spark.sql("""
         SELECT coalesce(event_type, 'ALL') AS event_type,
                coalesce(CAST(user_id AS STRING), 'ALL') AS user_id,
@@ -7717,8 +7737,8 @@ GROUP BY GROUPING SETS ((event_type), (user_id), ())
 def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS subqueries — Catalyst rewrites them
     to a semi + anti join pair (no per-row subquery execution)."""
-    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("cust_ex")
-    spark.read.parquet(_t(sf_dir, "orders")).createOrReplaceTempView("ord_ex")
+    _read_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_ex")
+    _read_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_ex")
     return spark.sql("""
         SELECT c_custkey, c_name
         FROM cust_ex c
@@ -7743,10 +7763,10 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer — fact-fact
     join on orderkey, broadcast dims, decimal-exact revenue, top-20 with
     custkey tiebreak."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    cust = _read_table(spark, sf_dir, "customer")
+    nation = _read_table(spark, sf_dir, "nation")
     joined = (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -7830,7 +7850,7 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     label)) — one partial-aggregated shuffle, deterministic ties."""
     from h2h_spark.operators.cluster import centroid_assign
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     cents = _label_centroid_arrays(emb)
     assigned = centroid_assign(emb, "vec_id", "embedding", cents, "label", "cvec")
     return (
@@ -7852,7 +7872,7 @@ def q_centroid_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     one full Lloyd iteration when chained after q_centroid_assign."""
     from h2h_spark.operators.cluster import centroid_assign
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     cents = _label_centroid_arrays(emb)
     assigned = centroid_assign(emb, "vec_id", "embedding", cents, "label", "cvec")
     joined = emb.join(assigned.select("vec_id", "assigned"), "vec_id")
@@ -7890,7 +7910,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy waveform stats through mapInPandas.  Fixed-point (integer)
     duration/mean keep the compare exact; the ASCII corpus lets DuckDB
     re-derive every stat character-wise."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     binary = MM.with_binary_payload(docs, "doc_id", "text")
     return MM.audio_stats(binary, "doc_id", sample_rate=8000, clip_margin=6)
 
@@ -7925,7 +7945,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     drag a full per-(group, value) HLL sketch (1.6k longs at rsd=0.01)
     through the shuffle — 8x slower.  Split, the sketch shuffles one row
     per group and the exact count is a plain two-phase distinct."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__approx")
     )
@@ -7990,11 +8010,11 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction is applied AFTER both chains resolve (it spans both
     sides, so it can't push below either join), revenue per (supp_nation,
     cust_nation, ship-year) is decimal-exact."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    cust = _read_table(spark, sf_dir, "customer")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
     n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("__sk"),
                                    F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("__ck"),
@@ -8039,11 +8059,11 @@ def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates, so lateness is derived from shipdate).  The
     EXISTS is a left-semi join on orderkey; the date window prunes the
     orders scan before the join."""
-    orders = spark.read.parquet(_t(sf_dir, "orders")).filter(
+    orders = _read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     late = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").filter(
         F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
     ).select("l_orderkey").distinct()
@@ -8070,11 +8090,11 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue ratio): one month of lineitem joins
     the part dim (broadcast), conditional decimal sums, single-row ratio.
     Both sums come out of ONE aggregation pass — no second scan."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+    li = _read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
     )
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    part = _read_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
@@ -8108,10 +8128,10 @@ def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out — they preserve semantics, push into both parquet scans, and
     shrink the join inputs; the exact disjunction then runs on the
     survivors."""
-    part = spark.read.parquet(_t(sf_dir, "part")).filter(
+    part = _read_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     )
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).filter(
+    li = _read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity") <= 30
     )
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -8146,7 +8166,7 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     state.  Graded like the HLL query: `ok` asserts the approximate
     median lands between the exact p45/p55 (a rank-error bound the
     oracle can state without reproducing the sketch)."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__ap50"),
         # both exact bounds from ONE percentile pass (array form) — the
@@ -8173,7 +8193,7 @@ def _tdigest_bounds_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("tdigest_bounds", sf_dir)
     p = f"{w}/bounds_{_src_sig(sf_dir, 'lineitem')}"
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
-        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        li = _read_table(spark, sf_dir, "lineitem")
         li.groupBy("l_returnflag").agg(
             F.expr(
                 "percentile(l_extendedprice, array(0.2, 0.3, 0.45, 0.55, 0.7, 0.8))"
@@ -8194,7 +8214,7 @@ def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     error at compression 200 is ~0.2%, 25x inside the bound."""
     from h2h_spark.operators.sketch import tdigest_quantiles
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     est = tdigest_quantiles(
         li, "l_extendedprice", ["l_returnflag"], [0.25, 0.5, 0.75]
     )
@@ -8237,7 +8257,7 @@ def _tdigest_weighted_bounds_table(spark: SparkSession, sf_dir: str) -> DataFram
     w = _work("tdigw_bounds", sf_dir)
     p = f"{w}/bounds_{_src_sig(sf_dir, 'lineitem')}"
     if not os.path.exists(os.path.join(p, "_SUCCESS")):
-        li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        li = _read_table(spark, sf_dir, "lineitem").select(
             "l_returnflag",
             F.col("l_extendedprice").cast("double").alias("v"),
             F.col("l_quantity").cast("double").alias("wt"),
@@ -8270,7 +8290,7 @@ def q_tdigest_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(q-0.05)..p(q+0.05) window (measured error ~0.2%)."""
     from h2h_spark.operators.sketch import tdigest_quantiles
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     est = tdigest_quantiles(
         li,
         "l_extendedprice",
@@ -8314,7 +8334,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-bounded per-partition partials; raw values never shuffle."""
     from h2h_spark.operators.sketch import kmv_distinct
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
     )
     return kmv_distinct(li, "pk", ["l_returnflag"], k=256)
@@ -8350,7 +8370,7 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes + IEEE arithmetic), so they are graded exactly."""
     from h2h_spark.operators.sketch import kmv_set_estimates
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_partkey").cast("string").alias("pk")
     )
     a = li.filter(F.col("l_returnflag") == "N").select("pk")
@@ -8423,7 +8443,7 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-sketch estimate, not the md5 re-hash of the corpus."""
     from h2h_spark.operators.sketch import kmv_jaccard_pairs
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return kmv_jaccard_pairs(
         docs, "doc_id", "text", k=128, threshold=0.4, shingle_k=4,
         max_hash_freq=64, sketches=_kmv_sketch_table(spark, sf_dir),
@@ -8483,7 +8503,7 @@ def q_kmv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one pair-base computation serves the family, like the exact-Jaccard
     consumers).  The oracle re-derives the whole chain — sketch
     arithmetic AND the transitive closure — in recursive SQL."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     pairs = _kmv_pairs_table(spark, sf_dir)
     return D.dedup_corpus(docs, "doc_id", pairs.select("id_a", "id_b")).select(
         "doc_id"
@@ -8513,7 +8533,7 @@ def q_kmv_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     — estimates nominate, exactness decides.  At 100 TB only candidate
     members' shingle sets ever join (|candidates|, not corpus²); the
     oracle re-derives the sketch stage AND the exact verify."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     pairs = _kmv_pairs_table(spark, sf_dir)
     return D.verify_pairs_exact(
         docs, "doc_id", "text", pairs, shingle_k=4, threshold=0.5
@@ -8550,7 +8570,7 @@ def q_kmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades bit-for-bit like the unweighted q_kmv_distinct."""
     from h2h_spark.operators.sketch import kmv_weighted_sum
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_partkey").cast("string").alias("pk"),
         F.col("l_quantity").cast("bigint").alias("w"),
@@ -8595,7 +8615,7 @@ def q_kmv_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.operators.sampling import mix_to_token_budget
     from h2h_spark.operators.sketch import kmv_weighted_sum
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     est = kmv_weighted_sum(
         docs.select("source", "text", "n_chars"), "text", "n_chars",
         ["source"], k=256,
@@ -8659,7 +8679,7 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from h2h_spark.operators.spatial import neighbor_stats
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
         F.col("embedding")[0].alias("x"),
@@ -8738,7 +8758,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one broadcast join back — the data table is never self-joined."""
     from h2h_spark.operators.skyline import skyline_2d
 
-    part = spark.read.parquet(_t(sf_dir, "part")).select(
+    part = _read_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_retailprice").cast("double").alias("price"),
         F.col("p_size").cast("int").alias("size"),
@@ -8777,7 +8797,7 @@ def q_stream_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work("q_stream_wmedian", sf_dir)
     src = os.path.join(work, "src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "lineitem")).select(
+        _read_table(spark, sf_dir, "lineitem").select(
             "l_returnflag", "l_extendedprice", "l_quantity"
         ).repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
@@ -8817,7 +8837,7 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set)."""
     from h2h_spark.operators.spatial import dbscan_2d
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     pts = emb.filter(F.col("vec_id") % 4 == 0).select(
         "vec_id",
         F.col("embedding")[0].alias("x"),
@@ -8869,7 +8889,7 @@ def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes.  The oracle recomputes the seed arithmetic, so a
     green row proves the nested box walk including the largesize
     branch.  Blobs live and die inside one Arrow task."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return MM.mp4_meta(docs.select("doc_id"), "doc_id")
 
 
@@ -8896,7 +8916,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer nested loop."""
     from h2h_spark.operators.interval import interval_overlap_join
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     a = orders.select(
         F.col("o_custkey").alias("cust"),
         F.col("o_orderkey").alias("a_key"),
@@ -8981,7 +9001,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _work("q_bloom_prune", sf_dir)
     data = os.path.join(w, "orders16")
     if not os.path.exists(os.path.join(data, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "orders")).repartitionByRange(
+        _read_table(spark, sf_dir, "orders").repartitionByRange(
             16, "o_orderkey"
         ).write.mode("overwrite").parquet(data)
     idx_path = os.path.join(w, "index")
@@ -8992,7 +9012,7 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(idx_path)
     probes = [
         r["o_orderkey"]
-        for r in spark.read.parquet(_t(sf_dir, "orders"))
+        for r in _read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7919 == 0)
         .select("o_orderkey")
         .collect()
@@ -9087,7 +9107,7 @@ def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9155,7 +9175,7 @@ def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9221,7 +9241,7 @@ def q_tar_gz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9285,7 +9305,7 @@ def q_tar_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9376,7 +9396,7 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the generic normalizer lands exactly on the spec."""
     from h2h_spark.operators.urlnorm import crawl_url_dedup
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     dirty = docs.withColumn("url", _dirty_url(F.col("doc_id")))
     out = crawl_url_dedup(dirty, "url", "doc_id")
     return out.select("doc_id", "url_canon", "is_winner")
@@ -9436,7 +9456,7 @@ def q_surt_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("http://192.168.1."), k,
                             F.lit("/x?")))
     )
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     return docs.select(
         "doc_id", surt_key_canonical(url).alias("surt")
     )
@@ -9475,7 +9495,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     host — the 100 TB shape for per-domain quotas."""
     from h2h_spark.operators.urlnorm import canonicalize_url, cap_per_domain
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     canon = docs.withColumn(
         "url_canon", canonicalize_url(_dirty_url(F.col("doc_id")))
     )
@@ -9507,7 +9527,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as q_pagerank)."""
     from h2h_spark.operators.graph import kcore_peel
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_quantity") >= 45).select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -9560,7 +9580,7 @@ def q_rr_privacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; est_true is one IEEE expression over two integers."""
     from h2h_spark.operators.quality import randomized_response_counts
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     return randomized_response_counts(
         orders,
         truth=F.col("o_orderpriority") == "1-URGENT",
@@ -9597,7 +9617,7 @@ def q_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Class totals and the vocab size are broadcast single-row aggregates."""
     from h2h_spark.operators.text import naive_bayes_counts
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return naive_bayes_counts(docs, "lang", "text")
 
 
@@ -9627,7 +9647,7 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs between them)."""
     from h2h_spark.operators.text import vocab_growth
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return vocab_growth(docs, "doc_id", "text", n_buckets=10)
 
 
@@ -9666,7 +9686,7 @@ def q_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9731,7 +9751,7 @@ def q_warc_zst(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -9793,7 +9813,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator, so a green row proves the generic extractor's rules."""
     from h2h_spark.operators.text import extract_html_text
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did,
@@ -9833,7 +9853,7 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     full table (the window runs over distinct scores only)."""
     from h2h_spark.operators.stats import exact_auc
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return exact_auc(
         docs.withColumn("label", F.col("lang") == "en"), "n_chars", "label"
     )
@@ -9872,8 +9892,8 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     One dimension sort + one equi-join."""
     from h2h_spark.operators.sampling import negative_sample
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    part = _read_table(spark, sf_dir, "part")
     positives = li.filter(
         (F.col("l_orderkey") % 100 == 0) & (F.col("l_linenumber") == 1)
     ).select(
@@ -9913,7 +9933,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shifted epoch key for ALL lags."""
     from h2h_spark.operators.timeseries import raw_autocorrelation
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return raw_autocorrelation(li, "l_shipdate", max_lag=5)
 
 
@@ -9941,7 +9961,7 @@ def q_text_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded result closed-form."""
     from h2h_spark.operators.text import normalize_text
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     dirty = F.concat(
         F.lit("“Doc "), F.col("doc_id").cast("string"),
         F.lit("” —​ "), F.col("text"),
@@ -9970,7 +9990,7 @@ def q_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division (`operators/text.py: label_gini_diversity`)."""
     from h2h_spark.operators.text import label_gini_diversity
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return label_gini_diversity(docs, "lang", "text")
 
 
@@ -10000,7 +10020,7 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality."""
     from h2h_spark.operators.stats import calibration_bins
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return calibration_bins(
         docs.withColumn("label", F.col("lang") == "en"),
         "n_chars",
@@ -10081,7 +10101,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     every-third host disallows /Page/3*."""
     from h2h_spark.operators.robots import robots_filter
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -10183,7 +10203,7 @@ def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-local (no global coordination)."""
     from h2h_spark.operators.packing import length_bucketed_batches
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return length_bucketed_batches(
         docs, "doc_id", "n_chars", bucket_width=64, batch_size=16
     )
@@ -10218,7 +10238,7 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -10310,7 +10330,7 @@ def q_crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -10537,7 +10557,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star as connected_components,
     )
 
-    parts = spark.read.parquet(_t(sf_dir, "part"))
+    parts = _read_table(spark, sf_dir, "part")
     probes = parts.filter(F.col("p_partkey") % 20 == 0).select(
         F.col("p_partkey").alias("probe_key"),
         F.concat(F.lit("z"), F.expr("substr(p_name, 2)")).alias("probe_name"),
@@ -10632,7 +10652,7 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key for image near-dup — pairs with the MinHash family the
     way SimHash pairs with text.  Oracle recomputes every bit from the
     pixel closed form."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return MM.image_dhash(docs.select("doc_id"), "doc_id")
 
 
@@ -10665,7 +10685,7 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/multimodal.py: wav_energy_blocks`): 100-sample blocks of
     the left channel, exact integer energy Σs², silence threshold —
     segment/measure/gate, every value BIGINT-exact."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return MM.wav_energy_blocks(docs.select("doc_id"), "doc_id")
 
 
@@ -10692,7 +10712,7 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays O(1) while the oracle re-derives EVERY hash bit and pair."""
     from h2h_spark.operators.dedup import dhash_neardup_pairs
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).filter(
+    docs = _read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 25 == 0
     )
     hashes = MM.image_dhash(docs.select("doc_id"), "doc_id")
@@ -10761,7 +10781,7 @@ def q_srt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     caption text chars.  Oracle states the closed form."""
     from h2h_spark.operators.text import parse_srt_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    docs = _read_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
 
     # cue i (1-based): start = (d%1000)*10 + (i-1)*2500, dur = 1500 + (d%7)*100
@@ -10811,7 +10831,7 @@ def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/multimodal.py: parse_mp4_sample_tables`) — the metadata
     a frame-sampling pipeline needs before touching any codec.  Oracle
     recomputes every run and size from the seed closed form."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return MM.mp4_sample_stats(docs.select("doc_id"), "doc_id")
 
 
@@ -10855,7 +10875,7 @@ def q_zip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     ready = os.path.join(src, "_READY")
     if not os.path.exists(ready):
         os.makedirs(src, exist_ok=True)
-        docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+        docs = _read_table(spark, sf_dir, "documents").select("doc_id")
 
         def _write(rows):
             from pyspark import TaskContext
@@ -10970,7 +10990,7 @@ def q_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and char positions coincide (documented assumption)."""
     from h2h_spark.operators.dedup import content_defined_chunks
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return content_defined_chunks(docs, "doc_id", "text", mask_bits=5)
 
 
@@ -11019,7 +11039,7 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_langid_eval (decision)."""
     from h2h_spark.operators.stats import classification_report
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     pred = TX.lang_id(docs, "doc_id", "text")
     joined = docs.select("doc_id", "lang").join(pred, "doc_id")
     return classification_report(joined, "lang", "pred_lang")
@@ -11066,7 +11086,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one hash equi-join), verify with levenshtein inside blocks only.
     The corpus² naive form never runs; same candidates-then-verify
     discipline as the LSH dedup family."""
-    parts = spark.read.parquet(_t(sf_dir, "part"))
+    parts = _read_table(spark, sf_dir, "part")
     probes = parts.filter(F.col("p_partkey") % 20 == 0).select(
         F.col("p_partkey").alias("probe_key"),
         F.concat(F.lit("z"), F.expr("substr(p_name, 2)")).alias("probe_name"),
@@ -11096,7 +11116,7 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the base is bucketed/partitioned by the key so the join is
     co-located and only delta-touched partitions rewrite; here the delta
     is the last 10% of customers with a marker mutation."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     n = cust.count()
     delta = (
         cust.filter(F.col("c_custkey") >= int(n * 0.9))
@@ -11139,7 +11159,7 @@ def q_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join — the corpus never shuffles) or containing a banned phrase
     (JVM contains filter at the scan).  Output is the surviving corpus
     footprint."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     removal = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
     out = TX.apply_takedown(docs, "doc_id", "text", removal, ["slow merge"])
     return out.select("doc_id", "n_chars")
@@ -11160,7 +11180,7 @@ def q_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     source is what the oracle recomputes."""
     from h2h_spark.operators.sampling import mix_to_token_budget
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     kept = mix_to_token_budget(
         docs, "source", "doc_id", "n_chars", budget=50_000
     )
@@ -11204,12 +11224,12 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join the oracle runs."""
     from h2h_spark.streaming.joins import enrich_stream
 
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_enrich", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(_t(sf_dir, "events"), link)
-    cust = spark.read.parquet(_t(sf_dir, "customer")).select(
+    cust = _read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     res = enrich_stream(
@@ -11238,8 +11258,8 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites it to a per-part aggregate + join (no per-row subquery).
     The threshold compare is decimal-exact (q*5*cnt < sum), so the
     boundary can't drift between engines."""
-    spark.read.parquet(_t(sf_dir, "lineitem")).createOrReplaceTempView("li_q17")
-    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part_q17")
+    _read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q17")
+    _read_table(spark, sf_dir, "part").createOrReplaceTempView("part_q17")
     return spark.sql("""
         WITH pa AS (
           SELECT l_partkey AS pk,
@@ -11281,8 +11301,8 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata has orders, so the anti join is restricted to urgent-priority
     orders to keep the result non-trivial.)  The above-average compare is
     decimal-exact (bal*cnt > sum) so the threshold can't drift."""
-    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("cust_q22")
-    spark.read.parquet(_t(sf_dir, "orders")).createOrReplaceTempView("ord_q22")
+    _read_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
+    _read_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
     return spark.sql("""
         SELECT c_nationkey,
                COUNT(*) AS n_cust,
@@ -11319,7 +11339,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack() melt — no per-column scans, no Python."""
     from h2h_spark.operators.profile import profile_columns
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return profile_columns(
         li, ["l_returnflag", "l_linestatus", "l_quantity", "l_partkey"]
     )
@@ -11363,7 +11383,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over everything, which is exactly what the oracle computes."""
     from h2h_spark.operators.incremental import agg_state, merge_agg_state
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     boundary = int(orders.count() * 0.9)
     base = orders.filter(F.col("o_orderkey") < boundary)
     delta = orders.filter(F.col("o_orderkey") >= boundary)
@@ -11432,7 +11452,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak."""
     from h2h_spark.operators.sketch import cms_build, cms_estimate
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _read_table(spark, sf_dir, "events")
     sketch = cms_build(ev, "user_id", depth=4, width=256)
     keys = ev.select("user_id").distinct()
     est = cms_estimate(sketch, keys, "user_id", depth=4, width=256)
@@ -11471,7 +11491,7 @@ def q_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work("q_stream_fold", sf_dir)
     src = os.path.join(work, "src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+        _read_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
     schema = spark.read.parquet(src).schema
@@ -11499,7 +11519,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-side revenue forecast — every predicate
     (date range, discount band, quantity cap) pushes into the parquet
     scan, one decimal-exact global aggregate, zero joins."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -11529,8 +11549,8 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per-ship-window order-priority class counts — a
     fact→dim equi-join where the fact side prunes hard at the scan and
     the conditional counts are scan-side CASE aggregates."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
     filtered = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -11566,7 +11586,7 @@ def q_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving per-type footprint."""
     from h2h_spark.operators.profile import iqr_filter
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _read_table(spark, sf_dir, "events")
     kept = iqr_filter(ev, ["event_type"], "value", k=1.5)
     return kept.groupBy("event_type").agg(
         F.count("*").alias("n_kept"),
@@ -11610,11 +11630,11 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, no per-part rescan."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
-    region = spark.read.parquet(_t(sf_dir, "region"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    part = _read_table(spark, sf_dir, "part")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
+    region = _read_table(spark, sf_dir, "region")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     cand = (
         pairs.join(
@@ -11658,12 +11678,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two nation-join roles (customer side restricts the region, supplier
     side labels the volume) — both dims broadcast, the share is a
     conditional-sum ratio computed in one aggregate pass."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
-    region = spark.read.parquet(_t(sf_dir, "region"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    cust = _read_table(spark, sf_dir, "customer")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
+    region = _read_table(spark, sf_dir, "region")
     n_cust = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
@@ -11681,7 +11701,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             F.broadcast(
-                spark.read.parquet(_t(sf_dir, "part")).filter(
+                _read_table(spark, sf_dir, "part").filter(
                     F.col("p_type") == "ECONOMY"
                 )
             ),
@@ -11733,11 +11753,11 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the testdata, cost is proxied as 10% of retail price x quantity —
     the shape (LIKE-filtered dim, 5-way join, two-level group) is what
     matters.  Decimal-exact accumulate, one cast out."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    part = _read_table(spark, sf_dir, "part")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
@@ -11779,9 +11799,9 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-invariant equivalent).  The reference's scalar HAVING
     subquery becomes a one-row aggregate broadcast-crossed back onto
     the grouped rows — the fact table is scanned once."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
     nat_supp = (
         supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .filter(F.col("n_name") == "NATION_7")
@@ -11830,8 +11850,8 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a non-key predicate inside the join condition (orders below
     URGENT priority), per-customer counts, then a histogram over the
     counts.  Two shuffles, both on small grouped sets."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = _read_table(spark, sf_dir, "customer")
+    orders = _read_table(spark, sf_dir, "orders")
     per_cust = (
         cust.join(
             orders,
@@ -11865,8 +11885,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-cardinality, so it is persisted before branching: without
     the cache Spark rebuilds both branches from the fact scan (no
     ReusedExchange across join sides), doubling the lineitem read."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    supp = _read_table(spark, sf_dir, "supplier")
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -11914,9 +11934,9 @@ def q_part_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per (brand, type, size) bucket, excluding flagged suppliers.
     The reference's NOT IN subquery is a broadcast anti join; the
     distinct pair set collapses lineitem before any dim join."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    part = _read_table(spark, sf_dir, "part")
+    supp = _read_table(spark, sf_dir, "supplier")
     sizes = [1, 4, 7, 10, 13, 16, 19, 22, 25]
     pairs = (
         li.select("l_partkey", "l_suppkey")
@@ -11962,10 +11982,10 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate never rescans lineitem."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    part = spark.read.parquet(_t(sf_dir, "part"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
-    nation = spark.read.parquet(_t(sf_dir, "nation"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    part = _read_table(spark, sf_dir, "part")
+    supp = _read_table(spark, sf_dir, "supplier")
+    nation = _read_table(spark, sf_dir, "nation")
     per_sp = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -12029,9 +12049,9 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window counts — lineitem is read once, no self-joins."""
     from pyspark.sql import Window
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    supp = spark.read.parquet(_t(sf_dir, "supplier"))
+    li = _read_table(spark, sf_dir, "lineitem")
+    orders = _read_table(spark, sf_dir, "orders")
+    supp = _read_table(spark, sf_dir, "supplier")
     per_os = (
         li.join(
             orders.filter(F.col("o_orderstatus") == "F"),
@@ -12098,7 +12118,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.operators.packing import pack_sequences
     from h2h_spark.operators.sampling import deterministic_shuffle
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     scored = TX.gopher_rules(docs, "doc_id", "text")
     kept = (
         scored.filter(F.col("keep"))
@@ -12180,7 +12200,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the permutation bit-reproducible in the SQL oracle."""
     from h2h_spark.operators.sampling import deterministic_shuffle
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, "doc_id", seed=7)
 
 
@@ -12200,7 +12220,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered — no full sort."""
     from h2h_spark.operators.ranking import bm25_topk
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return bm25_topk(docs, "doc_id", "text", ["customer", "join", "vector"], k=10)
 
 
@@ -12235,7 +12255,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; output is vocabulary-sized."""
     from h2h_spark.operators.ranking import inverted_index
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return inverted_index(docs, "doc_id", "text")
 
 
@@ -12263,7 +12283,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ size² shape that replaces corpus² at scale."""
     from h2h_spark.operators.simsearch import semantic_dedup
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.4)
 
 
@@ -12304,7 +12324,7 @@ def _build_scd2(
     q_scd2_asof can place the version windows inside the order-date era)."""
     from h2h_spark.operators.incremental import scd2_merge
 
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     d0 = F.lit(base_from).cast("date")
     dim = cust.select(
         "c_custkey", "c_acctbal", "c_mktsegment",
@@ -12401,7 +12421,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed partitioning; output is |weeks|²-bounded."""
     from h2h_spark.operators.timeseries import retention_cohort
 
-    ev = spark.read.parquet(_t(sf_dir, "events"))
+    ev = _read_table(spark, sf_dir, "events")
     out = retention_cohort(ev, "user_id", "ts", grain="week")
     return out.withColumnRenamed("offset", "week_offset")
 
@@ -12425,7 +12445,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-summed bucket stats."""
     from h2h_spark.operators.lm import perplexity_buckets
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return perplexity_buckets(docs, "doc_id", "text")
 
 
@@ -12514,7 +12534,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot of the four lineitem measures (native
     DataFrame.unpivot — an Expand node, no shuffle until the tiny
     4-group aggregate), summarized with decimal-exact sums."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ["l_orderkey"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
@@ -12550,7 +12570,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible in the SQL oracle."""
     from h2h_spark.operators.text import classifier_score
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return classifier_score(docs, "doc_id", "text", dim=1024, seed=7)
 
 
@@ -12590,7 +12610,7 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(segment, version-era) decimal revenue."""
     dim = _build_scd2(spark, sf_dir, hist_from="1990-01-01",
                       base_from="1992-01-01", eff_date="1995-06-01")
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     j = orders.join(
         dim, orders.o_custkey == dim.c_custkey, "inner"
     ).filter(
@@ -12623,7 +12643,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (baseline customer vs a deterministically mutated next snapshot),
     classified added / removed / changed / unchanged and aggregated.
     One key-partitioned shuffle; null-safe attribute comparison."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     old = cust.filter(F.col("c_custkey") % 50 != 0).select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
@@ -12708,7 +12728,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of order value: bin arithmetic inline in the
     grouping key (whole-stage codegen), one map-side-combined aggregate;
     output is |bins|-sized."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     b = F.floor(F.col("o_totalprice") / 25000.0).cast("int")
     return (
         orders.groupBy(b.alias("bin"))
@@ -12739,7 +12759,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from h2h_spark.streaming.windows import run_windowed_counts
 
-    ev_schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    ev_schema = _read_table(spark, sf_dir, "events").schema
     stream_dir = _work("q_stream_topk", sf_dir)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
@@ -12828,7 +12848,7 @@ def q_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     assertion makes codec regressions loud."""
     from h2h_spark.operators.multimodal import bmp_resize_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return bmp_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
@@ -12857,7 +12877,7 @@ def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     any unfilter bug mismatches."""
     from h2h_spark.operators.multimodal import png_resize_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return png_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
@@ -12868,7 +12888,7 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     channels — same closed-form oracle as the BMP/PNG pixel paths."""
     from h2h_spark.operators.multimodal import gif_resize_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return gif_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
@@ -12883,7 +12903,7 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     coder or the DCT mismatches."""
     from h2h_spark.operators.multimodal import jpeg_resize_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return jpeg_resize_stats(docs, "doc_id", out_w=16, out_h=16)
 
 
@@ -12911,7 +12931,7 @@ def q_png_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
     type 6), and reports channel sums the oracle recomputes closed-form."""
     from h2h_spark.operators.multimodal import png_flavor_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return png_flavor_stats(docs, "doc_id")
 
 
@@ -12954,7 +12974,7 @@ def q_gif_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded closed-form (index gradient into a generated palette)."""
     from h2h_spark.operators.multimodal import gif_color_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return gif_color_stats(docs, "doc_id")
 
 
@@ -12988,7 +13008,7 @@ def q_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     realignment mismatches."""
     from h2h_spark.operators.multimodal import jpeg_color_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return jpeg_color_stats(docs, "doc_id", restart_interval=2)
 
 
@@ -13006,7 +13026,7 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-extension surface (SURVEY §2.3 E3)."""
     from h2h_spark.operators.multimodal import jpeg_progressive_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return jpeg_progressive_stats(docs, "doc_id")
 
 
@@ -13039,7 +13059,7 @@ def q_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     container bytes decoded, not header fields echoed."""
     from h2h_spark.operators.multimodal import wav_pcm_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return wav_pcm_stats(docs, "doc_id")
 
 
@@ -13072,7 +13092,7 @@ def q_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums graded closed-form."""
     from h2h_spark.operators.multimodal import png_16bit_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return png_16bit_stats(docs, "doc_id")
 
 
@@ -13108,7 +13128,7 @@ def q_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatches."""
     from h2h_spark.operators.multimodal import jpeg_color_stats
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return jpeg_color_stats(docs, "doc_id")
 
 
@@ -13152,7 +13172,7 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the head) proves the whole order, not just the top."""
     from h2h_spark.operators.rank import global_rank
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     ranked = global_rank(
         orders, [("o_totalprice", False), ("o_orderkey", True)]
     )
@@ -13174,8 +13194,8 @@ FROM r WHERE rank % 997 = 1 OR rank <= 10
 def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer→supplier purchase edges; nodes encoded 2k / 2k+1 so both
     families live in one BIGINT id space (same arithmetic in the oracle)."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = _read_table(spark, sf_dir, "orders")
+    li = _read_table(spark, sf_dir, "lineitem")
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -13324,7 +13344,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     among high-quantity lineitems."""
     from h2h_spark.operators.graph import triangle_count
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     base = li.filter(F.col("l_quantity") >= 45).select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
@@ -13368,7 +13388,7 @@ def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force threshold join — complete at the threshold, unlike the
     doc-freq-capped q_jaccard_pairs.  The oracle re-derives the same
     rarity order, prefixes, and verification in SQL."""
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return D.prefix_filter_pairs(
         docs, "doc_id", "text", shingle_k=4, threshold=0.5
     )
@@ -13416,7 +13436,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the entire training loop is graded bit-for-bit."""
     from h2h_spark.operators.bpe import bpe_train
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return bpe_train(docs, "text", merges=6, max_words=2000)
 
 
@@ -13507,7 +13527,7 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     if rules is None:
         from h2h_spark.operators.bpe import bpe_train
 
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        docs = _read_table(spark, sf_dir, "documents")
         rules = [
             (r["sym_a"], r["sym_b"])
             for r in bpe_train(docs, "text", merges=6).orderBy("step").collect()
@@ -13526,7 +13546,7 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     both graded in one contract."""
     from h2h_spark.operators.bpe import bpe_apply
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     rules = _bpe_rules(spark, sf_dir)
     return bpe_apply(docs, "text", rules).select("doc_id", "n_subwords")
 
@@ -13541,7 +13561,7 @@ def q_bpe_apply_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     that query's train+apply SQL oracle verbatim."""
     from h2h_spark.operators.bpe import bpe_apply_ranked
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     rules = _bpe_rules(spark, sf_dir)
     return bpe_apply_ranked(docs, "text", rules).select("doc_id", "n_subwords")
 
@@ -13557,7 +13577,7 @@ def q_bpe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run the identical selection (recursive-CTE greedy walk) and fold."""
     from h2h_spark.operators.bpe import bpe_train_batched
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     # candidates pinned to the oracle's derivation depth (the SQL twin
     # re-ranks the same top-50 list); production default is 4*batch
     return bpe_train_batched(docs, "text", rounds=2, batch=3, candidates=50)
@@ -13645,7 +13665,7 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DP, the tie-breaks, and every prune boundary all match."""
     from h2h_spark.operators.unigram import unigram_train
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    docs = _read_table(spark, sf_dir, "documents")
     return unigram_train(docs, "text")
 
 
@@ -13722,7 +13742,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-lived 100 TB table needs (per-file schemas reconciled at plan
     time; scans still prune columns per file).  Oracle: the same union
     expressed over the source table."""
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    orders = _read_table(spark, sf_dir, "orders")
     w = _work("q_schema_evolution", sf_dir)
     old_dir = os.path.join(w, "batch=old")
     new_dir = os.path.join(w, "batch=new")
@@ -13765,8 +13785,8 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the O(|constraints|) report, never the violating rows."""
     from h2h_spark.operators import quality as Q
 
-    orders = spark.read.parquet(_t(sf_dir, "orders"))
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    orders = _read_table(spark, sf_dir, "orders")
+    li = _read_table(spark, sf_dir, "lineitem")
     rep = Q.check_constraints(
         orders,
         [
@@ -13846,7 +13866,7 @@ assign AS (
 def _pq_seed_books(spark: SparkSession, sf_dir: str):
     from h2h_spark.operators.pq import seed_codebooks
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     return emb, seed_codebooks(
         emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, dim=_PQ_DIM
     )
@@ -14094,7 +14114,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-derivable."""
     from h2h_spark.operators.quality import k_anonymity
 
-    orders = spark.read.parquet(_t(sf_dir, "orders")).withColumn(
+    orders = _read_table(spark, sf_dir, "orders").withColumn(
         "omonth", F.date_trunc("month", F.col("o_orderdate"))
     )
     return k_anonymity(orders, ["o_orderstatus", "o_orderpriority", "omonth"], 5)
@@ -14269,7 +14289,7 @@ def q_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from h2h_spark.operators.annstore import ivfpq_probe_stored
 
     p = _ivfpq_store_path(spark, sf_dir)
-    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    emb = _read_table(spark, sf_dir, "embeddings")
     q = [
         float(x)
         for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
@@ -14440,11 +14460,11 @@ def q_stream_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work("q_stream_dq", sf_dir)
     src = os.path.join(work, "src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+        _read_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
     schema = spark.read.parquet(src).schema
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     return stream_dq_gate(
         spark,
         src,
@@ -14490,10 +14510,10 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle computes.  Work |Δ|·selectivity, never the history."""
     from h2h_spark.operators.incremental import incremental_join_refresh
 
-    orders = spark.read.parquet(_t(sf_dir, "orders")).select(
+    orders = _read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    li = spark.read.parquet(_t(sf_dir, "lineitem")).select(
+    li = _read_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_extendedprice"
     )
     a_state = orders.filter(F.col("o_orderkey") % 4 != 0)
@@ -14568,7 +14588,7 @@ def q_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode normally.  Output: corrupt/good counts + an aggregate over
     the good rows; the oracle re-derives both from the same every-7th
     rule."""
-    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    cust = _read_table(spark, sf_dir, "customer")
     w = _work("q_json_corrupt", sf_dir)
     path = os.path.join(w, "feed.jsonl")
     marker = os.path.join(w, "_DONE")
@@ -14637,7 +14657,7 @@ def q_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits.  No iteration, no driver math, no randomness."""
     from h2h_spark.operators.regress import ols_fit
 
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     return ols_fit(li, "l_extendedprice", "l_quantity", "l_discount")
 
 
@@ -14687,7 +14707,7 @@ def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work("q_stream_exactly_once", sf_dir)
     src = os.path.join(work, "src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        spark.read.parquet(_t(sf_dir, "events")).repartition(4).write.mode(
+        _read_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
     schema = spark.read.parquet(src).schema
@@ -14782,7 +14802,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping shuffle (the candidate generator's in-array pair
     expansion); confidence/lift are fixed-order double divisions over
     exact counts, so the oracle reproduces them bit-for-bit."""
-    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    li = _read_table(spark, sf_dir, "lineitem")
     basket = (
         li.filter(F.col("l_quantity") >= 40)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
