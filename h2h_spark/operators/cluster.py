@@ -178,7 +178,10 @@ def kmeans_fit(
         cents = new_cents
         if shift < tol:
             break
-    final = _assign(cents)
+    # materialize the final assignment (narrow: id, label, dist), then
+    # release the vector cache instead of leaking it (round 14; §5)
+    final = _assign(cents).localCheckpoint(eager=True)
+    vectors.unpersist()
     return final, [cents[i] for i in sorted(cents)], n_it
 
 

@@ -86,6 +86,11 @@ def perplexity(
     when the vocabulary is known-bounded); default lets AQE decide from
     measured sizes.
     """
+    # NOT scale_out-rescaled (round 14, measured): the gram table
+    # shuffles immediately (model groupBys), so the rescale buys no
+    # downstream parallelism and the interleaved A/B regressed
+    # (q_lm_perplexity 1.41 -> 2.12, q_perplexity_buckets 1.62 -> 2.36
+    # medians with it on) — same verdict as prefix_filter_pairs.
     grams = _doc_bigrams(df, id_col, text_col).persist()
     big, uni, vocab = bigram_model(grams)
     if broadcast_model:
@@ -103,7 +108,7 @@ def perplexity(
         )
     )
     xent = F.round(-F.avg("lp"), 4)
-    return (
+    out = (
         scored.groupBy("id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -111,7 +116,12 @@ def perplexity(
             F.round(F.pow(F.lit(2.0), xent), 4).alias("ppl"),
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "xent", "ppl")
+        # materialize the per-doc scores (|docs| rows), then release the
+        # gram cache instead of leaking it (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
+    return out
 
 
 def perplexity_buckets(

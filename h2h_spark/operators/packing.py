@@ -66,7 +66,11 @@ def pack_sequences(
                 "bin_offset"
             ),
         )
+        # materialize (same row count as the cache it replaces), then
+        # release the cumsum cache instead of leaking it (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    local.unpersist()
     return out
 
 

@@ -63,8 +63,13 @@ def global_rank(
         offsets.append((r["__p"], acc))
         acc += r["count"]
     off_df = spark.createDataFrame(offsets, "__p int, __off long")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "__p")
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
         .drop("__p", "__rn", "__off")
+        # materialize (same row count as the cache it replaces), then
+        # release the row-number cache instead of leaking it (r14; §5)
+        .localCheckpoint(eager=True)
     )
+    local.unpersist()
+    return out

@@ -485,9 +485,11 @@ def embedding_near_duplicates(
     )
     if probe_max_id is not None:
         cand = cand.filter(F.col("id_a") < probe_max_id)
-        return _verify_pairs_probe_blocked(
+        out = _verify_pairs_probe_blocked(
             cand, vecs, probe_max_id, threshold, round_digits
-        )
+        ).localCheckpoint(eager=True)  # pair list; release vecs (§5, r14)
+        vecs.unpersist()
+        return out
     b = vecs.select(F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
     a = vecs.select(F.col("id").alias("id_a"), F.col("__v").alias("__va"))
     na = _norm(F.col("__va"))
@@ -498,12 +500,17 @@ def embedding_near_duplicates(
         lambda acc, x: acc + x,
     )
     score = F.round(dot / (na * nb), round_digits)
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", score.alias("score"))
         .filter(F.col("score") >= threshold)
+        # materialize the (tiny) verified pair list, then release the
+        # vector cache instead of leaking it (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    vecs.unpersist()
+    return out
 
 
 def band_signatures(
@@ -868,11 +875,16 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return (
+    out = (
         assign.join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "cluster",
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
+        # materialize the per-id verdicts (narrow), then release the
+        # assignment cache instead of leaking it (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    assign.unpersist()
+    return out

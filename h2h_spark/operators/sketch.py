@@ -629,9 +629,16 @@ def kmv_jaccard_pairs(
     n_kept = F.size(kept)
     n_both = F.size(F.array_intersect(kept, F.array_intersect("__ha", "__hb")))
     est = n_both.cast("double") / n_kept.cast("double")
-    return paired.select(
+    out = paired.select(
         "id_a", "id_b", est.alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+    if sketches is None:
+        # we own the sketch cache: materialize the (tiny) pair list and
+        # release it instead of leaking (round 14; §5).  A caller-passed
+        # sketch table is a maintained artifact — its cache is theirs.
+        out = out.localCheckpoint(eager=True)
+        sk.unpersist()
+    return out
 
 
 def tdigest_merge_centroids(

@@ -597,14 +597,19 @@ def tfidf_keywords(
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
             F.col("id").alias(id_col), "term", "tfidf",
             F.col("rank").cast("int").alias("rank"),
         )
+        # materialize the per-doc top-k, then release the term cache
+        # instead of leaking it (round 14; §5)
+        .localCheckpoint(eager=True)
     )
+    terms.unpersist()
+    return out
 
 
 def vocab_coverage(
