@@ -32,10 +32,16 @@ def pack_sequences(
     token_col: str,
     budget: int,
     n_parts: int | None = None,
+    _materialize: bool = True,
 ) -> DataFrame:
     """``(id, n_tokens, bin, bin_offset)``: documents in ``id`` order
     packed into ``budget``-token bins; ``bin_offset`` is the document's
-    starting token position inside its bin."""
+    starting token position inside its bin.
+
+    ``_materialize=False`` is a plan-inspection hook (tests): it skips
+    the cumsum persist and the final eager localCheckpoint so the full
+    lineage stays visible in ``explain``; values are identical, the
+    offsets pass just recomputes the prefix sums."""
     spark = df.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
@@ -45,7 +51,9 @@ def pack_sequences(
         .withColumn("__p", F.spark_partition_id())
     )
     w = Window.partitionBy("__p").orderBy("id")
-    local = ranged.withColumn("__cum", F.sum("n_tokens").over(w)).persist()
+    local = ranged.withColumn("__cum", F.sum("n_tokens").over(w))
+    if _materialize:
+        local = local.persist()
     totals = sorted(
         local.groupBy("__p").agg(F.max("__cum").alias("t")).collect(),
         key=lambda r: r["__p"],
@@ -66,11 +74,12 @@ def pack_sequences(
                 "bin_offset"
             ),
         )
+    )
+    if _materialize:
         # materialize (same row count as the cache it replaces), then
         # release the cumsum cache instead of leaking it (round 14; §5)
-        .localCheckpoint(eager=True)
-    )
-    local.unpersist()
+        out = out.localCheckpoint(eager=True)
+        local.unpersist()
     return out
 
 

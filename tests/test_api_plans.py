@@ -126,7 +126,11 @@ def test_sequence_pack_single_range_exchange(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
         "doc_id", "n_chars AS n"
     )
-    out = pack_sequences(docs, "doc_id", "n", budget=4096, n_parts=8)
+    # _materialize=False keeps the lineage visible: the default path ends
+    # in an eager localCheckpoint (cache-release discipline, round 14)
+    # whose executed plan is just `Scan ExistingRDD`.
+    out = pack_sequences(docs, "doc_id", "n", budget=4096, n_parts=8,
+                         _materialize=False)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
