@@ -34,7 +34,6 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as PsWindow
 from pyspark.sql import functions as F
 
 _MERSENNE = 2147483647  # 2^31-1; keeps (a*h+b) products inside long range
@@ -842,70 +841,75 @@ def connected_components_star(
     Per round, every node connects its neighborhood to the neighborhood
     minimum: large-star rewires only strictly-larger neighbors (safe in
     parallel), small-star the rest; alternating the two contracts every
-    component to a star around its minimum id.  Each half-round is one
-    grouping aggregate + one equi-join on the edge list; convergence is
-    an exact fixed-point check on the edge set.  Output contract matches
+    component to a star around its minimum id.  Convergence is an exact
+    fixed-point check on the edge set.  Output contract matches
     :func:`connected_components`: ``(id, rep)`` with ``rep`` the
     component minimum, singleton-free.
+
+    Round 14 representation: the working graph is an ADJACENCY LIST
+    ``(u, vs = Γ(u))`` instead of an edge list.  Each half-round is then
+    exactly ONE shuffle — explode the rewired edges (narrow), group them
+    back by the new endpoint with ``collect_set`` (hash shuffle with
+    map-side partial aggregation) — where the edge-list form paid two:
+    a window-min over ``u`` (shuffle + per-group sort) plus the
+    ``distinct`` re-dedup (second shuffle).  ``m(u)`` becomes an in-row
+    ``least(array_min(vs), u)``; the set semantics (distinct undirected
+    edges, both orientations) are identical because ``collect_set``
+    dedupes exactly what ``distinct`` deduped.  Skew posture: a hot
+    vertex's neighborhood now aggregates via partial ``collect_set``
+    merges (the ADVICE-r13 window caveat — one task sorting the whole
+    neighborhood — no longer applies), at the cost of holding Γ(u) as
+    one array value per row, the standard CC-over-adjacency trade.
     """
-    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
+    e0 = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(
         F.col("u") != F.col("v")
     )
+
+    def _group(d: DataFrame) -> DataFrame:
+        """(a, b) candidate edges (a != b upstream) -> symmetric
+        adjacency, deduped by collect_set: the half-round's ONE
+        shuffle."""
+        sym = d.unionByName(
+            d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        return sym.groupBy(F.col("a").alias("u")).agg(
+            F.collect_set("b").alias("vs")
+        )
+
     # undirected working set, deduped, localCheckpointed per round
-    e = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    adj = _group(
+        e0.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ).localCheckpoint(eager=True)
 
-    def _withm(edges: DataFrame) -> DataFrame:
-        """Annotate every edge with m(u) = min(Γ(u) ∪ {u}) via a
-        window min — ONE shuffle + ONE scan of the edge set per
-        half-round, where the previous groupBy(u)+join-on-u formulation
-        paid two of each (round 13, interleaved A/B: q_components_star
-        2.89→2.26 s, q_dbscan 6.64→5.57 s medians, output identical).
-        Skew caveat (ADVICE r13): the window adds a per-group sort and
-        loses the groupBy's map-side partial aggregation, so an
-        extreme-degree vertex funnels ALL its edge rows through one
-        task (WindowExec buffers/spills per group) where the aggregate
-        shipped one partial row per map task and AQE could broadcast
-        the mins table.  Benchmarks (incl. cc_skew_bench.py) favor the
-        window at the degree distributions star contraction produces;
-        for adversarial hub graphs the groupBy form is the safer
-        worst-case."""
-        return edges.withColumn(
-            "m",
-            F.least(F.min("v").over(PsWindow.partitionBy("u")), F.col("u")),
-        )
+    # m(u) = min(Γ(u) ∪ {u}) — in-row, no shuffle
+    _m = F.least(F.array_min("vs"), F.col("u"))
 
-    def _sym(d: DataFrame) -> DataFrame:
-        return (
-            d.filter(F.col("u") != F.col("v"))
-            .unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-
-    def _edge_sig(d: DataFrame) -> tuple:
-        """(row count, xxhash64 xor-fold): an order-independent edge-set
-        signature whose inequality proves set inequality (xor, not sum:
-        ANSI mode rejects the overflowing long sum; sets are distinct so
-        no pair cancels itself)."""
+    def _adj_sig(d: DataFrame) -> tuple:
+        """(directed-edge count, xxhash64 xor-fold over (u, v)): an
+        order-independent edge-set signature whose inequality proves
+        set inequality (xor, not sum: ANSI mode rejects the overflowing
+        long sum; sets are distinct so no pair cancels itself)."""
         r = d.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+            F.coalesce(F.sum(F.size("vs")), F.lit(0)).alias("n"),
+            F.coalesce(
+                F.expr(
+                    "bit_xor(aggregate(vs, 0L, (acc, x) -> acc ^ xxhash64(u, x)))"
+                ),
+                F.lit(0),
+            ).alias("h"),
         ).collect()[0]
         return (r["n"], r["h"])
 
-    sig_e = _edge_sig(e)
+    def _edges(d: DataFrame) -> DataFrame:
+        return d.select("u", F.explode("vs").alias("v"))
+
+    sig_e = _adj_sig(adj)
     for it in range(max_iter):
         # large-star: every strictly-larger neighbor of u rewires to
-        # m(u) = min(Γ(u) ∪ {u}); the (u,v) v<u orientation of each
-        # undirected edge contributes nothing (handled from v's center).
-        ls = (
-            _withm(e)
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        # m(u); the v < u orientation contributes nothing (handled from
+        # v's center).  m != v holds (m <= u < v), so no self-loops.
+        ls = adj.select(
+            _m.alias("b"), F.explode(F.expr("filter(vs, x -> x > u)")).alias("a")
         )
         # LAZY checkpoints + ONE job per round (round 13): the
         # signature aggregate below computes every partition of e1
@@ -913,39 +917,46 @@ def connected_components_star(
         # eager-checkpoint + two-limit-probe shape paid five jobs per
         # round, which on small contraction graphs WAS the cc_star
         # runtime.
-        e1 = _sym(ls).localCheckpoint(eager=False)
-        # small-star: every smaller-or-equal neighbor AND u itself
-        # rewires to m(u).
-        e1m = _withm(e1)
-        ss = e1m.filter(F.col("v") < F.col("u")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
+        e1 = _group(ls).localCheckpoint(eager=False)
+        # small-star: every smaller neighbor AND u itself rewires to
+        # m(u); drop the self-loops (v == m, and u == m for a u that is
+        # its own neighborhood minimum).
+        e1m = e1.select("u", "vs", _m.alias("m"))
+        ss = e1m.select(
+            F.col("m").alias("b"),
+            F.explode(F.expr("filter(vs, x -> x < u)")).alias("a"),
+        ).filter(F.col("a") != F.col("b"))
+        centers = e1m.filter(F.col("u") != F.col("m")).select(
+            F.col("u").alias("a"), F.col("m").alias("b")
         )
-        # centers carry per-edge duplicates (one row per edge of u, not
-        # one per u) — the _sym() distinct below collapses them, so the
-        # edge SET is identical to the old one-row-per-u formulation.
-        centers = e1m.select(F.col("u"), F.col("m").alias("v"))
-        e2 = _sym(ss.unionByName(centers)).localCheckpoint(eager=False)
+        e2 = _group(ss.unionByName(centers)).localCheckpoint(eager=False)
         # Fixed-point test, exactness preserved: differing (count,
         # hash-sum) signatures PROVE the edge sets differ, so the
         # expensive two-sided exceptAll comparison only runs when the
         # signatures collide — i.e. once, on the terminating round
         # (or on an astronomically unlikely hash collision, where it
         # correctly reports "not equal yet" and the loop continues).
-        sig2 = _edge_sig(e2)
+        sig2 = _adj_sig(e2)
         if sig2 == sig_e:
-            ndiff = e2.exceptAll(e).unionAll(e.exceptAll(e2)).count()
+            ndiff = (
+                _edges(e2)
+                .exceptAll(_edges(adj))
+                .unionAll(_edges(adj).exceptAll(_edges(e2)))
+                .count()
+            )
             if ndiff == 0:
-                e = e2
+                adj = e2
                 break
-        e = e2
+        adj = e2
         sig_e = sig2
     else:
         raise ValueError(
             f"connected_components_star: no fixed point in {max_iter} rounds"
         )
     # fixed point is a star forest: every edge (v, m) with m the minimum
-    stars = e.filter(F.col("v") < F.col("u")).select(
-        F.col("u").alias("id"), F.col("v").alias("rep")
+    stars = adj.select(
+        F.col("u").alias("id"),
+        F.explode(F.expr("filter(vs, x -> x < u)")).alias("rep"),
     )
     reps = stars.select(F.col("rep").alias("id")).distinct().select(
         "id", F.col("id").alias("rep")

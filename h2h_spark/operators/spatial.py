@@ -174,11 +174,21 @@ def dbscan_2d(
     from h2h_spark.operators.dedup import connected_components_star
 
     pairs = grid_self_join(pts, id_col, x_col, y_col, eps)
-    sym = pairs.select(F.col("a_id").alias("id"), F.col("b_id").alias("nb")).unionByName(
-        pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nb"))
+    # the symmetrized neighbor list feeds THREE consumers (degree
+    # aggregate, core-core edge build, border attach); unpersisted, each
+    # re-runs the 9x-replicated grid join — persist once, release after
+    # the labeled result materializes (§2.2/§5, round 14)
+    sym = (
+        pairs.select(F.col("a_id").alias("id"), F.col("b_id").alias("nb"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nb"))
+        )
+        .persist()
     )
     deg = sym.groupBy("id").agg(F.count("*").alias("n_nb"))
-    core = deg.filter(F.col("n_nb") + 1 >= min_pts).select("id")
+    # core ids are consumed 4x (two core-edge joins, core labeling, the
+    # border anti-join); tiny (<= |pts| ids), so cache the filtered set
+    core = deg.filter(F.col("n_nb") + 1 >= min_pts).select("id").persist()
     core_edges = (
         sym.join(core.withColumnRenamed("id", "nb"), "nb")
         .join(core, "id")
@@ -198,7 +208,7 @@ def dbscan_2d(
     labeled = core_lab.withColumn("role", F.lit("core")).unionByName(
         border.withColumn("role", F.lit("border"))
     )
-    return (
+    out = (
         pts.select(F.col(id_col).alias("id"))
         .join(labeled, "id", "left")
         .select(
@@ -206,4 +216,10 @@ def dbscan_2d(
             "cluster",
             F.coalesce(F.col("role"), F.lit("noise")).alias("role"),
         )
+        # materialize (|pts| rows), then release the two caches instead
+        # of leaking them into the session (§5)
+        .localCheckpoint(eager=True)
     )
+    sym.unpersist()
+    core.unpersist()
+    return out

@@ -26,6 +26,7 @@ def _edges(spark):
     "pagerank", "label_propagation", "label_propagation_semisync",
     "bfs_distances", "sssp_bounded", "feature_propagation",
     "connected_components", "simhash_near_duplicates", "jaccard_pairs",
+    "dbscan_2d",
 ])
 def test_no_cache_residue(spark, op):
     """Every persist() inside the operator is released by the time the
@@ -76,6 +77,14 @@ def test_no_cache_residue(spark, op):
         )
     elif op == "simhash_near_duplicates":
         out = D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=30)
+    elif op == "dbscan_2d":
+        from h2h_spark.operators.spatial import dbscan_2d
+
+        pts = spark.createDataFrame(
+            [(i, (i % 7) * 0.01, (i % 5) * 0.01) for i in range(60)],
+            "pid bigint, x double, y double",
+        )
+        out = dbscan_2d(pts, "pid", "x", "y", eps=0.02, min_pts=3)
     else:
         out = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.1)
     out.write.format("noop").mode("overwrite").save()
