@@ -900,8 +900,12 @@ def connected_components_star(
         ).collect()[0]
         return (r["n"], r["h"])
 
-    def _edges(d: DataFrame) -> DataFrame:
-        return d.select("u", F.explode("vs").alias("v"))
+    def _norm(d: DataFrame) -> DataFrame:
+        """Comparable adjacency rows: (u, sorted vs).  Row-set equality
+        of the normalized adjacency IS edge-set equality (collect_set
+        order is arbitrary, hence the sort) — and it compares |V| rows
+        instead of the 2|E| exploded edge rows."""
+        return d.select("u", F.array_sort("vs").alias("vs"))
 
     sig_e = _adj_sig(adj)
     for it in range(max_iter):
@@ -939,9 +943,9 @@ def connected_components_star(
         sig2 = _adj_sig(e2)
         if sig2 == sig_e:
             ndiff = (
-                _edges(e2)
-                .exceptAll(_edges(adj))
-                .unionAll(_edges(adj).exceptAll(_edges(e2)))
+                _norm(e2)
+                .exceptAll(_norm(adj))
+                .unionAll(_norm(adj).exceptAll(_norm(e2)))
                 .count()
             )
             if ndiff == 0:

@@ -16,16 +16,11 @@ from bench import _cpu_probe, _parallel_probe
 from h2h_spark import get_spark
 from pyspark.sql import functions as F
 
-sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-spark = get_spark("prof_er")
-spark.range(1000).selectExpr("sum(id)").collect()
-print("probe", _cpu_probe(), _parallel_probe(), flush=True)
-
 from h2h_spark.operators import text as TX
 from h2h_spark.operators.dedup import connected_components_star
 
 
-def phases():
+def phases(spark, sf_dir):
     parts = entrymod._read_table(spark, sf_dir, "part")
     probes = parts.filter(F.col("p_partkey") % 20 == 0).select(
         F.col("p_partkey").alias("probe_key"),
@@ -54,7 +49,15 @@ def phases():
     )
 
 
-for rep in range(int(sys.argv[1]) if len(sys.argv) > 1 else 3):
-    spark.catalog.clearCache()
-    phases()
-print("probe", _cpu_probe(), _parallel_probe(), flush=True)
+if __name__ == "__main__":
+    # __main__ guard is load-bearing: _parallel_probe uses multiprocessing
+    # spawn, which re-imports the main module in each worker — unguarded
+    # top-level get_spark() would fork-bomb JVMs.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("prof_er")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    print("probe", _cpu_probe(), _parallel_probe(), flush=True)
+    for rep in range(int(sys.argv[1]) if len(sys.argv) > 1 else 3):
+        spark.catalog.clearCache()
+        phases(spark, sf_dir)
+    print("probe", _cpu_probe(), _parallel_probe(), flush=True)
